@@ -1,0 +1,206 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Contribution/history engine — the ohsome-contributions analog.
+  *
+  * The reference turns each OSM element's version sequence into
+  * "contribution" rows with `[valid_from, valid_to)` intervals, a version
+  * counter, a running edit count, a contribution-type classification vs the
+  * previous version, and user/changeset enrichment
+  * (ContributionsAvroConverter.java:91-180). Here the `events` table plays
+  * the edit stream: entity id = `user_id`, one event = one version;
+  * `event_type = 'error'` marks a deletion (visible=false), `props` plays
+  * the tag set and `value` the geometry.
+  *
+  * Scale design: every operator shares ONE shuffle — partition by entity id
+  * (`user_id`) — and all windows/aggregations reuse that partitioning. On a
+  * cluster this is the natural layout for OSM history (partition by osm_id),
+  * so version chains never cross executors.
+  */
+object History {
+
+  /** Per-entity version window — the single entity-keyed sort all history
+    * operators reuse. Ties on ts break by event_id for determinism.
+    */
+  private val byEntity = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+
+  /** DuckDB reads parquet TIMESTAMP(NANOS) at microsecond resolution, so all
+    * history timestamps are epoch-µs (`ts div 1000`) on both engines.
+    */
+  private def withTsUs(df: DataFrame): DataFrame =
+    df.withColumn("ts_us", expr("ts div 1000"))
+
+  private def withVersions(df: DataFrame): DataFrame =
+    withTsUs(df)
+      .withColumn("osm_version", row_number().over(byEntity))
+      .withColumn("valid_from", col("ts_us"))
+      .withColumn("valid_to", lead(col("ts_us"), 1).over(byEntity))
+
+  /** Version chains: `valid_from`/`valid_to` intervals + version counter. */
+  def histBuild(s: SparkSession, dir: String): DataFrame =
+    withVersions(Tables.events(s, dir))
+      .select(col("user_id").as("osm_id"), col("osm_version"),
+        col("valid_from"), col("valid_to"), col("event_type"))
+      .orderBy("osm_id", "osm_version")
+
+  /** Epoch-micros of 2024-02-01T00:00:00Z — snapshot instant for hist_snapshot. */
+  val SnapshotUs: Long = 1706745600000000L
+
+  /** Snapshot-at-timestamp: versions visible at an instant
+    * (docs/useful_queries.md "OSM at specific snapshot timestamp").
+    */
+  def histSnapshot(s: SparkSession, dir: String): DataFrame =
+    withVersions(Tables.events(s, dir))
+      .filter(col("valid_from") <= SnapshotUs &&
+        (col("valid_to").isNull || col("valid_to") > SnapshotUs))
+      .filter(col("event_type") =!= "error") // deleted elements are not visible
+      .select(col("user_id").as("osm_id"), col("osm_version"),
+        col("valid_from"), col("event_type"), col("value"))
+      .orderBy("osm_id")
+
+  /** CREATION / TAG / GEOMETRY / TAG_GEOMETRY / DELETION classification —
+    * exact decision order of ContributionsAvroConverter.java:167-180:
+    * not-visible → DELETION; previous absent-or-not-visible → CREATION;
+    * else join("_") of TAG (tags changed) and GEOMETRY (geometry changed).
+    */
+  def histContribType(s: SparkSession, dir: String): DataFrame = {
+    val e = withTsUs(Tables.events(s, dir))
+      .withColumn("visible", col("event_type") =!= "error")
+      .withColumn("prev_visible", lag("visible", 1).over(byEntity))
+      .withColumn("prev_props", lag("props", 1).over(byEntity))
+      .withColumn("prev_value", lag("value", 1).over(byEntity))
+    e.withColumn("contrib_type",
+        when(!col("visible"), "DELETION")
+          .when(col("prev_visible").isNull || !col("prev_visible"), "CREATION")
+          .otherwise(concat_ws("_",
+            when(col("props") =!= col("prev_props"), "TAG"),
+            when(col("value") =!= col("prev_value"), "GEOMETRY"))))
+      .select(col("event_id"), col("user_id").as("osm_id"), col("contrib_type"))
+      .orderBy("event_id")
+  }
+
+  /** Running edit count + last-edit summary per entity (`osm_edits`,
+    * `osm_last_edit` analog).
+    */
+  def histEdits(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id").as("osm_id"))
+      .agg(count(lit(1)).as("n_edits"),
+        min(expr("ts div 1000")).as("first_edit"),
+        max(expr("ts div 1000")).as("last_edit"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+      .orderBy("osm_id")
+
+  /** User-struct enrichment: broadcast dimension join (the `--changeset-db`
+    * user join analog). The fact side never shuffles.
+    */
+  def histEnrichUser(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name").as("user_name"),
+        col("c_mktsegment").as("user_segment"))
+    Tables.events(s, dir)
+      .join(broadcast(users), col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("user_name"),
+        col("user_segment"), col("event_type"))
+      .orderBy("event_id")
+  }
+
+  /** Tag parse + filter: `props` JSON → key `k`, the `map_contains_entry`
+    * tag-filter analog (docs/useful_queries.md).
+    */
+  def histTags(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("tag_k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("int"))
+      .filter(col("tag_k") >= 50)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_tagged"), sum("tag_k").as("sum_k"))
+      .orderBy("event_type")
+
+  /** Latest-version extraction — the `latest/` output partition. */
+  def histLatest(s: SparkSession, dir: String): DataFrame = {
+    val latest = Window.partitionBy("user_id").orderBy(desc("ts_us"), desc("event_id"))
+    withTsUs(Tables.events(s, dir))
+      .withColumn("rk", row_number().over(latest))
+      .filter(col("rk") === 1)
+      .select(col("user_id").as("osm_id"), col("ts_us").as("last_ts"),
+        col("event_type"),
+        when(col("event_type") === "error", "deleted").otherwise("latest").as("status"))
+      .orderBy("osm_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hist_build" -> (histBuild _),
+    "hist_snapshot" -> (histSnapshot _),
+    "hist_contrib_type" -> (histContribType _),
+    "hist_edits" -> (histEdits _),
+    "hist_enrich_user" -> (histEnrichUser _),
+    "hist_tags" -> (histTags _),
+    "hist_latest" -> (histLatest _))
+
+  val oracles: Map[String, String] = Map(
+    "hist_build" ->
+      """SELECT user_id AS osm_id,
+        |  row_number() OVER w AS osm_version,
+        |  epoch_us(ts) AS valid_from,
+        |  lead(epoch_us(ts), 1) OVER w AS valid_to,
+        |  event_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY osm_id, osm_version""".stripMargin,
+    "hist_snapshot" ->
+      """SELECT osm_id, osm_version, valid_from, event_type, value FROM (
+        |  SELECT user_id AS osm_id,
+        |    row_number() OVER w AS osm_version,
+        |    epoch_us(ts) AS valid_from,
+        |    lead(epoch_us(ts), 1) OVER w AS valid_to,
+        |    event_type, value
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) t
+        |WHERE valid_from <= 1706745600000000
+        |  AND (valid_to IS NULL OR valid_to > 1706745600000000)
+        |  AND event_type <> 'error'
+        |ORDER BY osm_id""".stripMargin,
+    "hist_contrib_type" ->
+      """SELECT event_id, user_id AS osm_id,
+        |  CASE WHEN NOT visible THEN 'DELETION'
+        |       WHEN prev_visible IS NULL OR NOT prev_visible THEN 'CREATION'
+        |       ELSE concat_ws('_',
+        |         CASE WHEN props <> prev_props THEN 'TAG' END,
+        |         CASE WHEN value <> prev_value THEN 'GEOMETRY' END)
+        |  END AS contrib_type
+        |FROM (
+        |  SELECT *, event_type <> 'error' AS visible,
+        |    lag(event_type <> 'error', 1) OVER w AS prev_visible,
+        |    lag(props, 1) OVER w AS prev_props,
+        |    lag(value, 1) OVER w AS prev_value
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) t
+        |ORDER BY event_id""".stripMargin,
+    "hist_edits" ->
+      """SELECT user_id AS osm_id, count(*) AS n_edits,
+        |  epoch_us(min(ts)) AS first_edit, epoch_us(max(ts)) AS last_edit,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "hist_enrich_user" ->
+      """SELECT event_id, user_id, c_name AS user_name,
+        |  c_mktsegment AS user_segment, event_type
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |ORDER BY event_id""".stripMargin,
+    "hist_tags" ->
+      """SELECT event_type, count(*) AS n_tagged, CAST(sum(tag_k) AS BIGINT) AS sum_k
+        |FROM (SELECT event_type,
+        |        CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS tag_k
+        |      FROM events) t
+        |WHERE tag_k >= 50
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "hist_latest" ->
+      """SELECT user_id AS osm_id, epoch_us(ts) AS last_ts, event_type,
+        |  CASE WHEN event_type = 'error' THEN 'deleted' ELSE 'latest' END AS status
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
+        |      FROM events) t
+        |WHERE rk = 1 ORDER BY osm_id""".stripMargin)
+}
