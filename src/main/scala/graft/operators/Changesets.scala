@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Changesets engine — the osm-changesets / ohsome-changesets analog.
+  *
+  * The reference ingests changeset metadata (created_at, closed_at,
+  * num_changes, editor, hashtags) and joins it onto contributions
+  * (ChangesetDb.java, docs/CLI.md "Join Changeset Tags"). Here changesets
+  * are *derived* by sessionizing the edit stream (gap-based, the standard
+  * session-window operator), and hashtag extraction follows
+  * ChangesetHashtags.java:20-34 exactly: strip URLs, match the hashtag
+  * pattern, drop '#', keep length >= 2, drop all-digit tags, distinct,
+  * sorted.
+  *
+  * Scale: sessionization is a window over the same entity-keyed shuffle the
+  * history engine uses; the changeset→contribution join is a self-join on
+  * (user_id, cs_seq) that stays co-partitioned — no extra fact shuffle.
+  */
+object Changesets {
+
+  /** Session gap: edits by one user within 6h belong to one changeset. */
+  val GapUs: Long = 6L * 3600 * 1000000
+
+  private val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+
+  /** Events with a per-user session sequence number (gaps-and-islands). */
+  private def sessionized(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("gap_flag",
+        when(col("ts_us") - lag("ts_us", 1).over(byUser) > GapUs || lag("ts_us", 1).over(byUser).isNull, 1)
+          .otherwise(0))
+      .withColumn("cs_seq", sum("gap_flag").over(
+        Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+  /** Build changesets: session windows → created_at/closed_at/num_changes. */
+  def csBuild(s: SparkSession, dir: String): DataFrame =
+    sessionized(s, dir)
+      .groupBy("user_id", "cs_seq")
+      .agg(min("ts_us").as("created_at"),
+        max("ts_us").as("closed_at"),
+        count(lit(1)).as("num_changes"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+      .orderBy("user_id", "cs_seq")
+
+  /** Hashtag extraction — reference semantics (ChangesetHashtags.java:20-34).
+    * The comment field is synthesized deterministically from `documents`
+    * (URL prefix + '#'-marked words) so the URL-strip and filter rules are
+    * exercised; inputs are ASCII so the Java and RE2 hashtag patterns agree.
+    */
+  def csHashtags(s: SparkSession, dir: String): DataFrame = {
+    // Reference pattern (Java regex); on ASCII input it equals the RE2
+    // variant used in the oracle.
+    val hashtagPattern = "#[^\\u2000-\\u206F\\u2E00-\\u2E7F\\v\\h\\\\'!\"#$%()*,./:;<=>?@\\[\\]^`{|}~]+"
+    Tables.documents(s, dir)
+      .withColumn("comment",
+        concat(lit("see http://example.org/x#frag "),
+          regexp_replace(col("text"), " (s)", " #$1")))
+      .withColumn("no_urls", regexp_replace(col("comment"), "http\\S*", ""))
+      .withColumn("raw_tags", regexp_extract_all(col("no_urls"), lit(hashtagPattern), lit(0)))
+      .withColumn("hashtags", array_join(array_sort(array_distinct(
+        filter(transform(col("raw_tags"), t => substring(t, 2, 1000000)),
+          t => length(t) >= 2 && !t.rlike("^[0-9]+$")))), ","))
+      .select(col("doc_id"), col("hashtags"))
+      .orderBy("doc_id")
+  }
+
+  /** Contribution ← changeset enrichment join (the `--changeset-db` join,
+    * docs/CLI.md): each edit gets its changeset struct fields.
+    */
+  def csEnrich(s: SparkSession, dir: String): DataFrame = {
+    val sess = sessionized(s, dir)
+    val cs = sess.groupBy("user_id", "cs_seq")
+      .agg(min("ts_us").as("created_at"),
+        max("ts_us").as("closed_at"),
+        count(lit(1)).as("num_changes"))
+      .withColumn("editor", concat(lit("editor/"), col("user_id") % 7))
+    sess.select("event_id", "user_id", "cs_seq")
+      .join(cs, Seq("user_id", "cs_seq"))
+      .select(col("event_id"), col("user_id"), col("cs_seq"),
+        col("created_at"), col("closed_at"), col("num_changes"), col("editor"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cs_build" -> (csBuild _),
+    "cs_hashtags" -> (csHashtags _),
+    "cs_enrich" -> (csEnrich _))
+
+  private val sessionSql =
+    """SELECT *, CAST(sum(gap_flag) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs_seq
+      |FROM (SELECT *,
+      |        CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 21600000000 THEN 1 ELSE 0 END AS gap_flag
+      |      FROM (SELECT *, epoch_us(ts) AS ts_us,
+      |              lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
+      |            FROM events) a) b""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "cs_build" ->
+      s"""SELECT user_id, cs_seq, min(ts_us) AS created_at, max(ts_us) AS closed_at,
+         |  count(*) AS num_changes, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+         |FROM ($sessionSql)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "cs_hashtags" ->
+      """SELECT doc_id, coalesce(array_to_string(list_sort(list_distinct(
+        |    list_filter(
+        |      list_transform(
+        |        regexp_extract_all(
+        |          regexp_replace(
+        |            'see http://example.org/x#frag ' || regexp_replace(text, ' (s)', ' #\1', 'g'),
+        |            'http\S*', '', 'g'),
+        |          '#[^\s''!"#$%()*,./:;<=>?@\[\]^`{|}~\\]+'),
+        |        t -> t[2:]),
+        |      t -> length(t) >= 2 AND NOT regexp_full_match(t, '[0-9]+')))), ','), '') AS hashtags
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "cs_enrich" ->
+      s"""SELECT event_id, b.user_id, b.cs_seq, created_at, closed_at, num_changes,
+         |  'editor/' || (b.user_id % 7) AS editor
+         |FROM ($sessionSql) b
+         |JOIN (SELECT user_id, cs_seq, min(ts_us) AS created_at, max(ts_us) AS closed_at,
+         |        count(*) AS num_changes
+         |      FROM ($sessionSql) GROUP BY 1, 2) c
+         |  ON b.user_id = c.user_id AND b.cs_seq = c.cs_seq
+         |ORDER BY event_id""".stripMargin)
+}
