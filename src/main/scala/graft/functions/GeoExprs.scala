@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, QuaternaryExpression}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Geometry kernels shared by the Catalyst expressions below and plain
+  * Scala callers (tests). Pure static functions so whole-stage codegen can
+  * call them directly — the generated code stays a single JVM call, no
+  * boxing, no UDF serialization.
+  */
+object Geo {
+
+  /** Hex WKB (little-endian) for a 2D point — the GeoParquet geometry
+    * encoding the reference emits for nodes
+    * (ohsome-contributions ContributionsAvroConverter.java:150 writes WKB).
+    */
+  def wkbPointHex(lon: Double, lat: Double): String = {
+    val sb = new java.lang.StringBuilder(42)
+    sb.append("0101000000") // byte order 01 (LE) + geometry type 1 (point) LE
+    appendLeHex(sb, java.lang.Double.doubleToLongBits(lon))
+    appendLeHex(sb, java.lang.Double.doubleToLongBits(lat))
+    sb.toString
+  }
+
+  private def appendLeHex(sb: java.lang.StringBuilder, bits: Long): Unit = {
+    val digits = "0123456789abcdef"
+    var i = 0
+    while (i < 8) {
+      val b = ((bits >>> (8 * i)) & 0xffL).toInt
+      sb.append(digits.charAt(b >> 4)).append(digits.charAt(b & 0xf))
+      i += 1
+    }
+  }
+
+  /** XZ-ordering space-filling curve (Böhm, Klump & Kriegel 1999) of a
+    * lon/lat bbox at resolution `g` — the spatial sort key of the output
+    * parquet (reference util/XZCode.java:14-95, g=16 per
+    * ContributionsAvroConverter.java:24). Re-derived from the paper: the
+    * enlarged-element length is l1 = floor(log_0.5(max extent)) bumped by
+    * one when the doubled cell at l1+1 still covers the box, and the code
+    * accumulates quadrant * |subtree| + 1 along the curve descent.
+    */
+  def xzLevel(xmin: Double, ymin: Double, xmax: Double, ymax: Double, g: Int): Int = {
+    val x0 = (180.0 + xmin) / 360.0
+    val y0 = (90.0 + ymin) / 360.0
+    val x1 = (180.0 + xmax) / 360.0
+    val y1 = (90.0 + ymax) / 360.0
+    val ext = math.max(x1 - x0, y1 - y0)
+    val l1 = math.floor(math.log(ext) / math.log(0.5)).toInt
+    if (l1 >= g) g
+    else {
+      val w2 = math.pow(0.5, l1 + 1)
+      def fits(min: Double, max: Double) = max <= math.floor(min / w2) * w2 + 2 * w2
+      if (fits(x0, x1) && fits(y0, y1)) l1 + 1 else l1
+    }
+  }
+
+  def xzCode(xmin: Double, ymin: Double, xmax: Double, ymax: Double, g: Int): Long = {
+    val length = xzLevel(xmin, ymin, xmax, ymax, g)
+    val x = (180.0 + xmin) / 360.0
+    val y = (90.0 + ymin) / 360.0
+    var (xlo, xhi, ylo, yhi) = (0.0, 1.0, 0.0, 1.0)
+    var code = 0L
+    var i = 0
+    while (i < length) {
+      // number of curve positions under one quadrant at depth i:
+      // (4^(g-i) - 1) / 3
+      val nElem = ((1L << (2 * (g - i))) - 1L) / 3L
+      var q = 0L
+      val xc = xlo + (xhi - xlo) / 2
+      if (x >= xc) { q += 1; xlo = xc } else xhi = xc
+      val yc = ylo + (yhi - ylo) / 2
+      if (y >= yc) { q += 2; ylo = yc } else yhi = yc
+      code += q * nElem + 1
+      i += 1
+    }
+    code
+  }
+}
+
+/** `wkb_point(lon, lat)` → hex WKB string; codegen emits a direct static
+  * call so the expression stays inside WholeStageCodegen.
+  */
+case class WkbPoint(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "wkb_point"
+
+  override protected def nullSafeEval(lon: Any, lat: Any): Any =
+    UTF8String.fromString(
+      Geo.wkbPointHex(lon.asInstanceOf[Double], lat.asInstanceOf[Double]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat) =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.Geo.wkbPointHex($lon, $lat))")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WkbPoint =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `xz_code(xmin, ymin, xmax, ymax)` → curve position (g=16). */
+case class XZCodeExpr(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "xz_code"
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    Geo.xzCode(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double], 16)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.functions.Geo.xzCode($a, $b, $c, $d, 16)")
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression): XZCodeExpr =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
+/** `xz_level(xmin, ymin, xmax, ymax)` → enlarged-element length (g=16). */
+case class XZLevelExpr(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "xz_level"
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    Geo.xzLevel(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double], 16)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.functions.Geo.xzLevel($a, $b, $c, $d, 16)")
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression): XZLevelExpr =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
+/** Registers the custom expressions on a live session (tests/Verify) —
+  * `GraftExtensions` does the same through `SparkSessionExtensions` for
+  * spark-submit (`spark.sql.extensions=graft.functions.GraftExtensions`).
+  */
+object GeoFunctions {
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "wkb_point" -> (es => WkbPoint(es(0), es(1))),
+    "xz_code" -> (es => XZCodeExpr(es(0), es(1), es(2), es(3))),
+    "xz_level" -> (es => XZLevelExpr(es(0), es(1), es(2), es(3))))
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+/** Session extension registering graft expressions cluster-wide. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GeoFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((new FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.GeoExprs", name),
+        builder))
+    }
+}

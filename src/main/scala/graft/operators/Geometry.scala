@@ -1,0 +1,250 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.GeoFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Geometry engine — the osm-geometry / contribution-geometry analog.
+  *
+  * The reference derives per-contribution geometry attributes: bbox,
+  * centroid, length + length_delta, area + area_delta
+  * (ContributionsAvroConverter.java:150-164), WKB encoding, and the
+  * XZ-ordering curve code of the bbox (util/XZCode.java). Coordinates here
+  * are derived deterministically from `events` columns (integer
+  * centi-degrees) so every result is oracle-checkable: integer modular
+  * arithmetic is exact in both engines, and all accumulation happens in
+  * BIGINT/DECIMAL before one final float division.
+  *
+  * Scale: all per-entity attributes share ONE shuffle (partition by
+  * user_id) reused across the window stages; bbox/centroid are plain
+  * hash aggregates with map-side partials; the country join broadcasts the
+  * boundary grid — the point side never shuffles.
+  */
+object Geometry {
+
+  /** Deterministic synthetic points: integer centi-degree coords.
+    * xi ∈ [0, 36000) → lon ∈ [-180, 180); yi ∈ [0, 18000) → lat ∈ [-90, 90).
+    */
+  private def points(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"))
+      .withColumn("xi", (col("event_id") * 7919) % 36000)
+      .withColumn("yi", (col("event_id") * 104729) % 18000)
+      .withColumn("lon", col("xi") / 100.0 - 180.0)
+      .withColumn("lat", col("yi") / 100.0 - 90.0)
+
+  private val ptsSql =
+    """SELECT event_id, user_id, xi, yi,
+      |       xi / 100.0 - 180.0 AS lon, yi / 100.0 - 90.0 AS lat
+      |FROM (SELECT event_id, user_id,
+      |        (event_id * 7919) % 36000 AS xi,
+      |        (event_id * 104729) % 18000 AS yi
+      |      FROM events) raw""".stripMargin
+
+  private val byUserEv = Window.partitionBy("user_id").orderBy("event_id")
+  private val cumFrame = byUserEv.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  /** Bbox per entity — min/max over exact 2-decimal doubles. */
+  def geoBbox(s: SparkSession, dir: String): DataFrame =
+    points(s, dir).groupBy("user_id")
+      .agg(min("lon").as("xmin"), min("lat").as("ymin"),
+        max("lon").as("xmax"), max("lat").as("ymax"))
+      .orderBy("user_id")
+
+  /** Centroid per entity — integer coordinate sums (exact), one final
+    * float division.
+    */
+  def geoCentroid(s: SparkSession, dir: String): DataFrame =
+    points(s, dir).groupBy("user_id")
+      .agg((sum("xi").cast("double") / count(lit(1)) / 100.0 - 180.0).as("cx"),
+        (sum("yi").cast("double") / count(lit(1)) / 100.0 - 90.0).as("cy"),
+        count(lit(1)).as("npts"))
+      .orderBy("user_id")
+
+  /** Haversine step distance — identical expression text runs in Spark and
+    * DuckDB; transcendental output rounded to 4 decimals (SURVEY §3.2)
+    * before DECIMAL accumulation.
+    */
+  private val stepSql =
+    "round(2 * 6371000.0 * asin(sqrt(" +
+      "sin(radians(lat - plat) / 2) * sin(radians(lat - plat) / 2) + " +
+      "cos(radians(plat)) * cos(radians(lat)) * " +
+      "sin(radians(lon - plon) / 2) * sin(radians(lon - plon) / 2))), 4)"
+
+  /** Per-event step length + running line length per entity. */
+  def geoLength(s: SparkSession, dir: String): DataFrame =
+    points(s, dir)
+      .withColumn("plon", lag("lon", 1).over(byUserEv))
+      .withColumn("plat", lag("lat", 1).over(byUserEv))
+      .withColumn("step_m",
+        when(col("plon").isNull, lit(0.0).cast("decimal(18,4)"))
+          .otherwise(expr(stepSql).cast("decimal(18,4)")))
+      .withColumn("cum_m", sum("step_m").over(cumFrame))
+      .select("event_id", "user_id", "step_m", "cum_m")
+      .orderBy("event_id")
+
+  /** Shoelace ring area per entity prefix (the ring closes back to the
+    * entity's first point) + area_delta vs the previous prefix — all in
+    * BIGINT centi-degree² until one final division.
+    */
+  def geoArea(s: SparkSession, dir: String): DataFrame =
+    points(s, dir)
+      .withColumn("cross_t",
+        coalesce(lag("xi", 1).over(byUserEv) * col("yi")
+          - col("xi") * lag("yi", 1).over(byUserEv), lit(0L)))
+      .withColumn("x1", first("xi").over(byUserEv))
+      .withColumn("y1", first("yi").over(byUserEv))
+      .withColumn("s2",
+        sum("cross_t").over(cumFrame) + (col("xi") * col("y1") - col("x1") * col("yi")))
+      .withColumn("a2", abs(col("s2")))
+      .withColumn("area_deg2", col("a2") / 20000.0)
+      .withColumn("area_delta",
+        (col("a2") - coalesce(lag("a2", 1).over(byUserEv), lit(0L))) / 20000.0)
+      .select("event_id", "user_id", "area_deg2", "area_delta")
+      .orderBy("event_id")
+
+  /** WKB point encoding via the custom codegen expression `wkb_point`
+    * (graft.functions.WkbPoint). Integer-valued degrees keep the oracle's
+    * IEEE-754 bit construction exact.
+    */
+  def geoWkb(s: SparkSession, dir: String): DataFrame = {
+    GeoFunctions.register(s)
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        ((col("event_id") * 31) % 360 - 180).cast("double").as("lon_d"),
+        ((col("event_id") * 17) % 180 - 90).cast("double").as("lat_d"))
+      .withColumn("wkb", call_function("wkb_point", col("lon_d"), col("lat_d")))
+      .orderBy("event_id")
+  }
+
+  /** XZ-ordering curve (level, code) of each entity bbox — custom codegen
+    * expressions; rows-only driver check (log2/pow semantics are not
+    * portable SQL), ScalaTest covers the kernel.
+    */
+  def geoXzcode(s: SparkSession, dir: String): DataFrame = {
+    GeoFunctions.register(s)
+    // Element-sized boxes (extent varies 0..0.5° by event) — exercises the
+    // level-selection logic across the whole resolution range, like the
+    // reference's per-contribution envelope.
+    points(s, dir)
+      .withColumn("ext", (col("event_id") % 1000) / 2000.0)
+      .withColumn("xmax", least(col("lon") + col("ext"), lit(180.0)))
+      .withColumn("ymax", least(col("lat") + col("ext"), lit(90.0)))
+      .withColumn("xz_level",
+        call_function("xz_level", col("lon"), col("lat"), col("xmax"), col("ymax")))
+      .withColumn("xz_code",
+        call_function("xz_code", col("lon"), col("lat"), col("xmax"), col("ymax")))
+      .select("event_id", "lon", "lat", "xmax", "ymax", "xz_level", "xz_code")
+      .orderBy("event_id")
+  }
+
+  /** Point-in-polygon join vs a boundary grid (SpatialGridJoiner.java
+    * analog): each point keys into its grid cell (integer arithmetic, no
+    * shuffle of the point side), then a BROADCAST HASH join on the cell id
+    * with an exact containment refine — the classic filter/refine spatial
+    * join, expressed so Catalyst picks a hash join instead of a
+    * nested-loop theta join.
+    */
+  def geoCountryJoin(s: SparkSession, dir: String): DataFrame = {
+    val bounds = Tables.nation(s, dir).select(
+      col("n_nationkey").cast("long").as("cell"),
+      col("n_name").as("country"),
+      ((col("n_nationkey") % 5) * 72 - 180).cast("double").as("lon_min"),
+      (expr("n_nationkey div 5") * 36 - 90).cast("double").as("lat_min"))
+    points(s, dir)
+      .withColumn("cell", expr("(yi div 3600) * 5 + (xi div 7200)"))
+      .join(broadcast(bounds), Seq("cell"))
+      .filter(col("lon") >= col("lon_min") && col("lon") < col("lon_min") + 72 &&
+        col("lat") >= col("lat_min") && col("lat") < col("lat_min") + 36)
+      .select("event_id", "lon", "lat", "country")
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_bbox" -> (geoBbox _),
+    "geo_centroid" -> (geoCentroid _),
+    "geo_length" -> (geoLength _),
+    "geo_area" -> (geoArea _),
+    "geo_wkb" -> (geoWkb _),
+    "geo_xzcode" -> (geoXzcode _),
+    "geo_country_join" -> (geoCountryJoin _))
+
+  /** DuckDB: little-endian IEEE-754 hex of an integer-valued double
+    * column `C` (exact: sign + biased exponent from bit length + shifted
+    * mantissa, all in BIGINT/HUGEINT).
+    */
+  private def leBitsSql(c: String, out: String): String =
+    s"""CASE WHEN $c = 0 THEN '0000000000000000' ELSE
+       |  printf('%02x%02x%02x%02x%02x%02x%02x%02x',
+       |    CAST(b_$out % 256 AS BIGINT), CAST(b_$out // 256 % 256 AS BIGINT),
+       |    CAST(b_$out // 65536 % 256 AS BIGINT), CAST(b_$out // 16777216 % 256 AS BIGINT),
+       |    CAST(b_$out // 4294967296 % 256 AS BIGINT), CAST(b_$out // 1099511627776 % 256 AS BIGINT),
+       |    CAST(b_$out // 281474976710656 % 256 AS BIGINT), CAST(b_$out // 72057594037927936 % 256 AS BIGINT))
+       |END""".stripMargin
+
+  private def bitsDef(c: String, out: String): String =
+    s"""CASE WHEN $c < 0 THEN CAST(9223372036854775808 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END
+       |+ CAST((1023 + length(bin(abs($c))) - 1) * 4503599627370496
+       |       + (CAST(1 AS BIGINT) << (52 - (length(bin(abs($c))) - 1))) * abs($c)
+       |       - 4503599627370496 AS HUGEINT) AS b_$out""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "geo_bbox" ->
+      s"""WITH pts AS ($ptsSql)
+         |SELECT user_id, min(lon) AS xmin, min(lat) AS ymin,
+         |       max(lon) AS xmax, max(lat) AS ymax
+         |FROM pts GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "geo_centroid" ->
+      s"""WITH pts AS ($ptsSql)
+         |SELECT user_id,
+         |       CAST(sum(xi) AS DOUBLE) / count(*) / 100.0 - 180.0 AS cx,
+         |       CAST(sum(yi) AS DOUBLE) / count(*) / 100.0 - 90.0 AS cy,
+         |       count(*) AS npts
+         |FROM pts GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "geo_length" ->
+      s"""WITH pts AS ($ptsSql),
+         |lagged AS (SELECT *, lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+         |           FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+         |stepped AS (SELECT event_id, user_id,
+         |    CAST(CASE WHEN plon IS NULL THEN 0.0 ELSE $stepSql END AS DECIMAL(18,4)) AS step_m
+         |  FROM lagged)
+         |SELECT event_id, user_id, step_m,
+         |       sum(step_m) OVER (PARTITION BY user_id ORDER BY event_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_m
+         |FROM stepped ORDER BY event_id""".stripMargin,
+    "geo_area" ->
+      s"""WITH pts AS ($ptsSql),
+         |lagged AS (SELECT *,
+         |    coalesce(lag(xi) OVER w * yi - xi * lag(yi) OVER w, 0) AS cross_t,
+         |    first_value(xi) OVER w AS x1, first_value(yi) OVER w AS y1
+         |  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+         |areas AS (SELECT event_id, user_id,
+         |    abs(sum(cross_t) OVER (PARTITION BY user_id ORDER BY event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |        + (xi * y1 - x1 * yi)) AS a2
+         |  FROM lagged)
+         |SELECT event_id, user_id, a2 / 20000.0 AS area_deg2,
+         |       (a2 - coalesce(lag(a2) OVER (PARTITION BY user_id ORDER BY event_id), 0)) / 20000.0 AS area_delta
+         |FROM areas ORDER BY event_id""".stripMargin,
+    "geo_wkb" ->
+      s"""WITH pts AS (SELECT event_id,
+         |    (event_id * 31) % 360 - 180 AS lx, (event_id * 17) % 180 - 90 AS ly
+         |  FROM events),
+         |bits AS (SELECT event_id, lx, ly, ${bitsDef("lx", "x")}, ${bitsDef("ly", "y")} FROM pts)
+         |SELECT event_id, CAST(lx AS DOUBLE) AS lon_d, CAST(ly AS DOUBLE) AS lat_d,
+         |       '0101000000' || ${leBitsSql("lx", "x")} || ${leBitsSql("ly", "y")} AS wkb
+         |FROM bits ORDER BY event_id""".stripMargin,
+    "geo_country_join" ->
+      s"""WITH pts AS ($ptsSql),
+         |bounds AS (SELECT n_name AS country,
+         |    CAST((n_nationkey % 5) * 72 - 180 AS DOUBLE) AS lon_min,
+         |    CAST((n_nationkey // 5) * 36 - 90 AS DOUBLE) AS lat_min
+         |  FROM nation)
+         |SELECT event_id, lon, lat, country
+         |FROM pts JOIN bounds
+         |  ON lon >= lon_min AND lon < lon_min + 72
+         | AND lat >= lat_min AND lat < lat_min + 36
+         |ORDER BY event_id""".stripMargin)
+}
