@@ -15,12 +15,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ History.queries ++ Changesets.queries ++
-      Replication.queries ++ Geometry.queries
+      Replication.queries ++ Geometry.queries ++ Dedup.queries ++
+      TextOps.queries ++ Ann.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ History.oracles ++ Changesets.oracles ++
-      Replication.oracles ++ Geometry.oracles
+      Replication.oracles ++ Geometry.oracles ++ Dedup.oracles ++
+      TextOps.oracles ++ Ann.oracles ++ Multimodal.oracles
 }

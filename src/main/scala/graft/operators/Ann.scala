@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity: cosine near-dup pairs, brute-force top-k ANN
+  * baseline, and a hyperplane-LSH bucketed scale path.
+  *
+  * Determinism: dot products accumulate per-element float products rounded
+  * to 9 decimals into DECIMAL(28,9) — exact and order-independent, so the
+  * DuckDB oracle reproduces the cosine bit-for-bit (double division and
+  * sqrt are IEEE-deterministic; only the SUM order ever differs between
+  * engines, and DECIMAL removes that).
+  *
+  * Scale: near-dup pairs join within blocking keys only (label here;
+  * LSH buckets in `ann_lsh`) — never all-pairs. Top-k broadcasts the small
+  * query set over the big base side, which is a map-only crossJoin: the
+  * 100 TB side never shuffles; per-partition top-k partials then combine.
+  */
+object Ann {
+
+  /** Exact, order-independent dot product of two float-array columns. */
+  private def dotDec(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        round(x.cast("double") * y.cast("double"), 9).cast("decimal(28,9)")),
+      lit(0).cast("decimal(28,9)"),
+      (acc, v) => (acc + v).cast("decimal(28,9)"))
+
+  private def cosine(dot: Column, na2: Column, nb2: Column): Column =
+    dot.cast("double") / (sqrt(na2.cast("double")) * sqrt(nb2.cast("double")))
+
+  private def withNorm(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .withColumn("n2", dotDec(col("embedding"), col("embedding")))
+
+  /** Embedding-cosine near-dup pairs, blocked by label. */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
+      col("label"), col("n2").as("na2"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      col("label"), col("n2").as("nb2"))
+    a.join(b, Seq("label")).filter(col("va") < col("vb"))
+      .withColumn("cos", cosine(dotDec(col("ea"), col("eb")), col("na2"), col("nb2")))
+      .filter(col("cos") >= 0.3)
+      .select("va", "vb", "label", "cos")
+      .orderBy("va", "vb")
+  }
+
+  /** Brute-force cosine top-5 per query (queries = vec_id < 8), with a
+    * deterministic (cos DESC, vec_id ASC) tiebreak.
+    */
+  def annTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("n2").as("qn2"))
+    val base = e.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("n_id"), col("embedding").as("ne"), col("n2").as("nn2"))
+    base.crossJoin(broadcast(queries))
+      .withColumn("cos", cosine(dotDec(col("qe"), col("ne")), col("qn2"), col("nn2")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "n_id", "rnk", "cos")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Hyperplane-LSH bucketed ANN: 8 deterministic integer hyperplanes →
+    * sign-bit bucket; candidates are same-bucket only, then exact cosine
+    * top-3. Rows-only driver check (bucketing is recall-lossy by design);
+    * AnnSpec asserts recall against the brute-force baseline.
+    */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val planes: Seq[Seq[Double]] = (0 until 8).map { p =>
+      (0 until 64).map { i =>
+        (((i + 1).toLong * (p + 3) * 2654435761L) % 2001L - 1000L).toDouble
+      }
+    }
+    def bucketOf(emb: Column): Column =
+      (0 until 8).map { p =>
+        val dot = aggregate(
+          zip_with(emb, typedLit(planes(p)), (x, y) => x.cast("double") * y),
+          lit(0.0), (acc, v) => acc + v)
+        when(dot > 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+
+    val e = withNorm(s, dir).withColumn("bucket", bucketOf(col("embedding")))
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("bucket"), col("vec_id").as("q_id"),
+        col("embedding").as("qe"), col("n2").as("qn2"))
+    val base = e.filter(col("vec_id") >= 8)
+      .select(col("bucket"), col("vec_id").as("n_id"),
+        col("embedding").as("ne"), col("n2").as("nn2"))
+    base.join(broadcast(queries), Seq("bucket"))
+      .withColumn("cos", cosine(dotDec(col("qe"), col("ne")), col("qn2"), col("nn2")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))))
+      .filter(col("rnk") <= 3)
+      .select("q_id", "n_id", "rnk", "bucket", "cos")
+      .orderBy("q_id", "rnk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_embedding" -> (dedupEmbedding _),
+    "ann_topk" -> (annTopk _),
+    "ann_lsh" -> (annLsh _))
+
+  /** Flattened embeddings + exact decimal dot products, shared by the
+    * oracle queries.
+    */
+  private val flatSql =
+    """flat AS (SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS e
+      |  FROM embeddings, range(1, 65) r(i)),
+      |norm AS (SELECT vec_id, sum(CAST(round(e * e, 9) AS DECIMAL(28,9))) AS n2
+      |  FROM flat GROUP BY vec_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_embedding" ->
+      s"""WITH $flatSql,
+         |dots AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.label,
+         |    sum(CAST(round(a.e * b.e, 9) AS DECIMAL(28,9))) AS dot
+         |  FROM flat a JOIN flat b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+         |  GROUP BY 1, 2, 3)
+         |SELECT va, vb, label,
+         |  CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+         |FROM dots JOIN norm na ON na.vec_id = va JOIN norm nb ON nb.vec_id = vb
+         |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.3
+         |ORDER BY va, vb""".stripMargin,
+    "ann_topk" ->
+      s"""WITH $flatSql,
+         |dots AS (SELECT q.vec_id AS q_id, b.vec_id AS n_id,
+         |    sum(CAST(round(q.e * b.e, 9) AS DECIMAL(28,9))) AS dot
+         |  FROM flat q JOIN flat b ON q.i = b.i AND q.vec_id < 8 AND b.vec_id >= 8
+         |  GROUP BY 1, 2),
+         |scored AS (SELECT q_id, n_id,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+         |  FROM dots JOIN norm nq ON nq.vec_id = q_id JOIN norm nb ON nb.vec_id = n_id),
+         |ranked AS (SELECT q_id, n_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, n_id, rnk, cos FROM ranked WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin)
+}

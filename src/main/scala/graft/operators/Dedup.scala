@@ -1,0 +1,206 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline: exact (hash),
+  * MinHash signatures, LSH band-bucket candidate pairs, SimHash
+  * fingerprints, and n-gram Jaccard verification.
+  *
+  * Hash choice: `md5` — identical hex output in Spark and DuckDB, so the
+  * oracle can replay every stage; min-hashes compare the hex strings
+  * lexicographically (no integer conversion, SURVEY §3.6).
+  *
+  * Scale: the only shuffles are (a) the hash groupBy of exact dedup and
+  * (b) the per-(band, bucket) self-join of LSH — candidate generation is
+  * within-bucket only, never all-pairs. At 100 TB add a bucket-size cap
+  * (count per bkey, drop degenerate mega-buckets) before the self-join;
+  * signature computation itself is embarrassingly parallel scan work.
+  */
+object Dedup {
+
+  val NumHashes = 8
+  val Bands = 4 // rows-per-band = 2
+
+  // ---- shared Spark-side fragments ------------------------------------
+
+  /** 5-char shingles; a short text yields its whole prefix as the single
+    * shingle (same guard in the oracle).
+    */
+  private val shinglesExpr =
+    "transform(sequence(0, greatest(length(text) - 5, 0)), i -> substr(text, i + 1, 5))"
+
+  private def minhashCol(j: Int): Column =
+    expr(s"array_min(transform(shingles, x -> md5(concat(x, '|$j'))))").as(s"mh$j")
+
+  /** doc_id + mh0..mh7 MinHash signature columns. */
+  private def signatures(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("shingles", expr(shinglesExpr))
+      .select(col("doc_id") +: (0 until NumHashes).map(minhashCol): _*)
+
+  private def bandKey(b: Int): Column =
+    md5(concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("bkey")
+
+  /** (doc_a, doc_b) candidate pairs sharing at least one LSH band bucket. */
+  private def candidates(sigs: DataFrame): DataFrame = {
+    val bands = sigs
+      .withColumn("bs", array((0 until Bands).map(b =>
+        struct(lit(b).as("band"), bandKey(b))): _*))
+      .select(col("doc_id"), explode(col("bs")).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bkey"))
+    bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
+        Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  // ---- queries --------------------------------------------------------
+
+  /** Exact dedup: content-hash groupBy, keep the lowest doc_id. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("keep_id")
+
+  /** MinHash signatures (k=8, md5 over 5-char shingles). */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    signatures(s, dir).orderBy("doc_id")
+
+  /** LSH band-bucket join → candidate pairs + signature-agreement Jaccard
+    * estimate.
+    */
+  def dedupLshPairs(s: SparkSession, dir: String): DataFrame = {
+    val sigs = signatures(s, dir)
+    val agree = (0 until NumHashes)
+      .map(j => when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    candidates(sigs)
+      .join(sigs.toDF("doc_a" +: (0 until NumHashes).map(j => s"a_mh$j"): _*), "doc_a")
+      .join(sigs.toDF("doc_b" +: (0 until NumHashes).map(j => s"b_mh$j"): _*), "doc_b")
+      .select(col("doc_a"), col("doc_b"), (agree / 8.0).as("jaccard_est"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash 64-bit fingerprint (hex) via the custom codegen expression —
+    * one pass per document instead of a token explode + 64-way groupBy.
+    * Hamming-near pair generation = band on hex prefix + verify; the scan
+    * stays shuffle-free (see DedupSpec).
+    */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), call_function("simhash64", col("text")).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** n-gram (word trigram) Jaccard verification of the LSH candidates. */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+      .withColumn("grams", expr(
+        "array_distinct(transform(sequence(0, greatest(size(toks) - 3, 0)), " +
+          "i -> concat_ws(' ', get(toks, i), get(toks, i + 1), get(toks, i + 2))))"))
+      .select(col("doc_id"), col("grams"), size(col("grams")).as("ng"))
+    val flat = grams.select(col("doc_id"), explode(col("grams")).as("g"))
+    val sigs = signatures(s, dir)
+    val inter = candidates(sigs)
+      .join(flat.toDF("doc_a", "g"), "doc_a")
+      .join(flat.toDF("doc_b", "g2"), Seq("doc_b"))
+      .filter(col("g") === col("g2"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(grams.select(col("doc_id").as("doc_a"), col("ng").as("na")), "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b"), col("ng").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_lsh_pairs" -> (dedupLshPairs _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _))
+
+  // ---- oracle SQL -----------------------------------------------------
+
+  private val sigSql = {
+    val mhs = (0 until NumHashes).map(j =>
+      s"list_min(list_transform(shingles, x -> md5(x || '|$j'))) AS mh$j").mkString(",\n       ")
+    s"""SELECT doc_id, $mhs
+       |FROM (SELECT doc_id,
+       |        list_transform(range(0, greatest(length(text) - 4, 1)),
+       |                       i -> substr(text, i + 1, 5)) AS shingles
+       |      FROM documents) sh""".stripMargin
+  }
+
+  private val candSql = {
+    val bandSelects = (0 until Bands).map(b =>
+      s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS bkey FROM sigs")
+      .mkString("\n  UNION ALL ")
+    s"""bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+       |  WHERE a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "dedup_minhash" -> s"$sigSql ORDER BY doc_id",
+    "dedup_lsh_pairs" -> {
+      val agree = (0 until NumHashes)
+        .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH sigs AS ($sigSql),
+         |$candSql
+         |SELECT doc_a, doc_b, ($agree) / 8.0 AS jaccard_est
+         |FROM cand JOIN sigs a ON a.doc_id = doc_a JOIN sigs b ON b.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "dedup_simhash" ->
+      """WITH toks AS (SELECT doc_id, t AS tok
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) x
+        |  WHERE t <> ''),
+        |th AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h FROM toks),
+        |bits AS (SELECT doc_id, b,
+        |    CASE WHEN (strpos('0123456789abcdef', substr(h, 16 - b // 4, 1)) - 1)
+        |              & (1 << (b % 4)) <> 0 THEN 1 ELSE -1 END AS w
+        |  FROM th, range(0, 64) r(b)),
+        |sums AS (SELECT doc_id, b, sum(w) AS s FROM bits GROUP BY 1, 2),
+        |digs AS (SELECT doc_id, b // 4 AS dig,
+        |    sum(CASE WHEN s > 0 THEN 1 << (b % 4) ELSE 0 END) AS dv
+        |  FROM sums GROUP BY 1, 2),
+        |fp AS (SELECT doc_id,
+        |    string_agg(substr('0123456789abcdef', CAST(dv + 1 AS INT), 1), '' ORDER BY dig DESC) AS sh
+        |  FROM digs GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(fp.sh, '0000000000000000') AS simhash
+        |FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH sigs AS ($sigSql),
+         |$candSql,
+         |grams AS (SELECT doc_id,
+         |    list_distinct(list_transform(range(0, greatest(len(toks) - 2, 1)),
+         |      i -> concat_ws(' ', toks[i + 1], toks[i + 2], toks[i + 3]))) AS gs
+         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |        FROM documents) t),
+         |flat AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c JOIN flat fa ON fa.doc_id = c.doc_a
+         |              JOIN flat fb ON fb.doc_id = c.doc_b AND fb.g = fa.g
+         |  GROUP BY 1, 2)
+         |SELECT i.doc_a, i.doc_b, i.inter, len(ga.gs) AS na, len(gb.gs) AS nb,
+         |       CAST(i.inter AS DOUBLE) / (len(ga.gs) + len(gb.gs) - i.inter) AS jaccard
+         |FROM inter i JOIN grams ga ON ga.doc_id = i.doc_a
+         |             JOIN grams gb ON gb.doc_id = i.doc_b
+         |ORDER BY i.doc_a, i.doc_b""".stripMargin)
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Input to the decode stage: opaque binary payload + typed metadata. */
+case class MMInput(doc_id: Long, fmt: String, payload: Array[Byte])
+
+/** Decoded record: metadata + extracted feature vector. */
+case class MMFeature(doc_id: Long, fmt: String, n_bytes: Int,
+    magic_hex: String, feat: Array[Double])
+
+/** Multimodal plumbing: image/audio/video as opaque `binary` columns with
+  * typed metadata, decoded per-partition into feature vectors.
+  *
+  * The Spark-side shape is the real thing — binary column + case-class
+  * schema, `mapPartitions` batch iteration (the JVM analog of
+  * `mapInPandas` batches), per-partition decoder state reuse. The decoder
+  * itself is a STUB: no image/audio codecs exist in this container, so
+  * `decodeStub` derives a deterministic md5-based fake feature vector
+  * where a real pixel/sample decode would plug in. Everything around the
+  * stub (schema, partitioning, batch iteration, output encoding) is
+  * exercised for real and oracle-checked.
+  */
+object Multimodal {
+
+  /** STUB decode kernel — replace with a real codec (e.g. image resize /
+    * audio frame sample) in a container that ships one. Deterministic:
+    * feature i = i-th md5 byte of the payload, scaled to [0, 1].
+    */
+  private def decodeStub(md: java.security.MessageDigest, in: MMInput): MMFeature = {
+    md.reset()
+    val h = md.digest(in.payload)
+    val feat = Array.tabulate(8)(i => (h(i) & 0xff) / 255.0)
+    val magic = in.payload.take(4).map(b => f"${b & 0xff}%02x").mkString
+    MMFeature(in.doc_id, in.fmt, in.payload.length, magic, feat)
+  }
+
+  def mmFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val inputs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, "png")
+          .when(col("doc_id") % 3 === 1, "jpg")
+          .otherwise("wav").as("fmt"),
+        encode(col("text"), "utf-8").as("payload"))
+      .as[MMInput]
+    inputs.mapPartitions { batch =>
+      // per-partition decoder state, reused across the whole batch
+      val md = java.security.MessageDigest.getInstance("MD5")
+      batch.map(decodeStub(md, _))
+    }.toDF().orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_features" -> (mmFeatures _))
+
+  val oracles: Map[String, String] = Map(
+    "mm_features" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END AS fmt,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  lower(hex(encode(substr(text, 1, 4)))) AS magic_hex,
+        |  list_transform(range(0, 8), i ->
+        |    ((strpos('0123456789abcdef', substr(md5(text), 2 * i + 1, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(md5(text), 2 * i + 2, 1)) - 1)) / 255.0) AS feat
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
