@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+import scala.collection.mutable.ArrayBuffer
+
+/** OSM change (`.osc`) and changeset XML readers over JDK StAX — the
+  * osm-xml OSMXmlIterator.java / osc/OscParser.java analog. Parsing is a
+  * per-file executor-side operation (`wholeTextFiles`-style); at scale one
+  * minutely diff file is small, and many diffs parallelize per file.
+  */
+object OsmXml {
+
+  val oscSchema: StructType = StructType(Seq(
+    StructField("action", StringType), StructField("osm_type", StringType),
+    StructField("id", LongType), StructField("version", IntegerType),
+    StructField("ts", StringType), StructField("changeset", LongType),
+    StructField("uid", LongType), StructField("user", StringType),
+    StructField("lat", DoubleType), StructField("lon", DoubleType),
+    StructField("tags", MapType(StringType, StringType)),
+    StructField("refs", ArrayType(LongType))))
+
+  case class OscRow(action: String, osmType: String, id: Long, version: Int,
+      ts: String, changeset: Long, uid: Long, user: String,
+      lat: Double, lon: Double, tags: Map[String, String], refs: Seq[Long])
+
+  /** Parse one `.osc` document: <osmChange><create|modify|delete> blocks
+    * around <node|way|relation> elements.
+    */
+  def parseOsc(xml: String): Seq[OscRow] = {
+    val factory = XMLInputFactory.newInstance()
+    factory.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    factory.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    val r = factory.createXMLStreamReader(new java.io.StringReader(xml))
+    val out = ArrayBuffer[OscRow]()
+    var action = ""
+    var row: OscRow = null
+    var tags = Map.newBuilder[String, String]
+    var refs = ArrayBuffer[Long]()
+    def attr(name: String): Option[String] = {
+      var i = 0
+      var res: Option[String] = None
+      while (i < r.getAttributeCount && res.isEmpty) {
+        if (r.getAttributeLocalName(i) == name) res = Some(r.getAttributeValue(i))
+        i += 1
+      }
+      res
+    }
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case a @ ("create" | "modify" | "delete") => action = a
+            case t @ ("node" | "way" | "relation") =>
+              tags = Map.newBuilder[String, String]
+              refs = ArrayBuffer[Long]()
+              row = OscRow(action, t,
+                attr("id").map(_.toLong).getOrElse(0L),
+                attr("version").map(_.toInt).getOrElse(1),
+                attr("timestamp").getOrElse(""),
+                attr("changeset").map(_.toLong).getOrElse(0L),
+                attr("uid").map(_.toLong).getOrElse(0L),
+                attr("user").getOrElse(""),
+                attr("lat").map(_.toDouble).getOrElse(Double.NaN),
+                attr("lon").map(_.toDouble).getOrElse(Double.NaN),
+                Map.empty, Nil)
+            case "tag" =>
+              for (k <- attr("k"); v <- attr("v")) tags += k -> v
+            case "nd" =>
+              attr("ref").foreach(v => refs += v.toLong)
+            case "member" =>
+              attr("ref").foreach(v => refs += v.toLong)
+            case _ =>
+          }
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "node" | "way" | "relation" =>
+              out += row.copy(tags = tags.result(), refs = refs.toSeq)
+              row = null
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    r.close()
+    out.toSeq
+  }
+
+  /** Distributed read: one task per `.osc` file. */
+  def readOsc(spark: SparkSession, pathGlob: String): DataFrame = {
+    val rdd = spark.sparkContext.wholeTextFiles(pathGlob)
+      .flatMap { case (_, content) => parseOsc(content) }
+      .map(e => Row(e.action, e.osmType, e.id, e.version, e.ts, e.changeset,
+        e.uid, e.user, e.lat, e.lon, e.tags, e.refs))
+    spark.createDataFrame(rdd, oscSchema)
+  }
+}
+
+/** Partitioned GeoParquet-style sink: `status={latest,history}` ×
+  * `osm_type={node,way,relation}` directory layout (the reference's
+  * ohsome-parquet output contract).
+  */
+object ContribSink {
+  def writePartitioned(df: DataFrame, outDir: String): Unit =
+    df.write.mode("overwrite")
+      .partitionBy("status", "osm_type")
+      .parquet(outDir)
+}

@@ -1,0 +1,206 @@
+package graft
+
+import graft.sources.{ContribSink, OsmPbf, OsmXml}
+import org.apache.spark.sql.functions._
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.Deflater
+
+/** Test-side minimal PBF *encoder* (varint/zigzag/zlib/framing) used to
+  * synthesize files for reader round-trips — independent of the reader's
+  * decode path.
+  */
+object PbfEncode {
+  def varint(out: ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+  def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
+  def key(field: Int, wire: Int): Int = (field << 3) | wire
+  def lenField(out: ByteArrayOutputStream, field: Int, payload: Array[Byte]): Unit = {
+    varint(out, key(field, 2)); varint(out, payload.length); out.write(payload)
+  }
+  def packedSVarints(vs: Seq[Long]): Array[Byte] = {
+    val b = new ByteArrayOutputStream()
+    var prev = 0L
+    vs.foreach { v => varint(b, zigzag(v - prev)); prev = v }
+    b.toByteArray
+  }
+  def packedVarints(vs: Seq[Long]): Array[Byte] = {
+    val b = new ByteArrayOutputStream()
+    vs.foreach(varint(b, _))
+    b.toByteArray
+  }
+  def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](raw.length * 2 + 64)
+    val n = d.deflate(buf)
+    d.end()
+    java.util.Arrays.copyOf(buf, n)
+  }
+}
+
+class SourcesSpec extends SparkSpec {
+  import PbfEncode._
+
+  private def buildPbf(): Array[Byte] = {
+    // string table: index 0 must be the empty string
+    val strings = Seq("", "highway", "primary", "name", "main", "alice")
+    val st = new ByteArrayOutputStream()
+    strings.foreach(s => lenField(st, 1, s.getBytes("UTF-8")))
+
+    // DenseNodes: ids 10,13; latlon nano/100; tags: node1 {highway=primary}, node2 {}
+    val dense = new ByteArrayOutputStream()
+    lenField(dense, 1, packedSVarints(Seq(10L, 13L)))
+    val denseInfo = new ByteArrayOutputStream()
+    lenField(denseInfo, 1, packedVarints(Seq(2L, 1L)))              // versions
+    lenField(denseInfo, 2, packedSVarints(Seq(1700000L, 1700060L))) // ts (sec at dateGran 1000)
+    lenField(denseInfo, 3, packedSVarints(Seq(77L, 78L)))           // changesets
+    lenField(denseInfo, 4, packedSVarints(Seq(5L, 5L)))             // uids
+    lenField(denseInfo, 5, packedSVarints(Seq(5L, 5L)))             // user sids → "alice"
+    lenField(dense, 5, denseInfo.toByteArray)
+    lenField(dense, 8, packedSVarints(Seq(525200000L, 525200100L))) // lat raw (gran 100 → 52.52°)
+    lenField(dense, 9, packedSVarints(Seq(134000000L, 134000200L))) // lon raw
+    lenField(dense, 10, packedVarints(Seq(1L, 2L, 0L, 0L)))         // kv: {1:2}, 0, {}, 0
+
+    // Way 42: refs 10,13; tags {name=main}
+    val way = new ByteArrayOutputStream()
+    varint(way, key(1, 0)); varint(way, 42L)
+    lenField(way, 2, packedVarints(Seq(3L)))
+    lenField(way, 3, packedVarints(Seq(4L)))
+    val wayInfo = new ByteArrayOutputStream()
+    varint(wayInfo, key(1, 0)); varint(wayInfo, 3L)        // version
+    varint(wayInfo, key(2, 0)); varint(wayInfo, 1700100L)  // ts
+    varint(wayInfo, key(3, 0)); varint(wayInfo, 99L)       // changeset
+    lenField(way, 4, wayInfo.toByteArray)
+    lenField(way, 8, packedSVarints(Seq(10L, 13L)))
+
+    // Relation 7: member way 42 role "name" (sid 3)
+    val rel = new ByteArrayOutputStream()
+    varint(rel, key(1, 0)); varint(rel, 7L)
+    lenField(rel, 8, packedVarints(Seq(3L)))
+    lenField(rel, 9, packedSVarints(Seq(42L)))
+    lenField(rel, 10, packedVarints(Seq(1L)))
+
+    val group = new ByteArrayOutputStream()
+    lenField(group, 2, dense.toByteArray)
+    lenField(group, 3, way.toByteArray)
+    lenField(group, 4, rel.toByteArray)
+
+    val block = new ByteArrayOutputStream()
+    lenField(block, 1, st.toByteArray)
+    lenField(block, 2, group.toByteArray)
+
+    // Blob (zlib) + BlobHeader + 4-byte BE framing, plus an OSMHeader blob
+    def frame(blobType: String, blockBytes: Array[Byte]): Array[Byte] = {
+      val raw = blockBytes
+      val z = deflate(raw)
+      val blob = new ByteArrayOutputStream()
+      varint(blob, key(2, 0)); varint(blob, raw.length.toLong)
+      lenField(blob, 3, z)
+      val header = new ByteArrayOutputStream()
+      lenField(header, 1, blobType.getBytes("UTF-8"))
+      varint(header, key(3, 0)); varint(header, blob.size().toLong)
+      val out = new ByteArrayOutputStream()
+      val h = header.toByteArray
+      out.write(Array[Byte]((h.length >>> 24).toByte, (h.length >>> 16).toByte,
+        (h.length >>> 8).toByte, h.length.toByte))
+      out.write(h)
+      out.write(blob.toByteArray)
+      out.toByteArray
+    }
+    val f = new ByteArrayOutputStream()
+    f.write(frame("OSMHeader", Array[Byte]()))
+    f.write(frame("OSMData", block.toByteArray))
+    f.toByteArray
+  }
+
+  test("pbf round-trip: framing, zlib, string table, dense deltas, ways, relations") {
+    val tmp = java.nio.file.Files.createTempFile("graft", ".osm.pbf")
+    java.nio.file.Files.write(tmp, buildPbf())
+    val df = OsmPbf.read(spark, tmp.toString).orderBy("osm_type", "id")
+    val rows = df.collect()
+    assert(rows.length === 4)
+
+    val n10 = rows.find(r => r.getString(0) == "node" && r.getLong(1) == 10L).get
+    assert(n10.getInt(2) === 2)                     // version
+    assert(n10.getLong(3) === 1700000000L)          // ts ms
+    assert(n10.getLong(4) === 77L)
+    assert(n10.getString(6) === "alice")
+    assert(math.abs(n10.getDouble(8) - 52.52) < 1e-9)
+    assert(math.abs(n10.getDouble(9) - 13.4) < 1e-9)
+    assert(n10.getAs[Map[String, String]](10) === Map("highway" -> "primary"))
+
+    val n13 = rows.find(r => r.getString(0) == "node" && r.getLong(1) == 13L).get
+    assert(n13.getAs[Map[String, String]](10) === Map.empty)
+    assert(math.abs(n13.getDouble(8) - 52.52001) < 1e-9) // delta-coded +100 raw
+
+    val way = rows.find(_.getString(0) == "way").get
+    assert(way.getLong(1) === 42L)
+    assert(way.getInt(2) === 3)
+    assert(way.getAs[Seq[Long]](11) === Seq(10L, 13L))
+    assert(way.getAs[Map[String, String]](10) === Map("name" -> "main"))
+
+    val rel = rows.find(_.getString(0) == "relation").get
+    assert(rel.getLong(1) === 7L)
+    val members = rel.getSeq[org.apache.spark.sql.Row](12)
+    assert(members.map(m => (m.getString(0), m.getLong(1), m.getString(2))) ===
+      Seq(("way", 42L, "name")))
+    java.nio.file.Files.delete(tmp)
+  }
+
+  test("osc xml reader: create/modify/delete actions with tags and refs") {
+    val xml =
+      """<?xml version="1.0"?>
+        |<osmChange version="0.6">
+        | <create>
+        |  <node id="1" version="1" timestamp="2024-01-01T00:00:00Z" changeset="5"
+        |        uid="9" user="bob" lat="52.5" lon="13.4">
+        |   <tag k="amenity" v="cafe"/>
+        |  </node>
+        | </create>
+        | <modify>
+        |  <way id="2" version="4" timestamp="2024-01-01T01:00:00Z" changeset="6" uid="9" user="bob">
+        |   <nd ref="1"/><nd ref="3"/>
+        |   <tag k="highway" v="residential"/>
+        |  </way>
+        | </modify>
+        | <delete>
+        |  <node id="3" version="2" timestamp="2024-01-01T02:00:00Z" changeset="7" uid="9" user="bob"/>
+        | </delete>
+        |</osmChange>""".stripMargin
+    val rows = OsmXml.parseOsc(xml)
+    assert(rows.map(r => (r.action, r.osmType, r.id)) ===
+      Seq(("create", "node", 1L), ("modify", "way", 2L), ("delete", "node", 3L)))
+    assert(rows.head.tags === Map("amenity" -> "cafe"))
+    assert(rows(1).refs === Seq(1L, 3L))
+    assert(rows(1).version === 4)
+
+    // distributed path
+    val tmp = java.nio.file.Files.createTempDirectory("graft-osc")
+    java.nio.file.Files.writeString(tmp.resolve("a.osc"), xml)
+    val df = OsmXml.readOsc(spark, tmp.toString + "/*.osc")
+    assert(df.count() === 3)
+    assert(df.filter(col("action") === "delete").count() === 1)
+  }
+
+  test("partitioned contrib sink writes latest/history × type layout") {
+    import spark.implicits._
+    val df = Seq(
+      ("latest", "node", 1L), ("latest", "way", 2L),
+      ("history", "node", 1L), ("history", "relation", 3L))
+      .toDF("status", "osm_type", "id")
+    val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    ContribSink.writePartitioned(df, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 4)
+    assert(new java.io.File(s"$out/status=latest/osm_type=node").exists())
+    assert(new java.io.File(s"$out/status=history/osm_type=relation").exists())
+    // partition pruning: reading one leaf touches only that directory
+    val pruned = spark.read.parquet(out)
+      .filter(col("status") === "latest" && col("osm_type") === "way")
+    assert(pruned.count() === 1)
+  }
+}
