@@ -153,7 +153,9 @@ object GeoFunctions {
     "wkb_point" -> (es => WkbPoint(es(0), es(1))),
     "xz_code" -> (es => XZCodeExpr(es(0), es(1), es(2), es(3))),
     "xz_level" -> (es => XZLevelExpr(es(0), es(1), es(2), es(3))),
-    "simhash64" -> (es => SimHash64(es(0))))
+    "simhash64" -> (es => SimHash64(es(0))),
+    "dot9" -> (es => Dot9(es(0), es(1))),
+    "minhash8" -> (es => Minhash8(es(0))))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, builder) =>

@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
+import java.nio.charset.StandardCharsets
 
 /** Text-pipeline kernels callable from generated code. */
 object TextKernels {
@@ -14,6 +15,56 @@ object TextKernels {
   }
 
   private val hexDigits = "0123456789abcdef".toCharArray
+
+  private val saltBytes: Array[Array[Byte]] =
+    (0 until 8).map(j => s"|$j".getBytes(StandardCharsets.UTF_8)).toArray
+
+  private def lessUnsigned(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val ai = a(i) & 0xff
+      val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    false
+  }
+
+  private def toHexUtf8(d: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = hexDigits(d(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** One-pass 8-way MinHash over 5-char shingles (see Minhash8). */
+  def minhash8(text: String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val digest = md.get()
+    val n = text.length
+    val count = math.max(n - 4, 1)
+    val mins = new Array[Array[Byte]](8)
+    var i = 0
+    while (i < count) {
+      val shingle = text.substring(i, math.min(i + 5, n))
+      val base = shingle.getBytes(StandardCharsets.UTF_8)
+      var j = 0
+      while (j < 8) {
+        digest.reset()
+        digest.update(base)
+        digest.update(saltBytes(j))
+        val d = digest.digest()
+        if (mins(j) == null || lessUnsigned(d, mins(j))) mins(j) = d
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      mins.map(toHexUtf8(_).asInstanceOf[Any]))
+  }
 
   /** 64-bit SimHash of the whitespace tokens of `text`, as 16 lowercase hex
     * chars: token hash = first 64 bits of md5, per-bit ±1 vote, bit set when
@@ -57,6 +108,76 @@ object TextKernels {
     }
     new String(out)
   }
+}
+
+/** `minhash8(text)` → the 8 MinHash signature values as hex strings, in
+  * ONE pass over the shingles: for each 5-char shingle, 8 salted md5s
+  * (`md5(shingle || '|' || j)`), tracking the lexicographic minimum per
+  * salt as raw digest bytes (unsigned byte order == hex string order).
+  * Semantics match the declarative form exactly — the oracle replays it
+  * with list_min/list_transform — but skips eight 300-element array
+  * materializations per document.
+  */
+case class Minhash8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType)
+  override def prettyName: String = "minhash8"
+
+  override protected def nullSafeEval(text: Any): Any =
+    TextKernels.minhash8(text.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.TextKernels.minhash8($t.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Minhash8 =
+    copy(child = newChild)
+}
+
+/** Vector kernels for the similarity operators. */
+object VecKernels {
+
+  /** Exact, order-independent dot product of two float vectors in fixed
+    * point: Σ round(a_i·b_i·1e9) as a long. Products of floats are exact
+    * in double; scaling by 1e9 can never land exactly on .5 (no dyadic
+    * rational equals (2k+1)/(2·10⁹)), so round is tie-free and the DuckDB
+    * oracle (`sum(CAST(round(e_a*e_b*1e9) AS BIGINT))`) reproduces the sum
+    * bit-for-bit in any order.
+    */
+  def dot9(a: Array[Float], b: Array[Float]): Long = {
+    var acc = 0L
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      acc += Math.round(a(i).toDouble * b(i).toDouble * 1e9)
+      i += 1
+    }
+    acc
+  }
+}
+
+/** `dot9(a, b)` over two float-array columns → fixed-point (1e-9) dot
+  * product as BIGINT. Codegen is a single static call — the whole cosine
+  * pipeline stays inside WholeStageCodegen with primitive longs (vs a
+  * Decimal fold over a zipped array, ~10× slower).
+  */
+case class Dot9(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "dot9"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    VecKernels.dot9(x.toFloatArray(), y.toFloatArray())
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecKernels.dot9($a.toFloatArray(), $b.toFloatArray())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Dot9 =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `simhash64(text)` → 16-hex-char fingerprint; codegen stays a single

@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
 /** Embedding similarity: cosine near-dup pairs, brute-force top-k ANN
   * baseline, and a hyperplane-LSH bucketed scale path.
   *
-  * Determinism: dot products accumulate per-element float products rounded
-  * to 9 decimals into DECIMAL(28,9) — exact and order-independent, so the
-  * DuckDB oracle reproduces the cosine bit-for-bit (double division and
-  * sqrt are IEEE-deterministic; only the SUM order ever differs between
-  * engines, and DECIMAL removes that).
+  * Determinism: dot products accumulate per-element float products in
+  * fixed-point 1e-9 longs (graft.functions.Dot9) — exact and
+  * order-independent, so the DuckDB oracle reproduces the cosine
+  * bit-for-bit (double division and sqrt are IEEE-deterministic; only the
+  * SUM order ever differs between engines, and integer accumulation
+  * removes that) while staying in primitive-long codegen.
   *
   * Scale: near-dup pairs join within blocking keys only (label here;
   * LSH buckets in `ann_lsh`) — never all-pairs. Top-k broadcasts the small
@@ -21,20 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Exact, order-independent dot product of two float-array columns. */
+  /** Exact, order-independent dot product (fixed-point 1e-9 longs) via the
+    * custom codegen expression `dot9` (graft.functions.Dot9).
+    */
   private def dotDec(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        round(x.cast("double") * y.cast("double"), 9).cast("decimal(28,9)")),
-      lit(0).cast("decimal(28,9)"),
-      (acc, v) => (acc + v).cast("decimal(28,9)"))
+    call_function("dot9", a, b)
 
   private def cosine(dot: Column, na2: Column, nb2: Column): Column =
-    dot.cast("double") / (sqrt(na2.cast("double")) * sqrt(nb2.cast("double")))
+    (dot / 1e9) / (sqrt(na2 / 1e9) * sqrt(nb2 / 1e9))
 
-  private def withNorm(s: SparkSession, dir: String): DataFrame =
+  private def withNorm(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
     Tables.embeddings(s, dir)
       .withColumn("n2", dotDec(col("embedding"), col("embedding")))
+  }
 
   /** Embedding-cosine near-dup pairs, blocked by label. */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
@@ -114,29 +115,29 @@ object Ann {
   private val flatSql =
     """flat AS (SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS e
       |  FROM embeddings, range(1, 65) r(i)),
-      |norm AS (SELECT vec_id, sum(CAST(round(e * e, 9) AS DECIMAL(28,9))) AS n2
+      |norm AS (SELECT vec_id, sum(CAST(round(e * e * 1000000000.0) AS BIGINT)) AS n2
       |  FROM flat GROUP BY vec_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_embedding" ->
       s"""WITH $flatSql,
          |dots AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.label,
-         |    sum(CAST(round(a.e * b.e, 9) AS DECIMAL(28,9))) AS dot
+         |    sum(CAST(round(a.e * b.e * 1000000000.0) AS BIGINT)) AS dot
          |  FROM flat a JOIN flat b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
          |  GROUP BY 1, 2, 3)
          |SELECT va, vb, label,
-         |  CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+         |  (dot / 1e9) / (sqrt(na.n2 / 1e9) * sqrt(nb.n2 / 1e9)) AS cos
          |FROM dots JOIN norm na ON na.vec_id = va JOIN norm nb ON nb.vec_id = vb
-         |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.3
+         |WHERE (dot / 1e9) / (sqrt(na.n2 / 1e9) * sqrt(nb.n2 / 1e9)) >= 0.3
          |ORDER BY va, vb""".stripMargin,
     "ann_topk" ->
       s"""WITH $flatSql,
          |dots AS (SELECT q.vec_id AS q_id, b.vec_id AS n_id,
-         |    sum(CAST(round(q.e * b.e, 9) AS DECIMAL(28,9))) AS dot
+         |    sum(CAST(round(q.e * b.e * 1000000000.0) AS BIGINT)) AS dot
          |  FROM flat q JOIN flat b ON q.i = b.i AND q.vec_id < 8 AND b.vec_id >= 8
          |  GROUP BY 1, 2),
          |scored AS (SELECT q_id, n_id,
-         |    CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+         |    (dot / 1e9) / (sqrt(nq.n2 / 1e9) * sqrt(nb.n2 / 1e9)) AS cos
          |  FROM dots JOIN norm nq ON nq.vec_id = q_id JOIN norm nb ON nb.vec_id = n_id),
          |ranked AS (SELECT q_id, n_id, cos,
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk

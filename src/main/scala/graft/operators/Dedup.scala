@@ -21,27 +21,28 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   val NumHashes = 8
-  val Bands = 4 // rows-per-band = 2
+  val Bands = 2 // rows-per-band = 4: collision probability j⁴ per band —
+                // tuned so shared-vocabulary corpora don't produce
+                // degenerate mega-buckets (2-row bands fire at j≈0.5 and
+                // explode candidate pairs ~80× on this corpus)
 
   // ---- shared Spark-side fragments ------------------------------------
 
-  /** 5-char shingles; a short text yields its whole prefix as the single
-    * shingle (same guard in the oracle).
+  /** doc_id + mh0..mh7 MinHash signature columns, via the one-pass custom
+    * codegen expression `minhash8` (graft.functions.Minhash8) — same
+    * semantics as `array_min(transform(shingles, md5(x || '|' || j)))`
+    * per salt j (the oracle's declarative form), one shingle scan total.
     */
-  private val shinglesExpr =
-    "transform(sequence(0, greatest(length(text) - 5, 0)), i -> substr(text, i + 1, 5))"
-
-  private def minhashCol(j: Int): Column =
-    expr(s"array_min(transform(shingles, x -> md5(concat(x, '|$j'))))").as(s"mh$j")
-
-  /** doc_id + mh0..mh7 MinHash signature columns. */
-  private def signatures(s: SparkSession, dir: String): DataFrame =
+  private def signatures(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
     Tables.documents(s, dir)
-      .withColumn("shingles", expr(shinglesExpr))
-      .select(col("doc_id") +: (0 until NumHashes).map(minhashCol): _*)
+      .withColumn("mharr", call_function("minhash8", col("text")))
+      .select(col("doc_id") +:
+        (0 until NumHashes).map(j => col("mharr").getItem(j).as(s"mh$j")): _*)
+  }
 
   private def bandKey(b: Int): Column =
-    md5(concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("bkey")
+    md5(concat_ws("|", (0 until 4).map(r => col(s"mh${4 * b + r}")): _*)).as("bkey")
 
   /** (doc_a, doc_b) candidate pairs sharing at least one LSH band bucket. */
   private def candidates(sigs: DataFrame): DataFrame = {
@@ -75,7 +76,10 @@ object Dedup {
     * estimate.
     */
   def dedupLshPairs(s: SparkSession, dir: String): DataFrame = {
-    val sigs = signatures(s, dir)
+    // materialize signatures once: projection collapse would otherwise
+    // inline the md5-over-shingles arrays into every band key and every
+    // agreement column on both join sides (~8× recompute)
+    val sigs = signatures(s, dir).cache()
     val agree = (0 until NumHashes)
       .map(j => when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0))
       .reduce(_ + _)
@@ -106,8 +110,9 @@ object Dedup {
         "array_distinct(transform(sequence(0, greatest(size(toks) - 3, 0)), " +
           "i -> concat_ws(' ', get(toks, i), get(toks, i + 1), get(toks, i + 2))))"))
       .select(col("doc_id"), col("grams"), size(col("grams")).as("ng"))
+      .cache() // reused by flat + both size joins
     val flat = grams.select(col("doc_id"), explode(col("grams")).as("g"))
-    val sigs = signatures(s, dir)
+    val sigs = signatures(s, dir).cache()
     val inter = candidates(sigs)
       .join(flat.toDF("doc_a", "g"), "doc_a")
       .join(flat.toDF("doc_b", "g2"), Seq("doc_b"))
@@ -141,9 +146,10 @@ object Dedup {
   }
 
   private val candSql = {
-    val bandSelects = (0 until Bands).map(b =>
-      s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS bkey FROM sigs")
-      .mkString("\n  UNION ALL ")
+    val bandSelects = (0 until Bands).map { b =>
+      val parts = (0 until 4).map(r => s"mh${4 * b + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS bkey FROM sigs"
+    }.mkString("\n  UNION ALL ")
     s"""bands AS (
        |  $bandSelects),
        |cand AS (
