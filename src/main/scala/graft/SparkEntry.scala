@@ -8,14 +8,16 @@ import graft.operators._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full contribution assembly exercises every engine at once.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+    Contributions.contribFull(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ History.queries ++ Changesets.queries ++
-      Replication.queries ++ Geometry.queries ++ Dedup.queries ++
+      Replication.queries ++ Geometry.queries ++ Contributions.queries ++ Dedup.queries ++
       TextOps.queries ++ Ann.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -23,6 +25,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ History.oracles ++ Changesets.oracles ++
-      Replication.oracles ++ Geometry.oracles ++ Dedup.oracles ++
+      Replication.oracles ++ Geometry.oracles ++ Contributions.oracles ++ Dedup.oracles ++
       TextOps.oracles ++ Ann.oracles ++ Multimodal.oracles
 }

@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.GeoFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The flagship composition — the reference's end product: one
+  * "contributions" table assembling the whole engine
+  * (ContributionsAvroConverter.java): version chain (`osm_version`,
+  * `[valid_from, valid_to)`), contribution-type classification, per-entity
+  * edit totals, user enrichment, changeset struct (sessionized), point
+  * geometry (WKB via the codegen expression) and country (grid broadcast
+  * join).
+  *
+  * Plan shape at scale: ONE shuffle — partition by entity id — feeds every
+  * window and the changeset aggregate (co-partitioned join back on
+  * (user_id, cs_seq)); the user and country dimensions are broadcast. The
+  * 100 TB fact table is hash-partitioned once, sorted once.
+  */
+object Contributions {
+
+  def contribFull(s: SparkSession, dir: String): DataFrame = {
+    GeoFunctions.register(s)
+    val byEntity = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val entityAll = Window.partitionBy("user_id")
+
+    val e = Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      // session (changeset) assignment: 6h gap, same rule as cs_build
+      .withColumn("gap_flag",
+        when(col("ts_us") - lag("ts_us", 1).over(byEntity) > Changesets.GapUs ||
+          lag("ts_us", 1).over(byEntity).isNull, 1).otherwise(0))
+      .withColumn("cs_seq", sum("gap_flag").over(
+        byEntity.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // version chain
+      .withColumn("osm_version", row_number().over(byEntity))
+      .withColumn("valid_from", col("ts_us"))
+      .withColumn("valid_to", lead("ts_us", 1).over(byEntity))
+      // contribution classification vs previous version
+      .withColumn("visible", col("event_type") =!= "error")
+      .withColumn("prev_visible", lag("visible", 1).over(byEntity))
+      .withColumn("prev_props", lag("props", 1).over(byEntity))
+      .withColumn("prev_value", lag("value", 1).over(byEntity))
+      .withColumn("contrib_type",
+        when(!col("visible"), "DELETION")
+          .when(col("prev_visible").isNull || !col("prev_visible"), "CREATION")
+          .otherwise(concat_ws("_",
+            when(col("props") =!= col("prev_props"), "TAG"),
+            when(col("value") =!= col("prev_value"), "GEOMETRY"))))
+      // entity totals (osm_edits / osm_last_edit)
+      .withColumn("osm_edits", count(lit(1)).over(entityAll))
+      .withColumn("osm_last_edit", max("ts_us").over(entityAll))
+      // point geometry: integer degrees → exact WKB + grid cell
+      .withColumn("lon_i", (col("event_id") * 31) % 360 - 180)
+      .withColumn("lat_i", (col("event_id") * 17) % 180 - 90)
+      .withColumn("wkb", call_function("wkb_point",
+        col("lon_i").cast("double"), col("lat_i").cast("double")))
+      .withColumn("cell", expr("((lat_i + 90) div 36) * 5 + ((lon_i + 180) div 72)"))
+
+    // changeset struct: aggregate the same entity-partitioned data, join
+    // back co-partitioned on (user_id, cs_seq) — no extra fact shuffle
+    val cs = e.groupBy("user_id", "cs_seq")
+      .agg(min("ts_us").as("cs_created_at"), max("ts_us").as("cs_closed_at"),
+        count(lit(1)).as("cs_num_changes"))
+
+    val users = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name").as("user_name"))
+    val countries = Tables.nation(s, dir)
+      .select(col("n_nationkey").cast("long").as("cell"), col("n_name").as("country"))
+
+    e.join(cs, Seq("user_id", "cs_seq"))
+      .join(broadcast(users), col("user_id") === col("c_custkey"), "left")
+      .join(broadcast(countries), Seq("cell"), "left")
+      .select(
+        col("user_id").as("osm_id"), col("osm_version"),
+        col("valid_from"), col("valid_to"), col("contrib_type"),
+        col("osm_edits"), col("osm_last_edit"), col("user_name"),
+        col("cs_seq"), col("cs_created_at"), col("cs_closed_at"),
+        col("cs_num_changes"),
+        col("lon_i").cast("double").as("lon_d"),
+        col("lat_i").cast("double").as("lat_d"),
+        col("wkb"), col("country"))
+      .orderBy("osm_id", "osm_version")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "contrib_full" -> (contribFull _))
+
+  private val oracleSql: String = {
+    val bitsX = Geometry.bitsDef("lon_i", "x")
+    val bitsY = Geometry.bitsDef("lat_i", "y")
+    val hexX = Geometry.leBitsSql("lon_i", "x")
+    val hexY = Geometry.leBitsSql("lat_i", "y")
+    s"""WITH base AS (
+       |  SELECT *, epoch_us(ts) AS ts_us,
+       |    (event_id * 31) % 360 - 180 AS lon_i,
+       |    (event_id * 17) % 180 - 90 AS lat_i
+       |  FROM events),
+       |sess AS (
+       |  SELECT *, CAST(sum(gap_flag) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs_seq
+       |  FROM (SELECT *,
+       |          CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > ${Changesets.GapUs} THEN 1 ELSE 0 END AS gap_flag
+       |        FROM (SELECT *, lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_ts
+       |              FROM base) a) b),
+       |vers AS (
+       |  SELECT *, row_number() OVER w AS osm_version,
+       |    ts_us AS valid_from, lead(ts_us, 1) OVER w AS valid_to,
+       |    event_type <> 'error' AS visible,
+       |    lag(event_type <> 'error', 1) OVER w AS prev_visible,
+       |    lag(props, 1) OVER w AS prev_props,
+       |    lag(value, 1) OVER w AS prev_value,
+       |    count(*) OVER (PARTITION BY user_id) AS osm_edits,
+       |    max(ts_us) OVER (PARTITION BY user_id) AS osm_last_edit
+       |  FROM sess
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       |cs AS (
+       |  SELECT user_id, cs_seq, min(ts_us) AS cs_created_at,
+       |    max(ts_us) AS cs_closed_at, count(*) AS cs_num_changes
+       |  FROM sess GROUP BY 1, 2),
+       |bits AS (SELECT event_id, lon_i, lat_i, $bitsX, $bitsY FROM base),
+       |wkbs AS (SELECT event_id, '0101000000' || $hexX || $hexY AS wkb FROM bits)
+       |SELECT v.user_id AS osm_id, v.osm_version, v.valid_from, v.valid_to,
+       |  CASE WHEN NOT v.visible THEN 'DELETION'
+       |       WHEN v.prev_visible IS NULL OR NOT v.prev_visible THEN 'CREATION'
+       |       ELSE concat_ws('_',
+       |         CASE WHEN v.props <> v.prev_props THEN 'TAG' END,
+       |         CASE WHEN v.value <> v.prev_value THEN 'GEOMETRY' END)
+       |  END AS contrib_type,
+       |  v.osm_edits, v.osm_last_edit, c_name AS user_name,
+       |  v.cs_seq, cs.cs_created_at, cs.cs_closed_at, cs.cs_num_changes,
+       |  CAST(v.lon_i AS DOUBLE) AS lon_d, CAST(v.lat_i AS DOUBLE) AS lat_d,
+       |  w.wkb, n_name AS country
+       |FROM vers v
+       |JOIN wkbs w ON w.event_id = v.event_id
+       |JOIN cs ON cs.user_id = v.user_id AND cs.cs_seq = v.cs_seq
+       |LEFT JOIN customer ON v.user_id = c_custkey
+       |LEFT JOIN nation ON ((v.lat_i + 90) // 36) * 5 + ((v.lon_i + 180) // 72) = n_nationkey
+       |ORDER BY osm_id, osm_version""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map("contrib_full" -> oracleSql)
+}

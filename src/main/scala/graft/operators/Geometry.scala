@@ -175,7 +175,7 @@ object Geometry {
     * column `C` (exact: sign + biased exponent from bit length + shifted
     * mantissa, all in BIGINT/HUGEINT).
     */
-  private def leBitsSql(c: String, out: String): String =
+  private[operators] def leBitsSql(c: String, out: String): String =
     s"""CASE WHEN $c = 0 THEN '0000000000000000' ELSE
        |  printf('%02x%02x%02x%02x%02x%02x%02x%02x',
        |    CAST(b_$out % 256 AS BIGINT), CAST(b_$out // 256 % 256 AS BIGINT),
@@ -184,7 +184,7 @@ object Geometry {
        |    CAST(b_$out // 281474976710656 % 256 AS BIGINT), CAST(b_$out // 72057594037927936 % 256 AS BIGINT))
        |END""".stripMargin
 
-  private def bitsDef(c: String, out: String): String =
+  private[operators] def bitsDef(c: String, out: String): String =
     s"""CASE WHEN $c < 0 THEN CAST(9223372036854775808 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END
        |+ CAST((1023 + length(bin(abs($c))) - 1) * 4503599627370496
        |       + (CAST(1 AS BIGINT) << (52 - (length(bin(abs($c))) - 1))) * abs($c)
