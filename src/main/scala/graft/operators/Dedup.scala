@@ -36,6 +36,12 @@ object Dedup {
   private def signatures(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GeoFunctions.register(s)
     Tables.documents(s, dir)
+      .select("doc_id", "text")
+      // the md5 kernel is CPU-bound: rebalance the slim (doc_id, text)
+      // projection across cores so one fat input split can't serialize the
+      // hashing (the shuffle moves bytes once; the kernel costs ~8 digests
+      // per character)
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("mharr", call_function("minhash8", col("text")))
       .select(col("doc_id") +:
         (0 until NumHashes).map(j => col("mharr").getItem(j).as(s"mh$j")): _*)
