@@ -36,6 +36,31 @@ object Geo {
     }
   }
 
+  /** Hex WKB (little-endian) linestring from parallel coordinate arrays —
+    * the way-geometry encoding (reference osm-geometry builds JTS
+    * LineStrings from member nodes; the wire format is public WKB).
+    */
+  def wkbLineHex(lons: Array[Double], lats: Array[Double]): String = {
+    val n = math.min(lons.length, lats.length)
+    val sb = new java.lang.StringBuilder(18 + 32 * n)
+    sb.append("0102000000") // LE + linestring
+    var i = 0
+    // numPoints as uint32 LE
+    while (i < 4) {
+      val b = (n >>> (8 * i)) & 0xff
+      sb.append("0123456789abcdef".charAt(b >> 4))
+      sb.append("0123456789abcdef".charAt(b & 0xf))
+      i += 1
+    }
+    i = 0
+    while (i < n) {
+      appendLeHex(sb, java.lang.Double.doubleToLongBits(lons(i)))
+      appendLeHex(sb, java.lang.Double.doubleToLongBits(lats(i)))
+      i += 1
+    }
+    sb.toString
+  }
+
   /** XZ-ordering space-filling curve (Böhm, Klump & Kriegel 1999) of a
     * lon/lat bbox at resolution `g` — the spatial sort key of the output
     * parquet (reference util/XZCode.java:14-95, g=16 per
@@ -104,6 +129,28 @@ case class WkbPoint(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `wkb_line(lons, lats)` → hex WKB linestring from two double arrays. */
+case class WkbLine(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "wkb_line"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    UTF8String.fromString(Geo.wkbLineHex(x.toDoubleArray(), y.toDoubleArray()))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.Geo.wkbLineHex($a.toDoubleArray(), $b.toDoubleArray()))")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WkbLine =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `xz_code(xmin, ymin, xmax, ymax)` → curve position (g=16). */
 case class XZCodeExpr(first: Expression, second: Expression,
     third: Expression, fourth: Expression)
@@ -151,6 +198,7 @@ case class XZLevelExpr(first: Expression, second: Expression,
 object GeoFunctions {
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "wkb_point" -> (es => WkbPoint(es(0), es(1))),
+    "wkb_line" -> (es => WkbLine(es(0), es(1))),
     "xz_code" -> (es => XZCodeExpr(es(0), es(1), es(2), es(3))),
     "xz_level" -> (es => XZLevelExpr(es(0), es(1), es(2), es(3))),
     "simhash64" -> (es => SimHash64(es(0))),

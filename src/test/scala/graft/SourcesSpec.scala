@@ -151,6 +151,34 @@ class SourcesSpec extends SparkSpec {
     java.nio.file.Files.delete(tmp)
   }
 
+  test("way geometry assembly: refs → node coords → ordered WKB linestring") {
+    val tmp = java.nio.file.Files.createTempFile("graft", ".osm.pbf")
+    java.nio.file.Files.write(tmp, buildPbf())
+    val entities = OsmPbf.read(spark, tmp.toString).cache()
+    val nodes = entities.filter(col("osm_type") === "node").select("id", "lat", "lon")
+    val ways = entities.filter(col("osm_type") === "way").select("id", "refs")
+    val out = graft.operators.WayGeometry.assemble(nodes, ways).collect()
+    assert(out.length === 1)
+    val w = out.head
+    assert(w.getLong(0) === 42L)
+    assert(w.getAs[Int]("n_points") === 2)
+
+    // expected WKB: LE linestring with the two node coords in ref order
+    val buf = java.nio.ByteBuffer.allocate(9 + 32).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(1.toByte).putInt(2).putInt(2)
+    // derive coords exactly as the decoder does: 1e-9 * granularity * raw
+    val p2 = (1e-9 * (100L * 134000200L), 1e-9 * (100L * 525200100L))
+    for ((lon, lat) <- Seq((13.4, 52.52), p2)) {
+      buf.putDouble(lon); buf.putDouble(lat)
+    }
+    val expected = buf.array().map(b => f"${b & 0xff}%02x").mkString
+    assert(w.getAs[String]("wkb") === expected)
+    assert(w.getAs[Double]("xmin") === 13.4)
+    assert(w.getAs[Double]("ymax") === p2._2)
+    assert(w.getAs[Double]("length_m") > 0.0)
+    java.nio.file.Files.delete(tmp)
+  }
+
   test("osc xml reader: create/modify/delete actions with tags and refs") {
     val xml =
       """<?xml version="1.0"?>
