@@ -61,6 +61,34 @@ object Geo {
     sb.toString
   }
 
+  /** Hex WKB (little-endian) polygon from ring coordinate arrays. */
+  def wkbPolygonHex(rings: Seq[(Array[Double], Array[Double])]): String = {
+    val sb = new java.lang.StringBuilder(18 + rings.map(32 * _._1.length + 8).sum)
+    sb.append("0103000000") // LE + polygon
+    appendLeHexInt(sb, rings.length)
+    rings.foreach { case (lons, lats) =>
+      val n = math.min(lons.length, lats.length)
+      appendLeHexInt(sb, n)
+      var i = 0
+      while (i < n) {
+        appendLeHex(sb, java.lang.Double.doubleToLongBits(lons(i)))
+        appendLeHex(sb, java.lang.Double.doubleToLongBits(lats(i)))
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  private def appendLeHexInt(sb: java.lang.StringBuilder, v: Int): Unit = {
+    val digits = "0123456789abcdef"
+    var i = 0
+    while (i < 4) {
+      val b = (v >>> (8 * i)) & 0xff
+      sb.append(digits.charAt(b >> 4)).append(digits.charAt(b & 0xf))
+      i += 1
+    }
+  }
+
   /** XZ-ordering space-filling curve (Böhm, Klump & Kriegel 1999) of a
     * lon/lat bbox at resolution `g` — the spatial sort key of the output
     * parquet (reference util/XZCode.java:14-95, g=16 per
