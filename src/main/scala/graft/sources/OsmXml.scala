@@ -88,6 +88,68 @@ object OsmXml {
     out.toSeq
   }
 
+  case class ChangesetRow(id: Long, created_at: String, closed_at: String,
+      open: Boolean, uid: Long, user: String, num_changes: Long,
+      tags: Map[String, String])
+
+  /** Parse changeset XML (`<osm><changeset …><tag/></changeset></osm>`) —
+    * the osm-changesets ingest format (id, lifecycle timestamps, user,
+    * num_changes, tags incl. `comment`/`created_by` for hashtag/editor
+    * extraction downstream).
+    */
+  def parseChangesets(xml: String): Seq[ChangesetRow] = {
+    val factory = XMLInputFactory.newInstance()
+    factory.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    factory.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    val r = factory.createXMLStreamReader(new java.io.StringReader(xml))
+    val out = ArrayBuffer[ChangesetRow]()
+    var row: ChangesetRow = null
+    var tags = Map.newBuilder[String, String]
+    def attr(name: String): Option[String] = {
+      var i = 0
+      var res: Option[String] = None
+      while (i < r.getAttributeCount && res.isEmpty) {
+        if (r.getAttributeLocalName(i) == name) res = Some(r.getAttributeValue(i))
+        i += 1
+      }
+      res
+    }
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "changeset" =>
+              tags = Map.newBuilder[String, String]
+              row = ChangesetRow(
+                attr("id").map(_.toLong).getOrElse(0L),
+                attr("created_at").getOrElse(""),
+                attr("closed_at").getOrElse(""),
+                attr("open").contains("true"),
+                attr("uid").map(_.toLong).getOrElse(0L),
+                attr("user").getOrElse(""),
+                attr("num_changes").map(_.toLong).getOrElse(0L),
+                Map.empty)
+            case "tag" =>
+              if (row != null) for (k <- attr("k"); v <- attr("v")) tags += k -> v
+            case _ =>
+          }
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "changeset" =>
+          out += row.copy(tags = tags.result())
+          row = null
+        case _ =>
+      }
+    }
+    r.close()
+    out.toSeq
+  }
+
+  /** Distributed read: one task per changeset XML file. */
+  def readChangesets(spark: SparkSession, pathGlob: String): DataFrame = {
+    val rdd = spark.sparkContext.wholeTextFiles(pathGlob)
+      .flatMap { case (_, content) => parseChangesets(content) }
+    spark.createDataFrame(rdd)
+  }
+
   /** Distributed read: one task per `.osc` file. */
   def readOsc(spark: SparkSession, pathGlob: String): DataFrame = {
     val rdd = spark.sparkContext.wholeTextFiles(pathGlob)

@@ -214,6 +214,30 @@ class SourcesSpec extends SparkSpec {
     assert(df.filter(col("action") === "delete").count() === 1)
   }
 
+  test("changeset xml reader: lifecycle attrs and tags") {
+    val xml =
+      """<?xml version="1.0"?>
+        |<osm>
+        | <changeset id="101" created_at="2024-01-01T00:00:00Z" closed_at="2024-01-01T00:30:00Z"
+        |            open="false" user="alice" uid="5" num_changes="12">
+        |  <tag k="comment" v="fix roads #mapathon"/>
+        |  <tag k="created_by" v="iD 2.27"/>
+        | </changeset>
+        | <changeset id="102" created_at="2024-01-02T00:00:00Z" open="true" user="bob" uid="6" num_changes="1"/>
+        |</osm>""".stripMargin
+    val rows = OsmXml.parseChangesets(xml)
+    assert(rows.map(_.id) === Seq(101L, 102L))
+    assert(rows.head.tags("comment") === "fix roads #mapathon")
+    assert(rows.head.num_changes === 12L)
+    assert(!rows.head.open && rows(1).open)
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cs")
+    java.nio.file.Files.writeString(tmp.resolve("c.xml"), xml)
+    val df = OsmXml.readChangesets(spark, tmp.toString + "/*.xml")
+    assert(df.count() === 2)
+    assert(df.filter(col("open")).count() === 1)
+  }
+
   test("partitioned contrib sink writes latest/history × type layout") {
     import spark.implicits._
     val df = Seq(
