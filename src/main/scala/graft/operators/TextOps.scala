@@ -14,33 +14,40 @@ object TextOps {
   private val toksExpr = "filter(split(text, ' '), t -> t <> '')"
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
 
-  /** Marker-word profiles per language (derived from the corpus' observed
-    * per-lang vocabulary skew) — the classic stopword-profile language-ID
-    * heuristic, scored by token hits.
+  /** Per-language naive-Bayes model: (scaled log prior, scaled log
+    * P(word|lang) with add-1 smoothing), trained offline on the corpus'
+    * per-language word distributions and frozen as integer constants
+    * (log x 1000) -- integer sums are exact and engine-portable, like a
+    * stopword table ships with a real language-ID model. OOV words add 0.
     */
-  val Profiles: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("order", "window", "table", "group"),
-    "de" -> Seq("customer", "hash", "part", "row"),
-    "es" -> Seq("agg", "slow", "merge", "vector"),
-    "fr" -> Seq("query", "scan", "data", "batch"),
-    "zh" -> Seq("join", "the", "fast", "small"))
+  val Models: Seq[(String, (Long, Map[String, Int]))] = Seq(
+    "de" -> ((-1966L, Map("a" -> -3483, "agg" -> -3588, "batch" -> -3339, "big" -> -3331, "column" -> -3300, "customer" -> -3227, "data" -> -3578, "dup" -> -6574, "fast" -> -3501, "filter" -> -3347, "group" -> -3501, "hash" -> -3249, "join" -> -3263, "key" -> -3339, "line" -> -3396, "merge" -> -3387, "order" -> -3483, "part" -> -3347, "query" -> -3539, "row" -> -3278, "scan" -> -3421, "slow" -> -3339, "small" -> -3438, "sort" -> -3456, "spark" -> -3520, "stream" -> -3456, "table" -> -3412, "the" -> -3447, "value" -> -3371, "vector" -> -3363, "window" -> -3520))),
+    "en" -> ((-830L, Map("a" -> -3383, "agg" -> -3416, "batch" -> -3376, "big" -> -3378, "column" -> -3404, "customer" -> -3440, "data" -> -3404, "dup" -> -6977, "fast" -> -3489, "filter" -> -3386, "group" -> -3378, "hash" -> -3290, "join" -> -3388, "key" -> -3411, "line" -> -3396, "merge" -> -3411, "order" -> -3306, "part" -> -3448, "query" -> -3492, "row" -> -3368, "scan" -> -3424, "slow" -> -3443, "small" -> -3422, "sort" -> -3388, "spark" -> -3383, "stream" -> -3435, "table" -> -3323, "the" -> -3514, "value" -> -3437, "vector" -> -3424, "window" -> -3342))),
+    "es" -> ((-1924L, Map("a" -> -3496, "agg" -> -3281, "batch" -> -3379, "big" -> -3573, "column" -> -3455, "customer" -> -3357, "data" -> -3393, "dup" -> -6500, "fast" -> -3416, "filter" -> -3364, "group" -> -3463, "hash" -> -3294, "join" -> -3463, "key" -> -3424, "line" -> -3364, "merge" -> -3308, "order" -> -3521, "part" -> -3379, "query" -> -3357, "row" -> -3386, "scan" -> -3357, "slow" -> -3274, "small" -> -3371, "sort" -> -3496, "spark" -> -3439, "stream" -> -3424, "table" -> -3487, "the" -> -3504, "value" -> -3335, "vector" -> -3328, "window" -> -3479))),
+    "fr" -> ((-2056L, Map("a" -> -3404, "agg" -> -3350, "batch" -> -3277, "big" -> -3469, "column" -> -3327, "customer" -> -3404, "data" -> -3270, "dup" -> -7547, "fast" -> -3512, "filter" -> -3350, "group" -> -3486, "hash" -> -3595, "join" -> -3305, "key" -> -3327, "line" -> -3350, "merge" -> -3404, "order" -> -3396, "part" -> -3495, "query" -> -3277, "row" -> -3469, "scan" -> -3216, "slow" -> -3357, "small" -> -3291, "sort" -> -3452, "spark" -> -3549, "stream" -> -3412, "table" -> -3512, "the" -> -3521, "value" -> -3539, "vector" -> -3461, "window" -> -3412))),
+    "zh" -> ((-1897L, Map("a" -> -3485, "agg" -> -3417, "batch" -> -3446, "big" -> -3541, "column" -> -3306, "customer" -> -3300, "data" -> -3374, "dup" -> -6391, "fast" -> -3346, "filter" -> -3381, "group" -> -3454, "hash" -> -3533, "join" -> -3201, "key" -> -3558, "line" -> -3477, "merge" -> -3388, "order" -> -3469, "part" -> -3461, "query" -> -3461, "row" -> -3300, "scan" -> -3333, "slow" -> -3424, "small" -> -3293, "sort" -> -3508, "spark" -> -3381, "stream" -> -3360, "table" -> -3431, "the" -> -3339, "value" -> -3339, "vector" -> -3346, "window" -> -3549))))
+
+  private def caseSql(ws: Map[String, Int]): String =
+    "CASE t " + ws.toSeq.sortBy(_._1).map { case (w, v) => s"WHEN '$w' THEN $v" }.mkString(" ") + " ELSE 0 END"
+
 
   def textLangid(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir).withColumn("toks", expr(toksExpr))
-    val scored = Profiles.foldLeft(base) { case (df, (l, ws)) =>
+    val scored = Models.foldLeft(base) { case (df, (l, (prior, ws))) =>
       df.withColumn(s"s_$l",
-        expr(s"size(filter(toks, t -> t in (${ws.map("'" + _ + "'").mkString(",")})))"))
+        expr(s"aggregate(toks, CAST($prior AS BIGINT), (acc, t) -> acc + ${caseSql(ws)})"))
     }
-    val m = greatest(Profiles.map { case (l, _) => col(s"s_$l") }: _*)
-    val pred = Profiles.foldLeft(when(lit(false), "")) { case (c, (l, _)) =>
+    val m = greatest(Models.map { case (l, _) => col(s"s_$l") }: _*)
+    val pred = Models.foldLeft(when(lit(false), "")) { case (c, (l, _)) =>
       c.when(col(s"s_$l") === m, l)
     }
     scored
-      .select(col("doc_id") +: Profiles.map { case (l, _) => col(s"s_$l") } :+
+      .select(col("doc_id") +: Models.map { case (l, _) => col(s"s_$l") } :+
         pred.as("pred_lang") :+ col("lang").as("true_lang") :+
         (pred === col("lang")).as("correct"): _*)
       .orderBy("doc_id")
   }
+
 
   def textQuality(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -94,13 +101,13 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "text_langid" -> {
-      val scores = Profiles.map { case (l, ws) =>
-        s"len(list_filter(toks, t -> t IN (${ws.map("'" + _ + "'").mkString(",")}))) AS s_$l"
+      val scores = Models.map { case (l, (prior, ws)) =>
+        s"$prior + coalesce(list_sum(list_transform(toks, t -> ${caseSql(ws)})), 0) AS s_$l"
       }.mkString(",\n    ")
-      val m = s"greatest(${Profiles.map("s_" + _._1).mkString(", ")})"
-      val pred = "CASE " + Profiles.map { case (l, _) => s"WHEN s_$l = $m THEN '$l'" }
+      val m = s"greatest(${Models.map("s_" + _._1).mkString(", ")})"
+      val pred = "CASE " + Models.map { case (l, _) => s"WHEN s_$l = $m THEN '$l'" }
         .mkString(" ") + " END"
-      s"""SELECT doc_id, ${Profiles.map("s_" + _._1).mkString(", ")},
+      s"""SELECT doc_id, ${Models.map(p => s"CAST(s_${p._1} AS BIGINT) AS s_${p._1}").mkString(", ")},
          |  $pred AS pred_lang, lang AS true_lang, ($pred = lang) AS correct
          |FROM (SELECT doc_id, lang, $scores
          |      FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents) t0) t1
