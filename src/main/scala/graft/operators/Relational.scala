@@ -109,7 +109,22 @@ object Relational {
         sum(dec(col("value"))).as("sum_value"))
       .orderBy("event_type")
 
+  /** Array/member unnesting (the docs' relation-member unnest shape):
+    * posexplode the embedding vectors, per-dimension aggregates with
+    * fixed-point exact sums.
+    */
+  def q9Unnest(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "e")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("e").cast("double") * 1e9).cast("bigint")).as("sum_fixed"),
+        min(col("e").cast("double")).as("min_e"),
+        max(col("e").cast("double")).as("max_e"))
+      .orderBy("dim")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q9_unnest" -> (q9Unnest _),
     "q1_agg" -> (q1Agg _),
     "q2_join_agg" -> (q2JoinAgg _),
     "q3_broadcast_join" -> (q3BroadcastJoin _),
@@ -120,6 +135,13 @@ object Relational {
     "q8_distinct_agg" -> (q8DistinctAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q9_unnest" ->
+      """SELECT i - 1 AS dim, count(*) AS n,
+        |  CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000000.0) AS BIGINT)) AS BIGINT) AS sum_fixed,
+        |  min(CAST(embedding[i] AS DOUBLE)) AS min_e,
+        |  max(CAST(embedding[i] AS DOUBLE)) AS max_e
+        |FROM embeddings, range(1, 65) r(i)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
