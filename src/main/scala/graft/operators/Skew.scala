@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation utilities.
+  *
+  * A hot key (one user touching half the edits, one mega-changeset) makes
+  * one shuffle partition the straggler. Salting splits each key into
+  * `salts` sub-keys for a partial aggregate, then combines partials — the
+  * classic two-stage rewrite, made explicit for aggregations whose partial
+  * form Catalyst can't derive on its own. AQE's skew-join handles the join
+  * case at runtime; this handles groupBy fan-in.
+  */
+object Skew {
+
+  /** Two-stage salted sum/count aggregation: groupBy(key) where one key
+    * dominates → groupBy(key, salt) partials → groupBy(key) combine.
+    * The salt is a deterministic hash of the whole row, so results are
+    * reproducible run-to-run.
+    *
+    * @param salts number of sub-keys per key (≈ desired fan-out of the hot key)
+    * @param sums  numeric columns to sum (pass DECIMAL/BIGINT columns for
+    *              exactness, per SURVEY §3)
+    */
+  def saltedSumCount(df: DataFrame, key: String, salts: Int,
+      sums: Seq[String]): DataFrame = {
+    val partial = df
+      .withColumn("__salt", pmod(hash(df.columns.map(col): _*), lit(salts)))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__n"), sums.map(c => sum(col(c)).as(s"__s_$c")): _*)
+    partial
+      .groupBy(col(key))
+      .agg(sum("__n").cast("bigint").as("n"),
+        sums.map(c => sum(s"__s_$c").as(s"sum_$c")): _*)
+  }
+}
