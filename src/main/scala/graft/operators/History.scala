@@ -120,6 +120,22 @@ object History {
       .agg(count(lit(1)).as("n_tagged"), sum("tag_k").as("sum_k"))
       .orderBy("event_type")
 
+  /** Map-typed tag filter — the literal `map_contains_entry(tags, k, v)`
+    * analog (docs/useful_queries.md): parse `props` into a real MapType
+    * column, filter on key presence + value predicate, aggregate per key
+    * bucket. Keeps tags as a first-class map like the reference's output
+    * schema (vs the regex shortcut in hist_tags).
+    */
+  def histTagMap(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("tags", from_json(col("props"), org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))
+      .filter(map_contains_key(col("tags"), "k"))
+      .withColumn("k_val", element_at(col("tags"), "k").cast("int"))
+      .groupBy((col("k_val") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum("k_val").as("sum_k"),
+        min("k_val").as("min_k"), max("k_val").as("max_k"))
+      .orderBy("k_bucket")
+
   /** Latest-version extraction — the `latest/` output partition. */
   def histLatest(s: SparkSession, dir: String): DataFrame = {
     val latest = Window.partitionBy("user_id").orderBy(desc("ts_us"), desc("event_id"))
@@ -139,7 +155,8 @@ object History {
     "hist_edits" -> (histEdits _),
     "hist_enrich_user" -> (histEnrichUser _),
     "hist_tags" -> (histTags _),
-    "hist_latest" -> (histLatest _))
+    "hist_latest" -> (histLatest _),
+    "hist_tag_map" -> (histTagMap _))
 
   val oracles: Map[String, String] = Map(
     "hist_build" ->
@@ -196,6 +213,20 @@ object History {
         |        CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS tag_k
         |      FROM events) t
         |WHERE tag_k >= 50
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "hist_tag_map" ->
+      """SELECT CAST(k_val % 10 AS BIGINT) AS k_bucket, count(*) AS n,
+        |  CAST(sum(k_val) AS BIGINT) AS sum_k, min(k_val) AS min_k, max(k_val) AS max_k
+        |FROM (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+        |      FROM events
+        |      WHERE json_extract_string(props, '$.k') IS NOT NULL) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "hist_tag_map" ->
+      """SELECT CAST(k_val % 10 AS BIGINT) AS k_bucket, count(*) AS n,
+        |  CAST(sum(k_val) AS BIGINT) AS sum_k, min(k_val) AS min_k, max(k_val) AS max_k
+        |FROM (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+        |      FROM events
+        |      WHERE json_extract_string(props, '$.k') IS NOT NULL) t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "hist_latest" ->
       """SELECT user_id AS osm_id, epoch_us(ts) AS last_ts, event_type,
