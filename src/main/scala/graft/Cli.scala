@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.{Changesets, Contributions, Replication}
+import graft.sources.ContribSink
+import org.apache.spark.sql.functions._
+
+/** Command-line surface mirroring the reference CLI
+  * (ohsome-planet-cli: `contributions`, `changesets`, `replication`):
+  *
+  * {{{
+  * graft.Cli contributions <sfDir> <outDir>   # full contribution table,
+  *                                            # partitioned status×osm_type
+  * graft.Cli changesets    <sfDir> <outDir>   # sessionized changesets
+  * graft.Cli replication   <sfDir> <outDir>   # diff-merged latest state
+  * }}}
+  */
+object Cli {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3,
+      "usage: graft.Cli <contributions|changesets|replication> <sfDir> <outDir>")
+    val Array(cmd, sfDir, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val preexisting = org.apache.spark.sql.SparkSession.getActiveSession.isDefined
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    cmd match {
+      case "contributions" =>
+        val contribs = Contributions.contribFull(spark, sfDir)
+          .withColumn("status",
+            when(col("valid_to").isNull, "latest").otherwise("history"))
+          .withColumn("osm_type",
+            element_at(typedLit(Seq("node", "way", "relation")),
+              (col("osm_id") % 3 + 1).cast("int")))
+        ContribSink.writePartitioned(contribs, outDir)
+      case "changesets" =>
+        Changesets.csBuild(spark, sfDir)
+          .write.mode("overwrite").parquet(outDir)
+      case "replication" =>
+        Replication.replMerge(spark, sfDir)
+          .write.mode("overwrite").parquet(outDir)
+      case other => throw new IllegalArgumentException(s"unknown command $other")
+    }
+    println(s"[graft] $cmd -> $outDir")
+    if (!preexisting) spark.stop() // leave embedding callers' session alive
+  }
+}
