@@ -59,18 +59,21 @@ object Contributions {
         col("lon_i").cast("double"), col("lat_i").cast("double")))
       .withColumn("cell", expr("((lat_i + 90) div 36) * 5 + ((lon_i + 180) div 72)"))
 
-    // changeset struct: aggregate the same entity-partitioned data, join
-    // back co-partitioned on (user_id, cs_seq) — no extra fact shuffle
-    val cs = e.groupBy("user_id", "cs_seq")
-      .agg(min("ts_us").as("cs_created_at"), max("ts_us").as("cs_closed_at"),
-        count(lit(1)).as("cs_num_changes"))
+    // changeset struct: full-frame windows over (user_id, cs_seq) —
+    // hash-clustering on user_id already satisfies the finer partition
+    // spec, so this adds NO exchange and NO join-back (one scan total)
+    val byCs = Window.partitionBy("user_id", "cs_seq")
+    val withCs = e
+      .withColumn("cs_created_at", min("ts_us").over(byCs))
+      .withColumn("cs_closed_at", max("ts_us").over(byCs))
+      .withColumn("cs_num_changes", count(lit(1)).over(byCs))
 
     val users = Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_name").as("user_name"))
     val countries = Tables.nation(s, dir)
       .select(col("n_nationkey").cast("long").as("cell"), col("n_name").as("country"))
 
-    e.join(cs, Seq("user_id", "cs_seq"))
+    withCs
       .join(broadcast(users), col("user_id") === col("c_custkey"), "left")
       .join(broadcast(countries), Seq("cell"), "left")
       .select(
