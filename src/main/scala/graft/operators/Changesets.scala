@@ -74,14 +74,15 @@ object Changesets {
     * docs/CLI.md): each edit gets its changeset struct fields.
     */
   def csEnrich(s: SparkSession, dir: String): DataFrame = {
-    val sess = sessionized(s, dir)
-    val cs = sess.groupBy("user_id", "cs_seq")
-      .agg(min("ts_us").as("created_at"),
-        max("ts_us").as("closed_at"),
-        count(lit(1)).as("num_changes"))
+    // full-frame windows over (user_id, cs_seq): clustering on user_id
+    // already satisfies the finer spec, so the changeset struct costs no
+    // second shuffle and no join-back (cf. Contributions.contribFull)
+    val byCs = Window.partitionBy("user_id", "cs_seq")
+    sessionized(s, dir)
+      .withColumn("created_at", min("ts_us").over(byCs))
+      .withColumn("closed_at", max("ts_us").over(byCs))
+      .withColumn("num_changes", count(lit(1)).over(byCs))
       .withColumn("editor", concat(lit("editor/"), col("user_id") % 7))
-    sess.select("event_id", "user_id", "cs_seq")
-      .join(cs, Seq("user_id", "cs_seq"))
       .select(col("event_id"), col("user_id"), col("cs_seq"),
         col("created_at"), col("closed_at"), col("num_changes"), col("editor"))
       .orderBy("event_id")
