@@ -11,7 +11,7 @@ case class MemberLine(rel_id: Long, way_id: Long,
 
 /** Assembled relation geometry. */
 case class RelationRings(rel_id: Long, n_ways: Int, n_rings: Int,
-    closed: Boolean, n_points: Int, wkb: String)
+    closed: Boolean, n_points: Int, area_deg2: Double, wkb: String)
 
 /** Relation (multi)polygon assembly — the osm-geometry ring-stitching
   * analog: member ways chain end-to-end (either orientation) into closed
@@ -59,6 +59,18 @@ object RelationGeometry {
     rings.toSeq
   }
 
+  /** Planar shoelace area of one ring (absolute, deg²). */
+  def ringArea(xs: Seq[Double], ys: Seq[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = xs.length
+    while (i < n - 1) {
+      acc += xs(i) * ys(i + 1) - xs(i + 1) * ys(i)
+      i += 1
+    }
+    math.abs(acc) / 2.0
+  }
+
   /** @param members (rel_id, way_id) relation → member-way edges
     * @param wayGeoms way geometries as produced by PBF decode + assembly:
     *                 (way_id, lons, lats)
@@ -76,8 +88,11 @@ object RelationGeometry {
         val rings = stitch(ways.map(w => (w.lons, w.lats)))
         val wkb = graft.functions.Geo.wkbPolygonHex(
           rings.map { case (xs, ys, _) => (xs.toArray, ys.toArray) })
+        // largest closed ring is the outer shell, others are holes
+        val areas = rings.filter(_._3).map { case (xs, ys, _) => ringArea(xs.toSeq, ys.toSeq) }
+        val area = if (areas.isEmpty) 0.0 else 2 * areas.max - areas.sum
         RelationRings(relId, ways.length, rings.length,
-          rings.nonEmpty && rings.forall(_._3), rings.map(_._1.length).sum, wkb)
+          rings.nonEmpty && rings.forall(_._3), rings.map(_._1.length).sum, area, wkb)
       }
   }
 }

@@ -47,6 +47,7 @@ class RelationGeometrySpec extends SparkSpec {
     assert(r.rel_id === 100L)
     assert(r.n_ways === 2 && r.n_rings === 1 && r.closed)
     assert(r.n_points === 5)
+    assert(r.area_deg2 === 1.0) // unit square
 
     val buf = java.nio.ByteBuffer.allocate(9 + 4 + 5 * 16)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
