@@ -33,9 +33,12 @@ object TextOps {
 
   def textLangid(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir).withColumn("toks", expr(toksExpr))
+    // literal-map lookup (hash probe per token) — same values as the
+    // oracle's CASE chain, O(1) instead of O(|vocab|) per token
     val scored = Models.foldLeft(base) { case (df, (l, (prior, ws))) =>
       df.withColumn(s"s_$l",
-        expr(s"aggregate(toks, CAST($prior AS BIGINT), (acc, t) -> acc + ${caseSql(ws)})"))
+        aggregate(col("toks"), lit(prior),
+          (acc, t) => acc + coalesce(element_at(typedLit(ws), t), lit(0)).cast("long")))
     }
     val m = greatest(Models.map { case (l, _) => col(s"s_$l") }: _*)
     val pred = Models.foldLeft(when(lit(false), "")) { case (c, (l, _)) =>
