@@ -151,6 +151,20 @@ class SourcesSpec extends SparkSpec {
     java.nio.file.Files.delete(tmp)
   }
 
+  test("DataSource V2: format(\"osmpbf\") matches the RDD reader") {
+    val tmp = java.nio.file.Files.createTempFile("graft", ".osm.pbf")
+    java.nio.file.Files.write(tmp, buildPbf())
+    val v2 = spark.read.format("osmpbf").load(tmp.toString)
+    assert(v2.schema === OsmPbf.schema)
+    val a = v2.orderBy("osm_type", "id").collect().map(_.toString).toSeq
+    val b = OsmPbf.read(spark, tmp.toString)
+      .orderBy("osm_type", "id").collect().map(_.toString).toSeq
+    assert(a === b)
+    // column pruning path executes (projection over the V2 scan)
+    assert(v2.select("id").distinct().count() === 4)
+    java.nio.file.Files.delete(tmp)
+  }
+
   test("way geometry assembly: refs → node coords → ordered WKB linestring") {
     val tmp = java.nio.file.Files.createTempFile("graft", ".osm.pbf")
     java.nio.file.Files.write(tmp, buildPbf())
