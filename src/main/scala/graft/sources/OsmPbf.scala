@@ -71,7 +71,12 @@ final class PbCursor(val buf: Array[Byte], var pos: Int, val limit: Int) {
   def skip(wire: Int): Unit = wire match {
     case 0 => readVarint()
     case 1 => pos += 8
-    case 2 => pos += readVarint().toInt
+    case 2 =>
+      // NB: must read the length BEFORE touching pos — `pos += readVarint()`
+      // reads the old pos before the varint advances it (Scala `x += f()`
+      // evaluates the LHS read first) and lands short
+      val len = readVarint().toInt
+      pos += len
     case 5 => pos += 4
     case w => throw new IllegalStateException(s"unsupported wire type $w")
   }
@@ -167,8 +172,12 @@ object OsmPbf {
 
   /** Decode a PrimitiveBlock into entities (DenseNodes, Way, Relation
     * groups; string table; granularity defaults per the spec).
+    *
+    * @param keepTypes when set, groups of other entity types are SKIPPED
+    *                  without decoding (pushed `osm_type` filters).
     */
-  def decodeBlock(block: Array[Byte]): Seq[OsmEntity] = {
+  def decodeBlock(block: Array[Byte],
+      keepTypes: Option[Set[String]] = None): Seq[OsmEntity] = {
     var granularity = 100L
     var dateGranularity = 1000L
     var latOffset = 0L
@@ -193,12 +202,13 @@ object OsmPbf {
     }
     def coord(raw: Long, off: Long): Double = 1e-9 * (off + granularity * raw)
     val out = ArrayBuffer[OsmEntity]()
+    def want(t: String) = keepTypes.forall(_.contains(t))
     groups.foreach { g =>
       g.fields { (f, w) =>
         f match {
-          case 2 => decodeDense(g.readSlice(), strings, coord, dateGranularity, out)
-          case 3 => decodeWay(g.readSlice(), strings, dateGranularity, out)
-          case 4 => decodeRelation(g.readSlice(), strings, dateGranularity, out)
+          case 2 if want("node") => decodeDense(g.readSlice(), strings, coord, dateGranularity, out)
+          case 3 if want("way") => decodeWay(g.readSlice(), strings, dateGranularity, out)
+          case 4 if want("relation") => decodeRelation(g.readSlice(), strings, dateGranularity, out)
           case _ => g.skip(w)
         }
       }

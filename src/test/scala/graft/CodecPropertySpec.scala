@@ -69,6 +69,25 @@ class CodecPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("skip(len-delimited) lands exactly at the next field key") {
+    for (_ <- 1 to Samples) {
+      val payload = Array.fill(rnd.nextInt(300))(rnd.nextInt(256).toByte)
+      val out = new ByteArrayOutputStream()
+      out.write(encodeVarint((1 << 3) | 2))       // field 1, wire 2
+      out.write(encodeVarint(payload.length.toLong))
+      out.write(payload)
+      out.write(encodeVarint((2 << 3) | 0))       // field 2, wire 0
+      out.write(encodeVarint(99L))
+      val bytes = out.toByteArray
+      val c = new PbCursor(bytes, 0, bytes.length)
+      var seen = List.empty[(Int, Long)]
+      c.fields { (f, w) =>
+        if (w == 2) c.skip(w) else seen ::= (f, c.readVarint())
+      }
+      assert(seen === List((2, 99L)), s"skip desync for len=${payload.length}")
+    }
+  }
+
   test("simhash is permutation-invariant over the token multiset") {
     for (_ <- 1 to 50) {
       val toks = Seq.fill(rnd.nextInt(40) + 1)(s"w${rnd.nextInt(50)}")

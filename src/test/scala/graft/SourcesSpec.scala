@@ -162,6 +162,14 @@ class SourcesSpec extends SparkSpec {
     assert(a === b)
     // column pruning path executes (projection over the V2 scan)
     assert(v2.select("id").distinct().count() === 4)
+
+    // osm_type filter pushes into the decoder: group-skip + plan evidence
+    val nodesOnly = v2.filter(col("osm_type") === "node").select("id", "lat")
+    val plan = nodesOnly.queryExecution.executedPlan.toString
+    assert(plan.contains("types=node"), s"pushed type filter missing:\n$plan")
+    assert(nodesOnly.collect().map(_.getLong(0)).sorted.toSeq === Seq(10L, 13L))
+    val inFilter = v2.filter(col("osm_type").isin("way", "relation"))
+    assert(inFilter.count() === 2)
     java.nio.file.Files.delete(tmp)
   }
 
