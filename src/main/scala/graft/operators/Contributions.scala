@@ -76,9 +76,14 @@ object Contributions {
     withCs
       .join(broadcast(users), col("user_id") === col("c_custkey"), "left")
       .join(broadcast(countries), Seq("cell"), "left")
+      .withColumn("status",
+        when(!col("visible"), "deleted")
+          .when(col("valid_to").isNotNull, "history")
+          .otherwise("latest"))
       .select(
         col("user_id").as("osm_id"), col("osm_version"),
-        col("valid_from"), col("valid_to"), col("contrib_type"),
+        col("valid_from"), col("valid_to"), col("contrib_type"), col("status"),
+        col("props").as("tags_raw"), col("prev_props").as("tags_before"),
         col("osm_edits"), col("osm_last_edit"), col("user_name"),
         col("cs_seq"), col("cs_created_at"), col("cs_closed_at"),
         col("cs_num_changes"),
@@ -132,6 +137,10 @@ object Contributions {
        |         CASE WHEN v.props <> v.prev_props THEN 'TAG' END,
        |         CASE WHEN v.value <> v.prev_value THEN 'GEOMETRY' END)
        |  END AS contrib_type,
+       |  CASE WHEN NOT v.visible THEN 'deleted'
+       |       WHEN v.valid_to IS NOT NULL THEN 'history'
+       |       ELSE 'latest' END AS status,
+       |  v.props AS tags_raw, v.prev_props AS tags_before,
        |  v.osm_edits, v.osm_last_edit, c_name AS user_name,
        |  v.cs_seq, cs.cs_created_at, cs.cs_closed_at, cs.cs_num_changes,
        |  CAST(v.lon_i AS DOUBLE) AS lon_d, CAST(v.lat_i AS DOUBLE) AS lat_d,
