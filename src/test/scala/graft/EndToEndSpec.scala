@@ -1,0 +1,108 @@
+package graft
+
+import graft.sources.ContribSink
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import java.io.ByteArrayOutputStream
+
+/** End-to-end: history PBF (multi-version entities) → version chain →
+  * contribution classification → partitioned latest/history sink →
+  * pruned read-back. The full reference pipeline shape on PBF-shaped
+  * input rather than the synthetic events table.
+  */
+class EndToEndSpec extends SparkSpec {
+  import PbfEncode._
+
+  /** Two versions of node 10 (tag change), one version of node 11,
+    * a deleted version 2 of node 12 — a miniature history file.
+    */
+  private def buildHistoryPbf(): Array[Byte] = {
+    val strings = Seq("", "amenity", "cafe", "bar", "alice")
+    val st = new ByteArrayOutputStream()
+    strings.foreach(s => lenField(st, 1, s.getBytes("UTF-8")))
+
+    val dense = new ByteArrayOutputStream()
+    lenField(dense, 1, packedSVarints(Seq(10L, 10L, 11L, 12L, 12L)))
+    val info = new ByteArrayOutputStream()
+    lenField(info, 1, packedVarints(Seq(1L, 2L, 1L, 1L, 2L)))         // versions
+    lenField(info, 2, packedSVarints(Seq(100L, 200L, 150L, 120L, 300L))) // ts
+    lenField(info, 3, packedSVarints(Seq(1L, 2L, 1L, 1L, 2L)))        // changesets
+    lenField(info, 4, packedSVarints(Seq(5L, 5L, 5L, 5L, 5L)))        // uids
+    lenField(info, 5, packedSVarints(Seq(4L, 4L, 4L, 4L, 4L)))        // user sid
+    lenField(info, 6, packedVarints(Seq(1L, 1L, 1L, 1L, 0L)))         // visible: last deleted
+    lenField(dense, 5, info.toByteArray)
+    lenField(dense, 8, packedSVarints(Seq(0L, 0L, 0L, 0L, 0L)))
+    lenField(dense, 9, packedSVarints(Seq(0L, 0L, 0L, 0L, 0L)))
+    // tags: v1 {amenity=cafe}, v2 {amenity=bar}, {}, {}, {}
+    lenField(dense, 10, packedVarints(Seq(1L, 2L, 0L, 1L, 3L, 0L, 0L, 0L, 0L)))
+
+    val group = new ByteArrayOutputStream()
+    lenField(group, 2, dense.toByteArray)
+    val block = new ByteArrayOutputStream()
+    lenField(block, 1, st.toByteArray)
+    lenField(block, 2, group.toByteArray)
+
+    def frame(blobType: String, blockBytes: Array[Byte]): Array[Byte] = {
+      val z = deflate(blockBytes)
+      val blob = new ByteArrayOutputStream()
+      varint(blob, key(2, 0)); varint(blob, blockBytes.length.toLong)
+      lenField(blob, 3, z)
+      val header = new ByteArrayOutputStream()
+      lenField(header, 1, blobType.getBytes("UTF-8"))
+      varint(header, key(3, 0)); varint(header, blob.size().toLong)
+      val out = new ByteArrayOutputStream()
+      val h = header.toByteArray
+      out.write(Array[Byte]((h.length >>> 24).toByte, (h.length >>> 16).toByte,
+        (h.length >>> 8).toByte, h.length.toByte))
+      out.write(h); out.write(blob.toByteArray)
+      out.toByteArray
+    }
+    val f = new ByteArrayOutputStream()
+    f.write(frame("OSMHeader", Array[Byte]()))
+    f.write(frame("OSMData", block.toByteArray))
+    f.toByteArray
+  }
+
+  test("history pbf → contributions → partitioned sink → pruned read") {
+    val tmp = java.nio.file.Files.createTempFile("graft-hist", ".osm.pbf")
+    java.nio.file.Files.write(tmp, buildHistoryPbf())
+
+    val entities = spark.read.format("osmpbf").load(tmp.toString)
+    val w = Window.partitionBy("osm_type", "id").orderBy("version")
+    val contribs = entities
+      .withColumn("valid_from", col("ts_ms"))
+      .withColumn("valid_to", lead("ts_ms", 1).over(w))
+      .withColumn("prev_tags", lag("tags", 1).over(w))
+      .withColumn("prev_visible", lag("visible", 1).over(w))
+      .withColumn("contrib_type",
+        when(!col("visible"), "DELETION")
+          .when(col("prev_visible").isNull || !col("prev_visible"), "CREATION")
+          .otherwise(when(
+            array_sort(map_entries(col("tags"))) =!=
+              array_sort(map_entries(col("prev_tags"))), "TAG").otherwise("")))
+      .withColumn("status",
+        when(!col("visible"), "deleted")
+          .when(col("valid_to").isNotNull, "history")
+          .otherwise("latest"))
+
+    val rows = contribs.select("id", "version", "contrib_type", "status")
+      .orderBy("id", "version").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
+    assert(rows.toSeq === Seq(
+      (10L, 1, "CREATION", "history"),
+      (10L, 2, "TAG", "latest"),
+      (11L, 1, "CREATION", "latest"),
+      (12L, 1, "CREATION", "history"),
+      (12L, 2, "DELETION", "deleted")))
+
+    // partitioned sink + partition-pruned read-back
+    val out = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+    ContribSink.writePartitioned(
+      contribs.select("status", "osm_type", "id", "version", "contrib_type"), out)
+    val latest = spark.read.parquet(out).filter(col("status") === "latest")
+    assert(latest.count() === 2)
+    assert(new java.io.File(s"$out/status=deleted/osm_type=node").exists())
+    java.nio.file.Files.delete(tmp)
+  }
+}
