@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   * join).
   *
   * Plan shape at scale: ONE shuffle — partition by entity id — feeds every
-  * window and the changeset aggregate (co-partitioned join back on
-  * (user_id, cs_seq)); the user and country dimensions are broadcast. The
-  * 100 TB fact table is hash-partitioned once, sorted once.
+  * window, including the changeset struct (full-frame windows over
+  * (user_id, cs_seq): the coarser hash-clustering already satisfies the
+  * finer spec, so no second exchange and no join-back); the user and
+  * country dimensions are broadcast. The 100 TB fact table is
+  * hash-partitioned once, sorted once.
   */
 object Contributions {
 
