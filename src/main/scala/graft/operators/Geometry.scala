@@ -73,15 +73,20 @@ object Geometry {
       "cos(radians(plat)) * cos(radians(lat)) * " +
       "sin(radians(lon - plon) / 2) * sin(radians(lon - plon) / 2))), 4)"
 
-  /** Per-event step length + running line length per entity. */
+  /** Per-event step length + running line length per entity. Steps are
+    * rounded to 4 decimals (tie-free for transcendental output) and then
+    * accumulated as fixed-point 1e-4 longs — exact like a DECIMAL sum but
+    * the window stays in primitive-long codegen.
+    */
   def geoLength(s: SparkSession, dir: String): DataFrame =
     points(s, dir)
       .withColumn("plon", lag("lon", 1).over(byUserEv))
       .withColumn("plat", lag("lat", 1).over(byUserEv))
-      .withColumn("step_m",
-        when(col("plon").isNull, lit(0.0).cast("decimal(18,4)"))
-          .otherwise(expr(stepSql).cast("decimal(18,4)")))
-      .withColumn("cum_m", sum("step_m").over(cumFrame))
+      .withColumn("step4",
+        when(col("plon").isNull, lit(0L))
+          .otherwise(round(expr(stepSql) * 10000).cast("bigint")))
+      .withColumn("step_m", col("step4") / 10000.0)
+      .withColumn("cum_m", sum("step4").over(cumFrame) / 10000.0)
       .select("event_id", "user_id", "step_m", "cum_m")
       .orderBy("event_id")
 
@@ -208,11 +213,12 @@ object Geometry {
          |lagged AS (SELECT *, lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
          |           FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
          |stepped AS (SELECT event_id, user_id,
-         |    CAST(CASE WHEN plon IS NULL THEN 0.0 ELSE $stepSql END AS DECIMAL(18,4)) AS step_m
+         |    CASE WHEN plon IS NULL THEN 0
+         |         ELSE CAST(round($stepSql * 10000) AS BIGINT) END AS step4
          |  FROM lagged)
-         |SELECT event_id, user_id, step_m,
-         |       sum(step_m) OVER (PARTITION BY user_id ORDER BY event_id
-         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_m
+         |SELECT event_id, user_id, step4 / 10000.0 AS step_m,
+         |       sum(step4) OVER (PARTITION BY user_id ORDER BY event_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 10000.0 AS cum_m
          |FROM stepped ORDER BY event_id""".stripMargin,
     "geo_area" ->
       s"""WITH pts AS ($ptsSql),
