@@ -71,21 +71,21 @@ object Ann {
 
   /** Hyperplane-LSH bucketed ANN: 8 deterministic integer hyperplanes →
     * sign-bit bucket; candidates are same-bucket only, then exact cosine
-    * top-3. Rows-only driver check (bucketing is recall-lossy by design);
-    * AnnSpec asserts recall against the brute-force baseline.
+    * top-3. Bucket signs use the same fixed-point dot9 kernel as the
+    * cosines, so the whole pipeline — bucketing included — replays
+    * exactly in the DuckDB oracle (bucketing stays recall-lossy by
+    * design; PipelineSpec checks containment in the brute-force ranking).
     */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val planes: Seq[Seq[Double]] = (0 until 8).map { p =>
+    val planes: Seq[Seq[Float]] = (0 until 8).map { p =>
       (0 until 64).map { i =>
-        (((i + 1).toLong * (p + 3) * 2654435761L) % 2001L - 1000L).toDouble
+        (((i + 1).toLong * (p + 3) * 2654435761L) % 2001L - 1000L).toFloat
       }
     }
     def bucketOf(emb: Column): Column =
       (0 until 8).map { p =>
-        val dot = aggregate(
-          zip_with(emb, typedLit(planes(p)), (x, y) => x.cast("double") * y),
-          lit(0.0), (acc, v) => acc + v)
-        when(dot > 0, lit(1 << p)).otherwise(lit(0))
+        when(call_function("dot9", emb, typedLit(planes(p))) > 0, lit(1 << p))
+          .otherwise(lit(0))
       }.reduce(_ + _)
 
     val e = withNorm(s, dir).withColumn("bucket", bucketOf(col("embedding")))
@@ -130,6 +130,31 @@ object Ann {
          |FROM dots JOIN norm na ON na.vec_id = va JOIN norm nb ON nb.vec_id = vb
          |WHERE (dot / 1e9) / (sqrt(na.n2 / 1e9) * sqrt(nb.n2 / 1e9)) >= 0.3
          |ORDER BY va, vb""".stripMargin,
+    "ann_lsh" ->
+      s"""WITH $flatSql,
+         |pdots AS (SELECT f.vec_id, p.range AS p,
+         |    sum(CAST(round(f.e * ((f.i * (p.range + 3) * 2654435761) % 2001 - 1000)
+         |                   * 1000000000.0) AS BIGINT)) AS d
+         |  FROM flat f, range(0, 8) p
+         |  GROUP BY 1, 2),
+         |buckets AS (SELECT vec_id,
+         |    CAST(sum(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
+         |  FROM pdots GROUP BY 1),
+         |dots AS (SELECT q.vec_id AS q_id, b.vec_id AS n_id, qb.bucket,
+         |    sum(CAST(round(q.e * b.e * 1000000000.0) AS BIGINT)) AS dot
+         |  FROM flat q JOIN buckets qb ON qb.vec_id = q.vec_id
+         |       JOIN buckets bb ON bb.bucket = qb.bucket
+         |       JOIN flat b ON b.vec_id = bb.vec_id AND b.i = q.i
+         |  WHERE q.vec_id < 8 AND b.vec_id >= 8
+         |  GROUP BY 1, 2, 3),
+         |scored AS (SELECT q_id, n_id, bucket,
+         |    (dot / 1e9) / (sqrt(nq.n2 / 1e9) * sqrt(nb.n2 / 1e9)) AS cos
+         |  FROM dots JOIN norm nq ON nq.vec_id = q_id JOIN norm nb ON nb.vec_id = n_id),
+         |ranked AS (SELECT q_id, n_id, bucket, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, n_id, rnk, bucket, cos FROM ranked WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin,
     "ann_topk" ->
       s"""WITH $flatSql,
          |dots AS (SELECT q.vec_id AS q_id, b.vec_id AS n_id,
