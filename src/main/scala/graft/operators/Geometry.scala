@@ -176,6 +176,57 @@ object Geometry {
     "geo_xzcode" -> (geoXzcode _),
     "geo_country_join" -> (geoCountryJoin _))
 
+
+  /** DuckDB replay of the XZ curve: the enlarged-element length from
+    * floor(ln ext / ln 0.5) (+1 when the doubled cell still covers), then
+    * the 16-step quadtree descent unrolled as chained CTE stages with the
+    * identical midpoint arithmetic. Portable because this corpus' extents
+    * are never exact powers of 0.5 (ln ulp can't cross a floor boundary)
+    * and 0.5^k / midpoint halving are exact doubles in both engines.
+    */
+  private val xzOracleSql: String = {
+    val stages = new StringBuilder
+    for (i <- 0 until 16) {
+      val nElem = ((1L << (2 * (16 - i))) - 1L) / 3L
+      stages.append(
+        s"""s${i + 1} AS (SELECT event_id, lon, lat, xmax, ymax, x0, y0, length,
+           |  CASE WHEN $i < length AND x0 >= xlo + (xhi - xlo) / 2 THEN xlo + (xhi - xlo) / 2 ELSE xlo END AS xlo,
+           |  CASE WHEN $i < length AND NOT (x0 >= xlo + (xhi - xlo) / 2) THEN xlo + (xhi - xlo) / 2 ELSE xhi END AS xhi,
+           |  CASE WHEN $i < length AND y0 >= ylo + (yhi - ylo) / 2 THEN ylo + (yhi - ylo) / 2 ELSE ylo END AS ylo,
+           |  CASE WHEN $i < length AND NOT (y0 >= ylo + (yhi - ylo) / 2) THEN ylo + (yhi - ylo) / 2 ELSE yhi END AS yhi,
+           |  CASE WHEN $i < length THEN code
+           |    + (CASE WHEN x0 >= xlo + (xhi - xlo) / 2 THEN 1 ELSE 0 END
+           |       + CASE WHEN y0 >= ylo + (yhi - ylo) / 2 THEN 2 ELSE 0 END) * $nElem + 1
+           |    ELSE code END AS code
+           |  FROM s$i),
+           |""".stripMargin)
+    }
+    s"""WITH pts AS ($ptsSql),
+       |boxes AS (SELECT event_id, lon, lat,
+       |    least(lon + (event_id % 1000) / 2000.0, 180.0) AS xmax,
+       |    least(lat + (event_id % 1000) / 2000.0, 90.0) AS ymax
+       |  FROM pts),
+       |nrm AS (SELECT event_id, lon, lat, xmax, ymax,
+       |    (180.0 + lon) / 360.0 AS x0, (90.0 + lat) / 360.0 AS y0,
+       |    (180.0 + xmax) / 360.0 AS x1, (90.0 + ymax) / 360.0 AS y1
+       |  FROM boxes),
+       |lvl AS (SELECT *, CASE WHEN l1 >= 16 THEN 16
+       |    WHEN x1 <= floor(x0 / pow(0.5, l1 + 1)) * pow(0.5, l1 + 1) + 2 * pow(0.5, l1 + 1)
+       |     AND y1 <= floor(y0 / pow(0.5, l1 + 1)) * pow(0.5, l1 + 1) + 2 * pow(0.5, l1 + 1)
+       |    THEN l1 + 1 ELSE l1 END AS length
+       |  FROM (SELECT *, CASE WHEN greatest(x1 - x0, y1 - y0) <= 0 THEN 16
+       |          ELSE CAST(floor(ln(greatest(x1 - x0, y1 - y0)) / ln(0.5)) AS INT) END AS l1
+       |        FROM nrm) t),
+       |s0 AS (SELECT event_id, lon, lat, xmax, ymax, x0, y0, length,
+       |    0.0 AS xlo, 1.0 AS xhi, 0.0 AS ylo, 1.0 AS yhi, CAST(0 AS BIGINT) AS code
+       |  FROM lvl),
+       |$stages
+       |final AS (SELECT * FROM s16)
+       |SELECT event_id, lon, lat, xmax, ymax,
+       |  length AS xz_level, code AS xz_code
+       |FROM final ORDER BY event_id""".stripMargin
+  }
+
   /** DuckDB: little-endian IEEE-754 hex of an integer-valued double
     * column `C` (exact: sign + biased exponent from bit length + shifted
     * mantissa, all in BIGINT/HUGEINT).
@@ -196,6 +247,7 @@ object Geometry {
        |       - 4503599627370496 AS HUGEINT) AS b_$out""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "geo_xzcode" -> xzOracleSql,
     "geo_bbox" ->
       s"""WITH pts AS ($ptsSql)
          |SELECT user_id, min(lon) AS xmin, min(lat) AS ymin,
