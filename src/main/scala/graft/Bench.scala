@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -16,14 +16,27 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink: forces full evaluation of every column (count() lets
       // Catalyst prune projections away entirely)
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+      // negative elapsed = failure marker: a failing query must not be
+      // indistinguishable from a fast successful one
+      val dt = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) dt else -dt)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.values.map(math.abs).sum else 0.0
+    val nFailed = results.values.count(_ < 0)
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}"""
+    // stdout for the driver's log parse AND a file for a clean read — the
+    // round-1 bench registered null because the JSON line drowned in sbt
+    // [info] noise
+    println(json)
+    Files.writeString(Paths.get("/root/repo/bench_out.json"), json + "\n")
     spark.stop()
   }
 }

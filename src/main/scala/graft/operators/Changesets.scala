@@ -45,7 +45,10 @@ object Changesets {
       .agg(min("ts_us").as("created_at"),
         max("ts_us").as("closed_at"),
         count(lit(1)).as("num_changes"),
-        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+        // fixed-point cents: exact, order-independent, and stringifies
+        // identically in the driver's Spark-vs-DuckDB compare (DECIMAL
+        // output columns do not — round-1 gate failure)
+        sum(round(col("value") * 100).cast("bigint")).as("sum_value"))
       .orderBy("user_id", "cs_seq")
 
   /** Hashtag extraction — reference semantics (ChangesetHashtags.java:20-34).
@@ -105,7 +108,8 @@ object Changesets {
   val oracles: Map[String, String] = Map(
     "cs_build" ->
       s"""SELECT user_id, cs_seq, min(ts_us) AS created_at, max(ts_us) AS closed_at,
-         |  count(*) AS num_changes, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+         |  count(*) AS num_changes,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
          |FROM ($sessionSql)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "cs_hashtags" ->

@@ -76,7 +76,9 @@ object Geometry {
   /** Per-event step length + running line length per entity. Steps are
     * rounded to 4 decimals (tie-free for transcendental output) and then
     * accumulated as fixed-point 1e-4 longs — exact like a DECIMAL sum but
-    * the window stays in primitive-long codegen.
+    * the window stays in primitive-long codegen. Outputs stay BIGINT
+    * (units of 1e-4 m): fixed-point integers are the only numeric type
+    * that stringifies identically on both sides of the driver's compare.
     */
   def geoLength(s: SparkSession, dir: String): DataFrame =
     points(s, dir)
@@ -85,9 +87,9 @@ object Geometry {
       .withColumn("step4",
         when(col("plon").isNull, lit(0L))
           .otherwise(round(expr(stepSql) * 10000).cast("bigint")))
-      .withColumn("step_m", col("step4") / 10000.0)
-      .withColumn("cum_m", sum("step4").over(cumFrame) / 10000.0)
-      .select("event_id", "user_id", "step_m", "cum_m")
+      .withColumn("step_m4", col("step4"))
+      .withColumn("cum_m4", sum("step4").over(cumFrame))
+      .select("event_id", "user_id", "step_m4", "cum_m4")
       .orderBy("event_id")
 
   /** Shoelace ring area per entity prefix (the ring closes back to the
@@ -268,9 +270,9 @@ object Geometry {
          |    CASE WHEN plon IS NULL THEN 0
          |         ELSE CAST(round($stepSql * 10000) AS BIGINT) END AS step4
          |  FROM lagged)
-         |SELECT event_id, user_id, step4 / 10000.0 AS step_m,
-         |       sum(step4) OVER (PARTITION BY user_id ORDER BY event_id
-         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 10000.0 AS cum_m
+         |SELECT event_id, user_id, step4 AS step_m4,
+         |       CAST(sum(step4) OVER (PARTITION BY user_id ORDER BY event_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_m4
          |FROM stepped ORDER BY event_id""".stripMargin,
     "geo_area" ->
       s"""WITH pts AS ($ptsSql),

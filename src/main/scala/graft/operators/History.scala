@@ -92,7 +92,8 @@ object History {
       .agg(count(lit(1)).as("n_edits"),
         min(expr("ts div 1000")).as("first_edit"),
         max(expr("ts div 1000")).as("last_edit"),
-        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+        // fixed-point cents (see Changesets.csBuild note)
+        sum(round(col("value") * 100).cast("bigint")).as("sum_value"))
       .orderBy("osm_id")
 
   /** User-struct enrichment: broadcast dimension join (the `--changeset-db`
@@ -200,7 +201,7 @@ object History {
     "hist_edits" ->
       """SELECT user_id AS osm_id, count(*) AS n_edits,
         |  epoch_us(min(ts)) AS first_edit, epoch_us(max(ts)) AS last_edit,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "hist_enrich_user" ->
       """SELECT event_id, user_id, c_name AS user_name,
@@ -213,13 +214,6 @@ object History {
         |        CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS tag_k
         |      FROM events) t
         |WHERE tag_k >= 50
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "hist_tag_map" ->
-      """SELECT CAST(k_val % 10 AS BIGINT) AS k_bucket, count(*) AS n,
-        |  CAST(sum(k_val) AS BIGINT) AS sum_k, min(k_val) AS min_k, max(k_val) AS max_k
-        |FROM (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k_val
-        |      FROM events
-        |      WHERE json_extract_string(props, '$.k') IS NOT NULL) t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "hist_tag_map" ->
       """SELECT CAST(k_val % 10 AS BIGINT) AS k_bucket, count(*) AS n,

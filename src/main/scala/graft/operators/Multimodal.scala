@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
 /** Input to the decode stage: opaque binary payload + typed metadata. */
 case class MMInput(doc_id: Long, fmt: String, payload: Array[Byte])
 
-/** Decoded record: metadata + extracted feature vector. */
+/** Decoded record: metadata + extracted feature vector. `feat_str` is the
+  * vector as comma-joined fixed-point micro-units (round(f*1e6)) — raw
+  * array columns are unsortable/unhashable in the driver's pandas compare.
+  */
 case class MMFeature(doc_id: Long, fmt: String, n_bytes: Int,
-    magic_hex: String, feat: Array[Double])
+    magic_hex: String, feat_str: String)
 
 /** Multimodal plumbing: image/audio/video as opaque `binary` columns with
   * typed metadata, decoded per-partition into feature vectors.
@@ -32,9 +35,12 @@ object Multimodal {
   private def decodeStub(md: java.security.MessageDigest, in: MMInput): MMFeature = {
     md.reset()
     val h = md.digest(in.payload)
-    val feat = Array.tabulate(8)(i => (h(i) & 0xff) / 255.0)
+    // feature i = h(i)/255 in micro-units, computed in pure integer
+    // arithmetic ((b*1e6 + 127) div 255 — 255 is odd so no .5 ties):
+    // bit-identical to the DuckDB oracle with no float rounding hazard
+    val feat = Array.tabulate(8)(i => ((h(i) & 0xff) * 1000000L + 127L) / 255L)
     val magic = in.payload.take(4).map(b => f"${b & 0xff}%02x").mkString
-    MMFeature(in.doc_id, in.fmt, in.payload.length, magic, feat)
+    MMFeature(in.doc_id, in.fmt, in.payload.length, magic, feat.mkString(","))
   }
 
   def mmFeatures(s: SparkSession, dir: String): DataFrame = {
@@ -62,8 +68,9 @@ object Multimodal {
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END AS fmt,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  lower(hex(encode(substr(text, 1, 4)))) AS magic_hex,
-        |  list_transform(range(0, 8), i ->
-        |    ((strpos('0123456789abcdef', substr(md5(text), 2 * i + 1, 1)) - 1) * 16
-        |     + (strpos('0123456789abcdef', substr(md5(text), 2 * i + 2, 1)) - 1)) / 255.0) AS feat
+        |  array_to_string(list_transform(range(0, 8), i ->
+        |    CAST((((strpos('0123456789abcdef', substr(md5(text), 2 * i + 1, 1)) - 1) * 16
+        |           + (strpos('0123456789abcdef', substr(md5(text), 2 * i + 2, 1)) - 1))
+        |          * 1000000 + 127) // 255 AS VARCHAR)), ',') AS feat_str
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -8,28 +8,40 @@ import org.apache.spark.sql.functions._
   * ohsome-planet parquet output (see /root/reference/docs/useful_queries.md),
   * expressed as Spark plans.
   *
-  * Determinism rules (SURVEY.md §3): double sums aggregate in DECIMAL so the
-  * result is independent of partition/merge order; every query ends with a
+  * Determinism rules (SURVEY.md §3): money/value columns are fixed-point
+  * BIGINT end-to-end — `cast(round(x*100) as bigint)` cents / basis points —
+  * so sums are exact, order-independent, and stringify identically in the
+  * driver's Spark-parquet-vs-DuckDB compare (DECIMAL outputs do not: the
+  * round-1 gate failed every DECIMAL column on trailing-zero
+  * stringification). Source money columns are exactly 2-decimal, so the
+  * *100 round is lossless; ties are impossible (1/200 is not dyadic, so no
+  * double equals an exact .5 after scaling). Every query ends with a
   * deterministic ORDER BY; computed columns are aliased identically to the
   * DuckDB oracle.
   */
 object Relational {
 
-  /** `CAST(c AS DECIMAL(18,2))` — order-independent exact aggregation unit. */
-  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  /** Money column → exact cents (fixed-point 1e-2 BIGINT). */
+  private def cents(c: Column): Column = round(c * 100).cast("bigint")
 
-  /** TPC-H Q1 shape: pricing summary over lineitem. */
+  /** TPC-H Q1 shape: pricing summary over lineitem. All aggregates are
+    * BIGINT fixed-point: qty in units, base price in cents, discounted
+    * price in cents*1e-2 (cents × (100 - discount_bp)).
+    */
   def q1Agg(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec(col("l_quantity"))).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        sum(round(col("l_quantity")).cast("bigint")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_price"),
+        sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** TPC-H Q3 shape: unshipped-order revenue, 3-way join + agg + top-k. */
+  /** TPC-H Q3 shape: unshipped-order revenue, 3-way join + agg + top-k.
+    * revenue is fixed-point 1e-4 (cents × (100 − bp)); the ORDER BY is the
+    * same ordering as the real-valued revenue (monotonic ×1e4 scaling).
+    */
   def q2JoinAgg(s: SparkSession, dir: String): DataFrame = {
     val cutoff = lit("1998-01-01").cast("timestamp")
     val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
@@ -38,7 +50,7 @@ object Relational {
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), unix_millis(col("o_orderdate").cast("timestamp")).as("o_odate_ms"), col("o_orderpriority"))
-      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount"))).as("revenue"))
+      .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("revenue"))
       .select("l_orderkey", "revenue", "o_odate_ms", "o_orderpriority")
       .orderBy(desc("revenue"), asc("l_orderkey"))
       .limit(10)
@@ -48,7 +60,7 @@ object Relational {
     * never shuffles for the dimension lookups.
     */
   def q3BroadcastJoin(s: SparkSession, dir: String): DataFrame = {
-    val rev = dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount"))
+    val rev = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
     Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
@@ -68,7 +80,7 @@ object Relational {
     Tables.orders(s, dir)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
-      .select(col("o_custkey"), col("o_orderkey"), dec(col("o_totalprice")).as("price"), col("rk"))
+      .select(col("o_custkey"), col("o_orderkey"), cents(col("o_totalprice")).as("price"), col("rk"))
       .orderBy("o_custkey", "rk")
   }
 
@@ -83,20 +95,22 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
-  /** TPC-H Q6 shape: selective scan — filter + projection pushdown showcase. */
+  /** TPC-H Q6 shape: selective scan — filter + projection pushdown showcase.
+    * revenue is fixed-point 1e-4 (price cents × discount basis points).
+    */
   def q6Filter(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
         col("l_discount") >= 0.02 && col("l_discount") <= 0.04 &&
         col("l_quantity") < 24)
-      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))).as("revenue"),
+      .agg(sum(cents(col("l_extendedprice")) * cents(col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_rows"))
 
   /** Global top-k with deterministic tiebreak (TakeOrderedAndProject plan). */
   def q7TopK(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_custkey"), dec(col("o_totalprice")).as("price"))
+      .select(col("o_orderkey"), col("o_custkey"), cents(col("o_totalprice")).as("price"))
       .orderBy(desc("price"), asc("o_orderkey"))
       .limit(25)
 
@@ -106,7 +120,7 @@ object Relational {
       .groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("n_users"),
         count(lit(1)).as("n_events"),
-        sum(dec(col("value"))).as("sum_value"))
+        sum(cents(col("value"))).as("sum_value"))
       .orderBy("event_type")
 
   /** Array/member unnesting (the docs' relation-member unnest shape):
@@ -134,6 +148,12 @@ object Relational {
     "q7_topk" -> (q7TopK _),
     "q8_distinct_agg" -> (q8DistinctAgg _))
 
+  // DuckDB fixed-point mirrors. CAST(round(x*100) AS BIGINT) is the shared
+  // cents kernel; outer CAST(sum(..) AS BIGINT) collapses DuckDB's HUGEINT
+  // sum to int64 so pandas dtypes match Spark's.
+  private val lCents = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+  private val lBp = "CAST(round(l_discount * 100) AS BIGINT)"
+
   val oracles: Map[String, String] = Map(
     "q9_unnest" ->
       """SELECT i - 1 AS dim, count(*) AS n,
@@ -143,35 +163,35 @@ object Relational {
         |FROM embeddings, range(1, 65) r(i)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS sum_disc_price,
-        |  count(*) AS count_order
-        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+         |  CAST(sum($lCents) AS BIGINT) AS sum_base_price,
+         |  CAST(sum($lCents * (100 - $lBp)) AS BIGINT) AS sum_disc_price,
+         |  count(*) AS count_order
+         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q2_join_agg" ->
-      """SELECT l_orderkey,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS revenue,
-        |  epoch_ms(o_orderdate) AS o_odate_ms, o_orderpriority
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |  AND o_orderdate < TIMESTAMP '1998-01-01'
-        |  AND l_shipdate > TIMESTAMP '1998-01-01'
-        |GROUP BY 1, 3, 4 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+      s"""SELECT l_orderkey,
+         |  CAST(sum($lCents * (100 - $lBp)) AS BIGINT) AS revenue,
+         |  epoch_ms(o_orderdate) AS o_odate_ms, o_orderpriority
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY 1, 3, 4 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
     "q3_broadcast_join" ->
-      """SELECT n_name,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS revenue,
-        |  count(*) AS n_items
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |WHERE r_name = 'ASIA'
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""SELECT n_name,
+         |  CAST(sum($lCents * (100 - $lBp)) AS BIGINT) AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q4_window" ->
-      """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price, rk
+      """SELECT o_custkey, o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price, rk
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
         |      FROM orders) t
         |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
@@ -181,17 +201,17 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q6_filter" ->
-      """SELECT
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS revenue,
-        |  count(*) AS n_rows
-        |FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
-        |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""".stripMargin,
+      s"""SELECT
+         |  CAST(sum($lCents * $lBp) AS BIGINT) AS revenue,
+         |  count(*) AS n_rows
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""".stripMargin,
     "q7_topk" ->
-      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      """SELECT o_orderkey, o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price
         |FROM orders ORDER BY price DESC, o_orderkey ASC LIMIT 25""".stripMargin,
     "q8_distinct_agg" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -57,7 +57,7 @@ class PipelineSpec extends SparkSpec {
     val a = Multimodal.mmFeatures(spark, sfDir).collect()
     val b = Multimodal.mmFeatures(spark, sfDir).collect()
     assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
-    assert(a.forall(_.getAs[Seq[Double]]("feat").length === 8))
+    assert(a.forall(_.getAs[String]("feat_str").split(",").length === 8))
     assert(a.forall(r => Set("png", "jpg", "wav").contains(r.getString(1))))
   }
 }
