@@ -25,9 +25,10 @@ object Cli {
     spark.sparkContext.setLogLevel("WARN")
     cmd match {
       case "contributions" =>
+        // partition on contribFull's own status column — it already carries
+        // the deleted/history/latest distinction (overriding it here would
+        // mislabel visible=false rows with null valid_to as 'latest')
         val contribs = Contributions.contribFull(spark, sfDir)
-          .withColumn("status",
-            when(col("valid_to").isNull, "latest").otherwise("history"))
           .withColumn("osm_type",
             element_at(typedLit(Seq("node", "way", "relation")),
               (col("osm_id") % 3 + 1).cast("int")))

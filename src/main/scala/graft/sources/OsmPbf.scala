@@ -159,12 +159,27 @@ object OsmPbf {
       }
     }
     if (raw != null) raw
+    else if (zlib == null)
+      // lz4/zstd/bzip2 blobs carry their payload in other fields — decoding
+      // them is unsupported here, and silently NPE-ing on a null array is not
+      // a diagnostic
+      throw new IllegalStateException(
+        "unsupported Blob compression: no raw (field 1) or zlib (field 3) payload present")
     else {
       val inf = new Inflater()
       inf.setInput(zlib)
       val out = new Array[Byte](rawSize)
       var off = 0
-      while (off < rawSize && !inf.finished()) off += inf.inflate(out, off, rawSize - off)
+      while (off < rawSize && !inf.finished()) {
+        val n = inf.inflate(out, off, rawSize - off)
+        // truncated/corrupt stream: inflate returns 0 without finishing —
+        // spinning forever in an executor task is worse than failing loudly
+        if (n == 0 && !inf.finished())
+          throw new java.util.zip.ZipException(
+            s"corrupt zlib blob: inflate stalled at $off of $rawSize bytes " +
+              s"(needsInput=${inf.needsInput()}, needsDictionary=${inf.needsDictionary()})")
+        off += n
+      }
       inf.end()
       out
     }
@@ -206,7 +221,8 @@ object OsmPbf {
     groups.foreach { g =>
       g.fields { (f, w) =>
         f match {
-          case 2 if want("node") => decodeDense(g.readSlice(), strings, coord, dateGranularity, out)
+          case 2 if want("node") =>
+            decodeDense(g.readSlice(), strings, coord, latOffset, lonOffset, dateGranularity, out)
           case 3 if want("way") => decodeWay(g.readSlice(), strings, dateGranularity, out)
           case 4 if want("relation") => decodeRelation(g.readSlice(), strings, dateGranularity, out)
           case _ => g.skip(w)
@@ -226,8 +242,8 @@ object OsmPbf {
   }
 
   private def decodeDense(d: PbCursor, strings: ArrayBuffer[String],
-      coord: (Long, Long) => Double, dateGran: Long,
-      out: ArrayBuffer[OsmEntity]): Unit = {
+      coord: (Long, Long) => Double, latOff: Long, lonOff: Long,
+      dateGran: Long, out: ArrayBuffer[OsmEntity]): Unit = {
     val ids = ArrayBuffer[Long]()
     val lats = ArrayBuffer[Long]()
     val lons = ArrayBuffer[Long]()
@@ -289,7 +305,7 @@ object OsmPbf {
         if (info.uids.isDefinedAt(i)) info.uids(i) else 0,
         if (info.userSids.isDefinedAt(i)) strings(info.userSids(i)) else "",
         if (info.visibles.isDefinedAt(i)) info.visibles(i) else true,
-        coord(lats(i), 0L), coord(lons(i), 0L), tags.result(), Nil, Nil)
+        coord(lats(i), latOff), coord(lons(i), lonOff), tags.result(), Nil, Nil)
     }
   }
 

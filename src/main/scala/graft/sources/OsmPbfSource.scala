@@ -115,6 +115,20 @@ class PbfReaderFactory(conf: org.apache.spark.util.SerializableConfiguration,
     val toCatalyst = CatalystTypeConverters.createToCatalystConverter(requiredSchema)
     val fields = requiredSchema.fieldNames
     val keep = typeFilter
+    // nested schema pruning can hand us a members element struct with fewer
+    // than 3 fields (e.g. `select members.ref`): emit exactly the requested
+    // subfields, in the requested order, or the struct converter mis-maps
+    val memberFields: Array[String] = requiredSchema.find(_.name == "members")
+      .map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.ArrayType(st: StructType, _)) => st.fieldNames
+      case _ => Array("mtype", "ref", "role")
+    }
+    def memberRow(m: (String, Long, String)): Row =
+      Row(memberFields.map {
+        case "mtype" => m._1
+        case "ref" => m._2
+        case "role" => m._3
+      }: _*)
     val rows: Iterator[InternalRow] = refs.iterator.flatMap { ref =>
       val hPath = new org.apache.hadoop.fs.Path(ref.path)
       val fs = hPath.getFileSystem(conf.value)
@@ -136,7 +150,7 @@ class PbfReaderFactory(conf: org.apache.spark.util.SerializableConfiguration,
             case "lon" => e.lon
             case "tags" => e.tags
             case "refs" => e.refs
-            case "members" => e.members.map(m => Row(m._1, m._2, m._3))
+            case "members" => e.members.map(memberRow)
           }
           toCatalyst(Row(values: _*)).asInstanceOf[InternalRow]
         }

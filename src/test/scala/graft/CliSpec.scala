@@ -9,7 +9,11 @@ class CliSpec extends SparkSpec {
     assert(back.count() > 0)
     assert(back.columns.contains("contrib_type"))
     val parts = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("status="))
-    assert(parts.toSet === Set("status=latest", "status=history"))
+    // deleted rows (visible=false) keep their own partition — they must not
+    // be mislabeled 'latest' when valid_to is null
+    assert(parts.toSet === Set("status=latest", "status=history", "status=deleted"))
+    import org.apache.spark.sql.functions.col
+    assert(back.filter(col("status") === "deleted").count() > 0)
   }
 
   test("cli changesets and replication write plain parquet") {

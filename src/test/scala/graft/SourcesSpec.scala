@@ -45,7 +45,9 @@ object PbfEncode {
 class SourcesSpec extends SparkSpec {
   import PbfEncode._
 
-  private def buildPbf(): Array[Byte] = {
+  private def buildPbf(): Array[Byte] = buildPbf(0L, 0L)
+
+  private def buildPbf(latOffsetNano: Long, lonOffsetNano: Long): Array[Byte] = {
     // string table: index 0 must be the empty string
     val strings = Seq("", "highway", "primary", "name", "main", "alice")
     val st = new ByteArrayOutputStream()
@@ -92,6 +94,8 @@ class SourcesSpec extends SparkSpec {
     val block = new ByteArrayOutputStream()
     lenField(block, 1, st.toByteArray)
     lenField(block, 2, group.toByteArray)
+    if (latOffsetNano != 0L) { varint(block, key(19, 0)); varint(block, latOffsetNano) }
+    if (lonOffsetNano != 0L) { varint(block, key(20, 0)); varint(block, lonOffsetNano) }
 
     // Blob (zlib) + BlobHeader + 4-byte BE framing, plus an OSMHeader blob
     def frame(blobType: String, blockBytes: Array[Byte]): Array[Byte] = {
@@ -151,6 +155,36 @@ class SourcesSpec extends SparkSpec {
     java.nio.file.Files.delete(tmp)
   }
 
+  test("dense decode applies non-zero lat_offset/lon_offset") {
+    val tmp = java.nio.file.Files.createTempFile("graft", ".osm.pbf")
+    // +1° lat, +0.5° lon in nanodegrees (PrimitiveBlock fields 19/20)
+    java.nio.file.Files.write(tmp, buildPbf(1000000000L, 500000000L))
+    val rows = OsmPbf.read(spark, tmp.toString)
+      .filter(col("osm_type") === "node").orderBy("id").collect()
+    assert(math.abs(rows(0).getDouble(8) - 53.52) < 1e-9)
+    assert(math.abs(rows(0).getDouble(9) - 13.9) < 1e-9)
+    java.nio.file.Files.delete(tmp)
+  }
+
+  test("inflateBlob fails loudly on truncated zlib and missing payload") {
+    val raw = "a primitive block payload".getBytes("UTF-8")
+    val z = deflate(raw)
+    def blob(rawSize: Int, zbytes: Option[Array[Byte]]): Array[Byte] = {
+      val b = new ByteArrayOutputStream()
+      varint(b, key(2, 0)); varint(b, rawSize.toLong)
+      zbytes.foreach(lenField(b, 3, _))
+      b.toByteArray
+    }
+    // truncated stream: must throw, not spin forever in the executor task
+    val e1 = intercept[java.util.zip.ZipException] {
+      OsmPbf.inflateBlob(blob(raw.length, Some(z.take(z.length / 2))))
+    }
+    assert(e1.getMessage.contains("inflate stalled"))
+    // unsupported compression (no raw, no zlib): descriptive error, not NPE
+    val e2 = intercept[IllegalStateException] { OsmPbf.inflateBlob(blob(raw.length, None)) }
+    assert(e2.getMessage.contains("unsupported Blob compression"))
+  }
+
   test("DataSource V2: format(\"osmpbf\") matches the RDD reader") {
     val tmp = java.nio.file.Files.createTempFile("graft", ".osm.pbf")
     java.nio.file.Files.write(tmp, buildPbf())
@@ -170,6 +204,16 @@ class SourcesSpec extends SparkSpec {
     assert(nodesOnly.collect().map(_.getLong(0)).sorted.toSeq === Seq(10L, 13L))
     val inFilter = v2.filter(col("osm_type").isin("way", "relation"))
     assert(inFilter.count() === 2)
+
+    // nested schema pruning: selecting a members subfield hands the reader
+    // a narrower element struct — rows must still map correctly
+    val memberRefs = v2.filter(col("osm_type") === "relation")
+      .select("members.ref").collect()
+    assert(memberRefs.map(_.getSeq[Long](0)).toSeq === Seq(Seq(42L)))
+    val memberRoles = v2.filter(col("osm_type") === "relation")
+      .select(col("members.role"), col("id")).collect()
+    assert(memberRoles.map(r => (r.getSeq[String](0), r.getLong(1))).toSeq ===
+      Seq((Seq("name"), 7L)))
     java.nio.file.Files.delete(tmp)
   }
 
