@@ -26,6 +26,16 @@ object Dedup {
                 // degenerate mega-buckets (2-row bands fire at j≈0.5 and
                 // explode candidate pairs ~80× on this corpus)
 
+  /** Bucket-size cap: buckets larger than this are dropped before the
+    * within-bucket self-join. One degenerate mega-bucket (boilerplate-heavy
+    * or empty documents hashing identically) would otherwise make candidate
+    * generation quadratic at corpus scale; such buckets carry no ranking
+    * information anyway (everything in them is near-identical — exact dedup
+    * catches the identical subset far cheaper). 64 is above every organic
+    * bucket observed at sf0.1 (max 40) so results are unchanged there.
+    */
+  val MaxBucket = 64
+
   // ---- shared Spark-side fragments ------------------------------------
 
   /** doc_id + mh0..mh7 MinHash signature columns, via the one-pass custom
@@ -33,15 +43,20 @@ object Dedup {
     * semantics as `array_min(transform(shingles, md5(x || '|' || j)))`
     * per salt j (the oracle's declarative form), one shingle scan total.
     */
-  private def signatures(s: SparkSession, dir: String): DataFrame = {
+  private def signatures(s: SparkSession, dir: String): DataFrame =
+    signaturesOf(s, Tables.documents(s, dir))
+
+  private[graft] def signaturesOf(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.GeoFunctions.register(s)
-    Tables.documents(s, dir)
-      .select("doc_id", "text")
-      // the md5 kernel is CPU-bound: rebalance the slim (doc_id, text)
-      // projection across cores so one fat input split can't serialize the
-      // hashing (the shuffle moves bytes once; the kernel costs ~8 digests
-      // per character)
-      .repartition(s.sparkContext.defaultParallelism)
+    val slim = docs.select("doc_id", "text")
+    // the md5 kernel is CPU-bound: when the input arrives in fewer splits
+    // than cores (single small parquet artifact), rebalance the slim
+    // projection so one fat split can't serialize the hashing; at real
+    // scale the input already has >= cores splits and no shuffle happens
+    val para = s.sparkContext.defaultParallelism
+    val balanced =
+      if (slim.rdd.getNumPartitions < para) slim.repartition(para) else slim
+    balanced
       .withColumn("mharr", call_function("minhash8", col("text")))
       .select(col("doc_id") +:
         (0 until NumHashes).map(j => col("mharr").getItem(j).as(s"mh$j")): _*)
@@ -50,13 +65,22 @@ object Dedup {
   private def bandKey(b: Int): Column =
     md5(concat_ws("|", (0 until 4).map(r => col(s"mh${4 * b + r}")): _*)).as("bkey")
 
-  /** (doc_a, doc_b) candidate pairs sharing at least one LSH band bucket. */
-  private def candidates(sigs: DataFrame): DataFrame = {
+  /** (doc_a, doc_b) candidate pairs sharing at least one LSH band bucket.
+    * Buckets above [[MaxBucket]] are dropped BEFORE the self-join: the
+    * bucket-size window shares the (band, bkey) hash partitioning with the
+    * join, so the cap costs no extra exchange — and without it one
+    * mega-bucket makes candidate generation quadratic at 100 TB.
+    */
+  private[graft] def candidates(sigs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val bands = sigs
       .withColumn("bs", array((0 until Bands).map(b =>
         struct(lit(b).as("band"), bandKey(b))): _*))
       .select(col("doc_id"), explode(col("bs")).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bkey"))
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bkey")))
+      .filter(col("bsz") <= MaxBucket)
+      .drop("bsz")
     bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
       .join(bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
         Seq("band", "bkey"))
@@ -156,8 +180,11 @@ object Dedup {
       val parts = (0 until 4).map(r => s"mh${4 * b + r}").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($parts) AS bkey FROM sigs"
     }.mkString("\n  UNION ALL ")
-    s"""bands AS (
+    s"""bands_raw AS (
        |  $bandSelects),
+       |bands AS (
+       |  SELECT doc_id, band, bkey FROM bands_raw
+       |  QUALIFY count(*) OVER (PARTITION BY band, bkey) <= $MaxBucket),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey

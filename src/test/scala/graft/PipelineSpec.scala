@@ -25,6 +25,22 @@ class PipelineSpec extends SparkSpec {
     assert(fp.forall(_.getString(1).matches("[0-9a-f]{16}")))
   }
 
+  test("lsh bucket cap: a degenerate mega-bucket yields bounded pairs") {
+    import spark.implicits._
+    // 300 identical docs all hash into one bucket per band — 300 > MaxBucket,
+    // so the bucket is dropped (it would contribute 300*299/2 = 44850 pairs
+    // and make candidate generation quadratic at corpus scale). The twin
+    // pair lives in a size-2 bucket and must survive.
+    val mega = (0 until 300).map(i =>
+      (i.toLong, "identical boilerplate text repeated across the whole corpus"))
+    val twins = Seq(
+      (1000L, "a genuinely unique document about rivers and mountains xyz"),
+      (1001L, "a genuinely unique document about rivers and mountains xyz"))
+    val docs = (mega ++ twins).toDF("doc_id", "text")
+    val pairs = Dedup.candidates(Dedup.signaturesOf(spark, docs)).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1000L, 1001L)))
+  }
+
   test("lsh candidates are a superset of high-jaccard pairs") {
     val ver = Dedup.dedupNgramJaccard(spark, sfDir)
       .filter(col("jaccard") >= 0.5).count()
