@@ -112,6 +112,32 @@ object Geo {
     }
   }
 
+  /** Integer ray-cast point-in-polygon: toggles on edges (v_i, v_{i+1})
+    * that cross the horizontal through y, testing the point strictly left
+    * of upward-crossing edges (and symmetric for downward). All-integer
+    * arithmetic — no epsilon, exactly replayable in SQL. The exact-refine
+    * kernel of the filter/refine spatial join (reference
+    * ohsome-contributions spatialjoin/SpatialGridJoiner.java:50-63 uses
+    * JTS prepared-geometry intersects; the point/polygon case is this
+    * classic crossing test).
+    */
+  def pointInPoly(x: Long, y: Long, xs: Array[Long], ys: Array[Long]): Boolean = {
+    val n = math.min(xs.length, ys.length)
+    var inside = false
+    var i = 0
+    while (i < n) {
+      val k = if (i + 1 == n) 0 else i + 1
+      val y1 = ys(i); val y2 = ys(k)
+      if ((y1 > y) != (y2 > y)) {
+        val x1 = xs(i); val x2 = xs(k)
+        val d = (x2 - x1) * (y - y1) - (x - x1) * (y2 - y1)
+        if (if (y2 > y1) d > 0 else d < 0) inside = !inside
+      }
+      i += 1
+    }
+    inside
+  }
+
   def xzCode(xmin: Double, ymin: Double, xmax: Double, ymax: Double, g: Int): Long = {
     val length = xzLevel(xmin, ymin, xmax, ymax, g)
     val x = (180.0 + xmin) / 360.0
@@ -219,6 +245,27 @@ case class XZLevelExpr(first: Expression, second: Expression,
     copy(first = a, second = b, third = c, fourth = d)
 }
 
+/** `point_in_poly(x, y, xs, ys)` → integer ray-cast containment test. */
+case class PointInPoly(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "point_in_poly"
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    Geo.pointInPoly(a.asInstanceOf[Long], b.asInstanceOf[Long],
+      c.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray(),
+      d.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.functions.Geo.pointInPoly($a, $b, $c.toLongArray(), $d.toLongArray())")
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression): PointInPoly =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
 /** Registers the custom expressions on a live session (tests/Verify) —
   * `GraftExtensions` does the same through `SparkSessionExtensions` for
   * spark-submit (`spark.sql.extensions=graft.functions.GraftExtensions`).
@@ -229,6 +276,7 @@ object GeoFunctions {
     "wkb_line" -> (es => WkbLine(es(0), es(1))),
     "xz_code" -> (es => XZCodeExpr(es(0), es(1), es(2), es(3))),
     "xz_level" -> (es => XZLevelExpr(es(0), es(1), es(2), es(3))),
+    "point_in_poly" -> (es => PointInPoly(es(0), es(1), es(2), es(3))),
     "simhash64" -> (es => SimHash64(es(0))),
     "dot9" -> (es => Dot9(es(0), es(1))),
     "minhash8" -> (es => Minhash8(es(0))))

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.GeoFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -169,7 +169,69 @@ object Geometry {
       .orderBy("event_id")
   }
 
+  /** Real polygon spatial join — the filter/refine semantics of the
+    * reference's SpatialGridJoiner.java:49-63 + GridIndex.java: polygons
+    * are indexed into a covering grid; grid cells FULLY inside a polygon
+    * short-circuit containment (no exact test), partial cells fall through
+    * to the exact point-in-polygon refine.
+    *
+    * Here: one convex integer-coordinate hexagon per nation (center = the
+    * nation's cell center, odd radius derived from the key), a 1200×600
+    * centi-degree subcell grid, and the `point_in_poly` codegen expression
+    * as the refine. The whole polygon index is a few hundred rows —
+    * broadcast — so the point side NEVER shuffles; this is the 100 TB
+    * plan: fact-side map-only, index built once.
+    *
+    * Exactness of the short-circuit (so the rows-equal oracle can be pure
+    * per-point ray-cast): the hexagon is convex, so a subcell whose 4
+    * corners pass the ray-cast lies inside the CLOSED polygon (hull
+    * argument), and a boundary point inside the open cell is impossible
+    * (a boundary point with a neighborhood inside the polygon would be
+    * interior). Odd radius keeps the two horizontal hexagon edges off the
+    * subcell gridlines, excluding the collinear-face edge case; corners ON
+    * the boundary fail the corner ray-cast and demote the cell to partial.
+    */
+  def geoPolyJoin(s: SparkSession, dir: String): DataFrame = {
+    GeoFunctions.register(s)
+    val two = lit(2L)
+    val polys = Tables.nation(s, dir).select(
+      col("n_nationkey").cast("long").as("nk"), col("n_name").as("country"))
+      .withColumn("cx", (col("nk") % 5) * 7200 + 3600)
+      .withColumn("cy", expr("nk div 5") * 3600 + 1800)
+      .withColumn("r", lit(401L) + two * ((col("nk") * 53) % 199))
+      // ccw hexagon: (±2r,0), (±r,±2r) offsets — convex, fits the cell
+      .withColumn("xs", array(col("cx") + two * col("r"), col("cx") + col("r"),
+        col("cx") - col("r"), col("cx") - two * col("r"),
+        col("cx") - col("r"), col("cx") + col("r")))
+      .withColumn("ys", array(col("cy"), col("cy") + two * col("r"),
+        col("cy") + two * col("r"), col("cy"),
+        col("cy") - two * col("r"), col("cy") - two * col("r")))
+    def pip(x: Column, y: Column): Column =
+      call_function("point_in_poly", x, y, col("xs"), col("ys"))
+    // covering-grid index: every subcell the polygon bbox touches,
+    // classified full (all 4 corners inside) vs partial — the
+    // GridIndex.build analog, derived declaratively (25 polygons in, a few
+    // hundred cells out, then broadcast)
+    val cells = polys
+      .withColumn("sx", explode(expr("sequence((cx - 2*r) div 1200, (cx + 2*r) div 1200)")))
+      .withColumn("sy", explode(expr("sequence((cy - 2*r) div 600, (cy + 2*r) div 600)")))
+      .withColumn("full_cell",
+        pip(col("sx") * 1200, col("sy") * 600) &&
+          pip((col("sx") + 1) * 1200, col("sy") * 600) &&
+          pip(col("sx") * 1200, (col("sy") + 1) * 600) &&
+          pip((col("sx") + 1) * 1200, (col("sy") + 1) * 600))
+      .withColumn("scid", col("sy") * 30 + col("sx"))
+      .select("scid", "country", "full_cell", "xs", "ys")
+    points(s, dir)
+      .withColumn("scid", expr("(yi div 600) * 30 + (xi div 1200)"))
+      .join(broadcast(cells), Seq("scid"))
+      .filter(col("full_cell") || pip(col("xi"), col("yi")))
+      .select("event_id", "xi", "yi", "country")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_poly_join" -> (geoPolyJoin _),
     "geo_bbox" -> (geoBbox _),
     "geo_centroid" -> (geoCentroid _),
     "geo_length" -> (geoLength _),
@@ -248,7 +310,41 @@ object Geometry {
        |       + (CAST(1 AS BIGINT) << (52 - (length(bin(abs($c))) - 1))) * abs($c)
        |       - 4503599627370496 AS HUGEINT) AS b_$out""".stripMargin
 
+  /** DuckDB replay of geo_poly_join: per-point ray-cast against the 6
+    * hexagon edges, unrolled (identical integer crossing test as
+    * graft.functions.Geo.pointInPoly). The Spark side's full-cell
+    * short-circuit is provably result-identical (see geoPolyJoin doc), so
+    * the oracle needs no grid at all — bbox prefilter only for speed.
+    */
+  private val polyJoinOracleSql: String = {
+    val verts = Seq(
+      ("n.cx + 2*n.r", "n.cy"), ("n.cx + n.r", "n.cy + 2*n.r"),
+      ("n.cx - n.r", "n.cy + 2*n.r"), ("n.cx - 2*n.r", "n.cy"),
+      ("n.cx - n.r", "n.cy - 2*n.r"), ("n.cx + n.r", "n.cy - 2*n.r"))
+    val crossings = verts.indices.map { i =>
+      val (x1, y1) = verts(i)
+      val (x2, y2) = verts((i + 1) % verts.length)
+      val d = s"(($x2) - ($x1)) * (p.yi - ($y1)) - (p.xi - ($x1)) * (($y2) - ($y1))"
+      s"""CASE WHEN (($y1) > p.yi) <> (($y2) > p.yi)
+         |       AND (CASE WHEN ($y2) > ($y1) THEN $d > 0 ELSE $d < 0 END)
+         |  THEN 1 ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+    s"""WITH pts AS ($ptsSql),
+       |nat AS (SELECT n_name AS country,
+       |    (n_nationkey % 5) * 7200 + 3600 AS cx,
+       |    (n_nationkey // 5) * 3600 + 1800 AS cy,
+       |    401 + 2 * ((n_nationkey * 53) % 199) AS r
+       |  FROM nation)
+       |SELECT p.event_id, p.xi, p.yi, n.country
+       |FROM pts p JOIN nat n
+       |  ON p.xi BETWEEN n.cx - 2*n.r AND n.cx + 2*n.r
+       | AND p.yi BETWEEN n.cy - 2*n.r AND n.cy + 2*n.r
+       |WHERE ($crossings) % 2 = 1
+       |ORDER BY p.event_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "geo_poly_join" -> polyJoinOracleSql,
     "geo_xzcode" -> xzOracleSql,
     "geo_bbox" ->
       s"""WITH pts AS ($ptsSql)

@@ -5,6 +5,46 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class GeometryExprSpec extends AnyFunSuite {
 
+  test("point_in_poly: integer ray-cast against square and hexagon") {
+    val sqx = Array(0L, 10L, 10L, 0L)
+    val sqy = Array(0L, 0L, 10L, 10L)
+    assert(Geo.pointInPoly(5, 5, sqx, sqy))
+    assert(!Geo.pointInPoly(15, 5, sqx, sqy))
+    assert(!Geo.pointInPoly(-5, 5, sqx, sqy))
+    assert(!Geo.pointInPoly(5, 15, sqx, sqy))
+    // half-open boundary rule is consistent: left/bottom in, right/top out
+    assert(Geo.pointInPoly(0, 5, sqx, sqy))
+    assert(!Geo.pointInPoly(10, 5, sqx, sqy))
+    // hexagon as in geo_poly_join: cx=cy=0, r=5 → (±10,0),(±5,±10)
+    val hx = Array(10L, 5L, -5L, -10L, -5L, 5L)
+    val hy = Array(0L, 10L, 10L, 0L, -10L, -10L)
+    assert(Geo.pointInPoly(0, 0, hx, hy))
+    assert(Geo.pointInPoly(7, 3, hx, hy))   // inside the slanted edge (x+y/2<10)
+    assert(!Geo.pointInPoly(9, 4, hx, hy))  // outside it (9+2=11>10)
+    assert(!Geo.pointInPoly(0, 11, hx, hy))
+    assert(!Geo.pointInPoly(11, 0, hx, hy))
+  }
+
+  test("point_in_poly full-cell argument: all-corners-in implies cell in (convex)") {
+    // convex hexagon, random cells: whenever 4 corners test inside, every
+    // lattice point of the cell must test inside too
+    val r = 401L
+    val hx = Array(2 * r, r, -r, -2 * r, -r, r)
+    val hy = Array(0L, 2 * r, 2 * r, 0L, -2 * r, -2 * r)
+    val rnd = new scala.util.Random(7)
+    var fullCells = 0
+    for (_ <- 0 until 200) {
+      val x0 = rnd.between(-900L, 700L); val y0 = rnd.between(-900L, 700L)
+      val corners = Seq((x0, y0), (x0 + 200, y0), (x0, y0 + 100), (x0 + 200, y0 + 100))
+      if (corners.forall { case (x, y) => Geo.pointInPoly(x, y, hx, hy) }) {
+        fullCells += 1
+        for (x <- x0 to (x0 + 200) by 40; y <- y0 to (y0 + 100) by 20)
+          assert(Geo.pointInPoly(x, y, hx, hy), s"($x,$y) in full cell tested outside")
+      }
+    }
+    assert(fullCells > 0, "test corpus never produced a full cell")
+  }
+
   test("wkb point hex matches java.nio little-endian encoding") {
     val cases = Seq((0.0, 0.0), (-180.0, -90.0), (179.0, 89.0), (13.4, 52.52), (-0.1, 0.1))
     for ((lon, lat) <- cases) {
