@@ -112,6 +112,77 @@ object Geo {
     }
   }
 
+  // WGS84-ish constants shared by the geodesic kernels (public values; the
+  // reference uses the same set, ohsome-contributions util/GeometryTools
+  // .java:11-17)
+  val EarthRadiusMean = 6371000.0
+  val EarthRadiusEquator = 6378137.0
+  val InverseFlattening = 298.257223563
+  val FUnd: Double = 1.0 - 1.0 / InverseFlattening
+  val SphereFact: Double = math.pow(FUnd, 1.5)
+
+  /** Flattening-corrected geodesic polyline length in fixed-point
+    * millimeters (reference formula: GeometryTools.java:43-61 — spherical
+    * latitude via atan(f^1.5·tan φ), equirectangular step with mid-latitude
+    * cosine, mean-radius scaling). Per-step rounding to integer mm makes
+    * the Long sum order-independent and engine-portable: libm differences
+    * (~1e-9 m) sit far inside the 0.5 mm tie distance.
+    */
+  def geodesicLengthMm(lons: Array[Double], lats: Array[Double]): Long = {
+    val n = math.min(lons.length, lats.length)
+    if (n < 2) return 0L
+    var total = 0L
+    var prevLon = math.toRadians(lons(0))
+    var prevLat = math.atan(SphereFact * math.tan(math.toRadians(lats(0))))
+    var i = 1
+    while (i < n) {
+      val thisLon = math.toRadians(lons(i))
+      val thisLat = math.atan(SphereFact * math.tan(math.toRadians(lats(i))))
+      val dLon = (thisLon - prevLon) * math.cos((thisLat + prevLat) / 2)
+      val dLat = thisLat - prevLat
+      val step = math.sqrt(dLon * dLon + dLat * dLat) * EarthRadiusMean
+      total += math.round(step * 1000.0)
+      prevLon = thisLon
+      prevLat = thisLat
+      i += 1
+    }
+    total
+  }
+
+  /** Geodesic ring area in whole m² (absolute value), treating the point
+    * sequence as a closed ring. Reference formula: GeometryTools.java
+    * :203-240 (Chamberlain & Duquette, JPL 07-03: Σ Δλ(p3,p1)·sin φ2, with
+    * the WGS84 latitude converted to its spherical value and a
+    * mid-latitude flattening correction on R²). Engine-portability: sin φ
+    * and cos(midLat) are snapped to 9 decimals and each term accumulates
+    * as fixed-point 1e-9 Longs, so the only doubles that cross the
+    * Spark↔DuckDB boundary are bit-identical products of identical inputs.
+    */
+  def geodesicAreaM2(lons: Array[Double], lats: Array[Double]): Long = {
+    val n = math.min(lons.length, lats.length)
+    if (n < 3) return 0L
+    var sum9 = 0L
+    var ymin = Double.MaxValue
+    var ymax = -Double.MaxValue
+    var i = 0
+    while (i < n) {
+      val prev = if (i == 0) n - 1 else i - 1
+      val next = if (i == n - 1) 0 else i + 1
+      val x = FUnd * math.tan(math.toRadians(lats(i)))
+      val sinLat9 = math.round((x / math.sqrt(x * x + 1.0)) * 1e9) / 1e9
+      val term = math.toRadians(lons(next) - lons(prev)) * sinLat9
+      sum9 += math.round(term * 1e9)
+      if (lats(i) < ymin) ymin = lats(i)
+      if (lats(i) > ymax) ymax = lats(i)
+      i += 1
+    }
+    val midLat = (ymax + ymin) / 2
+    val cosM9 = math.round(math.cos(math.toRadians(midLat)) * 1e9) / 1e9
+    val factor = 0.5 * EarthRadiusEquator * EarthRadiusEquator *
+      (1.0 - 1.0 / InverseFlattening * cosM9 * cosM9)
+    math.round(math.abs((sum9 / 1e9) * factor))
+  }
+
   /** Integer ray-cast point-in-polygon: toggles on edges (v_i, v_{i+1})
     * that cross the horizontal through y, testing the point strictly left
     * of upward-crossing edges (and symmetric for downward). All-integer
@@ -245,6 +316,46 @@ case class XZLevelExpr(first: Expression, second: Expression,
     copy(first = a, second = b, third = c, fourth = d)
 }
 
+/** `geodesic_length_mm(lons, lats)` → fixed-point mm polyline length. */
+case class GeodesicLengthMm(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "geodesic_length_mm"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Geo.geodesicLengthMm(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray(),
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.Geo.geodesicLengthMm($a.toDoubleArray(), $b.toDoubleArray())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GeodesicLengthMm =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `geodesic_area_m2(lons, lats)` → whole-m² ring area. */
+case class GeodesicAreaM2(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "geodesic_area_m2"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Geo.geodesicAreaM2(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray(),
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.Geo.geodesicAreaM2($a.toDoubleArray(), $b.toDoubleArray())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GeodesicAreaM2 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `point_in_poly(x, y, xs, ys)` → integer ray-cast containment test. */
 case class PointInPoly(first: Expression, second: Expression,
     third: Expression, fourth: Expression)
@@ -277,6 +388,8 @@ object GeoFunctions {
     "xz_code" -> (es => XZCodeExpr(es(0), es(1), es(2), es(3))),
     "xz_level" -> (es => XZLevelExpr(es(0), es(1), es(2), es(3))),
     "point_in_poly" -> (es => PointInPoly(es(0), es(1), es(2), es(3))),
+    "geodesic_length_mm" -> (es => GeodesicLengthMm(es(0), es(1))),
+    "geodesic_area_m2" -> (es => GeodesicAreaM2(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es(0))),
     "dot9" -> (es => Dot9(es(0), es(1))),
     "minhash8" -> (es => Minhash8(es(0))))

@@ -169,6 +169,27 @@ object Geometry {
       .orderBy("event_id")
   }
 
+  /** Geodesic length + area per entity, with the reference's
+    * flattening-corrected formulas (GeometryTools.java:43-61 length,
+    * :203-240 area) — not the plain haversine/deg² of geo_length/geo_area.
+    * Entity points are assembled into ordered coordinate arrays (one
+    * entity-keyed shuffle, arrays stay small — the way-assembly shape) and
+    * the custom codegen kernels do one pass each. Outputs are fixed-point
+    * BIGINT (mm / m²): exact, order-independent, driver-compare-safe.
+    */
+  def geoGeodesic(s: SparkSession, dir: String): DataFrame = {
+    GeoFunctions.register(s)
+    points(s, dir)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("event_id"), col("lon"), col("lat")))).as("pts"))
+      .withColumn("lons", expr("transform(pts, p -> p.lon)"))
+      .withColumn("lats", expr("transform(pts, p -> p.lat)"))
+      .select(col("user_id"), size(col("pts")).as("npts"),
+        call_function("geodesic_length_mm", col("lons"), col("lats")).as("length_mm"),
+        call_function("geodesic_area_m2", col("lons"), col("lats")).as("area_m2"))
+      .orderBy("user_id")
+  }
+
   /** Real polygon spatial join — the filter/refine semantics of the
     * reference's SpatialGridJoiner.java:49-63 + GridIndex.java: polygons
     * are indexed into a covering grid; grid cells FULLY inside a polygon
@@ -232,6 +253,7 @@ object Geometry {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_poly_join" -> (geoPolyJoin _),
+    "geo_geodesic" -> (geoGeodesic _),
     "geo_bbox" -> (geoBbox _),
     "geo_centroid" -> (geoCentroid _),
     "geo_length" -> (geoLength _),
@@ -343,8 +365,62 @@ object Geometry {
        |ORDER BY p.event_id""".stripMargin
   }
 
+  /** DuckDB replay of geo_geodesic: the identical per-step/per-term
+    * arithmetic as graft.functions.Geo.geodesicLengthMm/geodesicAreaM2 —
+    * transcendental intermediates snapped to fixed point (mm steps, 1e-9
+    * terms, 9-decimal sin/cos) so libm least-bit differences can't cross a
+    * rounding boundary, then exact BIGINT sums.
+    */
+  private val geodesicOracleSql: String = {
+    val sf = "pow(1.0 - 1.0/298.257223563, 1.5)"
+    s"""WITH pts AS ($ptsSql),
+       |seq AS (SELECT user_id, event_id, lon, lat,
+       |    lag(lon) OVER w AS plon, lag(lat) OVER w AS plat,
+       |    coalesce(lead(lon) OVER w, first_value(lon) OVER wf) AS nlon,
+       |    coalesce(lag(lon) OVER w, last_value(lon) OVER wf) AS prlon,
+       |    count(*) OVER (PARTITION BY user_id) AS n,
+       |    min(lat) OVER (PARTITION BY user_id) AS ymin,
+       |    max(lat) OVER (PARTITION BY user_id) AS ymax
+       |  FROM pts
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id),
+       |         wf AS (PARTITION BY user_id ORDER BY event_id
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+       |terms AS (SELECT user_id, n, ymin, ymax,
+       |    CASE WHEN plat IS NULL THEN 0 ELSE CAST(round(
+       |      (sqrt(
+       |         ((radians(lon) - radians(plon))
+       |            * cos((atan($sf * tan(radians(lat))) + atan($sf * tan(radians(plat)))) / 2))
+       |         * ((radians(lon) - radians(plon))
+       |            * cos((atan($sf * tan(radians(lat))) + atan($sf * tan(radians(plat)))) / 2))
+       |         + (atan($sf * tan(radians(lat))) - atan($sf * tan(radians(plat))))
+       |         * (atan($sf * tan(radians(lat))) - atan($sf * tan(radians(plat)))))
+       |       * 6371000.0) * 1000.0) AS BIGINT) END AS step_mm,
+       |    CAST(round(
+       |      radians(nlon - prlon)
+       |      * (round(((1.0 - 1.0/298.257223563) * tan(radians(lat))
+       |           / sqrt((1.0 - 1.0/298.257223563) * tan(radians(lat))
+       |                  * (1.0 - 1.0/298.257223563) * tan(radians(lat)) + 1.0)) * 1000000000.0)
+       |         / 1000000000.0)
+       |      * 1000000000.0) AS BIGINT) AS term9
+       |  FROM seq),
+       |agg AS (SELECT user_id, max(n) AS npts, max(ymin) AS ymin, max(ymax) AS ymax,
+       |    CAST(sum(step_mm) AS BIGINT) AS length_mm,
+       |    CAST(sum(term9) AS BIGINT) AS sum9
+       |  FROM terms GROUP BY user_id)
+       |SELECT user_id, CAST(npts AS INT) AS npts, length_mm,
+       |  CASE WHEN npts < 3 THEN 0 ELSE CAST(round(abs(
+       |    (sum9 / 1000000000.0)
+       |    * (0.5 * 6378137.0 * 6378137.0
+       |       * (1.0 - 1.0/298.257223563
+       |          * (round(cos(radians((ymax + ymin) / 2)) * 1000000000.0) / 1000000000.0)
+       |          * (round(cos(radians((ymax + ymin) / 2)) * 1000000000.0) / 1000000000.0)))))
+       |  AS BIGINT) END AS area_m2
+       |FROM agg ORDER BY user_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "geo_poly_join" -> polyJoinOracleSql,
+    "geo_geodesic" -> geodesicOracleSql,
     "geo_xzcode" -> xzOracleSql,
     "geo_bbox" ->
       s"""WITH pts AS ($ptsSql)

@@ -5,6 +5,46 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class GeometryExprSpec extends AnyFunSuite {
 
+  test("geodesic length: flattening-corrected formula against fixtures") {
+    // one degree of longitude along the equator with the reference's mean
+    // radius: 6371000·π/180 ≈ 111.195 km
+    val eq = Geo.geodesicLengthMm(Array(0.0, 1.0), Array(0.0, 0.0)) / 1e6
+    assert(math.abs(eq - 111.195) < 0.01, s"equator degree was $eq km")
+    // at 60°N a degree of longitude shrinks ~ cos(spherical 60°) ≈ half
+    val n60 = Geo.geodesicLengthMm(Array(0.0, 1.0), Array(60.0, 60.0)) / 1e6
+    assert(n60 < 56.0 && n60 > 55.0, s"60N degree was $n60 km")
+    // flattening correction: a meridian degree near the pole is LONGER than
+    // near the equator on the WGS84 spheroid
+    val mEq = Geo.geodesicLengthMm(Array(0.0, 0.0), Array(0.0, 1.0))
+    val mPole = Geo.geodesicLengthMm(Array(0.0, 0.0), Array(88.0, 89.0))
+    assert(mPole > mEq, s"meridian degree pole=$mPole vs equator=$mEq")
+    // degenerate inputs
+    assert(Geo.geodesicLengthMm(Array(1.0), Array(1.0)) === 0L)
+    assert(Geo.geodesicLengthMm(Array.empty[Double], Array.empty[Double]) === 0L)
+    // additivity: per-step rounding sums exactly
+    val ab = Geo.geodesicLengthMm(Array(0.0, 1.0), Array(0.0, 0.0))
+    val bc = Geo.geodesicLengthMm(Array(1.0, 2.0), Array(0.0, 0.0))
+    val abc = Geo.geodesicLengthMm(Array(0.0, 1.0, 2.0), Array(0.0, 0.0, 0.0))
+    assert(abc === ab + bc)
+  }
+
+  test("geodesic area: Chamberlain-Duquette ring area against fixtures") {
+    // 1°×1° "square" at the equator ≈ 111.32 km × 110.57 km ≈ 1.231e10 m²
+    val sq = Geo.geodesicAreaM2(
+      Array(0.0, 1.0, 1.0, 0.0), Array(0.0, 0.0, 1.0, 1.0))
+    assert(math.abs(sq - 1.2308e10) / 1.2308e10 < 0.005, s"equator square was $sq")
+    // orientation-independent (absolute area)
+    val sqCw = Geo.geodesicAreaM2(
+      Array(0.0, 0.0, 1.0, 1.0), Array(0.0, 1.0, 1.0, 0.0))
+    assert(sqCw === sq)
+    // same square at 60°N covers ~cos(60°) ≈ half the area
+    val n60 = Geo.geodesicAreaM2(
+      Array(0.0, 1.0, 1.0, 0.0), Array(60.0, 60.0, 61.0, 61.0))
+    assert(n60 < sq * 0.55 && n60 > sq * 0.4, s"60N square was $n60 vs $sq")
+    // degenerate: fewer than 3 points
+    assert(Geo.geodesicAreaM2(Array(0.0, 1.0), Array(0.0, 1.0)) === 0L)
+  }
+
   test("point_in_poly: integer ray-cast against square and hexagon") {
     val sqx = Array(0L, 10L, 10L, 0L)
     val sqy = Array(0L, 0L, 10L, 10L)
