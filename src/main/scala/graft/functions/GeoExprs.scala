@@ -79,6 +79,17 @@ object Geo {
     sb.toString
   }
 
+  /** Hex WKB (little-endian) multipolygon: each element polygon carries its
+    * own byte-order + type header per the WKB spec.
+    */
+  def wkbMultiPolygonHex(polys: Seq[Seq[(Array[Double], Array[Double])]]): String = {
+    val sb = new java.lang.StringBuilder
+    sb.append("0106000000") // LE + multipolygon
+    appendLeHexInt(sb, polys.length)
+    polys.foreach(rings => sb.append(wkbPolygonHex(rings)))
+    sb.toString
+  }
+
   private def appendLeHexInt(sb: java.lang.StringBuilder, v: Int): Unit = {
     val digits = "0123456789abcdef"
     var i = 0
@@ -181,6 +192,26 @@ object Geo {
     val factor = 0.5 * EarthRadiusEquator * EarthRadiusEquator *
       (1.0 - 1.0 / InverseFlattening * cosM9 * cosM9)
     math.round(math.abs((sum9 / 1e9) * factor))
+  }
+
+  /** Double-coordinate ray-cast (same crossing rule as [[pointInPoly]]) —
+    * used by relation ring classification where coordinates are degrees.
+    */
+  def pointInRingD(x: Double, y: Double, xs: Seq[Double], ys: Seq[Double]): Boolean = {
+    val n = math.min(xs.length, ys.length)
+    var inside = false
+    var i = 0
+    while (i < n) {
+      val k = if (i + 1 == n) 0 else i + 1
+      val y1 = ys(i); val y2 = ys(k)
+      if ((y1 > y) != (y2 > y)) {
+        val x1 = xs(i); val x2 = xs(k)
+        val d = (x2 - x1) * (y - y1) - (x - x1) * (y2 - y1)
+        if (if (y2 > y1) d > 0 else d < 0) inside = !inside
+      }
+      i += 1
+    }
+    inside
   }
 
   /** Integer ray-cast point-in-polygon: toggles on edges (v_i, v_{i+1})

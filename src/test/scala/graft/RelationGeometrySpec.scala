@@ -34,6 +34,61 @@ class RelationGeometrySpec extends SparkSpec {
     assert(rings.count(_._3) === 1)
   }
 
+  test("classify: shell with hole subtracts the hole area") {
+    import scala.collection.mutable.ArrayBuffer
+    def ring(pts: (Double, Double)*): (ArrayBuffer[Double], ArrayBuffer[Double]) =
+      (ArrayBuffer.from(pts.map(_._1)), ArrayBuffer.from(pts.map(_._2)))
+    // 10×10 shell with a 2×2 hole
+    val shell = ring((0, 0), (10, 0), (10, 10), (0, 10), (0, 0))
+    val hole = ring((4, 4), (6, 4), (6, 6), (4, 6), (4, 4))
+    val shells = RelationGeometry.classify(Seq(hole, shell))
+    assert(shells.length === 1)
+    assert(shells.head.holes.length === 1)
+    assert(shells.head.shell._1.head === 0.0)
+
+    // nested island: a shell inside the hole is its own shell again
+    val island = ring((4.5, 4.5), (5.5, 4.5), (5.5, 5.5), (4.5, 5.5), (4.5, 4.5))
+    val withIsland = RelationGeometry.classify(Seq(island, hole, shell))
+    assert(withIsland.length === 2)
+    assert(withIsland.map(_.holes.length).sum === 1)
+  }
+
+  test("assemble: shell-with-hole relation gets classified area and rings") {
+    import spark.implicits._
+    val members = Seq((200L, 1L), (200L, 2L), (200L, 3L), (200L, 4L)).toDF("rel_id", "way_id")
+    val wayGeoms = Seq(
+      // outer 10×10 square, two half-ways
+      (1L, Array(0.0, 10.0, 10.0), Array(0.0, 0.0, 10.0)),
+      (2L, Array(10.0, 0.0, 0.0), Array(10.0, 10.0, 0.0)),
+      // inner 2×2 hole, two half-ways
+      (3L, Array(4.0, 6.0, 6.0), Array(4.0, 4.0, 6.0)),
+      (4L, Array(6.0, 4.0, 4.0), Array(6.0, 6.0, 4.0)))
+      .toDF("way_id", "lons", "lats")
+    val out = RelationGeometry.assemble(members, wayGeoms).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.n_rings === 2 && r.n_shells === 1 && r.n_holes === 1 && r.closed)
+    assert(r.area_deg2 === 96.0) // 100 − 4
+    assert(r.wkb.startsWith("0103000000" + "02000000"), "polygon WKB with 2 rings")
+  }
+
+  test("assemble: two disjoint shells emit a multipolygon with summed area") {
+    import spark.implicits._
+    val members = Seq((300L, 1L), (300L, 2L), (300L, 3L), (300L, 4L)).toDF("rel_id", "way_id")
+    val wayGeoms = Seq(
+      (1L, Array(0.0, 1.0, 1.0), Array(0.0, 0.0, 1.0)),
+      (2L, Array(1.0, 0.0, 0.0), Array(1.0, 1.0, 0.0)),
+      (3L, Array(5.0, 8.0, 8.0), Array(5.0, 5.0, 8.0)),
+      (4L, Array(8.0, 5.0, 5.0), Array(8.0, 8.0, 5.0)))
+      .toDF("way_id", "lons", "lats")
+    val out = RelationGeometry.assemble(members, wayGeoms).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.n_shells === 2 && r.n_holes === 0)
+    assert(r.area_deg2 === 10.0) // 1 + 9 — the old 2·max−sum heuristic gave 8
+    assert(r.wkb.startsWith("0106000000" + "02000000"), "multipolygon WKB with 2 polys")
+  }
+
   test("assemble: distributed ring assembly emits polygon WKB") {
     import spark.implicits._
     val members = Seq((100L, 1L), (100L, 2L)).toDF("rel_id", "way_id")
