@@ -64,6 +64,52 @@ class EndToEndSpec extends SparkSpec {
     f.toByteArray
   }
 
+  test("osc diff → store upsert → re-emitted enriched contributions") {
+    import graft.operators.Replication
+    import graft.sources.OsmXml
+    import spark.implicits._
+    // base store: entity 1 (two versions) and entity 2 (one version)
+    val base = Seq(
+      (1L, 1000L, 10L, "create", """{"k":"1"}""", 1.0),
+      (1L, 2000L, 11L, "modify", """{"k":"2"}""", 1.0),
+      (2L, 1500L, 20L, "create", """{"k":"9"}""", 2.0))
+      .toDF("user_id", "ts_us", "event_id", "event_type", "props", "value")
+    // minutely diff: entity 1 gets deleted, entity 3 is created
+    val osc =
+      """<?xml version="1.0"?>
+        |<osmChange version="0.6">
+        | <delete>
+        |  <node id="1" version="3" timestamp="2024-01-21T00:00:00Z" changeset="7" uid="9" user="bob"/>
+        | </delete>
+        | <create>
+        |  <node id="3" version="1" timestamp="2024-01-21T00:01:00Z" changeset="7" uid="9" user="bob"
+        |        lat="52.5" lon="13.4"><tag k="amenity" v="cafe"/></node>
+        | </create>
+        |</osmChange>""".stripMargin
+    val tmp = java.nio.file.Files.createTempDirectory("graft-repl")
+    java.nio.file.Files.writeString(tmp.resolve("d.osc"), osc)
+    val diff = Replication.oscAsEvents(OsmXml.readOsc(spark, tmp.toString + "/*.osc"))
+
+    val out = Replication.updateContributions(base, diff)
+      .orderBy("osm_id", "osm_version").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(4), r.getString(5), r.getBoolean(6)))
+    assert(out.toSeq === Seq(
+      (1L, 1, "CREATION", "history", true),   // rebuilt: chain extended
+      (1L, 2, "TAG", "history", true),        // was latest, now history
+      (1L, 3, "DELETION", "deleted", true),   // the osc delete
+      (2L, 1, "CREATION", "latest", false),   // untouched: kept, not re-windowed
+      (3L, 1, "CREATION", "latest", true)))   // the osc create
+
+    // composed sink round-trip: the re-emitted store partitions cleanly
+    val outDir = java.nio.file.Files.createTempDirectory("graft-repl-out").toString
+    ContribSink.writePartitioned(
+      Replication.updateContributions(base, diff)
+        .withColumn("osm_type", lit("node")), outDir)
+    val back = spark.read.parquet(outDir)
+    assert(back.filter(col("status") === "deleted").count() === 1)
+    assert(back.count() === 5)
+  }
+
   test("history pbf → contributions → partitioned sink → pruned read") {
     val tmp = java.nio.file.Files.createTempFile("graft-hist", ".osm.pbf")
     java.nio.file.Files.write(tmp, buildHistoryPbf())
