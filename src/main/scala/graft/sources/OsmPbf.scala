@@ -144,6 +144,168 @@ object OsmPbf {
     refs.toSeq
   }
 
+  /** Max plausible BlobHeader size — the spec caps it at 64 KiB. */
+  private val MaxHeaderSize = 64 * 1024
+  /** Max plausible Blob payload — the spec caps blobs at 32 MiB. */
+  private val MaxBlobSize = 32 * 1024 * 1024
+
+  /** Parse a BlobHeader at `headerBytes`; returns (blobType, dataSize) or
+    * null when the bytes are not a valid header.
+    */
+  private def parseHeader(headerBytes: Array[Byte]): (String, Int) = {
+    try {
+      var blobType = ""
+      var dataSize = -1
+      val c = new PbCursor(headerBytes, 0, headerBytes.length)
+      c.fields { (f, w) =>
+        f match {
+          case 1 => blobType = c.readString()
+          case 3 => dataSize = c.readVarint().toInt
+          case _ => c.skip(w)
+        }
+      }
+      if ((blobType == "OSMData" || blobType == "OSMHeader") &&
+        dataSize > 0 && dataSize <= MaxBlobSize) (blobType, dataSize) else null
+    } catch { case _: Throwable => null }
+  }
+
+  /** Find blob frames whose 4-byte length word starts in [start, end) by
+    * scanning for the BlobHeader signature (0x0A, len, "OSMData"/"OSMHeader")
+    * and validating with a full header parse plus a one-step chain
+    * lookahead, then walking the exact framing. The splittable-input
+    * technique every distributed PBF reader uses — frames carry no sync
+    * marker, but the header signature + chained validation is
+    * collision-free in practice.
+    */
+  def scanRange(fs: org.apache.hadoop.fs.FileSystem,
+      hPath: org.apache.hadoop.fs.Path, path: String,
+      start: Long, end: Long, fileLen: Long): Seq[BlobRef] = {
+    val sigs = Seq("OSMData".getBytes(StandardCharsets.UTF_8),
+      "OSMHeader".getBytes(StandardCharsets.UTF_8))
+    // window: the owned range plus one max-header tail so a signature whose
+    // frame start is just before `end` still validates
+    val winStart = math.max(0L, start - 4)
+    val winEnd = math.min(fileLen, end + MaxHeaderSize)
+    val win = new Array[Byte]((winEnd - winStart).toInt)
+    val in = fs.open(hPath)
+    try { in.seek(winStart); in.readFully(win) } finally in.close()
+
+    def beInt(abs: Long): Int = {
+      val i = (abs - winStart).toInt
+      ((win(i) & 0xff) << 24) | ((win(i + 1) & 0xff) << 16) |
+        ((win(i + 2) & 0xff) << 8) | (win(i + 3) & 0xff)
+    }
+    def headerAt(abs: Long): (String, Int, Int) = {
+      if (abs < winStart || abs + 4 > winEnd) return null
+      val headerSize = beInt(abs)
+      if (headerSize <= 0 || headerSize > MaxHeaderSize || abs + 4 + headerSize > fileLen) return null
+      if (abs + 4 + headerSize > winEnd) return null // tail overlap guarantees this fits for owned frames
+      val hb = java.util.Arrays.copyOfRange(win,
+        (abs + 4 - winStart).toInt, (abs + 4 + headerSize - winStart).toInt)
+      val parsed = parseHeader(hb)
+      if (parsed == null) null else (parsed._1, parsed._2, headerSize)
+    }
+    // locate the first valid frame start in [start, end): scan for the type
+    // string, back off over the 0x0A tag + length varint to the frame start
+    var first = -1L
+    var p = math.max(4L, start)
+    // a frame starting at end-1 has its signature up to 6 bytes past `end`
+    while (first < 0 && p < end + 6) {
+      val i = (p - winStart).toInt
+      val hit = sigs.exists { sig =>
+        i + sig.length <= win.length &&
+          java.util.Arrays.equals(win, i, i + sig.length, sig, 0, sig.length) &&
+          i >= 6 && win(i - 1) == sig.length.toByte && win(i - 2) == 0x0a
+      }
+      if (hit) {
+        val frameStart = p - 2 - 4
+        if (frameStart >= start && frameStart < end) {
+          headerAt(frameStart) match {
+            case null => ()
+            case (_, dataSize, headerSize) =>
+              // chain lookahead: the next frame must parse or be exactly EOF
+              val next = frameStart + 4 + headerSize + dataSize
+              if (next == fileLen || (next < fileLen && {
+                val nh = nextHeaderValid(fs, hPath, next, fileLen)
+                nh
+              })) first = frameStart
+          }
+        }
+      }
+      p += 1
+    }
+    if (first < 0) return Nil
+    // walk exact framing from the first owned frame to the end of the range
+    val out = ArrayBuffer[BlobRef]()
+    var frame = first
+    val in2 = fs.open(hPath)
+    try {
+      while (frame < end && frame < fileLen) {
+        val (blobType, dataSize, headerSize) = {
+          val local = headerAt(frame)
+          if (local != null) local
+          else { // frame beyond the window: read its header directly
+            val lenB = new Array[Byte](4)
+            in2.seek(frame); in2.readFully(lenB)
+            val hs = ((lenB(0) & 0xff) << 24) | ((lenB(1) & 0xff) << 16) |
+              ((lenB(2) & 0xff) << 8) | (lenB(3) & 0xff)
+            val hb = new Array[Byte](hs)
+            in2.readFully(hb)
+            val ph = parseHeader(hb)
+            if (ph == null) throw new IllegalStateException(
+              s"PBF framing broke at offset $frame of $path")
+            (ph._1, ph._2, hs)
+          }
+        }
+        out += BlobRef(path, frame + 4 + headerSize, dataSize, blobType)
+        frame = frame + 4 + headerSize + dataSize
+      }
+    } finally in2.close()
+    out.toSeq
+  }
+
+  private def nextHeaderValid(fs: org.apache.hadoop.fs.FileSystem,
+      hPath: org.apache.hadoop.fs.Path, offset: Long, fileLen: Long): Boolean = {
+    if (offset + 4 > fileLen) return false
+    val in = fs.open(hPath)
+    try {
+      val lenB = new Array[Byte](4)
+      in.seek(offset); in.readFully(lenB)
+      val hs = ((lenB(0) & 0xff) << 24) | ((lenB(1) & 0xff) << 16) |
+        ((lenB(2) & 0xff) << 8) | (lenB(3) & 0xff)
+      if (hs <= 0 || hs > MaxHeaderSize || offset + 4 + hs > fileLen) return false
+      val hb = new Array[Byte](hs)
+      in.readFully(hb)
+      parseHeader(hb) != null
+    } catch { case _: Throwable => false }
+    finally in.close()
+  }
+
+  /** Distributed blob discovery: split the file into ranges and find frame
+    * boundaries on executors — a planet-scale history file never serializes
+    * through a single-threaded driver pre-pass (the round-1 indexBlobs
+    * read every header sequentially on the driver). Files smaller than one
+    * range keep the cheap sequential scan.
+    */
+  def indexBlobsDistributed(spark: SparkSession, path: String,
+      rangeBytes: Long = 64L << 20): Seq[BlobRef] = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fileLen = fs.getFileStatus(hPath).getLen
+    if (fileLen <= rangeBytes) return indexBlobs(spark, path)
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val ranges = (0L until fileLen by rangeBytes)
+      .map(s => (s, math.min(s + rangeBytes, fileLen)))
+    spark.sparkContext.parallelize(ranges, ranges.size)
+      .flatMap { case (s, e) =>
+        val hp = new org.apache.hadoop.fs.Path(path)
+        val xfs = hp.getFileSystem(hadoopConf.value)
+        scanRange(xfs, hp, path, s, e, fileLen)
+      }
+      .collect().sortBy(_.offset).toSeq
+  }
+
   /** Decode one Blob message (raw or zlib) into a PrimitiveBlock payload. */
   def inflateBlob(bytes: Array[Byte]): Array[Byte] = {
     var raw: Array[Byte] = null
@@ -389,7 +551,7 @@ object OsmPbf {
     * only), decode distributed over executors.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val refs = indexBlobs(spark, path).filter(_.blobType == "OSMData")
+    val refs = indexBlobsDistributed(spark, path).filter(_.blobType == "OSMData")
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val rdd = spark.sparkContext

@@ -92,7 +92,7 @@ class OsmPbfScan(path: String, requiredSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
-    val refs = OsmPbf.indexBlobs(spark, path).filter(_.blobType == "OSMData")
+    val refs = OsmPbf.indexBlobsDistributed(spark, path).filter(_.blobType == "OSMData")
     val slices = math.max(1,
       math.min(refs.size, spark.sparkContext.defaultParallelism))
     refs.grouped(math.max(1, (refs.size + slices - 1) / slices))

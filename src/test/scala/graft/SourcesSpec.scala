@@ -155,6 +155,42 @@ class SourcesSpec extends SparkSpec {
     java.nio.file.Files.delete(tmp)
   }
 
+  test("distributed blob indexing matches the sequential scan across ranges") {
+    // many-blob file: repeat the data frame so range splits land mid-file
+    val one = buildPbf()
+    val f = new ByteArrayOutputStream()
+    f.write(one)
+    val dataFrameBytes = {
+      // second frame of the file (after the OSMHeader frame)
+      val headerLen = java.nio.ByteBuffer.wrap(one, 0, 4).getInt
+      val firstFrame = 4 + headerLen + {
+        // parse the OSMHeader frame's blob size from its header
+        val hb = java.util.Arrays.copyOfRange(one, 4, 4 + headerLen)
+        var ds = 0
+        val c = new graft.sources.PbCursor(hb, 0, hb.length)
+        c.fields { (fld, w) => if (fld == 3) ds = c.readVarint().toInt else c.skip(w) }
+        ds
+      }
+      java.util.Arrays.copyOfRange(one, firstFrame, one.length)
+    }
+    for (_ <- 0 until 7) f.write(dataFrameBytes)
+    val tmp = java.nio.file.Files.createTempFile("graft-multi", ".osm.pbf")
+    java.nio.file.Files.write(tmp, f.toByteArray)
+
+    val seq = OsmPbf.indexBlobs(spark, tmp.toString)
+    assert(seq.count(_.blobType == "OSMData") === 8)
+    // force many ranges: tiny range size exercises ownership, signature
+    // back-off, and cross-range walk
+    for (range <- Seq(64L, 100L, 1000L)) {
+      val dist = OsmPbf.indexBlobsDistributed(spark, tmp.toString, range)
+      assert(dist === seq, s"range=$range")
+    }
+    // full read over the multi-blob file sees every copy
+    val df = OsmPbf.read(spark, tmp.toString)
+    assert(df.count() === 4 * 8)
+    java.nio.file.Files.delete(tmp)
+  }
+
   test("dense decode applies non-zero lat_offset/lon_offset") {
     val tmp = java.nio.file.Files.createTempFile("graft", ".osm.pbf")
     // +1° lat, +0.5° lon in nanodegrees (PrimitiveBlock fields 19/20)
