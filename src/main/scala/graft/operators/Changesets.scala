@@ -91,6 +91,37 @@ object Changesets {
       .orderBy("event_id")
   }
 
+  /** Enrich contributions with an ingested changeset DB (the reference's
+    * `--changeset-db` join, ChangesetDb.java / docs/CLI.md): the changeset
+    * table parsed from XML (OsmXml.readChangesets) broadcasts onto the
+    * contribution stream keyed by changeset id, attaching editor
+    * (`created_by` tag), hashtags (ChangesetHashtags.java:20-34 rules over
+    * the `comment` tag), lifecycle timestamps and num_changes. The fact
+    * side never shuffles — changeset dims are small relative to
+    * contributions at any scale.
+    *
+    * @param contribs    any frame with a `changeset` column
+    * @param changesetDb OsmXml.readChangesets output (id, created_at,
+    *                    closed_at, uid, user, num_changes, tags)
+    */
+  def enrichWithChangesetDb(contribs: DataFrame, changesetDb: DataFrame): DataFrame = {
+    val hashtagPattern = "#[^\\u2000-\\u206F\\u2E00-\\u2E7F\\v\\h\\\\'!\"#$%()*,./:;<=>?@\\[\\]^`{|}~]+"
+    val cs = changesetDb.select(
+      col("id").as("changeset"),
+      col("created_at").as("cs_created_at"),
+      col("closed_at").as("cs_closed_at"),
+      col("num_changes").as("cs_num_changes"),
+      element_at(col("tags"), "created_by").as("cs_editor"),
+      array_join(array_sort(array_distinct(
+        filter(transform(
+          regexp_extract_all(
+            regexp_replace(coalesce(element_at(col("tags"), "comment"), lit("")), "http\\S*", ""),
+            lit(hashtagPattern), lit(0)),
+          t => substring(t, 2, 1000000)),
+          t => length(t) >= 2 && !t.rlike("^[0-9]+$")))), ",").as("cs_hashtags"))
+    contribs.join(broadcast(cs), Seq("changeset"), "left")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cs_build" -> (csBuild _),
     "cs_hashtags" -> (csHashtags _),

@@ -18,6 +18,51 @@ import org.apache.spark.sql.functions._
   */
 object MinorVersions {
 
+  /** Minor-version rows WITH rebuilt geometry — the full
+    * ContributionsAvroConverter.java:91-97 semantics: at every minor
+    * version the way geometry is re-derived from member-node coordinates
+    * AS OF that row's timestamp, yielding `length_mm` (geodesic kernel)
+    * and `length_delta_mm` vs the previous row of the same way.
+    *
+    * Plan shape: the timeline (major ∪ member-edit rows) explodes its refs
+    * with position, as-of joins node coordinate history on node id (rank 1
+    * of node_ts ≤ row ts — no range explosion, candidates bounded by node
+    * history length), then regroups per row to rebuild the ordered
+    * coordinate arrays. Two keyed shuffles total: node-id for the as-of
+    * join, way-id for the regroup — both the partitionings the assembly
+    * pipeline already uses.
+    *
+    * @param wayVersions  (way_id, osm_version, valid_from, refs)
+    * @param nodeVersions (node_id, ts, lon, lat) — node coordinate history
+    */
+  def computeWithGeometry(wayVersions: DataFrame, nodeVersions: DataFrame): DataFrame = {
+    val spark = wayVersions.sparkSession
+    graft.functions.GeoFunctions.register(spark)
+    val timeline = compute(wayVersions, nodeVersions.select(col("node_id"), col("ts")))
+      .join(wayVersions.select(col("way_id"), col("osm_version"), col("refs")),
+        Seq("way_id", "osm_version"))
+    val asOf = timeline
+      .select(col("way_id"), col("osm_version"), col("osm_minor_version"),
+        col("ts"), posexplode(col("refs")).as(Seq("pos", "node_id")))
+      .join(nodeVersions.withColumnRenamed("ts", "node_ts"), Seq("node_id"))
+      .filter(col("node_ts") <= col("ts"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("way_id", "osm_version", "osm_minor_version", "pos")
+          .orderBy(desc("node_ts"))))
+      .filter(col("rk") === 1)
+    val byRow = Window.partitionBy("way_id").orderBy("osm_version", "osm_minor_version")
+    asOf
+      .groupBy("way_id", "osm_version", "osm_minor_version", "ts")
+      .agg(sort_array(collect_list(struct(col("pos"), col("lon"), col("lat")))).as("pts"))
+      .withColumn("length_mm", call_function("geodesic_length_mm",
+        expr("transform(pts, p -> p.lon)"), expr("transform(pts, p -> p.lat)")))
+      .withColumn("length_delta_mm",
+        col("length_mm") - coalesce(lag("length_mm", 1).over(byRow), lit(0L)))
+      .select("way_id", "osm_version", "osm_minor_version", "ts",
+        "length_mm", "length_delta_mm")
+      .orderBy("way_id", "osm_version", "osm_minor_version")
+  }
+
   /** @param wayVersions (way_id, osm_version, valid_from, refs) — major versions
     * @param nodeEdits   (node_id, ts) — member-node change events
     */

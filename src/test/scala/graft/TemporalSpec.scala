@@ -45,4 +45,49 @@ class TemporalSpec extends SparkSpec {
       (1, 0, "MAJOR"), (1, 1, "MINOR_GEOMETRY"), (1, 2, "MINOR_GEOMETRY"),
       (2, 0, "MAJOR"), (2, 1, "MINOR_GEOMETRY")))
   }
+
+  test("minor versions rebuild way geometry as-of each row timestamp") {
+    import spark.implicits._
+    val ways = Seq((42L, 1, 100L, Seq(10L, 13L)))
+      .toDF("way_id", "osm_version", "valid_from", "refs")
+    // node 10 created at ts 50 at (0,0), moves east at ts 200;
+    // node 13 sits still at (1,0)
+    val nodes = Seq(
+      (10L, 50L, 0.0, 0.0),
+      (10L, 200L, 2.0, 0.0),
+      (13L, 50L, 1.0, 0.0))
+      .toDF("node_id", "ts", "lon", "lat")
+    val out = MinorVersions.computeWithGeometry(ways, nodes).collect()
+    val rows = out.map(r => (r.getAs[Int]("osm_version"),
+      r.getAs[Int]("osm_minor_version"), r.getAs[Long]("length_mm"),
+      r.getAs[Long]("length_delta_mm")))
+    assert(rows.length === 2)
+    // major row at ts 100: 1° along the equator
+    val oneDeg = graft.functions.Geo.geodesicLengthMm(Array(0.0, 1.0), Array(0.0, 0.0))
+    assert(rows(0) === ((1, 0, oneDeg, oneDeg)))
+    // minor row at ts 200: node 10 moved to lon 2 → way spans 2°−1° = 1°
+    // the other way round, same length; delta must be length-diff not raw
+    val after = graft.functions.Geo.geodesicLengthMm(Array(2.0, 1.0), Array(0.0, 0.0))
+    assert(rows(1) === ((1, 1, after, after - oneDeg)))
+  }
+
+  test("changeset-db enrichment joins editor and hashtags onto contributions") {
+    import spark.implicits._
+    import graft.operators.Changesets
+    val contribs = Seq((1L, 101L), (2L, 102L), (3L, 999L))
+      .toDF("osm_id", "changeset")
+    val csDb = Seq(
+      (101L, "2024-01-01T00:00:00Z", "2024-01-01T00:30:00Z", 12L,
+        Map("comment" -> "fix roads #mapathon see http://x.org/#frag", "created_by" -> "iD 2.27")),
+      (102L, "2024-01-02T00:00:00Z", "", 1L, Map[String, String]()))
+      .toDF("id", "created_at", "closed_at", "num_changes", "tags")
+    val out = Changesets.enrichWithChangesetDb(contribs, csDb)
+      .orderBy("osm_id").collect()
+    assert(out(0).getAs[String]("cs_editor") === "iD 2.27")
+    assert(out(0).getAs[String]("cs_hashtags") === "mapathon")
+    assert(out(0).getAs[Long]("cs_num_changes") === 12L)
+    assert(out(1).getAs[String]("cs_editor") === null) // no created_by tag
+    assert(out(1).getAs[String]("cs_hashtags") === "")
+    assert(out(2).getAs[Any]("cs_num_changes") === null) // unknown changeset: left join
+  }
 }
