@@ -104,10 +104,57 @@ object Ann {
       .orderBy("q_id", "rnk")
   }
 
+  /** IVF-Flat ANN: K=8 fixed centroids (the embeddings of vec_id 8..15 —
+    * IVF centroids are offline training artifacts, so a deterministic
+    * driver-scale constant is the honest analog), every vector assigned to
+    * its nearest-cosine cell, queries probe their nprobe=2 nearest cells,
+    * exact cosine rerank inside the probed cells only.
+    *
+    * Scale shape: the centroid table is collected once (8 rows — the same
+    * driver-side index build as the reference's spatial grid) and inlined
+    * as literals, so CELL ASSIGNMENT IS PURE MAP WORK — an argmax over an
+    * in-row struct array, no shuffle and no join for the 100 TB base side;
+    * the only join is base ⨝ broadcast(query probes) on the cell key.
+    */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+    val cents = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      .select("vec_id", "embedding", "n2")
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getLong(2)))
+
+    // (cos, -c_id) struct array: array_max picks highest cosine, ties break
+    // to the LOWEST centroid id (matching ORDER BY ccos DESC, c_id ASC)
+    def cellScores(emb: Column, n2: Column): Column =
+      array(cents.map { case (cid, vec, cn2) =>
+        struct(
+          cosine(dotDec(emb, typedLit(vec)), n2, lit(cn2)).as("c"),
+          lit(-cid).as("nid"))
+      }: _*)
+
+    val base = e.filter(col("vec_id") >= 8)
+      .withColumn("cell", -array_max(cellScores(col("embedding"), col("n2"))).getField("nid"))
+      .select(col("cell"), col("vec_id").as("n_id"),
+        col("embedding").as("ne"), col("n2").as("nn2"))
+    val probes = e.filter(col("vec_id") < 8)
+      .withColumn("probe", explode(
+        slice(reverse(sort_array(cellScores(col("embedding"), col("n2")))), 1, 2)))
+      .select((-col("probe.nid")).as("cell"), col("vec_id").as("q_id"),
+        col("embedding").as("qe"), col("n2").as("qn2"))
+    base.join(broadcast(probes), Seq("cell"))
+      .withColumn("cos", cosine(dotDec(col("qe"), col("ne")), col("qn2"), col("nn2")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))))
+      .filter(col("rnk") <= 3)
+      .select("q_id", "n_id", "rnk", "cell", "cos")
+      .orderBy("q_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_embedding" -> (dedupEmbedding _),
     "ann_topk" -> (annTopk _),
-    "ann_lsh" -> (annLsh _))
+    "ann_lsh" -> (annLsh _),
+    "ann_ivf" -> (annIvf _))
 
   /** Flattened embeddings + exact decimal dot products, shared by the
     * oracle queries.
@@ -154,6 +201,38 @@ object Ann {
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
          |  FROM scored)
          |SELECT q_id, n_id, rnk, bucket, cos FROM ranked WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin,
+    "ann_ivf" ->
+      s"""WITH $flatSql,
+         |cdots AS (SELECT v.vec_id, c.vec_id AS c_id,
+         |    sum(CAST(round(v.e * c.e * 1000000000.0) AS BIGINT)) AS dot
+         |  FROM flat v JOIN flat c ON c.i = v.i AND c.vec_id BETWEEN 8 AND 15
+         |  GROUP BY 1, 2),
+         |cscored AS (SELECT cdots.vec_id AS vec_id, c_id,
+         |    (dot / 1e9) / (sqrt(nv.n2 / 1e9) * sqrt(nc.n2 / 1e9)) AS ccos
+         |  FROM cdots JOIN norm nv ON nv.vec_id = cdots.vec_id
+         |             JOIN norm nc ON nc.vec_id = c_id),
+         |cranked AS (SELECT vec_id, c_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS crk
+         |  FROM cscored),
+         |cells AS (SELECT vec_id AS n_id, c_id AS cell FROM cranked
+         |  WHERE crk = 1 AND vec_id >= 8),
+         |probes AS (SELECT vec_id AS q_id, c_id AS cell FROM cranked
+         |  WHERE crk <= 2 AND vec_id < 8),
+         |dots AS (SELECT p.q_id, ce.n_id, ce.cell,
+         |    sum(CAST(round(q.e * b.e * 1000000000.0) AS BIGINT)) AS dot
+         |  FROM probes p JOIN cells ce ON ce.cell = p.cell
+         |       JOIN flat q ON q.vec_id = p.q_id
+         |       JOIN flat b ON b.vec_id = ce.n_id AND b.i = q.i
+         |  GROUP BY 1, 2, 3),
+         |scored AS (SELECT q_id, n_id, cell,
+         |    (dot / 1e9) / (sqrt(nq.n2 / 1e9) * sqrt(nb.n2 / 1e9)) AS cos
+         |  FROM dots JOIN norm nq ON nq.vec_id = q_id JOIN norm nb ON nb.vec_id = n_id),
+         |ranked AS (SELECT q_id, n_id, cell, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, n_id, rnk, CAST(cell AS BIGINT) AS cell, cos
+         |FROM ranked WHERE rnk <= 3
          |ORDER BY q_id, rnk""".stripMargin,
     "ann_topk" ->
       s"""WITH $flatSql,

@@ -56,10 +56,14 @@ object MinorVersions {
       .agg(sort_array(collect_list(struct(col("pos"), col("lon"), col("lat")))).as("pts"))
       .withColumn("length_mm", call_function("geodesic_length_mm",
         expr("transform(pts, p -> p.lon)"), expr("transform(pts, p -> p.lat)")))
+      .withColumn("area_m2", call_function("geodesic_area_m2",
+        expr("transform(pts, p -> p.lon)"), expr("transform(pts, p -> p.lat)")))
       .withColumn("length_delta_mm",
         col("length_mm") - coalesce(lag("length_mm", 1).over(byRow), lit(0L)))
+      .withColumn("area_delta_m2",
+        col("area_m2") - coalesce(lag("area_m2", 1).over(byRow), lit(0L)))
       .select("way_id", "osm_version", "osm_minor_version", "ts",
-        "length_mm", "length_delta_mm")
+        "length_mm", "length_delta_mm", "area_m2", "area_delta_m2")
       .orderBy("way_id", "osm_version", "osm_minor_version")
   }
 

@@ -25,6 +25,21 @@ class PipelineSpec extends SparkSpec {
     assert(fp.forall(_.getString(1).matches("[0-9a-f]{16}")))
   }
 
+  test("ann_ivf results live in the brute-force universe with valid ranks") {
+    val bf = Ann.annTopk(spark, sfDir).select("q_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Ann.annIvf(spark, sfDir).collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.forall(r => bf.contains(r.getLong(0))))
+    ivf.groupBy(_.getLong(0)).values.foreach { rows =>
+      val ranks = rows.map(_.getInt(2)).sorted.toSeq
+      assert(ranks === (1 to ranks.length), "ranks contiguous from 1")
+    }
+    // every neighbor's cell is one of its query's probed cells by
+    // construction: cells span the centroid id range
+    assert(ivf.forall(r => r.getLong(3) >= 8 && r.getLong(3) <= 15))
+  }
+
   test("lsh bucket cap: a degenerate mega-bucket yields bounded pairs") {
     import spark.implicits._
     // 300 identical docs all hash into one bucket per band — 300 > MaxBucket,

@@ -69,6 +69,24 @@ class TemporalSpec extends SparkSpec {
     // the other way round, same length; delta must be length-diff not raw
     val after = graft.functions.Geo.geodesicLengthMm(Array(2.0, 1.0), Array(0.0, 0.0))
     assert(rows(1) === ((1, 1, after, after - oneDeg)))
+    // 2-point ways enclose nothing
+    assert(out.forall(_.getAs[Long]("area_m2") === 0L))
+
+    // triangle way: area appears, and a node move changes area_delta
+    val triWays = Seq((7L, 1, 100L, Seq(20L, 21L, 22L)))
+      .toDF("way_id", "osm_version", "valid_from", "refs")
+    val triNodes = Seq(
+      (20L, 50L, 0.0, 0.0), (21L, 50L, 1.0, 0.0), (22L, 50L, 0.0, 1.0),
+      (22L, 200L, 0.0, 2.0)) // triangle doubles in height
+      .toDF("node_id", "ts", "lon", "lat")
+    val tri = MinorVersions.computeWithGeometry(triWays, triNodes)
+      .orderBy("osm_minor_version").collect()
+    val a0 = graft.functions.Geo.geodesicAreaM2(Array(0.0, 1.0, 0.0), Array(0.0, 0.0, 1.0))
+    val a1 = graft.functions.Geo.geodesicAreaM2(Array(0.0, 1.0, 0.0), Array(0.0, 0.0, 2.0))
+    assert(tri.map(r => (r.getAs[Int]("osm_minor_version"),
+      r.getAs[Long]("area_m2"), r.getAs[Long]("area_delta_m2"))).toSeq ===
+      Seq((0, a0, a0), (1, a1, a1 - a0)))
+    assert(a1 > a0 && a0 > 5.0e9, s"triangle areas $a0 -> $a1")
   }
 
   test("changeset-db enrichment joins editor and hashtags onto contributions") {
