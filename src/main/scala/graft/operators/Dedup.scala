@@ -156,7 +156,57 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Near-dup clustering: connected components over the LSH candidate
+    * graph (pairs with signature-agreement ≥ 0.5), keeping the minimum
+    * doc_id as the cluster representative — the step a training pipeline
+    * runs after pair generation to drop all-but-one of each duplicate
+    * group.
+    *
+    * Distributed shape: iterative min-label propagation — per round each
+    * node takes the min of its own and its neighbors' labels (one
+    * edge-keyed shuffle per round), until a fixpoint; rounds are bounded
+    * by the graph diameter (≤ log n with doubling in practice — duplicate
+    * clusters are tiny). The driver loop only checks a convergence count;
+    * all data work is joins/aggregations. Labels converge to the exact
+    * per-component minimum, deterministically, regardless of execution
+    * order.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val sigs = signatures(s, dir).cache()
+    val agree = (0 until NumHashes)
+      .map(j => when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val edges = candidates(sigs)
+      .join(sigs.toDF("doc_a" +: (0 until NumHashes).map(j => s"a_mh$j"): _*), "doc_a")
+      .join(sigs.toDF("doc_b" +: (0 until NumHashes).map(j => s"b_mh$j"): _*), "doc_b")
+      .filter(agree >= 4) // signature-agreement jaccard_est >= 0.5
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .cache()
+    val undirected = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).cache()
+    var labels = undirected.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).cache()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val neighborMin = undirected
+        .join(labels.withColumnRenamed("node", "b").withColumnRenamed("label", "nl"), Seq("b"))
+        .groupBy(col("a").as("node")).agg(min("nl").as("nmin"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .filter(col("label") =!= col("old")).limit(1).isEmpty
+      labels.unpersist()
+      labels = next
+      converged = changed
+      rounds += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> (dedupClusters _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_lsh_pairs" -> (dedupLshPairs _),
@@ -192,6 +242,27 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    // connected components as a recursive reachability closure + min per
+    // node — tractable at oracle scale; the Spark side's label propagation
+    // converges to the same per-component minimum
+    "dedup_clusters" -> {
+      val agree = (0 until NumHashes)
+        .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH RECURSIVE sigs AS ($sigSql),
+         |$candSql,
+         |agreed AS (
+         |  SELECT doc_a, doc_b
+         |  FROM cand JOIN sigs a ON a.doc_id = doc_a JOIN sigs b ON b.doc_id = doc_b
+         |  WHERE ($agree) >= 4),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM agreed
+         |          UNION ALL SELECT doc_b, doc_a FROM agreed),
+         |reach(node, m) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.m)
+         |SELECT node AS doc_id, CAST(min(m) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+    },
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,

@@ -25,6 +25,25 @@ class PipelineSpec extends SparkSpec {
     assert(fp.forall(_.getString(1).matches("[0-9a-f]{16}")))
   }
 
+  test("dedup_clusters: components agree with pair reachability") {
+    // every clustered doc pairs must be internally consistent: two docs
+    // sharing a high-agreement candidate pair get the same cluster id
+    val pairs = Dedup.dedupLshPairs(spark, sfDir)
+      .filter(col("jaccard_est") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.dedupClusters(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) === clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // representative is the component minimum: every cluster id is a member
+    // of its own cluster and no member is smaller
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keySet.min === cid)
+    }
+  }
+
   test("ann_ivf results live in the brute-force universe with valid ranks") {
     val bf = Ann.annTopk(spark, sfDir).select("q_id").distinct()
       .collect().map(_.getLong(0)).toSet
