@@ -8,16 +8,18 @@ import org.apache.spark.sql.functions._
   * (ohsome-planet-cli: `contributions`, `changesets`, `replication`):
   *
   * {{{
-  * graft.Cli contributions <sfDir> <outDir>   # full contribution table,
-  *                                            # partitioned status×osm_type
-  * graft.Cli changesets    <sfDir> <outDir>   # sessionized changesets
-  * graft.Cli replication   <sfDir> <outDir>   # diff-merged latest state
+  * graft.Cli contributions <sfDir> <outDir>    # full contribution table,
+  *                                             # partitioned status×osm_type
+  * graft.Cli contributions-pbf <file> <outDir> # REAL OSM history file →
+  *                                             # contributions, same layout
+  * graft.Cli changesets    <sfDir> <outDir>    # sessionized changesets
+  * graft.Cli replication   <sfDir> <outDir>    # diff-merged latest state
   * }}}
   */
 object Cli {
   def main(args: Array[String]): Unit = {
     require(args.length == 3,
-      "usage: graft.Cli <contributions|changesets|replication> <sfDir> <outDir>")
+      "usage: graft.Cli <contributions|contributions-pbf|changesets|replication> <in> <outDir>")
     val Array(cmd, sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val preexisting = org.apache.spark.sql.SparkSession.getActiveSession.isDefined
@@ -33,6 +35,11 @@ object Cli {
             element_at(typedLit(Seq("node", "way", "relation")),
               (col("osm_id") % 3 + 1).cast("int")))
         ContribSink.writePartitioned(contribs, outDir)
+      case "contributions-pbf" =>
+        // the reference CLI's primary flow: history PBF in, partitioned
+        // contribution parquet out
+        val entities = spark.read.format("osmpbf").load(sfDir)
+        ContribSink.writePartitioned(Contributions.fromEntities(entities), outDir)
       case "changesets" =>
         Changesets.csBuild(spark, sfDir)
           .write.mode("overwrite").parquet(outDir)

@@ -95,6 +95,53 @@ object Contributions {
       .orderBy("osm_id", "osm_version")
   }
 
+  /** Contribution derivation over REAL OSM entities (the osmpbf reader's
+    * schema: osm_type, id, version, ts_ms, changeset, uid, user, visible,
+    * lat, lon, tags, refs, members) — the pipeline a reference user runs
+    * on an actual history file: per-element version chains, classification
+    * against the previous version (tag map + coordinate comparison),
+    * status, XZ spatial code for point geometries.
+    *
+    * One shuffle: (osm_type, id). Windows chain on that single exchange,
+    * exactly like the synthetic contribFull.
+    */
+  def fromEntities(entities: DataFrame): DataFrame = {
+    val s = entities.sparkSession
+    GeoFunctions.register(s)
+    val w = Window.partitionBy("osm_type", "id").orderBy("version", "ts_ms")
+    entities
+      .withColumn("valid_from", col("ts_ms"))
+      .withColumn("valid_to", lead("ts_ms", 1).over(w))
+      .withColumn("prev_visible", lag("visible", 1).over(w))
+      .withColumn("prev_tags", lag("tags", 1).over(w))
+      .withColumn("prev_lat", lag("lat", 1).over(w))
+      .withColumn("prev_lon", lag("lon", 1).over(w))
+      .withColumn("prev_refs", lag("refs", 1).over(w))
+      .withColumn("tags_changed",
+        array_sort(map_entries(col("tags"))) =!=
+          array_sort(map_entries(coalesce(col("prev_tags"), map()))))
+      .withColumn("geom_changed",
+        (col("lat") =!= col("prev_lat")) || (col("lon") =!= col("prev_lon")) ||
+          (col("refs") =!= col("prev_refs")))
+      .withColumn("contrib_type",
+        when(!col("visible"), "DELETION")
+          .when(col("prev_visible").isNull || !col("prev_visible"), "CREATION")
+          .otherwise(concat_ws("_",
+            when(col("tags_changed"), "TAG"),
+            when(coalesce(col("geom_changed"), lit(false)), "GEOMETRY"))))
+      .withColumn("status",
+        when(!col("visible"), "deleted")
+          .when(col("valid_to").isNotNull, "history")
+          .otherwise("latest"))
+      .withColumn("xz_code",
+        when(col("lat").isNotNull && !isnan(col("lat")),
+          call_function("xz_code", col("lon"), col("lat"), col("lon"), col("lat"))))
+      .select(col("osm_type"), col("id").as("osm_id"), col("version").as("osm_version"),
+        col("valid_from"), col("valid_to"), col("contrib_type"), col("status"),
+        col("changeset"), col("uid"), col("user"), col("tags"),
+        col("lat"), col("lon"), col("refs"), col("members"), col("xz_code"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "contrib_full" -> (contribFull _))
 

@@ -67,6 +67,23 @@ object MinorVersions {
       .orderBy("way_id", "osm_version", "osm_minor_version")
   }
 
+  /** Relation minor versions — the second cascade level: a relation gets a
+    * minor version whenever a member WAY changes (its own major version OR
+    * a node-induced way minor version), while the relation's major version
+    * is unchanged. Feed `wayTimeline` with the way's full contribution
+    * timeline (compute/computeWithGeometry output) to propagate
+    * node → way → relation.
+    *
+    * @param relVersions (rel_id, osm_version, valid_from, way_ids)
+    * @param wayTimeline (way_id, ts) — member-way change timestamps
+    */
+  def relationMinors(relVersions: DataFrame, wayTimeline: DataFrame): DataFrame =
+    compute(
+      relVersions.select(col("rel_id").as("way_id"), col("osm_version"),
+        col("valid_from"), col("way_ids").as("refs")),
+      wayTimeline.select(col("way_id").as("node_id"), col("ts")))
+      .withColumnRenamed("way_id", "rel_id")
+
   /** @param wayVersions (way_id, osm_version, valid_from, refs) — major versions
     * @param nodeEdits   (node_id, ts) — member-node change events
     */

@@ -115,25 +115,10 @@ class EndToEndSpec extends SparkSpec {
     java.nio.file.Files.write(tmp, buildHistoryPbf())
 
     val entities = spark.read.format("osmpbf").load(tmp.toString)
-    val w = Window.partitionBy("osm_type", "id").orderBy("version")
-    val contribs = entities
-      .withColumn("valid_from", col("ts_ms"))
-      .withColumn("valid_to", lead("ts_ms", 1).over(w))
-      .withColumn("prev_tags", lag("tags", 1).over(w))
-      .withColumn("prev_visible", lag("visible", 1).over(w))
-      .withColumn("contrib_type",
-        when(!col("visible"), "DELETION")
-          .when(col("prev_visible").isNull || !col("prev_visible"), "CREATION")
-          .otherwise(when(
-            array_sort(map_entries(col("tags"))) =!=
-              array_sort(map_entries(col("prev_tags"))), "TAG").otherwise("")))
-      .withColumn("status",
-        when(!col("visible"), "deleted")
-          .when(col("valid_to").isNotNull, "history")
-          .otherwise("latest"))
+    val contribs = graft.operators.Contributions.fromEntities(entities)
 
-    val rows = contribs.select("id", "version", "contrib_type", "status")
-      .orderBy("id", "version").collect()
+    val rows = contribs.select("osm_id", "osm_version", "contrib_type", "status")
+      .orderBy("osm_id", "osm_version").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
     assert(rows.toSeq === Seq(
       (10L, 1, "CREATION", "history"),
@@ -141,11 +126,12 @@ class EndToEndSpec extends SparkSpec {
       (11L, 1, "CREATION", "latest"),
       (12L, 1, "CREATION", "history"),
       (12L, 2, "DELETION", "deleted")))
+    // point contributions carry a spatial sort code
+    assert(contribs.filter(col("xz_code").isNotNull).count() === 5)
 
-    // partitioned sink + partition-pruned read-back
+    // partitioned sink + partition-pruned read-back, via the CLI flow
     val out = java.nio.file.Files.createTempDirectory("graft-e2e").toString
-    ContribSink.writePartitioned(
-      contribs.select("status", "osm_type", "id", "version", "contrib_type"), out)
+    Cli.main(Array("contributions-pbf", tmp.toString, out))
     val latest = spark.read.parquet(out).filter(col("status") === "latest")
     assert(latest.count() === 2)
     assert(new java.io.File(s"$out/status=deleted/osm_type=node").exists())

@@ -89,6 +89,28 @@ class TemporalSpec extends SparkSpec {
     assert(a1 > a0 && a0 > 5.0e9, s"triangle areas $a0 -> $a1")
   }
 
+  test("relation minors cascade: node move → way minor → relation minor") {
+    import spark.implicits._
+    val ways = Seq((42L, 1, 100L, Seq(10L, 13L)))
+      .toDF("way_id", "osm_version", "valid_from", "refs")
+    val nodes = Seq((10L, 50L, 0.0, 0.0), (13L, 50L, 1.0, 0.0),
+      (10L, 200L, 2.0, 0.0))
+      .toDF("node_id", "ts", "lon", "lat")
+    // the way's timeline: its major row at 100 + node-induced minor at 200
+    val wayTimeline = MinorVersions.computeWithGeometry(ways, nodes)
+      .select(col("way_id"), col("ts"))
+    // relation 7 holds way 42, created at ts 80 (before the way's v1 row)
+    val rels = Seq((7L, 1, 80L, Seq(42L)))
+      .toDF("rel_id", "osm_version", "valid_from", "way_ids")
+    val out = MinorVersions.relationMinors(rels, wayTimeline)
+      .collect().map(r => (r.getAs[Long]("rel_id"), r.getAs[Int]("osm_version"),
+        r.getAs[Int]("osm_minor_version"), r.getAs[String]("trigger")))
+    // relation gets its major row + a minor for the way's major (100) +
+    // a minor for the node-induced way minor (200): the full cascade
+    assert(out.toSeq === Seq(
+      (7L, 1, 0, "MAJOR"), (7L, 1, 1, "MINOR_GEOMETRY"), (7L, 1, 2, "MINOR_GEOMETRY")))
+  }
+
   test("changeset-db enrichment joins editor and hashtags onto contributions") {
     import spark.implicits._
     import graft.operators.Changesets
