@@ -182,27 +182,56 @@ object Dedup {
       .filter(agree >= 4) // signature-agreement jaccard_est >= 0.5
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
       .cache()
-    val undirected = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).cache()
+    // localCheckpoint truncates lineage each round — with plain cache the
+    // LOGICAL plan still nests one join deeper per round and analysis/
+    // codegen time grows superlinearly (the classic iterative-algorithm
+    // trap; on a cluster use reliable checkpoint() instead)
+    val undirected = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    // size the loop's exchanges to the GRAPH, not the corpus: the dup-pair
+    // graph is orders of magnitude smaller than the input, and per-round
+    // scheduling overhead at full shuffle width dominates an iterative
+    // algorithm on it (restored in the finally below)
+    val nEdges = undirected.count()
+    val loopParts = math.max(1L, math.min(
+      s.sparkContext.defaultParallelism.toLong, nEdges / 50000L + 1L)).toString
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", loopParts)
+    try {
     var labels = undirected.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node")).cache()
+      .withColumn("label", col("node")).localCheckpoint(true)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
       val neighborMin = undirected
         .join(labels.withColumnRenamed("node", "b").withColumnRenamed("label", "nl"), Seq("b"))
         .groupBy(col("a").as("node")).agg(min("nl").as("nmin"))
-      val next = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .cache()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
-        .filter(col("label") =!= col("old")).limit(1).isEmpty
-      labels.unpersist()
-      labels = next
-      converged = changed
+      // checkpoint the expensive edge join + agg once; the jump self-join
+      // below then reads materialized partitions twice instead of
+      // recomputing the propagation
+      val prop = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"), col("label").as("old"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      // pointer jumping, twice: label(n) := label(label(label(n))) —
+      // collapses chains exponentially (rounds ~ log diameter); both jumps
+      // are lazy self-joins over the materialized prop, evaluated in the
+      // same job as the convergence check
+      val ptr = prop.select(col("node").as("label"), col("label").as("ll"))
+      val next = prop
+        .join(ptr, Seq("label"), "left")
+        .select(col("node"), col("old"), coalesce(col("ll"), col("label")).as("label"))
+        .join(ptr, Seq("label"), "left")
+        .select(col("node"), col("old"), coalesce(col("ll"), col("label")).as("label"))
+      converged = next.filter(col("label") =!= col("old")).limit(1).isEmpty
+      labels = next.drop("old")
       rounds += 1
     }
+    // materialize the result under the loop's partition setting, then emit
+    // a plan-stable frame for the caller
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
-      .orderBy("doc_id")
+      .orderBy("doc_id").localCheckpoint(true)
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
