@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
@@ -148,6 +149,26 @@ object OsmXml {
     val rdd = spark.sparkContext.wholeTextFiles(pathGlob)
       .flatMap { case (_, content) => parseChangesets(content) }
     spark.createDataFrame(rdd)
+  }
+
+  /** STREAMING `.osc` source: watch a directory of minutely diff files —
+    * the reference's continuous replication input
+    * (ohsome-replication-update polls the diff sequence; Structured
+    * Streaming's file source provides the same at-least-once file
+    * discovery with checkpointed progress). Each file arrives as one
+    * wholetext row and parses on the executor.
+    */
+  def streamOsc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = spark.readStream
+      .format("text")
+      .option("wholetext", "true")
+      .load(dir)
+    val rows = raw.as[String].flatMap(parseOsc _)
+    rows.toDF()
+      .select(col("action"), col("osmType").as("osm_type"), col("id"),
+        col("version"), col("ts"), col("changeset"), col("uid"), col("user"),
+        col("lat"), col("lon"), col("tags"), col("refs"))
   }
 
   /** Distributed read: one task per `.osc` file. */
