@@ -18,7 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ History.queries ++ Changesets.queries ++
       Replication.queries ++ Geometry.queries ++ Contributions.queries ++ Dedup.queries ++
-      TextOps.queries ++ Ann.queries ++ Multimodal.queries
+      TextOps.queries ++ Ann.queries ++ Multimodal.queries ++ Skew.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -26,5 +26,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ History.oracles ++ Changesets.oracles ++
       Replication.oracles ++ Geometry.oracles ++ Contributions.oracles ++ Dedup.oracles ++
-      TextOps.oracles ++ Ann.oracles ++ Multimodal.oracles
+      TextOps.oracles ++ Ann.oracles ++ Multimodal.oracles ++ Skew.oracles
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation utilities.
@@ -34,4 +35,27 @@ object Skew {
       .agg(sum("__n").cast("bigint").as("n"),
         sums.map(c => sum(s"__s_$c").as(s"sum_$c")): _*)
   }
+
+  /** Oracle-checked face of the salted rewrite: events grouped by
+    * event_type (few keys, naturally hot at scale) through the two-stage
+    * salted aggregation — the result is BY CONSTRUCTION identical to the
+    * plain GROUP BY the oracle runs, which is exactly the point: salting
+    * changes the shuffle fan-in, never the answer.
+    */
+  def skewAgg(s: SparkSession, dir: String): DataFrame =
+    saltedSumCount(
+      Tables.events(s, dir)
+        .withColumn("value_c", round(col("value") * 100).cast("bigint"))
+        .select("event_type", "value_c"),
+      "event_type", 16, Seq("value_c"))
+      .orderBy("event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew_agg" -> (skewAgg _))
+
+  val oracles: Map[String, String] = Map(
+    "skew_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
 }
