@@ -137,7 +137,58 @@ object Relational {
         max(col("e").cast("double")).as("max_e"))
       .orderBy("dim")
 
+  /** ROLLUP hierarchy totals (returnflag → linestatus → grand total) —
+    * null group keys coalesced to a sentinel so both engines stringify
+    * identically.
+    */
+  def q10Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(cents(col("l_extendedprice"))).as("sum_price"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+        col("sum_price"), col("n"))
+      .orderBy("rf", "ls")
+
+  /** Pivot event types into columns (conditional-aggregation form in the
+    * oracle); missing combinations filled with 0 so no nullable-BIGINT
+    * column degrades to float in the compare.
+    */
+  def q11Pivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, dir)
+      .withColumn("value_c", cents(col("value")))
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(sum("value_c"))
+      .na.fill(0L, types)
+      .orderBy("user_id")
+  }
+
+  /** Exact discrete quantiles per group: the element at rank
+    * ceil(q·n) in value order — pure integer/rank logic, identical in both
+    * engines (no interpolation, no float percentile hazards).
+    */
+  def q12Quantiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("value_c", "event_id")
+    val ranked = Tables.events(s, dir)
+      .withColumn("value_c", cents(col("value")))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    def q(p: Double): Column =
+      max(when(col("rn") === ceil(lit(p) * col("n")).cast("bigint"), col("value_c")))
+    ranked.groupBy("event_type")
+      .agg(q(0.25).as("q25"), q(0.5).as("q50"), q(0.75).as("q75"),
+        max("n").cast("bigint").as("n"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_rollup" -> (q10Rollup _),
+    "q11_pivot" -> (q11Pivot _),
+    "q12_quantiles" -> (q12Quantiles _),
     "q9_unnest" -> (q9Unnest _),
     "q1_agg" -> (q1Agg _),
     "q2_join_agg" -> (q2JoinAgg _),
@@ -155,6 +206,34 @@ object Relational {
   private val lBp = "CAST(round(l_discount * 100) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q10_rollup" ->
+      s"""SELECT coalesce(l_returnflag, '(all)') AS rf,
+         |  coalesce(l_linestatus, '(all)') AS ls,
+         |  CAST(sum($lCents) AS BIGINT) AS sum_price,
+         |  count(*) AS n
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY 1, 2""".stripMargin,
+    "q11_pivot" ->
+      """SELECT user_id,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN vc END), 0) AS BIGINT) AS click,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN vc END), 0) AS BIGINT) AS error,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN vc END), 0) AS BIGINT) AS purchase,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN vc END), 0) AS BIGINT) AS signup,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN vc END), 0) AS BIGINT) AS view
+        |FROM (SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_quantiles" ->
+      """SELECT event_type,
+        |  CAST(max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN value_c END) AS BIGINT) AS q25,
+        |  CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value_c END) AS BIGINT) AS q50,
+        |  CAST(max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN value_c END) AS BIGINT) AS q75,
+        |  CAST(max(n) AS BIGINT) AS n
+        |FROM (SELECT event_type, value_c,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY value_c, event_id) AS rn,
+        |        count(*) OVER (PARTITION BY event_type) AS n
+        |      FROM (SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS value_c
+        |            FROM events) a) b
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q9_unnest" ->
       """SELECT i - 1 AS dim, count(*) AS n,
         |  CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000000.0) AS BIGINT)) AS BIGINT) AS sum_fixed,
