@@ -59,8 +59,28 @@ object Multimodal {
     }.toDF().orderBy("doc_id")
   }
 
+  /** Frame sampling — the video/audio analog: the opaque payload is cut
+    * into fixed-stride frames (here 64-byte windows every 256 bytes, the
+    * "sample every Nth frame" shape), each frame carrying its offset,
+    * length and content fingerprint. Pure declarative chunking (sequence →
+    * transform → explode) so the 100 TB plan is scan + generate — a real
+    * decoder would swap the substring for a codec call inside the same
+    * per-frame structure.
+    */
+  def mmFrames(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .withColumn("n_bytes", length(col("payload")))
+      .withColumn("off", explode(expr("sequence(0, greatest(n_bytes - 1, 0), 256)")))
+      .withColumn("frame_len", least(lit(64), col("n_bytes") - col("off")))
+      .withColumn("frame_md5", md5(expr("substring(payload, off + 1, 64)")))
+      .select(col("doc_id"), col("off").cast("bigint").as("off"),
+        col("frame_len"), col("frame_md5"))
+      .orderBy("doc_id", "off")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_features" -> (mmFeatures _))
+    "mm_features" -> (mmFeatures _),
+    "mm_frames" -> (mmFrames _))
 
   val oracles: Map[String, String] = Map(
     "mm_features" ->
@@ -72,5 +92,14 @@ object Multimodal {
         |    CAST((((strpos('0123456789abcdef', substr(md5(text), 2 * i + 1, 1)) - 1) * 16
         |           + (strpos('0123456789abcdef', substr(md5(text), 2 * i + 2, 1)) - 1))
         |          * 1000000 + 127) // 255 AS VARCHAR)), ',') AS feat_str
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frames" ->
+      """SELECT doc_id, CAST(off AS BIGINT) AS off,
+        |  CAST(least(64, n_bytes - off) AS INT) AS frame_len,
+        |  md5(substr(text, CAST(off + 1 AS INT), 64)) AS frame_md5
+        |FROM (SELECT doc_id, text,
+        |        octet_length(encode(text)) AS n_bytes
+        |      FROM documents) d,
+        |  LATERAL (SELECT unnest(range(0, CAST(greatest(n_bytes, 1) AS BIGINT), 256)) AS off) o
+        |ORDER BY doc_id, off""".stripMargin)
 }
