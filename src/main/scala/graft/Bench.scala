@@ -32,11 +32,14 @@ object Bench {
     val nFailed = results.values.count(_ < 0)
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}"""
-    // stdout for the driver's log parse AND a file for a clean read — the
-    // round-1 bench registered null because the JSON line drowned in sbt
-    // [info] noise
+    // stdout for the driver's log parse (clean of sbt [info] prefixes via
+    // outputStrategy := StdoutOutput in build.sbt) AND a file for a
+    // guaranteed machine-readable copy; path overridable for non-default
+    // checkouts
     println(json)
-    Files.writeString(Paths.get("/root/repo/bench_out.json"), json + "\n")
+    Files.writeString(
+      Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
+      json + "\n")
     spark.stop()
   }
 }
