@@ -181,23 +181,103 @@ object Dedup {
       .join(sigs.toDF("doc_b" +: (0 until NumHashes).map(j => s"b_mh$j"): _*), "doc_b")
       .filter(agree >= 4) // signature-agreement jaccard_est >= 0.5
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .cache()
-    // localCheckpoint truncates lineage each round — with plain cache the
-    // LOGICAL plan still nests one join deeper per round and analysis/
-    // codegen time grows superlinearly (the classic iterative-algorithm
-    // trap; on a cluster use reliable checkpoint() instead)
-    val undirected = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+    connectedComponents(s, edges)
+      .toDF("doc_id", "cluster_id")
+      .orderBy("doc_id")
+  }
+
+  /** Max (node, label) pairs allowed into the final single-task merge of
+    * [[connectedComponents]]. The merge input is the CONTRACTED forest —
+    * one pair per dup-graph node per surviving partition, not corpus rows
+    * or candidate pairs — so for dedup workloads it is tiny relative to
+    * the input; above the cap the exact-but-iterative propagation path
+    * runs instead of one oversized task.
+    */
+  val SingleTaskCC: Long = 8L * 1000 * 1000
+
+  /** Partition-local union-find: consumes (a, b) connection pairs, emits
+    * one (node, root) pair per node seen, where root is the minimum node
+    * id of the node's partition-local component. Unions always attach the
+    * larger root under the smaller, so the root invariant IS the
+    * component minimum; finds are path-compressed.
+    */
+  private def contract(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    import scala.collection.mutable
+    val parent = mutable.LongMap.empty[Long]
+    val seen = mutable.LongMap.empty[Unit]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    it.foreach { case (a, b) =>
+      seen.update(a, ()); seen.update(b, ())
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    seen.keysIterator.map(n => (n, find(n)))
+  }
+
+  /** Distributed connected components with deterministic min-label
+    * output, as a constant number of Spark stages instead of an
+    * O(diameter) driver loop (label propagation spent ~24 s/round-trip
+    * overhead at sf0.1; this shape is bounded by the one heavy upstream
+    * pipeline run).
+    *
+    * Shape: (1) union-find WITHIN each input partition, contracting each
+    * partition's subgraph to a min-rooted star forest — output is one
+    * pair per distinct node, regardless of edge count; (2) fan-in rounds
+    * (64× narrower each) re-contract the unioned forests — overlapping
+    * stars merge wherever they co-locate, and a chain of overlaps merges
+    * transitively because every round unions WHOLE forests, preserving
+    * connectivity exactly; (3) a final merge. When the surviving forest
+    * fits one task (≤ `singleTaskMax` pairs) the final merge is a single
+    * union-find; otherwise exact min-label propagation with pointer
+    * jumping runs over the contracted forest (O(log diameter) rounds,
+    * throws after 50 rather than returning unconverged labels).
+    *
+    * The result is the exact per-component minimum id regardless of how
+    * rows were distributed, so round-robin repartitioning cannot make
+    * the output nondeterministic.
+    */
+  private[graft] def connectedComponents(
+      s: SparkSession, edges: DataFrame,
+      singleTaskMax: Long = SingleTaskCC): DataFrame = {
+    import s.implicits._
+    val FanIn = 64
+    var cur = edges.toDF("_1", "_2").as[(Long, Long)].mapPartitions(contract _)
+    var parts = cur.rdd.getNumPartitions
+    while (parts > FanIn) {
+      parts = math.max(1, parts / FanIn)
+      cur = cur.repartition(parts).mapPartitions(contract _)
+    }
+    // decision point: one count over the contracted forest picks the final
+    // merge strategy; the cache means the heavy upstream pipeline (LSH
+    // candidates + signature joins) runs exactly once (on a cluster a
+    // reliable checkpoint() here also truncates the lineage)
+    val forest = cur.cache()
+    val n = forest.count()
+    val merged =
+      if (n <= singleTaskMax) forest.repartition(1).mapPartitions(contract _).toDF("node", "label")
+      else propagateMinLabels(s, forest.toDF("a", "b"))
+    merged
+  }
+
+  /** Exact min-label propagation over an edge list — the big-graph final
+    * merge of [[connectedComponents]]: per round every node takes the min
+    * of its own and its neighbors' labels (one edge-keyed shuffle), then
+    * two pointer-jumping passes collapse label chains exponentially.
+    * localCheckpoint keeps the logical plan constant-depth across rounds
+    * (nested-join plans otherwise grow analysis/codegen superlinearly).
+    * Throws if 50 rounds pass without a fixpoint — unconverged labels
+    * must never be returned silently.
+    */
+  private def propagateMinLabels(s: SparkSession, edges: DataFrame): DataFrame = {
+    val undirected = edges
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
-    // size the loop's exchanges to the GRAPH, not the corpus: the dup-pair
-    // graph is orders of magnitude smaller than the input, and per-round
-    // scheduling overhead at full shuffle width dominates an iterative
-    // algorithm on it (restored in the finally below)
-    val nEdges = undirected.count()
-    val loopParts = math.max(1L, math.min(
-      s.sparkContext.defaultParallelism.toLong, nEdges / 50000L + 1L)).toString
-    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", loopParts)
-    try {
     var labels = undirected.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(true)
     var converged = false
@@ -206,17 +286,10 @@ object Dedup {
       val neighborMin = undirected
         .join(labels.withColumnRenamed("node", "b").withColumnRenamed("label", "nl"), Seq("b"))
         .groupBy(col("a").as("node")).agg(min("nl").as("nmin"))
-      // checkpoint the expensive edge join + agg once; the jump self-join
-      // below then reads materialized partitions twice instead of
-      // recomputing the propagation
       val prop = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint(true)
-      // pointer jumping, twice: label(n) := label(label(label(n))) —
-      // collapses chains exponentially (rounds ~ log diameter); both jumps
-      // are lazy self-joins over the materialized prop, evaluated in the
-      // same job as the convergence check
       val ptr = prop.select(col("node").as("label"), col("label").as("ll"))
       val next = prop
         .join(ptr, Seq("label"), "left")
@@ -227,11 +300,9 @@ object Dedup {
       labels = next.drop("old")
       rounds += 1
     }
-    // materialize the result under the loop's partition setting, then emit
-    // a plan-stable frame for the caller
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
-      .orderBy("doc_id").localCheckpoint(true)
-    } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge after $rounds propagation rounds")
+    labels
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -44,6 +44,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: contraction and propagation paths agree on a cross-partition graph") {
+    import spark.implicits._
+    // a long chain (distinct components linked only through consecutive
+    // edges), two rings, and singleton pairs — scattered across many
+    // partitions so partition-local union-find alone cannot finish
+    val chain = (0L until 400L).map(i => (i, i + 1))
+    val ring = (1000L until 1010L).map(i => (i, if (i == 1009L) 1000L else i + 1))
+    val pairs = Seq((5000L, 6000L), (7000L, 7001L))
+    val edges = spark.sparkContext
+      .parallelize(scala.util.Random.shuffle(chain ++ ring ++ pairs), 16)
+      .toDF("a", "b")
+    val fast = Dedup.connectedComponents(spark, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val slow = Dedup.connectedComponents(spark, edges, singleTaskMax = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === slow)
+    // exact min-label semantics
+    (0L to 400L).foreach(n => assert(fast(n) === 0L))
+    (1000L until 1010L).foreach(n => assert(fast(n) === 1000L))
+    assert(fast(6000L) === 5000L && fast(7001L) === 7000L)
+  }
+
   test("ann_ivf results live in the brute-force universe with valid ranks") {
     val bf = Ann.annTopk(spark, sfDir).select("q_id").distinct()
       .collect().map(_.getLong(0)).toSet
