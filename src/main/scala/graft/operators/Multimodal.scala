@@ -73,7 +73,11 @@ object Multimodal {
       .withColumn("n_bytes", length(col("payload")))
       .withColumn("off", explode(expr("sequence(0, greatest(n_bytes - 1, 0), 256)")))
       .withColumn("frame_len", least(lit(64), col("n_bytes") - col("off")))
-      .withColumn("frame_md5", md5(expr("substring(payload, off + 1, 64)")))
+      // fingerprint the lowercase HEX of the byte window, not the raw
+      // bytes: DuckDB's md5 only accepts VARCHAR, and hashing hex keeps
+      // both engines on the same byte-indexed window for non-ASCII
+      // payloads (char-indexed substr would drift per multibyte rune)
+      .withColumn("frame_md5", md5(lower(hex(expr("substring(payload, off + 1, 64)")))))
       .select(col("doc_id"), col("off").cast("bigint").as("off"),
         col("frame_len"), col("frame_md5"))
       .orderBy("doc_id", "off")
@@ -87,7 +91,7 @@ object Multimodal {
       """SELECT doc_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END AS fmt,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-        |  lower(hex(encode(substr(text, 1, 4)))) AS magic_hex,
+        |  lower(substr(hex(encode(text)), 1, 8)) AS magic_hex,
         |  array_to_string(list_transform(range(0, 8), i ->
         |    CAST((((strpos('0123456789abcdef', substr(md5(text), 2 * i + 1, 1)) - 1) * 16
         |           + (strpos('0123456789abcdef', substr(md5(text), 2 * i + 2, 1)) - 1))
@@ -96,7 +100,7 @@ object Multimodal {
     "mm_frames" ->
       """SELECT doc_id, CAST(off AS BIGINT) AS off,
         |  CAST(least(64, n_bytes - off) AS INT) AS frame_len,
-        |  md5(substr(text, CAST(off + 1 AS INT), 64)) AS frame_md5
+        |  md5(lower(substr(hex(encode(text)), CAST(2 * off + 1 AS INT), 128))) AS frame_md5
         |FROM (SELECT doc_id, text,
         |        octet_length(encode(text)) AS n_bytes
         |      FROM documents) d,

@@ -144,10 +144,13 @@ object RelationGeometry {
         val polys = shells.map(s =>
           ((s.shell._1.toArray, s.shell._2.toArray)) +:
             s.holes.toSeq.map(h => (h._1.toArray, h._2.toArray)))
-        val openRings = rings.filterNot(_._3).map(r => (r._1.toArray, r._2.toArray))
+        // polygon WKB is built from CLOSED rings only, in every branch —
+        // unclosed chains mean an invalid/partial relation (reference
+        // skips them in polygon assembly too); `closed=false` flags it,
+        // n_rings/n_points still count the open chains
         val wkb =
           if (polys.length > 1) graft.functions.Geo.wkbMultiPolygonHex(polys)
-          else graft.functions.Geo.wkbPolygonHex(polys.headOption.getOrElse(Seq.empty) ++ openRings)
+          else graft.functions.Geo.wkbPolygonHex(polys.headOption.getOrElse(Seq.empty))
         RelationRings(relId, ways.length, rings.length,
           shells.length, shells.map(_.holes.length).sum,
           rings.nonEmpty && rings.forall(_._3), rings.map(_._1.length).sum, area, wkb)

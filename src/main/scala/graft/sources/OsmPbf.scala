@@ -205,63 +205,87 @@ object OsmPbf {
       val parsed = parseHeader(hb)
       if (parsed == null) null else (parsed._1, parsed._2, headerSize)
     }
-    // locate the first valid frame start in [start, end): scan for the type
-    // string, back off over the 0x0A tag + length varint to the frame start
-    var first = -1L
-    var p = math.max(4L, start)
-    // a frame starting at end-1 has its signature up to 6 bytes past `end`
-    while (first < 0 && p < end + 6) {
-      val i = (p - winStart).toInt
-      val hit = sigs.exists { sig =>
-        i + sig.length <= win.length &&
-          java.util.Arrays.equals(win, i, i + sig.length, sig, 0, sig.length) &&
-          i >= 6 && win(i - 1) == sig.length.toByte && win(i - 2) == 0x0a
-      }
-      if (hit) {
-        val frameStart = p - 2 - 4
-        if (frameStart >= start && frameStart < end) {
-          headerAt(frameStart) match {
-            case null => ()
-            case (_, dataSize, headerSize) =>
-              // chain lookahead: the next frame must parse or be exactly EOF
-              val next = frameStart + 4 + headerSize + dataSize
-              if (next == fileLen || (next < fileLen && {
-                val nh = nextHeaderValid(fs, hPath, next, fileLen)
-                nh
-              })) first = frameStart
+    // locate the next valid frame start in [start, end) at or after
+    // `fromAbs`: scan for the type string, back off over the 0x0A tag +
+    // length varint to the frame start; a one-step chain lookahead is the
+    // cheap early filter (full-chain validation happens in the walk below)
+    def findCandidate(fromAbs: Long): Long = {
+      var p = math.max(4L, fromAbs)
+      // a frame starting at end-1 has its signature up to 6 bytes past `end`
+      while (p < end + 6) {
+        val i = (p - winStart).toInt
+        val hit = sigs.exists { sig =>
+          i + sig.length <= win.length &&
+            java.util.Arrays.equals(win, i, i + sig.length, sig, 0, sig.length) &&
+            i >= 6 && win(i - 1) == sig.length.toByte && win(i - 2) == 0x0a
+        }
+        if (hit) {
+          val frameStart = p - 2 - 4
+          if (frameStart >= start && frameStart < end) {
+            headerAt(frameStart) match {
+              case null => ()
+              case (_, dataSize, headerSize) =>
+                // chain lookahead: the next frame must parse or be exactly EOF
+                val next = frameStart + 4 + headerSize + dataSize
+                if (next == fileLen ||
+                  (next < fileLen && nextHeaderValid(fs, hPath, next, fileLen)))
+                  return frameStart
+            }
           }
         }
+        p += 1
       }
-      p += 1
+      -1L
     }
-    if (first < 0) return Nil
-    // walk exact framing from the first owned frame to the end of the range
-    val out = ArrayBuffer[BlobRef]()
-    var frame = first
-    val in2 = fs.open(hPath)
-    try {
-      while (frame < end && frame < fileLen) {
-        val (blobType, dataSize, headerSize) = {
-          val local = headerAt(frame)
-          if (local != null) local
-          else { // frame beyond the window: read its header directly
-            val lenB = new Array[Byte](4)
-            in2.seek(frame); in2.readFully(lenB)
-            val hs = ((lenB(0) & 0xff) << 24) | ((lenB(1) & 0xff) << 16) |
-              ((lenB(2) & 0xff) << 8) | (lenB(3) & 0xff)
-            val hb = new Array[Byte](hs)
-            in2.readFully(hb)
-            val ph = parseHeader(hb)
-            if (ph == null) throw new IllegalStateException(
-              s"PBF framing broke at offset $frame of $path")
-            (ph._1, ph._2, hs)
+    // walk exact framing from `first` to the end of the range; None if the
+    // chain breaks OR doesn't land on a valid frame boundary / EOF at the
+    // far side — a signature spoofed inside compressed blob data whose
+    // first lookahead also collides must still chain cleanly through the
+    // whole owned range to be accepted (rejected candidates resume the
+    // signature scan instead of emitting garbage BlobRefs)
+    def walkFrom(first: Long): Option[Seq[BlobRef]] = {
+      val out = ArrayBuffer[BlobRef]()
+      var frame = first
+      val in2 = fs.open(hPath)
+      try {
+        while (frame < end && frame < fileLen) {
+          val (blobType, dataSize, headerSize) = {
+            val local = headerAt(frame)
+            if (local != null) local
+            else { // frame beyond the window: read its header directly
+              val lenB = new Array[Byte](4)
+              in2.seek(frame); in2.readFully(lenB)
+              val hs = ((lenB(0) & 0xff) << 24) | ((lenB(1) & 0xff) << 16) |
+                ((lenB(2) & 0xff) << 8) | (lenB(3) & 0xff)
+              if (hs <= 0 || hs > MaxHeaderSize || frame + 4 + hs > fileLen) return None
+              val hb = new Array[Byte](hs)
+              in2.readFully(hb)
+              val ph = parseHeader(hb)
+              if (ph == null) return None
+              (ph._1, ph._2, hs)
+            }
           }
+          out += BlobRef(path, frame + 4 + headerSize, dataSize, blobType)
+          frame = frame + 4 + headerSize + dataSize
         }
-        out += BlobRef(path, frame + 4 + headerSize, dataSize, blobType)
-        frame = frame + 4 + headerSize + dataSize
+        // far-side check: the chain must end exactly at EOF or at a frame
+        // the next range's scan will also recognize
+        if (frame == fileLen ||
+          headerAt(frame) != null ||
+          nextHeaderValid(fs, hPath, frame, fileLen)) Some(out.toSeq)
+        else None
+      } finally in2.close()
+    }
+    var candidate = findCandidate(start)
+    while (candidate >= 0) {
+      walkFrom(candidate) match {
+        case Some(refs) => return refs
+        case None =>
+          // resume the signature scan one byte past the rejected hit
+          candidate = findCandidate(candidate + 7)
       }
-    } finally in2.close()
-    out.toSeq
+    }
+    Nil
   }
 
   private def nextHeaderValid(fs: org.apache.hadoop.fs.FileSystem,

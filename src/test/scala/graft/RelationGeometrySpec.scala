@@ -89,6 +89,36 @@ class RelationGeometrySpec extends SparkSpec {
     assert(r.wkb.startsWith("0106000000" + "02000000"), "multipolygon WKB with 2 polys")
   }
 
+  test("assemble: open chains are excluded from WKB in both shell-count branches") {
+    import spark.implicits._
+    // single-shell case: one closed unit square + one dangling segment
+    val members = Seq((400L, 1L), (400L, 2L), (400L, 3L)).toDF("rel_id", "way_id")
+    val wayGeoms = Seq(
+      (1L, Array(0.0, 1.0, 1.0), Array(0.0, 0.0, 1.0)),
+      (2L, Array(1.0, 0.0, 0.0), Array(1.0, 1.0, 0.0)),
+      (3L, Array(20.0, 21.0), Array(20.0, 20.0))) // open segment
+      .toDF("way_id", "lons", "lats")
+    val r1 = RelationGeometry.assemble(members, wayGeoms).collect().head
+    assert(!r1.closed && r1.n_rings === 2)
+    assert(r1.wkb.startsWith("0103000000" + "01000000"),
+      "open chain must not appear as a polygon ring")
+
+    // two-shell case: same dangling segment + two disjoint squares
+    val members2 = Seq((500L, 1L), (500L, 2L), (500L, 3L), (500L, 4L), (500L, 5L))
+      .toDF("rel_id", "way_id")
+    val wayGeoms2 = Seq(
+      (1L, Array(0.0, 1.0, 1.0), Array(0.0, 0.0, 1.0)),
+      (2L, Array(1.0, 0.0, 0.0), Array(1.0, 1.0, 0.0)),
+      (3L, Array(5.0, 8.0, 8.0), Array(5.0, 5.0, 8.0)),
+      (4L, Array(8.0, 5.0, 5.0), Array(8.0, 8.0, 5.0)),
+      (5L, Array(20.0, 21.0), Array(20.0, 20.0))) // open segment
+      .toDF("way_id", "lons", "lats")
+    val r2 = RelationGeometry.assemble(members2, wayGeoms2).collect().head
+    assert(!r2.closed && r2.n_shells === 2)
+    assert(r2.wkb.startsWith("0106000000" + "02000000"),
+      "multipolygon carries exactly the two closed shells")
+  }
+
   test("assemble: distributed ring assembly emits polygon WKB") {
     import spark.implicits._
     val members = Seq((100L, 1L), (100L, 2L)).toDF("rel_id", "way_id")
