@@ -18,7 +18,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ History.queries ++ Changesets.queries ++
       Replication.queries ++ Geometry.queries ++ Contributions.queries ++ Dedup.queries ++
-      TextOps.queries ++ Ann.queries ++ Multimodal.queries ++ Skew.queries
+      TextOps.queries ++ Ann.queries ++ Multimodal.queries ++ Skew.queries ++
+      Temporal.queries ++ Sampling.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -26,5 +27,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ History.oracles ++ Changesets.oracles ++
       Replication.oracles ++ Geometry.oracles ++ Contributions.oracles ++ Dedup.oracles ++
-      TextOps.oracles ++ Ann.oracles ++ Multimodal.oracles ++ Skew.oracles
+      TextOps.oracles ++ Ann.oracles ++ Multimodal.oracles ++ Skew.oracles ++
+      Temporal.oracles ++ Sampling.oracles
 }

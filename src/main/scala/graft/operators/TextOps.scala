@@ -96,13 +96,55 @@ object TextOps {
         (col("doc_id") === col("keep_id")).as("is_canonical"))
       .orderBy("doc_id")
 
+  // PII patterns — the RE2 ∩ Java-regex common subset so Spark and the
+  // DuckDB oracle compile identical semantics (no lookarounds, no \b).
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+  private[graft] val IdRe = "[0-9]{6,}"
+
+  /** PII detection + redaction over any frame with (doc_id, text) —
+    * factored so the spec can drive it with synthetic PII-bearing rows
+    * (the benchmark corpus is word-soup and matches nothing, which is
+    * itself asserted by the oracle: all counts 0, md5 unchanged).
+    * Replacement order is fixed email → phone → id so nested matches
+    * (digits inside a phone) can't double-redact differently per engine.
+    */
+  private[graft] def piiColumns(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_email"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phone"),
+      size(regexp_extract_all(col("text"), lit(IdRe), lit(0))).as("n_id"),
+      md5(regexp_replace(regexp_replace(regexp_replace(col("text"),
+        lit(EmailRe), lit("<EMAIL>")),
+        lit(PhoneRe), lit("<PHONE>")),
+        lit(IdRe), lit("<ID>"))).as("redacted_md5"))
+
+  /** Scrub personally identifiable information before a corpus ships:
+    * match counts per category plus a fingerprint of the redacted text
+    * (the full redacted text is what a real pipeline would emit; the
+    * fingerprint keeps the oracle compare narrow). Pure scan work.
+    */
+  def textPii(s: SparkSession, dir: String): DataFrame =
+    piiColumns(Tables.documents(s, dir)).orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
+    "text_pii" -> (textPii _),
     "text_fingerprint" -> (textFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_pii" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT) AS n_email,
+         |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS INT) AS n_phone,
+         |  CAST(len(regexp_extract_all(text, '$IdRe')) AS INT) AS n_id,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$EmailRe', '<EMAIL>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g'),
+         |    '$IdRe', '<ID>', 'g')) AS redacted_md5
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_langid" -> {
       val scores = Models.map { case (l, (prior, ws)) =>
         s"$prior + coalesce(list_sum(list_transform(toks, t -> ${caseSql(ws)})), 0) AS s_$l"

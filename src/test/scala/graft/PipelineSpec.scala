@@ -44,6 +44,41 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("text_pii: redacts emails, phones, and long digit runs on synthetic rows") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "contact me at jane.doe+spam@example.co.uk or call +1 (555) 123-4567 now"),
+      (2L, "ssn-ish 123456789 and order 42 stay"),
+      (3L, "plain text with no pii at all")).toDF("doc_id", "text")
+    val out = TextOps.piiColumns(rows).orderBy("doc_id").collect()
+    assert(out(0).getInt(1) === 1 && out(0).getInt(2) === 1, "email + phone found")
+    assert(out(1).getInt(3) === 1, "long digit run found, short number ignored")
+    assert(out(2).getInt(1) === 0 && out(2).getInt(2) === 0 && out(2).getInt(3) === 0)
+    // row 3 unredacted → md5 equals md5 of the original text
+    val plainMd5 = rows.filter($"doc_id" === 3L)
+      .select(md5($"text")).collect().head.getString(0)
+    assert(out(2).getString(4) === plainMd5)
+    assert(out(0).getString(4) !== plainMd5)
+  }
+
+  test("sampling: stratified rates land near target and quota caps every stratum") {
+    val strat = operators.Sampling.sampleStratified(spark, sfDir).collect()
+    val docs = graft.Tables.documents(spark, sfDir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byLang = strat.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // hash buckets are uniform-ish: en ≈ 5%, others ≈ 20% (loose bounds —
+    // the oracle checks exactness, this checks the rates are really applied)
+    assert(byLang("en").toDouble / docs("en") < 0.12)
+    assert(byLang.filter(_._1 != "en").forall { case (l, n) =>
+      val f = n.toDouble / docs(l); f > 0.08 && f < 0.35
+    })
+    val quota = operators.Sampling.sampleQuota(spark, sfDir).collect()
+    val perLang = quota.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(perLang.values.forall(_ <= 20))
+    assert(perLang.values.forall(_ === 20), "every sf0.001+ stratum has ≥20 docs")
+  }
+
   test("connectedComponents: contraction and propagation paths agree on a cross-partition graph") {
     import spark.implicits._
     // a long chain (distinct components linked only through consecutive

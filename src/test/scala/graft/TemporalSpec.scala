@@ -26,6 +26,20 @@ class TemporalSpec extends SparkSpec {
     assert(out.head.getAs[String]("v") === "exact")
   }
 
+  test("q13_asof: one row per click, purchases at-or-before, user-consistent") {
+    val clicks = operators.Temporal.q13Asof(spark, sfDir).collect()
+    val nClicks = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "click").count()
+    assert(clicks.length.toLong === nClicks)
+    clicks.foreach { r =>
+      if (!r.isNullAt(3)) { // matched purchase
+        assert(r.getLong(5) <= r.getLong(2), "purchase ts must be <= click ts")
+      } else assert(r.isNullAt(4) && r.isNullAt(5), "null purchase is all-null")
+    }
+    assert(clicks.exists(!_.isNullAt(3)), "some click should match a purchase")
+    assert(clicks.exists(_.isNullAt(3)), "earliest clicks should have no prior purchase")
+  }
+
   test("minor versions: member edits within a version interval increment the counter") {
     import spark.implicits._
     val ways = Seq(
