@@ -423,7 +423,8 @@ object GeoFunctions {
     "geodesic_area_m2" -> (es => GeodesicAreaM2(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es(0))),
     "dot9" -> (es => Dot9(es(0), es(1))),
-    "minhash8" -> (es => Minhash8(es(0))))
+    "minhash8" -> (es => Minhash8(es(0))),
+    "bloom_might_contain" -> (es => BloomMightContain(es(0), es(1))))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, builder) =>

@@ -64,6 +64,36 @@ class EndToEndSpec extends SparkSpec {
     f.toByteArray
   }
 
+  test("bloom-pruned merge: prunes untouched entities, matches the exact merge") {
+    import spark.implicits._
+    import graft.operators.Replication
+    // 1000 entities with pre-cut history; only 10 appear in the diff
+    val cut = 1000000L
+    val base = (0L until 1000L).flatMap(u =>
+      Seq((u, 10L + u, u * 10 + 1, "view"), (u, 20L + u, u * 10 + 2, "click")))
+    val diff = (0L until 10L).map(u => (u * 97, cut + 1 + u, 90000L + u, "purchase"))
+    val events = (base ++ diff).toDF("user_id", "ts_us", "event_id", "event_type")
+    val out = Replication.bloomPrunedMerge(events, cut).collect()
+    // only touched entities are re-emitted, with their FULL history counted
+    assert(out.length === 10)
+    assert(out.map(_.getLong(0)).toSeq === (0L until 10L).map(_ * 97))
+    out.foreach { r =>
+      assert(r.getLong(2) === 3L, "2 base rows + 1 diff row per touched entity")
+      assert(r.getString(3) === "purchase", "diff row is the latest")
+    }
+    // the bloom really prunes: probe the registered function directly
+    graft.functions.GeoFunctions.register(spark)
+    val keys = events.filter($"ts_us" > cut).select("user_id").distinct()
+    val sketch = keys.stat.bloomFilter("user_id", 64L, 0.01)
+    val bos = new java.io.ByteArrayOutputStream(); sketch.writeTo(bos)
+    val survivors = events.filter($"ts_us" <= cut)
+      .filter(call_function("bloom_might_contain", $"user_id", lit(bos.toByteArray)))
+      .count()
+    // 20 true rows; fpp 1% over 1980 untouched rows leaves generous slack
+    assert(survivors >= 20L && survivors < 120L,
+      s"bloom should pass ~touched rows only, passed $survivors of 2000")
+  }
+
   test("osc diff → store upsert → re-emitted enriched contributions") {
     import graft.operators.Replication
     import graft.sources.OsmXml
