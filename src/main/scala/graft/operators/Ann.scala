@@ -104,41 +104,49 @@ object Ann {
       .orderBy("q_id", "rnk")
   }
 
+  /** K=8 fixed centroids (embeddings of vec_id 8..15) — the offline index
+    * artifact shared by [[annIvf]] and [[embKmeans]]; an 8-row collect is
+    * the same driver-side index build as the reference's spatial grid.
+    */
+  private def centroidsOf(e: DataFrame): Array[(Long, Seq[Float], Long)] =
+    e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      .select("vec_id", "embedding", "n2")
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getLong(2)))
+
+  // (cos, -c_id) struct array: array_max picks highest cosine, ties break
+  // to the LOWEST centroid id (matching ORDER BY ccos DESC, c_id ASC)
+  private def cellScores(cents: Array[(Long, Seq[Float], Long)])(
+      emb: Column, n2: Column): Column =
+    array(cents.map { case (cid, vec, cn2) =>
+      struct(
+        cosine(dotDec(emb, typedLit(vec)), n2, lit(cn2)).as("c"),
+        lit(-cid).as("nid"))
+    }: _*)
+
   /** IVF-Flat ANN: K=8 fixed centroids (the embeddings of vec_id 8..15 —
     * IVF centroids are offline training artifacts, so a deterministic
     * driver-scale constant is the honest analog), every vector assigned to
     * its nearest-cosine cell, queries probe their nprobe=2 nearest cells,
     * exact cosine rerank inside the probed cells only.
     *
-    * Scale shape: the centroid table is collected once (8 rows — the same
-    * driver-side index build as the reference's spatial grid) and inlined
-    * as literals, so CELL ASSIGNMENT IS PURE MAP WORK — an argmax over an
+    * Scale shape: the centroid table is collected once and inlined as
+    * literals, so CELL ASSIGNMENT IS PURE MAP WORK — an argmax over an
     * in-row struct array, no shuffle and no join for the 100 TB base side;
     * the only join is base ⨝ broadcast(query probes) on the cell key.
     */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(s, dir)
-    val cents = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
-      .select("vec_id", "embedding", "n2")
-      .collect().sortBy(_.getLong(0))
-      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getLong(2)))
-
-    // (cos, -c_id) struct array: array_max picks highest cosine, ties break
-    // to the LOWEST centroid id (matching ORDER BY ccos DESC, c_id ASC)
-    def cellScores(emb: Column, n2: Column): Column =
-      array(cents.map { case (cid, vec, cn2) =>
-        struct(
-          cosine(dotDec(emb, typedLit(vec)), n2, lit(cn2)).as("c"),
-          lit(-cid).as("nid"))
-      }: _*)
+    val cents = centroidsOf(e)
+    def cellScoresC(emb: Column, n2: Column) = cellScores(cents)(emb, n2)
 
     val base = e.filter(col("vec_id") >= 8)
-      .withColumn("cell", -array_max(cellScores(col("embedding"), col("n2"))).getField("nid"))
+      .withColumn("cell", -array_max(cellScoresC(col("embedding"), col("n2"))).getField("nid"))
       .select(col("cell"), col("vec_id").as("n_id"),
         col("embedding").as("ne"), col("n2").as("nn2"))
     val probes = e.filter(col("vec_id") < 8)
       .withColumn("probe", explode(
-        slice(reverse(sort_array(cellScores(col("embedding"), col("n2")))), 1, 2)))
+        slice(reverse(sort_array(cellScoresC(col("embedding"), col("n2")))), 1, 2)))
       .select((-col("probe.nid")).as("cell"), col("vec_id").as("q_id"),
         col("embedding").as("qe"), col("n2").as("qn2"))
     base.join(broadcast(probes), Seq("cell"))
@@ -150,8 +158,32 @@ object Ann {
       .orderBy("q_id", "rnk")
   }
 
+  /** One Lloyd iteration of k-means over the embedding corpus: assign
+    * every base vector to its nearest-cosine centroid (same map-only
+    * argmax as [[annIvf]] — no shuffle for the big side), then reduce the
+    * new per-cell centroid as exact fixed-point component sums + member
+    * counts (mean = sum9/n, computed by the consumer — emitting the
+    * integers keeps the result order-independent and engine-exact).
+    * Iterating = feeding the means back as next-round centroids; each
+    * round is one scan + one (cell, dim)-keyed partial aggregation, the
+    * canonical distributed-kmeans shape.
+    */
+  def embKmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+    val cents = centroidsOf(e)
+    e.filter(col("vec_id") >= 8)
+      .withColumn("cell",
+        -array_max(cellScores(cents)(col("embedding"), col("n2"))).getField("nid"))
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("i0", "ev")))
+      .groupBy(col("cell"), (col("i0") + 1).as("i"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("ev") * 1e9).cast("bigint")).as("sum9"))
+      .orderBy("cell", "i")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_embedding" -> (dedupEmbedding _),
+    "emb_kmeans" -> (embKmeans _),
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _))
@@ -165,7 +197,33 @@ object Ann {
       |norm AS (SELECT vec_id, sum(CAST(round(e * e * 1000000000.0) AS BIGINT)) AS n2
       |  FROM flat GROUP BY vec_id)""".stripMargin
 
+  /** Nearest-centroid cell assignment for base vectors (vec_id ≥ 8) —
+    * shared by the `ann_ivf` and `emb_kmeans` oracles.
+    */
+  private val cellsSql =
+    """cdots AS (SELECT v.vec_id, c.vec_id AS c_id,
+      |    sum(CAST(round(v.e * c.e * 1000000000.0) AS BIGINT)) AS dot
+      |  FROM flat v JOIN flat c ON c.i = v.i AND c.vec_id BETWEEN 8 AND 15
+      |  GROUP BY 1, 2),
+      |cscored AS (SELECT cdots.vec_id AS vec_id, c_id,
+      |    (dot / 1e9) / (sqrt(nv.n2 / 1e9) * sqrt(nc.n2 / 1e9)) AS ccos
+      |  FROM cdots JOIN norm nv ON nv.vec_id = cdots.vec_id
+      |             JOIN norm nc ON nc.vec_id = c_id),
+      |cranked AS (SELECT vec_id, c_id,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS crk
+      |  FROM cscored),
+      |cells AS (SELECT vec_id AS n_id, c_id AS cell FROM cranked
+      |  WHERE crk = 1 AND vec_id >= 8)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "emb_kmeans" ->
+      s"""WITH $flatSql,
+         |$cellsSql
+         |SELECT CAST(ce.cell AS BIGINT) AS cell, CAST(f.i AS INT) AS i,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(round(f.e * 1000000000.0) AS BIGINT)) AS BIGINT) AS sum9
+         |FROM cells ce JOIN flat f ON f.vec_id = ce.n_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dedup_embedding" ->
       s"""WITH $flatSql,
          |dots AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.label,
@@ -204,19 +262,7 @@ object Ann {
          |ORDER BY q_id, rnk""".stripMargin,
     "ann_ivf" ->
       s"""WITH $flatSql,
-         |cdots AS (SELECT v.vec_id, c.vec_id AS c_id,
-         |    sum(CAST(round(v.e * c.e * 1000000000.0) AS BIGINT)) AS dot
-         |  FROM flat v JOIN flat c ON c.i = v.i AND c.vec_id BETWEEN 8 AND 15
-         |  GROUP BY 1, 2),
-         |cscored AS (SELECT cdots.vec_id AS vec_id, c_id,
-         |    (dot / 1e9) / (sqrt(nv.n2 / 1e9) * sqrt(nc.n2 / 1e9)) AS ccos
-         |  FROM cdots JOIN norm nv ON nv.vec_id = cdots.vec_id
-         |             JOIN norm nc ON nc.vec_id = c_id),
-         |cranked AS (SELECT vec_id, c_id,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS crk
-         |  FROM cscored),
-         |cells AS (SELECT vec_id AS n_id, c_id AS cell FROM cranked
-         |  WHERE crk = 1 AND vec_id >= 8),
+         |$cellsSql,
          |probes AS (SELECT vec_id AS q_id, c_id AS cell FROM cranked
          |  WHERE crk <= 2 AND vec_id < 8),
          |dots AS (SELECT p.q_id, ce.n_id, ce.cell,

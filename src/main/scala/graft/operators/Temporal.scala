@@ -36,8 +36,38 @@ object Temporal {
       .orderBy("click_id")
   }
 
+  /** Minor-version numbering under the oracle: way versions and member
+    * node edits are derived deterministically from the events table
+    * (clicks = a way's major versions, views = node edits, refs =
+    * modular-arithmetic membership), then [[MinorVersions.compute]] runs
+    * the real interval join + renumbering. The oracle replays the whole
+    * derivation in SQL, so the interval-membership semantics (edit
+    * strictly inside the version's validity window, minor counter reset
+    * per major version) are engine-parity-checked — previously this
+    * operator was spec-only.
+    */
+  def minorVersions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+    val ways = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("way_id"), col("ts_us").as("valid_from"),
+        col("event_id"))
+      .withColumn("osm_version", row_number().over(
+        Window.partitionBy("way_id").orderBy("valid_from", "event_id")))
+      .withColumn("refs", array(col("way_id") % 100,
+        (col("way_id") + 37) % 100, col("event_id") % 100))
+      .select("way_id", "osm_version", "valid_from", "refs")
+    val nodeEdits = e.filter(col("event_type") === "view")
+      .select((col("event_id") % 100).as("node_id"), col("ts_us").as("ts"))
+    MinorVersions.compute(ways, nodeEdits)
+      .select(col("way_id"), col("osm_version"), col("ts"),
+        col("trigger").as("trig"), col("osm_minor_version"))
+      .orderBy("way_id", "osm_version", "osm_minor_version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q13_asof" -> (q13Asof _))
+    "q13_asof" -> (q13Asof _),
+    "minor_versions" -> (minorVersions _))
 
   val oracles: Map[String, String] = Map(
     "q13_asof" ->
@@ -50,5 +80,29 @@ object Temporal {
         |SELECT c.user_id, c.click_id, c.click_us, p.p_id, p.p_cents, p.p_us
         |FROM c ASOF LEFT JOIN p
         |  ON c.user_id = p.user_id AND p.p_us <= c.click_us
-        |ORDER BY click_id""".stripMargin)
+        |ORDER BY click_id""".stripMargin,
+    "minor_versions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |ways AS (
+        |  SELECT user_id AS way_id, ts_us AS valid_from, event_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS INT) AS osm_version
+        |  FROM e WHERE event_type = 'click'),
+        |vers AS (
+        |  SELECT way_id, osm_version, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY way_id ORDER BY osm_version) AS valid_to,
+        |    [way_id % 100, (way_id + 37) % 100, event_id % 100] AS refs
+        |  FROM ways),
+        |nodes AS (SELECT event_id % 100 AS node_id, ts_us AS ts
+        |          FROM e WHERE event_type = 'view'),
+        |member_edits AS (
+        |  SELECT v.way_id, v.osm_version, n.ts, 'MINOR_GEOMETRY' AS trig
+        |  FROM (SELECT way_id, osm_version, valid_from, valid_to, unnest(refs) AS node_id
+        |        FROM vers) v
+        |  JOIN nodes n ON n.node_id = v.node_id
+        |  WHERE n.ts > v.valid_from AND (v.valid_to IS NULL OR n.ts < v.valid_to)),
+        |major AS (SELECT way_id, osm_version, valid_from AS ts, 'MAJOR' AS trig FROM vers),
+        |un AS (SELECT * FROM major UNION ALL SELECT * FROM member_edits)
+        |SELECT way_id, osm_version, ts, trig,
+        |  CAST(row_number() OVER (PARTITION BY way_id, osm_version ORDER BY ts, trig) - 1 AS INT) AS osm_minor_version
+        |FROM un ORDER BY way_id, osm_version, osm_minor_version""".stripMargin)
 }
