@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.{ContribSink, OsmPbf, OsmXml}
+import graft.sources.{ContribSink, GeoParquet, OsmPbf, OsmXml}
 import org.apache.spark.sql.functions._
 
 import java.io.ByteArrayOutputStream
@@ -356,5 +356,27 @@ class SourcesSpec extends SparkSpec {
     val pruned = spark.read.parquet(out)
       .filter(col("status") === "latest" && col("osm_type") === "way")
     assert(pruned.count() === 1)
+  }
+
+  test("geoparquet writer: binary WKB geometry, layout, and geo metadata sidecar") {
+    val df = operators.Geometry.geoWkb(spark, sfDir)
+      .withColumn("status", when(col("event_id") % 2 === 0, "latest").otherwise("history"))
+    val out = java.nio.file.Files.createTempDirectory("graft-geopq").toString
+    GeoParquet.write(df, out, wkbHexCol = "wkb",
+      partitionCols = Seq("status"), bboxLonLat = Some(("lon_d", "lat_d")))
+    val back = spark.read.parquet(out)
+    assert(back.schema("geometry").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    assert(back.count() === df.count())
+    // every geometry is little-endian WKB point: 0x01, type 1, 21 bytes
+    val g = back.select("geometry").head().getAs[Array[Byte]](0)
+    assert(g.length === 21 && g(0) === 1.toByte && g(1) === 1.toByte)
+    assert(new java.io.File(s"$out/status=latest").exists())
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "_geo_metadata.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(meta.contains("\"encoding\":\"WKB\"") &&
+      meta.contains("\"primary_column\":\"geometry\"") &&
+      meta.contains("CRS84") && meta.contains("\"bbox\":["))
   }
 }
