@@ -66,6 +66,53 @@ object TextKernels {
       mins.map(toHexUtf8(_).asInstanceOf[Any]))
   }
 
+  /** Rolling-hash parameters: byte-wise Karp–Rabin, window 8, base 257,
+    * modulus 1e9+7. `RollPow(k)` = 257^k mod M — shared by the kernel and
+    * the oracle SQL so both engines run identical modular arithmetic
+    * (every intermediate fits a signed 64-bit: 255 · (1e9+7) · 8 < 2^63).
+    */
+  val RollMod = 1000000007L
+  val RollWindow = 8
+  val RollPow: Array[Long] = {
+    val p = new Array[Long](RollWindow)
+    p(0) = 1L
+    var i = 1
+    while (i < RollWindow) { p(i) = p(i - 1) * 257L % RollMod; i += 1 }
+    p
+  }
+
+  /** Karp–Rabin rolling fingerprint over the UTF-8 bytes of `text`:
+    * hash every 8-byte window in one O(n) pass (subtract the outgoing
+    * byte's 257^7 term, multiply, add the incoming byte), track the
+    * minimum hash and its first byte offset — the winnowing-style
+    * content fingerprint (Schleimer et al., SIGMOD'03) used for local
+    * document fingerprinting. Returns [fp_min, fp_pos, n_windows];
+    * documents shorter than one window yield [-1, -1, 0].
+    */
+  def rollHash(text: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    if (n < RollWindow)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](-1L, -1L, 0L))
+    var h = 0L
+    var i = 0
+    while (i < RollWindow) { h = (h * 257L + (bytes(i) & 0xffL)) % RollMod; i += 1 }
+    var minH = h
+    var minPos = 0L
+    val outPow = RollPow(RollWindow - 1)
+    var w = 1
+    val last = n - RollWindow
+    while (w <= last) {
+      h = ((h - (bytes(w - 1) & 0xffL) * outPow) % RollMod + RollMod) % RollMod
+      h = (h * 257L + (bytes(w + RollWindow - 1) & 0xffL)) % RollMod
+      if (h < minH) { minH = h; minPos = w.toLong }
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](minH, minPos, (last + 1).toLong))
+  }
+
   /** 64-bit SimHash of the whitespace tokens of `text`, as 16 lowercase hex
     * chars: token hash = first 64 bits of md5, per-bit ±1 vote, bit set when
     * the vote sum is positive. Single pass per document — the distributed
@@ -196,5 +243,26 @@ case class SimHash64(child: Expression) extends UnaryExpression {
         s"graft.functions.TextKernels.simHash64Hex($t.toString()))")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** `rollhash8(text)` → [fp_min, fp_pos, n_windows]: byte-wise Karp–Rabin
+  * rolling-hash fingerprint (TextKernels.rollHash) as a single codegen
+  * kernel call — the whole fingerprint stays inside WholeStageCodegen,
+  * one O(n) pass per document.
+  */
+case class RollHash8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)
+  override def prettyName: String = "rollhash8"
+
+  override protected def nullSafeEval(text: Any): Any =
+    TextKernels.rollHash(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.TextKernels.rollHash($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollHash8 =
     copy(child = newChild)
 }

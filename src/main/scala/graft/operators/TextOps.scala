@@ -127,14 +127,60 @@ object TextOps {
   def textPii(s: SparkSession, dir: String): DataFrame =
     piiColumns(Tables.documents(s, dir)).orderBy("doc_id")
 
+  /** Rolling-hash document fingerprint (Karp–Rabin over UTF-8 bytes, one
+    * O(n) codegen kernel pass per document — graft.functions.RollHash8):
+    * minimum window hash + its first byte offset + window count. The
+    * winnowing-style local fingerprint a plagiarism/near-dup pass uses
+    * when token-bag hashing (text_fingerprint) is too coarse.
+    */
+  def textRollhash(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    Tables.documents(s, dir)
+      .withColumn("rh", call_function("rollhash8", col("text")))
+      .select(col("doc_id"), col("rh").getItem(0).as("fp_min"),
+        col("rh").getItem(1).as("fp_pos"), col("rh").getItem(2).as("n_windows"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_pii" -> (textPii _),
+    "text_rollhash" -> (textRollhash _),
     "text_fingerprint" -> (textFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_rollhash" -> {
+      import graft.functions.TextKernels.{RollMod, RollPow, RollWindow}
+      // byte p of window starting at i carries weight 257^(7-(p-i)) mod M;
+      // the direct modular sum equals the kernel's rolling recurrence
+      val powCase = (0 until RollWindow)
+        .map(k => s"WHEN $k THEN ${RollPow(RollWindow - 1 - k)}")
+        .mkString(" ")
+      s"""WITH d AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+         |              octet_length(encode(text)) AS nb FROM documents),
+         |bytes AS (SELECT doc_id, p, CAST(('0x' || substr(hx, 2*p - 1, 2)) AS BIGINT) AS bv
+         |          FROM d, LATERAL (SELECT unnest(range(1, nb + 1)) AS p) r),
+         |win AS (SELECT doc_id, i FROM d,
+         |        LATERAL (SELECT unnest(range(1, greatest(nb - ${RollWindow - 1}, 0) + 1)) AS i) rr),
+         |h AS (SELECT w.doc_id, w.i,
+         |        CAST(sum(b.bv * CASE CAST(b.p - w.i AS INT) $powCase END) % $RollMod AS BIGINT) AS hv
+         |      FROM win w JOIN bytes b
+         |        ON b.doc_id = w.doc_id AND b.p >= w.i AND b.p < w.i + $RollWindow
+         |      GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, min(hv) AS fp_min, count(*) AS n_windows FROM h GROUP BY 1),
+         |pos AS (SELECT h.doc_id, min(h.i - 1) AS fp_pos
+         |        FROM h JOIN agg ON agg.doc_id = h.doc_id AND h.hv = agg.fp_min
+         |        GROUP BY 1)
+         |SELECT d.doc_id AS doc_id,
+         |  coalesce(agg.fp_min, -1) AS fp_min,
+         |  CAST(coalesce(pos.fp_pos, -1) AS BIGINT) AS fp_pos,
+         |  CAST(coalesce(agg.n_windows, 0) AS BIGINT) AS n_windows
+         |FROM d LEFT JOIN agg ON agg.doc_id = d.doc_id
+         |       LEFT JOIN pos ON pos.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
     "text_pii" ->
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT) AS n_email,

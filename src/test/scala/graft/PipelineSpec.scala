@@ -44,6 +44,20 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("rollhash kernel: matches direct polynomial hashes, handles short docs") {
+    // "abcdefghij" → windows abcdefgh/bcdefghi/cdefghij with direct
+    // Σ byte·257^(7-j) mod 1e9+7 hashes 517618891/870677744/223736590
+    // (computed independently of the rolling recurrence)
+    val r = TextKernels.rollHash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abcdefghij"))
+    assert(r.getLong(0) === 223736590L) // min of the three
+    assert(r.getLong(1) === 2L)         // at byte offset 2
+    assert(r.getLong(2) === 3L)         // 10 - 8 + 1 windows
+    val short = TextKernels.rollHash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("short"))
+    assert(short.getLong(0) === -1L && short.getLong(1) === -1L && short.getLong(2) === 0L)
+  }
+
   test("text_pii: redacts emails, phones, and long digit runs on synthetic rows") {
     import spark.implicits._
     val rows = Seq(
