@@ -16,7 +16,6 @@ run / fork := true
 // which corrupts machine-readable output (Bench's one-line JSON was
 // unparseable two rounds running because of the prefix).
 outputStrategy := Some(StdoutOutput)
-run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
