@@ -28,24 +28,30 @@ object AsofJoin {
   def asof(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
     val l = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
-    val r = right.select(
-      (col(key) +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
-        valueCols.map(col)): _*)
+    // All matched right columns travel as ONE struct so the carry is
+    // row-atomic: a right row whose value column is legitimately NULL must
+    // yield NULL (not a back-fill from an older right row), and all value
+    // columns must come from the SAME right row. The struct itself is
+    // non-null for every right row, so last(ignoreNulls) picks whole rows.
+    val rvals = struct(valueCols.map(col): _*).as("__rvals")
+    val r = right.select(col(key), col(rightTs).as("__ts"), lit(0).as("__side"), rvals)
     // right rows sort before left rows at equal ts → "<=" semantics
     val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val leftCols = left.columns
     val unioned = l.select(
       (col(key) +: col("__ts") +: col("__side") +:
-        (leftCols.filter(_ != key).map(col) ++
-          valueCols.map(c => lit(null).cast(r.schema(c).dataType).as(c)))): _*)
+        (leftCols.filter(_ != key).map(col) :+
+          lit(null).cast(r.schema("__rvals").dataType).as("__rvals"))): _*)
       .unionByName(r.select(
         (col(key) +: col("__ts") +: col("__side") +:
-          (leftCols.filter(_ != key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-            valueCols.map(col))): _*))
-    val carried = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+          (leftCols.filter(_ != key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+            col("__rvals"))): _*))
+    val carried = unioned
+      .withColumn("__rvals", last(col("__rvals"), ignoreNulls = true).over(w))
+    val unpacked = valueCols.foldLeft(carried) { (df, c) =>
+      df.withColumn(c, col("__rvals").getField(c))
     }
-    carried.filter(col("__side") === 1).drop("__ts", "__side")
+    unpacked.filter(col("__side") === 1).drop("__ts", "__side", "__rvals")
   }
 }

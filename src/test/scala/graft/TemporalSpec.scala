@@ -26,6 +26,21 @@ class TemporalSpec extends SparkSpec {
     assert(out.head.getAs[String]("v") === "exact")
   }
 
+  test("asof join: matched right row with NULL value yields NULL, not an older back-fill") {
+    import spark.implicits._
+    val l = Seq((1L, 300L)).toDF("key", "ts")
+    // latest right row at ts 200 has price NULL but size 7 — row semantics
+    // demand (NULL, 7), never (10.0 from ts 100, 7) mixed across rows
+    val r = Seq(
+      (1L, 100L, Some(10.0), Some(3L)),
+      (1L, 200L, None: Option[Double], Some(7L)))
+      .toDF("key", "qts", "price", "size")
+    val out = AsofJoin.asof(l, r, "key", "ts", "qts", Seq("price", "size")).collect()
+    assert(out.length === 1)
+    assert(out.head.isNullAt(out.head.fieldIndex("price")), "NULL in matched row must survive")
+    assert(out.head.getAs[Long]("size") === 7L)
+  }
+
   test("q13_asof: one row per click, purchases at-or-before, user-consistent") {
     val clicks = operators.Temporal.q13Asof(spark, sfDir).collect()
     val nClicks = graft.Tables.events(spark, sfDir)
