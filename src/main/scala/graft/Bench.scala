@@ -12,19 +12,28 @@ object Bench {
     Seq("lineitem", "events", "documents", "embeddings")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet")
         .write.mode("overwrite").format("noop").save())
+    // median-of-3 per query: a single-shot bench promotes one GC/page-cache
+    // stall into the official number (23% of the recorded r3 total was one
+    // unreproducible 15 s spike); the median is robust to one outlier in
+    // either direction and still cheap at sf0.1
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: forces full evaluation of every column (count() lets
-      // Catalyst prune projections away entirely)
-      val ok =
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
-        }
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink: forces full evaluation of every column (count() lets
+        // Catalyst prune projections away entirely)
+        val ok =
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (ok) dt else -dt
+      }
       // negative elapsed = failure marker: a failing query must not be
       // indistinguishable from a fast successful one
-      val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) dt else -dt)
+      val median = times.map(math.abs).sorted.apply(times.length / 2)
+      name -> (if (times.exists(_ < 0)) -median else median)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

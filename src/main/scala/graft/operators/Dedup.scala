@@ -89,6 +89,18 @@ object Dedup {
       .distinct()
   }
 
+  /** Evaluates `df` eagerly (localCheckpoint: materialize + truncate
+    * lineage), then releases the intermediate caches. Queries that cache
+    * sub-frames must not leak them into the session — across a 60-query
+    * run leaked storage accumulates into GC/eviction thrash, and at
+    * cluster scale into executor OOM. Eager evaluation first is essential:
+    * the caches must be live while the result computes, and the caller
+    * only consumes the materialized result afterwards.
+    */
+  private def releasing(df: DataFrame, cached: DataFrame*): DataFrame =
+    try df.localCheckpoint(eager = true)
+    finally cached.foreach(_.unpersist(blocking = false))
+
   // ---- queries --------------------------------------------------------
 
   /** Exact dedup: content-hash groupBy, keep the lowest doc_id. */
@@ -113,11 +125,13 @@ object Dedup {
     val agree = (0 until NumHashes)
       .map(j => when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0))
       .reduce(_ + _)
-    candidates(sigs)
-      .join(sigs.toDF("doc_a" +: (0 until NumHashes).map(j => s"a_mh$j"): _*), "doc_a")
-      .join(sigs.toDF("doc_b" +: (0 until NumHashes).map(j => s"b_mh$j"): _*), "doc_b")
-      .select(col("doc_a"), col("doc_b"), (agree / 8.0).as("jaccard_est"))
-      .orderBy("doc_a", "doc_b")
+    releasing(
+      candidates(sigs)
+        .join(sigs.toDF("doc_a" +: (0 until NumHashes).map(j => s"a_mh$j"): _*), "doc_a")
+        .join(sigs.toDF("doc_b" +: (0 until NumHashes).map(j => s"b_mh$j"): _*), "doc_b")
+        .select(col("doc_a"), col("doc_b"), (agree / 8.0).as("jaccard_est"))
+        .orderBy("doc_a", "doc_b"),
+      sigs)
   }
 
   /** SimHash 64-bit fingerprint (hex) via the custom codegen expression —
@@ -148,12 +162,14 @@ object Dedup {
       .join(flat.toDF("doc_b", "g2"), Seq("doc_b"))
       .filter(col("g") === col("g2"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(grams.select(col("doc_id").as("doc_a"), col("ng").as("na")), "doc_a")
-      .join(grams.select(col("doc_id").as("doc_b"), col("ng").as("nb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    releasing(
+      inter
+        .join(grams.select(col("doc_id").as("doc_a"), col("ng").as("na")), "doc_a")
+        .join(grams.select(col("doc_id").as("doc_b"), col("ng").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
+          (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+        .orderBy("doc_a", "doc_b"),
+      grams, sigs)
   }
 
   /** Near-dup clustering: connected components over the LSH candidate
@@ -181,9 +197,13 @@ object Dedup {
       .join(sigs.toDF("doc_b" +: (0 until NumHashes).map(j => s"b_mh$j"): _*), "doc_b")
       .filter(agree >= 4) // signature-agreement jaccard_est >= 0.5
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    connectedComponents(s, edges)
-      .toDF("doc_id", "cluster_id")
-      .orderBy("doc_id")
+    // connectedComponents materializes its result eagerly, so by return
+    // time the signature cache has served its purpose
+    releasing(
+      connectedComponents(s, edges)
+        .toDF("doc_id", "cluster_id")
+        .orderBy("doc_id"),
+      sigs)
   }
 
   /** Max (node, label) pairs allowed into the final single-task merge of
@@ -258,11 +278,15 @@ object Dedup {
     // candidates + signature joins) runs exactly once (on a cluster a
     // reliable checkpoint() here also truncates the lineage)
     val forest = cur.cache()
-    val n = forest.count()
-    val merged =
-      if (n <= singleTaskMax) forest.repartition(1).mapPartitions(contract _).toDF("node", "label")
-      else propagateMinLabels(s, forest.toDF("a", "b"))
-    merged
+    try {
+      val n = forest.count()
+      val merged =
+        if (n <= singleTaskMax) forest.repartition(1).mapPartitions(contract _).toDF("node", "label")
+        else propagateMinLabels(s, forest.toDF("a", "b"))
+      // eager: the merge must run while the forest cache is live; callers
+      // get a materialized, lineage-truncated frame and no leaked storage
+      merged.localCheckpoint(eager = true)
+    } finally forest.unpersist(blocking = false)
   }
 
   /** Exact min-label propagation over an edge list — the big-graph final
