@@ -240,6 +240,41 @@ object Geo {
     inside
   }
 
+  /** Even-odd (alternate-filling) containment over a MULTI-RING geometry —
+    * a POLYGON with holes or a MULTIPOLYGON flattened to its rings. `offs`
+    * holds each ring's start index plus a final sentinel (= total length);
+    * rings close implicitly (no duplicated end vertex needed — a
+    * duplicated one is harmless, its zero-height edge never toggles).
+    * Crossing an outer shell toggles in, crossing a hole ring toggles back
+    * out: the OGC even-odd rule, valid for arbitrary concave shells
+    * (reference join semantics: SpatialGridJoiner.java:49-63 via JTS
+    * prepared-geometry `intersects`). Same crossing rule as
+    * [[pointInPoly]]; coordinates whose values are integers (the oracle
+    * fixture) make every product exact in double, so the SQL replay is
+    * bit-identical.
+    */
+  def pointInRings(x: Double, y: Double, xs: Array[Double], ys: Array[Double],
+      offs: Array[Int]): Boolean = {
+    var inside = false
+    var r = 0
+    while (r < offs.length - 1) {
+      val lo = offs(r); val hi = offs(r + 1)
+      var i = lo
+      while (i < hi) {
+        val k = if (i + 1 == hi) lo else i + 1
+        val y1 = ys(i); val y2 = ys(k)
+        if ((y1 > y) != (y2 > y)) {
+          val x1 = xs(i); val x2 = xs(k)
+          val d = (x2 - x1) * (y - y1) - (x - x1) * (y2 - y1)
+          if (if (y2 > y1) d > 0 else d < 0) inside = !inside
+        }
+        i += 1
+      }
+      r += 1
+    }
+    inside
+  }
+
   def xzCode(xmin: Double, ymin: Double, xmax: Double, ymax: Double, g: Int): Long = {
     val length = xzLevel(xmin, ymin, xmax, ymax, g)
     val x = (180.0 + xmin) / 360.0
@@ -408,6 +443,34 @@ case class PointInPoly(first: Expression, second: Expression,
     copy(first = a, second = b, third = c, fourth = d)
 }
 
+/** `point_in_rings(x, y, xs, ys, offs)` → even-odd containment over a
+  * multi-ring geometry (polygon with holes / multipolygon); `offs` = ring
+  * start indices + total-length sentinel.
+  */
+case class PointInRings(first: Expression, second: Expression,
+    third: Expression, fourth: Expression, fifth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "point_in_rings"
+  override def children: Seq[Expression] = Seq(first, second, third, fourth, fifth)
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any, e: Any): Any =
+    Geo.pointInRings(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray(),
+      d.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray(),
+      e.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d, e) =>
+      s"graft.functions.Geo.pointInRings($a, $b, $c.toDoubleArray(), " +
+        s"$d.toDoubleArray(), $e.toIntArray())")
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PointInRings =
+    copy(first = newChildren(0), second = newChildren(1), third = newChildren(2),
+      fourth = newChildren(3), fifth = newChildren(4))
+}
+
 /** Registers the custom expressions on a live session (tests/Verify) —
   * `GraftExtensions` does the same through `SparkSessionExtensions` for
   * spark-submit (`spark.sql.extensions=graft.functions.GraftExtensions`).
@@ -419,6 +482,7 @@ object GeoFunctions {
     "xz_code" -> (es => XZCodeExpr(es(0), es(1), es(2), es(3))),
     "xz_level" -> (es => XZLevelExpr(es(0), es(1), es(2), es(3))),
     "point_in_poly" -> (es => PointInPoly(es(0), es(1), es(2), es(3))),
+    "point_in_rings" -> (es => PointInRings(es(0), es(1), es(2), es(3), es(4))),
     "geodesic_length_mm" -> (es => GeodesicLengthMm(es(0), es(1))),
     "geodesic_area_m2" -> (es => GeodesicAreaM2(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es(0))),

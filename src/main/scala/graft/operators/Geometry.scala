@@ -251,7 +251,76 @@ object Geometry {
       .orderBy("event_id")
   }
 
+  // ---- WKT country-file join ------------------------------------------
+
+  /** Synthetic `id;wkt` country file derived from `nation` — concave
+    * L-shaped shells with square holes, and a disjoint second part
+    * (MULTIPOLYGON) for even keys. Written in the integer planar space of
+    * the synthetic points so the ray-cast replay is engine-exact, and fed
+    * through the REAL ingestion path ([[graft.sources.WktBoundaries]]):
+    * the docs/CLI.md `--country-file` contract end-to-end.
+    */
+  private[graft] def wktCountryFixture(s: SparkSession, dir: String): String = {
+    val rows = Tables.nation(s, dir)
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    def ring(pts: Seq[(Long, Long)]): String =
+      (pts :+ pts.head).map { case (x, y) => s"$x $y" }.mkString("(", ", ", ")")
+    val lines = rows.map { case (nk, name) =>
+      val cx = (nk % 5) * 7200 + 3600
+      val cy = (nk / 5) * 3600 + 1800
+      val r = 400 + 2 * ((nk * 53) % 199) // even → hr integral
+      val hr = r / 2
+      // concave L (big square minus its open top-right quadrant), CCW
+      val shell = Seq((cx - 2 * r, cy - 2 * r), (cx + 2 * r, cy - 2 * r),
+        (cx + 2 * r, cy), (cx, cy), (cx, cy + 2 * r), (cx - 2 * r, cy + 2 * r))
+      // hole inside the bottom-left quadrant
+      val hole = Seq((cx - r, cy - r), (cx - r + hr, cy - r),
+        (cx - r + hr, cy - r + hr), (cx - r, cy - r + hr))
+      // disjoint second part in the quadrant the L leaves empty
+      val part2 = Seq((cx + r, cy + r), (cx + 2 * r, cy + r),
+        (cx + 2 * r, cy + 2 * r), (cx + r, cy + 2 * r))
+      val wkt =
+        if (nk % 2 == 0) s"MULTIPOLYGON ((${ring(shell)}, ${ring(hole)}), (${ring(part2)}))"
+        else s"POLYGON (${ring(shell)}, ${ring(hole)})"
+      s"$name;$wkt"
+    }
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_world_${Integer.toHexString(dir.hashCode)}.csv")
+    java.nio.file.Files.write(path,
+      ("id;wkt" +: lines).mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    path.toString
+  }
+
+  /** WKT country-file spatial join — the full `--country-file` pipeline
+    * (docs/CLI.md:31-50 + SpatialGridJoiner.java semantics) over REAL
+    * multi-ring geometries: parse the CSV's POLYGON/MULTIPOLYGON WKT
+    * (holes included), build the covering-grid index (full-cell
+    * short-circuit only where provable, GridIndex/BuildGridAction analog),
+    * broadcast it, and refine partial cells with the `point_in_rings`
+    * even-odd codegen kernel. The point side computes its cell id with
+    * integer map-side arithmetic and NEVER shuffles — at 100 TB the only
+    * data movement is the broadcast of the (tiny) cell index, and full
+    * cells skip the exact test entirely.
+    */
+  def geoWktJoin(s: SparkSession, dir: String): DataFrame = {
+    GeoFunctions.register(s)
+    val csv = wktCountryFixture(s, dir)
+    val feats = graft.sources.WktBoundaries.readCountryCsv(csv)
+    val cells = graft.sources.WktBoundaries.gridCells(feats, 1200, 600, 30)
+    val cellsDf = s.createDataFrame(cells)
+    points(s, dir)
+      .withColumn("scid", expr("(yi div 600) * 30 + (xi div 1200)"))
+      .join(broadcast(cellsDf), Seq("scid"))
+      .filter(col("full_cell") || call_function("point_in_rings",
+        col("xi").cast("double"), col("yi").cast("double"),
+        col("xs"), col("ys"), col("offs")))
+      .select("event_id", "xi", "yi", "country")
+      .orderBy("event_id", "country")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_wkt_join" -> (geoWktJoin _),
     "geo_poly_join" -> (geoPolyJoin _),
     "geo_geodesic" -> (geoGeodesic _),
     "geo_bbox" -> (geoBbox _),
@@ -418,7 +487,53 @@ object Geometry {
        |FROM agg ORDER BY user_id""".stripMargin
   }
 
+  /** DuckDB replay of geo_wkt_join: per-(point, nation) even-odd ray-cast
+    * over ALL rings (L shell + hole always; the disjoint square only for
+    * even keys), unrolled edge by edge with the identical integer crossing
+    * test as graft.functions.Geo.pointInRings. The Spark side's full-cell
+    * short-circuit is provably result-identical (no edge touches a full
+    * cell → containment parity is constant across it), so the oracle needs
+    * no grid — bbox prefilter only for speed.
+    */
+  private val wktJoinOracleSql: String = {
+    def crossings(verts: Seq[(String, String)], guard: String): String =
+      verts.indices.map { i =>
+        val (x1, y1) = verts(i)
+        val (x2, y2) = verts((i + 1) % verts.length)
+        val d = s"(($x2) - ($x1)) * (p.yi - ($y1)) - (p.xi - ($x1)) * (($y2) - ($y1))"
+        s"""CASE WHEN $guard(($y1) > p.yi) <> (($y2) > p.yi)
+           |       AND (CASE WHEN ($y2) > ($y1) THEN $d > 0 ELSE $d < 0 END)
+           |  THEN 1 ELSE 0 END""".stripMargin
+      }.mkString(" + ")
+    val shell = Seq(
+      ("n.cx - 2*n.r", "n.cy - 2*n.r"), ("n.cx + 2*n.r", "n.cy - 2*n.r"),
+      ("n.cx + 2*n.r", "n.cy"), ("n.cx", "n.cy"),
+      ("n.cx", "n.cy + 2*n.r"), ("n.cx - 2*n.r", "n.cy + 2*n.r"))
+    val hole = Seq(
+      ("n.cx - n.r", "n.cy - n.r"), ("n.cx - n.r + n.hr", "n.cy - n.r"),
+      ("n.cx - n.r + n.hr", "n.cy - n.r + n.hr"), ("n.cx - n.r", "n.cy - n.r + n.hr"))
+    val part2 = Seq(
+      ("n.cx + n.r", "n.cy + n.r"), ("n.cx + 2*n.r", "n.cy + n.r"),
+      ("n.cx + 2*n.r", "n.cy + 2*n.r"), ("n.cx + n.r", "n.cy + 2*n.r"))
+    val total = crossings(shell, "") + " + " + crossings(hole, "") +
+      " + " + crossings(part2, "n.nk % 2 = 0 AND ")
+    s"""WITH pts AS ($ptsSql),
+       |nat AS (SELECT n_name AS country, n_nationkey AS nk,
+       |    (n_nationkey % 5) * 7200 + 3600 AS cx,
+       |    (n_nationkey // 5) * 3600 + 1800 AS cy,
+       |    400 + 2 * ((n_nationkey * 53) % 199) AS r,
+       |    (400 + 2 * ((n_nationkey * 53) % 199)) // 2 AS hr
+       |  FROM nation)
+       |SELECT p.event_id, p.xi, p.yi, n.country
+       |FROM pts p JOIN nat n
+       |  ON p.xi BETWEEN n.cx - 2*n.r AND n.cx + 2*n.r
+       | AND p.yi BETWEEN n.cy - 2*n.r AND n.cy + 2*n.r
+       |WHERE ($total) % 2 = 1
+       |ORDER BY p.event_id, n.country""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "geo_wkt_join" -> wktJoinOracleSql,
     "geo_poly_join" -> polyJoinOracleSql,
     "geo_geodesic" -> geodesicOracleSql,
     "geo_xzcode" -> xzOracleSql,

@@ -1,0 +1,93 @@
+package graft
+
+import graft.functions.Geo
+import graft.sources.WktBoundaries
+import org.apache.spark.sql.functions._
+
+class WktSpec extends SparkSpec {
+
+  test("parseWkt: POLYGON with hole → two rings, closing vertex dropped") {
+    val mr = WktBoundaries.parseWkt(
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+    assert(mr.offs.toSeq === Seq(0, 4, 8))
+    assert(mr.xs.toSeq === Seq(0.0, 10, 10, 0, 4, 6, 6, 4))
+    assert(mr.ys.toSeq === Seq(0.0, 0, 10, 10, 4, 4, 6, 6))
+  }
+
+  test("parseWkt: MULTIPOLYGON with decimals and loose whitespace") {
+    val mr = WktBoundaries.parseWkt(
+      "MULTIPOLYGON ( ((7.954102 49.781264, 11.118164 49.781264, 11.118164 51.563412, 7.954102 49.781264)) ,  ((1.5 2.5, 3.5 2.5, 3.5 4.5, 1.5 2.5)) )")
+    assert(mr.offs.toSeq === Seq(0, 3, 6))
+    assert(mr.xs(0) === 7.954102 && mr.ys(2) === 51.563412)
+    assert(mr.xs(3) === 1.5 && mr.ys(5) === 4.5)
+  }
+
+  test("pointInRings: even-odd across shell, hole, and disjoint part") {
+    // square with a hole + a disjoint square
+    val mr = WktBoundaries.parseWkt(
+      "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4)), ((20 20, 30 20, 30 30, 20 30, 20 20)))")
+    def in(x: Double, y: Double) = Geo.pointInRings(x, y, mr.xs, mr.ys, mr.offs)
+    assert(in(2, 2), "in shell")
+    assert(!in(5, 5), "in hole → outside")
+    assert(in(25, 25), "in second part")
+    assert(!in(15, 15), "between parts")
+    assert(!in(-1, 5), "outside all")
+  }
+
+  test("grid cells: full-cell short-circuit only where provable, refine elsewhere") {
+    // concave L over a 10×10 cell grid: [0,30]×[0,30] minus (10,30]×(10,30]
+    val mr = WktBoundaries.parseWkt(
+      "POLYGON ((0 0, 30 0, 30 10, 10 10, 10 30, 0 30, 0 0))")
+    val cells = WktBoundaries.gridCells(Seq(("L", mr)), 10, 10, 100)
+    val byId = cells.map(c => (c.scid, c.full_cell)).toMap
+    // cell (1,0) = scid 1 spans [10,20]×[0,10]: all boundary-touching → partial
+    // the strictly-interior probe: no cell is strictly inside (every cell
+    // corner touches a ring edge) — so every kept cell is partial here
+    assert(cells.nonEmpty)
+    // the empty quadrant's interior cell (2,2) = scid 202 spans [20,30]×[20,30]:
+    // its edges touch the shell bbox? segment-bbox of edge (30 0)-(30 10) no;
+    // edge (10 10)-(10 30) has bbox x=10, y=[10,30] — touches cells x∈[10,?]…
+    // assert it is NOT full (it's outside)
+    assert(!byId.get(202L).exists(identity), "outside cell must not be full")
+    // shift the polygon so interior cells exist: [0,40]×[0,40] square
+    val sq = WktBoundaries.parseWkt("POLYGON ((0 0, 40 0, 40 40, 0 40, 0 0))")
+    val c2 = WktBoundaries.gridCells(Seq(("S", sq)), 10, 10, 100)
+    val full = c2.filter(_.full_cell).map(_.scid).toSet
+    // interior cells (1..2, 1..2): scids 101,102,201,202 are fully inside
+    assert(Set(101L, 102L, 201L, 202L).subsetOf(full))
+    // full rows carry no geometry (broadcast stays small)
+    assert(c2.filter(_.full_cell).forall(c => c.xs.isEmpty && c.offs.isEmpty))
+    // edge cells are partial
+    assert(c2.exists(c => !c.full_cell))
+  }
+
+  test("readCountryCsv: header detection (iso_a3 + wkt), reference rules") {
+    val p = java.nio.file.Files.createTempFile("graft_wkt", ".csv")
+    java.nio.file.Files.write(p,
+      ("ISO_A3;wkt\nDEU;POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))\n" +
+        "FRA;MULTIPOLYGON (((10 10, 12 10, 12 12, 10 12, 10 10)))\n").getBytes)
+    val feats = WktBoundaries.readCountryCsv(p.toString)
+    assert(feats.map(_._1) === Seq("DEU", "FRA"))
+    assert(feats.head._2.offs.toSeq === Seq(0, 4))
+  }
+
+  test("geo_wkt_join matches a brute-force multi-ring ray-cast (no grid)") {
+    val out = operators.Geometry.geoWktJoin(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    // brute force: every (point, country) pair, pure refine
+    val csv = operators.Geometry.wktCountryFixture(spark, sfDir)
+    val feats = WktBoundaries.readCountryCsv(csv)
+    val pts = Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        ((col("event_id") * 7919) % 36000).as("xi"),
+        ((col("event_id") * 104729) % 18000).as("yi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      (id, x, y) <- pts
+      (c, mr) <- feats
+      if Geo.pointInRings(x.toDouble, y.toDouble, mr.xs, mr.ys, mr.offs)
+    } yield (id, c)).toSet
+    assert(out === brute)
+    assert(out.nonEmpty, "some points must land inside the fixture polygons")
+  }
+}
