@@ -23,10 +23,71 @@ import org.apache.spark.sql.functions._
   */
 object Contributions {
 
+  // ---- shared Spark/DuckDB SQL fragments for the geometry attributes ----
+  // The reference emits bbox, centroid, geometry_type, length(+delta),
+  // area(+delta) per contribution (ContributionsAvroConverter.java:150-164,
+  // :119-166), recomputing the geometry per version. Here the evolving
+  // entity geometry is the prefix of its points, so every attribute is an
+  // O(1) window increment on the SAME entity exchange — no per-version
+  // array rebuild. The formulas are the geodesic kernels' math
+  // (GeometryTools.java:43-61 length, :203-240 area) with the same
+  // fixed-point snapping as geo_geodesic (SURVEY §3.7): identical text
+  // runs on both engines.
+  private val SF = "pow(1.0 - 1.0/298.257223563, 1.5)"
+
+  private def sin9(lat: String): String =
+    s"(round(((1.0 - 1.0/298.257223563) * tan(radians($lat)) / " +
+      s"sqrt((1.0 - 1.0/298.257223563) * tan(radians($lat)) * " +
+      s"(1.0 - 1.0/298.257223563) * tan(radians($lat)) + 1.0)) * 1000000000.0) / 1000000000.0)"
+
+  /** Per-step geodesic length in mm (flattening-corrected equirectangular,
+    * as graft.functions.Geo.geodesicLengthMm) — prefix length is its
+    * cumulative sum, and length_delta IS the step.
+    */
+  private val stepMmSql: String =
+    s"""CASE WHEN plon IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(round(
+       |  (sqrt(
+       |     ((radians(lon_d) - radians(plon))
+       |        * cos((atan($SF * tan(radians(lat_d))) + atan($SF * tan(radians(plat)))) / 2))
+       |     * ((radians(lon_d) - radians(plon))
+       |        * cos((atan($SF * tan(radians(lat_d))) + atan($SF * tan(radians(plat)))) / 2))
+       |     + (atan($SF * tan(radians(lat_d))) - atan($SF * tan(radians(plat))))
+       |     * (atan($SF * tan(radians(lat_d))) - atan($SF * tan(radians(plat)))))
+       |   * 6371000.0) * 1000.0) AS BIGINT) END""".stripMargin
+
+  /** Chamberlain-Duquette ring-area terms over the point prefix, split so
+    * each row is an O(1) window increment: the kernel's term for interior
+    * vertex i uses fixed neighbors (i-1, i+1) — accumulated once per row —
+    * while the two ring-closure terms (first and last vertex, whose
+    * neighbors wrap) are recomputed per prefix from first/second/last
+    * values. Terms are fixed-point 1e-9 BIGINTs exactly like
+    * Geo.geodesicAreaM2.
+    */
+  private val u9Sql: String =
+    s"""CASE WHEN osm_version >= 3 THEN CAST(round(
+       |  radians(lon_d - lag2_lon) * ${sin9("plat")} * 1000000000.0) AS BIGINT)
+       |  ELSE CAST(0 AS BIGINT) END""".stripMargin
+  private val b09Sql: String =
+    s"""CASE WHEN osm_version >= 3 THEN CAST(round(
+       |  radians(nth2_lon - lon_d) * ${sin9("first_lat")} * 1000000000.0) AS BIGINT)
+       |  ELSE CAST(0 AS BIGINT) END""".stripMargin
+  private val bk9Sql: String =
+    s"""CASE WHEN osm_version >= 3 THEN CAST(round(
+       |  radians(first_lon - plon) * ${sin9("lat_d")} * 1000000000.0) AS BIGINT)
+       |  ELSE CAST(0 AS BIGINT) END""".stripMargin
+  private val areaM2Sql: String = {
+    val cosM9 = "(round(cos(radians((ymax_c + ymin_c) / 2)) * 1000000000.0) / 1000000000.0)"
+    s"""CASE WHEN osm_version < 3 THEN CAST(0 AS BIGINT) ELSE CAST(round(abs(
+       |  ((interior9 + b0_9 + bk_9) / 1000000000.0)
+       |  * (0.5 * 6378137.0 * 6378137.0
+       |     * (1.0 - 1.0/298.257223563 * $cosM9 * $cosM9)))) AS BIGINT) END""".stripMargin
+  }
+
   def contribFull(s: SparkSession, dir: String): DataFrame = {
     GeoFunctions.register(s)
     val byEntity = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val entityAll = Window.partitionBy("user_id")
+    val cumFrame = byEntity.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val e = Tables.events(s, dir)
       .withColumn("ts_us", expr("ts div 1000"))
@@ -60,6 +121,39 @@ object Contributions {
       .withColumn("wkb", call_function("wkb_point",
         col("lon_i").cast("double"), col("lat_i").cast("double")))
       .withColumn("cell", expr("((lat_i + 90) div 36) * 5 + ((lon_i + 180) div 72)"))
+      // geometry attributes of the evolving entity geometry (point prefix):
+      // bbox / centroid / geodesic length + area with deltas — reference
+      // row width (ContributionsAvroConverter.java:150-164), all on the
+      // same entity exchange (cumFrame windows share byEntity's sort)
+      .withColumn("lon_d", col("lon_i").cast("double"))
+      .withColumn("lat_d", col("lat_i").cast("double"))
+      .withColumn("plon", lag("lon_d", 1).over(byEntity))
+      .withColumn("plat", lag("lat_d", 1).over(byEntity))
+      .withColumn("lag2_lon", lag("lon_d", 2).over(byEntity))
+      .withColumn("first_lon", first("lon_d").over(cumFrame))
+      .withColumn("first_lat", first("lat_d").over(cumFrame))
+      .withColumn("nth2_lon", nth_value(col("lon_d"), 2).over(cumFrame))
+      .withColumn("ymin_c", min("lat_d").over(cumFrame))
+      .withColumn("ymax_c", max("lat_d").over(cumFrame))
+      .withColumn("bbox_xmin", min("lon_i").over(cumFrame))
+      .withColumn("bbox_ymin", min("lat_i").over(cumFrame))
+      .withColumn("bbox_xmax", max("lon_i").over(cumFrame))
+      .withColumn("bbox_ymax", max("lat_i").over(cumFrame))
+      .withColumn("centroid_x", sum("lon_i").over(cumFrame).cast("double") / col("osm_version"))
+      .withColumn("centroid_y", sum("lat_i").over(cumFrame).cast("double") / col("osm_version"))
+      .withColumn("step_mm", expr(stepMmSql))
+      .withColumn("length_mm", sum("step_mm").over(cumFrame))
+      .withColumn("u9", expr(u9Sql))
+      .withColumn("interior9", sum("u9").over(cumFrame))
+      .withColumn("b0_9", expr(b09Sql))
+      .withColumn("bk_9", expr(bk9Sql))
+      .withColumn("area_m2", expr(areaM2Sql))
+      .withColumn("area_delta_m2",
+        col("area_m2") - coalesce(lag("area_m2", 1).over(byEntity), lit(0L)))
+      .withColumn("geometry_type",
+        when(col("osm_version") === 1, "Point")
+          .when(col("osm_version") === 2, "LineString")
+          .otherwise("Polygon"))
 
     // changeset struct: full-frame windows over (user_id, cs_seq) —
     // hash-clustering on user_id already satisfies the finer partition
@@ -89,9 +183,12 @@ object Contributions {
         col("osm_edits"), col("osm_last_edit"), col("user_name"),
         col("cs_seq"), col("cs_created_at"), col("cs_closed_at"),
         col("cs_num_changes"),
-        col("lon_i").cast("double").as("lon_d"),
-        col("lat_i").cast("double").as("lat_d"),
-        col("wkb"), col("country"))
+        col("lon_d"), col("lat_d"),
+        col("wkb"), col("country"), col("geometry_type"),
+        col("bbox_xmin"), col("bbox_ymin"), col("bbox_xmax"), col("bbox_ymax"),
+        col("centroid_x"), col("centroid_y"),
+        col("length_mm"), col("step_mm").as("length_delta_mm"),
+        col("area_m2"), col("area_delta_m2"))
       .orderBy("osm_id", "osm_version")
   }
 
@@ -170,9 +267,42 @@ object Contributions {
        |    lag(props, 1) OVER w AS prev_props,
        |    lag(value, 1) OVER w AS prev_value,
        |    count(*) OVER (PARTITION BY user_id) AS osm_edits,
-       |    max(ts_us) OVER (PARTITION BY user_id) AS osm_last_edit
+       |    max(ts_us) OVER (PARTITION BY user_id) AS osm_last_edit,
+       |    CAST(lon_i AS DOUBLE) AS lon_d, CAST(lat_i AS DOUBLE) AS lat_d,
+       |    lag(CAST(lon_i AS DOUBLE), 1) OVER w AS plon,
+       |    lag(CAST(lat_i AS DOUBLE), 1) OVER w AS plat,
+       |    lag(CAST(lon_i AS DOUBLE), 2) OVER w AS lag2_lon,
+       |    first_value(CAST(lon_i AS DOUBLE)) OVER wc AS first_lon,
+       |    first_value(CAST(lat_i AS DOUBLE)) OVER wc AS first_lat,
+       |    nth_value(CAST(lon_i AS DOUBLE), 2) OVER wc AS nth2_lon,
+       |    min(CAST(lat_i AS DOUBLE)) OVER wc AS ymin_c,
+       |    max(CAST(lat_i AS DOUBLE)) OVER wc AS ymax_c,
+       |    CAST(min(lon_i) OVER wc AS BIGINT) AS bbox_xmin,
+       |    CAST(min(lat_i) OVER wc AS BIGINT) AS bbox_ymin,
+       |    CAST(max(lon_i) OVER wc AS BIGINT) AS bbox_xmax,
+       |    CAST(max(lat_i) OVER wc AS BIGINT) AS bbox_ymax,
+       |    CAST(sum(lon_i) OVER wc AS DOUBLE) AS clon_sum,
+       |    CAST(sum(lat_i) OVER wc AS DOUBLE) AS clat_sum
        |  FROM sess
-       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id),
+       |         wc AS (PARTITION BY user_id ORDER BY ts_us, event_id
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |geo1 AS (
+       |  SELECT *, $stepMmSql AS step_mm, $u9Sql AS u9, $b09Sql AS b0_9, $bk9Sql AS bk_9
+       |  FROM vers),
+       |geo2 AS (
+       |  SELECT *,
+       |    CAST(sum(step_mm) OVER wc AS BIGINT) AS length_mm,
+       |    CAST(sum(u9) OVER wc AS BIGINT) AS interior9
+       |  FROM geo1
+       |  WINDOW wc AS (PARTITION BY user_id ORDER BY ts_us, event_id
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |geo3 AS (SELECT *, $areaM2Sql AS area_m2 FROM geo2),
+       |geo4 AS (
+       |  SELECT *,
+       |    area_m2 - coalesce(lag(area_m2, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id),
+       |                       CAST(0 AS BIGINT)) AS area_delta_m2
+       |  FROM geo3),
        |cs AS (
        |  SELECT user_id, cs_seq, min(ts_us) AS cs_created_at,
        |    max(ts_us) AS cs_closed_at, count(*) AS cs_num_changes
@@ -192,9 +322,17 @@ object Contributions {
        |  v.props AS tags_raw, v.prev_props AS tags_before,
        |  v.osm_edits, v.osm_last_edit, c_name AS user_name,
        |  v.cs_seq, cs.cs_created_at, cs.cs_closed_at, cs.cs_num_changes,
-       |  CAST(v.lon_i AS DOUBLE) AS lon_d, CAST(v.lat_i AS DOUBLE) AS lat_d,
-       |  w.wkb, n_name AS country
-       |FROM vers v
+       |  v.lon_d, v.lat_d,
+       |  w.wkb, n_name AS country,
+       |  CASE WHEN v.osm_version = 1 THEN 'Point'
+       |       WHEN v.osm_version = 2 THEN 'LineString'
+       |       ELSE 'Polygon' END AS geometry_type,
+       |  v.bbox_xmin, v.bbox_ymin, v.bbox_xmax, v.bbox_ymax,
+       |  v.clon_sum / v.osm_version AS centroid_x,
+       |  v.clat_sum / v.osm_version AS centroid_y,
+       |  v.length_mm, v.step_mm AS length_delta_mm,
+       |  v.area_m2, v.area_delta_m2
+       |FROM geo4 v
        |JOIN wkbs w ON w.event_id = v.event_id
        |JOIN cs ON cs.user_id = v.user_id AND cs.cs_seq = v.cs_seq
        |LEFT JOIN customer ON v.user_id = c_custkey
