@@ -75,13 +75,56 @@ object Contributions {
     s"""CASE WHEN osm_version >= 3 THEN CAST(round(
        |  radians(first_lon - plon) * ${sin9("lat_d")} * 1000000000.0) AS BIGINT)
        |  ELSE CAST(0 AS BIGINT) END""".stripMargin
-  private val areaM2Sql: String = {
-    val cosM9 = "(round(cos(radians((ymax_c + ymin_c) / 2)) * 1000000000.0) / 1000000000.0)"
-    s"""CASE WHEN osm_version < 3 THEN CAST(0 AS BIGINT) ELSE CAST(round(abs(
-       |  ((interior9 + b0_9 + bk_9) / 1000000000.0)
-       |  * (0.5 * 6378137.0 * 6378137.0
-       |     * (1.0 - 1.0/298.257223563 * $cosM9 * $cosM9)))) AS BIGINT) END""".stripMargin
-  }
+  // Integer-exact area tail (round-5 fix for the r4 hash regression): the
+  // old tail multiplied the exact BIGINT ring sum by a double multiplier and
+  // rounded the product to 1 m² at ~1e13 magnitudes — demanding cross-engine
+  // double agreement tighter than libm guarantees. Now the ONLY
+  // transcendental is cos(), snapped once to a 1e-9 integer (c9); everything
+  // after is exact wide-integer arithmetic that both engines compute
+  // bit-identically. Derivation (scales in brackets):
+  //   c9   = round(cos(mid_lat) * 1e9)                  [1e9,  BIGINT]
+  //   u    = 1e33 - 3352810664747 * c9²                 [(1-f·c²)·1e33]
+  //          (3352810664747 = round(1e15/298.257223563), f snapped at 1e15)
+  //   v    = u div 1e15                                 [(1-f·c²)·1e18, ≤1e18]
+  //   w    = 40680631590769 * v   (= 6378137²)          [2M·1e18, ≤4.1e31]
+  //   w2   = w div 1e6                                  [2M·1e12, ≤4.1e25]
+  //   x    = |ring9| * w2                               [area·2e21, ≤5.3e35]
+  //   area = (x + 1e21) div 2e21                        [m², half-up, BIGINT]
+  // Max intermediate 5.3e35 < DECIMAL(38,0) / HUGEINT range. Precision lost
+  // to the two staged divs ≤ 3e-4 m² — four orders under the 1 m² output
+  // granularity. Spark carries wide values as DECIMAL(38,0) internally
+  // (SURVEY §3 rule 0 bans only DECIMAL *output*); DuckDB uses HUGEINT.
+  private val c9Sql: String =
+    "CAST(round(cos(radians((ymax_c + ymin_c) / 2)) * 1000000000.0) AS BIGINT)"
+
+  // Spark side stages the pipeline as columns (Catalyst folds them into one
+  // codegen'd projection); `div` (IntegralDivide → BIGINT) is used where the
+  // quotient fits a long, the subtract-remainder identity
+  // (w - w % 1e6) / 1e6 — an exactly-divisible decimal division — where it
+  // does not.
+  private val areaVSql: String =
+    s"""(CAST(1000000000000000000000000000000000 AS DECIMAL(38,0))
+       | - CAST(3352810664747 AS DECIMAL(38,0))
+       |   * CAST($c9Sql * $c9Sql AS DECIMAL(38,0))) div 1000000000000000""".stripMargin
+  private val areaW2Sql: String =
+    """CAST((area_w - area_w % 1000000) / 1000000 AS DECIMAL(32,0))"""
+  private val areaM2SparkSql: String =
+    """CASE WHEN osm_version < 3 THEN CAST(0 AS BIGINT) ELSE
+      |  (CAST(abs(interior9 + b0_9 + bk_9) AS DECIMAL(38,0)) * area_w2
+      |   + CAST(1000000000000000000000 AS DECIMAL(38,0)))
+      |  div 2000000000000000000000 END""".stripMargin
+
+  private val areaM2DuckSql: String =
+    s"""CASE WHEN osm_version < 3 THEN CAST(0 AS BIGINT) ELSE CAST(
+       |  (CAST(abs(interior9 + b0_9 + bk_9) AS HUGEINT)
+       |     * ((CAST(40680631590769 AS HUGEINT)
+       |         * ((CAST(1000000000000000000000000000000000 AS HUGEINT)
+       |             - CAST(3352810664747 AS HUGEINT)
+       |               * CAST($c9Sql * $c9Sql AS HUGEINT))
+       |            // 1000000000000000))
+       |        // 1000000)
+       |   + 1000000000000000000000)
+       |  // 2000000000000000000000 AS BIGINT) END""".stripMargin
 
   def contribFull(s: SparkSession, dir: String): DataFrame = {
     GeoFunctions.register(s)
@@ -147,7 +190,10 @@ object Contributions {
       .withColumn("interior9", sum("u9").over(cumFrame))
       .withColumn("b0_9", expr(b09Sql))
       .withColumn("bk_9", expr(bk9Sql))
-      .withColumn("area_m2", expr(areaM2Sql))
+      .withColumn("area_w", expr(
+        s"CAST(40680631590769 AS DECIMAL(38,0)) * CAST(($areaVSql) AS DECIMAL(38,0))"))
+      .withColumn("area_w2", expr(areaW2Sql))
+      .withColumn("area_m2", expr(areaM2SparkSql))
       .withColumn("area_delta_m2",
         col("area_m2") - coalesce(lag("area_m2", 1).over(byEntity), lit(0L)))
       .withColumn("geometry_type",
@@ -297,7 +343,7 @@ object Contributions {
        |  FROM geo1
        |  WINDOW wc AS (PARTITION BY user_id ORDER BY ts_us, event_id
        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-       |geo3 AS (SELECT *, $areaM2Sql AS area_m2 FROM geo2),
+       |geo3 AS (SELECT *, $areaM2DuckSql AS area_m2 FROM geo2),
        |geo4 AS (
        |  SELECT *,
        |    area_m2 - coalesce(lag(area_m2, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id),
