@@ -28,6 +28,9 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
           }
         val dt = (System.nanoTime() - t0) / 1e9
+        // sweep checkpoint/cache blocks OUTSIDE the timed region: leaked
+        // storage must not tax later queries (BENCH_r04 regressions)
+        GraftSession.releaseStorage(spark)
         if (ok) dt else -dt
       }
       // negative elapsed = failure marker: a failing query must not be

@@ -13,6 +13,20 @@ import org.apache.spark.sql.SparkSession
   *   shuffle partitions are sized to cores (set by the caller).
   */
 object GraftSession {
+
+  /** Drops every persisted RDD still registered with the session — the
+    * between-queries sweep for Verify/Bench. Queries that `localCheckpoint`
+    * intermediates (Dedup's `releasing`) leave the checkpoint blocks in
+    * block-manager storage until the RDD is GC'd; across a 61-query × 3-rep
+    * session those blocks accumulate into eviction/GC thrash that taxes
+    * unrelated queries (BENCH_r04: text_tokens 5.4×). Safe after the sink
+    * has consumed a result: every query rebuilds its frames from the source
+    * tables, so no persisted RDD outlives its own query on purpose.
+    */
+  def releaseStorage(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+
   def builder(master: String, shufflePartitions: String): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
