@@ -310,7 +310,12 @@ object Geometry {
     val cells = graft.sources.WktBoundaries.gridCells(feats, 1200, 600, 30)
     val cellsDf = s.createDataFrame(cells)
     points(s, dir)
-      .withColumn("scid", expr("(yi div 600) * 30 + (xi div 1200)"))
+      // floor-division cell id: `div` truncates toward zero and would
+      // disagree with WktBoundaries.gridCells' math.floor for negative
+      // coordinates — real lon/lat boundary files are signed even though
+      // this fixture happens to be all-positive
+      .withColumn("scid", expr(
+        "CAST(floor(yi / 600.0) AS BIGINT) * 30 + CAST(floor(xi / 1200.0) AS BIGINT)"))
       .join(broadcast(cellsDf), Seq("scid"))
       .filter(col("full_cell") || call_function("point_in_rings",
         col("xi").cast("double"), col("yi").cast("double"),

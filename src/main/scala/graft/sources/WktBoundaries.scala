@@ -101,10 +101,16 @@ object WktBoundaries {
         .flatMap(n => cols.indices.find(cols(_).startsWith(n))).headOption
         .getOrElse(throw new IllegalArgumentException(
           "could not find a valid id header [id*, iso*, name*]"))
+      val needed = math.max(idIdx, geomIdx) + 1
       Iterator.continually(reader.readLine()).takeWhile(_ != null)
-        .filter(_.nonEmpty)
-        .map { line =>
+        .zipWithIndex // before the empty-line filter so i+2 = 1-based file line
+        .filter(_._1.nonEmpty)
+        .map { case (line, i) =>
           val row = line.split(";")
+          if (row.length < needed)
+            throw new IllegalArgumentException(
+              s"$path: data row ${i + 2} has ${row.length} field(s), " +
+                s"need ${needed}: '${line.take(120)}'")
           (row(idIdx), parseWkt(row(geomIdx)))
         }
         .toVector

@@ -71,6 +71,16 @@ class WktSpec extends SparkSpec {
     assert(feats.head._2.offs.toSeq === Seq(0, 4))
   }
 
+  test("readCountryCsv: malformed data row fails with file and line context") {
+    val p = java.nio.file.Files.createTempFile("graft_wkt_bad", ".csv")
+    java.nio.file.Files.write(p,
+      "id;geometry\nDEU;POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))\nFRA\n".getBytes)
+    val e = intercept[IllegalArgumentException] {
+      WktBoundaries.readCountryCsv(p.toString)
+    }
+    assert(e.getMessage.contains(p.toString) && e.getMessage.contains("row 3"))
+  }
+
   test("geo_wkt_join matches a brute-force multi-ring ray-cast (no grid)") {
     val out = operators.Geometry.geoWktJoin(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(3))).toSet
