@@ -1,0 +1,116 @@
+package graft
+
+import graft.operators.{Replication, ReplicationCatchup}
+import graft.sources.OsmXml
+import org.apache.spark.sql.functions._
+
+/** Catch-up sequencing: ordered multi-diff application with persisted
+  * sequence state and idempotent crash-resume
+  * (ReplicationManager.java / ContributionStateManager.java semantics).
+  */
+class ReplicationCatchupSpec extends SparkSpec {
+
+  private def osc(body: String): String =
+    s"""<?xml version="1.0"?>
+       |<osmChange version="0.6">
+       |$body
+       |</osmChange>""".stripMargin
+
+  // three minutely diffs; entity 1 is touched in diff 1 AND diff 3
+  private val diff1 = osc(
+    """ <create>
+      |  <node id="1" version="1" timestamp="2024-01-21T00:00:00Z" changeset="7" uid="9" user="bob" lat="52.5" lon="13.4"><tag k="k" v="1"/></node>
+      |  <node id="2" version="1" timestamp="2024-01-21T00:00:30Z" changeset="7" uid="9" user="bob" lat="48.1" lon="11.6"/>
+      | </create>""".stripMargin)
+  private val diff2 = osc(
+    """ <create>
+      |  <node id="3" version="1" timestamp="2024-01-21T00:01:00Z" changeset="8" uid="9" user="bob" lat="50.9" lon="6.9"/>
+      | </create>""".stripMargin)
+  private val diff3 = osc(
+    """ <modify>
+      |  <node id="1" version="2" timestamp="2024-01-21T00:02:00Z" changeset="9" uid="9" user="bob" lat="52.6" lon="13.4"><tag k="k" v="2"/></node>
+      | </modify>
+      | <delete>
+      |  <node id="2" version="2" timestamp="2024-01-21T00:02:30Z" changeset="9" uid="9" user="bob"/>
+      | </delete>""".stripMargin)
+
+  private def writeDiffs(dir: java.nio.file.Path, diffs: (Int, String)*): Unit =
+    diffs.foreach { case (seq, xml) =>
+      java.nio.file.Files.writeString(dir.resolve(s"$seq.osc"), xml)
+    }
+
+  /** One-shot rebuild over the same three diffs — the equality target. */
+  private def oneShot(replDir: String) =
+    Replication.versionChains(
+      Replication.oscAsEvents(OsmXml.readOsc(spark, replDir + "/*.osc")))
+
+  private def collectContribs(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("osm_id", "osm_version").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        Option(r.get(3)), r.getString(4), r.getString(5))).toSeq
+
+  test("3 sequential diffs apply in order; result equals a one-shot rebuild") {
+    val repl = java.nio.file.Files.createTempDirectory("graft-cu-repl")
+    val store = java.nio.file.Files.createTempDirectory("graft-cu-store")
+    writeDiffs(repl, 1 -> diff1, 2 -> diff2, 3 -> diff3)
+
+    val n = ReplicationCatchup.catchUp(spark, repl.toString, store.toString)
+    assert(n === 3L)
+    assert(ReplicationCatchup.readState(store.toString).map(_.sequenceNumber) === Some(3L))
+    assert(collectContribs(ReplicationCatchup.currentContributions(spark, store.toString))
+      === collectContribs(oneShot(repl.toString)))
+    // per-diff emitted outputs exist, and diff 3's covers both touched entities
+    val out3 = spark.read.parquet(s"$store/out/seq=3")
+    assert(out3.select("osm_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L))
+    // idempotent no-op when already caught up
+    assert(ReplicationCatchup.catchUp(spark, repl.toString, store.toString) === 0L)
+  }
+
+  test("crash between data write and state write resumes idempotently") {
+    val repl = java.nio.file.Files.createTempDirectory("graft-cu-repl2")
+    val store = java.nio.file.Files.createTempDirectory("graft-cu-store2")
+    writeDiffs(repl, 1 -> diff1, 2 -> diff2, 3 -> diff3)
+
+    assert(ReplicationCatchup.catchUp(spark, repl.toString, store.toString, maxSteps = 1) === 1L)
+
+    // simulate a crash mid-step 2: the event batch landed but state.txt was
+    // never bumped — the bookmark still says sequence 1
+    Replication.oscAsEvents(OsmXml.readOsc(spark, repl.resolve("2.osc").toString))
+      .select("user_id", "ts_us", "event_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$store/events/batch=2")
+    assert(ReplicationCatchup.readState(store.toString).map(_.sequenceNumber) === Some(1L))
+
+    // resume: re-applies 2 (overwriting the orphan batch, not doubling it), then 3
+    assert(ReplicationCatchup.catchUp(spark, repl.toString, store.toString) === 2L)
+    assert(ReplicationCatchup.readState(store.toString).map(_.sequenceNumber) === Some(3L))
+    assert(collectContribs(ReplicationCatchup.currentContributions(spark, store.toString))
+      === collectContribs(oneShot(repl.toString)))
+  }
+
+  test("sequence gaps stop the catch-up; maxSteps bounds a run") {
+    val repl = java.nio.file.Files.createTempDirectory("graft-cu-repl3")
+    val store = java.nio.file.Files.createTempDirectory("graft-cu-store3")
+    writeDiffs(repl, 1 -> diff1, 3 -> diff3) // 2 missing
+
+    assert(ReplicationCatchup.catchUp(spark, repl.toString, store.toString) === 1L)
+    assert(ReplicationCatchup.readState(store.toString).map(_.sequenceNumber) === Some(1L))
+
+    // the gap fills in → the rest applies, capped at one step per call
+    writeDiffs(repl, 2 -> diff2)
+    assert(ReplicationCatchup.catchUp(spark, repl.toString, store.toString, maxSteps = 1) === 1L)
+    assert(ReplicationCatchup.readState(store.toString).map(_.sequenceNumber) === Some(2L))
+    assert(ReplicationCatchup.catchUp(spark, repl.toString, store.toString) === 1L)
+    assert(collectContribs(ReplicationCatchup.currentContributions(spark, store.toString))
+      === collectContribs(oneShot(repl.toString)))
+  }
+
+  test("grouped sequence paths (000/000/042.osc) are discovered and ordered") {
+    val repl = java.nio.file.Files.createTempDirectory("graft-cu-repl4")
+    val d = repl.resolve("000/000")
+    java.nio.file.Files.createDirectories(d)
+    java.nio.file.Files.writeString(d.resolve("002.osc"), diff2)
+    java.nio.file.Files.writeString(d.resolve("001.osc"), diff1)
+    assert(ReplicationCatchup.listDiffs(repl.toString).map(_._1) === Seq(1L, 2L))
+  }
+}
