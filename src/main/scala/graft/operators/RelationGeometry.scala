@@ -9,10 +9,15 @@ import scala.collection.mutable.ArrayBuffer
 case class MemberLine(rel_id: Long, way_id: Long,
     lons: Array[Double], lats: Array[Double])
 
-/** Assembled relation geometry. */
+/** Assembled relation geometry. `valid` = false when the ring set would
+  * enter the reference's repair/throw paths (GeometryBuilder.java:52-110):
+  * a self-intersecting ring, a repeated vertex, or two rings that touch,
+  * share a vertex, or overlap. Repair itself stays out of scope — the flag
+  * makes the condition visible instead of silently emitting bad WKB.
+  */
 case class RelationRings(rel_id: Long, n_ways: Int, n_rings: Int,
     n_shells: Int, n_holes: Int, closed: Boolean, n_points: Int,
-    area_deg2: Double, wkb: String)
+    area_deg2: Double, wkb: String, valid: Boolean)
 
 /** Relation (multi)polygon assembly — the osm-geometry ring-stitching +
   * shell/hole classification analog: member ways chain end-to-end (either
@@ -78,6 +83,69 @@ object RelationGeometry {
       i += 1
     }
     math.abs(acc) / 2.0
+  }
+
+  // ---- ring validity (GeometryBuilder.java:52-110 trigger conditions) --
+
+  private def orient(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double): Double =
+    (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+  private def onSegment(ax: Double, ay: Double, bx: Double, by: Double,
+      px: Double, py: Double): Boolean =
+    math.min(ax, bx) <= px && px <= math.max(ax, bx) &&
+      math.min(ay, by) <= py && py <= math.max(ay, by)
+
+  /** Whether segments (a,b) and (c,d) share any point — proper crossing,
+    * endpoint touch, or collinear overlap (the standard orientation test).
+    */
+  def segmentsIntersect(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
+    val o1 = orient(ax, ay, bx, by, cx, cy)
+    val o2 = orient(ax, ay, bx, by, dx, dy)
+    val o3 = orient(cx, cy, dx, dy, ax, ay)
+    val o4 = orient(cx, cy, dx, dy, bx, by)
+    if (((o1 > 0) != (o2 > 0)) && ((o3 > 0) != (o4 > 0)) &&
+      o1 != 0 && o2 != 0 && o3 != 0 && o4 != 0) true
+    else (o1 == 0 && onSegment(ax, ay, bx, by, cx, cy)) ||
+      (o2 == 0 && onSegment(ax, ay, bx, by, dx, dy)) ||
+      (o3 == 0 && onSegment(cx, cy, dx, dy, ax, ay)) ||
+      (o4 == 0 && onSegment(cx, cy, dx, dy, bx, by))
+  }
+
+  /** Self-intersection test for one CLOSED ring (closing vertex included in
+    * the input): a repeated vertex (bowtie-at-node / self-touch) or any two
+    * non-adjacent edges sharing a point. O(n²) — per-relation small-N work,
+    * same cost class as the reference's JTS intersection checks.
+    */
+  def ringSelfIntersects(xs: Seq[Double], ys: Seq[Double]): Boolean = {
+    val n = xs.length - 1 // open-ring vertex/edge count; edge i = (i, i+1 mod n)
+    if (n < 3) return true
+    val seen = scala.collection.mutable.HashSet[(Double, Double)]()
+    for (i <- 0 until n) if (!seen.add((xs(i), ys(i)))) return true
+    for (i <- 0 until n; j <- i + 2 until n if !(i == 0 && j == n - 1)) {
+      if (segmentsIntersect(xs(i), ys(i), xs(i + 1), ys(i + 1),
+        xs(j), ys(j), xs(j + 1), ys(j + 1))) return true
+    }
+    false
+  }
+
+  /** Whether two closed rings share any point (vertex or edge contact) —
+    * the touching/overlapping-polygons condition the reference repairs or
+    * rejects.
+    */
+  def ringsTouch(ax: Seq[Double], ay: Seq[Double],
+      bx: Seq[Double], by: Seq[Double]): Boolean = {
+    val na = ax.length - 1
+    val nb = bx.length - 1
+    val bVerts = (0 until nb).map(i => (bx(i), by(i))).toSet
+    if ((0 until na).exists(i => bVerts((ax(i), ay(i))))) return true
+    (0 until na).exists { i =>
+      (0 until nb).exists { j =>
+        segmentsIntersect(ax(i), ay(i), ax(i + 1), ay(i + 1),
+          bx(j), by(j), bx(j + 1), by(j + 1))
+      }
+    }
   }
 
   /** One classified shell with its direct holes (ring = coordinate pair). */
@@ -151,9 +219,16 @@ object RelationGeometry {
         val wkb =
           if (polys.length > 1) graft.functions.Geo.wkbMultiPolygonHex(polys)
           else graft.functions.Geo.wkbPolygonHex(polys.headOption.getOrElse(Seq.empty))
+        val closedOnly = rings.filter(_._3)
+        val valid = rings.nonEmpty && rings.forall(_._3) &&
+          !closedOnly.exists(r => ringSelfIntersects(r._1.toSeq, r._2.toSeq)) &&
+          !closedOnly.combinations(2).exists { case Seq(a, b) =>
+            ringsTouch(a._1.toSeq, a._2.toSeq, b._1.toSeq, b._2.toSeq)
+          }
         RelationRings(relId, ways.length, rings.length,
           shells.length, shells.map(_.holes.length).sum,
-          rings.nonEmpty && rings.forall(_._3), rings.map(_._1.length).sum, area, wkb)
+          rings.nonEmpty && rings.forall(_._3), rings.map(_._1.length).sum, area, wkb,
+          valid)
       }
   }
 }

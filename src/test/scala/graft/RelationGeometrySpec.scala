@@ -70,6 +70,50 @@ class RelationGeometrySpec extends SparkSpec {
     assert(r.n_rings === 2 && r.n_shells === 1 && r.n_holes === 1 && r.closed)
     assert(r.area_deg2 === 96.0) // 100 − 4
     assert(r.wkb.startsWith("0103000000" + "02000000"), "polygon WKB with 2 rings")
+    assert(r.valid, "a clean shell-with-hole relation is valid")
+  }
+
+  test("assemble: a bowtie (self-intersecting) ring flags valid=false") {
+    import spark.implicits._
+    val members = Seq((600L, 1L), (600L, 2L)).toDF("rel_id", "way_id")
+    // (0,0)→(2,0)→(0,2)→(2,2)→(0,0): edges (2,0)-(0,2) and (2,2)-(0,0) cross
+    val wayGeoms = Seq(
+      (1L, Array(0.0, 2.0, 0.0), Array(0.0, 0.0, 2.0)),
+      (2L, Array(0.0, 2.0, 0.0), Array(2.0, 2.0, 0.0)))
+      .toDF("way_id", "lons", "lats")
+    val r = RelationGeometry.assemble(members, wayGeoms).collect().head
+    assert(r.closed, "the bowtie still closes — it is the geometry that is bad")
+    assert(!r.valid, "self-intersecting ring must flag invalid")
+  }
+
+  test("assemble: two rings touching at a shared vertex flag valid=false") {
+    import spark.implicits._
+    val members = Seq((700L, 1L), (700L, 2L), (700L, 3L), (700L, 4L))
+      .toDF("rel_id", "way_id")
+    val wayGeoms = Seq(
+      // unit square (0,0)..(1,1) and square (1,1)..(2,2): corner contact at (1,1)
+      (1L, Array(0.0, 1.0, 1.0), Array(0.0, 0.0, 1.0)),
+      (2L, Array(1.0, 0.0, 0.0), Array(1.0, 1.0, 0.0)),
+      (3L, Array(1.0, 2.0, 2.0), Array(1.0, 1.0, 2.0)),
+      (4L, Array(2.0, 1.0, 1.0), Array(2.0, 2.0, 1.0)))
+      .toDF("way_id", "lons", "lats")
+    val r = RelationGeometry.assemble(members, wayGeoms).collect().head
+    assert(r.n_rings === 2 && r.closed)
+    assert(!r.valid, "shared-vertex touching rings must flag invalid")
+  }
+
+  test("assemble: disjoint shells and separated holes stay valid") {
+    import spark.implicits._
+    val members = Seq((800L, 1L), (800L, 2L), (800L, 3L), (800L, 4L))
+      .toDF("rel_id", "way_id")
+    val wayGeoms = Seq(
+      (1L, Array(0.0, 1.0, 1.0), Array(0.0, 0.0, 1.0)),
+      (2L, Array(1.0, 0.0, 0.0), Array(1.0, 1.0, 0.0)),
+      (3L, Array(5.0, 8.0, 8.0), Array(5.0, 5.0, 8.0)),
+      (4L, Array(8.0, 5.0, 5.0), Array(8.0, 8.0, 5.0)))
+      .toDF("way_id", "lons", "lats")
+    val r = RelationGeometry.assemble(members, wayGeoms).collect().head
+    assert(r.n_shells === 2 && r.valid)
   }
 
   test("assemble: two disjoint shells emit a multipolygon with summed area") {
