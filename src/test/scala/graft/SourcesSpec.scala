@@ -358,7 +358,7 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.count() === 1)
   }
 
-  test("geoparquet writer: binary WKB geometry, layout, and geo metadata sidecar") {
+  test("geoparquet writer: binary WKB geometry, layout, and footer geo metadata") {
     val df = operators.Geometry.geoWkb(spark, sfDir)
       .withColumn("status", when(col("event_id") % 2 === 0, "latest").otherwise("history"))
     val out = java.nio.file.Files.createTempDirectory("graft-geopq").toString
@@ -372,11 +372,29 @@ class SourcesSpec extends SparkSpec {
     val g = back.select("geometry").head().getAs[Array[Byte]](0)
     assert(g.length === 21 && g(0) === 1.toByte && g(1) === 1.toByte)
     assert(new java.io.File(s"$out/status=latest").exists())
-    val meta = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(out, "_geo_metadata.json")),
-      java.nio.charset.StandardCharsets.UTF_8)
-    assert(meta.contains("\"encoding\":\"WKB\"") &&
-      meta.contains("\"primary_column\":\"geometry\"") &&
-      meta.contains("CRS84") && meta.contains("\"bbox\":["))
+    // the `geo` JSON is embedded in EVERY part file's footer key-value
+    // metadata — where GeoParquet-aware footer-sniffing tools look
+    val conf = spark.sparkContext.hadoopConfiguration
+    val parts = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      .filter(p => p.toString.endsWith(".parquet")).iterator()
+    var nParts = 0
+    while (parts.hasNext) {
+      nParts += 1
+      val meta = GeoParquet.readFooterValue(conf, parts.next().toString, "geo")
+        .getOrElse(fail("part file missing footer geo metadata"))
+      assert(meta.contains("\"encoding\":\"WKB\"") &&
+        meta.contains("\"primary_column\":\"geometry\"") &&
+        meta.contains("CRS84") && meta.contains("\"bbox\":["))
+    }
+    assert(nParts > 0, "dataset must contain part files")
+    // no sidecar anymore — the footer is the contract
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(out, "_geo_metadata.json")))
+    // stamping is idempotent: a second pass replaces, not duplicates
+    GeoParquet.stampFooters(spark, out, "geo", "{\"version\":\"1.0.0\"}")
+    val restamped = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      .filter(p => p.toString.endsWith(".parquet")).iterator()
+    val v = GeoParquet.readFooterValue(conf, restamped.next().toString, "geo")
+    assert(v === Some("{\"version\":\"1.0.0\"}"))
   }
 }
