@@ -27,16 +27,20 @@ object Changesets {
 
   private val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
 
-  /** Events with a per-user session sequence number (gaps-and-islands). */
-  private def sessionized(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("gap_flag",
-        when(col("ts_us") - lag("ts_us", 1).over(byUser) > GapUs || lag("ts_us", 1).over(byUser).isNull, 1)
-          .otherwise(0))
+  /** Per-user session sequence numbers (gaps-and-islands) over any frame
+    * with `user_id`/`ts_us`/`event_id`.
+    */
+  private def sessionize(e: DataFrame): DataFrame =
+    e.withColumn("gap_flag",
+      when(col("ts_us") - lag("ts_us", 1).over(byUser) > GapUs || lag("ts_us", 1).over(byUser).isNull, 1)
+        .otherwise(0))
       .withColumn("cs_seq", sum("gap_flag").over(
         Window.partitionBy("user_id").orderBy("ts_us", "event_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+  /** Events with a per-user session sequence number. */
+  private def sessionized(s: SparkSession, dir: String): DataFrame =
+    sessionize(Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000")))
 
   /** Build changesets: session windows → created_at/closed_at/num_changes. */
   def csBuild(s: SparkSession, dir: String): DataFrame =
@@ -122,10 +126,54 @@ object Changesets {
     contribs.join(broadcast(cs), Seq("changeset"), "left")
   }
 
+  /** Persistent changeset store lifecycle + enrichment (`cs_db_enrich`):
+    * the ChangesetDB.java resumable-upsert path as a first-class store.
+    * Two incremental batches load a [[graft.sources.ChangesetStore]]:
+    *
+    *  1. changesets sessionized from events ≤ cut (the initial bulk load);
+    *  2. refreshed changesets for ONLY the users with post-cut events
+    *     (the incremental update), keyed (user_id, cs_seq).
+    *
+    * Latest-wins upsert of batch 2 provably reproduces the one-shot global
+    * sessionization: appending later events can only extend a user's last
+    * session or open new ones (gap flags of earlier edits are unchanged),
+    * so refreshed rows replace/extend and untouched users' batch-1 rows
+    * are already global. The committed store then broadcast-joins onto the
+    * edit stream — the fact side never shuffles for the enrichment, same
+    * as `enrichWithChangesetDb`.
+    */
+  def csDbEnrich(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ChangesetStore
+    val store = java.nio.file.Files.createTempDirectory("graft-cs-store").toString
+    val e = Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+    def changesets(ev: DataFrame): DataFrame =
+      sessionize(ev).groupBy("user_id", "cs_seq")
+        .agg(min("ts_us").as("created_at"), max("ts_us").as("closed_at"),
+          count(lit(1)).as("num_changes"))
+    val cut = Replication.CutUs
+    ChangesetStore.upsert(s, store, changesets(e.filter(col("ts_us") <= cut)),
+      Seq("user_id", "cs_seq"))
+    val touched = e.filter(col("ts_us") > cut).select("user_id").distinct()
+    ChangesetStore.upsert(s, store,
+      changesets(e.join(broadcast(touched), Seq("user_id"), "left_semi")),
+      Seq("user_id", "cs_seq"))
+    val cs = ChangesetStore.read(s, store).select(
+      col("user_id"), col("cs_seq"),
+      col("created_at").as("cs_created_at"),
+      col("closed_at").as("cs_closed_at"),
+      col("num_changes").as("cs_num_changes"))
+    sessionized(s, dir)
+      .join(broadcast(cs), Seq("user_id", "cs_seq"))
+      .select(col("event_id"), col("user_id"), col("cs_seq"),
+        col("cs_created_at"), col("cs_closed_at"), col("cs_num_changes"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cs_build" -> (csBuild _),
     "cs_hashtags" -> (csHashtags _),
-    "cs_enrich" -> (csEnrich _))
+    "cs_enrich" -> (csEnrich _),
+    "cs_db_enrich" -> (csDbEnrich _))
 
   private val sessionSql =
     """SELECT *, CAST(sum(gap_flag) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
@@ -155,6 +203,14 @@ object Changesets {
         |        t -> t[2:]),
         |      t -> length(t) >= 2 AND NOT regexp_full_match(t, '[0-9]+')))), ','), '') AS hashtags
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "cs_db_enrich" ->
+      s"""SELECT event_id, b.user_id, b.cs_seq, cs_created_at, cs_closed_at, cs_num_changes
+         |FROM ($sessionSql) b
+         |JOIN (SELECT user_id, cs_seq, min(ts_us) AS cs_created_at,
+         |        max(ts_us) AS cs_closed_at, count(*) AS cs_num_changes
+         |      FROM ($sessionSql) GROUP BY 1, 2) c
+         |  ON b.user_id = c.user_id AND b.cs_seq = c.cs_seq
+         |ORDER BY event_id""".stripMargin,
     "cs_enrich" ->
       s"""SELECT event_id, b.user_id, b.cs_seq, created_at, closed_at, num_changes,
          |  'editor/' || (b.user_id % 7) AS editor

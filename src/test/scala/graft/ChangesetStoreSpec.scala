@@ -1,0 +1,60 @@
+package graft
+
+import graft.sources.ChangesetStore
+import org.apache.spark.sql.functions._
+
+/** Versioned-snapshot upsert store lifecycle (ChangesetDB.java analog). */
+class ChangesetStoreSpec extends SparkSpec {
+
+  test("upsert: initial load, latest-wins refresh, version GC, crash-resume") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cs-spec").toString
+
+    val b1 = Seq((1L, 0L, 10L), (2L, 0L, 20L), (3L, 0L, 30L))
+      .toDF("user_id", "cs_seq", "closed_at")
+    assert(ChangesetStore.upsert(spark, dir, b1, Seq("user_id", "cs_seq")) === 1)
+    assert(ChangesetStore.currentVersion(spark, dir) === Some(1))
+
+    // refresh: user 2's session extends, user 4 appears
+    val b2 = Seq((2L, 0L, 25L), (4L, 0L, 40L))
+      .toDF("user_id", "cs_seq", "closed_at")
+    assert(ChangesetStore.upsert(spark, dir, b2, Seq("user_id", "cs_seq")) === 2)
+    val rows = ChangesetStore.read(spark, dir)
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.toSeq === Seq((1L, 10L), (2L, 25L), (3L, 30L), (4L, 40L)))
+
+    // third upsert GCs v=1 (keeps the previous snapshot only)
+    assert(ChangesetStore.upsert(spark, dir,
+      Seq((5L, 0L, 50L)).toDF("user_id", "cs_seq", "closed_at"),
+      Seq("user_id", "cs_seq")) === 3)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "v=1")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "v=2")))
+
+    // crash simulation: an orphan v=4 exists but the pointer still says 3 —
+    // readers see 3, and the next upsert overwrites the orphan and commits 4
+    val orphan = s"$dir/v=4"
+    Seq((9L, 9L, 99L)).toDF("user_id", "cs_seq", "closed_at")
+      .write.mode("overwrite").parquet(orphan)
+    assert(ChangesetStore.currentVersion(spark, dir) === Some(3))
+    assert(!ChangesetStore.read(spark, dir).collect().exists(_.getLong(0) == 9L))
+    assert(ChangesetStore.upsert(spark, dir,
+      Seq((6L, 0L, 60L)).toDF("user_id", "cs_seq", "closed_at"),
+      Seq("user_id", "cs_seq")) === 4)
+    val after = ChangesetStore.read(spark, dir).select("user_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(after === Seq(1L, 2L, 3L, 4L, 5L, 6L), "orphan rows must not leak in")
+  }
+
+  test("cs_db_enrich equals the one-shot sessionization enrichment") {
+    val out = operators.Changesets.csDbEnrich(spark, sfDir)
+    val expected = operators.Changesets.csEnrich(spark, sfDir)
+      .select("event_id", "user_id", "cs_seq", "created_at", "closed_at", "num_changes")
+    assert(out.count() === expected.count())
+    val diff = out
+      .withColumnRenamed("cs_created_at", "created_at")
+      .withColumnRenamed("cs_closed_at", "closed_at")
+      .withColumnRenamed("cs_num_changes", "num_changes")
+      .exceptAll(expected)
+    assert(diff.isEmpty, "store-backed enrichment must equal the global rebuild")
+  }
+}
