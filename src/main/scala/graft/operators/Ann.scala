@@ -181,6 +181,50 @@ object Ann {
       .orderBy("cell", "i")
   }
 
+  /** Fixed-point dot9-compatible squared norm of a driver-side vector. */
+  private def n2Of(v: Seq[Float]): Long =
+    v.map(x => math.round(x.toDouble * x.toDouble * 1e9)).sum
+
+  /** The full Lloyd LOOP [[embKmeans]] is one round of: run `rounds`
+    * iterations from `init` centroids, feeding each round's means back as
+    * the next round's centroid literals. Per round the cluster assignment
+    * is the same map-only argmax as [[annIvf]] (centroids inlined — the
+    * 100 TB corpus never shuffles for assignment) and the reduce is the
+    * exact fixed-point (cell, dim) partial sum of [[embKmeans]]; only the
+    * K×dim sum table ever reaches the driver. Empty cells keep their
+    * centroid (the standard Lloyd convention). Returns the final
+    * (cell id, mean vector) per centroid.
+    */
+  def kmeansRounds(emb: DataFrame, init: Seq[(Long, Seq[Float])],
+      rounds: Int): Seq[(Long, Seq[Float])] = {
+    graft.functions.GeoFunctions.register(emb.sparkSession)
+    val e = emb.withColumn("n2",
+      call_function("dot9", col("embedding"), col("embedding")))
+    var cents = init.map { case (cid, v) => (cid, v, n2Of(v)) }.toArray
+    for (_ <- 0 until rounds) {
+      val sums = e
+        .withColumn("cell",
+          -array_max(cellScores(cents)(col("embedding"), col("n2"))).getField("nid"))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("i0", "ev")))
+        .groupBy("cell", "i0")
+        .agg(count(lit(1)).as("n"), sum(round(col("ev") * 1e9).cast("bigint")).as("sum9"))
+        .collect()
+      val byCell = sums.groupBy(_.getLong(0))
+      cents = cents.map { case (cid, old, oldN2) =>
+        byCell.get(cid) match {
+          case Some(rows) =>
+            val mean = new Array[Float](old.length)
+            rows.foreach { r =>
+              mean(r.getInt(1)) = (r.getLong(3).toDouble / 1e9 / r.getLong(2)).toFloat
+            }
+            (cid, mean.toSeq, n2Of(mean))
+          case None => (cid, old, oldN2)
+        }
+      }
+    }
+    cents.map { case (cid, v, _) => (cid, v) }.toSeq
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_embedding" -> (dedupEmbedding _),
     "emb_kmeans" -> (embKmeans _),

@@ -181,4 +181,39 @@ class PipelineSpec extends SparkSpec {
     assert(a.forall(_.getAs[String]("feat_str").split(",").length === 8))
     assert(a.forall(r => Set("png", "jpg", "wav").contains(r.getString(1))))
   }
+
+  test("kmeansRounds: the Lloyd loop converges in 2 rounds on a 3-cluster corpus") {
+    import spark.implicits._
+    // three cosine clusters near the x / y / z axes + one boundary point
+    // (0.7, 0.6, 0) that belongs with cluster 0 but pulls its mean
+    val pts = Seq(
+      Seq(1.0f, 0.1f, 0.0f), Seq(0.9f, -0.1f, 0.0f),    // cluster 0
+      Seq(0.1f, 1.0f, 0.0f), Seq(-0.1f, 0.9f, 0.0f),    // cluster 1
+      Seq(0.0f, 0.1f, 1.0f), Seq(0.0f, -0.1f, 0.9f),    // cluster 2
+      Seq(0.7f, 0.6f, 0.0f))                            // boundary → cluster 0
+    val emb = pts.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val init = Seq(
+      0L -> Seq(1.0f, 0.0f, 0.0f),
+      1L -> Seq(0.0f, 1.0f, 0.0f),
+      2L -> Seq(0.0f, 0.0f, 1.0f))
+
+    val r1 = Ann.kmeansRounds(emb, init, 1)
+    val r2 = Ann.kmeansRounds(emb, init, 2)
+    // round 1 moves every centroid off its init; round 2 reproduces
+    // round 1 exactly — the assignment is stable, the loop has converged
+    assert(r1.map(_._2) !== init.map(_._2))
+    assert(r2 === r1, "round 2 must be a fixed point on this corpus")
+
+    // the converged means are the exact fixed-point means of the true
+    // clusters (boundary point counted into cluster 0)
+    def mean(vs: Seq[Seq[Float]]): Seq[Float] =
+      (0 until 3).map { i =>
+        (vs.map(v => math.round(v(i).toDouble * 1e9)).sum.toDouble / 1e9 / vs.length).toFloat
+      }
+    assert(r2.toMap === Map(
+      0L -> mean(Seq(pts(0), pts(1), pts(6))),
+      1L -> mean(Seq(pts(2), pts(3))),
+      2L -> mean(Seq(pts(4), pts(5)))))
+  }
 }
