@@ -14,7 +14,16 @@ import org.apache.spark.sql.functions._
   *                                             # contributions, same layout
   * graft.Cli changesets    <sfDir> <outDir>    # sessionized changesets
   * graft.Cli replication   <sfDir> <outDir>    # diff-merged latest state
+  * graft.Cli replication-catchup <replDir> <storeDir>
+  *                                             # apply pending .osc diffs in
+  *                                             # sequence order; resumable
+  *                                             # via storeDir/state.txt
   * }}}
+  *
+  * `replication-catchup` is the reference `replication` command's
+  * catch-up loop (ReplicationManager.java): one invocation applies every
+  * pending sequence number; re-invoking resumes from the persisted state
+  * (continuous mode = the OsmXml.streamOsc watched-directory stream).
   */
 object Cli {
   def main(args: Array[String]): Unit = {
@@ -46,6 +55,10 @@ object Cli {
       case "replication" =>
         Replication.replMerge(spark, sfDir)
           .write.mode("overwrite").parquet(outDir)
+      case "replication-catchup" =>
+        val n = operators.ReplicationCatchup.catchUp(spark, sfDir, outDir)
+        val st = operators.ReplicationCatchup.readState(outDir)
+        println(s"[graft] applied $n diff(s); state=${st.map(_.sequenceNumber).getOrElse(0L)}")
       case other => throw new IllegalArgumentException(s"unknown command $other")
     }
     println(s"[graft] $cmd -> $outDir")

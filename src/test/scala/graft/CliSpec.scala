@@ -24,4 +24,24 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(o1).count() > 0)
     assert(spark.read.parquet(o2).count() > 0)
   }
+
+  test("cli replication-catchup applies pending diffs and resumes from state") {
+    val repl = java.nio.file.Files.createTempDirectory("graft-cli-repl")
+    val store = java.nio.file.Files.createTempDirectory("graft-cli-store").toString
+    def osc(body: String) =
+      s"""<?xml version="1.0"?><osmChange version="0.6">$body</osmChange>"""
+    java.nio.file.Files.writeString(repl.resolve("1.osc"), osc(
+      """<create><node id="1" version="1" timestamp="2024-01-21T00:00:00Z" changeset="7" uid="9" user="bob" lat="52.5" lon="13.4"/></create>"""))
+    Cli.main(Array("replication-catchup", repl.toString, store))
+    assert(graft.operators.ReplicationCatchup.readState(store)
+      .map(_.sequenceNumber) === Some(1L))
+    // a later diff arrives; re-invoking resumes from the bookmark
+    java.nio.file.Files.writeString(repl.resolve("2.osc"), osc(
+      """<modify><node id="1" version="2" timestamp="2024-01-21T00:01:00Z" changeset="8" uid="9" user="bob" lat="52.6" lon="13.4"/></modify>"""))
+    Cli.main(Array("replication-catchup", repl.toString, store))
+    assert(graft.operators.ReplicationCatchup.readState(store)
+      .map(_.sequenceNumber) === Some(2L))
+    assert(graft.operators.ReplicationCatchup
+      .currentContributions(spark, store).count() === 2L)
+  }
 }

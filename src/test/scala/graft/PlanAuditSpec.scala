@@ -31,6 +31,34 @@ class PlanAuditSpec extends SparkSpec {
         s"$name has a scan with unpushed filters")
   }
 
+  // formatted-plan node ids: "(3) Exchange" = shuffle, "(29) BroadcastExchange"
+  // does NOT match (word boundary after the paren)
+  private def shuffleCount(plan: String): Int =
+    """\(\d+\) Exchange""".r.findAllIn(plan).size
+
+  test("contrib_full keeps the one-scan one-entity-exchange shape") {
+    val p = plans("contrib_full")
+    // exchange 1 = the entity hash partition every window chains on;
+    // exchange 2 = the final output ordering. Anything more means a window
+    // or the changeset struct stopped sharing the entity exchange.
+    assert(shuffleCount(p) <= 2, s"contrib_full grew a shuffle:\n$p")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size <= 3,
+      "events must be scanned once (plus the two broadcast dims)")
+  }
+
+  test("geo_wkt_join and cs_db_enrich stay broadcast-shaped") {
+    // wkt join: fact side maps cell ids and joins broadcast cells — the only
+    // shuffle allowed is the final output ordering
+    assert(shuffleCount(plans("geo_wkt_join")) <= 1,
+      "geo_wkt_join's fact side must not shuffle")
+    assert(plans("geo_wkt_join").contains("BroadcastExchange"))
+    // store enrichment: session window exchange + output ordering only;
+    // the committed store broadcasts
+    assert(shuffleCount(plans("cs_db_enrich")) <= 2,
+      "cs_db_enrich must broadcast the store, not shuffle the stream")
+    assert(plans("cs_db_enrich").contains("BroadcastExchange"))
+  }
+
   test("no sort-merge joins at test scale (broadcast should win everywhere)") {
     // dedup_clusters joins two node-sized frames (labels ⨝ neighbor mins):
     // big-big at scale, where a shuffle join IS the intended plan — cached
