@@ -82,9 +82,31 @@ object Multimodal {
         col("frame_len"), col("frame_md5"))
       .orderBy("doc_id", "off")
 
+  /** Resize — the image-resize analog in the byte domain: nearest-neighbor
+    * resampling of the opaque payload to a fixed TARGET=32 samples, sample
+    * j taking byte floor(j·n/32) (the exact per-axis index rule of a real
+    * nearest-neighbor image resize; a codec-equipped decoder would apply
+    * it per pixel row instead of per byte). Handles both down- and
+    * up-sampling (indices repeat when n < 32). Pure scan-side expression
+    * work over the hex view of the payload — codegen, no UDF, no shuffle
+    * beyond the output ordering.
+    */
+  def mmResize(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .withColumn("n_bytes", length(col("payload")))
+      .withColumn("hexp", lower(hex(col("payload"))))
+      .withColumn("resized_hex", expr(
+        """array_join(transform(sequence(0, 31),
+          |  j -> substring(hexp, CAST((j * n_bytes) div 32 AS INT) * 2 + 1, 2)), '')""".stripMargin))
+      .select(col("doc_id"), col("n_bytes"), lit(32).as("target"),
+        col("resized_hex"), md5(col("resized_hex")).as("resized_md5"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> (mmFeatures _),
-    "mm_frames" -> (mmFrames _))
+    "mm_frames" -> (mmFrames _),
+    "mm_resize" -> (mmResize _))
 
   val oracles: Map[String, String] = Map(
     "mm_features" ->
@@ -97,6 +119,16 @@ object Multimodal {
         |           + (strpos('0123456789abcdef', substr(md5(text), 2 * i + 2, 1)) - 1))
         |          * 1000000 + 127) // 255 AS VARCHAR)), ',') AS feat_str
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_resize" ->
+      """SELECT doc_id, CAST(n_bytes AS INT) AS n_bytes, 32 AS target,
+        |  resized_hex, md5(resized_hex) AS resized_md5
+        |FROM (SELECT doc_id, n_bytes,
+        |        lower(array_to_string(list_transform(range(0, 32),
+        |          j -> substr(hexp, CAST((j * n_bytes) // 32 AS INT) * 2 + 1, 2)), '')) AS resized_hex
+        |      FROM (SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |              lower(hex(encode(text))) AS hexp
+        |            FROM documents) a) b
+        |ORDER BY doc_id""".stripMargin,
     "mm_frames" ->
       """SELECT doc_id, CAST(off AS BIGINT) AS off,
         |  CAST(least(64, n_bytes - off) AS INT) AS frame_len,
