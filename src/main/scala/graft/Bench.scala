@@ -17,7 +17,11 @@ object Bench {
     // unreproducible 15 s spike); the median is robust to one outlier in
     // either direction and still cheap at sf0.1
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Dev-only subset filter, mirroring Verify's (driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: forces full evaluation of every column (count() lets

@@ -157,10 +157,12 @@ object Dedup {
       .cache() // reused by flat + both size joins
     val flat = grams.select(col("doc_id"), explode(col("grams")).as("g"))
     val sigs = signatures(s, dir).cache()
+    // gram intersection as an explicit (doc, gram) equi-join — the shared
+    // gram is a join KEY, never a post-join filter, so the executed plan
+    // hash-joins on (doc_b, g) instead of risking a per-pair gram cross
     val inter = candidates(sigs)
       .join(flat.toDF("doc_a", "g"), "doc_a")
-      .join(flat.toDF("doc_b", "g2"), Seq("doc_b"))
-      .filter(col("g") === col("g2"))
+      .join(flat.toDF("doc_b", "g"), Seq("doc_b", "g"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     releasing(
       inter
