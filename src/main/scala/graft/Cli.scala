@@ -43,7 +43,11 @@ object Cli {
           .withColumn("osm_type",
             element_at(typedLit(Seq("node", "way", "relation")),
               (col("osm_id") % 3 + 1).cast("int")))
-        ContribSink.writePartitioned(contribs, outDir)
+        // reference output contract: binary WKB `geometry` + the `geo`
+        // JSON stamped into every part file's footer (ohsome-parquet)
+        graft.sources.GeoParquet.write(contribs, outDir, wkbHexCol = "wkb",
+          partitionCols = Seq("status", "osm_type"),
+          bboxLonLat = Some(("lon_d", "lat_d")))
       case "contributions-pbf" =>
         // the reference CLI's primary flow: history PBF in, partitioned
         // contribution parquet out

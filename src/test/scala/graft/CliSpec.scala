@@ -14,6 +14,13 @@ class CliSpec extends SparkSpec {
     assert(parts.toSet === Set("status=latest", "status=history", "status=deleted"))
     import org.apache.spark.sql.functions.col
     assert(back.filter(col("status") === "deleted").count() > 0)
+    // GeoParquet contract: binary geometry column + footer geo metadata
+    assert(back.schema("geometry").dataType === org.apache.spark.sql.types.BinaryType)
+    val part = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    val meta = graft.sources.GeoParquet.readFooterValue(
+      spark.sparkContext.hadoopConfiguration, part.toString, "geo")
+    assert(meta.exists(_.contains("\"primary_column\":\"geometry\"")))
   }
 
   test("cli changesets and replication write plain parquet") {
