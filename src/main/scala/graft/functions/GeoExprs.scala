@@ -275,16 +275,45 @@ object Geo {
     inside
   }
 
-  def xzCode(xmin: Double, ymin: Double, xmax: Double, ymax: Double, g: Int): Long = {
-    val length = xzLevel(xmin, ymin, xmax, ymax, g)
-    val x = (180.0 + xmin) / 360.0
-    val y = (90.0 + ymin) / 360.0
+  /** XZ enlarged-element length for INTEGER-degree boxes, log-free: the
+    * normalized extent is e/360 for integer e, so
+    * l1 = floor(log_0.5(e/360)) = max l with e·2^l ≤ 360 — computed in
+    * exact integer arithmetic. Integer extents 45/90/180 normalize to
+    * EXACT powers of 0.5 where the generic kernel's
+    * floor(log(ext)/log(0.5)) sits on a libm-dependent floor boundary that
+    * Spark and DuckDB may round differently; this variant has no such
+    * hazard (the +1 bump check stays in power-of-two doubles, which are
+    * IEEE-exact on both engines).
+    */
+  def xzLevelInt(xmin: Long, ymin: Long, xmax: Long, ymax: Long, g: Int): Int = {
+    val e = math.max(xmax - xmin, ymax - ymin)
+    if (e <= 0) return g
+    var l1 = 0
+    while (l1 < g && (e << (l1 + 1)) <= 360L) l1 += 1
+    if (l1 >= g) g
+    else {
+      val x0 = (180.0 + xmin) / 360.0
+      val y0 = (90.0 + ymin) / 360.0
+      val x1 = (180.0 + xmax) / 360.0
+      val y1 = (90.0 + ymax) / 360.0
+      val w2 = math.pow(0.5, l1 + 1)
+      def fits(min: Double, max: Double) = max <= math.floor(min / w2) * w2 + 2 * w2
+      if (fits(x0, x1) && fits(y0, y1)) l1 + 1 else l1
+    }
+  }
+
+  /** XZ code of an integer-degree box: exact level ([[xzLevelInt]]) +
+    * the standard midpoint descent (exact power-of-two double halving).
+    */
+  def xzCodeInt(xmin: Long, ymin: Long, xmax: Long, ymax: Long, g: Int): Long =
+    xzDescend((180.0 + xmin) / 360.0, (90.0 + ymin) / 360.0,
+      xzLevelInt(xmin, ymin, xmax, ymax, g), g)
+
+  private def xzDescend(x: Double, y: Double, length: Int, g: Int): Long = {
     var (xlo, xhi, ylo, yhi) = (0.0, 1.0, 0.0, 1.0)
     var code = 0L
     var i = 0
     while (i < length) {
-      // number of curve positions under one quadrant at depth i:
-      // (4^(g-i) - 1) / 3
       val nElem = ((1L << (2 * (g - i))) - 1L) / 3L
       var q = 0L
       val xc = xlo + (xhi - xlo) / 2
@@ -296,6 +325,10 @@ object Geo {
     }
     code
   }
+
+  def xzCode(xmin: Double, ymin: Double, xmax: Double, ymax: Double, g: Int): Long =
+    xzDescend((180.0 + xmin) / 360.0, (90.0 + ymin) / 360.0,
+      xzLevel(xmin, ymin, xmax, ymax, g), g)
 }
 
 /** `wkb_point(lon, lat)` → hex WKB string; codegen emits a direct static
@@ -359,6 +392,29 @@ case class XZCodeExpr(first: Expression, second: Expression,
 
   override protected def withNewChildrenInternal(a: Expression, b: Expression,
       c: Expression, d: Expression): XZCodeExpr =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
+/** `xz_code_i(xmin, ymin, xmax, ymax)` → curve position of an
+  * INTEGER-degree box (g=16), log-free exact level selection
+  * (Geo.xzCodeInt) — safe where extents normalize to exact powers of 0.5.
+  */
+case class XZCodeIntExpr(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "xz_code_i"
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    Geo.xzCodeInt(a.asInstanceOf[Long], b.asInstanceOf[Long],
+      c.asInstanceOf[Long], d.asInstanceOf[Long], 16)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.functions.Geo.xzCodeInt($a, $b, $c, $d, 16)")
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression): XZCodeIntExpr =
     copy(first = a, second = b, third = c, fourth = d)
 }
 
@@ -480,6 +536,7 @@ object GeoFunctions {
     "wkb_point" -> (es => WkbPoint(es(0), es(1))),
     "wkb_line" -> (es => WkbLine(es(0), es(1))),
     "xz_code" -> (es => XZCodeExpr(es(0), es(1), es(2), es(3))),
+    "xz_code_i" -> (es => XZCodeIntExpr(es(0), es(1), es(2), es(3))),
     "xz_level" -> (es => XZLevelExpr(es(0), es(1), es(2), es(3))),
     "point_in_poly" -> (es => PointInPoly(es(0), es(1), es(2), es(3))),
     "point_in_rings" -> (es => PointInRings(es(0), es(1), es(2), es(3), es(4))),

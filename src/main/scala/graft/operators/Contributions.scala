@@ -182,6 +182,13 @@ object Contributions {
       .withColumn("bbox_ymin", min("lat_i").over(cumFrame))
       .withColumn("bbox_xmax", max("lon_i").over(cumFrame))
       .withColumn("bbox_ymax", max("lat_i").over(cumFrame))
+      // XZ curve code of the evolving bbox (reference: xzcode per
+      // contribution, ContributionsAvroConverter.java:24 + util/XZCode
+      // .java) — the log-free integer-box kernel, because integer-degree
+      // extents 45/90/180 normalize to exact powers of 0.5 where the
+      // libm-based level pick is a cross-engine coin flip
+      .withColumn("xz_code", call_function("xz_code_i",
+        col("bbox_xmin"), col("bbox_ymin"), col("bbox_xmax"), col("bbox_ymax")))
       .withColumn("centroid_x", sum("lon_i").over(cumFrame).cast("double") / col("osm_version"))
       .withColumn("centroid_y", sum("lat_i").over(cumFrame).cast("double") / col("osm_version"))
       .withColumn("step_mm", expr(stepMmSql))
@@ -232,6 +239,7 @@ object Contributions {
         col("lon_d"), col("lat_d"),
         col("wkb"), col("country"), col("geometry_type"),
         col("bbox_xmin"), col("bbox_ymin"), col("bbox_xmax"), col("bbox_ymax"),
+        col("xz_code"),
         col("centroid_x"), col("centroid_y"),
         col("length_mm"), col("step_mm").as("length_delta_mm"),
         col("area_m2"), col("area_delta_m2"))
@@ -349,6 +357,31 @@ object Contributions {
        |    area_m2 - coalesce(lag(area_m2, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id),
        |                       CAST(0 AS BIGINT)) AS area_delta_m2
        |  FROM geo3),
+       |xz0 AS (
+       |  SELECT event_id,
+       |    greatest(bbox_xmax - bbox_xmin, bbox_ymax - bbox_ymin) AS e,
+       |    (180.0 + CAST(bbox_xmin AS DOUBLE)) / 360.0 AS x0,
+       |    (90.0 + CAST(bbox_ymin AS DOUBLE)) / 360.0 AS y0,
+       |    (180.0 + CAST(bbox_xmax AS DOUBLE)) / 360.0 AS x1,
+       |    (90.0 + CAST(bbox_ymax AS DOUBLE)) / 360.0 AS y1
+       |  FROM vers),
+       |xz1 AS (
+       |  SELECT *, CASE
+       |    WHEN e * 2 > 360 THEN 0 WHEN e * 4 > 360 THEN 1 WHEN e * 8 > 360 THEN 2
+       |    WHEN e * 16 > 360 THEN 3 WHEN e * 32 > 360 THEN 4 WHEN e * 64 > 360 THEN 5
+       |    WHEN e * 128 > 360 THEN 6 WHEN e * 256 > 360 THEN 7 ELSE 8 END AS l1
+       |  FROM xz0),
+       |xz2 AS (
+       |  SELECT event_id, x0, y0, CASE WHEN e <= 0 THEN 16
+       |    WHEN x1 <= floor(x0 / pow(0.5, l1 + 1)) * pow(0.5, l1 + 1) + 2 * pow(0.5, l1 + 1)
+       |     AND y1 <= floor(y0 / pow(0.5, l1 + 1)) * pow(0.5, l1 + 1) + 2 * pow(0.5, l1 + 1)
+       |    THEN l1 + 1 ELSE l1 END AS length
+       |  FROM xz1),
+       |s0 AS (SELECT event_id, x0, y0, length,
+       |    0.0 AS xlo, 1.0 AS xhi, 0.0 AS ylo, 1.0 AS yhi, CAST(0 AS BIGINT) AS code
+       |  FROM xz2),
+       |${Geometry.xzStagesSql}
+       |xz AS (SELECT event_id, code AS xz_code FROM s16),
        |cs AS (
        |  SELECT user_id, cs_seq, min(ts_us) AS cs_created_at,
        |    max(ts_us) AS cs_closed_at, count(*) AS cs_num_changes
@@ -374,12 +407,14 @@ object Contributions {
        |       WHEN v.osm_version = 2 THEN 'LineString'
        |       ELSE 'Polygon' END AS geometry_type,
        |  v.bbox_xmin, v.bbox_ymin, v.bbox_xmax, v.bbox_ymax,
+       |  xz.xz_code,
        |  v.clon_sum / v.osm_version AS centroid_x,
        |  v.clat_sum / v.osm_version AS centroid_y,
        |  v.length_mm, v.step_mm AS length_delta_mm,
        |  v.area_m2, v.area_delta_m2
        |FROM geo4 v
        |JOIN wkbs w ON w.event_id = v.event_id
+       |JOIN xz ON xz.event_id = v.event_id
        |JOIN cs ON cs.user_id = v.user_id AND cs.cs_seq = v.cs_seq
        |LEFT JOIN customer ON v.user_id = c_custkey
        |LEFT JOIN nation ON ((v.lat_i + 90) // 36) * 5 + ((v.lon_i + 180) // 72) = n_nationkey

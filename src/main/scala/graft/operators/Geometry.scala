@@ -344,12 +344,18 @@ object Geometry {
     * are never exact powers of 0.5 (ln ulp can't cross a floor boundary)
     * and 0.5^k / midpoint halving are exact doubles in both engines.
     */
-  private val xzOracleSql: String = {
+  /** The 16-stage unrolled XZ quadtree descent as chained CTEs: expects a
+    * CTE `s0(event_id, x0, y0, length, xlo, xhi, ylo, yhi, code)` and
+    * emits `s1 AS (...), ..., s16 AS (...),` (trailing comma included) —
+    * the identical midpoint arithmetic of Geo.xzDescend. Shared by the
+    * `geo_xzcode` and `contrib_full` oracles.
+    */
+  private[operators] val xzStagesSql: String = {
     val stages = new StringBuilder
     for (i <- 0 until 16) {
       val nElem = ((1L << (2 * (16 - i))) - 1L) / 3L
       stages.append(
-        s"""s${i + 1} AS (SELECT event_id, lon, lat, xmax, ymax, x0, y0, length,
+        s"""s${i + 1} AS (SELECT event_id, x0, y0, length,
            |  CASE WHEN $i < length AND x0 >= xlo + (xhi - xlo) / 2 THEN xlo + (xhi - xlo) / 2 ELSE xlo END AS xlo,
            |  CASE WHEN $i < length AND NOT (x0 >= xlo + (xhi - xlo) / 2) THEN xlo + (xhi - xlo) / 2 ELSE xhi END AS xhi,
            |  CASE WHEN $i < length AND y0 >= ylo + (yhi - ylo) / 2 THEN ylo + (yhi - ylo) / 2 ELSE ylo END AS ylo,
@@ -361,6 +367,11 @@ object Geometry {
            |  FROM s$i),
            |""".stripMargin)
     }
+    stages.toString
+  }
+
+  private val xzOracleSql: String = {
+    val stages = xzStagesSql
     s"""WITH pts AS ($ptsSql),
        |boxes AS (SELECT event_id, lon, lat,
        |    least(lon + (event_id % 1000) / 2000.0, 180.0) AS xmax,
@@ -377,14 +388,15 @@ object Geometry {
        |  FROM (SELECT *, CASE WHEN greatest(x1 - x0, y1 - y0) <= 0 THEN 16
        |          ELSE CAST(floor(ln(greatest(x1 - x0, y1 - y0)) / ln(0.5)) AS INT) END AS l1
        |        FROM nrm) t),
-       |s0 AS (SELECT event_id, lon, lat, xmax, ymax, x0, y0, length,
+       |s0 AS (SELECT event_id, x0, y0, length,
        |    0.0 AS xlo, 1.0 AS xhi, 0.0 AS ylo, 1.0 AS yhi, CAST(0 AS BIGINT) AS code
        |  FROM lvl),
        |$stages
        |final AS (SELECT * FROM s16)
-       |SELECT event_id, lon, lat, xmax, ymax,
-       |  length AS xz_level, code AS xz_code
-       |FROM final ORDER BY event_id""".stripMargin
+       |SELECT b.event_id, b.lon, b.lat, b.xmax, b.ymax,
+       |  f.length AS xz_level, f.code AS xz_code
+       |FROM final f JOIN boxes b ON b.event_id = f.event_id
+       |ORDER BY b.event_id""".stripMargin
   }
 
   /** DuckDB: little-endian IEEE-754 hex of an integer-valued double

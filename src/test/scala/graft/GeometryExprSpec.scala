@@ -144,4 +144,19 @@ class GeometryExprSpec extends AnyFunSuite {
     val c2 = Geo.xzCode(-10.0, -10.0, -9.99, -9.99, 16)
     assert(c1 !== c2)
   }
+
+  test("integer-box xz kernel agrees with the generic kernel on integer boxes") {
+    // sweep includes the hazardous extents (45/90/180 → exact powers of
+    // 0.5 after normalization) where only the ORDER of computation differs:
+    // the log-free level must equal the naive BigInt level everywhere
+    val boxes = Seq(
+      (-180L, -90L, 179L, 89L), (0L, 0L, 0L, 0L), (10L, 10L, 55L, 20L),
+      (0L, 0L, 45L, 10L), (0L, 0L, 90L, 30L), (-90L, -45L, 90L, 45L),
+      (-180L, -90L, 0L, 90L), (7L, 3L, 8L, 4L), (-1L, -1L, 1L, 1L))
+    for ((a, b, c, d) <- boxes) {
+      val (lvl, code) = naiveXz(a.toDouble, b.toDouble, c.toDouble, d.toDouble, 16)
+      assert(Geo.xzLevelInt(a, b, c, d, 16) === lvl, s"level of ($a,$b,$c,$d)")
+      assert(BigInt(Geo.xzCodeInt(a, b, c, d, 16)) === code, s"code of ($a,$b,$c,$d)")
+    }
+  }
 }
