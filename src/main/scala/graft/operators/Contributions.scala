@@ -216,6 +216,10 @@ object Contributions {
       .withColumn("cs_created_at", min("ts_us").over(byCs))
       .withColumn("cs_closed_at", max("ts_us").over(byCs))
       .withColumn("cs_num_changes", count(lit(1)).over(byCs))
+      // editor: the deterministic per-user rule shared with cs_enrich —
+      // completes the reference changeset struct (closed_at, editor,
+      // numChanges; docs/CLI.md "Join Changeset Tags")
+      .withColumn("cs_editor", concat(lit("editor/"), col("user_id") % 7))
 
     val users = Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_name").as("user_name"))
@@ -235,7 +239,7 @@ object Contributions {
         col("props").as("tags_raw"), col("prev_props").as("tags_before"),
         col("osm_edits"), col("osm_last_edit"), col("user_name"),
         col("cs_seq"), col("cs_created_at"), col("cs_closed_at"),
-        col("cs_num_changes"),
+        col("cs_num_changes"), col("cs_editor"),
         col("lon_d"), col("lat_d"),
         col("wkb"), col("country"), col("geometry_type"),
         col("bbox_xmin"), col("bbox_ymin"), col("bbox_xmax"), col("bbox_ymax"),
@@ -401,6 +405,7 @@ object Contributions {
        |  v.props AS tags_raw, v.prev_props AS tags_before,
        |  v.osm_edits, v.osm_last_edit, c_name AS user_name,
        |  v.cs_seq, cs.cs_created_at, cs.cs_closed_at, cs.cs_num_changes,
+       |  'editor/' || (v.user_id % 7) AS cs_editor,
        |  v.lon_d, v.lat_d,
        |  w.wkb, n_name AS country,
        |  CASE WHEN v.osm_version = 1 THEN 'Point'
