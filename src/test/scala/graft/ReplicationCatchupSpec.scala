@@ -105,6 +105,44 @@ class ReplicationCatchupSpec extends SparkSpec {
       === collectContribs(oneShot(repl.toString)))
   }
 
+  test("catch-up result equals the streaming updater on the same diff sequence") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val repl = java.nio.file.Files.createTempDirectory("graft-cu-repl5")
+    val store = java.nio.file.Files.createTempDirectory("graft-cu-store5")
+    writeDiffs(repl, 1 -> diff1, 2 -> diff2, 3 -> diff3)
+    ReplicationCatchup.catchUp(spark, repl.toString, store.toString)
+    val batchRows =
+      collectContribs(ReplicationCatchup.currentContributions(spark, store.toString))
+
+    // the same diffs, one streaming micro-batch each, through the stateful
+    // version-chain updater
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.ContribEdit]
+    val q = graft.streaming.ContributionStream(input.toDS()).writeStream
+      .format("memory").queryName("cu_parity").outputMode("append").start()
+    Seq("1.osc", "2.osc", "3.osc").foreach { f =>
+      val edits = Replication.oscAsEvents(
+        OsmXml.readOsc(spark, repl.resolve(f).toString))
+        .selectExpr("event_id", "ts_us", "user_id", "event_type", "props", "value")
+        .as[graft.streaming.ContribEdit].collect()
+      input.addData(edits.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    val emissions = spark.table("cu_parity").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        Option(r.get(3)), r.getString(4), r.getString(5)))
+    q.stop()
+    // final state per (osm_id, version): the closing re-emission supersedes
+    // the open one — exactly what an upserting sink keyed on
+    // (osm_id, osm_version) would retain
+    val streamRows = emissions.groupBy(e => (e._1, e._2)).values
+      .map(vs => vs.find(_._4.isDefined).getOrElse(vs.head))
+      .toSeq.sortBy(e => (e._1, e._2))
+    assert(streamRows === batchRows,
+      "streaming updater and batch catch-up must converge to the same table")
+  }
+
   test("grouped sequence paths (000/000/042.osc) are discovered and ordered") {
     val repl = java.nio.file.Files.createTempDirectory("graft-cu-repl4")
     val d = repl.resolve("000/000")
