@@ -20,10 +20,19 @@ import java.nio.charset.StandardCharsets.UTF_8
   *
   * Upsert = latest-wins by key: stored rows whose key appears in the batch
   * are replaced, others carried over. The batch key set is broadcast into
-  * a left-anti join, so the (large) store side never shuffles. At 100 TB
-  * store sizes the carry-over rewrite would be bounded by bucketing the
-  * store on the key and rewriting only batch-touched buckets — the
-  * snapshot+pointer commit protocol is unchanged by that optimization.
+  * a left-anti join, so the (large) store side never shuffles.
+  *
+  * TWO layouts behind the same pointer commit:
+  *
+  *  - **snapshot** ([[upsert]]): each version is a full rewrite — simple,
+  *    right for dimension-sized stores.
+  *  - **bucketed** ([[upsertBucketed]]): rows hash into `b=<i>/v=<vi>`
+  *    bucket directories and a `manifest-v<M>.json` maps each bucket to
+  *    its live version. An upsert reads, merges, and rewrites ONLY the
+  *    buckets the batch touches; untouched buckets keep their existing
+  *    files byte-for-byte. This is the 100 TB path: a minutely batch
+  *    touching k of NB buckets costs O(k/NB) of the store in I/O, not a
+  *    full rewrite, while reads stay plain multi-path parquet scans.
   */
 object ChangesetStore {
 
@@ -87,6 +96,130 @@ object ChangesetStore {
         val n = st.getPath.getName
         if (n.startsWith("v=") && n.drop(2).forall(_.isDigit) && n.drop(2).toInt < p)
           f.delete(st.getPath, true)
+      }
+    }
+    next
+  }
+
+  // ---- bucketed layout --------------------------------------------------
+
+  private def commitPointer(spark: SparkSession, storeDir: String, next: Int): Unit = {
+    val f = fs(spark, storeDir)
+    val tmp = new Path(storeDir, "current.tmp")
+    val out = f.create(tmp, true)
+    try out.write(next.toString.getBytes(UTF_8))
+    finally out.close()
+    if (!f.delete(new Path(storeDir, "current"), false) && f.exists(new Path(storeDir, "current")))
+      throw new java.io.IOException(s"$storeDir: cannot replace pointer")
+    if (!f.rename(tmp, new Path(storeDir, "current")))
+      throw new java.io.IOException(s"$storeDir: pointer commit failed")
+  }
+
+  /** bucket id → live version for store version `v` (bucketed layout). */
+  def readManifest(spark: SparkSession, storeDir: String, v: Int): Map[Int, Int] = {
+    val f = fs(spark, storeDir)
+    val in = f.open(new Path(storeDir, s"manifest-v$v.json"))
+    val txt = try new String(in.readAllBytes(), UTF_8) finally in.close()
+    // flat {"<bucket>":<version>,...} — parsed without a JSON dependency
+    "\"(\\d+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(txt)
+      .map(m => m.group(1).toInt -> m.group(2).toInt).toMap
+  }
+
+  private def writeManifest(spark: SparkSession, storeDir: String, v: Int,
+      m: Map[Int, Int]): Unit = {
+    val f = fs(spark, storeDir)
+    val body = m.toSeq.sorted.map { case (b, bv) => s""""$b":$bv""" }
+      .mkString("{", ",", "}")
+    val tmp = new Path(storeDir, s"manifest-v$v.json.tmp")
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes(UTF_8))
+    finally out.close()
+    if (!f.rename(tmp, new Path(storeDir, s"manifest-v$v.json")))
+      throw new java.io.IOException(s"$storeDir: manifest commit failed")
+  }
+
+  /** The live table of a BUCKETED store: one multi-path parquet scan over
+    * each bucket's live directory.
+    */
+  def readBucketed(spark: SparkSession, storeDir: String): DataFrame = {
+    val v = currentVersion(spark, storeDir).getOrElse(
+      throw new IllegalStateException(s"$storeDir: no committed store version"))
+    val paths = readManifest(spark, storeDir, v)
+      .toSeq.sorted.map { case (b, bv) => s"$storeDir/b=$b/v=$bv" }
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Bucket-pruned upsert: only batch-touched buckets are read, merged
+    * (broadcast anti-join, latest-wins) and rewritten; the new manifest
+    * carries every untouched bucket's entry forward unchanged. Commit
+    * order: bucket data → manifest → pointer (the single commit point) —
+    * a crash leaves the previous version live and the re-run deletes and
+    * rewrites the orphan bucket dirs (idempotent).
+    */
+  def upsertBucketed(spark: SparkSession, storeDir: String, batch: DataFrame,
+      keys: Seq[String], numBuckets: Int = 64): Int = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val f = fs(spark, storeDir)
+    f.mkdirs(new Path(storeDir))
+    val prev = currentVersion(spark, storeDir)
+    val next = prev.getOrElse(0) + 1
+    val bCol = pmod(hash(keys.map(col): _*), lit(numBuckets))
+    val batchB = batch.withColumn("_b", bCol)
+    val touched = batchB.select("_b").distinct().collect().map(_.getInt(0)).toSet
+    val prevManifest = prev.map(readManifest(spark, storeDir, _)).getOrElse(Map.empty)
+
+    val merged = {
+      val livePaths = prevManifest.filter(t => touched(t._1))
+        .toSeq.sorted.map { case (b, bv) => s"$storeDir/b=$b/v=$bv" }
+      if (livePaths.isEmpty) batchB
+      else {
+        val keyDf = batch.select(keys.map(col): _*).distinct()
+        spark.read.parquet(livePaths: _*)
+          .join(broadcast(keyDf), keys, "left_anti")
+          .withColumn("_b", bCol)
+          .unionByName(batchB)
+      }
+    }
+    val staging = s"$storeDir/stage-v$next"
+    merged.write.mode("overwrite").partitionBy("_b").parquet(staging)
+
+    // move each written bucket into place (delete-then-rename: a crashed
+    // previous attempt may have left the target behind)
+    val written = f.listStatus(new Path(staging))
+      .map(_.getPath.getName).filter(_.startsWith("_b="))
+      .map(_.stripPrefix("_b=").toInt)
+    written.foreach { b =>
+      val target = new Path(s"$storeDir/b=$b/v=$next")
+      f.mkdirs(target.getParent)
+      if (f.exists(target)) f.delete(target, true)
+      if (!f.rename(new Path(s"$staging/_b=$b"), target))
+        throw new java.io.IOException(s"$storeDir: bucket $b install failed")
+    }
+    f.delete(new Path(staging), true)
+
+    writeManifest(spark, storeDir, next,
+      prevManifest ++ written.map(_ -> next).toMap)
+    commitPointer(spark, storeDir, next)
+
+    // GC: bucket versions superseded before the PREVIOUS manifest (the
+    // previous version stays readable), and manifests older than prev
+    prev.foreach { p =>
+      val keep = readManifest(spark, storeDir, p).toSet ++ written.map(_ -> next)
+      written.foreach { b =>
+        val dir = new Path(s"$storeDir/b=$b")
+        f.listStatus(dir).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("v=") && n.drop(2).forall(_.isDigit) &&
+            !keep((b, n.drop(2).toInt)))
+            f.delete(st.getPath, true)
+        }
+      }
+      f.listStatus(new Path(storeDir)).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("manifest-v") && n.endsWith(".json") &&
+          n.stripPrefix("manifest-v").stripSuffix(".json").forall(_.isDigit) &&
+          n.stripPrefix("manifest-v").stripSuffix(".json").toInt < p)
+          f.delete(st.getPath, false)
       }
     }
     next

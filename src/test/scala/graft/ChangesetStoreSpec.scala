@@ -45,6 +45,47 @@ class ChangesetStoreSpec extends SparkSpec {
     assert(after === Seq(1L, 2L, 3L, 4L, 5L, 6L), "orphan rows must not leak in")
   }
 
+  test("bucketed upsert rewrites only touched buckets; untouched files stay put") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cs-bspec").toString
+    val nb = 8
+
+    val b1 = (1L to 20L).map(k => (k, 0L, k * 10)).toDF("user_id", "cs_seq", "closed_at")
+    assert(ChangesetStore.upsertBucketed(spark, dir, b1, Seq("user_id", "cs_seq"), nb) === 1)
+    val m1 = ChangesetStore.readManifest(spark, dir, 1)
+    assert(m1.values.forall(_ === 1))
+
+    // refresh exactly one key → only its bucket (and no other) moves to v2
+    val b2 = Seq((7L, 0L, 777L)).toDF("user_id", "cs_seq", "closed_at")
+    assert(ChangesetStore.upsertBucketed(spark, dir, b2, Seq("user_id", "cs_seq"), nb) === 2)
+    val m2 = ChangesetStore.readManifest(spark, dir, 2)
+    val movedBuckets = m2.filter(_._2 == 2).keySet
+    assert(movedBuckets.size === 1, s"exactly one bucket should move, got $m2")
+    assert(m2.filterNot(t => movedBuckets(t._1)).values.forall(_ === 1),
+      "untouched buckets must keep their v1 entries")
+    // untouched bucket DIRECTORIES were not rewritten — still only v=1
+    m2.keys.filterNot(movedBuckets).foreach { b =>
+      val vs = new java.io.File(s"$dir/b=$b").listFiles().map(_.getName).toSet
+      assert(vs === Set("v=1"), s"bucket $b must be untouched, has $vs")
+    }
+
+    // content: latest-wins for key 7, everything else carried
+    val rows = ChangesetStore.readBucketed(spark, dir)
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.toSeq === (1L to 20L).map(k => (k, if (k == 7) 777L else k * 10)))
+
+    // crash immunity: an orphan staged bucket install without a pointer
+    // bump is deleted and rewritten by the next upsert
+    val orphanBucket = movedBuckets.head
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/b=$orphanBucket/v=3"))
+    val b3 = Seq((7L, 0L, 7777L)).toDF("user_id", "cs_seq", "closed_at")
+    assert(ChangesetStore.upsertBucketed(spark, dir, b3, Seq("user_id", "cs_seq"), nb) === 3)
+    val after = ChangesetStore.readBucketed(spark, dir)
+      .filter($"user_id" === 7L).collect()
+    assert(after.length === 1 && after.head.getLong(2) === 7777L)
+  }
+
   test("cs_db_enrich equals the one-shot sessionization enrichment") {
     val out = operators.Changesets.csDbEnrich(spark, sfDir)
     val expected = operators.Changesets.csEnrich(spark, sfDir)
