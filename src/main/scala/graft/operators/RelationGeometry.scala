@@ -191,7 +191,31 @@ object RelationGeometry {
     * @param wayGeoms way geometries as produced by PBF decode + assembly:
     *                 (way_id, lons, lats)
     */
-  def assemble(members: DataFrame, wayGeoms: DataFrame): Dataset[RelationRings] = {
+  /** Keeps only relations whose tag map contains at least one of `keys` —
+    * the `--filter-relation-tag-keys` contract (Contributions.java:95-100:
+    * comma-separated osm tag keys select which relations are processed).
+    * `relTags` = (rel_id, tags: Map[String, String]); the filtered key set
+    * broadcasts, members never shuffle for the filter.
+    */
+  def filterByTagKeys(members: DataFrame, relTags: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    if (keys.isEmpty) return members
+    val keep = relTags.filter(
+      keys.map(k => map_contains_key(col("tags"), lit(k))).reduce(_ || _))
+      .select("rel_id")
+    members.join(broadcast(keep), Seq("rel_id"), "left_semi")
+  }
+
+  /** @param memberLimit the `--multipolygon-member-limit` contract
+    *                    (Contributions.java:102-107): relations with more
+    *                    member ways than the limit skip ring assembly
+    *                    (marker row: 0 rings, invalid, empty WKB) — the
+    *                    cost guard against pathological mega-relations.
+    *                    -1 (default) assembles everything; 0 assembles
+    *                    nothing.
+    */
+  def assemble(members: DataFrame, wayGeoms: DataFrame,
+      memberLimit: Int = -1): Dataset[RelationRings] = {
     val spark = members.sparkSession
     import spark.implicits._
     members.select(col("rel_id"), col("way_id"))
@@ -201,6 +225,10 @@ object RelationGeometry {
       .groupByKey(_.rel_id)
       .mapGroups { (relId, it) =>
         val ways = it.toSeq.sortBy(_.way_id)
+        if (memberLimit >= 0 && ways.length > memberLimit) {
+          RelationRings(relId, ways.length, 0, 0, 0, closed = false, 0, 0.0,
+            graft.functions.Geo.wkbPolygonHex(Seq.empty), valid = false)
+        } else {
         val rings = stitch(ways.map(w => (w.lons, w.lats)))
         val shells = classify(rings.filter(_._3).map(r => (r._1, r._2)))
         // reference area semantics (GeometryTools.areaOf(Polygon/Multi)):
@@ -229,6 +257,7 @@ object RelationGeometry {
           shells.length, shells.map(_.holes.length).sum,
           rings.nonEmpty && rings.forall(_._3), rings.map(_._1.length).sum, area, wkb,
           valid)
+        }
       }
   }
 }

@@ -116,6 +116,38 @@ class RelationGeometrySpec extends SparkSpec {
     assert(r.n_shells === 2 && r.valid)
   }
 
+  test("member limit skips oversized relations; tag-key filter selects relations") {
+    import spark.implicits._
+    val members = Seq((900L, 1L), (900L, 2L), (901L, 3L), (901L, 4L), (901L, 5L))
+      .toDF("rel_id", "way_id")
+    val wayGeoms = Seq(
+      (1L, Array(0.0, 1.0, 1.0), Array(0.0, 0.0, 1.0)),
+      (2L, Array(1.0, 0.0, 0.0), Array(1.0, 1.0, 0.0)),
+      (3L, Array(5.0, 8.0, 8.0), Array(5.0, 5.0, 8.0)),
+      (4L, Array(8.0, 5.0, 5.0), Array(8.0, 8.0, 5.0)),
+      (5L, Array(20.0, 21.0), Array(20.0, 20.0)))
+      .toDF("way_id", "lons", "lats")
+    // limit 2: relation 901 (3 member ways) is skipped with a marker row
+    val out = RelationGeometry.assemble(members, wayGeoms, memberLimit = 2)
+      .collect().map(r => r.rel_id -> r).toMap
+    assert(out(900L).closed && out(900L).n_rings === 1)
+    assert(out(901L).n_ways === 3 && out(901L).n_rings === 0 && !out(901L).valid)
+    // limit 0 assembles nothing; -1 assembles everything
+    assert(RelationGeometry.assemble(members, wayGeoms, memberLimit = 0)
+      .collect().forall(_.n_rings === 0))
+    assert(RelationGeometry.assemble(members, wayGeoms)
+      .collect().exists(_.n_rings > 0))
+
+    val relTags = Seq(
+      (900L, Map("building" -> "yes")),
+      (901L, Map("natural" -> "water")))
+      .toDF("rel_id", "tags")
+    val kept = RelationGeometry.filterByTagKeys(members, relTags, Seq("building"))
+      .select("rel_id").distinct().collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(900L))
+    assert(RelationGeometry.filterByTagKeys(members, relTags, Nil).count() === 5)
+  }
+
   test("assemble: two disjoint shells emit a multipolygon with summed area") {
     import spark.implicits._
     val members = Seq((300L, 1L), (300L, 2L), (300L, 3L), (300L, 4L)).toDF("rel_id", "way_id")
