@@ -54,8 +54,15 @@ object Cli {
         val entities = spark.read.format("osmpbf").load(sfDir)
         ContribSink.writePartitioned(Contributions.fromEntities(entities), outDir)
       case "changesets" =>
-        Changesets.csBuild(spark, sfDir)
-          .write.mode("overwrite").parquet(outDir)
+        // a dump file loads the changeset store (the reference's
+        // `changesets --bz2 --changeset-db` flow); a table dir runs the
+        // sessionized build
+        if (sfDir.endsWith(".osm") || sfDir.endsWith(".bz2") || sfDir.endsWith(".xml")) {
+          val rows = graft.sources.OsmXml.readChangesetDump(spark, sfDir)
+          graft.sources.ChangesetStore.upsert(spark, outDir, rows, Seq("id"))
+        } else
+          Changesets.csBuild(spark, sfDir)
+            .write.mode("overwrite").parquet(outDir)
       case "replication" =>
         Replication.replMerge(spark, sfDir)
           .write.mode("overwrite").parquet(outDir)

@@ -151,6 +151,39 @@ object OsmXml {
     spark.createDataFrame(rdd)
   }
 
+  /** PLANET changeset dump reader (`changeset.osm.bz2`, the reference
+    * `changesets --bz2` input, Changesets.java:25-28): ONE multi-GB file,
+    * read DISTRIBUTED by splitting the text stream on the `<changeset`
+    * element boundary (`textinputformat.record.delimiter`) — each task
+    * parses its own fragment span, so a planet dump parses across the
+    * cluster instead of through one driver-side SAX pass. Works on plain
+    * and `.bz2` input alike: Hadoop's BZip2 codec is block-splittable, so
+    * even the compressed dump fans out.
+    */
+  def readChangesetDump(spark: SparkSession, path: String): DataFrame = {
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("textinputformat.record.delimiter", "<changeset")
+    val rdd = spark.sparkContext.newAPIHadoopFile(
+      path,
+      classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],
+      classOf[org.apache.hadoop.io.LongWritable],
+      classOf[org.apache.hadoop.io.Text],
+      conf)
+      .map(_._2.toString)
+      // the first record is the prolog before any <changeset> (it starts
+      // with '<'); real fragments start with the element's attribute list.
+      // Raw '<changeset' cannot occur inside attribute values (XML escapes
+      // '<'), so the delimiter split is element-exact.
+      .filter { f => val s = f.stripLeading(); s.nonEmpty && !s.startsWith("<") }
+      .flatMap { frag =>
+        // reconstitute a well-formed document: the delimiter consumed
+        // "<changeset"; the last fragment also carries the closing </osm>
+        parseChangesets(s"<osm><changeset${frag.replace("</osm>", "")}</osm>")
+      }
+    spark.createDataFrame(rdd)
+  }
+
   /** STREAMING `.osc` source: watch a directory of minutely diff files —
     * the reference's continuous replication input
     * (ohsome-replication-update polls the diff sequence; Structured

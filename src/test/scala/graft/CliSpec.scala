@@ -32,6 +32,21 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(o2).count() > 0)
   }
 
+  test("cli changesets with a dump file loads the changeset store") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cli-dump")
+    val dump = tmp.resolve("changesets.osm")
+    java.nio.file.Files.writeString(dump,
+      """<?xml version="1.0"?><osm>
+        | <changeset id="1" created_at="2024-01-01T00:00:00Z" open="false" user="a" uid="1" num_changes="3"/>
+        | <changeset id="2" created_at="2024-01-02T00:00:00Z" open="true" user="b" uid="2" num_changes="1"/>
+        |</osm>""".stripMargin)
+    val store = java.nio.file.Files.createTempDirectory("graft-cli-csdb").toString
+    Cli.main(Array("changesets", dump.toString, store))
+    val back = graft.sources.ChangesetStore.read(spark, store)
+    assert(back.count() === 2)
+    assert(back.columns.contains("tags"))
+  }
+
   test("cli replication-catchup applies pending diffs and resumes from state") {
     val repl = java.nio.file.Files.createTempDirectory("graft-cli-repl")
     val store = java.nio.file.Files.createTempDirectory("graft-cli-store").toString

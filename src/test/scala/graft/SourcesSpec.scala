@@ -340,6 +340,44 @@ class SourcesSpec extends SparkSpec {
     assert(df.filter(col("open")).count() === 1)
   }
 
+  test("changeset dump reader: delimiter-split parse, plain and bz2") {
+    // planet-dump-shaped file: many changesets, one document
+    val xml = new StringBuilder(
+      "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<osm license=\"ODbL\">\n")
+    for (i <- 1 to 50) {
+      if (i % 3 == 0)
+        xml.append(
+          s""" <changeset id="$i" created_at="2024-01-01T00:00:00Z" open="true" user="u$i" uid="$i" num_changes="$i"/>\n""")
+      else
+        xml.append(
+          s""" <changeset id="$i" created_at="2024-01-01T00:00:00Z" closed_at="2024-01-01T01:00:00Z" open="false" user="u$i" uid="$i" num_changes="$i">
+             |  <tag k="comment" v="edit &lt;changeset&gt; $i"/>
+             | </changeset>\n""".stripMargin)
+    }
+    xml.append("</osm>\n")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-csdump")
+    val plain = tmp.resolve("changesets.osm")
+    java.nio.file.Files.writeString(plain, xml.toString)
+
+    val df = OsmXml.readChangesetDump(spark, plain.toString)
+    assert(df.count() === 50)
+    assert(df.filter(col("open")).count() === 16) // every third of 50
+    val c2 = df.filter(col("id") === 2L).head()
+    assert(c2.getAs[Map[String, String]]("tags")("comment") === "edit <changeset> 2")
+
+    // same content bz2-compressed (Hadoop codec — splittable at scale)
+    val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+    codec.setConf(spark.sparkContext.hadoopConfiguration)
+    val bz2 = tmp.resolve("changesets.osm.bz2")
+    val out = codec.createOutputStream(java.nio.file.Files.newOutputStream(bz2))
+    try out.write(xml.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dfBz = OsmXml.readChangesetDump(spark, bz2.toString)
+    assert(dfBz.count() === 50)
+    assert(dfBz.orderBy("id").collect().map(_.getAs[Long]("id")).toSeq
+      === (1L to 50L))
+  }
+
   test("partitioned contrib sink writes latest/history × type layout") {
     import spark.implicits._
     val df = Seq(
