@@ -27,9 +27,10 @@ import org.apache.spark.sql.functions._
   */
 object Cli {
   def main(args: Array[String]): Unit = {
-    require(args.length == 3,
-      "usage: graft.Cli <contributions|contributions-pbf|changesets|replication> <in> <outDir>")
-    val Array(cmd, sfDir, outDir) = args
+    require(args.length == 3 || (args.length == 4 && args(0) == "replication-catchup"),
+      "usage: graft.Cli <contributions|contributions-pbf|changesets|replication> <in> <outDir>" +
+        " | graft.Cli replication-catchup <replDir> <storeDir> [maxSteps]")
+    val Array(cmd, sfDir, outDir) = args.take(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val preexisting = org.apache.spark.sql.SparkSession.getActiveSession.isDefined
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
@@ -67,7 +68,9 @@ object Cli {
         Replication.replMerge(spark, sfDir)
           .write.mode("overwrite").parquet(outDir)
       case "replication-catchup" =>
-        val n = operators.ReplicationCatchup.catchUp(spark, sfDir, outDir)
+        // optional 4th arg = max states per run (the reference's `--size`)
+        val maxSteps = if (args.length == 4) args(3).toInt else Int.MaxValue
+        val n = operators.ReplicationCatchup.catchUp(spark, sfDir, outDir, maxSteps)
         val st = operators.ReplicationCatchup.readState(outDir)
         println(s"[graft] applied $n diff(s); state=${st.map(_.sequenceNumber).getOrElse(0L)}")
       case other => throw new IllegalArgumentException(s"unknown command $other")

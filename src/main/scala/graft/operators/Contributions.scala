@@ -94,7 +94,7 @@ object Contributions {
   // to the two staged divs ≤ 3e-4 m² — four orders under the 1 m² output
   // granularity. Spark carries wide values as DECIMAL(38,0) internally
   // (SURVEY §3 rule 0 bans only DECIMAL *output*); DuckDB uses HUGEINT.
-  private val c9Sql: String =
+  private[graft] val c9Sql: String =
     "CAST(round(cos(radians((ymax_c + ymin_c) / 2)) * 1000000000.0) AS BIGINT)"
 
   // Spark side stages the pipeline as columns (Catalyst folds them into one
@@ -102,13 +102,13 @@ object Contributions {
   // quotient fits a long, the subtract-remainder identity
   // (w - w % 1e6) / 1e6 — an exactly-divisible decimal division — where it
   // does not.
-  private val areaVSql: String =
+  private[graft] val areaVSql: String =
     s"""(CAST(1000000000000000000000000000000000 AS DECIMAL(38,0))
        | - CAST(3352810664747 AS DECIMAL(38,0))
        |   * CAST($c9Sql * $c9Sql AS DECIMAL(38,0))) div 1000000000000000""".stripMargin
-  private val areaW2Sql: String =
+  private[graft] val areaW2Sql: String =
     """CAST((area_w - area_w % 1000000) / 1000000 AS DECIMAL(32,0))"""
-  private val areaM2SparkSql: String =
+  private[graft] val areaM2SparkSql: String =
     """CASE WHEN osm_version < 3 THEN CAST(0 AS BIGINT) ELSE
       |  (CAST(abs(interior9 + b0_9 + bk_9) AS DECIMAL(38,0)) * area_w2
       |   + CAST(1000000000000000000000 AS DECIMAL(38,0)))
