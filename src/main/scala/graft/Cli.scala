@@ -51,9 +51,13 @@ object Cli {
           bboxLonLat = Some(("lon_d", "lat_d")))
       case "contributions-pbf" =>
         // the reference CLI's primary flow: history PBF in, partitioned
-        // contribution parquet out
+        // contribution parquet out; SPARK_GRAFT_COUNTRY_FILE plays the
+        // --country-file option (docs/CLI.md "Join Country Codes")
         val entities = spark.read.format("osmpbf").load(sfDir)
-        ContribSink.writePartitioned(Contributions.fromEntities(entities), outDir)
+        val base = Contributions.fromEntities(entities)
+        val enriched = sys.env.get("SPARK_GRAFT_COUNTRY_FILE")
+          .fold(base)(f => Contributions.withCountries(base, f))
+        ContribSink.writePartitioned(enriched, outDir)
       case "changesets" =>
         // a dump file loads the changeset store (the reference's
         // `changesets --bz2 --changeset-db` flow); a table dir runs the

@@ -297,6 +297,54 @@ object Contributions {
         col("lat"), col("lon"), col("refs"), col("members"), col("xz_code"))
   }
 
+  /** `--country-file` enrichment for REAL contributions (docs/CLI.md
+    * "Join Country Codes" + SpatialGridJoiner semantics): every row gets a
+    * `countries` array — all boundary features containing its point (rows
+    * near borders legitimately match several). The (tiny) country file
+    * builds a 1°×1° covering-grid index on the driver, broadcast and
+    * probed per row inside `mapPartitions`: full cells short-circuit, the
+    * even-odd refine runs only on partial cells, and the 100 TB fact side
+    * neither shuffles nor re-aggregates (an array result per row can't be
+    * a plain equi-join without a join-back groupBy — this is the
+    * reference's exact per-row joiner shape instead).
+    */
+  def withCountries(df: DataFrame, countryFile: String,
+      lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val s = df.sparkSession
+    val feats = graft.sources.WktBoundaries.readCountryCsv(countryFile)
+    val cells = graft.sources.WktBoundaries.gridCells(feats, 1, 1, 360)
+    val index: Map[Long, Array[(String, Boolean, Array[Double], Array[Double], Array[Int])]] =
+      cells.groupBy(_.scid).map { case (k, rs) =>
+        k -> rs.map(r =>
+          (r.country, r.full_cell, r.xs.toArray, r.ys.toArray, r.offs.toArray)).toArray
+      }
+    val bc = s.sparkContext.broadcast(index)
+    val li = df.schema.fieldIndex(lonCol)
+    val la = df.schema.fieldIndex(latCol)
+    val outSchema = df.schema.add("countries", ArrayType(StringType))
+    df.mapPartitions { it =>
+      val idx = bc.value
+      it.map { r =>
+        val cs: Seq[String] =
+          if (r.isNullAt(li) || r.isNullAt(la)) Seq.empty
+          else {
+            val lon = r.getDouble(li)
+            val lat = r.getDouble(la)
+            if (lon.isNaN || lat.isNaN) Seq.empty
+            else {
+              val scid = math.floor(lat).toLong * 360 + math.floor(lon).toLong
+              idx.getOrElse(scid, Array.empty).iterator.collect {
+                case (c, full, xs, ys, offs)
+                  if full || graft.functions.Geo.pointInRings(lon, lat, xs, ys, offs) => c
+              }.toSeq.distinct.sorted
+            }
+          }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ cs)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "contrib_full" -> (contribFull _))
 

@@ -81,6 +81,31 @@ class WktSpec extends SparkSpec {
     assert(e.getMessage.contains(p.toString) && e.getMessage.contains("row 3"))
   }
 
+  test("withCountries: per-row countries array from a lon/lat country file") {
+    import spark.implicits._
+    // the docs/CLI.md example shape: boxes in degree space, plus an overlap
+    val p = java.nio.file.Files.createTempFile("graft_wkt_cc", ".csv")
+    java.nio.file.Files.write(p,
+      ("id;wkt\n" +
+        "DEU;POLYGON ((7.95 49.78, 11.12 49.78, 11.12 51.56, 7.95 51.56, 7.95 49.78))\n" +
+        "FRA;POLYGON ((1.19 45.06, 4.83 45.06, 4.83 48.55, 1.19 48.55, 1.19 45.06))\n" +
+        "EUX;POLYGON ((0.0 40.0, 12.0 40.0, 12.0 52.0, 0.0 52.0, 0.0 40.0))\n").getBytes)
+    val df = Seq(
+      (1L, Some(9.0), Some(50.5)),    // inside DEU and EUX
+      (2L, Some(2.5), Some(46.0)),    // inside FRA and EUX
+      (3L, Some(-10.0), Some(50.0)),  // nowhere
+      (4L, None, None))               // no geometry (way/relation row)
+      .toDF("id", "lon", "lat")
+    val out = operators.Contributions.withCountries(df, p.toString)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](3).toList))
+    assert(out.toSeq === Seq(
+      (1L, List("DEU", "EUX")),
+      (2L, List("EUX", "FRA")),
+      (3L, Nil),
+      (4L, Nil)))
+  }
+
   test("geo_wkt_join matches a brute-force multi-ring ray-cast (no grid)") {
     val out = operators.Geometry.geoWktJoin(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(3))).toSet
