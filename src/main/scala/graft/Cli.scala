@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   *                                             # contributions, same layout
   * graft.Cli changesets    <sfDir> <outDir>    # sessionized changesets
   * graft.Cli replication   <sfDir> <outDir>    # diff-merged latest state
-  * graft.Cli replication-catchup <replDir> <storeDir>
+  * graft.Cli replication-catchup <replDir> <storeDir> [maxSteps]
   *                                             # apply pending .osc diffs in
   *                                             # sequence order; resumable
   *                                             # via storeDir/state.txt
+  * graft.Cli pbf-info   <file> <outDir>        # debug: blob/entity summary
+  * graft.Cli store-peek <storeDir> <osmId>     # debug: element's versions
   * }}}
   *
   * `replication-catchup` is the reference `replication` command's
@@ -77,6 +79,30 @@ object Cli {
         val n = operators.ReplicationCatchup.catchUp(spark, sfDir, outDir, maxSteps)
         val st = operators.ReplicationCatchup.readState(outDir)
         println(s"[graft] applied $n diff(s); state=${st.map(_.sequenceNumber).getOrElse(0L)}")
+      case "pbf-info" =>
+        // Debug.java `fileinfo` analog: header/blob structure + entity
+        // counts by type, printed and written as a one-row parquet
+        val blobs = graft.sources.OsmPbf.indexBlobs(spark, sfDir)
+        val counts = spark.read.format("osmpbf").load(sfDir)
+          .groupBy("osm_type").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        import spark.implicits._
+        val info = Seq((sfDir, blobs.length,
+          counts.getOrElse("node", 0L), counts.getOrElse("way", 0L),
+          counts.getOrElse("relation", 0L)))
+          .toDF("path", "n_blobs", "n_nodes", "n_ways", "n_relations")
+        info.coalesce(1).write.mode("overwrite").parquet(outDir)
+        println(s"[graft] pbf-info: ${blobs.length} blobs, " +
+          s"nodes=${counts.getOrElse("node", 0L)} ways=${counts.getOrElse("way", 0L)} " +
+          s"relations=${counts.getOrElse("relation", 0L)}")
+      case "store-peek" =>
+        // Debug.java `replication-store` analog: show one element's rows
+        // from the catch-up store (outDir arg carries the osm id)
+        val rows = operators.ReplicationCatchup.currentContributions(spark, sfDir)
+          .filter(col("osm_id") === outDir.toLong)
+          .orderBy("osm_version").collect()
+        rows.foreach(r => println(s"[graft] $r"))
+        println(s"[graft] store-peek: ${rows.length} version(s) of $outDir")
       case other => throw new IllegalArgumentException(s"unknown command $other")
     }
     println(s"[graft] $cmd -> $outDir")

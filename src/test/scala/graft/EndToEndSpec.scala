@@ -167,4 +167,28 @@ class EndToEndSpec extends SparkSpec {
     assert(new java.io.File(s"$out/status=deleted/osm_type=node").exists())
     java.nio.file.Files.delete(tmp)
   }
+
+  test("cli debug commands: pbf-info summary and store-peek versions") {
+    val tmp = java.nio.file.Files.createTempFile("graft-dbg", ".osm.pbf")
+    java.nio.file.Files.write(tmp, buildHistoryPbf())
+    val out = java.nio.file.Files.createTempDirectory("graft-dbg-out").toString
+    Cli.main(Array("pbf-info", tmp.toString, out))
+    val info = spark.read.parquet(out).head()
+    assert(info.getAs[Int]("n_blobs") > 0)
+    assert(info.getAs[Long]("n_nodes") === 5L) // all versions incl. the delete
+    java.nio.file.Files.delete(tmp)
+
+    // store-peek over a catch-up store with two versions of entity 1
+    val repl = java.nio.file.Files.createTempDirectory("graft-dbg-repl")
+    val store = java.nio.file.Files.createTempDirectory("graft-dbg-store").toString
+    def osc(b: String) = s"""<?xml version="1.0"?><osmChange version="0.6">$b</osmChange>"""
+    java.nio.file.Files.writeString(repl.resolve("1.osc"), osc(
+      """<create><node id="1" version="1" timestamp="2024-01-21T00:00:00Z" changeset="7" uid="9" user="b" lat="1.0" lon="2.0"/></create>"""))
+    java.nio.file.Files.writeString(repl.resolve("2.osc"), osc(
+      """<modify><node id="1" version="2" timestamp="2024-01-21T00:01:00Z" changeset="8" uid="9" user="b" lat="1.5" lon="2.0"/></modify>"""))
+    Cli.main(Array("replication-catchup", repl.toString, store))
+    Cli.main(Array("store-peek", store, "1")) // prints; assert via the API
+    assert(graft.operators.ReplicationCatchup.currentContributions(spark, store)
+      .filter(col("osm_id") === 1L).count() === 2L)
+  }
 }
