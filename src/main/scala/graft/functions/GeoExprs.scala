@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, QuaternaryExpression}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Geometry kernels shared by the Catalyst expressions below and plain
@@ -329,6 +329,76 @@ object Geo {
   def xzCode(xmin: Double, ymin: Double, xmax: Double, ymax: Double, g: Int): Long =
     xzDescend((180.0 + xmin) / 360.0, (90.0 + ymin) / 360.0,
       xzLevel(xmin, ymin, xmax, ymax, g), g)
+
+  // ---- ring validity primitives (GeometryBuilder.java:52-110 triggers) --
+
+  private def orient(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double): Double =
+    (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+  private def onSegment(ax: Double, ay: Double, bx: Double, by: Double,
+      px: Double, py: Double): Boolean =
+    math.min(ax, bx) <= px && px <= math.max(ax, bx) &&
+      math.min(ay, by) <= py && py <= math.max(ay, by)
+
+  /** Whether segments (a,b) and (c,d) share any point — proper crossing,
+    * endpoint touch, or collinear overlap (standard orientation test).
+    * Exact for integer-valued doubles (products stay ≤ 2⁵³).
+    */
+  def segmentsIntersect(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
+    val o1 = orient(ax, ay, bx, by, cx, cy)
+    val o2 = orient(ax, ay, bx, by, dx, dy)
+    val o3 = orient(cx, cy, dx, dy, ax, ay)
+    val o4 = orient(cx, cy, dx, dy, bx, by)
+    if (((o1 > 0) != (o2 > 0)) && ((o3 > 0) != (o4 > 0)) &&
+      o1 != 0 && o2 != 0 && o3 != 0 && o4 != 0) true
+    else (o1 == 0 && onSegment(ax, ay, bx, by, cx, cy)) ||
+      (o2 == 0 && onSegment(ax, ay, bx, by, dx, dy)) ||
+      (o3 == 0 && onSegment(cx, cy, dx, dy, ax, ay)) ||
+      (o4 == 0 && onSegment(cx, cy, dx, dy, bx, by))
+  }
+
+  /** Self-intersection of an OPEN ring (no closing duplicate; edge i runs
+    * vertex i → (i+1) mod n): true for degenerate rings (n < 3), repeated
+    * vertices, or any two non-adjacent edges sharing a point. O(n²)
+    * small-N per-entity work, same cost class as the ray-cast kernels.
+    */
+  def ringSelfIntersectsOpen(xs: Array[Double], ys: Array[Double]): Boolean = {
+    val n = xs.length
+    if (n < 3) return true
+    val seen = scala.collection.mutable.HashSet[(Double, Double)]()
+    var v = 0
+    while (v < n) {
+      if (!seen.add((xs(v), ys(v)))) return true
+      v += 1
+    }
+    ringCrossPairs(xs, ys) > 0
+  }
+
+  /** Number of non-adjacent edge pairs of the OPEN ring that share a point
+    * (0 for n < 3) — the quantitative face of [[ringSelfIntersectsOpen]].
+    */
+  def ringCrossPairs(xs: Array[Double], ys: Array[Double]): Int = {
+    val n = xs.length
+    if (n < 3) return 0
+    var count = 0
+    var i = 0
+    while (i < n) {
+      var j = i + 2
+      while (j < n) {
+        if (!(i == 0 && j == n - 1)) {
+          val i2 = (i + 1) % n
+          val j2 = (j + 1) % n
+          if (segmentsIntersect(xs(i), ys(i), xs(i2), ys(i2),
+            xs(j), ys(j), xs(j2), ys(j2))) count += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    count
+  }
 }
 
 /** `wkb_point(lon, lat)` → hex WKB string; codegen emits a direct static
@@ -393,6 +463,50 @@ case class XZCodeExpr(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(a: Expression, b: Expression,
       c: Expression, d: Expression): XZCodeExpr =
     copy(first = a, second = b, third = c, fourth = d)
+}
+
+/** `ring_self_intersects(xs, ys)` → whether the OPEN ring has a repeated
+  * vertex or two non-adjacent edges sharing a point (true for n < 3).
+  */
+case class RingSelfIntersects(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "ring_self_intersects"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Geo.ringSelfIntersectsOpen(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray(),
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.Geo.ringSelfIntersectsOpen($a.toDoubleArray(), $b.toDoubleArray())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RingSelfIntersects =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `ring_cross_pairs(xs, ys)` → count of non-adjacent edge pairs of the
+  * OPEN ring that share a point (0 for n < 3).
+  */
+case class RingCrossPairs(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "ring_cross_pairs"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Geo.ringCrossPairs(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray(),
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.Geo.ringCrossPairs($a.toDoubleArray(), $b.toDoubleArray())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RingCrossPairs =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `xz_code_i(xmin, ymin, xmax, ymax)` → curve position of an
@@ -540,6 +654,8 @@ object GeoFunctions {
     "xz_level" -> (es => XZLevelExpr(es(0), es(1), es(2), es(3))),
     "point_in_poly" -> (es => PointInPoly(es(0), es(1), es(2), es(3))),
     "point_in_rings" -> (es => PointInRings(es(0), es(1), es(2), es(3), es(4))),
+    "ring_self_intersects" -> (es => RingSelfIntersects(es(0), es(1))),
+    "ring_cross_pairs" -> (es => RingCrossPairs(es(0), es(1))),
     "geodesic_length_mm" -> (es => GeodesicLengthMm(es(0), es(1))),
     "geodesic_area_m2" -> (es => GeodesicAreaM2(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es(0))),

@@ -324,7 +324,36 @@ object Geometry {
       .orderBy("event_id", "country")
   }
 
+  /** Ring-validity check as a first-class query (GeometryBuilder.java:52-110
+    * trigger conditions over the per-entity point ring): repeated vertices
+    * or non-adjacent edge contact → `self_intersects`, the condition that
+    * sends the reference into its repair/throw paths. One codegen kernel
+    * pass per assembled ring (`ring_self_intersects`); all arithmetic is
+    * exact on the integer centi-degree coordinates, so the DuckDB oracle
+    * replays the identical orientation tests in BIGINT.
+    */
+  def geoRingValid(s: SparkSession, dir: String): DataFrame = {
+    GeoFunctions.register(s)
+    points(s, dir)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("event_id"), col("xi"), col("yi")))).as("pts"))
+      .withColumn("xs", expr("transform(pts, p -> CAST(p.xi AS DOUBLE))"))
+      .withColumn("ys", expr("transform(pts, p -> CAST(p.yi AS DOUBLE))"))
+      .select(col("user_id"), size(col("pts")).as("npts"),
+        call_function("ring_self_intersects", col("xs"), col("ys")).as("self_intersects"),
+        call_function("ring_cross_pairs", col("xs"), col("ys")).as("n_bad_pairs"),
+        call_function("ring_self_intersects",
+          expr("slice(xs, 1, 3)"), expr("slice(ys, 1, 3)")).as("tri_self"))
+      .withColumn("valid", !col("self_intersects"))
+      // the first-3-vertex triangle: valid unless degenerate — exercises
+      // the kernel's negative branch too (full random rings always cross)
+      .withColumn("tri_valid", !col("tri_self"))
+      .drop("tri_self")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_ring_valid" -> (geoRingValid _),
     "geo_wkt_join" -> (geoWktJoin _),
     "geo_poly_join" -> (geoPolyJoin _),
     "geo_geodesic" -> (geoGeodesic _),
@@ -549,7 +578,64 @@ object Geometry {
        |ORDER BY p.event_id, n.country""".stripMargin
   }
 
+  /** DuckDB replay of geo_ring_valid: identical orientation tests in exact
+    * BIGINT arithmetic over the integer centi-degree ring (edge k joins
+    * vertex k → k mod n + 1; non-adjacent pairs = k2 ≥ k1+2 minus the
+    * (1, n) wrap pair, matching the kernel's index skip).
+    */
+  private val ringValidOracleSql: String = {
+    def orient(px: String, py: String) =
+      s"(e1.bx - e1.ax) * ($py - e1.ay) - (e1.b_y - e1.ay) * ($px - e1.ax)"
+    def orient2(px: String, py: String) =
+      s"(e2.bx - e2.ax) * ($py - e2.ay) - (e2.b_y - e2.ay) * ($px - e2.ax)"
+    def onSeg1(px: String, py: String) =
+      s"least(e1.ax, e1.bx) <= $px AND $px <= greatest(e1.ax, e1.bx) AND " +
+        s"least(e1.ay, e1.b_y) <= $py AND $py <= greatest(e1.ay, e1.b_y)"
+    def onSeg2(px: String, py: String) =
+      s"least(e2.ax, e2.bx) <= $px AND $px <= greatest(e2.ax, e2.bx) AND " +
+        s"least(e2.ay, e2.b_y) <= $py AND $py <= greatest(e2.ay, e2.b_y)"
+    val d1 = orient("e2.ax", "e2.ay")
+    val d2 = orient("e2.bx", "e2.b_y")
+    val d3 = orient2("e1.ax", "e1.ay")
+    val d4 = orient2("e1.bx", "e1.b_y")
+    s"""WITH pts AS ($ptsSql),
+       |ring AS (SELECT user_id, xi, yi,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS k,
+       |    count(*) OVER (PARTITION BY user_id) AS n
+       |  FROM pts),
+       |edges AS (SELECT a.user_id, a.k, a.n,
+       |    a.xi AS ax, a.yi AS ay, b.xi AS bx, b.yi AS b_y
+       |  FROM ring a JOIN ring b ON b.user_id = a.user_id AND b.k = a.k % a.n + 1),
+       |dup AS (SELECT DISTINCT user_id FROM (
+       |    SELECT user_id FROM ring GROUP BY user_id, xi, yi HAVING count(*) > 1) t),
+       |dup3 AS (SELECT DISTINCT user_id FROM (
+       |    SELECT user_id FROM ring WHERE k <= 3
+       |    GROUP BY user_id, xi, yi HAVING count(*) > 1) t),
+       |hits AS (SELECT e1.user_id, count(*) AS n_bad
+       |  FROM edges e1 JOIN edges e2 ON e2.user_id = e1.user_id
+       |    AND e2.k >= e1.k + 2 AND NOT (e1.k = 1 AND e2.k = e1.n)
+       |  WHERE (((($d1) > 0) <> (($d2) > 0)) AND ((($d3) > 0) <> (($d4) > 0))
+       |         AND ($d1) <> 0 AND ($d2) <> 0 AND ($d3) <> 0 AND ($d4) <> 0)
+       |     OR (($d1) = 0 AND ${onSeg1("e2.ax", "e2.ay")})
+       |     OR (($d2) = 0 AND ${onSeg1("e2.bx", "e2.b_y")})
+       |     OR (($d3) = 0 AND ${onSeg2("e1.ax", "e1.ay")})
+       |     OR (($d4) = 0 AND ${onSeg2("e1.bx", "e1.b_y")})
+       |  GROUP BY e1.user_id),
+       |base AS (SELECT user_id, max(n) AS npts FROM ring GROUP BY user_id)
+       |SELECT b.user_id, CAST(b.npts AS INT) AS npts,
+       |  (b.npts < 3 OR d.user_id IS NOT NULL OR coalesce(h.n_bad, 0) > 0) AS self_intersects,
+       |  CAST(coalesce(h.n_bad, 0) AS INT) AS n_bad_pairs,
+       |  NOT (b.npts < 3 OR d.user_id IS NOT NULL OR coalesce(h.n_bad, 0) > 0) AS valid,
+       |  NOT (b.npts < 3 OR d3.user_id IS NOT NULL) AS tri_valid
+       |FROM base b
+       |LEFT JOIN dup d ON d.user_id = b.user_id
+       |LEFT JOIN dup3 d3 ON d3.user_id = b.user_id
+       |LEFT JOIN hits h ON h.user_id = b.user_id
+       |ORDER BY b.user_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "geo_ring_valid" -> ringValidOracleSql,
     "geo_wkt_join" -> wktJoinOracleSql,
     "geo_poly_join" -> polyJoinOracleSql,
     "geo_geodesic" -> geodesicOracleSql,

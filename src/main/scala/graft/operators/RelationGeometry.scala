@@ -86,32 +86,12 @@ object RelationGeometry {
   }
 
   // ---- ring validity (GeometryBuilder.java:52-110 trigger conditions) --
+  // canonical primitives live in graft.functions.Geo (shared with the
+  // `ring_self_intersects` codegen expression / `geo_ring_valid` key)
 
-  private def orient(ax: Double, ay: Double, bx: Double, by: Double,
-      cx: Double, cy: Double): Double =
-    (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
-
-  private def onSegment(ax: Double, ay: Double, bx: Double, by: Double,
-      px: Double, py: Double): Boolean =
-    math.min(ax, bx) <= px && px <= math.max(ax, bx) &&
-      math.min(ay, by) <= py && py <= math.max(ay, by)
-
-  /** Whether segments (a,b) and (c,d) share any point — proper crossing,
-    * endpoint touch, or collinear overlap (the standard orientation test).
-    */
   def segmentsIntersect(ax: Double, ay: Double, bx: Double, by: Double,
-      cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
-    val o1 = orient(ax, ay, bx, by, cx, cy)
-    val o2 = orient(ax, ay, bx, by, dx, dy)
-    val o3 = orient(cx, cy, dx, dy, ax, ay)
-    val o4 = orient(cx, cy, dx, dy, bx, by)
-    if (((o1 > 0) != (o2 > 0)) && ((o3 > 0) != (o4 > 0)) &&
-      o1 != 0 && o2 != 0 && o3 != 0 && o4 != 0) true
-    else (o1 == 0 && onSegment(ax, ay, bx, by, cx, cy)) ||
-      (o2 == 0 && onSegment(ax, ay, bx, by, dx, dy)) ||
-      (o3 == 0 && onSegment(cx, cy, dx, dy, ax, ay)) ||
-      (o4 == 0 && onSegment(cx, cy, dx, dy, bx, by))
-  }
+      cx: Double, cy: Double, dx: Double, dy: Double): Boolean =
+    graft.functions.Geo.segmentsIntersect(ax, ay, bx, by, cx, cy, dx, dy)
 
   /** Self-intersection test for one CLOSED ring (closing vertex included in
     * the input): a repeated vertex (bowtie-at-node / self-touch) or any two
