@@ -158,5 +158,15 @@ class GeometryExprSpec extends AnyFunSuite {
       assert(Geo.xzLevelInt(a, b, c, d, 16) === lvl, s"level of ($a,$b,$c,$d)")
       assert(BigInt(Geo.xzCodeInt(a, b, c, d, 16)) === code, s"code of ($a,$b,$c,$d)")
     }
+    // random sweep over the full signed-degree domain (seeded)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 500) {
+      val x0 = rnd.between(-180L, 180L); val y0 = rnd.between(-90L, 90L)
+      val (a, c) = (x0, math.min(179L, x0 + rnd.between(0L, 360L)))
+      val (b, d) = (y0, math.min(89L, y0 + rnd.between(0L, 180L)))
+      val (lvl, code) = naiveXz(a.toDouble, b.toDouble, c.toDouble, d.toDouble, 16)
+      assert(Geo.xzLevelInt(a, b, c, d, 16) === lvl, s"level of ($a,$b,$c,$d)")
+      assert(BigInt(Geo.xzCodeInt(a, b, c, d, 16)) === code, s"code of ($a,$b,$c,$d)")
+    }
   }
 }
