@@ -56,7 +56,7 @@ object Cli {
         // contribution parquet out; SPARK_GRAFT_COUNTRY_FILE plays the
         // --country-file option (docs/CLI.md "Join Country Codes")
         val entities = spark.read.format("osmpbf").load(sfDir)
-        val base = Contributions.fromEntities(entities)
+        val base = Contributions.withGeometries(entities)
         val enriched = sys.env.get("SPARK_GRAFT_COUNTRY_FILE")
           .fold(base)(f => Contributions.withCountries(base, f))
         ContribSink.writePartitioned(enriched, outDir)

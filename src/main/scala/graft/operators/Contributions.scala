@@ -297,6 +297,51 @@ object Contributions {
         col("lat"), col("lon"), col("refs"), col("members"), col("xz_code"))
   }
 
+  /** Geometry assembly for REAL contributions (the reference's
+    * ContributionGeometry step): node rows get point WKB; way rows get the
+    * linestring WKB of their refs' AS-OF coordinates — each ref resolved
+    * to the newest node version at or before the way version's timestamp
+    * (rank-1 over node_ts ≤ valid_from, the same as-of shape as
+    * MinorVersions.computeWithGeometry).
+    *
+    * Scale: refs explode ⋈ node history shuffles on node id, the same
+    * keyed exchange the minor-version engine reuses; the WKB join-back is
+    * keyed (way id, version). Nodes never materialize per way beyond their
+    * matched as-of rows.
+    */
+  def withGeometries(entities: DataFrame): DataFrame = {
+    val s = entities.sparkSession
+    GeoFunctions.register(s)
+    val base = fromEntities(entities)
+    val nodes = entities.filter(col("osm_type") === "node")
+      .select(col("id").as("node_id"), col("ts_ms").as("node_ts"),
+        col("lat").as("n_lat"), col("lon").as("n_lon"))
+    val asOf = base.filter(col("osm_type") === "way")
+      .select(col("osm_id").as("way_id"), col("osm_version").as("way_version"),
+        col("valid_from"), posexplode(col("refs")).as(Seq("pos", "node_id")))
+      .join(nodes, Seq("node_id"))
+      .filter(col("node_ts") <= col("valid_from"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("way_id", "way_version", "pos").orderBy(desc("node_ts"))))
+      .filter(col("rk") === 1)
+    val wayWkb = asOf
+      .groupBy("way_id", "way_version")
+      .agg(sort_array(collect_list(struct(col("pos"), col("n_lon"), col("n_lat")))).as("pts"))
+      .select(col("way_id"), col("way_version"),
+        call_function("wkb_line",
+          expr("transform(pts, p -> p.n_lon)"),
+          expr("transform(pts, p -> p.n_lat)")).as("way_wkb"))
+    base
+      .join(wayWkb,
+        base("osm_id") === wayWkb("way_id") &&
+          base("osm_version") === wayWkb("way_version"), "left")
+      .withColumn("wkb",
+        when(col("osm_type") === "node" && col("lat").isNotNull && !isnan(col("lat")),
+          call_function("wkb_point", col("lon"), col("lat")))
+          .otherwise(col("way_wkb")))
+      .drop("way_id", "way_version", "way_wkb")
+  }
+
   /** `--country-file` enrichment for REAL contributions (docs/CLI.md
     * "Join Country Codes" + SpatialGridJoiner semantics): every row gets a
     * `countries` array — all boundary features containing its point (rows

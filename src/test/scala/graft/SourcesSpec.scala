@@ -340,6 +340,27 @@ class SourcesSpec extends SparkSpec {
     assert(df.filter(col("open")).count() === 1)
   }
 
+  test("withGeometries: point WKB for nodes, as-of linestring WKB for ways") {
+    val tmp = java.nio.file.Files.createTempFile("graft-geom", ".osm.pbf")
+    java.nio.file.Files.write(tmp, buildPbf())
+    val entities = spark.read.format("osmpbf").load(tmp.toString)
+    val out = operators.Contributions.withGeometries(entities)
+    val byKey = out.collect()
+      .map(r => (r.getAs[String]("osm_type"), r.getAs[Long]("osm_id"),
+        Option(r.getAs[String]("wkb")))).toSeq
+    // both nodes carry 21-byte point WKB (42 hex chars, 0101000000 header)
+    val nodeWkbs = byKey.collect { case ("node", _, Some(w)) => w }
+    assert(nodeWkbs.length === 2 &&
+      nodeWkbs.forall(w => w.length === 42 && w.startsWith("0101000000")))
+    // way 42 carries a linestring over its two as-of refs
+    val wayWkb = byKey.collect { case ("way", 42L, w) => w }.head
+    assert(wayWkb.isDefined && wayWkb.get.startsWith("0102000000" + "02000000"),
+      "way WKB must be a 2-point little-endian linestring")
+    // the coordinates equal the nodes' own WKB payloads (same as-of coords)
+    assert(wayWkb.get.drop(18) === nodeWkbs.map(_.drop(10)).mkString(""))
+    java.nio.file.Files.delete(tmp)
+  }
+
   test("changeset dump reader: delimiter-split parse, plain and bz2") {
     // planet-dump-shaped file: many changesets, one document
     val xml = new StringBuilder(
