@@ -59,7 +59,12 @@ object Cli {
         val base = Contributions.withGeometries(entities)
         val enriched = sys.env.get("SPARK_GRAFT_COUNTRY_FILE")
           .fold(base)(f => Contributions.withCountries(base, f))
-        ContribSink.writePartitioned(enriched, outDir)
+        // same output contract as `contributions`: binary WKB geometry +
+        // footer-embedded geo metadata, status×type partitioned
+        graft.sources.GeoParquet.write(enriched, outDir, wkbHexCol = "wkb",
+          geomTypes = Seq("Point", "LineString"),
+          partitionCols = Seq("status", "osm_type"),
+          bboxLonLat = Some(("lon", "lat")))
       case "changesets" =>
         // a dump file loads the changeset store (the reference's
         // `changesets --bz2 --changeset-db` flow); a table dir runs the

@@ -53,7 +53,9 @@ object GeoParquet {
     val bboxJson = bboxLonLat.map { case (lonCol, latCol) =>
       val r = df.agg(min(col(lonCol)), min(col(latCol)),
         max(col(lonCol)), max(col(latCol))).head()
-      s""","bbox":[${r.getDouble(0)},${r.getDouble(1)},${r.getDouble(2)},${r.getDouble(3)}]"""
+      // all-null coordinates (e.g. a way/relation-only dataset) → no bbox
+      if ((0 to 3).exists(r.isNullAt)) ""
+      else s""","bbox":[${r.getDouble(0)},${r.getDouble(1)},${r.getDouble(2)},${r.getDouble(3)}]"""
     }.getOrElse("")
     val geo =
       s"""{"version":"1.0.0","primary_column":"geometry","columns":{"geometry":{
