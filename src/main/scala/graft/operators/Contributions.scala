@@ -315,14 +315,19 @@ object Contributions {
     val base = fromEntities(entities)
     val nodes = entities.filter(col("osm_type") === "node")
       .select(col("id").as("node_id"), col("ts_ms").as("node_ts"),
+        col("version").as("node_version"),
         col("lat").as("n_lat"), col("lon").as("n_lon"))
     val asOf = base.filter(col("osm_type") === "way")
       .select(col("osm_id").as("way_id"), col("osm_version").as("way_version"),
         col("valid_from"), posexplode(col("refs")).as(Seq("pos", "node_id")))
       .join(nodes, Seq("node_id"))
       .filter(col("node_ts") <= col("valid_from"))
+      // desc(version) tie-break: two node versions can share a timestamp
+      // (bulk imports do this); rank-1 must be deterministic, not
+      // partition-order-dependent
       .withColumn("rk", row_number().over(
-        Window.partitionBy("way_id", "way_version", "pos").orderBy(desc("node_ts"))))
+        Window.partitionBy("way_id", "way_version", "pos")
+          .orderBy(desc("node_ts"), desc("node_version"))))
       .filter(col("rk") === 1)
     val wayWkb = asOf
       .groupBy("way_id", "way_version")
@@ -330,16 +335,26 @@ object Contributions {
       .select(col("way_id"), col("way_version"),
         call_function("wkb_line",
           expr("transform(pts, p -> p.n_lon)"),
-          expr("transform(pts, p -> p.n_lat)")).as("way_wkb"))
+          expr("transform(pts, p -> p.n_lat)")).as("way_wkb"),
+        size(col("pts")).as("resolved_pts"))
     base
       .join(wayWkb,
         base("osm_id") === wayWkb("way_id") &&
           base("osm_version") === wayWkb("way_version"), "left")
+      // a ref with NO node version at/before valid_from would silently
+      // shorten the linestring — the reference marks such geometries
+      // invalid (GeometryBuilder missing-member handling) rather than
+      // emitting a shifted line, so: null the wkb and flag the row
+      .withColumn("geom_incomplete",
+        col("osm_type") === "way" && size(coalesce(col("refs"), array())) > 0 &&
+          coalesce(col("resolved_pts"), lit(0)) < size(col("refs")))
       .withColumn("wkb",
         when(col("osm_type") === "node" && col("lat").isNotNull && !isnan(col("lat")),
           call_function("wkb_point", col("lon"), col("lat")))
+          .when(col("geom_incomplete"), lit(null))
           .otherwise(col("way_wkb")))
-      .drop("way_id", "way_version", "way_wkb")
+      .withColumn("geom_valid", !col("geom_incomplete"))
+      .drop("way_id", "way_version", "way_wkb", "resolved_pts", "geom_incomplete")
   }
 
   /** `--country-file` enrichment for REAL contributions (docs/CLI.md

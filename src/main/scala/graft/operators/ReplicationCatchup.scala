@@ -100,19 +100,23 @@ object ReplicationCatchup {
 
   // ---- store reads -----------------------------------------------------
 
-  /** Event history with `batch <= upTo` — the committed prefix. */
+  /** Event history with `batch <= upTo` — the committed prefix, read from
+    * an EXPLICIT path list (`events/batch=1..upTo`). A whole-directory scan
+    * with a post-filter would list uncommitted dirs too: a crash mid-write
+    * of `events/batch=upTo+1` can leave truncated part files whose footer
+    * read aborts schema inference before any filter applies, breaking the
+    * idempotent-resume contract. Uncommitted data must never be in the
+    * read path at all.
+    */
   private def readEvents(spark: SparkSession, storeDir: String, upTo: Long): DataFrame = {
-    val dir = Paths.get(storeDir, "events")
-    val hasBatch = Files.exists(dir) && {
-      val ls = Files.list(dir)
-      try ls.filter(p => p.getFileName.toString.startsWith("batch=")).findAny().isPresent
-      finally ls.close()
-    }
-    if (!hasBatch || upTo <= 0)
+    val committed = (1L to math.max(upTo, 0L))
+      .map(i => Paths.get(storeDir, "events", s"batch=$i"))
+      .filter(Files.exists(_))
+      .map(_.toString)
+    if (committed.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], eventSchema)
     else
-      spark.read.parquet(dir.toString)
-        .filter(col("batch") <= upTo)
+      spark.read.parquet(committed: _*)
         .select(eventCols.map(col): _*)
   }
 

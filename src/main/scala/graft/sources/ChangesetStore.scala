@@ -39,15 +39,49 @@ object ChangesetStore {
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Live version number, if the store exists. */
+  /** Live version number, if the store exists. A missing pointer file does
+    * NOT mean an empty store: the pointer swap is not atomic on every
+    * filesystem, so recovery falls back to scanning for the highest fully
+    * committed artifact — `manifest-v<N>.json` (bucketed layout; written
+    * via tmp + atomic rename after its bucket data) or a `v=N/_SUCCESS`
+    * snapshot (snapshot layout; the marker lands when the write completes,
+    * and a completed-but-unpointered merge already contains the previous
+    * snapshot's content, so re-pointing at it never loses rows). Without
+    * this, a crash inside the pointer swap would silently restart the
+    * store from scratch on the next upsert.
+    */
   def currentVersion(spark: SparkSession, storeDir: String): Option[Int] = {
     val f = fs(spark, storeDir)
     val ptr = new Path(storeDir, "current")
-    if (!f.exists(ptr)) None
-    else {
+    if (f.exists(ptr)) {
       val in = f.open(ptr)
       try Some(new String(in.readAllBytes(), UTF_8).trim.toInt)
       finally in.close()
+    } else recoverVersion(spark, storeDir)
+  }
+
+  /** Highest committed version when the pointer is missing (crash
+    * recovery); None only for a genuinely empty/new store.
+    */
+  private def recoverVersion(spark: SparkSession, storeDir: String): Option[Int] = {
+    val f = fs(spark, storeDir)
+    if (!f.exists(new Path(storeDir))) return None
+    val names = f.listStatus(new Path(storeDir)).map(_.getPath.getName)
+    val manifests = names.collect {
+      case n if n.startsWith("manifest-v") && n.endsWith(".json") &&
+        n.stripPrefix("manifest-v").stripSuffix(".json").forall(_.isDigit) =>
+        n.stripPrefix("manifest-v").stripSuffix(".json").toInt
+    }
+    val snapshots = names.collect {
+      case n if n.startsWith("v=") && n.drop(2).nonEmpty && n.drop(2).forall(_.isDigit) &&
+        f.exists(new Path(s"$storeDir/$n/_SUCCESS")) => n.drop(2).toInt
+    }
+    val all = manifests ++ snapshots
+    if (all.isEmpty) None
+    else {
+      val v = all.max
+      commitPointer(spark, storeDir, v) // heal the pointer for later readers
+      Some(v)
     }
   }
 
@@ -80,15 +114,7 @@ object ChangesetStore {
           .unionByName(batch)
     }
     merged.write.mode("overwrite").parquet(s"$storeDir/v=$next")
-    // commit: pointer tmp + atomic rename
-    val tmp = new Path(storeDir, "current.tmp")
-    val out = f.create(tmp, true)
-    try out.write(next.toString.getBytes(UTF_8))
-    finally out.close()
-    if (!f.delete(new Path(storeDir, "current"), false) && f.exists(new Path(storeDir, "current")))
-      throw new java.io.IOException(s"$storeDir: cannot replace pointer")
-    if (!f.rename(tmp, new Path(storeDir, "current")))
-      throw new java.io.IOException(s"$storeDir: pointer commit failed")
+    commitPointer(spark, storeDir, next)
     // GC everything older than the previous snapshot
     prev.foreach { p =>
       val it = f.listStatus(new Path(storeDir))
@@ -103,16 +129,23 @@ object ChangesetStore {
 
   // ---- bucketed layout --------------------------------------------------
 
+  /** Single-step atomic pointer swap: tmp write + rename-with-OVERWRITE
+    * (FileContext — one atomic operation on HDFS and the local fs alike).
+    * No delete-then-rename window, so no state in which the pointer is
+    * missing mid-commit; [[recoverVersion]] covers pre-existing stores
+    * written by the old two-step swap or exotic filesystems.
+    */
   private def commitPointer(spark: SparkSession, storeDir: String, next: Int): Unit = {
     val f = fs(spark, storeDir)
     val tmp = new Path(storeDir, "current.tmp")
     val out = f.create(tmp, true)
     try out.write(next.toString.getBytes(UTF_8))
     finally out.close()
-    if (!f.delete(new Path(storeDir, "current"), false) && f.exists(new Path(storeDir, "current")))
-      throw new java.io.IOException(s"$storeDir: cannot replace pointer")
-    if (!f.rename(tmp, new Path(storeDir, "current")))
-      throw new java.io.IOException(s"$storeDir: pointer commit failed")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(fc.makeQualified(tmp),
+      fc.makeQualified(new Path(storeDir, "current")),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** bucket id → live version for store version `v` (bucketed layout). */

@@ -51,10 +51,17 @@ object GeoParquet {
       .parquet(outDir)
 
     val bboxJson = bboxLonLat.map { case (lonCol, latCol) =>
-      val r = df.agg(min(col(lonCol)), min(col(latCol)),
-        max(col(lonCol)), max(col(latCol))).head()
-      // all-null coordinates (e.g. a way/relation-only dataset) → no bbox
-      if ((0 to 3).exists(r.isNullAt)) ""
+      // NaN coordinates (way/relation rows carry lat/lon = NaN in the mixed
+      // entity frame) sort ABOVE every real value in Spark's min/max, so
+      // they must be filtered out — an unguarded aggregate stamps literal
+      // NaN into the footer JSON, which no reader parses.
+      val r = df
+        .filter(col(lonCol).isNotNull && col(latCol).isNotNull &&
+          !isnan(col(lonCol)) && !isnan(col(latCol)))
+        .agg(min(col(lonCol)), min(col(latCol)),
+          max(col(lonCol)), max(col(latCol))).head()
+      // no finite coordinates at all (e.g. a way/relation-only dataset) → no bbox
+      if ((0 to 3).exists(i => r.isNullAt(i) || r.getDouble(i).isNaN)) ""
       else s""","bbox":[${r.getDouble(0)},${r.getDouble(1)},${r.getDouble(2)},${r.getDouble(3)}]"""
     }.getOrElse("")
     val geo =
@@ -82,11 +89,26 @@ object GeoParquet {
         files += f.getPath.toString
     }
     if (files.isEmpty) return
-    // executors resolve the default FileSystem from their own classpath
-    // configuration — correct for local runs and cluster deployments alike
+    // Ship the DRIVER's resolved hadoop configuration (spark.hadoop.* —
+    // filesystem credentials, fs.defaultFS, …) to the stamp tasks: a bare
+    // `new Configuration()` on an executor sees only classpath XML defaults
+    // and would resolve the wrong filesystem on real cluster deployments.
+    // Configuration itself is not Serializable, so broadcast its entries.
+    val confEntries: Array[(String, String)] = {
+      val it = conf.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
+      buf.toArray
+    }
+    val bcConf = spark.sparkContext.broadcast(confEntries)
     spark.sparkContext
       .parallelize(files.toSeq, math.min(files.size, 32))
-      .foreach(f => stampOne(new Configuration(), f, key, value))
+      .foreach { f =>
+        val c = new Configuration(false)
+        bcConf.value.foreach { case (k, v) => c.set(k, v) }
+        stampOne(c, f, key, value)
+      }
+    bcConf.unpersist(blocking = false)
   }
 
   /** Footer surgery on one file: parse thrift footer, upsert the key-value,

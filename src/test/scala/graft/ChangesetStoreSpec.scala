@@ -86,6 +86,37 @@ class ChangesetStoreSpec extends SparkSpec {
     assert(after.length === 1 && after.head.getLong(2) === 7777L)
   }
 
+  test("pointer loss recovers the committed store instead of discarding it") {
+    import spark.implicits._
+    // snapshot layout: kill `current` → recovery scans for the highest
+    // v=N/_SUCCESS snapshot and the next upsert still merges, not restarts
+    val dir = java.nio.file.Files.createTempDirectory("graft-cs-ptr").toString
+    val b1 = Seq((1L, 0L, 10L), (2L, 0L, 20L)).toDF("user_id", "cs_seq", "closed_at")
+    assert(ChangesetStore.upsert(spark, dir, b1, Seq("user_id", "cs_seq")) === 1)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "current"))
+    assert(ChangesetStore.currentVersion(spark, dir) === Some(1),
+      "recovery must find the committed snapshot")
+    // the recovery healed the pointer file
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "current")))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "current"))
+    val b2 = Seq((3L, 0L, 30L)).toDF("user_id", "cs_seq", "closed_at")
+    assert(ChangesetStore.upsert(spark, dir, b2, Seq("user_id", "cs_seq")) === 2)
+    val users = ChangesetStore.read(spark, dir)
+      .select("user_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(users === Seq(1L, 2L, 3L), "upsert after pointer loss must keep old rows")
+
+    // bucketed layout: recovery via the highest committed manifest
+    val bdir = java.nio.file.Files.createTempDirectory("graft-cs-bptr").toString
+    val bb1 = (1L to 8L).map(k => (k, 0L, k)).toDF("user_id", "cs_seq", "closed_at")
+    assert(ChangesetStore.upsertBucketed(spark, bdir, bb1, Seq("user_id", "cs_seq"), 4) === 1)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(bdir, "current"))
+    assert(ChangesetStore.currentVersion(spark, bdir) === Some(1))
+    val bb2 = Seq((9L, 0L, 9L)).toDF("user_id", "cs_seq", "closed_at")
+    java.nio.file.Files.delete(java.nio.file.Paths.get(bdir, "current"))
+    assert(ChangesetStore.upsertBucketed(spark, bdir, bb2, Seq("user_id", "cs_seq"), 4) === 2)
+    assert(ChangesetStore.readBucketed(spark, bdir).count() === 9)
+  }
+
   test("cs_db_enrich equals the one-shot sessionization enrichment") {
     val out = operators.Changesets.csDbEnrich(spark, sfDir)
     val expected = operators.Changesets.csEnrich(spark, sfDir)

@@ -88,6 +88,32 @@ class ReplicationCatchupSpec extends SparkSpec {
       === collectContribs(oneShot(repl.toString)))
   }
 
+  test("truncated uncommitted batch files never enter the read path") {
+    val repl = java.nio.file.Files.createTempDirectory("graft-cu-repl6")
+    val store = java.nio.file.Files.createTempDirectory("graft-cu-store6")
+    writeDiffs(repl, 1 -> diff1, 2 -> diff2)
+
+    assert(ReplicationCatchup.catchUp(spark, repl.toString, store.toString, maxSteps = 1) === 1L)
+
+    // crash mid-write of batch 2: a TRUNCATED part file (no parquet footer)
+    // is left behind. A whole-directory scan would abort on its footer read
+    // before any batch filter applies; the explicit committed-path read
+    // must never see it.
+    val orphanDir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$store/events/batch=2"))
+    java.nio.file.Files.write(orphanDir.resolve("part-00000.snappy.parquet"),
+      Array[Byte]('P', 'A', 'R', '1', 42, 42, 42)) // magic + garbage, no footer
+    assert(ReplicationCatchup.readState(store.toString).map(_.sequenceNumber) === Some(1L))
+    assert(ReplicationCatchup.currentContributions(spark, store.toString).count() > 0,
+      "reads below the bookmark must succeed despite the corrupt orphan")
+
+    // resume overwrites the partial batch and completes
+    assert(ReplicationCatchup.catchUp(spark, repl.toString, store.toString) === 1L)
+    assert(ReplicationCatchup.readState(store.toString).map(_.sequenceNumber) === Some(2L))
+    assert(collectContribs(ReplicationCatchup.currentContributions(spark, store.toString))
+      === collectContribs(oneShot(repl.toString)))
+  }
+
   test("sequence gaps stop the catch-up; maxSteps bounds a run") {
     val repl = java.nio.file.Files.createTempDirectory("graft-cu-repl3")
     val store = java.nio.file.Files.createTempDirectory("graft-cu-store3")

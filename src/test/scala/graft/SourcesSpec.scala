@@ -361,6 +361,46 @@ class SourcesSpec extends SparkSpec {
     java.nio.file.Files.delete(tmp)
   }
 
+  test("withGeometries: same-ts tie-break is by version; unresolvable refs flag the row") {
+    import spark.implicits._
+    val members = Seq.empty[(String, Long, String)]
+    // node 1 has TWO versions at the same timestamp (bulk-import shape):
+    // the as-of resolution must deterministically pick the higher version
+    val entities = Seq(
+      ("node", 1L, 1, 1000L, 5L, 9, "u", true, 10.0, 20.0,
+        Map.empty[String, String], null.asInstanceOf[Seq[Long]], members),
+      ("node", 1L, 2, 1000L, 5L, 9, "u", true, 11.0, 21.0,
+        Map.empty[String, String], null.asInstanceOf[Seq[Long]], members),
+      // node 2's only version is AFTER way 11's timestamp → unresolvable
+      ("node", 2L, 1, 5000L, 5L, 9, "u", true, 12.0, 22.0,
+        Map.empty[String, String], null.asInstanceOf[Seq[Long]], members),
+      ("way", 10L, 1, 2000L, 6L, 9, "u", true, Double.NaN, Double.NaN,
+        Map.empty[String, String], Seq(1L, 1L), members),
+      ("way", 11L, 1, 2000L, 6L, 9, "u", true, Double.NaN, Double.NaN,
+        Map.empty[String, String], Seq(1L, 2L), members)
+    ).toDF("osm_type", "id", "version", "ts_ms", "changeset", "uid", "user",
+      "visible", "lat", "lon", "tags", "refs", "members")
+    val out = operators.Contributions.withGeometries(entities).collect()
+      .map(r => (r.getAs[String]("osm_type"), r.getAs[Long]("osm_id"),
+        Option(r.getAs[String]("wkb")), r.getAs[Boolean]("geom_valid")))
+
+    val way10 = out.find(r => r._1 == "way" && r._2 == 10L).get
+    assert(way10._4 && way10._3.isDefined)
+    // coordinates of node 1 VERSION 2 (lon=21.0, lat=11.0 in x-first WKB
+    // order), twice — not v1's
+    val v2pt = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(21.0).putDouble(11.0).array()
+    val hex = v2pt.map("%02X".format(_)).mkString
+    assert(way10._3.get.toUpperCase.endsWith(hex + hex),
+      s"way 10 must resolve both refs to node1 v2: ${way10._3.get}")
+
+    val way11 = out.find(r => r._1 == "way" && r._2 == 11L).get
+    assert(!way11._4 && way11._3.isEmpty,
+      "a way with an unresolvable ref must be flagged invalid with null wkb")
+    // node rows are always geometry-valid
+    assert(out.filter(_._1 == "node").forall(_._4))
+  }
+
   test("changeset dump reader: delimiter-split parse, plain and bz2") {
     // planet-dump-shaped file: many changesets, one document
     val xml = new StringBuilder(
@@ -455,5 +495,35 @@ class SourcesSpec extends SparkSpec {
       .filter(p => p.toString.endsWith(".parquet")).iterator()
     val v = GeoParquet.readFooterValue(conf, restamped.next().toString, "geo")
     assert(v === Some("{\"version\":\"1.0.0\"}"))
+  }
+
+  test("geoparquet bbox ignores NaN coordinates (mixed node/way frames)") {
+    import spark.implicits._
+    // way/relation rows in the mixed entity frame carry lat/lon = NaN;
+    // Spark's max() orders NaN above every real value, so an unfiltered
+    // bbox aggregate would stamp invalid `"bbox":[...,NaN,NaN]` JSON
+    val df = Seq(
+      (1L, 10.0, 20.0), (2L, 12.0, 22.0),
+      (3L, Double.NaN, Double.NaN), (4L, Double.NaN, Double.NaN)
+    ).toDF("id", "lon_d", "lat_d")
+      .withColumn("wkb", hex(lit(Array.fill[Byte](21)(1))))
+    val out = java.nio.file.Files.createTempDirectory("graft-geopq-nan").toString
+    GeoParquet.write(df, out, wkbHexCol = "wkb", bboxLonLat = Some(("lon_d", "lat_d")))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val part = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      .filter(p => p.toString.endsWith(".parquet")).iterator().next()
+    val meta = GeoParquet.readFooterValue(conf, part.toString, "geo").get
+    assert(meta.contains("\"bbox\":[10.0,20.0,12.0,22.0]"), meta)
+    assert(!meta.contains("NaN"), meta)
+
+    // all coordinates NaN → the bbox key is omitted entirely, not NaN-filled
+    val allNan = Seq((1L, Double.NaN, Double.NaN)).toDF("id", "lon_d", "lat_d")
+      .withColumn("wkb", hex(lit(Array.fill[Byte](21)(1))))
+    val out2 = java.nio.file.Files.createTempDirectory("graft-geopq-nan2").toString
+    GeoParquet.write(allNan, out2, wkbHexCol = "wkb", bboxLonLat = Some(("lon_d", "lat_d")))
+    val part2 = java.nio.file.Files.walk(java.nio.file.Paths.get(out2))
+      .filter(p => p.toString.endsWith(".parquet")).iterator().next()
+    val meta2 = GeoParquet.readFooterValue(conf, part2.toString, "geo").get
+    assert(!meta2.contains("bbox") && !meta2.contains("NaN"), meta2)
   }
 }
