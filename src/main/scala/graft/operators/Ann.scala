@@ -48,7 +48,6 @@ object Ann {
       .withColumn("cos", cosine(dotDec(col("ea"), col("eb")), col("na2"), col("nb2")))
       .filter(col("cos") >= 0.3)
       .select("va", "vb", "label", "cos")
-      .orderBy("va", "vb")
   }
 
   /** Brute-force cosine top-5 per query (queries = vec_id < 8), with a
@@ -66,7 +65,6 @@ object Ann {
         Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))))
       .filter(col("rnk") <= 5)
       .select("q_id", "n_id", "rnk", "cos")
-      .orderBy("q_id", "rnk")
   }
 
   /** Hyperplane-LSH bucketed ANN: 8 deterministic integer hyperplanes →
@@ -101,7 +99,6 @@ object Ann {
         Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))))
       .filter(col("rnk") <= 3)
       .select("q_id", "n_id", "rnk", "bucket", "cos")
-      .orderBy("q_id", "rnk")
   }
 
   /** K=8 fixed centroids (embeddings of vec_id 8..15) — the offline index
@@ -155,7 +152,6 @@ object Ann {
         Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))))
       .filter(col("rnk") <= 3)
       .select("q_id", "n_id", "rnk", "cell", "cos")
-      .orderBy("q_id", "rnk")
   }
 
   /** One Lloyd iteration of k-means over the embedding corpus: assign
@@ -178,7 +174,6 @@ object Ann {
       .groupBy(col("cell"), (col("i0") + 1).as("i"))
       .agg(count(lit(1)).as("n"),
         sum(round(col("ev") * 1e9).cast("bigint")).as("sum9"))
-      .orderBy("cell", "i")
   }
 
   /** Fixed-point dot9-compatible squared norm of a driver-side vector. */

@@ -53,7 +53,6 @@ object Changesets {
         // identically in the driver's Spark-vs-DuckDB compare (DECIMAL
         // output columns do not — round-1 gate failure)
         sum(round(col("value") * 100).cast("bigint")).as("sum_value"))
-      .orderBy("user_id", "cs_seq")
 
   /** Hashtag extraction — reference semantics (ChangesetHashtags.java:20-34).
     * The comment field is synthesized deterministically from `documents`
@@ -74,7 +73,6 @@ object Changesets {
         filter(transform(col("raw_tags"), t => substring(t, 2, 1000000)),
           t => length(t) >= 2 && !t.rlike("^[0-9]+$")))), ","))
       .select(col("doc_id"), col("hashtags"))
-      .orderBy("doc_id")
   }
 
   /** Contribution ← changeset enrichment join (the `--changeset-db` join,
@@ -92,7 +90,6 @@ object Changesets {
       .withColumn("editor", concat(lit("editor/"), col("user_id") % 7))
       .select(col("event_id"), col("user_id"), col("cs_seq"),
         col("created_at"), col("closed_at"), col("num_changes"), col("editor"))
-      .orderBy("event_id")
   }
 
   /** Enrich contributions with an ingested changeset DB (the reference's
@@ -166,7 +163,6 @@ object Changesets {
       .join(broadcast(cs), Seq("user_id", "cs_seq"))
       .select(col("event_id"), col("user_id"), col("cs_seq"),
         col("cs_created_at"), col("cs_closed_at"), col("cs_num_changes"))
-      .orderBy("event_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -44,7 +44,7 @@ object Contributions {
     * as graft.functions.Geo.geodesicLengthMm) — prefix length is its
     * cumulative sum, and length_delta IS the step.
     */
-  private val stepMmSql: String =
+  private[graft] val stepMmSql: String =
     s"""CASE WHEN plon IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(round(
        |  (sqrt(
        |     ((radians(lon_d) - radians(plon))
@@ -63,15 +63,15 @@ object Contributions {
     * values. Terms are fixed-point 1e-9 BIGINTs exactly like
     * Geo.geodesicAreaM2.
     */
-  private val u9Sql: String =
+  private[graft] val u9Sql: String =
     s"""CASE WHEN osm_version >= 3 THEN CAST(round(
        |  radians(lon_d - lag2_lon) * ${sin9("plat")} * 1000000000.0) AS BIGINT)
        |  ELSE CAST(0 AS BIGINT) END""".stripMargin
-  private val b09Sql: String =
+  private[graft] val b09Sql: String =
     s"""CASE WHEN osm_version >= 3 THEN CAST(round(
        |  radians(nth2_lon - lon_d) * ${sin9("first_lat")} * 1000000000.0) AS BIGINT)
        |  ELSE CAST(0 AS BIGINT) END""".stripMargin
-  private val bk9Sql: String =
+  private[graft] val bk9Sql: String =
     s"""CASE WHEN osm_version >= 3 THEN CAST(round(
        |  radians(first_lon - plon) * ${sin9("lat_d")} * 1000000000.0) AS BIGINT)
        |  ELSE CAST(0 AS BIGINT) END""".stripMargin
@@ -247,7 +247,6 @@ object Contributions {
         col("centroid_x"), col("centroid_y"),
         col("length_mm"), col("step_mm").as("length_delta_mm"),
         col("area_m2"), col("area_delta_m2"))
-      .orderBy("osm_id", "osm_version")
   }
 
   /** Contribution derivation over REAL OSM entities (the osmpbf reader's

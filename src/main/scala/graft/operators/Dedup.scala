@@ -108,11 +108,10 @@ object Dedup {
     Tables.documents(s, dir)
       .groupBy(md5(col("text")).as("h"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
-      .orderBy("keep_id")
 
   /** MinHash signatures (k=8, md5 over 5-char shingles). */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
-    signatures(s, dir).orderBy("doc_id")
+    signatures(s, dir)
 
   /** LSH band-bucket join → candidate pairs + signature-agreement Jaccard
     * estimate.
@@ -129,8 +128,7 @@ object Dedup {
       candidates(sigs)
         .join(sigs.toDF("doc_a" +: (0 until NumHashes).map(j => s"a_mh$j"): _*), "doc_a")
         .join(sigs.toDF("doc_b" +: (0 until NumHashes).map(j => s"b_mh$j"): _*), "doc_b")
-        .select(col("doc_a"), col("doc_b"), (agree / 8.0).as("jaccard_est"))
-        .orderBy("doc_a", "doc_b"),
+        .select(col("doc_a"), col("doc_b"), (agree / 8.0).as("jaccard_est")),
       sigs)
   }
 
@@ -143,7 +141,6 @@ object Dedup {
     graft.functions.GeoFunctions.register(s)
     Tables.documents(s, dir)
       .select(col("doc_id"), call_function("simhash64", col("text")).as("simhash"))
-      .orderBy("doc_id")
   }
 
   /** n-gram (word trigram) Jaccard verification of the LSH candidates. */
@@ -169,8 +166,7 @@ object Dedup {
         .join(grams.select(col("doc_id").as("doc_a"), col("ng").as("na")), "doc_a")
         .join(grams.select(col("doc_id").as("doc_b"), col("ng").as("nb")), "doc_b")
         .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
-          (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
-        .orderBy("doc_a", "doc_b"),
+          (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard")),
       grams, sigs)
   }
 
@@ -203,8 +199,7 @@ object Dedup {
     // time the signature cache has served its purpose
     releasing(
       connectedComponents(s, edges)
-        .toDF("doc_id", "cluster_id")
-        .orderBy("doc_id"),
+        .toDF("doc_id", "cluster_id"),
       sigs)
   }
 

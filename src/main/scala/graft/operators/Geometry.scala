@@ -51,7 +51,6 @@ object Geometry {
     points(s, dir).groupBy("user_id")
       .agg(min("lon").as("xmin"), min("lat").as("ymin"),
         max("lon").as("xmax"), max("lat").as("ymax"))
-      .orderBy("user_id")
 
   /** Centroid per entity — integer coordinate sums (exact), one final
     * float division.
@@ -61,7 +60,6 @@ object Geometry {
       .agg((sum("xi").cast("double") / count(lit(1)) / 100.0 - 180.0).as("cx"),
         (sum("yi").cast("double") / count(lit(1)) / 100.0 - 90.0).as("cy"),
         count(lit(1)).as("npts"))
-      .orderBy("user_id")
 
   /** Haversine step distance — identical expression text runs in Spark and
     * DuckDB; transcendental output rounded to 4 decimals (SURVEY §3.2)
@@ -90,7 +88,6 @@ object Geometry {
       .withColumn("step_m4", col("step4"))
       .withColumn("cum_m4", sum("step4").over(cumFrame))
       .select("event_id", "user_id", "step_m4", "cum_m4")
-      .orderBy("event_id")
 
   /** Shoelace ring area per entity prefix (the ring closes back to the
     * entity's first point) + area_delta vs the previous prefix — all in
@@ -110,7 +107,6 @@ object Geometry {
       .withColumn("area_delta",
         (col("a2") - coalesce(lag("a2", 1).over(byUserEv), lit(0L))) / 20000.0)
       .select("event_id", "user_id", "area_deg2", "area_delta")
-      .orderBy("event_id")
 
   /** WKB point encoding via the custom codegen expression `wkb_point`
     * (graft.functions.WkbPoint). Integer-valued degrees keep the oracle's
@@ -123,7 +119,6 @@ object Geometry {
         ((col("event_id") * 31) % 360 - 180).cast("double").as("lon_d"),
         ((col("event_id") * 17) % 180 - 90).cast("double").as("lat_d"))
       .withColumn("wkb", call_function("wkb_point", col("lon_d"), col("lat_d")))
-      .orderBy("event_id")
   }
 
   /** XZ-ordering curve (level, code) of each entity bbox — custom codegen
@@ -144,7 +139,6 @@ object Geometry {
       .withColumn("xz_code",
         call_function("xz_code", col("lon"), col("lat"), col("xmax"), col("ymax")))
       .select("event_id", "lon", "lat", "xmax", "ymax", "xz_level", "xz_code")
-      .orderBy("event_id")
   }
 
   /** Point-in-polygon join vs a boundary grid (SpatialGridJoiner.java
@@ -166,7 +160,6 @@ object Geometry {
       .filter(col("lon") >= col("lon_min") && col("lon") < col("lon_min") + 72 &&
         col("lat") >= col("lat_min") && col("lat") < col("lat_min") + 36)
       .select("event_id", "lon", "lat", "country")
-      .orderBy("event_id")
   }
 
   /** Geodesic length + area per entity, with the reference's
@@ -187,7 +180,6 @@ object Geometry {
       .select(col("user_id"), size(col("pts")).as("npts"),
         call_function("geodesic_length_mm", col("lons"), col("lats")).as("length_mm"),
         call_function("geodesic_area_m2", col("lons"), col("lats")).as("area_m2"))
-      .orderBy("user_id")
   }
 
   /** Real polygon spatial join — the filter/refine semantics of the
@@ -248,7 +240,6 @@ object Geometry {
       .join(broadcast(cells), Seq("scid"))
       .filter(col("full_cell") || pip(col("xi"), col("yi")))
       .select("event_id", "xi", "yi", "country")
-      .orderBy("event_id")
   }
 
   // ---- WKT country-file join ------------------------------------------
@@ -321,7 +312,6 @@ object Geometry {
         col("xi").cast("double"), col("yi").cast("double"),
         col("xs"), col("ys"), col("offs")))
       .select("event_id", "xi", "yi", "country")
-      .orderBy("event_id", "country")
   }
 
   /** Ring-validity check as a first-class query (GeometryBuilder.java:52-110
@@ -349,7 +339,6 @@ object Geometry {
       // the kernel's negative branch too (full random rings always cross)
       .withColumn("tri_valid", !col("tri_self"))
       .drop("tri_self")
-      .orderBy("user_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

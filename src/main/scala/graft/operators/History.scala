@@ -45,7 +45,6 @@ object History {
     withVersions(Tables.events(s, dir))
       .select(col("user_id").as("osm_id"), col("osm_version"),
         col("valid_from"), col("valid_to"), col("event_type"))
-      .orderBy("osm_id", "osm_version")
 
   /** Epoch-micros of 2024-02-01T00:00:00Z — snapshot instant for hist_snapshot. */
   val SnapshotUs: Long = 1706745600000000L
@@ -60,7 +59,6 @@ object History {
       .filter(col("event_type") =!= "error") // deleted elements are not visible
       .select(col("user_id").as("osm_id"), col("osm_version"),
         col("valid_from"), col("event_type"), col("value"))
-      .orderBy("osm_id")
 
   /** CREATION / TAG / GEOMETRY / TAG_GEOMETRY / DELETION classification —
     * exact decision order of ContributionsAvroConverter.java:167-180:
@@ -80,7 +78,6 @@ object History {
             when(col("props") =!= col("prev_props"), "TAG"),
             when(col("value") =!= col("prev_value"), "GEOMETRY"))))
       .select(col("event_id"), col("user_id").as("osm_id"), col("contrib_type"))
-      .orderBy("event_id")
   }
 
   /** Running edit count + last-edit summary per entity (`osm_edits`,
@@ -94,7 +91,6 @@ object History {
         max(expr("ts div 1000")).as("last_edit"),
         // fixed-point cents (see Changesets.csBuild note)
         sum(round(col("value") * 100).cast("bigint")).as("sum_value"))
-      .orderBy("osm_id")
 
   /** User-struct enrichment: broadcast dimension join (the `--changeset-db`
     * user join analog). The fact side never shuffles.
@@ -107,7 +103,6 @@ object History {
       .join(broadcast(users), col("user_id") === col("c_custkey"), "left")
       .select(col("event_id"), col("user_id"), col("user_name"),
         col("user_segment"), col("event_type"))
-      .orderBy("event_id")
   }
 
   /** Tag parse + filter: `props` JSON → key `k`, the `map_contains_entry`
@@ -119,7 +114,6 @@ object History {
       .filter(col("tag_k") >= 50)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_tagged"), sum("tag_k").as("sum_k"))
-      .orderBy("event_type")
 
   /** Map-typed tag filter — the literal `map_contains_entry(tags, k, v)`
     * analog (docs/useful_queries.md): parse `props` into a real MapType
@@ -135,7 +129,6 @@ object History {
       .groupBy((col("k_val") % 10).as("k_bucket"))
       .agg(count(lit(1)).as("n"), sum("k_val").as("sum_k"),
         min("k_val").as("min_k"), max("k_val").as("max_k"))
-      .orderBy("k_bucket")
 
   /** Latest-version extraction — the `latest/` output partition. */
   def histLatest(s: SparkSession, dir: String): DataFrame = {
@@ -146,7 +139,6 @@ object History {
       .select(col("user_id").as("osm_id"), col("ts_us").as("last_ts"),
         col("event_type"),
         when(col("event_type") === "error", "deleted").otherwise("latest").as("status"))
-      .orderBy("osm_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -64,7 +64,6 @@ object MinorVersions {
         col("area_m2") - coalesce(lag("area_m2", 1).over(byRow), lit(0L)))
       .select("way_id", "osm_version", "osm_minor_version", "ts",
         "length_mm", "length_delta_mm", "area_m2", "area_delta_m2")
-      .orderBy("way_id", "osm_version", "osm_minor_version")
   }
 
   /** Relation minor versions — the second cascade level: a relation gets a
@@ -105,6 +104,5 @@ object MinorVersions {
       .withColumn("osm_minor_version",
         row_number().over(
           Window.partitionBy("way_id", "osm_version").orderBy("ts", "trigger")) - 1)
-      .orderBy("way_id", "osm_version", "osm_minor_version")
   }
 }

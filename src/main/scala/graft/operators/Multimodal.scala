@@ -56,7 +56,7 @@ object Multimodal {
       // per-partition decoder state, reused across the whole batch
       val md = java.security.MessageDigest.getInstance("MD5")
       batch.map(decodeStub(md, _))
-    }.toDF().orderBy("doc_id")
+    }.toDF()
   }
 
   /** Frame sampling — the video/audio analog: the opaque payload is cut
@@ -80,7 +80,6 @@ object Multimodal {
       .withColumn("frame_md5", md5(lower(hex(expr("substring(payload, off + 1, 64)")))))
       .select(col("doc_id"), col("off").cast("bigint").as("off"),
         col("frame_len"), col("frame_md5"))
-      .orderBy("doc_id", "off")
 
   /** Resize — the image-resize analog in the byte domain: nearest-neighbor
     * resampling of the opaque payload to a fixed TARGET=32 samples, sample
@@ -101,7 +100,6 @@ object Multimodal {
           |  j -> substring(hexp, CAST((j * n_bytes) div 32 AS INT) * 2 + 1, 2)), '')""".stripMargin))
       .select(col("doc_id"), col("n_bytes"), lit(32).as("target"),
         col("resized_hex"), md5(col("resized_hex")).as("resized_md5"))
-      .orderBy("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> (mmFeatures _),

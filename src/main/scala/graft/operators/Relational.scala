@@ -36,7 +36,6 @@ object Relational {
         sum(cents(col("l_extendedprice"))).as("sum_base_price"),
         sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
 
   /** TPC-H Q3 shape: unshipped-order revenue, 3-way join + agg + top-k.
     * revenue is fixed-point 1e-4 (cents × (100 − bp)); the ORDER BY is the
@@ -69,7 +68,6 @@ object Relational {
         col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
       .agg(sum(rev).as("revenue"), count(lit(1)).as("n_items"))
-      .orderBy("n_name")
   }
 
   /** Window rank: top-3 orders per customer by totalprice. */
@@ -81,7 +79,6 @@ object Relational {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("o_custkey"), col("o_orderkey"), cents(col("o_totalprice")).as("price"), col("rk"))
-      .orderBy("o_custkey", "rk")
   }
 
   /** Left-semi join (EXISTS): orders with at least one late lineitem. */
@@ -92,7 +89,6 @@ object Relational {
       .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("order_count"))
-      .orderBy("o_orderpriority")
   }
 
   /** TPC-H Q6 shape: selective scan — filter + projection pushdown showcase.
@@ -121,7 +117,6 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("n_users"),
         count(lit(1)).as("n_events"),
         sum(cents(col("value"))).as("sum_value"))
-      .orderBy("event_type")
 
   /** Array/member unnesting (the docs' relation-member unnest shape):
     * posexplode the embedding vectors, per-dimension aggregates with
@@ -135,7 +130,6 @@ object Relational {
         sum(round(col("e").cast("double") * 1e9).cast("bigint")).as("sum_fixed"),
         min(col("e").cast("double")).as("min_e"),
         max(col("e").cast("double")).as("max_e"))
-      .orderBy("dim")
 
   /** ROLLUP hierarchy totals (returnflag → linestatus → grand total) —
     * null group keys coalesced to a sentinel so both engines stringify
@@ -149,7 +143,6 @@ object Relational {
       .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
         coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
         col("sum_price"), col("n"))
-      .orderBy("rf", "ls")
 
   /** Pivot event types into columns (conditional-aggregation form in the
     * oracle); missing combinations filled with 0 so no nullable-BIGINT
@@ -163,7 +156,6 @@ object Relational {
       .pivot("event_type", types)
       .agg(sum("value_c"))
       .na.fill(0L, types)
-      .orderBy("user_id")
   }
 
   /** Exact discrete quantiles per group: the element at rank
@@ -182,7 +174,6 @@ object Relational {
     ranked.groupBy("event_type")
       .agg(q(0.25).as("q25"), q(0.5).as("q50"), q(0.75).as("q75"),
         max("n").cast("bigint").as("n"))
-      .orderBy("event_type")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -44,7 +44,6 @@ object Replication {
       .filter(col("rk") === 1)
       .select(col("user_id").as("osm_id"), col("ts_us").as("last_ts"),
         col("event_type"), col("src"))
-      .orderBy("osm_id")
   }
 
   // ---- composed replication update (ContributionUpdater.java analog) ----
@@ -122,7 +121,6 @@ object Replication {
       .withColumn("ts_us", expr("ts div 1000"))
       .select("user_id", "ts_us", "event_id", "event_type", "props", "value")
     updateContributions(e.filter(col("ts_us") <= CutUs), e.filter(col("ts_us") > CutUs))
-      .orderBy("osm_id", "osm_version")
   }
 
   /** Bloom-pruned incremental merge: recompute latest state for ONLY the
@@ -160,7 +158,6 @@ object Replication {
       .agg(max(col("ts_us")).as("last_ts"),
         count(lit(1)).as("n_versions"),
         max_by(col("event_type"), col("ts_us")).as("last_type"))
-      .orderBy("osm_id")
   }
 
   /** Oracle-checked instance of [[bloomPrunedMerge]] on the events table. */

@@ -35,7 +35,6 @@ object Sampling {
       .withColumn("rate", when(col("lang") === "en", lit(5)).otherwise(lit(20)))
       .filter(col("bucket") < col("rate"))
       .select("doc_id", "lang", "bucket")
-      .orderBy("doc_id")
 
   /** Per-stratum quota: keep the k=20 documents with the smallest salted
     * hash per language — a deterministic "reservoir" that caps any one
@@ -49,7 +48,6 @@ object Sampling {
         Window.partitionBy("lang").orderBy("hk", "doc_id")))
       .filter(col("rk") <= 20)
       .select("doc_id", "lang", "rk")
-      .orderBy("lang", "rk")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleStratified _),

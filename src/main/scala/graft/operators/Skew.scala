@@ -48,7 +48,6 @@ object Skew {
         .withColumn("value_c", round(col("value") * 100).cast("bigint"))
         .select("event_type", "value_c"),
       "event_type", 16, Seq("value_c"))
-      .orderBy("event_type")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skew_agg" -> (skewAgg _))

@@ -33,7 +33,6 @@ object Temporal {
     AsofJoin.asof(clicks, purchases, "user_id", "click_us", "p_ts",
       Seq("p_id", "p_cents", "p_us"))
       .select("user_id", "click_id", "click_us", "p_id", "p_cents", "p_us")
-      .orderBy("click_id")
   }
 
   /** Minor-version numbering under the oracle: way versions and member
@@ -62,7 +61,6 @@ object Temporal {
     MinorVersions.compute(ways, nodeEdits)
       .select(col("way_id"), col("osm_version"), col("ts"),
         col("trigger").as("trig"), col("osm_minor_version"))
-      .orderBy("way_id", "osm_version", "osm_minor_version")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

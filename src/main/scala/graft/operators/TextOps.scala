@@ -48,7 +48,6 @@ object TextOps {
       .select(col("doc_id") +: Models.map { case (l, _) => col(s"s_$l") } :+
         pred.as("pred_lang") :+ col("lang").as("true_lang") :+
         (pred === col("lang")).as("correct"): _*)
-      .orderBy("doc_id")
   }
 
 
@@ -69,7 +68,6 @@ object TextOps {
           lit(0.3) * (lit(1.0) - col("punct_ratio")) +
           lit(0.3) * least(col("avg_wlen") / 5.0, lit(1.0)))
       .select("doc_id", "n_words", "avg_wlen", "punct_ratio", "stop_ratio", "quality")
-      .orderBy("doc_id")
 
   /** Whitespace vs BPE-ish (letter-run | digit-run | single symbol)
     * tokenization counts.
@@ -82,7 +80,6 @@ object TextOps {
       .withColumn("chars_per_tok",
         length(col("text")).cast("double") / col("ws_tokens"))
       .select("doc_id", "ws_tokens", "bpe_tokens", "chars_per_tok")
-      .orderBy("doc_id")
 
   /** Canonical fingerprint: md5 of the sorted distinct token set — docs
     * with the same bag of words collide; keep-lowest-id per group.
@@ -94,7 +91,6 @@ object TextOps {
         min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
       .select(col("doc_id"), col("fp"), col("keep_id"),
         (col("doc_id") === col("keep_id")).as("is_canonical"))
-      .orderBy("doc_id")
 
   // PII patterns — the RE2 ∩ Java-regex common subset so Spark and the
   // DuckDB oracle compile identical semantics (no lookarounds, no \b).
@@ -125,7 +121,7 @@ object TextOps {
     * fingerprint keeps the oracle compare narrow). Pure scan work.
     */
   def textPii(s: SparkSession, dir: String): DataFrame =
-    piiColumns(Tables.documents(s, dir)).orderBy("doc_id")
+    piiColumns(Tables.documents(s, dir))
 
   /** Rolling-hash document fingerprint (Karp–Rabin over UTF-8 bytes, one
     * O(n) codegen kernel pass per document — graft.functions.RollHash8):
@@ -139,7 +135,6 @@ object TextOps {
       .withColumn("rh", call_function("rollhash8", col("text")))
       .select(col("doc_id"), col("rh").getItem(0).as("fp_min"),
         col("rh").getItem(1).as("fp_pos"), col("rh").getItem(2).as("n_windows"))
-      .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
