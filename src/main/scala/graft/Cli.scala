@@ -29,9 +29,12 @@ import org.apache.spark.sql.functions._
   */
 object Cli {
   def main(args: Array[String]): Unit = {
-    require(args.length == 3 || (args.length == 4 && args(0) == "replication-catchup"),
+    require(args.length == 3 ||
+      (args.length == 4 && Set("replication-catchup", "osm-update")(args(0))),
       "usage: graft.Cli <contributions|contributions-pbf|changesets|replication> <in> <outDir>" +
-        " | graft.Cli replication-catchup <replDir> <storeDir> [maxSteps]")
+        " | graft.Cli replication-catchup <replDir> <storeDir> [maxSteps]" +
+        " | graft.Cli osm-update-init <pbf> <storeRoot>" +
+        " | graft.Cli osm-update <replDir> <storeRoot> [maxSteps]")
     val Array(cmd, sfDir, outDir) = args.take(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val preexisting = org.apache.spark.sql.SparkSession.getActiveSession.isDefined
@@ -84,6 +87,19 @@ object Cli {
         val n = operators.ReplicationCatchup.catchUp(spark, sfDir, outDir, maxSteps)
         val st = operators.ReplicationCatchup.readState(outDir)
         println(s"[graft] applied $n diff(s); state=${st.map(_.sequenceNumber).getOrElse(0L)}")
+      case "osm-update-init" =>
+        // seed the typed update store from a history PBF (the reference's
+        // initial UpdateStore fill before replication starts)
+        val entities = spark.read.format("osmpbf").load(sfDir)
+        operators.OsmUpdater.initStore(spark, outDir, entities)
+        println(s"[graft] osm-update-init: store seeded at $outDir")
+      case "osm-update" =>
+        // ContributionUpdater catch-up: ordered .osc diffs against the
+        // typed store, per-sequence contribution output, resumable state
+        val maxSteps = if (args.length == 4) args(3).toInt else Int.MaxValue
+        val n = operators.OsmUpdater.catchUp(spark, sfDir, outDir, maxSteps)
+        val st = operators.ReplicationCatchup.readState(outDir)
+        println(s"[graft] osm-update: applied $n diff(s); state=${st.map(_.sequenceNumber).getOrElse(0L)}")
       case "pbf-info" =>
         // Debug.java `fileinfo` analog: header/blob structure + entity
         // counts by type, printed and written as a one-row parquet

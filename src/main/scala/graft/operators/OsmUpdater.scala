@@ -1,0 +1,602 @@
+package graft.operators
+
+import graft.functions.GeoFunctions
+import graft.sources.ChangesetStore
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Entity-typed replication update — the reference's ContributionUpdater
+  * (ohsome-replication-update/.../update/ContributionUpdater.java) +
+  * UpdateStore (ohsome-replication/.../UpdateStore.java) re-expressed on
+  * Spark. Given one minutely `.osc` diff:
+  *
+  *  1. diff NODES become node contributions (classified against the
+  *     stored before-version);
+  *  2. coordinate-changing node edits propagate through NODE→WAY
+  *     backreferences to parent ways NOT themselves in the diff, emitting
+  *     way MINOR-version contributions with geometry rebuilt as of each
+  *     edit (ContributionUpdater.newWays:382-391);
+  *  3. diff WAYS become major way contributions (geometry from as-of
+  *     member coordinates, like the batch assembly);
+  *  4. node edits and way changes propagate through NODE→RELATION /
+  *     WAY→RELATION backreferences to relation minor versions
+  *     (newRelations:401-418);
+  *  5. the persistent store (latest entity versions + backref tables) is
+  *     upserted so the next diff sees this one's state.
+  *
+  * Where the reference keeps RocksDB maps (UpdateStoreRocksDb.java) because
+  * a single JVM cannot shuffle, the Spark store is six bucketed parquet
+  * tables ([[graft.sources.ChangesetStore]] layout: hash buckets +
+  * manifest + atomic pointer). Every lookup is bucket-pruned to the
+  * diff's key set ([[ChangesetStore.readBucketsFor]]) and every write
+  * rewrites only touched buckets — a minutely diff against a 100 TB
+  * planet store opens O(diff) buckets, never the planet.
+  *
+  * Scale shape: the diff is tiny (minutely) — every diff-derived frame is
+  * broadcast into its join against store reads; the only row-matched
+  * store data ever materialized is the touched-bucket subset, and the
+  * as-of geometry rebuild shuffles only (way_id, edit) rows of affected
+  * ways exactly like [[MinorVersions.computeWithGeometry]].
+  */
+object OsmUpdater {
+
+  val NumBuckets = 64
+
+  // ---- store layout -----------------------------------------------------
+
+  private def dir(root: String, name: String) = s"$root/$name"
+
+  private[graft] val nodeSchema = StructType(Seq(
+    StructField("id", LongType), StructField("version", IntegerType),
+    StructField("ts_ms", LongType), StructField("visible", BooleanType),
+    StructField("lat", DoubleType), StructField("lon", DoubleType),
+    StructField("tags", MapType(StringType, StringType))))
+
+  private[graft] val waySchema = StructType(Seq(
+    StructField("id", LongType), StructField("version", IntegerType),
+    StructField("minor_version", IntegerType), StructField("edits", LongType),
+    StructField("ts_ms", LongType), StructField("visible", BooleanType),
+    StructField("tags", MapType(StringType, StringType)),
+    StructField("refs", ArrayType(LongType))))
+
+  private[graft] val relSchema = StructType(Seq(
+    StructField("id", LongType), StructField("version", IntegerType),
+    StructField("minor_version", IntegerType), StructField("edits", LongType),
+    StructField("ts_ms", LongType), StructField("visible", BooleanType),
+    StructField("tags", MapType(StringType, StringType)),
+    StructField("refs", ArrayType(LongType)),
+    StructField("ref_types", ArrayType(StringType))))
+
+  private val backrefSchema = StructType(Seq(
+    StructField("ref_id", LongType),
+    StructField("parent_ids", ArrayType(LongType))))
+
+  private def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  /** Bucket-pruned store read restricted to `keyDf`'s ids; empty-schema
+    * frame for a store that does not exist yet (first diff ever).
+    */
+  private def readFor(spark: SparkSession, d: String, schema: StructType,
+      keyDf: DataFrame, key: String): DataFrame =
+    ChangesetStore.readBucketsFor(spark, d, keyDf, Seq(key), NumBuckets)
+      .map(df => df.select(schema.fieldNames.map(col).toSeq: _*)
+        .join(broadcast(keyDf), df(key) === keyDf(keyDf.columns.head), "left_semi"))
+      .getOrElse(emptyDf(spark, schema))
+
+  // ---- bootstrap --------------------------------------------------------
+
+  /** Seeds the store from a full-history entity frame (the PBF reader's
+    * schema) — latest version per entity + derived backref tables, the
+    * analog of the reference's initial RocksDB fill from the planet file.
+    */
+  def initStore(spark: SparkSession, root: String, entities: DataFrame): Unit = {
+    val latest = entities
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("osm_type", "id")
+          .orderBy(desc("version"), desc("ts_ms"))))
+      .filter(col("rk") === 1).drop("rk")
+      .withColumn("edits", count(lit(1)).over(
+        Window.partitionBy("osm_type", "id")))
+
+    val nodes = latest.filter(col("osm_type") === "node")
+      .select(col("id"), col("version"), col("ts_ms"), col("visible"),
+        col("lat"), col("lon"), col("tags"))
+    ChangesetStore.upsertBucketed(spark, dir(root, "nodes"), nodes, Seq("id"), NumBuckets)
+
+    val ways = latest.filter(col("osm_type") === "way")
+      .select(col("id"), col("version"), lit(0).as("minor_version"),
+        col("edits"), col("ts_ms"), col("visible"), col("tags"), col("refs"))
+    ChangesetStore.upsertBucketed(spark, dir(root, "ways"), ways, Seq("id"), NumBuckets)
+
+    val rels = latest.filter(col("osm_type") === "relation")
+      .select(col("id"), col("version"), lit(0).as("minor_version"),
+        col("edits"), col("ts_ms"), col("visible"), col("tags"),
+        expr("transform(members, m -> m.ref)").as("refs"),
+        expr("transform(members, m -> m.mtype)").as("ref_types"))
+    ChangesetStore.upsertBucketed(spark, dir(root, "relations"), rels, Seq("id"), NumBuckets)
+
+    writeBackrefs(spark, dir(root, "node_ways"),
+      ways.filter(col("visible"))
+        .select(col("id").as("parent_id"), explode(col("refs")).as("ref_id")))
+    writeBackrefs(spark, dir(root, "node_relations"),
+      memberPairs(rels, "node"))
+    writeBackrefs(spark, dir(root, "way_relations"),
+      memberPairs(rels, "way"))
+  }
+
+  private def memberPairs(rels: DataFrame, mtype: String): DataFrame =
+    rels.filter(col("visible"))
+      .select(col("id").as("parent_id"),
+        explode(arrays_zip(col("refs"), col("ref_types"))).as("m"))
+      .filter(col("m.ref_types") === mtype)
+      .select(col("m.refs").as("ref_id"), col("parent_id"))
+
+  private def writeBackrefs(spark: SparkSession, d: String, pairs: DataFrame): Unit =
+    ChangesetStore.upsertBucketed(spark, d,
+      pairs.groupBy("ref_id").agg(array_sort(collect_set("parent_id")).as("parent_ids")),
+      Seq("ref_id"), NumBuckets)
+
+  // ---- diff application -------------------------------------------------
+
+  /** Normalizes an OsmXml.readOsc frame: epoch-ms timestamp, visibility
+    * from the enclosing osmChange action.
+    */
+  private def normalize(osc: DataFrame): DataFrame =
+    osc.withColumn("ts_ms", unix_millis(to_timestamp(col("ts"))))
+      .withColumn("visible", col("action") =!= "delete")
+
+  /** Classification of a (before ∪ new) version timeline, shared by all
+    * three entity types — the ContributionsAvroConverter contribution-type
+    * rules (CREATION / DELETION / TAG / GEOMETRY / TAG_GEOMETRY) applied
+    * per entity id in version order. `geomCols` defines what counts as a
+    * geometry change for the type (node: coordinates, way: refs,
+    * relation: members).
+    */
+  private def classify(timeline: DataFrame, geomChanged: Column): DataFrame = {
+    val w = Window.partitionBy("id").orderBy("version", "ts_ms")
+    timeline
+      .withColumn("prev_visible", lag("visible", 1).over(w))
+      .withColumn("prev_tags", lag("tags", 1).over(w))
+      .withColumn("prev_ts", lag("ts_ms", 1).over(w))
+      .withColumn("tags_changed",
+        array_sort(map_entries(coalesce(col("tags"), map()))) =!=
+          array_sort(map_entries(coalesce(col("prev_tags"), map()))))
+      .withColumn("geom_changed", geomChanged)
+      .withColumn("contrib_type",
+        when(!col("visible"), "DELETION")
+          .when(col("prev_visible").isNull || !col("prev_visible"), "CREATION")
+          .otherwise(concat_ws("_",
+            when(col("tags_changed"), "TAG"),
+            when(coalesce(col("geom_changed"), lit(false)), "GEOMETRY"))))
+  }
+
+  /** Applies one diff: emits the contribution rows it causes (node majors,
+    * way majors + backref-propagated way minors, relation majors +
+    * minors) and upserts the store. Returns the emitted contributions.
+    */
+  def applyDiff(spark: SparkSession, root: String, oscDiff: DataFrame): DataFrame = {
+    GeoFunctions.register(spark)
+    val diff = normalize(oscDiff).localCheckpoint(true)
+
+    // ---------------- nodes ----------------
+    val dn = diff.filter(col("osm_type") === "node")
+      .select(col("id"), col("version"), col("ts_ms"), col("visible"),
+        col("lat"), col("lon"), col("tags"),
+        col("changeset"), col("uid"), col("user"))
+    val dnIds = dn.select("id").distinct()
+    val beforeN = readFor(spark, dir(root, "nodes"), nodeSchema, dnIds, "id")
+
+    val nodeTl = beforeN
+      .withColumn("is_new", lit(false))
+      .withColumn("changeset", lit(null).cast(LongType))
+      .withColumn("uid", lit(null).cast(LongType))
+      .withColumn("user", lit(null).cast(StringType))
+      .unionByName(dn.withColumn("is_new", lit(true)))
+    val nodeClassified = classify(nodeTl,
+      (col("lat") =!= lag("lat", 1).over(Window.partitionBy("id").orderBy("version", "ts_ms"))) ||
+        (col("lon") =!= lag("lon", 1).over(Window.partitionBy("id").orderBy("version", "ts_ms"))))
+      .localCheckpoint(true)
+    val nodeContribs = nodeClassified
+      .filter(col("is_new"))
+      // deleted with no known before-version: skip (ContributionUpdater
+      // .filter:346-349)
+      .filter(!(col("contrib_type") === "DELETION" && col("prev_visible").isNull))
+      // versions at or below the stored one were already applied — a diff
+      // replay after a crash must emit nothing (filter:352-359)
+      .join(broadcast(beforeN.select(col("id"), col("version").as("before_version"))),
+        Seq("id"), "left")
+      .filter(col("before_version").isNull || col("version") > col("before_version"))
+      .drop("before_version")
+
+    // coordinate-affecting node edits drive way/relation minors
+    val nodeEdits = nodeContribs
+      .filter(col("contrib_type").contains("GEOMETRY") ||
+        col("contrib_type") === "CREATION" || col("contrib_type") === "DELETION")
+      .select(col("id").as("node_id"), col("ts_ms").as("edit_ts"))
+      .localCheckpoint(true)
+    val editNodeIds = nodeEdits.select(col("node_id").as("ref_id")).distinct()
+
+    // ---------------- ways ----------------
+    val dw = diff.filter(col("osm_type") === "way")
+      .select(col("id"), col("version"), col("ts_ms"), col("visible"),
+        col("tags"), col("refs"),
+        col("changeset"), col("uid"), col("user"))
+      .localCheckpoint(true)
+    val dwIds = dw.select("id").distinct()
+
+    // NODE→WAY backrefs of edited nodes → candidate minor ways (minus ways
+    // already in the diff, which rebuild themselves)
+    val nodeWayRefs = readFor(spark, dir(root, "node_ways"), backrefSchema,
+      editNodeIds, "ref_id")
+    val minorWayIds = nodeWayRefs
+      .select(col("ref_id").as("node_id"), explode(col("parent_ids")).as("id"))
+      .join(broadcast(dwIds), Seq("id"), "left_anti")
+      .select("id").distinct()
+
+    val wayLookupIds = dwIds.unionByName(minorWayIds).distinct()
+    val beforeW = readFor(spark, dir(root, "ways"), waySchema, wayLookupIds, "id")
+      .localCheckpoint(true)
+
+    // way MAJOR rows from the diff, classified against the stored before
+    val wayTl = beforeW
+      .select(col("id"), col("version"), col("ts_ms"), col("visible"),
+        col("tags"), col("refs"))
+      .withColumn("is_new", lit(false))
+      .withColumn("changeset", lit(null).cast(LongType))
+      .withColumn("uid", lit(null).cast(LongType))
+      .withColumn("user", lit(null).cast(StringType))
+      .unionByName(dw.withColumn("is_new", lit(true)))
+    val wayMajors = classify(wayTl,
+      col("refs") =!= lag("refs", 1).over(Window.partitionBy("id").orderBy("version", "ts_ms")))
+      .filter(col("is_new"))
+      .filter(!(col("contrib_type") === "DELETION" && col("prev_visible").isNull))
+      .join(broadcast(beforeW.select(col("id"), col("version").as("before_version"))),
+        Seq("id"), "left")
+      .filter(col("before_version").isNull || col("version") > col("before_version"))
+      .drop("before_version")
+      .withColumn("osm_minor_version", lit(0))
+      .localCheckpoint(true)
+
+    // way MINOR rows: one per (way, geometry-change instant); minor number
+    // continues from the stored counter (getContribs:396-399)
+    val minorCand = nodeEdits
+      .join(nodeWayRefs.select(col("ref_id").as("node_id"),
+        explode(col("parent_ids")).as("id")), Seq("node_id"))
+      .join(broadcast(dwIds), Seq("id"), "left_anti")
+      .join(beforeW.filter(col("visible"))
+        .select(col("id"), col("ts_ms"), col("refs")), Seq("id"))
+      .filter(array_contains(col("refs"), col("node_id")))
+      .filter(col("edit_ts") > col("ts_ms"))
+      // one minor per (way, instant) — dedupe BEFORE rejoining the stored
+      // row (map-typed tags cannot be part of a distinct)
+      .select(col("id"), col("edit_ts")).distinct()
+      .join(beforeW.filter(col("visible")), Seq("id"))
+    val wayMinors = minorCand
+      .withColumn("osm_minor_version", col("minor_version") +
+        row_number().over(Window.partitionBy("id").orderBy("edit_ts")))
+      .withColumn("contrib_type", lit("GEOMETRY"))
+      .localCheckpoint(true)
+
+    // geometry rebuild for every emitted way row (major + minor): member
+    // coordinates as of the row's timestamp, from stored node latest ∪
+    // diff node versions — the computeWithGeometry as-of shape
+    val wayRowsForGeom = wayMajors.filter(col("visible"))
+      .select(col("id"), col("version"), col("osm_minor_version"),
+        col("ts_ms").as("row_ts"), col("refs"))
+      .unionByName(wayMinors.select(col("id"), col("version"),
+        col("osm_minor_version"), col("edit_ts").as("row_ts"), col("refs")))
+    val refIds = wayRowsForGeom
+      .select(explode(col("refs")).as("id")).distinct()
+    val refNodes = readFor(spark, dir(root, "nodes"), nodeSchema, refIds, "id")
+      .filter(col("visible"))
+      .select(col("id").as("node_id"), col("ts_ms").as("node_ts"),
+        col("lon"), col("lat"))
+      .unionByName(dn.filter(col("visible"))
+        .select(col("id").as("node_id"), col("ts_ms").as("node_ts"),
+          col("lon"), col("lat")))
+    val asOf = wayRowsForGeom
+      .select(col("id"), col("version"), col("osm_minor_version"), col("row_ts"),
+        posexplode(col("refs")).as(Seq("pos", "node_id")))
+      .join(refNodes, Seq("node_id"))
+      .filter(col("node_ts") <= col("row_ts"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id", "version", "osm_minor_version", "pos")
+          .orderBy(desc("node_ts"))))
+      .filter(col("rk") === 1)
+    val wayGeoms = asOf
+      .groupBy("id", "version", "osm_minor_version")
+      .agg(count(lit(1)).as("n_pts"), first("row_ts").as("row_ts"),
+        sort_array(collect_list(struct(col("pos"), col("lon"), col("lat")))).as("pts"))
+      .withColumn("wkb", call_function("wkb_line",
+        expr("transform(pts, p -> p.lon)"), expr("transform(pts, p -> p.lat)")))
+      .withColumn("length_mm", call_function("geodesic_length_mm",
+        expr("transform(pts, p -> p.lon)"), expr("transform(pts, p -> p.lat)")))
+      .select("id", "version", "osm_minor_version", "n_pts", "wkb", "length_mm")
+
+    // ---------------- relations ----------------
+    val dr = diff.filter(col("osm_type") === "relation")
+      .select(col("id"), col("version"), col("ts_ms"), col("visible"),
+        col("tags"), col("refs"), col("ref_types"),
+        col("changeset"), col("uid"), col("user"))
+    val drIds = dr.select("id").distinct()
+
+    val changedWayIdsAll = wayMajors.select("id")
+      .unionByName(wayMinors.select("id")).distinct()
+      .withColumnRenamed("id", "ref_id")
+    val nodeRelRefs = readFor(spark, dir(root, "node_relations"), backrefSchema,
+      editNodeIds, "ref_id")
+    val wayRelRefs = readFor(spark, dir(root, "way_relations"), backrefSchema,
+      changedWayIdsAll, "ref_id")
+
+    val relLookupIds = drIds
+      .unionByName(nodeRelRefs.select(explode(col("parent_ids")).as("id")))
+      .unionByName(wayRelRefs.select(explode(col("parent_ids")).as("id")))
+      .distinct()
+    val beforeR = readFor(spark, dir(root, "relations"), relSchema, relLookupIds, "id")
+      .localCheckpoint(true)
+
+    val relTl = beforeR
+      .select(col("id"), col("version"), col("ts_ms"), col("visible"),
+        col("tags"), col("refs"), col("ref_types"))
+      .withColumn("is_new", lit(false))
+      .withColumn("changeset", lit(null).cast(LongType))
+      .withColumn("uid", lit(null).cast(LongType))
+      .withColumn("user", lit(null).cast(StringType))
+      .unionByName(dr.withColumn("is_new", lit(true)))
+    val relMajors = classify(relTl,
+      col("refs") =!= lag("refs", 1).over(Window.partitionBy("id").orderBy("version", "ts_ms")))
+      .filter(col("is_new"))
+      .filter(!(col("contrib_type") === "DELETION" && col("prev_visible").isNull))
+      .join(broadcast(beforeR.select(col("id"), col("version").as("before_version"))),
+        Seq("id"), "left")
+      .filter(col("before_version").isNull || col("version") > col("before_version"))
+      .drop("before_version")
+      .withColumn("osm_minor_version", lit(0))
+
+    // relation minors: member-node edits + member-way changes (major and
+    // node-induced minor alike), excluding relations with their own diff row
+    val wayChangeTs = wayMajors
+      .select(col("id").as("ref_id"), col("ts_ms").as("edit_ts"))
+      .unionByName(wayMinors.select(col("id").as("ref_id"),
+        col("edit_ts")))
+    val relEditEvents = nodeEdits
+      .withColumnRenamed("node_id", "ref_id")
+      .join(nodeRelRefs, Seq("ref_id"))
+      .select(explode(col("parent_ids")).as("id"), col("edit_ts"))
+      .unionByName(wayChangeTs
+        .join(wayRelRefs, Seq("ref_id"))
+        .select(explode(col("parent_ids")).as("id"), col("edit_ts")))
+      .join(broadcast(drIds), Seq("id"), "left_anti")
+      .distinct()
+    val relMinors = relEditEvents
+      .join(beforeR.filter(col("visible")), Seq("id"))
+      .filter(col("edit_ts") > col("ts_ms"))
+      .withColumn("osm_minor_version", col("minor_version") +
+        row_number().over(Window.partitionBy("id").orderBy("edit_ts")))
+      .withColumn("contrib_type", lit("GEOMETRY"))
+      .localCheckpoint(true)
+
+    // ---------------- emitted contributions ----------------
+    val out =
+      nodeContribs.select(
+        lit("node").as("osm_type"), col("id").as("osm_id"),
+        col("version").as("osm_version"), lit(0).as("osm_minor_version"),
+        col("ts_ms").as("valid_from"), col("contrib_type"), col("tags"),
+        col("changeset"), col("uid"), col("user"),
+        col("lon"), col("lat"),
+        call_function("wkb_point", col("lon"), col("lat")).as("wkb"),
+        lit(null).cast(LongType).as("length_mm"))
+      .unionByName(
+        wayMajors.join(wayGeoms.drop("n_pts"),
+            Seq("id", "version", "osm_minor_version"), "left")
+          .select(
+            lit("way").as("osm_type"), col("id").as("osm_id"),
+            col("version").as("osm_version"), col("osm_minor_version"),
+            col("ts_ms").as("valid_from"), col("contrib_type"), col("tags"),
+            col("changeset"), col("uid"), col("user"),
+            lit(null).cast(DoubleType).as("lon"),
+            lit(null).cast(DoubleType).as("lat"),
+            col("wkb"), col("length_mm")))
+      .unionByName(
+        wayMinors.join(wayGeoms.drop("n_pts"),
+            Seq("id", "version", "osm_minor_version"), "left")
+          .select(
+            lit("way").as("osm_type"), col("id").as("osm_id"),
+            col("version").as("osm_version"), col("osm_minor_version"),
+            col("edit_ts").as("valid_from"), col("contrib_type"), col("tags"),
+            lit(null).cast(LongType).as("changeset"),
+            lit(null).cast(LongType).as("uid"),
+            lit(null).cast(StringType).as("user"),
+            lit(null).cast(DoubleType).as("lon"),
+            lit(null).cast(DoubleType).as("lat"),
+            col("wkb"), col("length_mm")))
+      .unionByName(
+        relMajors.select(
+          lit("relation").as("osm_type"), col("id").as("osm_id"),
+          col("version").as("osm_version"), col("osm_minor_version"),
+          col("ts_ms").as("valid_from"), col("contrib_type"), col("tags"),
+          col("changeset"), col("uid"), col("user"),
+          lit(null).cast(DoubleType).as("lon"),
+          lit(null).cast(DoubleType).as("lat"),
+          lit(null).cast(BinaryType).as("wkb"),
+          lit(null).cast(LongType).as("length_mm")))
+      .unionByName(
+        relMinors.select(
+          lit("relation").as("osm_type"), col("id").as("osm_id"),
+          col("version").as("osm_version"), col("osm_minor_version"),
+          col("edit_ts").as("valid_from"), col("contrib_type"), col("tags"),
+          lit(null).cast(LongType).as("changeset"),
+          lit(null).cast(LongType).as("uid"),
+          lit(null).cast(StringType).as("user"),
+          lit(null).cast(DoubleType).as("lon"),
+          lit(null).cast(DoubleType).as("lat"),
+          lit(null).cast(BinaryType).as("wkb"),
+          lit(null).cast(LongType).as("length_mm")))
+      .localCheckpoint(true)
+
+    // ---------------- store upserts ----------------
+    updateStores(spark, root, dn, dw, dr, beforeW, beforeR, wayMinors, relMinors, out)
+    out
+  }
+
+  /** Sequenced catch-up over a replication directory of `.osc` diffs — the
+    * full ReplicationManager.java loop on the TYPED store: applies every
+    * pending sequence in strict order (gap = stop), writes each diff's
+    * emitted contributions to `out/seq=N/`, and bumps the `state.txt`
+    * bookmark last. [[applyDiff]] is idempotent per diff (store timestamps
+    * advance past applied edits), so a crash between the store upserts and
+    * the state write re-runs the diff into the same state.
+    */
+  def catchUp(spark: SparkSession, replDir: String, root: String,
+      maxSteps: Int = Int.MaxValue): Long = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    var st = ReplicationCatchup.readState(root)
+      .getOrElse(ReplicationCatchup.State(0L, ""))
+    var applied = 0L
+    ReplicationCatchup.listDiffs(replDir)
+      .filter(_._1 > st.sequenceNumber)
+      .take(maxSteps)
+      .foreach { case (seq, path) =>
+        if (seq == st.sequenceNumber + 1) {
+          val contribs = applyDiff(spark, root, graft.sources.OsmXml.readOsc(spark, path))
+          contribs.coalesce(1).write.mode("overwrite")
+            .parquet(s"$root/out/seq=$seq")
+          val ts = contribs.agg(max("valid_from")).collect().head
+          st = ReplicationCatchup.State(seq,
+            if (ts.isNullAt(0)) st.timestamp else ts.getLong(0).toString)
+          ReplicationCatchup.writeState(root, st)
+          applied += 1
+        }
+      }
+    applied
+  }
+
+  /** Store maintenance after emission — latest entity versions, minor/edit
+    * counters, and backref add/remove reconciliation
+    * (ContributionUpdater.updateStore:111-121 + updateNodeWayBackRefs /
+    * updateTypeRelationBackRefs).
+    */
+  private def updateStores(spark: SparkSession, root: String,
+      dn: DataFrame, dw: DataFrame, dr: DataFrame,
+      beforeW: DataFrame, beforeR: DataFrame,
+      wayMinors: DataFrame, relMinors: DataFrame, out: DataFrame): Unit = {
+
+    def latestOf(df: DataFrame): DataFrame = df
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id").orderBy(desc("version"), desc("ts_ms"))))
+      .filter(col("rk") === 1).drop("rk")
+
+    val emitted = out.groupBy(col("osm_type"), col("osm_id").as("id"))
+      .agg(count(lit(1)).as("new_edits"),
+        max("osm_minor_version").as("max_minor"))
+
+    // nodes: latest diff version wins
+    val nodesUp = latestOf(dn)
+      .select(nodeSchema.fieldNames.map(col).toSeq: _*)
+    if (!nodesUp.isEmpty)
+      ChangesetStore.upsertBucketed(spark, dir(root, "nodes"), nodesUp, Seq("id"), NumBuckets)
+
+    // ways: diff majors reset the minor counter to the last emitted minor
+    // (0 for a plain major); minor-only ways bump counter + edits in place
+    val wayEm = emitted.filter(col("osm_type") === "way").drop("osm_type")
+    val waysMajorUp = latestOf(dw)
+      .join(beforeW.select(col("id"), col("edits").as("prev_edits")), Seq("id"), "left")
+      .join(wayEm, Seq("id"), "left")
+      .select(col("id"), col("version"),
+        coalesce(col("max_minor"), lit(0)).cast(IntegerType).as("minor_version"),
+        (coalesce(col("prev_edits"), lit(0L)) + coalesce(col("new_edits"), lit(0L))).as("edits"),
+        col("ts_ms"), col("visible"), col("tags"), col("refs"))
+    // stored ts_ms advances past the applied edits: re-applying the same
+    // diff after a crash then finds no edit newer than the store and
+    // re-emits nothing — per-diff idempotence without a cross-table
+    // transaction
+    val waysMinorUp = wayMinors
+      .groupBy("id").agg(max("osm_minor_version").as("max_minor"),
+        count(lit(1)).as("new_edits"), max("edit_ts").as("last_ts"))
+      .join(beforeW, Seq("id"))
+      .select(col("id"), col("version"),
+        col("max_minor").cast(IntegerType).as("minor_version"),
+        (col("edits") + col("new_edits")).as("edits"),
+        col("last_ts").as("ts_ms"), col("visible"), col("tags"), col("refs"))
+    val waysUp = waysMajorUp.unionByName(waysMinorUp)
+    if (!waysUp.isEmpty)
+      ChangesetStore.upsertBucketed(spark, dir(root, "ways"), waysUp, Seq("id"), NumBuckets)
+
+    // relations: same shape
+    val relEm = emitted.filter(col("osm_type") === "relation").drop("osm_type")
+    val relsMajorUp = latestOf(dr)
+      .join(beforeR.select(col("id"), col("edits").as("prev_edits")), Seq("id"), "left")
+      .join(relEm, Seq("id"), "left")
+      .select(col("id"), col("version"),
+        coalesce(col("max_minor"), lit(0)).cast(IntegerType).as("minor_version"),
+        (coalesce(col("prev_edits"), lit(0L)) + coalesce(col("new_edits"), lit(0L))).as("edits"),
+        col("ts_ms"), col("visible"), col("tags"), col("refs"), col("ref_types"))
+    val relsMinorUp = relMinors
+      .groupBy("id").agg(max("osm_minor_version").as("max_minor"),
+        count(lit(1)).as("new_edits"), max("edit_ts").as("last_ts"))
+      .join(beforeR, Seq("id"))
+      .select(col("id"), col("version"),
+        col("max_minor").cast(IntegerType).as("minor_version"),
+        (col("edits") + col("new_edits")).as("edits"),
+        col("last_ts").as("ts_ms"), col("visible"), col("tags"), col("refs"), col("ref_types"))
+    val relsUp = relsMajorUp.unionByName(relsMinorUp)
+    if (!relsUp.isEmpty)
+      ChangesetStore.upsertBucketed(spark, dir(root, "relations"), relsUp, Seq("id"), NumBuckets)
+
+    // NODE→WAY backrefs: reconcile adds and removals for diff ways
+    if (!dw.isEmpty) {
+      val dwLatest = latestOf(dw)
+      val newPairs = dwLatest.filter(col("visible"))
+        .select(col("id").as("parent_id"), explode(col("refs")).as("ref_id"))
+      val oldPairs = beforeW
+        .join(broadcast(dw.select("id").distinct()), Seq("id"), "left_semi")
+        .select(col("id").as("parent_id"), explode(col("refs")).as("ref_id"))
+      reconcileBackrefs(spark, dir(root, "node_ways"),
+        dwLatest.select(col("id").as("parent_id")), oldPairs, newPairs)
+    }
+
+    // NODE→RELATION / WAY→RELATION backrefs for diff relations
+    if (!dr.isEmpty) {
+      val drLatest = latestOf(dr)
+      val drParents = drLatest.select(col("id").as("parent_id"))
+      val oldR = beforeR
+        .join(broadcast(dr.select("id").distinct()), Seq("id"), "left_semi")
+        .withColumnRenamed("id", "rid")
+      def pairsOf(df: DataFrame, idCol: String, mtype: String): DataFrame =
+        df.filter(col("visible"))
+          .select(col(idCol).as("parent_id"),
+            explode(arrays_zip(col("refs"), col("ref_types"))).as("m"))
+          .filter(col("m.ref_types") === mtype)
+          .select(col("m.refs").as("ref_id"), col("parent_id"))
+      reconcileBackrefs(spark, dir(root, "node_relations"), drParents,
+        pairsOf(oldR, "rid", "node"), pairsOf(drLatest, "id", "node"))
+      reconcileBackrefs(spark, dir(root, "way_relations"), drParents,
+        pairsOf(oldR, "rid", "way"), pairsOf(drLatest, "id", "way"))
+    }
+  }
+
+  /** Read-modify-write of the touched backref rows: every ref id that the
+    * changed parents used to point at or point at now is re-derived as
+    * (stored set − changed parents) ∪ new pairs — the BackRefsUpdate
+    * exist/toRemove reconciliation, one bucket-pruned upsert.
+    */
+  private def reconcileBackrefs(spark: SparkSession, d: String,
+      changedParents: DataFrame, oldPairs: DataFrame, newPairs: DataFrame): Unit = {
+    val touched = oldPairs.select("ref_id").unionByName(newPairs.select("ref_id")).distinct()
+    if (touched.isEmpty) return
+    val stored = readFor(spark, d, backrefSchema, touched, "ref_id")
+      .select(col("ref_id"), explode(col("parent_ids")).as("parent_id"))
+      .join(broadcast(changedParents), Seq("parent_id"), "left_anti")
+    val merged = stored.select("ref_id", "parent_id")
+      .unionByName(newPairs.select("ref_id", "parent_id"))
+      .groupBy("ref_id").agg(array_sort(collect_set("parent_id")).as("parent_ids"))
+    val rows = touched
+      .join(merged, Seq("ref_id"), "left")
+      .select(col("ref_id"),
+        coalesce(col("parent_ids"), array().cast(ArrayType(LongType))).as("parent_ids"))
+    ChangesetStore.upsertBucketed(spark, d, rows, Seq("ref_id"), NumBuckets)
+  }
+}

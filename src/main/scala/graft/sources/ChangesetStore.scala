@@ -182,6 +182,26 @@ object ChangesetStore {
     spark.read.parquet(paths: _*)
   }
 
+  /** Bucket-pruned point lookup: reads ONLY the buckets that can contain
+    * the given keys (the store analog of the reference UpdateStore's
+    * `nodes(Set<Long> ids)` KV gets). `keyDf` columns must match the
+    * upsert `keys` in name, order and type — the bucket id is the same
+    * `pmod(hash(keys), numBuckets)` the writer used, computed engine-side
+    * so the hash function is identical by construction. At 100 TB a
+    * minutely diff touches a handful of buckets; everything else is never
+    * opened. Returns None for an empty/untouched store.
+    */
+  def readBucketsFor(spark: SparkSession, storeDir: String, keyDf: DataFrame,
+      keys: Seq[String], numBuckets: Int = 64): Option[DataFrame] =
+    currentVersion(spark, storeDir).flatMap { v =>
+      val touched = keyDf
+        .select(pmod(hash(keys.map(col): _*), lit(numBuckets)).as("_b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val paths = readManifest(spark, storeDir, v).filter(t => touched(t._1))
+        .toSeq.sorted.map { case (b, bv) => s"$storeDir/b=$b/v=$bv" }
+      if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+    }
+
   /** Bucket-pruned upsert: only batch-touched buckets are read, merged
     * (broadcast anti-join, latest-wins) and rewritten; the new manifest
     * carries every untouched bucket's entry forward unchanged. Commit

@@ -21,11 +21,13 @@ object OsmXml {
     StructField("uid", LongType), StructField("user", StringType),
     StructField("lat", DoubleType), StructField("lon", DoubleType),
     StructField("tags", MapType(StringType, StringType)),
-    StructField("refs", ArrayType(LongType))))
+    StructField("refs", ArrayType(LongType)),
+    StructField("ref_types", ArrayType(StringType))))
 
   case class OscRow(action: String, osmType: String, id: Long, version: Int,
       ts: String, changeset: Long, uid: Long, user: String,
-      lat: Double, lon: Double, tags: Map[String, String], refs: Seq[Long])
+      lat: Double, lon: Double, tags: Map[String, String], refs: Seq[Long],
+      refTypes: Seq[String])
 
   /** Parse one `.osc` document: <osmChange><create|modify|delete> blocks
     * around <node|way|relation> elements.
@@ -40,6 +42,7 @@ object OsmXml {
     var row: OscRow = null
     var tags = Map.newBuilder[String, String]
     var refs = ArrayBuffer[Long]()
+    var refTypes = ArrayBuffer[String]()
     def attr(name: String): Option[String] = {
       var i = 0
       var res: Option[String] = None
@@ -57,6 +60,7 @@ object OsmXml {
             case t @ ("node" | "way" | "relation") =>
               tags = Map.newBuilder[String, String]
               refs = ArrayBuffer[Long]()
+              refTypes = ArrayBuffer[String]()
               row = OscRow(action, t,
                 attr("id").map(_.toLong).getOrElse(0L),
                 attr("version").map(_.toInt).getOrElse(1),
@@ -66,19 +70,23 @@ object OsmXml {
                 attr("user").getOrElse(""),
                 attr("lat").map(_.toDouble).getOrElse(Double.NaN),
                 attr("lon").map(_.toDouble).getOrElse(Double.NaN),
-                Map.empty, Nil)
+                Map.empty, Nil, Nil)
             case "tag" =>
               for (k <- attr("k"); v <- attr("v")) tags += k -> v
             case "nd" =>
-              attr("ref").foreach(v => refs += v.toLong)
+              attr("ref").foreach { v => refs += v.toLong; refTypes += "node" }
             case "member" =>
-              attr("ref").foreach(v => refs += v.toLong)
+              attr("ref").foreach { v =>
+                refs += v.toLong
+                refTypes += attr("type").getOrElse("way")
+              }
             case _ =>
           }
         case XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
             case "node" | "way" | "relation" =>
-              out += row.copy(tags = tags.result(), refs = refs.toSeq)
+              out += row.copy(tags = tags.result(), refs = refs.toSeq,
+                refTypes = refTypes.toSeq)
               row = null
             case _ =>
           }
@@ -201,7 +209,8 @@ object OsmXml {
     rows.toDF()
       .select(col("action"), col("osmType").as("osm_type"), col("id"),
         col("version"), col("ts"), col("changeset"), col("uid"), col("user"),
-        col("lat"), col("lon"), col("tags"), col("refs"))
+        col("lat"), col("lon"), col("tags"), col("refs"),
+        col("refTypes").as("ref_types"))
   }
 
   /** Distributed read: one task per `.osc` file. */
@@ -209,7 +218,7 @@ object OsmXml {
     val rdd = spark.sparkContext.wholeTextFiles(pathGlob)
       .flatMap { case (_, content) => parseOsc(content) }
       .map(e => Row(e.action, e.osmType, e.id, e.version, e.ts, e.changeset,
-        e.uid, e.user, e.lat, e.lon, e.tags, e.refs))
+        e.uid, e.user, e.lat, e.lon, e.tags, e.refs, e.refTypes))
     spark.createDataFrame(rdd, oscSchema)
   }
 }

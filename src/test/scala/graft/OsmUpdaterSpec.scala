@@ -1,0 +1,258 @@
+package graft
+
+import graft.operators.OsmUpdater
+import graft.sources.{ChangesetStore, OsmXml}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Entity-typed replication update: node→way→relation backref propagation,
+  * minor-version numbering, store maintenance across diffs.
+  */
+class OsmUpdaterSpec extends SparkSpec {
+
+  private val memberType = ArrayType(StructType(Seq(
+    StructField("mtype", StringType), StructField("ref", LongType),
+    StructField("role", StringType))))
+  private val entitySchema = StructType(Seq(
+    StructField("osm_type", StringType), StructField("id", LongType),
+    StructField("version", IntegerType), StructField("ts_ms", LongType),
+    StructField("visible", BooleanType),
+    StructField("lat", DoubleType), StructField("lon", DoubleType),
+    StructField("tags", MapType(StringType, StringType)),
+    StructField("refs", ArrayType(LongType)),
+    StructField("members", memberType)))
+
+  private def seedEntities = spark.createDataFrame(
+    spark.sparkContext.parallelize(Seq(
+      Row("node", 1L, 1, 1000L, true, 1.0, 1.0, Map.empty[String, String], null, null),
+      Row("node", 2L, 1, 1000L, true, 1.0, 2.0, Map.empty[String, String], null, null),
+      Row("node", 3L, 1, 1000L, true, 2.0, 2.0, Map.empty[String, String], null, null),
+      Row("way", 10L, 1, 1000L, true, Double.NaN, Double.NaN,
+        Map("highway" -> "path"), Seq(1L, 2L), null),
+      Row("way", 11L, 1, 1000L, true, Double.NaN, Double.NaN,
+        Map.empty[String, String], Seq(3L), null),
+      Row("relation", 20L, 1, 1000L, true, Double.NaN, Double.NaN,
+        Map("type" -> "route"), null,
+        Seq(Row("way", 10L, "outer"), Row("node", 3L, "stop"))))),
+    entitySchema)
+
+  private def oscDf(xml: String) = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-upd-osc")
+    java.nio.file.Files.writeString(tmp.resolve("d.osc"), xml)
+    OsmXml.readOsc(spark, tmp.toString + "/*.osc")
+  }
+
+  private def freshRoot() =
+    java.nio.file.Files.createTempDirectory("graft-updstore").toString
+
+  test("diff node move propagates to parent way minor and relation minor") {
+    val root = freshRoot()
+    OsmUpdater.initStore(spark, root, seedEntities)
+
+    // n1 moves; n4 is created; w11 gains n4 as a second ref
+    val diff = oscDf(
+      """<osmChange version="0.6">
+        | <modify>
+        |  <node id="1" version="2" timestamp="2024-01-01T00:00:10Z" changeset="100" uid="9" user="alice" lat="1.5" lon="1.0"/>
+        | </modify>
+        | <create>
+        |  <node id="4" version="1" timestamp="2024-01-01T00:00:20Z" changeset="100" uid="9" user="alice" lat="3.0" lon="3.0"/>
+        | </create>
+        | <modify>
+        |  <way id="11" version="2" timestamp="2024-01-01T00:00:30Z" changeset="100" uid="9" user="alice">
+        |   <nd ref="3"/><nd ref="4"/>
+        |  </way>
+        | </modify>
+        |</osmChange>""".stripMargin)
+
+    val out = OsmUpdater.applyDiff(spark, root, diff).cache()
+
+    // node contributions: n1 GEOMETRY, n4 CREATION
+    val n1 = out.filter(col("osm_type") === "node" && col("osm_id") === 1).collect()
+    assert(n1.length === 1)
+    assert(n1.head.getAs[String]("contrib_type") === "GEOMETRY")
+    assert(out.filter(col("osm_type") === "node" && col("osm_id") === 4 &&
+      col("contrib_type") === "CREATION").count() === 1)
+
+    // way 11 major row with rebuilt two-point geometry
+    val w11 = out.filter(col("osm_type") === "way" && col("osm_id") === 11).collect()
+    assert(w11.length === 1)
+    assert(w11.head.getAs[Int]("osm_minor_version") === 0)
+    assert(w11.head.getAs[String]("contrib_type").contains("GEOMETRY"))
+    assert(w11.head.getAs[Array[Byte]]("wkb") != null)
+    assert(w11.head.getAs[Long]("length_mm") > 0L)
+
+    // way 10 NOT in the diff: node-1 movement reaches it through the
+    // NODE→WAY backrefs as minor version 1
+    val w10 = out.filter(col("osm_type") === "way" && col("osm_id") === 10).collect()
+    assert(w10.length === 1)
+    assert(w10.head.getAs[Int]("osm_minor_version") === 1)
+    assert(w10.head.getAs[String]("contrib_type") === "GEOMETRY")
+    assert(w10.head.getAs[Long]("length_mm") > 0L)
+
+    // relation 20: member way 10 changed → relation minor version 1
+    val r20 = out.filter(col("osm_type") === "relation" && col("osm_id") === 20).collect()
+    assert(r20.length === 1)
+    assert(r20.head.getAs[Int]("osm_minor_version") === 1)
+    assert(r20.head.getAs[String]("contrib_type") === "GEOMETRY")
+
+    // store state advanced: way 10 minor counter persisted, n4→w11 backref
+    val ways = ChangesetStore.readBucketed(spark, s"$root/ways")
+    assert(ways.filter(col("id") === 10).select("minor_version")
+      .head().getInt(0) === 1)
+    val nw = ChangesetStore.readBucketed(spark, s"$root/node_ways")
+    val n4Parents = nw.filter(col("ref_id") === 4).select("parent_ids").head()
+      .getSeq[Long](0)
+    assert(n4Parents === Seq(11L))
+    out.unpersist()
+  }
+
+  test("second diff uses first diff's backrefs and continues minor numbering") {
+    val root = freshRoot()
+    OsmUpdater.initStore(spark, root, seedEntities)
+    OsmUpdater.applyDiff(spark, root, oscDf(
+      """<osmChange version="0.6">
+        | <create>
+        |  <node id="4" version="1" timestamp="2024-01-01T00:00:20Z" changeset="100" uid="9" user="alice" lat="3.0" lon="3.0"/>
+        | </create>
+        | <modify>
+        |  <way id="11" version="2" timestamp="2024-01-01T00:00:30Z" changeset="100" uid="9" user="alice">
+        |   <nd ref="3"/><nd ref="4"/>
+        |  </way>
+        | </modify>
+        |</osmChange>""".stripMargin))
+
+    // diff 2: only n4 moves — w11 must pick it up via the backref written
+    // by diff 1, with a fresh minor version
+    val out2 = OsmUpdater.applyDiff(spark, root, oscDf(
+      """<osmChange version="0.6">
+        | <modify>
+        |  <node id="4" version="2" timestamp="2024-01-01T01:00:00Z" changeset="101" uid="9" user="alice" lat="3.5" lon="3.5"/>
+        | </modify>
+        |</osmChange>""".stripMargin)).cache()
+
+    val w11 = out2.filter(col("osm_type") === "way" && col("osm_id") === 11).collect()
+    assert(w11.length === 1)
+    assert(w11.head.getAs[Int]("osm_version") === 2)
+    assert(w11.head.getAs[Int]("osm_minor_version") === 1)
+
+    // a third diff keeps counting
+    val out3 = OsmUpdater.applyDiff(spark, root, oscDf(
+      """<osmChange version="0.6">
+        | <modify>
+        |  <node id="4" version="3" timestamp="2024-01-01T02:00:00Z" changeset="102" uid="9" user="alice" lat="3.6" lon="3.6"/>
+        | </modify>
+        |</osmChange>""".stripMargin))
+    assert(out3.filter(col("osm_type") === "way" && col("osm_id") === 11)
+      .select("osm_minor_version").head().getInt(0) === 2)
+    out2.unpersist()
+  }
+
+  test("relation major resets minors; member swap updates backref tables") {
+    val root = freshRoot()
+    OsmUpdater.initStore(spark, root, seedEntities)
+
+    // r20 v2 drops way 10, keeps node 3 — a relation MAJOR
+    val out = OsmUpdater.applyDiff(spark, root, oscDf(
+      """<osmChange version="0.6">
+        | <modify>
+        |  <relation id="20" version="2" timestamp="2024-01-01T00:00:10Z" changeset="100" uid="9" user="alice">
+        |   <member type="node" ref="3" role="stop"/>
+        |  </relation>
+        | </modify>
+        |</osmChange>""".stripMargin))
+    val r20 = out.filter(col("osm_type") === "relation" && col("osm_id") === 20).collect()
+    assert(r20.length === 1)
+    assert(r20.head.getAs[Int]("osm_version") === 2)
+    assert(r20.head.getAs[Int]("osm_minor_version") === 0)
+
+    // way 10 is no longer a member: moving n1 must emit the w10 minor but
+    // NO relation contribution
+    val out2 = OsmUpdater.applyDiff(spark, root, oscDf(
+      """<osmChange version="0.6">
+        | <modify>
+        |  <node id="1" version="2" timestamp="2024-01-01T01:00:00Z" changeset="101" uid="9" user="alice" lat="1.5" lon="1.0"/>
+        | </modify>
+        |</osmChange>""".stripMargin))
+    assert(out2.filter(col("osm_type") === "way" && col("osm_id") === 10).count() === 1)
+    assert(out2.filter(col("osm_type") === "relation").count() === 0)
+
+    // but moving n3 (still a member) emits a relation minor on v2
+    val out3 = OsmUpdater.applyDiff(spark, root, oscDf(
+      """<osmChange version="0.6">
+        | <modify>
+        |  <node id="3" version="2" timestamp="2024-01-01T02:00:00Z" changeset="102" uid="9" user="alice" lat="2.5" lon="2.0"/>
+        | </modify>
+        |</osmChange>""".stripMargin))
+    val r20m = out3.filter(col("osm_type") === "relation" && col("osm_id") === 20).collect()
+    assert(r20m.length === 1)
+    assert(r20m.head.getAs[Int]("osm_version") === 2)
+    assert(r20m.head.getAs[Int]("osm_minor_version") === 1)
+  }
+
+  test("sequenced catch-up applies diffs in order and re-running is a no-op") {
+    val root = freshRoot()
+    OsmUpdater.initStore(spark, root, seedEntities)
+    val replDir = java.nio.file.Files.createTempDirectory("graft-upd-repl")
+    java.nio.file.Files.writeString(replDir.resolve("1.osc"),
+      """<osmChange version="0.6">
+        | <modify>
+        |  <node id="1" version="2" timestamp="2024-01-01T00:00:10Z" changeset="100" uid="9" user="alice" lat="1.5" lon="1.0"/>
+        | </modify>
+        |</osmChange>""".stripMargin)
+    java.nio.file.Files.writeString(replDir.resolve("2.osc"),
+      """<osmChange version="0.6">
+        | <modify>
+        |  <node id="1" version="3" timestamp="2024-01-01T01:00:00Z" changeset="101" uid="9" user="alice" lat="1.6" lon="1.0"/>
+        | </modify>
+        |</osmChange>""".stripMargin)
+
+    assert(OsmUpdater.catchUp(spark, replDir.toString, root) === 2L)
+    assert(graft.operators.ReplicationCatchup.readState(root)
+      .map(_.sequenceNumber) === Some(2L))
+    // two sequential node moves → way-10 minors 1 then 2
+    val seq2 = spark.read.parquet(s"$root/out/seq=2")
+    assert(seq2.filter(col("osm_type") === "way" && col("osm_id") === 10)
+      .select("osm_minor_version").head().getInt(0) === 2)
+
+    // no pending diffs → nothing applied, nothing re-emitted
+    assert(OsmUpdater.catchUp(spark, replDir.toString, root) === 0L)
+
+    // idempotence of a single diff replay (crash between store commit and
+    // state write): re-applying diff 2 emits no rows and leaves counters
+    val replay = OsmUpdater.applyDiff(spark, root,
+      oscDf("""<osmChange version="0.6">
+        | <modify>
+        |  <node id="1" version="3" timestamp="2024-01-01T01:00:00Z" changeset="101" uid="9" user="alice" lat="1.6" lon="1.0"/>
+        | </modify>
+        |</osmChange>""".stripMargin))
+    assert(replay.filter(col("osm_type") === "way").count() === 0)
+    val ways = ChangesetStore.readBucketed(spark, s"$root/ways")
+    assert(ways.filter(col("id") === 10).select("minor_version")
+      .head().getInt(0) === 2)
+  }
+
+  test("way deletion removes its backrefs") {
+    val root = freshRoot()
+    OsmUpdater.initStore(spark, root, seedEntities)
+    val out = OsmUpdater.applyDiff(spark, root, oscDf(
+      """<osmChange version="0.6">
+        | <delete>
+        |  <way id="10" version="2" timestamp="2024-01-01T00:00:10Z" changeset="100" uid="9" user="alice"/>
+        | </delete>
+        |</osmChange>""".stripMargin))
+    assert(out.filter(col("osm_type") === "way" && col("osm_id") === 10 &&
+      col("contrib_type") === "DELETION").count() === 1)
+
+    // n1 no longer has way-10 backrefs → moving it emits only the node row
+    val out2 = OsmUpdater.applyDiff(spark, root, oscDf(
+      """<osmChange version="0.6">
+        | <modify>
+        |  <node id="1" version="2" timestamp="2024-01-01T01:00:00Z" changeset="101" uid="9" user="alice" lat="1.5" lon="1.0"/>
+        | </modify>
+        |</osmChange>""".stripMargin))
+    assert(out2.filter(col("osm_type") === "way").count() === 0)
+    assert(out2.filter(col("osm_type") === "node" && col("osm_id") === 1).count() === 1)
+  }
+}
