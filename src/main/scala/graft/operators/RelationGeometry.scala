@@ -9,15 +9,18 @@ import scala.collection.mutable.ArrayBuffer
 case class MemberLine(rel_id: Long, way_id: Long,
     lons: Array[Double], lats: Array[Double])
 
-/** Assembled relation geometry. `valid` = false when the ring set would
-  * enter the reference's repair/throw paths (GeometryBuilder.java:52-110):
-  * a self-intersecting ring, a repeated vertex, or two rings that touch,
-  * share a vertex, or overlap. Repair itself stays out of scope — the flag
-  * makes the condition visible instead of silently emitting bad WKB.
+/** Assembled relation geometry. `valid` = false when the ring set still
+  * trips the reference's throw paths AFTER repair
+  * (GeometryBuilder.java:52-110, 245-252): a self-intersecting ring or two
+  * rings that touch, share a vertex, or overlap. The repair itself —
+  * duplicate member ways skipped (splitWays:263-266) and
+  * backtracking/overlapping segment removal (mergeSegments:261-283) — runs
+  * first and is reported in `n_repaired` (vertices removed + ways
+  * dropped).
   */
 case class RelationRings(rel_id: Long, n_ways: Int, n_rings: Int,
     n_shells: Int, n_holes: Int, closed: Boolean, n_points: Int,
-    area_deg2: Double, wkb: String, valid: Boolean)
+    area_deg2: Double, wkb: String, valid: Boolean, n_repaired: Int)
 
 /** Relation (multi)polygon assembly — the osm-geometry ring-stitching +
   * shell/hole classification analog: member ways chain end-to-end (either
@@ -71,6 +74,73 @@ object RelationGeometry {
       rings += ((xs, ys, closed))
     }
     rings.toSeq
+  }
+
+  // ---- ring repair (GeometryBuilder.java splitWays + mergeSegments) ----
+
+  /** Whether point p lies on the CLOSED segment [a, b] (collinear and
+    * within the bounding box) — the covers() primitive of the reference's
+    * overlapping-segment test.
+    */
+  def pointOnSegment(px: Double, py: Double, ax: Double, ay: Double,
+      bx: Double, by: Double): Boolean = {
+    val cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    if (cross != 0.0) return false
+    px >= math.min(ax, bx) && px <= math.max(ax, bx) &&
+      py >= math.min(ay, by) && py <= math.max(ay, by)
+  }
+
+  /** Duplicate member ways collapse to one — the reference skips a way
+    * whose coordinate SET was already seen (splitWays:263-266, the doubled
+    * riverbank / doubled boundary import case). Ways with fewer than two
+    * points drop too. Returns (kept ways, dropped count).
+    */
+  def dedupeWays(ways: Seq[(Array[Double], Array[Double])]): (Seq[(Array[Double], Array[Double])], Int) = {
+    val seen = scala.collection.mutable.HashSet[Set[(Double, Double)]]()
+    val kept = ways.filter { case (xs, ys) =>
+      xs.length >= 2 && seen.add(xs.indices.map(i => (xs(i), ys(i))).toSet)
+    }
+    (kept, ways.length - kept.length)
+  }
+
+  /** Backtracking-segment removal on one CLOSED ring (closing vertex
+    * included): while a vertex b has its neighbor segments collinearly
+    * overlapping (c back on [a,b], or [b,c] running back through a), b is
+    * a spike tip — remove it. The reference runs the identical
+    * wrap-around sweep when merging ring segments
+    * (mergeSegments:261-283: `ab.covers(bc) || bc.covers(ab)` → drop b).
+    * Returns the repaired ring (re-closed) and the number of vertices
+    * removed; a ring collapsing below 3 distinct vertices returns empty.
+    */
+  def removeSpikes(xs0: Seq[Double], ys0: Seq[Double]): (ArrayBuffer[Double], ArrayBuffer[Double], Int) = {
+    // open vertex list
+    val xs = ArrayBuffer.from(xs0.dropRight(1))
+    val ys = ArrayBuffer.from(ys0.dropRight(1))
+    var removed = 0
+    var changed = true
+    while (changed && xs.length >= 3) {
+      changed = false
+      var i = 0
+      while (i < xs.length && xs.length >= 3) {
+        val n = xs.length
+        val ia = (i - 1 + n) % n
+        val ic = (i + 1) % n
+        val spike =
+          pointOnSegment(xs(ic), ys(ic), xs(ia), ys(ia), xs(i), ys(i)) ||
+            pointOnSegment(xs(ia), ys(ia), xs(i), ys(i), xs(ic), ys(ic))
+        if (spike) {
+          xs.remove(i); ys.remove(i)
+          removed += 1
+          changed = true
+          if (i > 0) i -= 1
+        } else i += 1
+      }
+    }
+    if (xs.length < 3) (ArrayBuffer.empty, ArrayBuffer.empty, removed + xs.length)
+    else {
+      xs += xs.head; ys += ys.head
+      (xs, ys, removed)
+    }
   }
 
   /** Planar shoelace area of one ring (absolute, deg²). */
@@ -207,9 +277,22 @@ object RelationGeometry {
         val ways = it.toSeq.sortBy(_.way_id)
         if (memberLimit >= 0 && ways.length > memberLimit) {
           RelationRings(relId, ways.length, 0, 0, 0, closed = false, 0, 0.0,
-            graft.functions.Geo.wkbPolygonHex(Seq.empty), valid = false)
+            graft.functions.Geo.wkbPolygonHex(Seq.empty), valid = false,
+            n_repaired = 0)
         } else {
-        val rings = stitch(ways.map(w => (w.lons, w.lats)))
+        // repair pass 1: duplicate member ways collapse (splitWays)
+        val (uniqueWays, droppedWays) = dedupeWays(ways.map(w => (w.lons, w.lats)))
+        val stitched = stitch(uniqueWays)
+        // repair pass 2: spike/backtrack removal per closed ring
+        // (mergeSegments); rings that collapse entirely disappear
+        var repairedVerts = 0
+        val rings = stitched.flatMap {
+          case (xs, ys, true) =>
+            val (rx, ry, rem) = removeSpikes(xs.toSeq, ys.toSeq)
+            repairedVerts += rem
+            if (rx.isEmpty) None else Some((rx, ry, true))
+          case open => Some(open)
+        }
         val shells = classify(rings.filter(_._3).map(r => (r._1, r._2)))
         // reference area semantics (GeometryTools.areaOf(Polygon/Multi)):
         // per shell abs(outer) − Σ abs(holes), clamped at 0, summed
@@ -236,7 +319,7 @@ object RelationGeometry {
         RelationRings(relId, ways.length, rings.length,
           shells.length, shells.map(_.holes.length).sum,
           rings.nonEmpty && rings.forall(_._3), rings.map(_._1.length).sum, area, wkb,
-          valid)
+          valid, n_repaired = droppedWays + repairedVerts)
         }
       }
   }

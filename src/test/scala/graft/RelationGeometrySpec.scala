@@ -218,4 +218,58 @@ class RelationGeometrySpec extends SparkSpec {
     }
     assert(r.wkb === buf.array().map(b => f"${b & 0xff}%02x").mkString)
   }
+
+  test("repair: a spike vertex is removed and the ring becomes valid") {
+    import spark.implicits._
+    // square with a spike at the top edge: ...(5,10)->(5,15)->(5,10)...
+    // — the doubled-back vertex the reference's mergeSegments drops
+    val members = Seq((900L, 1L)).toDF("rel_id", "way_id")
+    val wayGeoms = Seq(
+      (1L, Array(0.0, 10.0, 10.0, 5.0, 5.0, 5.0, 0.0, 0.0),
+        Array(0.0, 0.0, 10.0, 10.0, 15.0, 10.0, 10.0, 0.0)))
+      .toDF("way_id", "lons", "lats")
+    val r = RelationGeometry.assemble(members, wayGeoms).collect().head
+    assert(r.valid, "spike must repair away")
+    assert(r.n_repaired >= 1)
+    assert(r.area_deg2 === 100.0, "area of the de-spiked square")
+    assert(r.n_points === 6, "5 distinct corners + closing vertex" +
+      " (the spike tip and its duplicate base vertex are gone)")
+  }
+
+  test("repair: duplicate member ways collapse to one") {
+    import spark.implicits._
+    // the same closing half-square appears twice under different way ids
+    val members = Seq((901L, 1L), (901L, 2L), (901L, 3L)).toDF("rel_id", "way_id")
+    val wayGeoms = Seq(
+      (1L, Array(0.0, 10.0, 10.0), Array(0.0, 0.0, 10.0)),
+      (2L, Array(10.0, 0.0, 0.0), Array(10.0, 10.0, 0.0)),
+      (3L, Array(10.0, 0.0, 0.0), Array(10.0, 10.0, 0.0)))
+      .toDF("way_id", "lons", "lats")
+    val r = RelationGeometry.assemble(members, wayGeoms).collect().head
+    assert(r.n_rings === 1 && r.closed)
+    assert(r.valid, "after dropping the duplicate way the ring is clean")
+    assert(r.n_repaired === 1, "one duplicate way dropped")
+    assert(r.area_deg2 === 100.0)
+  }
+
+  test("repair: crossing bowtie is NOT repairable and stays invalid") {
+    // spike removal only handles collinear backtracks; a true
+    // self-crossing survives repair and keeps the invalid flag
+    import spark.implicits._
+    val members = Seq((902L, 1L), (902L, 2L)).toDF("rel_id", "way_id")
+    val wayGeoms = Seq(
+      (1L, Array(0.0, 2.0, 0.0), Array(0.0, 0.0, 2.0)),
+      (2L, Array(0.0, 2.0, 0.0), Array(2.0, 2.0, 0.0)))
+      .toDF("way_id", "lons", "lats")
+    val r = RelationGeometry.assemble(members, wayGeoms).collect().head
+    assert(!r.valid)
+    assert(r.n_repaired === 0)
+  }
+
+  test("removeSpikes: straight-through collinear vertices survive") {
+    val (xs, ys, rem) = RelationGeometry.removeSpikes(
+      Seq(0.0, 5.0, 10.0, 10.0, 0.0, 0.0), Seq(0.0, 0.0, 0.0, 10.0, 10.0, 0.0))
+    assert(rem === 0, "a mid-edge vertex is not a spike")
+    assert(xs.length === 6)
+  }
 }
