@@ -341,7 +341,41 @@ object Geometry {
       .drop("tri_self")
   }
 
+  /** Spike-vertex census — the ring-repair primitive
+    * (RelationGeometry.removeSpikes / reference GeometryBuilder
+    * .mergeSegments:261-283) as a declarative window query: a vertex b is
+    * a spike tip when its neighbor segments collinearly overlap (next
+    * vertex back on [prev, b], or [b, next] running back through prev).
+    * Coordinates snap to a coarse integer grid so collinear backtracks
+    * actually occur in the synthetic points; every comparison is exact
+    * integer arithmetic — no epsilon, no cross-engine float hazard. Scan +
+    * one keyed window + partial agg: the 100 TB shape is a single
+    * exchange.
+    */
+  def geoSpikes(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    def between(p: Column, lo: Column, hi: Column) =
+      p >= least(lo, hi) && p <= greatest(lo, hi)
+    points(s, dir)
+      .withColumn("bx", expr("xi div 6000")).withColumn("by", expr("yi div 6000"))
+      .withColumn("ax", lag("bx", 1).over(w)).withColumn("ay", lag("by", 1).over(w))
+      .withColumn("cx", lead("bx", 1).over(w)).withColumn("cy", lead("by", 1).over(w))
+      .withColumn("collinear",
+        (col("bx") - col("ax")) * (col("cy") - col("ay")) -
+          (col("by") - col("ay")) * (col("cx") - col("ax")) === 0)
+      .withColumn("is_spike",
+        col("ax").isNotNull && col("cx").isNotNull && col("collinear") &&
+          ((between(col("cx"), col("ax"), col("bx")) &&
+            between(col("cy"), col("ay"), col("by"))) ||
+            (between(col("ax"), col("bx"), col("cx")) &&
+              between(col("ay"), col("by"), col("cy")))))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_vertices"),
+        sum(when(col("is_spike"), 1L).otherwise(0L)).as("n_spikes"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_spikes" -> (geoSpikes _),
     "geo_ring_valid" -> (geoRingValid _),
     "geo_wkt_join" -> (geoWktJoin _),
     "geo_poly_join" -> (geoPolyJoin _),
@@ -624,6 +658,29 @@ object Geometry {
   }
 
   val oracles: Map[String, String] = Map(
+    "geo_spikes" ->
+      s"""WITH pts AS ($ptsSql),
+         |grid AS (
+         |  SELECT user_id, event_id, xi // 6000 AS bx, yi // 6000 AS by
+         |  FROM pts
+         |), tri AS (
+         |  SELECT user_id,
+         |    lag(bx)  OVER (PARTITION BY user_id ORDER BY event_id) AS ax,
+         |    lag(by)  OVER (PARTITION BY user_id ORDER BY event_id) AS ay,
+         |    bx, by,
+         |    lead(bx) OVER (PARTITION BY user_id ORDER BY event_id) AS cx,
+         |    lead(by) OVER (PARTITION BY user_id ORDER BY event_id) AS cy
+         |  FROM grid
+         |)
+         |SELECT user_id, count(*) AS n_vertices,
+         |  CAST(sum(CASE WHEN ax IS NOT NULL AND cx IS NOT NULL
+         |    AND (bx - ax) * (cy - ay) - (by - ay) * (cx - ax) = 0
+         |    AND ((cx BETWEEN least(ax, bx) AND greatest(ax, bx)
+         |          AND cy BETWEEN least(ay, by) AND greatest(ay, by))
+         |      OR (ax BETWEEN least(bx, cx) AND greatest(bx, cx)
+         |          AND ay BETWEEN least(by, cy) AND greatest(by, cy)))
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_spikes
+         |FROM tri GROUP BY user_id ORDER BY user_id""".stripMargin,
     "geo_ring_valid" -> ringValidOracleSql,
     "geo_wkt_join" -> wktJoinOracleSql,
     "geo_poly_join" -> polyJoinOracleSql,
