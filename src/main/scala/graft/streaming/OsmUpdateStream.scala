@@ -1,0 +1,38 @@
+package graft.streaming
+
+import graft.operators.OsmUpdater
+import graft.sources.OsmXml
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Continuous typed replication — the streaming face of
+  * [[graft.operators.OsmUpdater]]: a watched replication directory of
+  * minutely `.osc` files becomes a file stream; each micro-batch applies
+  * through the SAME `applyDiff` the sequenced catch-up uses (diff
+  * classification, backref-propagated way/relation minors, store
+  * upserts), so batch catch-up and continuous streaming produce identical
+  * stores and contribution streams over the same diff sequence.
+  *
+  * `foreachBatch` is the right Structured Streaming hook here: the store
+  * upsert is a transactional side effect with its own commit protocol
+  * (bucketed snapshots + atomic pointer), and applyDiff's idempotence
+  * (versions ≤ stored are filtered, store timestamps advance past applied
+  * edits) absorbs Structured Streaming's at-least-once batch replay after
+  * a crash — a re-delivered batch emits nothing and rewrites the store to
+  * the same state. Checkpointed file-source progress gives exactly-once
+  * file discovery on top.
+  */
+object OsmUpdateStream {
+
+  def start(spark: SparkSession, replDir: String, storeRoot: String,
+      outDir: String): StreamingQuery =
+    OsmXml.streamOsc(spark, replDir).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val contribs = OsmUpdater.applyDiff(spark, storeRoot, batch)
+          contribs.write.mode("append").parquet(outDir)
+        }
+      }
+      .option("checkpointLocation", s"$storeRoot/stream-checkpoint")
+      .start()
+}
