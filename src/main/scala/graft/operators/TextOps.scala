@@ -137,7 +137,46 @@ object TextOps {
         col("rh").getItem(1).as("fp_pos"), col("rh").getItem(2).as("n_windows"))
   }
 
+  /** Repetition ratios — the Gopher/CCNet-style quality signals a
+    * training-data pipeline filters on: duplicate-word fraction,
+    * duplicate-trigram fraction, and the most-frequent-token share. All
+    * counts are exact integers; the ratios are single per-row IEEE
+    * divisions (identical in both engines). Scan-only — no shuffle at any
+    * scale.
+    */
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("grams3", expr(
+        """CASE WHEN size(toks) >= 3
+          |  THEN transform(sequence(1, size(toks) - 2),
+          |         i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))
+          |  ELSE array() END""".stripMargin))
+      .withColumn("n_grams", size(col("grams3")).cast("long"))
+      .withColumn("n_gram_distinct", size(array_distinct(col("grams3"))).cast("long"))
+      .withColumn("top_tok_n", expr(
+        """CASE WHEN size(toks) > 0
+          |  THEN array_max(transform(array_distinct(toks),
+          |         t -> size(filter(toks, x -> x = t))))
+          |  ELSE 0 END""".stripMargin).cast("long"))
+      .withColumn("dup_word_ratio",
+        when(col("n_tokens") > 0,
+          (col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
+          .otherwise(0.0))
+      .withColumn("dup_gram_ratio",
+        when(col("n_grams") > 0,
+          (col("n_grams") - col("n_gram_distinct")).cast("double") / col("n_grams"))
+          .otherwise(0.0))
+      .withColumn("top_tok_ratio",
+        when(col("n_tokens") > 0,
+          col("top_tok_n").cast("double") / col("n_tokens")).otherwise(0.0))
+      .select("doc_id", "n_tokens", "n_distinct", "n_grams", "top_tok_n",
+        "dup_word_ratio", "dup_gram_ratio", "top_tok_ratio")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> (textRepetition _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
@@ -146,6 +185,35 @@ object TextOps {
     "text_fingerprint" -> (textFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |        CAST(len(toks) AS BIGINT) AS n_tokens,
+         |        CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |        CASE WHEN len(toks) >= 3
+         |          THEN list_transform(range(1, CAST(len(toks) - 1 AS BIGINT)),
+         |                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |          ELSE CAST([] AS VARCHAR[]) END AS grams3
+         |      FROM t),
+         |g AS (SELECT doc_id, n_tokens, n_distinct,
+         |        CAST(len(grams3) AS BIGINT) AS n_grams,
+         |        CAST(len(list_distinct(grams3)) AS BIGINT) AS n_gram_distinct,
+         |        CAST(CASE WHEN len(toks) > 0
+         |          THEN list_max(list_transform(list_distinct(toks),
+         |                 t -> len(list_filter(toks, x -> x = t))))
+         |          ELSE 0 END AS BIGINT) AS top_tok_n
+         |      FROM c)
+         |SELECT doc_id, n_tokens, n_distinct, n_grams, top_tok_n,
+         |  CASE WHEN n_tokens > 0
+         |    THEN CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens ELSE 0.0 END
+         |    AS dup_word_ratio,
+         |  CASE WHEN n_grams > 0
+         |    THEN CAST(n_grams - n_gram_distinct AS DOUBLE) / n_grams ELSE 0.0 END
+         |    AS dup_gram_ratio,
+         |  CASE WHEN n_tokens > 0
+         |    THEN CAST(top_tok_n AS DOUBLE) / n_tokens ELSE 0.0 END
+         |    AS top_tok_ratio
+         |FROM g ORDER BY doc_id""".stripMargin,
     "text_rollhash" -> {
       import graft.functions.TextKernels.{RollMod, RollPow, RollWindow}
       // byte p of window starting at i carries weight 257^(7-(p-i)) mod M;
