@@ -59,7 +59,12 @@ object Cli {
         // contribution parquet out; SPARK_GRAFT_COUNTRY_FILE plays the
         // --country-file option (docs/CLI.md "Join Country Codes")
         val entities = spark.read.format("osmpbf").load(sfDir)
-        val base = Contributions.withGeometries(entities)
+        // SPARK_GRAFT_MEMBER_GEOMS=1 adds the docs' relation member
+        // geometry structs (useful_queries.md member extraction)
+        val base =
+          if (sys.env.get("SPARK_GRAFT_MEMBER_GEOMS").contains("1"))
+            Contributions.withMemberGeometries(entities)
+          else Contributions.withGeometries(entities)
         val enriched = sys.env.get("SPARK_GRAFT_COUNTRY_FILE")
           .fold(base)(f => Contributions.withCountries(base, f))
         // same output contract as `contributions`: binary WKB geometry +

@@ -356,6 +356,52 @@ object Contributions {
       .drop("way_id", "way_version", "way_wkb", "resolved_pts", "geom_incomplete")
   }
 
+  /** Per-member geometry structs for RELATION rows — the docs'
+    * member-extraction surface (useful_queries.md "Extract relation member
+    * geometries": `unnest(members)` with `m.geometry`, m_id =
+    * `format('{}/{}', m.type, m.id)`). Every relation contribution gains
+    * `members_geo: array<struct<m_id, role, wkb>>` where each member
+    * resolves AS OF the relation row's valid_from to that member's own
+    * contribution geometry (node point / way linestring from
+    * [[withGeometries]]); members with no resolvable version carry a null
+    * wkb rather than disappearing.
+    *
+    * Scale: members explode ⋈ member contribution rows is keyed on
+    * (type, id) — the same exchange class as way assembly — and the
+    * collect-back is keyed on (relation, version). No broadcast of the
+    * fact side, no driver work.
+    */
+  def withMemberGeometries(entities: DataFrame): DataFrame = {
+    val base = withGeometries(entities)
+    val memberRows = base.filter(col("osm_type").isin("node", "way"))
+      .select(col("osm_type").as("m_type"), col("osm_id").as("m_ref"),
+        col("valid_from").as("m_ts"), col("wkb").as("m_wkb"))
+    val relMembers = base.filter(col("osm_type") === "relation" && col("members").isNotNull)
+      .select(col("osm_id").as("rel_id"), col("osm_version").as("rel_version"),
+        col("valid_from").as("rel_ts"), posexplode(col("members")).as(Seq("mpos", "m")))
+      .select(col("rel_id"), col("rel_version"), col("rel_ts"), col("mpos"),
+        col("m.mtype").as("m_type"), col("m.ref").as("m_ref"), col("m.role").as("m_role"))
+    val resolved = relMembers
+      .join(memberRows, Seq("m_type", "m_ref"))
+      .filter(col("m_ts") <= col("rel_ts"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("rel_id", "rel_version", "mpos").orderBy(desc("m_ts"))))
+      .filter(col("rk") === 1)
+      .select(col("rel_id"), col("rel_version"), col("mpos"), col("m_wkb"))
+    val membersGeo = relMembers
+      .join(resolved, Seq("rel_id", "rel_version", "mpos"), "left")
+      .groupBy("rel_id", "rel_version")
+      .agg(sort_array(collect_list(struct(col("mpos"),
+        concat(col("m_type"), lit("/"), col("m_ref")).as("m_id"),
+        col("m_role").as("role"), col("m_wkb").as("wkb")))).as("ms"))
+      .select(col("rel_id"), col("rel_version"),
+        expr("transform(ms, m -> struct(m.m_id, m.role, m.wkb))").as("members_geo"))
+    base.join(membersGeo,
+      base("osm_id") === membersGeo("rel_id") &&
+        base("osm_version") === membersGeo("rel_version"), "left")
+      .drop("rel_id", "rel_version")
+  }
+
   /** `--country-file` enrichment for REAL contributions (docs/CLI.md
     * "Join Country Codes" + SpatialGridJoiner semantics): every row gets a
     * `countries` array — all boundary features containing its point (rows

@@ -526,4 +526,50 @@ class SourcesSpec extends SparkSpec {
     val meta2 = GeoParquet.readFooterValue(conf, part2.toString, "geo").get
     assert(!meta2.contains("bbox") && !meta2.contains("NaN"), meta2)
   }
+
+  test("withMemberGeometries: relation members resolve as-of with m_id/role/wkb") {
+    import spark.implicits._
+    val noMembers = Seq.empty[TestMember]
+    val relMembers = Seq(TestMember("way", 10L, "outer"),
+      TestMember("node", 1L, "stop"), TestMember("way", 99L, "ghost"))
+    val entities = Seq(
+      ("node", 1L, 1, 1000L, 5L, 9, "u", true, 10.0, 20.0,
+        Map.empty[String, String], null.asInstanceOf[Seq[Long]], noMembers),
+      ("node", 1L, 2, 2000L, 5L, 9, "u", true, 11.0, 21.0,
+        Map.empty[String, String], null.asInstanceOf[Seq[Long]], noMembers),
+      ("node", 2L, 1, 1000L, 5L, 9, "u", true, 12.0, 22.0,
+        Map.empty[String, String], null.asInstanceOf[Seq[Long]], noMembers),
+      ("way", 10L, 1, 2500L, 6L, 9, "u", true, Double.NaN, Double.NaN,
+        Map.empty[String, String], Seq(1L, 2L), noMembers),
+      ("relation", 20L, 1, 3000L, 7L, 9, "u", true, Double.NaN, Double.NaN,
+        Map("type" -> "route"), null.asInstanceOf[Seq[Long]], relMembers)
+    ).toDF("osm_type", "id", "version", "ts_ms", "changeset", "uid", "user",
+      "visible", "lat", "lon", "tags", "refs", "members")
+    val out = operators.Contributions.withMemberGeometries(entities)
+    val rel = out.filter(col("osm_type") === "relation").collect().head
+    val ms = rel.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("members_geo")
+    assert(ms.length === 3, "every member keeps its slot")
+    assert(ms.map(_.getAs[String]("m_id")) === Seq("way/10", "node/1", "way/99"),
+      "docs m_id format type/id, in member order")
+    assert(ms.map(_.getAs[String]("role")) === Seq("outer", "stop", "ghost"))
+    val wayWkb = ms.head.getAs[String]("wkb")
+    assert(wayWkb != null && wayWkb.startsWith("0102000000"),
+      "member way resolves to its linestring contribution geometry")
+    val nodeWkb = ms(1).getAs[String]("wkb")
+    assert(nodeWkb != null && nodeWkb.startsWith("0101000000"))
+    // as-of 3000: node 1 resolves to version 2 coordinates (21, 11)
+    val v2 = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(21.0).putDouble(11.0).array()
+    assert(nodeWkb.toUpperCase.endsWith(v2.map("%02X".format(_)).mkString))
+    assert(ms(2).getAs[String]("wkb") == null,
+      "a member with no resolvable contribution carries null wkb")
+    // non-relation rows pass through with a null members_geo
+    assert(out.filter(col("osm_type") === "way").select("members_geo")
+      .head().isNullAt(0))
+  }
 }
+
+/** Named member struct for withMemberGeometries fixtures (field names must
+  * match the PBF member schema: mtype/ref/role).
+  */
+case class TestMember(mtype: String, ref: Long, role: String)
