@@ -38,25 +38,32 @@ class PlanAuditSpec extends SparkSpec {
 
   test("contrib_full keeps the one-scan one-entity-exchange shape") {
     val p = plans("contrib_full")
-    // exchange 1 = the entity hash partition every window chains on;
-    // exchange 2 = the final output ordering. Anything more means a window
-    // or the changeset struct stopped sharing the entity exchange.
-    assert(shuffleCount(p) <= 2, s"contrib_full grew a shuffle:\n$p")
+    // ONE exchange: the entity hash partition every window (including the
+    // changeset struct) chains on. The round-6 presentation-sort purge
+    // removed the former second (ordering) exchange — it must not return.
+    assert(shuffleCount(p) <= 1, s"contrib_full grew a shuffle:\n$p")
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size <= 3,
       "events must be scanned once (plus the two broadcast dims)")
   }
 
   test("geo_wkt_join and cs_db_enrich stay broadcast-shaped") {
-    // wkt join: fact side maps cell ids and joins broadcast cells — the only
-    // shuffle allowed is the final output ordering
-    assert(shuffleCount(plans("geo_wkt_join")) <= 1,
+    // wkt join: fact side maps cell ids and joins broadcast cells — with
+    // presentation sorts gone the fact side never exchanges at all
+    assert(shuffleCount(plans("geo_wkt_join")) === 0,
       "geo_wkt_join's fact side must not shuffle")
     assert(plans("geo_wkt_join").contains("BroadcastExchange"))
-    // store enrichment: session window exchange + output ordering only;
-    // the committed store broadcasts
-    assert(shuffleCount(plans("cs_db_enrich")) <= 2,
+    // store enrichment: session window exchange only; the committed store
+    // broadcasts
+    assert(shuffleCount(plans("cs_db_enrich")) <= 1,
       "cs_db_enrich must broadcast the store, not shuffle the stream")
     assert(plans("cs_db_enrich").contains("BroadcastExchange"))
+  }
+
+  test("round-6 keys: geo_spikes one keyed exchange, text_repetition scan-only") {
+    assert(shuffleCount(plans("geo_spikes")) <= 1,
+      "geo_spikes is one window + partial agg on the same keyed exchange")
+    assert(shuffleCount(plans("text_repetition")) === 0,
+      s"text_repetition must stay scan-only:\n${plans("text_repetition")}")
   }
 
   test("no sort-merge joins at test scale (broadcast should win everywhere)") {
