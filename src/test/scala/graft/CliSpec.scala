@@ -66,4 +66,30 @@ class CliSpec extends SparkSpec {
     assert(graft.operators.ReplicationCatchup
       .currentContributions(spark, store).count() === 2L)
   }
+
+  test("cli osm-update-init + osm-update: PBF seed, diff, backref minors") {
+    import org.apache.spark.sql.functions.col
+    val pbf = java.nio.file.Files.createTempFile("graft-cli-upd", ".osm.pbf")
+    java.nio.file.Files.write(pbf, PbfEncode.buildTestPbf())
+    val store = java.nio.file.Files.createTempDirectory("graft-cli-updstore").toString
+    Cli.main(Array("osm-update-init", pbf.toString, store))
+
+    // the PBF carries nodes 10/13, way 42 (refs 10,13), relation 7 (member
+    // way 42) — moving node 10 must cascade way-42 and relation-7 minors
+    val repl = java.nio.file.Files.createTempDirectory("graft-cli-updrepl")
+    java.nio.file.Files.writeString(repl.resolve("1.osc"),
+      """<osmChange version="0.6"><modify>
+        | <node id="10" version="3" timestamp="2024-01-21T00:00:00Z" changeset="100" uid="5" user="alice" lat="52.6" lon="13.4"/>
+        |</modify></osmChange>""".stripMargin)
+    Cli.main(Array("osm-update", repl.toString, store))
+
+    assert(graft.operators.ReplicationCatchup.readState(store)
+      .map(_.sequenceNumber) === Some(1L))
+    val out = spark.read.parquet(s"$store/out/seq=1")
+    assert(out.filter(col("osm_type") === "node" && col("osm_id") === 10).count() === 1)
+    val w42 = out.filter(col("osm_type") === "way" && col("osm_id") === 42).collect()
+    assert(w42.length === 1 && w42.head.getAs[Int]("osm_minor_version") === 1)
+    val r7 = out.filter(col("osm_type") === "relation" && col("osm_id") === 7).collect()
+    assert(r7.length === 1 && r7.head.getAs[Int]("osm_minor_version") === 1)
+  }
 }

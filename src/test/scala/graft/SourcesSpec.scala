@@ -40,14 +40,8 @@ object PbfEncode {
     d.end()
     java.util.Arrays.copyOf(buf, n)
   }
-}
 
-class SourcesSpec extends SparkSpec {
-  import PbfEncode._
-
-  private def buildPbf(): Array[Byte] = buildPbf(0L, 0L)
-
-  private def buildPbf(latOffsetNano: Long, lonOffsetNano: Long): Array[Byte] = {
+  def buildTestPbf(latOffsetNano: Long = 0L, lonOffsetNano: Long = 0L): Array[Byte] = {
     // string table: index 0 must be the empty string
     val strings = Seq("", "highway", "primary", "name", "main", "alice")
     val st = new ByteArrayOutputStream()
@@ -120,6 +114,15 @@ class SourcesSpec extends SparkSpec {
     f.write(frame("OSMData", block.toByteArray))
     f.toByteArray
   }
+}
+
+class SourcesSpec extends SparkSpec {
+  import PbfEncode._
+
+  private def buildPbf(): Array[Byte] = buildTestPbf()
+
+  private def buildPbf(latOffsetNano: Long, lonOffsetNano: Long): Array[Byte] =
+    buildTestPbf(latOffsetNano, lonOffsetNano)
 
   test("pbf round-trip: framing, zlib, string table, dense deltas, ways, relations") {
     val tmp = java.nio.file.Files.createTempFile("graft", ".osm.pbf")
