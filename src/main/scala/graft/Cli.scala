@@ -100,9 +100,13 @@ object Cli {
         println(s"[graft] osm-update-init: store seeded at $outDir")
       case "osm-update" =>
         // ContributionUpdater catch-up: ordered .osc diffs against the
-        // typed store, per-sequence contribution output, resumable state
+        // typed store, per-sequence contribution output, resumable state.
+        // SPARK_GRAFT_CHANGESET_DB points at a changeset store to join
+        // changeset structs onto every emitted row (--changeset-db)
         val maxSteps = if (args.length == 4) args(3).toInt else Int.MaxValue
-        val n = operators.OsmUpdater.catchUp(spark, sfDir, outDir, maxSteps)
+        val csDb = sys.env.get("SPARK_GRAFT_CHANGESET_DB")
+          .map(d => graft.sources.ChangesetStore.read(spark, d))
+        val n = operators.OsmUpdater.catchUp(spark, sfDir, outDir, maxSteps, csDb)
         val st = operators.ReplicationCatchup.readState(outDir)
         println(s"[graft] osm-update: applied $n diff(s); state=${st.map(_.sequenceNumber).getOrElse(0L)}")
       case "pbf-info" =>

@@ -450,8 +450,15 @@ object OsmUpdater {
     * advance past applied edits), so a crash between the store upserts and
     * the state write re-runs the diff into the same state.
     */
+  /** @param changesetDb optional changeset store frame (id, created_at,
+    *                     closed_at, num_changes, tags) — the `--changeset-db`
+    *                     contract on the update path: every emitted
+    *                     contribution joins its changeset struct
+    *                     (broadcast; Replications.java:79-88).
+    */
   def catchUp(spark: SparkSession, replDir: String, root: String,
-      maxSteps: Int = Int.MaxValue): Long = {
+      maxSteps: Int = Int.MaxValue,
+      changesetDb: Option[DataFrame] = None): Long = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
     var st = ReplicationCatchup.readState(root)
       .getOrElse(ReplicationCatchup.State(0L, ""))
@@ -461,7 +468,9 @@ object OsmUpdater {
       .take(maxSteps)
       .foreach { case (seq, path) =>
         if (seq == st.sequenceNumber + 1) {
-          val contribs = applyDiff(spark, root, graft.sources.OsmXml.readOsc(spark, path))
+          val raw = applyDiff(spark, root, graft.sources.OsmXml.readOsc(spark, path))
+          val contribs = changesetDb
+            .fold(raw)(db => Changesets.enrichWithChangesetDb(raw, db))
           contribs.coalesce(1).write.mode("overwrite")
             .parquet(s"$root/out/seq=$seq")
           val ts = contribs.agg(max("valid_from")).collect().head

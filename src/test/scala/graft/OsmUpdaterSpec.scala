@@ -233,6 +233,61 @@ class OsmUpdaterSpec extends SparkSpec {
       .head().getInt(0) === 2)
   }
 
+  test("multiple versions of one node in a single diff cascade per instant") {
+    val root = freshRoot()
+    OsmUpdater.initStore(spark, root, seedEntities)
+    // n1 moves twice within one minutely diff
+    val out = OsmUpdater.applyDiff(spark, root, oscDf(
+      """<osmChange version="0.6">
+        | <modify>
+        |  <node id="1" version="2" timestamp="2024-01-01T00:00:10Z" changeset="100" uid="9" user="alice" lat="1.5" lon="1.0"/>
+        |  <node id="1" version="3" timestamp="2024-01-01T00:00:40Z" changeset="100" uid="9" user="alice" lat="1.8" lon="1.0"/>
+        | </modify>
+        |</osmChange>""".stripMargin))
+    // two node contributions, classified against each other in version order
+    val n1 = out.filter(col("osm_type") === "node" && col("osm_id") === 1)
+      .orderBy("osm_version").collect()
+    assert(n1.map(_.getAs[Int]("osm_version")).toSeq === Seq(2, 3))
+    assert(n1.forall(_.getAs[String]("contrib_type") === "GEOMETRY"))
+    // way 10 gets one minor PER CHANGE INSTANT, numbered in time order
+    val w10 = out.filter(col("osm_type") === "way" && col("osm_id") === 10)
+      .orderBy("osm_minor_version").collect()
+    assert(w10.map(_.getAs[Int]("osm_minor_version")).toSeq === Seq(1, 2))
+    assert(w10.map(_.getAs[Long]("valid_from")).toSeq ===
+      Seq(1704067210000L, 1704067240000L))
+    // store counter lands on the last minor
+    val ways = ChangesetStore.readBucketed(spark, s"$root/ways")
+    assert(ways.filter(col("id") === 10).select("minor_version")
+      .head().getInt(0) === 2)
+  }
+
+  test("catch-up with a changeset db joins changeset structs onto emissions") {
+    import spark.implicits._
+    val root = freshRoot()
+    OsmUpdater.initStore(spark, root, seedEntities)
+    val replDir = java.nio.file.Files.createTempDirectory("graft-upd-csdb")
+    java.nio.file.Files.writeString(replDir.resolve("1.osc"),
+      """<osmChange version="0.6">
+        | <modify>
+        |  <node id="1" version="2" timestamp="2024-01-01T00:00:10Z" changeset="100" uid="9" user="alice" lat="1.5" lon="1.0"/>
+        | </modify>
+        |</osmChange>""".stripMargin)
+    val csDb = Seq(
+      (100L, "2024-01-01T00:00:00Z", "2024-01-01T00:30:00Z", 12L,
+        Map("comment" -> "survey #mapathon #roads", "created_by" -> "iD 2.27")))
+      .toDF("id", "created_at", "closed_at", "num_changes", "tags")
+    assert(OsmUpdater.catchUp(spark, replDir.toString, root,
+      changesetDb = Some(csDb)) === 1L)
+    val out = spark.read.parquet(s"$root/out/seq=1")
+    val n1 = out.filter(col("osm_type") === "node" && col("osm_id") === 1).head()
+    assert(n1.getAs[String]("cs_editor") === "iD 2.27")
+    assert(n1.getAs[String]("cs_hashtags") === "mapathon,roads")
+    assert(n1.getAs[Long]("cs_num_changes") === 12L)
+    // the way minor carries no changeset id → null struct fields, row kept
+    val w10 = out.filter(col("osm_type") === "way" && col("osm_id") === 10).head()
+    assert(w10.getAs[String]("cs_editor") == null)
+  }
+
   test("way deletion removes its backrefs") {
     val root = freshRoot()
     OsmUpdater.initStore(spark, root, seedEntities)
