@@ -299,6 +299,7 @@ object OsmUpdater {
           col("lon"), col("lat")))
     val asOf = wayRowsForGeom
       .select(col("id"), col("version"), col("osm_minor_version"), col("row_ts"),
+        size(col("refs")).as("n_refs"),
         posexplode(col("refs")).as(Seq("pos", "node_id")))
       .join(refNodes, Seq("node_id"))
       .filter(col("node_ts") <= col("row_ts"))
@@ -306,14 +307,20 @@ object OsmUpdater {
         Window.partitionBy("id", "version", "osm_minor_version", "pos")
           .orderBy(desc("node_ts"))))
       .filter(col("rk") === 1)
+    // a ref with no resolvable visible node version (e.g. the referenced
+    // node was deleted or not yet known) must NOT silently shorten the
+    // linestring — null the geometry instead, the same invalid-flag
+    // contract as the batch assembly (Contributions.withGeometries)
     val wayGeoms = asOf
       .groupBy("id", "version", "osm_minor_version")
       .agg(count(lit(1)).as("n_pts"), first("row_ts").as("row_ts"),
+        first("n_refs").as("n_refs"),
         sort_array(collect_list(struct(col("pos"), col("lon"), col("lat")))).as("pts"))
-      .withColumn("wkb", call_function("wkb_line",
-        expr("transform(pts, p -> p.lon)"), expr("transform(pts, p -> p.lat)")))
-      .withColumn("length_mm", call_function("geodesic_length_mm",
-        expr("transform(pts, p -> p.lon)"), expr("transform(pts, p -> p.lat)")))
+      .withColumn("complete", col("n_pts") === col("n_refs"))
+      .withColumn("wkb", when(col("complete"), call_function("wkb_line",
+        expr("transform(pts, p -> p.lon)"), expr("transform(pts, p -> p.lat)"))))
+      .withColumn("length_mm", when(col("complete"), call_function("geodesic_length_mm",
+        expr("transform(pts, p -> p.lon)"), expr("transform(pts, p -> p.lat)"))))
       .select("id", "version", "osm_minor_version", "n_pts", "wkb", "length_mm")
 
     // ---------------- relations ----------------
