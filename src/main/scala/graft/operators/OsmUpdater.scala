@@ -484,6 +484,11 @@ object OsmUpdater {
           st = ReplicationCatchup.State(seq,
             if (ts.isNullAt(0)) st.timestamp else ts.getLong(0).toString)
           ReplicationCatchup.writeState(root, st)
+          // applyDiff pins intermediates via localCheckpoint; across a
+          // long catch-up session those blocks would accumulate (the
+          // round-4 storage-leak lesson) — release once the step's sinks
+          // and state are committed
+          graft.GraftSession.releaseStorage(spark)
           applied += 1
         }
       }
