@@ -31,6 +31,9 @@ object OsmUpdateStream {
         if (!batch.isEmpty) {
           val contribs = OsmUpdater.applyDiff(spark, storeRoot, batch)
           contribs.write.mode("append").parquet(outDir)
+          // applyDiff's checkpoint blocks must not accumulate across a
+          // long-running stream (same discipline as the batch catch-up)
+          graft.GraftSession.releaseStorage(spark)
         }
       }
       .option("checkpointLocation", s"$storeRoot/stream-checkpoint")
