@@ -129,4 +129,31 @@ class ChangesetStoreSpec extends SparkSpec {
       .exceptAll(expected)
     assert(diff.isEmpty, "store-backed enrichment must equal the global rebuild")
   }
+
+  test("readBucketsFor: point lookups equal the full read, pruned bucket set") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft-rbf").toString
+    val rows = (1L to 500L).map(i => (i, s"v$i")).toDF("id", "value")
+    ChangesetStore.upsertBucketed(spark, store, rows, Seq("id"), numBuckets = 16)
+
+    val wanted = Seq(3L, 77L, 401L)
+    val keyDf = wanted.toDF("id")
+    val got = ChangesetStore.readBucketsFor(spark, store, keyDf, Seq("id"), 16).get
+    // pruned read contains every wanted key with the right value...
+    val byId = got.filter(col("id").isin(wanted: _*)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId === wanted.map(i => i -> s"v$i").toMap)
+    // ...and strictly fewer rows than the store (buckets were pruned)
+    assert(got.count() < 500, "lookup must not read the whole store")
+
+    // keys hashing to unwritten buckets: still consistent (superset rule)
+    val none = ChangesetStore.readBucketsFor(spark, store,
+      Seq(9999L).toDF("id"), Seq("id"), 16)
+    assert(none.forall(_.filter(col("id") === 9999L).isEmpty))
+
+    // empty store → None
+    assert(ChangesetStore.readBucketsFor(spark,
+      java.nio.file.Files.createTempDirectory("graft-rbf-empty").toString,
+      keyDf, Seq("id"), 16).isEmpty)
+  }
 }

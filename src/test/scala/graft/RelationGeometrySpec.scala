@@ -272,4 +272,37 @@ class RelationGeometrySpec extends SparkSpec {
     assert(rem === 0, "a mid-edge vertex is not a spike")
     assert(xs.length === 6)
   }
+
+  test("removeSpikes properties: idempotent, spike-free postcondition") {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 50) {
+      // random convex-ish ring on a coarse grid, then inject spikes
+      val n = 4 + rnd.nextInt(5)
+      val base = (0 until n).map { i =>
+        val ang = 2 * math.Pi * i / n
+        (math.rint(10 + 8 * math.cos(ang)), math.rint(10 + 8 * math.sin(ang)))
+      }.distinct
+      if (base.length >= 3) {
+        var tip = 100.0
+        val withSpikes = base.flatMap { case (x, y) =>
+          if (rnd.nextBoolean()) { tip += 7 ; Seq((x, y), (tip, y), (x, y)) } // out-and-back
+          else Seq((x, y))
+        }
+        val xs = (withSpikes.map(_._1) :+ withSpikes.head._1).map(_.toDouble)
+        val ys = (withSpikes.map(_._2) :+ withSpikes.head._2).map(_.toDouble)
+        val (rx, ry, removed) = RelationGeometry.removeSpikes(xs, ys)
+        if (rx.nonEmpty) {
+          // postcondition: repairing again removes nothing
+          val (rx2, _, removed2) = RelationGeometry.removeSpikes(rx.toSeq, ry.toSeq)
+          assert(removed2 === 0, s"trial $trial: repair not idempotent")
+          assert(rx2.length === rx.length)
+          // every injected spike tip is gone (no vertex appears with its
+          // out-and-back neighbors)
+          if (withSpikes.length > base.length)
+            assert(removed >= withSpikes.length - base.length,
+              s"trial $trial: spikes survived repair")
+        }
+      }
+    }
+  }
 }
