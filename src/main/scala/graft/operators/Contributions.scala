@@ -375,7 +375,8 @@ object Contributions {
     val base = withGeometries(entities)
     val memberRows = base.filter(col("osm_type").isin("node", "way"))
       .select(col("osm_type").as("m_type"), col("osm_id").as("m_ref"),
-        col("valid_from").as("m_ts"), col("wkb").as("m_wkb"))
+        col("valid_from").as("m_ts"), col("osm_version").as("m_ver"),
+        col("wkb").as("m_wkb"))
     val relMembers = base.filter(col("osm_type") === "relation" && col("members").isNotNull)
       .select(col("osm_id").as("rel_id"), col("osm_version").as("rel_version"),
         col("valid_from").as("rel_ts"), posexplode(col("members")).as(Seq("mpos", "m")))
@@ -384,8 +385,11 @@ object Contributions {
     val resolved = relMembers
       .join(memberRows, Seq("m_type", "m_ref"))
       .filter(col("m_ts") <= col("rel_ts"))
+      // desc(m_ver) tie-break: bulk imports produce same-timestamp member
+      // versions — rank-1 must be deterministic (the withGeometries rule)
       .withColumn("rk", row_number().over(
-        Window.partitionBy("rel_id", "rel_version", "mpos").orderBy(desc("m_ts"))))
+        Window.partitionBy("rel_id", "rel_version", "mpos")
+          .orderBy(desc("m_ts"), desc("m_ver"))))
       .filter(col("rk") === 1)
       .select(col("rel_id"), col("rel_version"), col("mpos"), col("m_wkb"))
     val membersGeo = relMembers
@@ -396,8 +400,11 @@ object Contributions {
         col("m_role").as("role"), col("m_wkb").as("wkb")))).as("ms"))
       .select(col("rel_id"), col("rel_version"),
         expr("transform(ms, m -> struct(m.m_id, m.role, m.wkb))").as("members_geo"))
+    // osm_type gate: node/way id spaces overlap relation ids freely (low
+    // ids collide on every planet file) — only relation rows may match
     base.join(membersGeo,
-      base("osm_id") === membersGeo("rel_id") &&
+      base("osm_type") === lit("relation") &&
+        base("osm_id") === membersGeo("rel_id") &&
         base("osm_version") === membersGeo("rel_version"), "left")
       .drop("rel_id", "rel_version")
   }

@@ -94,12 +94,14 @@ object OsmUpdater {
     */
   def initStore(spark: SparkSession, root: String, entities: DataFrame): Unit = {
     val latest = entities
+      // edits counts the FULL history, so it must aggregate before the
+      // latest-version filter collapses each entity to one row
+      .withColumn("edits", count(lit(1)).over(
+        Window.partitionBy("osm_type", "id")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("osm_type", "id")
           .orderBy(desc("version"), desc("ts_ms"))))
       .filter(col("rk") === 1).drop("rk")
-      .withColumn("edits", count(lit(1)).over(
-        Window.partitionBy("osm_type", "id")))
 
     val nodes = latest.filter(col("osm_type") === "node")
       .select(col("id"), col("version"), col("ts_ms"), col("visible"),
@@ -177,7 +179,8 @@ object OsmUpdater {
     * way majors + backref-propagated way minors, relation majors +
     * minors) and upserts the store. Returns the emitted contributions.
     */
-  def applyDiff(spark: SparkSession, root: String, oscDiff: DataFrame): DataFrame = {
+  def applyDiff(spark: SparkSession, root: String, oscDiff: DataFrame,
+      sink: DataFrame => Unit = _ => ()): DataFrame = {
     GeoFunctions.register(spark)
     val diff = normalize(oscDiff).localCheckpoint(true)
 
@@ -290,13 +293,16 @@ object OsmUpdater {
         col("osm_minor_version"), col("edit_ts").as("row_ts"), col("refs")))
     val refIds = wayRowsForGeom
       .select(explode(col("refs")).as("id")).distinct()
+    // the as-of candidate set keeps DELETE rows (visible=false): a node
+    // deleted in this very diff must win the rank for times at/after the
+    // deletion so the ref counts as unresolved, not silently resolve to
+    // its stale pre-delete coordinates from the not-yet-updated store
     val refNodes = readFor(spark, dir(root, "nodes"), nodeSchema, refIds, "id")
-      .filter(col("visible"))
       .select(col("id").as("node_id"), col("ts_ms").as("node_ts"),
-        col("lon"), col("lat"))
-      .unionByName(dn.filter(col("visible"))
+        col("lon"), col("lat"), col("visible").as("vis"))
+      .unionByName(dn
         .select(col("id").as("node_id"), col("ts_ms").as("node_ts"),
-          col("lon"), col("lat")))
+          col("lon"), col("lat"), col("visible").as("vis")))
     val asOf = wayRowsForGeom
       .select(col("id"), col("version"), col("osm_minor_version"), col("row_ts"),
         size(col("refs")).as("n_refs"),
@@ -307,6 +313,9 @@ object OsmUpdater {
         Window.partitionBy("id", "version", "osm_minor_version", "pos")
           .orderBy(desc("node_ts"))))
       .filter(col("rk") === 1)
+      // refs whose winning as-of row is a deletion (or has no coordinates)
+      // drop out here — n_pts < n_refs then nulls the geometry below
+      .filter(col("vis") && !isnan(col("lat")) && !isnan(col("lon")))
     // a ref with no resolvable visible node version (e.g. the referenced
     // node was deleted or not yet known) must NOT silently shorten the
     // linestring — null the geometry instead, the same invalid-flag
@@ -366,6 +375,8 @@ object OsmUpdater {
     // relation minors: member-node edits + member-way changes (major and
     // node-induced minor alike), excluding relations with their own diff row
     val wayChangeTs = wayMajors
+      .filter(col("contrib_type").contains("GEOMETRY") ||
+        col("contrib_type") === "CREATION" || col("contrib_type") === "DELETION")
       .select(col("id").as("ref_id"), col("ts_ms").as("edit_ts"))
       .unionByName(wayMinors.select(col("id").as("ref_id"),
         col("edit_ts")))
@@ -393,8 +404,12 @@ object OsmUpdater {
         col("version").as("osm_version"), lit(0).as("osm_minor_version"),
         col("ts_ms").as("valid_from"), col("contrib_type"), col("tags"),
         col("changeset"), col("uid"), col("user"),
-        col("lon"), col("lat"),
-        call_function("wkb_point", col("lon"), col("lat")).as("wkb"),
+        when(!isnan(col("lon")), col("lon")).as("lon"),
+        when(!isnan(col("lat")), col("lat")).as("lat"),
+        // deletions carry no coordinates (the osc parser fills NaN) — a
+        // NaN-encoding WKB point is garbage, null is the contract
+        when(col("visible") && !isnan(col("lon")) && !isnan(col("lat")),
+          call_function("wkb_point", col("lon"), col("lat"))).as("wkb"),
         lit(null).cast(LongType).as("length_mm"))
       .unionByName(
         wayMajors.join(wayGeoms.drop("n_pts"),
@@ -444,8 +459,15 @@ object OsmUpdater {
           lit(null).cast(LongType).as("length_mm")))
       .localCheckpoint(true)
 
+    // commit order: emitted contributions reach the caller's sink BEFORE
+    // any store table advances — a crash mid-upsert replays the diff
+    // against a store that still re-emits (or, if the sink committed and
+    // only stores lag, the idempotent upserts converge without the sink
+    // needing to rewrite). The reverse order would let a replay overwrite
+    // a committed output with the empty re-emission.
+    sink(out)
     // ---------------- store upserts ----------------
-    updateStores(spark, root, dn, dw, dr, beforeW, beforeR, wayMinors, relMinors, out)
+    updateStores(spark, root, dn, beforeN, dw, dr, beforeW, beforeR, wayMinors, relMinors, out)
     out
   }
 
@@ -475,12 +497,21 @@ object OsmUpdater {
       .take(maxSteps)
       .foreach { case (seq, path) =>
         if (seq == st.sequenceNumber + 1) {
-          val raw = applyDiff(spark, root, graft.sources.OsmXml.readOsc(spark, path))
-          val contribs = changesetDb
-            .fold(raw)(db => Changesets.enrichWithChangesetDb(raw, db))
-          contribs.coalesce(1).write.mode("overwrite")
-            .parquet(s"$root/out/seq=$seq")
-          val ts = contribs.agg(max("valid_from")).collect().head
+          // output commits BEFORE the store advances (via applyDiff's sink
+          // hook). A replay whose output already fully landed (_SUCCESS)
+          // keeps it — the replay's re-emission can be partial when the
+          // previous attempt crashed mid-upsert, and the original output
+          // reflected the correct pre-diff store.
+          val outPath = s"$root/out/seq=$seq"
+          val committed = java.nio.file.Files.exists(
+            java.nio.file.Paths.get(outPath, "_SUCCESS"))
+          val raw = applyDiff(spark, root,
+            graft.sources.OsmXml.readOsc(spark, path),
+            sink = out => if (!committed) {
+              changesetDb.fold(out)(db => Changesets.enrichWithChangesetDb(out, db))
+                .coalesce(1).write.mode("overwrite").parquet(outPath)
+            })
+          val ts = raw.agg(max("valid_from")).collect().head
           st = ReplicationCatchup.State(seq,
             if (ts.isNullAt(0)) st.timestamp else ts.getLong(0).toString)
           ReplicationCatchup.writeState(root, st)
@@ -501,7 +532,7 @@ object OsmUpdater {
     * updateTypeRelationBackRefs).
     */
   private def updateStores(spark: SparkSession, root: String,
-      dn: DataFrame, dw: DataFrame, dr: DataFrame,
+      dn: DataFrame, beforeN: DataFrame, dw: DataFrame, dr: DataFrame,
       beforeW: DataFrame, beforeR: DataFrame,
       wayMinors: DataFrame, relMinors: DataFrame, out: DataFrame): Unit = {
 
@@ -510,12 +541,23 @@ object OsmUpdater {
         Window.partitionBy("id").orderBy(desc("version"), desc("ts_ms"))))
       .filter(col("rk") === 1).drop("rk")
 
+    // the store only ever moves FORWARD: a diff carrying versions at or
+    // below the stored one (snapshot/replication overlap, crash replay)
+    // must not regress entity rows, counters, or the backref tables — the
+    // same version guard the emission path applies
+    def freshLatest(d: DataFrame, before: DataFrame): DataFrame =
+      latestOf(d)
+        .join(broadcast(before.select(col("id"), col("version").as("_bv"))),
+          Seq("id"), "left")
+        .filter(col("_bv").isNull || col("version") > col("_bv"))
+        .drop("_bv")
+
     val emitted = out.groupBy(col("osm_type"), col("osm_id").as("id"))
       .agg(count(lit(1)).as("new_edits"),
         max("osm_minor_version").as("max_minor"))
 
-    // nodes: latest diff version wins
-    val nodesUp = latestOf(dn)
+    // nodes: latest diff version wins (if newer than the store)
+    val nodesUp = freshLatest(dn, beforeN)
       .select(nodeSchema.fieldNames.map(col).toSeq: _*)
     if (!nodesUp.isEmpty)
       ChangesetStore.upsertBucketed(spark, dir(root, "nodes"), nodesUp, Seq("id"), NumBuckets)
@@ -523,7 +565,7 @@ object OsmUpdater {
     // ways: diff majors reset the minor counter to the last emitted minor
     // (0 for a plain major); minor-only ways bump counter + edits in place
     val wayEm = emitted.filter(col("osm_type") === "way").drop("osm_type")
-    val waysMajorUp = latestOf(dw)
+    val waysMajorUp = freshLatest(dw, beforeW)
       .join(beforeW.select(col("id"), col("edits").as("prev_edits")), Seq("id"), "left")
       .join(wayEm, Seq("id"), "left")
       .select(col("id"), col("version"),
@@ -548,7 +590,7 @@ object OsmUpdater {
 
     // relations: same shape
     val relEm = emitted.filter(col("osm_type") === "relation").drop("osm_type")
-    val relsMajorUp = latestOf(dr)
+    val relsMajorUp = freshLatest(dr, beforeR)
       .join(beforeR.select(col("id"), col("edits").as("prev_edits")), Seq("id"), "left")
       .join(relEm, Seq("id"), "left")
       .select(col("id"), col("version"),
@@ -568,23 +610,24 @@ object OsmUpdater {
       ChangesetStore.upsertBucketed(spark, dir(root, "relations"), relsUp, Seq("id"), NumBuckets)
 
     // NODE→WAY backrefs: reconcile adds and removals for diff ways
-    if (!dw.isEmpty) {
-      val dwLatest = latestOf(dw)
-      val newPairs = dwLatest.filter(col("visible"))
+    val dwFresh = freshLatest(dw, beforeW).localCheckpoint(true)
+    if (!dwFresh.isEmpty) {
+      val newPairs = dwFresh.filter(col("visible"))
         .select(col("id").as("parent_id"), explode(col("refs")).as("ref_id"))
       val oldPairs = beforeW
-        .join(broadcast(dw.select("id").distinct()), Seq("id"), "left_semi")
+        .join(broadcast(dwFresh.select("id").distinct()), Seq("id"), "left_semi")
         .select(col("id").as("parent_id"), explode(col("refs")).as("ref_id"))
       reconcileBackrefs(spark, dir(root, "node_ways"),
-        dwLatest.select(col("id").as("parent_id")), oldPairs, newPairs)
+        dwFresh.select(col("id").as("parent_id")), oldPairs, newPairs)
     }
 
     // NODE→RELATION / WAY→RELATION backrefs for diff relations
-    if (!dr.isEmpty) {
-      val drLatest = latestOf(dr)
+    val drFresh = freshLatest(dr, beforeR).localCheckpoint(true)
+    if (!drFresh.isEmpty) {
+      val drLatest = drFresh
       val drParents = drLatest.select(col("id").as("parent_id"))
       val oldR = beforeR
-        .join(broadcast(dr.select("id").distinct()), Seq("id"), "left_semi")
+        .join(broadcast(drFresh.select("id").distinct()), Seq("id"), "left_semi")
         .withColumnRenamed("id", "rid")
       def pairsOf(df: DataFrame, idCol: String, mtype: String): DataFrame =
         df.filter(col("visible"))

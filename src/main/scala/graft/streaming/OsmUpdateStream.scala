@@ -27,10 +27,18 @@ object OsmUpdateStream {
   def start(spark: SparkSession, replDir: String, storeRoot: String,
       outDir: String): StreamingQuery =
     OsmXml.streamOsc(spark, replDir).writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val contribs = OsmUpdater.applyDiff(spark, storeRoot, batch)
-          contribs.write.mode("append").parquet(outDir)
+          // per-batch overwrite directory (batchId is stable across
+          // replays), committed BEFORE the store advances — the same
+          // output-then-store order as the batch catch-up, so a replayed
+          // batch neither loses nor duplicates contributions
+          val dirPath = s"$outDir/batch=$batchId"
+          val committed = java.nio.file.Files.exists(
+            java.nio.file.Paths.get(dirPath, "_SUCCESS"))
+          OsmUpdater.applyDiff(spark, storeRoot, batch,
+            sink = out => if (!committed)
+              out.write.mode("overwrite").parquet(dirPath))
           // applyDiff's checkpoint blocks must not accumulate across a
           // long-running stream (same discipline as the batch catch-up)
           graft.GraftSession.releaseStorage(spark)

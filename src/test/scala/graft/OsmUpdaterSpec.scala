@@ -288,6 +288,91 @@ class OsmUpdaterSpec extends SparkSpec {
     assert(w10.getAs[String]("cs_editor") == null)
   }
 
+  test("stale diff versions regress neither store nor counters") {
+    val root = freshRoot()
+    // seed with node 1 at v3 (replication overlap: diffs may start earlier)
+    val seed3 = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("node", 1L, 3, 5000L, true, 1.9, 1.0, Map.empty[String, String], null, null),
+        Row("node", 2L, 1, 1000L, true, 1.0, 2.0, Map.empty[String, String], null, null),
+        Row("way", 10L, 2, 4000L, true, Double.NaN, Double.NaN,
+          Map.empty[String, String], Seq(1L, 2L), null))),
+      entitySchema)
+    OsmUpdater.initStore(spark, root, seed3)
+
+    // diff carries node 1 at v2 — older than the store
+    val out = OsmUpdater.applyDiff(spark, root, oscDf(
+      """<osmChange version="0.6">
+        | <modify>
+        |  <node id="1" version="2" timestamp="2024-01-01T00:00:10Z" changeset="100" uid="9" user="alice" lat="1.5" lon="1.0"/>
+        | </modify>
+        |</osmChange>""".stripMargin))
+    assert(out.count() === 0, "stale versions must emit nothing")
+    val n1 = ChangesetStore.readBucketed(spark, s"$root/nodes")
+      .filter(col("id") === 1).head()
+    assert(n1.getAs[Int]("version") === 3, "store must keep the newer version")
+    assert(n1.getAs[Double]("lat") === 1.9, "coordinates must not regress")
+  }
+
+  test("node deletion: null node wkb, null geometry on the cascaded way minor") {
+    val root = freshRoot()
+    OsmUpdater.initStore(spark, root, seedEntities)
+    val out = OsmUpdater.applyDiff(spark, root, oscDf(
+      """<osmChange version="0.6">
+        | <delete>
+        |  <node id="2" version="2" timestamp="2024-01-01T00:00:10Z" changeset="100" uid="9" user="alice"/>
+        | </delete>
+        |</osmChange>""".stripMargin))
+    val n2 = out.filter(col("osm_type") === "node" && col("osm_id") === 2).head()
+    assert(n2.getAs[String]("contrib_type") === "DELETION")
+    assert(n2.getAs[Array[Byte]]("wkb") == null, "no NaN-encoding point WKB")
+    assert(n2.isNullAt(n2.fieldIndex("lat")), "NaN coordinates must null out")
+    // way 10 references the deleted node: minor emitted, geometry nulled
+    // (the ref is unresolvable at the deletion instant)
+    val w10 = out.filter(col("osm_type") === "way" && col("osm_id") === 10).head()
+    assert(w10.getAs[Int]("osm_minor_version") === 1)
+    assert(w10.getAs[Array[Byte]]("wkb") == null,
+      "deleted ref must null the geometry, not keep the stale linestring")
+  }
+
+  test("initStore edits counter covers the full history") {
+    val root = freshRoot()
+    val hist = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("node", 1L, 1, 1000L, true, 1.0, 1.0, Map.empty[String, String], null, null),
+        Row("node", 1L, 2, 2000L, true, 1.1, 1.0, Map.empty[String, String], null, null),
+        Row("node", 1L, 3, 3000L, true, 1.2, 1.0, Map.empty[String, String], null, null),
+        Row("way", 10L, 1, 1000L, true, Double.NaN, Double.NaN,
+          Map.empty[String, String], Seq(1L), null),
+        Row("way", 10L, 2, 2000L, true, Double.NaN, Double.NaN,
+          Map.empty[String, String], Seq(1L), null))),
+      entitySchema)
+    OsmUpdater.initStore(spark, root, hist)
+    assert(ChangesetStore.readBucketed(spark, s"$root/ways")
+      .filter(col("id") === 10).select("edits").head().getLong(0) === 2L)
+    assert(ChangesetStore.readBucketed(spark, s"$root/ways")
+      .filter(col("id") === 10).select("version").head().getInt(0) === 2)
+  }
+
+  test("tag-only way change does not fabricate a relation GEOMETRY minor") {
+    val root = freshRoot()
+    OsmUpdater.initStore(spark, root, seedEntities)
+    // way 10 (member of relation 20) changes only tags; refs identical
+    val out = OsmUpdater.applyDiff(spark, root, oscDf(
+      """<osmChange version="0.6">
+        | <modify>
+        |  <way id="10" version="2" timestamp="2024-01-01T00:00:10Z" changeset="100" uid="9" user="alice">
+        |   <nd ref="1"/><nd ref="2"/>
+        |   <tag k="highway" v="residential"/>
+        |  </way>
+        | </modify>
+        |</osmChange>""".stripMargin))
+    val w10 = out.filter(col("osm_type") === "way" && col("osm_id") === 10).head()
+    assert(w10.getAs[String]("contrib_type") === "TAG")
+    assert(out.filter(col("osm_type") === "relation").count() === 0,
+      "a tag-only member change is not a relation geometry change")
+  }
+
   test("way deletion removes its backrefs") {
     val root = freshRoot()
     OsmUpdater.initStore(spark, root, seedEntities)

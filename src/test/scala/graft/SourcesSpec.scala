@@ -570,6 +570,27 @@ class SourcesSpec extends SparkSpec {
     assert(out.filter(col("osm_type") === "way").select("members_geo")
       .head().isNullAt(0))
   }
+
+  test("withMemberGeometries: node sharing a relation's id gets no members_geo") {
+    import spark.implicits._
+    val noMembers = Seq.empty[TestMember]
+    // node 20 v1 and relation 20 v1 — id spaces are independent; the
+    // members_geo join must gate on osm_type
+    val entities = Seq(
+      ("node", 20L, 1, 1000L, 5L, 9, "u", true, 10.0, 20.0,
+        Map.empty[String, String], null.asInstanceOf[Seq[Long]], noMembers),
+      ("relation", 20L, 1, 2000L, 7L, 9, "u", true, Double.NaN, Double.NaN,
+        Map("type" -> "route"), null.asInstanceOf[Seq[Long]],
+        Seq(TestMember("node", 20L, "stop")))
+    ).toDF("osm_type", "id", "version", "ts_ms", "changeset", "uid", "user",
+      "visible", "lat", "lon", "tags", "refs", "members")
+    val out = operators.Contributions.withMemberGeometries(entities)
+    assert(out.filter(col("osm_type") === "node").select("members_geo")
+      .head().isNullAt(0), "the colliding node row must stay member-free")
+    val rel = out.filter(col("osm_type") === "relation").head()
+    val ms = rel.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("members_geo")
+    assert(ms.length === 1 && ms.head.getAs[String]("m_id") === "node/20")
+  }
 }
 
 /** Named member struct for withMemberGeometries fixtures (field names must
