@@ -71,9 +71,12 @@ object Dedup {
     * join, so the cap costs no extra exchange — and without it one
     * mega-bucket makes candidate generation quadratic at 100 TB.
     */
-  private[graft] def candidates(sigs: DataFrame): DataFrame = {
+  /** Capped (doc_id, band, bkey) bucket rows — at 100 TB this table IS the
+    * persisted dedup-store artifact an incremental batch probes against.
+    */
+  private[graft] def bandTable(sigs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bands = sigs
+    sigs
       .withColumn("bs", array((0 until Bands).map(b =>
         struct(lit(b).as("band"), bandKey(b))): _*))
       .select(col("doc_id"), explode(col("bs")).as("b"))
@@ -81,6 +84,10 @@ object Dedup {
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bkey")))
       .filter(col("bsz") <= MaxBucket)
       .drop("bsz")
+  }
+
+  private[graft] def candidates(sigs: DataFrame): DataFrame = {
+    val bands = bandTable(sigs)
     bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
       .join(bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
         Seq("band", "bkey"))
@@ -102,6 +109,41 @@ object Dedup {
     finally cached.foreach(_.unpersist(blocking = false))
 
   // ---- queries --------------------------------------------------------
+
+  /** INCREMENTAL dedup — the daily-increment shape at 100 TB: a (small)
+    * new batch checks against the (huge) existing corpus WITHOUT
+    * re-LSHing or all-pairs-joining the corpus. The batch's band-bucket
+    * rows broadcast into a join against the corpus bucket table (at scale
+    * a persisted store artifact, here derived in-query: [[bandTable]]),
+    * so the corpus side is a scan-and-probe — its only exchange is the
+    * bucket-cap window the stored artifact would already carry. Emitted:
+    * every candidate pair involving at least one batch doc, with the
+    * signature-agreement Jaccard estimate and whether the match reaches
+    * into the corpus (`is_cross`) or is batch-internal. The batch is
+    * `doc_id % 5 = 4` — a deterministic 20% split both engines compute.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val sigs = signatures(s, dir).cache()
+    val isNew = (col("doc_id") % 5) === 4
+    val bandsAll = bandTable(sigs)
+    val bandsNew = bandsAll.filter(isNew)
+      .select(col("band"), col("bkey"), col("doc_id").as("new_id"))
+    val agree = (0 until NumHashes)
+      .map(j => when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    releasing(
+      bandsAll
+        .join(broadcast(bandsNew), Seq("band", "bkey"))
+        .filter(col("doc_id") =!= col("new_id"))
+        .select(least(col("doc_id"), col("new_id")).as("doc_a"),
+          greatest(col("doc_id"), col("new_id")).as("doc_b"))
+        .distinct()
+        .join(sigs.toDF("doc_a" +: (0 until NumHashes).map(j => s"a_mh$j"): _*), "doc_a")
+        .join(sigs.toDF("doc_b" +: (0 until NumHashes).map(j => s"b_mh$j"): _*), "doc_b")
+        .select(col("doc_a"), col("doc_b"), (agree / 8.0).as("jaccard_est"),
+          ((col("doc_a") % 5 === 4) =!= (col("doc_b") % 5 === 4)).as("is_cross")),
+      sigs)
+  }
 
   /** Exact dedup: content-hash groupBy, keep the lowest doc_id. */
   def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -331,6 +373,7 @@ object Dedup {
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_lsh_pairs" -> (dedupLshPairs _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _))
 
@@ -388,6 +431,16 @@ object Dedup {
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "dedup_minhash" -> s"$sigSql ORDER BY doc_id",
+    "dedup_incremental" ->
+      s"""WITH sigs AS ($sigSql),
+         |$candSql,
+         |inc AS (
+         |  SELECT doc_a, doc_b FROM cand
+         |  WHERE doc_a % 5 = 4 OR doc_b % 5 = 4)
+         |SELECT doc_a, doc_b, (CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END + CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END + CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END + CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END + CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END + CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END + CASE WHEN a.mh6 = b.mh6 THEN 1 ELSE 0 END + CASE WHEN a.mh7 = b.mh7 THEN 1 ELSE 0 END) / 8.0 AS jaccard_est,
+         |  ((doc_a % 5 = 4) <> (doc_b % 5 = 4)) AS is_cross
+         |FROM inc JOIN sigs a ON a.doc_id = doc_a JOIN sigs b ON b.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_lsh_pairs" -> {
       val agree = (0 until NumHashes)
         .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END").mkString(" + ")

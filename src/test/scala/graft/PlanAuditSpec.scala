@@ -66,6 +66,7 @@ class PlanAuditSpec extends SparkSpec {
       s"text_repetition must stay scan-only:\n${plans("text_repetition")}")
   }
 
+
   test("no sort-merge joins at test scale (broadcast should win everywhere)") {
     // dedup_clusters joins two node-sized frames (labels ⨝ neighbor mins):
     // big-big at scale, where a shuffle join IS the intended plan — cached
