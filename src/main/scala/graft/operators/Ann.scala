@@ -220,7 +220,27 @@ object Ann {
     cents.map { case (cid, v, _) => (cid, v) }.toSeq
   }
 
+  /** Index evaluation — recall@3 of the multi-probe IVF against the exact
+    * brute-force top-k, per query: the measurement loop any production ANN
+    * deployment runs before trusting an index. Composes the two existing
+    * operators; the intersect is a broadcast semi-join on (query,
+    * neighbor) — both sides are k-row-per-query frames, never the corpus.
+    */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val ivf = annIvf(s, dir).select(col("q_id"), col("n_id"))
+    val brute = annTopk(s, dir).filter(col("rnk") <= 3)
+      .select(col("q_id"), col("n_id"))
+    val hits = brute.join(ivf, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    brute.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / 3.0).as("recall_at_3"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_recall" -> (annRecall _),
     "dedup_embedding" -> (dedupEmbedding _),
     "emb_kmeans" -> (embKmeans _),
     "ann_topk" -> (annTopk _),
@@ -319,6 +339,39 @@ object Ann {
          |SELECT q_id, n_id, rnk, CAST(cell AS BIGINT) AS cell, cos
          |FROM ranked WHERE rnk <= 3
          |ORDER BY q_id, rnk""".stripMargin,
+    "ann_recall" ->
+      s"""WITH $flatSql,
+         |$cellsSql,
+         |probes AS (SELECT vec_id AS q_id, c_id AS cell FROM cranked
+         |  WHERE crk <= 2 AND vec_id < 8),
+         |idots AS (SELECT p.q_id, ce.n_id,
+         |    sum(CAST(round(q.e * b.e * 1000000000.0) AS BIGINT)) AS dot
+         |  FROM probes p JOIN cells ce ON ce.cell = p.cell
+         |       JOIN flat q ON q.vec_id = p.q_id
+         |       JOIN flat b ON b.vec_id = ce.n_id AND b.i = q.i
+         |  GROUP BY 1, 2),
+         |iranked AS (SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY
+         |      (dot / 1e9) / (sqrt(nq.n2 / 1e9) * sqrt(nb.n2 / 1e9)) DESC, n_id) AS rnk
+         |  FROM idots JOIN norm nq ON nq.vec_id = q_id JOIN norm nb ON nb.vec_id = n_id),
+         |bdots AS (SELECT q.vec_id AS q_id, b.vec_id AS n_id,
+         |    sum(CAST(round(q.e * b.e * 1000000000.0) AS BIGINT)) AS dot
+         |  FROM flat q JOIN flat b ON q.i = b.i AND q.vec_id < 8 AND b.vec_id >= 8
+         |  GROUP BY 1, 2),
+         |branked AS (SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY
+         |      (dot / 1e9) / (sqrt(nq.n2 / 1e9) * sqrt(nb.n2 / 1e9)) DESC, n_id) AS rnk
+         |  FROM bdots JOIN norm nq ON nq.vec_id = q_id JOIN norm nb ON nb.vec_id = n_id),
+         |hits AS (SELECT b.q_id, count(*) AS n_hits
+         |  FROM branked b JOIN iranked i
+         |    ON i.q_id = b.q_id AND i.n_id = b.n_id AND i.rnk <= 3
+         |  WHERE b.rnk <= 3 GROUP BY 1),
+         |qs AS (SELECT DISTINCT vec_id AS q_id FROM embeddings WHERE vec_id < 8)
+         |SELECT qs.q_id,
+         |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+         |  coalesce(n_hits, 0) / 3.0 AS recall_at_3
+         |FROM qs LEFT JOIN hits ON hits.q_id = qs.q_id
+         |ORDER BY qs.q_id""".stripMargin,
     "ann_topk" ->
       s"""WITH $flatSql,
          |dots AS (SELECT q.vec_id AS q_id, b.vec_id AS n_id,
