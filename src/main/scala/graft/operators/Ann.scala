@@ -230,10 +230,10 @@ object Ann {
     val ivf = annIvf(s, dir).select(col("q_id"), col("n_id"))
     val brute = annTopk(s, dir).filter(col("rnk") <= 3)
       .select(col("q_id"), col("n_id"))
-    val hits = brute.join(ivf, Seq("q_id", "n_id"), "left_semi")
+    val hits = brute.join(broadcast(ivf), Seq("q_id", "n_id"), "left_semi")
       .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
     brute.select("q_id").distinct()
-      .join(hits, Seq("q_id"), "left")
+      .join(broadcast(hits), Seq("q_id"), "left")
       .select(col("q_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)).cast("double") / 3.0).as("recall_at_3"))
