@@ -109,6 +109,11 @@ object Cli {
         val n = operators.OsmUpdater.catchUp(spark, sfDir, outDir, maxSteps, csDb)
         val st = operators.ReplicationCatchup.readState(outDir)
         println(s"[graft] osm-update: applied $n diff(s); state=${st.map(_.sequenceNumber).getOrElse(0L)}")
+      case "replication-compact" =>
+        // fold committed event batches into one base artifact (RocksDB
+        // compaction analog for the append-only catch-up store)
+        val k = operators.ReplicationCatchup.compact(spark, sfDir)
+        println(s"[graft] replication-compact: events folded up to sequence $k")
       case "pbf-info" =>
         // Debug.java `fileinfo` analog: header/blob structure + entity
         // counts by type, printed and written as a one-row parquet

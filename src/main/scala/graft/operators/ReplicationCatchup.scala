@@ -109,14 +109,19 @@ object ReplicationCatchup {
     * read path at all.
     */
   private def readEvents(spark: SparkSession, storeDir: String, upTo: Long): DataFrame = {
-    val committed = (1L to math.max(upTo, 0L))
-      .map(i => Paths.get(storeDir, "events", s"batch=$i"))
-      .filter(Files.exists(_))
-      .map(_.toString)
+    val base = compactedUpTo(storeDir)
+    require(upTo <= 0 || upTo >= base,
+      s"$storeDir: batches <= $base are compacted; cannot read prefix $upTo")
+    val basePath = Paths.get(storeDir, "events", s"base=$base")
+    val committed =
+      (if (base > 0 && Files.exists(basePath)) Seq(basePath) else Seq.empty) ++
+        ((base + 1) to math.max(upTo, 0L))
+          .map(i => Paths.get(storeDir, "events", s"batch=$i"))
+          .filter(Files.exists(_))
     if (committed.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], eventSchema)
     else
-      spark.read.parquet(committed: _*)
+      spark.read.parquet(committed.map(_.toString): _*)
         .select(eventCols.map(col): _*)
   }
 
@@ -127,6 +132,57 @@ object ReplicationCatchup {
   def currentContributions(spark: SparkSession, storeDir: String): DataFrame = {
     val upTo = readState(storeDir).map(_.sequenceNumber).getOrElse(0L)
     Replication.versionChains(readEvents(spark, storeDir, upTo))
+  }
+
+  // ---- compaction ------------------------------------------------------
+
+  /** Compaction floor: batches ≤ this are folded into `events/base=<k>`. */
+  def compactedUpTo(storeDir: String): Long = {
+    val p = Paths.get(storeDir, "compacted.txt")
+    if (!Files.exists(p)) 0L
+    else new String(Files.readAllBytes(p)).trim.toLong
+  }
+
+  /** Folds committed batches `(compacted, k]` into one `base=k` artifact —
+    * the operational necessity the reference gets from RocksDB compaction:
+    * a year of minutely diffs is half a million `batch=N` directories, and
+    * file listing alone would dwarf the data read. Commit order: merged
+    * base dir → `compacted.txt` (tmp + atomic rename, the single commit
+    * point) → best-effort delete of folded batch dirs. A crash before the
+    * marker leaves the old layout fully readable; after it, readers use
+    * the new base and surviving batch dirs are dead weight the next
+    * compact() sweep removes. Only batches ≤ the committed sequence may
+    * fold (uncommitted data must never enter the base).
+    */
+  def compact(spark: SparkSession, storeDir: String): Long = {
+    val st = readState(storeDir).map(_.sequenceNumber).getOrElse(0L)
+    val already = compactedUpTo(storeDir)
+    if (st <= already) return already
+    val events = readEvents(spark, storeDir, st)
+    val target = Paths.get(storeDir, "events", s"base=$st")
+    events.write.mode("overwrite").parquet(target.toString)
+    val tmp = Paths.get(storeDir, "compacted.txt.tmp")
+    Files.write(tmp, st.toString.getBytes)
+    Files.move(tmp, Paths.get(storeDir, "compacted.txt"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    // fold sources (and any superseded older base) are now unreachable
+    (1L to st).foreach { i =>
+      val d = Paths.get(storeDir, "events", s"batch=$i")
+      if (Files.exists(d)) deleteRecursively(d)
+    }
+    Files.list(Paths.get(storeDir, "events")).forEach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("base=") && n.stripPrefix("base=").forall(_.isDigit) &&
+        n.stripPrefix("base=").toLong < st) deleteRecursively(p)
+    }
+    st
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
   }
 
   // ---- catch-up loop ---------------------------------------------------

@@ -177,4 +177,44 @@ class ReplicationCatchupSpec extends SparkSpec {
     java.nio.file.Files.writeString(d.resolve("001.osc"), diff1)
     assert(ReplicationCatchup.listDiffs(repl.toString).map(_._1) === Seq(1L, 2L))
   }
+
+  test("compact folds committed batches; contributions unchanged; resume continues") {
+    import graft.operators.ReplicationCatchup
+    val repl = java.nio.file.Files.createTempDirectory("graft-cmp-repl")
+    val store = java.nio.file.Files.createTempDirectory("graft-cmp-store").toString
+    def osc(id: Long, v: Int, seq: Int): Unit =
+      java.nio.file.Files.writeString(repl.resolve(s"$seq.osc"),
+        s"""<osmChange version="0.6"><modify>
+           | <node id="$id" version="$v" timestamp="2024-01-2${seq}T00:00:00Z" changeset="$seq" uid="9" user="u" lat="5$v.0" lon="13.0"/>
+           |</modify></osmChange>""".stripMargin)
+    osc(1, 1, 1); osc(1, 2, 2); osc(2, 1, 3)
+    assert(ReplicationCatchup.catchUp(spark, repl.toString, store) === 3L)
+    val before = ReplicationCatchup.currentContributions(spark, store)
+      .collect().map(_.toString).sorted.toSeq
+
+    assert(ReplicationCatchup.compact(spark, store) === 3L)
+    assert(ReplicationCatchup.compactedUpTo(store) === 3L)
+    // folded batch dirs are gone, the base artifact exists
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(store, "events", "batch=1")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(store, "events", "base=3")))
+    val after = ReplicationCatchup.currentContributions(spark, store)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after === before, "compaction must not change the event history")
+
+    // catch-up continues over the compacted store
+    osc(2, 2, 4)
+    assert(ReplicationCatchup.catchUp(spark, repl.toString, store) === 1L)
+    assert(ReplicationCatchup.currentContributions(spark, store)
+      .filter(col("osm_id") === 2).count() === 2L)
+
+    // a second compact folds the new tail and retires the old base
+    assert(ReplicationCatchup.compact(spark, store) === 4L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(store, "events", "base=3")))
+    assert(ReplicationCatchup.currentContributions(spark, store).count() === 4L)
+    // idempotent no-op when nothing new
+    assert(ReplicationCatchup.compact(spark, store) === 4L)
+  }
 }
