@@ -9,6 +9,37 @@ import java.nio.charset.StandardCharsets
 /** Text-pipeline kernels callable from generated code. */
 object TextKernels {
 
+  /** 16-bit average-hash over an opaque byte payload — the perceptual-hash
+    * shape (aHash) on the byte plane: byte q belongs to window
+    * w = q*16/len, and bit w sets when the window's byte mean exceeds the
+    * global mean (integer cross-multiplied: sum_w * len > total * n_w —
+    * no division, no ties beyond exact equality, which clears the bit in
+    * both engines). One pass, codegen-friendly.
+    */
+  def aHash16(payload: Array[Byte]): Int = {
+    val n = payload.length
+    if (n == 0) return 0
+    val sums = new Array[Long](16)
+    val counts = new Array[Long](16)
+    var total = 0L
+    var q = 0
+    while (q < n) {
+      val w = (q.toLong * 16 / n).toInt
+      val b = (payload(q) & 0xff).toLong
+      sums(w) += b
+      counts(w) += 1
+      total += b
+      q += 1
+    }
+    var h = 0
+    var w = 0
+    while (w < 16) {
+      if (counts(w) > 0 && sums(w) * n > total * counts(w)) h |= (1 << w)
+      w += 1
+    }
+    h
+  }
+
   private val md = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -251,6 +282,21 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * kernel call — the whole fingerprint stays inside WholeStageCodegen,
   * one O(n) pass per document.
   */
+case class AHash16(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "ahash16"
+
+  override protected def nullSafeEval(payload: Any): Any =
+    TextKernels.aHash16(payload.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, p =>
+      s"graft.functions.TextKernels.aHash16($p)")
+
+  override protected def withNewChildInternal(newChild: Expression): AHash16 =
+    copy(child = newChild)
+}
+
 case class RollHash8(child: Expression) extends UnaryExpression {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)

@@ -43,6 +43,23 @@ object Multimodal {
     MMFeature(in.doc_id, in.fmt, in.payload.length, magic, feat.mkString(","))
   }
 
+  /** Perceptual-hash dedup for multimodal payloads: a 16-bit average-hash
+    * (`ahash16` codegen kernel) over the opaque bytes — near-identical
+    * payloads (re-encodes, trailing metadata edits) collide where
+    * cryptographic hashes scatter — grouped into duplicate buckets. The
+    * real-pipeline dedup axis for image/audio blobs; scan + one hash
+    * groupBy.
+    */
+  def mmPhash(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .withColumn("phash", call_function("ahash16", col("payload")))
+      .groupBy("phash")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"),
+        max(length(col("payload"))).as("max_bytes"))
+  }
+
   def mmFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val inputs = Tables.documents(s, dir)
@@ -103,10 +120,30 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> (mmFeatures _),
+    "mm_phash" -> (mmPhash _),
     "mm_frames" -> (mmFrames _),
     "mm_resize" -> (mmResize _))
 
   val oracles: Map[String, String] = Map(
+    "mm_phash" ->
+      """WITH d AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+        |            octet_length(encode(text)) AS n FROM documents),
+        |bytes AS (SELECT doc_id, p, n,
+        |    CAST(('0x' || substr(hx, 2*p - 1, 2)) AS BIGINT) AS bv,
+        |    CAST((p - 1) * 16 // n AS INT) AS w
+        |  FROM d, LATERAL (SELECT unnest(range(1, n + 1)) AS p) r),
+        |tot AS (SELECT doc_id, sum(bv) AS total FROM bytes GROUP BY 1),
+        |wins AS (SELECT doc_id, w, sum(bv) AS sw, count(*) AS nw, max(n) AS n
+        |  FROM bytes GROUP BY 1, 2),
+        |ph AS (SELECT wins.doc_id,
+        |    CAST(sum(CASE WHEN sw * n > total * nw THEN 1 << w ELSE 0 END) AS INT) AS phash
+        |  FROM wins JOIN tot ON tot.doc_id = wins.doc_id
+        |  GROUP BY 1)
+        |SELECT phash, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(d.doc_id) AS keep_id,
+        |  CAST(max(n) AS INT) AS max_bytes
+        |FROM ph JOIN d ON d.doc_id = ph.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "mm_features" ->
       """SELECT doc_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END AS fmt,
