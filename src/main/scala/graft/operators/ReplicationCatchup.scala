@@ -157,7 +157,12 @@ object ReplicationCatchup {
   def compact(spark: SparkSession, storeDir: String): Long = {
     val st = readState(storeDir).map(_.sequenceNumber).getOrElse(0L)
     val already = compactedUpTo(storeDir)
-    if (st <= already) return already
+    if (st <= already) {
+      // nothing new to fold, but a crash after a previous fold's marker
+      // may have left unreachable dirs — sweep them now
+      if (already > 0) sweepUnreachable(storeDir, already)
+      return already
+    }
     val events = readEvents(spark, storeDir, st)
     val target = Paths.get(storeDir, "events", s"base=$st")
     events.write.mode("overwrite").parquet(target.toString)
@@ -165,17 +170,28 @@ object ReplicationCatchup {
     Files.write(tmp, st.toString.getBytes)
     Files.move(tmp, Paths.get(storeDir, "compacted.txt"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-    // fold sources (and any superseded older base) are now unreachable
-    (1L to st).foreach { i =>
-      val d = Paths.get(storeDir, "events", s"batch=$i")
-      if (Files.exists(d)) deleteRecursively(d)
-    }
-    Files.list(Paths.get(storeDir, "events")).forEach { p =>
-      val n = p.getFileName.toString
-      if (n.startsWith("base=") && n.stripPrefix("base=").forall(_.isDigit) &&
-        n.stripPrefix("base=").toLong < st) deleteRecursively(p)
-    }
+    sweepUnreachable(storeDir, st)
     st
+  }
+
+  /** Deletes batch dirs ≤ the committed floor and bases below it — all
+    * unreachable once `compacted.txt` points at `floor`.
+    */
+  private def sweepUnreachable(storeDir: String, floor: Long): Unit = {
+    import scala.jdk.CollectionConverters._
+    val eventsDir = Paths.get(storeDir, "events")
+    if (!Files.exists(eventsDir)) return
+    val stream = Files.list(eventsDir)
+    val entries = try stream.iterator().asScala.toSeq finally stream.close()
+    entries.foreach { p =>
+      val n = p.getFileName.toString
+      val stale =
+        (n.startsWith("batch=") && n.stripPrefix("batch=").forall(_.isDigit) &&
+          n.stripPrefix("batch=").toLong <= floor) ||
+          (n.startsWith("base=") && n.stripPrefix("base=").forall(_.isDigit) &&
+            n.stripPrefix("base=").toLong < floor)
+      if (stale) deleteRecursively(p)
+    }
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
