@@ -232,7 +232,10 @@ object Ann {
       .select(col("q_id"), col("n_id"))
     val hits = brute.join(broadcast(ivf), Seq("q_id", "n_id"), "left_semi")
       .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
-    brute.select("q_id").distinct()
+    // query ids come from the (cheap) query side, NOT brute.distinct —
+    // reusing `brute` twice would re-run the exact cross-join rerank
+    withNorm(s, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id")).distinct()
       .join(broadcast(hits), Seq("q_id"), "left")
       .select(col("q_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),

@@ -139,10 +139,10 @@ object Multimodal {
         |    CAST(sum(CASE WHEN sw * n > total * nw THEN 1 << w ELSE 0 END) AS INT) AS phash
         |  FROM wins JOIN tot ON tot.doc_id = wins.doc_id
         |  GROUP BY 1)
-        |SELECT phash, CAST(count(*) AS BIGINT) AS n_docs,
+        |SELECT coalesce(ph.phash, 0) AS phash, CAST(count(*) AS BIGINT) AS n_docs,
         |  min(d.doc_id) AS keep_id,
         |  CAST(max(n) AS INT) AS max_bytes
-        |FROM ph JOIN d ON d.doc_id = ph.doc_id
+        |FROM d LEFT JOIN ph ON d.doc_id = ph.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "mm_features" ->
       """SELECT doc_id,

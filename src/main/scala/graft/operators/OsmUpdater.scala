@@ -264,19 +264,41 @@ object OsmUpdater {
       .localCheckpoint(true)
 
     // way MINOR rows: one per (way, geometry-change instant); minor number
-    // continues from the stored counter (getContribs:396-399)
+    // continues from the stored counter (getContribs:396-399). Only ways
+    // whose diff major already REBUILDS geometry (refs change, creation,
+    // deletion) handle their own update — a tag-only diff major still
+    // receives node-induced minors, attached to its NEW version via the
+    // effective state below (node edits at/before the major's timestamp
+    // fold into the major's own as-of rebuild and elide the intermediate
+    // minor row).
+    val geomWayIds = wayMajors
+      .filter(col("contrib_type").contains("GEOMETRY") ||
+        col("contrib_type") === "CREATION" || col("contrib_type") === "DELETION")
+      .select("id").distinct()
+    val wayMajorLatest = wayMajors.filter(col("visible"))
+      .withColumn("mrk", row_number().over(
+        Window.partitionBy("id").orderBy(desc("version"))))
+      .filter(col("mrk") === 1).drop("mrk")
+      .join(beforeW.select(col("id"), col("edits").as("prev_edits")), Seq("id"), "left")
+      .select(col("id"), col("version"), lit(0).as("minor_version"),
+        coalesce(col("prev_edits"), lit(0L)).as("edits"),
+        col("ts_ms"), col("visible"), col("tags"), col("refs"))
+    val effectiveW = beforeW
+      .join(broadcast(wayMajorLatest.select("id")), Seq("id"), "left_anti")
+      .unionByName(wayMajorLatest)
+      .localCheckpoint(true)
     val minorCand = nodeEdits
       .join(nodeWayRefs.select(col("ref_id").as("node_id"),
         explode(col("parent_ids")).as("id")), Seq("node_id"))
-      .join(broadcast(dwIds), Seq("id"), "left_anti")
-      .join(beforeW.filter(col("visible"))
+      .join(broadcast(geomWayIds), Seq("id"), "left_anti")
+      .join(effectiveW.filter(col("visible"))
         .select(col("id"), col("ts_ms"), col("refs")), Seq("id"))
       .filter(array_contains(col("refs"), col("node_id")))
       .filter(col("edit_ts") > col("ts_ms"))
       // one minor per (way, instant) — dedupe BEFORE rejoining the stored
       // row (map-typed tags cannot be part of a distinct)
       .select(col("id"), col("edit_ts")).distinct()
-      .join(beforeW.filter(col("visible")), Seq("id"))
+      .join(effectiveW.filter(col("visible")), Seq("id"))
     val wayMinors = minorCand
       .withColumn("osm_minor_version", col("minor_version") +
         row_number().over(Window.partitionBy("id").orderBy("edit_ts")))
@@ -299,9 +321,11 @@ object OsmUpdater {
     // its stale pre-delete coordinates from the not-yet-updated store
     val refNodes = readFor(spark, dir(root, "nodes"), nodeSchema, refIds, "id")
       .select(col("id").as("node_id"), col("ts_ms").as("node_ts"),
+        col("version").as("node_version"),
         col("lon"), col("lat"), col("visible").as("vis"))
       .unionByName(dn
         .select(col("id").as("node_id"), col("ts_ms").as("node_ts"),
+          col("version").as("node_version"),
           col("lon"), col("lat"), col("visible").as("vis")))
     val asOf = wayRowsForGeom
       .select(col("id"), col("version"), col("osm_minor_version"), col("row_ts"),
@@ -309,9 +333,12 @@ object OsmUpdater {
         posexplode(col("refs")).as(Seq("pos", "node_id")))
       .join(refNodes, Seq("node_id"))
       .filter(col("node_ts") <= col("row_ts"))
+      // desc(node_version) tie-break: same-timestamp node versions occur
+      // in minutely diffs — rank-1 must be deterministic (the batch
+      // assembly's rule, Contributions.scala:329)
       .withColumn("rk", row_number().over(
         Window.partitionBy("id", "version", "osm_minor_version", "pos")
-          .orderBy(desc("node_ts"))))
+          .orderBy(desc("node_ts"), desc("node_version"))))
       .filter(col("rk") === 1)
       // refs whose winning as-of row is a deletion (or has no coordinates)
       // drop out here — n_pts < n_refs then nulls the geometry below
@@ -373,13 +400,31 @@ object OsmUpdater {
       .withColumn("osm_minor_version", lit(0))
 
     // relation minors: member-node edits + member-way changes (major and
-    // node-induced minor alike), excluding relations with their own diff row
+    // node-induced minor alike — a tag-only way major propagates through
+    // its own minors, emitted above), excluding relations whose diff
+    // major already carries the change
     val wayChangeTs = wayMajors
       .filter(col("contrib_type").contains("GEOMETRY") ||
         col("contrib_type") === "CREATION" || col("contrib_type") === "DELETION")
       .select(col("id").as("ref_id"), col("ts_ms").as("edit_ts"))
       .unionByName(wayMinors.select(col("id").as("ref_id"),
         col("edit_ts")))
+    val geomRelIds = relMajors
+      .filter(col("contrib_type").contains("GEOMETRY") ||
+        col("contrib_type") === "CREATION" || col("contrib_type") === "DELETION")
+      .select("id").distinct()
+    val relMajorLatest = relMajors.filter(col("visible"))
+      .withColumn("mrk", row_number().over(
+        Window.partitionBy("id").orderBy(desc("version"))))
+      .filter(col("mrk") === 1).drop("mrk")
+      .join(beforeR.select(col("id"), col("edits").as("prev_edits")), Seq("id"), "left")
+      .select(col("id"), col("version"), lit(0).as("minor_version"),
+        coalesce(col("prev_edits"), lit(0L)).as("edits"),
+        col("ts_ms"), col("visible"), col("tags"), col("refs"), col("ref_types"))
+    val effectiveR = beforeR
+      .join(broadcast(relMajorLatest.select("id")), Seq("id"), "left_anti")
+      .unionByName(relMajorLatest)
+      .localCheckpoint(true)
     val relEditEvents = nodeEdits
       .withColumnRenamed("node_id", "ref_id")
       .join(nodeRelRefs, Seq("ref_id"))
@@ -387,10 +432,10 @@ object OsmUpdater {
       .unionByName(wayChangeTs
         .join(wayRelRefs, Seq("ref_id"))
         .select(explode(col("parent_ids")).as("id"), col("edit_ts")))
-      .join(broadcast(drIds), Seq("id"), "left_anti")
+      .join(broadcast(geomRelIds), Seq("id"), "left_anti")
       .distinct()
     val relMinors = relEditEvents
-      .join(beforeR.filter(col("visible")), Seq("id"))
+      .join(effectiveR.filter(col("visible")), Seq("id"))
       .filter(col("edit_ts") > col("ts_ms"))
       .withColumn("osm_minor_version", col("minor_version") +
         row_number().over(Window.partitionBy("id").orderBy("edit_ts")))
@@ -565,13 +610,20 @@ object OsmUpdater {
     // ways: diff majors reset the minor counter to the last emitted minor
     // (0 for a plain major); minor-only ways bump counter + edits in place
     val wayEm = emitted.filter(col("osm_type") === "way").drop("osm_type")
-    val waysMajorUp = freshLatest(dw, beforeW)
+    val dwFresh = freshLatest(dw, beforeW).localCheckpoint(true)
+    val drFresh = freshLatest(dr, beforeR).localCheckpoint(true)
+    val wayMinorTs = wayMinors.groupBy("id").agg(max("edit_ts").as("minor_last_ts"))
+    val waysMajorUp = dwFresh
       .join(beforeW.select(col("id"), col("edits").as("prev_edits")), Seq("id"), "left")
       .join(wayEm, Seq("id"), "left")
+      .join(wayMinorTs, Seq("id"), "left")
       .select(col("id"), col("version"),
         coalesce(col("max_minor"), lit(0)).cast(IntegerType).as("minor_version"),
         (coalesce(col("prev_edits"), lit(0L)) + coalesce(col("new_edits"), lit(0L))).as("edits"),
-        col("ts_ms"), col("visible"), col("tags"), col("refs"))
+        // advance past any same-diff minors attached to this major so a
+        // replay finds no edit newer than the store
+        greatest(col("ts_ms"), coalesce(col("minor_last_ts"), col("ts_ms"))).as("ts_ms"),
+        col("visible"), col("tags"), col("refs"))
     // stored ts_ms advances past the applied edits: re-applying the same
     // diff after a crash then finds no edit newer than the store and
     // re-emits nothing — per-diff idempotence without a cross-table
@@ -579,6 +631,10 @@ object OsmUpdater {
     val waysMinorUp = wayMinors
       .groupBy("id").agg(max("osm_minor_version").as("max_minor"),
         count(lit(1)).as("new_edits"), max("edit_ts").as("last_ts"))
+      // minors attached to a fresh diff major are folded into its
+      // waysMajorUp row — a second row for the same key would corrupt the
+      // latest-wins upsert
+      .join(broadcast(dwFresh.select("id")), Seq("id"), "left_anti")
       .join(beforeW, Seq("id"))
       .select(col("id"), col("version"),
         col("max_minor").cast(IntegerType).as("minor_version"),
@@ -590,16 +646,20 @@ object OsmUpdater {
 
     // relations: same shape
     val relEm = emitted.filter(col("osm_type") === "relation").drop("osm_type")
-    val relsMajorUp = freshLatest(dr, beforeR)
+    val relMinorTs = relMinors.groupBy("id").agg(max("edit_ts").as("minor_last_ts"))
+    val relsMajorUp = drFresh
       .join(beforeR.select(col("id"), col("edits").as("prev_edits")), Seq("id"), "left")
       .join(relEm, Seq("id"), "left")
+      .join(relMinorTs, Seq("id"), "left")
       .select(col("id"), col("version"),
         coalesce(col("max_minor"), lit(0)).cast(IntegerType).as("minor_version"),
         (coalesce(col("prev_edits"), lit(0L)) + coalesce(col("new_edits"), lit(0L))).as("edits"),
-        col("ts_ms"), col("visible"), col("tags"), col("refs"), col("ref_types"))
+        greatest(col("ts_ms"), coalesce(col("minor_last_ts"), col("ts_ms"))).as("ts_ms"),
+        col("visible"), col("tags"), col("refs"), col("ref_types"))
     val relsMinorUp = relMinors
       .groupBy("id").agg(max("osm_minor_version").as("max_minor"),
         count(lit(1)).as("new_edits"), max("edit_ts").as("last_ts"))
+      .join(broadcast(drFresh.select("id")), Seq("id"), "left_anti")
       .join(beforeR, Seq("id"))
       .select(col("id"), col("version"),
         col("max_minor").cast(IntegerType).as("minor_version"),
@@ -610,7 +670,6 @@ object OsmUpdater {
       ChangesetStore.upsertBucketed(spark, dir(root, "relations"), relsUp, Seq("id"), NumBuckets)
 
     // NODE→WAY backrefs: reconcile adds and removals for diff ways
-    val dwFresh = freshLatest(dw, beforeW).localCheckpoint(true)
     if (!dwFresh.isEmpty) {
       val newPairs = dwFresh.filter(col("visible"))
         .select(col("id").as("parent_id"), explode(col("refs")).as("ref_id"))
@@ -622,7 +681,6 @@ object OsmUpdater {
     }
 
     // NODE→RELATION / WAY→RELATION backrefs for diff relations
-    val drFresh = freshLatest(dr, beforeR).localCheckpoint(true)
     if (!drFresh.isEmpty) {
       val drLatest = drFresh
       val drParents = drLatest.select(col("id").as("parent_id"))

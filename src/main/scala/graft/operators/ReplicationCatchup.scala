@@ -109,8 +109,12 @@ object ReplicationCatchup {
     * read path at all.
     */
   private def readEvents(spark: SparkSession, storeDir: String, upTo: Long): DataFrame = {
+    // the empty committed prefix is empty even when a compacted base
+    // exists (e.g. a lost state.txt must not resurrect folded history)
+    if (upTo <= 0L)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], eventSchema)
     val base = compactedUpTo(storeDir)
-    require(upTo <= 0 || upTo >= base,
+    require(upTo >= base,
       s"$storeDir: batches <= $base are compacted; cannot read prefix $upTo")
     val basePath = Paths.get(storeDir, "events", s"base=$base")
     val committed =
@@ -196,8 +200,11 @@ object ReplicationCatchup {
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) {
+      val stream = Files.list(p)
+      val children = try stream.iterator().asScala.toSeq finally stream.close()
+      children.foreach(deleteRecursively)
+    }
     Files.deleteIfExists(p)
   }
 

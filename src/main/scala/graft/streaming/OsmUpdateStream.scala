@@ -25,7 +25,22 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object OsmUpdateStream {
 
   def start(spark: SparkSession, replDir: String, storeRoot: String,
-      outDir: String): StreamingQuery =
+      outDir: String): StreamingQuery = {
+    // a FRESH incarnation (no checkpoint yet) restarts batch ids at 0: a
+    // reused outDir full of previous batch=N/_SUCCESS dirs would make the
+    // committed-skip silently discard every new batch's output (and a
+    // pre-existing flat layout breaks partition discovery). Refuse loudly.
+    val cp = java.nio.file.Paths.get(storeRoot, "stream-checkpoint")
+    val outP = java.nio.file.Paths.get(outDir)
+    if (!java.nio.file.Files.exists(cp) && java.nio.file.Files.exists(outP)) {
+      val stream = java.nio.file.Files.list(outP)
+      val nonEmpty = try stream.findFirst().isPresent finally stream.close()
+      require(!nonEmpty,
+        s"$outDir already contains output but $cp has no checkpoint: " +
+          "a fresh stream incarnation would collide with (and silently " +
+          "skip) the previous run's batch directories — use a new outDir " +
+          "or keep the original checkpoint")
+    }
     OsmXml.streamOsc(spark, replDir).writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
@@ -46,4 +61,5 @@ object OsmUpdateStream {
       }
       .option("checkpointLocation", s"$storeRoot/stream-checkpoint")
       .start()
+  }
 }

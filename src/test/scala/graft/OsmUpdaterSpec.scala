@@ -373,6 +373,43 @@ class OsmUpdaterSpec extends SparkSpec {
       "a tag-only member change is not a relation geometry change")
   }
 
+  test("tag-only way major plus same-diff node move: minor on the new version, relation propagates") {
+    val root = freshRoot()
+    OsmUpdater.initStore(spark, root, seedEntities)
+    // way 10 changes tags at T1; its ref node 1 moves at T2 > T1 — the
+    // common single-changeset edit shape
+    val out = OsmUpdater.applyDiff(spark, root, oscDf(
+      """<osmChange version="0.6">
+        | <modify>
+        |  <way id="10" version="2" timestamp="2024-01-01T00:00:10Z" changeset="100" uid="9" user="alice">
+        |   <nd ref="1"/><nd ref="2"/>
+        |   <tag k="highway" v="residential"/>
+        |  </way>
+        |  <node id="1" version="2" timestamp="2024-01-01T00:00:40Z" changeset="100" uid="9" user="alice" lat="1.5" lon="1.0"/>
+        | </modify>
+        |</osmChange>""".stripMargin))
+    val w10 = out.filter(col("osm_type") === "way" && col("osm_id") === 10)
+      .orderBy("osm_minor_version").collect()
+    assert(w10.length === 2, "TAG major + node-induced GEOMETRY minor")
+    assert(w10.head.getAs[String]("contrib_type") === "TAG")
+    assert(w10.head.getAs[Int]("osm_minor_version") === 0)
+    assert(w10(1).getAs[String]("contrib_type") === "GEOMETRY")
+    assert(w10(1).getAs[Int]("osm_version") === 2,
+      "the minor attaches to the NEW major version")
+    assert(w10(1).getAs[Int]("osm_minor_version") === 1)
+    assert(w10(1).getAs[Long]("length_mm") > 0L)
+    // relation 20 (member: way 10) sees the geometry change
+    assert(out.filter(col("osm_type") === "relation" && col("osm_id") === 20 &&
+      col("contrib_type") === "GEOMETRY").count() === 1)
+    // store: one row for way 10 — version 2, minor 1, ts advanced past T2
+    val ways = ChangesetStore.readBucketed(spark, s"$root/ways")
+      .filter(col("id") === 10).collect()
+    assert(ways.length === 1)
+    assert(ways.head.getAs[Int]("version") === 2)
+    assert(ways.head.getAs[Int]("minor_version") === 1)
+    assert(ways.head.getAs[Long]("ts_ms") === 1704067240000L)
+  }
+
   test("way deletion removes its backrefs") {
     val root = freshRoot()
     OsmUpdater.initStore(spark, root, seedEntities)
