@@ -264,25 +264,18 @@ object OsmUpdater {
       .localCheckpoint(true)
 
     // way MINOR rows: one per (way, geometry-change instant); minor number
-    // continues from the stored counter (getContribs:396-399). Only ways
-    // whose diff major already REBUILDS geometry (refs change, creation,
-    // deletion) handle their own update — a tag-only diff major still
-    // receives node-induced minors, attached to its NEW version via the
-    // effective state below (node edits at/before the major's timestamp
-    // fold into the major's own as-of rebuild and elide the intermediate
-    // minor row).
-    val geomWayIds = wayMajors
-      .filter(col("contrib_type").contains("GEOMETRY") ||
-        col("contrib_type") === "CREATION" || col("contrib_type") === "DELETION")
-      .select("id").distinct()
-    val wayMajorLatest = wayMajors.filter(col("visible"))
-      .withColumn("mrk", row_number().over(
-        Window.partitionBy("id").orderBy(desc("version"))))
-      .filter(col("mrk") === 1).drop("mrk")
-      .join(beforeW.select(col("id"), col("edits").as("prev_edits")), Seq("id"), "left")
-      .select(col("id"), col("version"), lit(0).as("minor_version"),
-        coalesce(col("prev_edits"), lit(0L)).as("edits"),
-        col("ts_ms"), col("visible"), col("tags"), col("refs"))
+    // continues from the stored counter (getContribs:396-399). ONE rule
+    // for every way, diff-resident or not: minors attach to the way's
+    // EFFECTIVE state (stored row, overridden by its newest diff major)
+    // and only for edits strictly after that state's timestamp — so a
+    // same-diff major of any kind (tag-only, refs change, creation)
+    // receives post-major node edits as minors on its new version, while
+    // edits at/before the major fold into the major's own as-of rebuild
+    // (the intermediate old-version minor row is elided — a documented
+    // divergence from a full-history rebuild, bounded to intra-diff
+    // ordering).
+    val wayMajorLatest = latestMajorState(wayMajors, beforeW,
+      Seq("ts_ms", "visible", "tags", "refs"))
     val effectiveW = beforeW
       .join(broadcast(wayMajorLatest.select("id")), Seq("id"), "left_anti")
       .unionByName(wayMajorLatest)
@@ -290,7 +283,6 @@ object OsmUpdater {
     val minorCand = nodeEdits
       .join(nodeWayRefs.select(col("ref_id").as("node_id"),
         explode(col("parent_ids")).as("id")), Seq("node_id"))
-      .join(broadcast(geomWayIds), Seq("id"), "left_anti")
       .join(effectiveW.filter(col("visible"))
         .select(col("id"), col("ts_ms"), col("refs")), Seq("id"))
       .filter(array_contains(col("refs"), col("node_id")))
@@ -409,18 +401,8 @@ object OsmUpdater {
       .select(col("id").as("ref_id"), col("ts_ms").as("edit_ts"))
       .unionByName(wayMinors.select(col("id").as("ref_id"),
         col("edit_ts")))
-    val geomRelIds = relMajors
-      .filter(col("contrib_type").contains("GEOMETRY") ||
-        col("contrib_type") === "CREATION" || col("contrib_type") === "DELETION")
-      .select("id").distinct()
-    val relMajorLatest = relMajors.filter(col("visible"))
-      .withColumn("mrk", row_number().over(
-        Window.partitionBy("id").orderBy(desc("version"))))
-      .filter(col("mrk") === 1).drop("mrk")
-      .join(beforeR.select(col("id"), col("edits").as("prev_edits")), Seq("id"), "left")
-      .select(col("id"), col("version"), lit(0).as("minor_version"),
-        coalesce(col("prev_edits"), lit(0L)).as("edits"),
-        col("ts_ms"), col("visible"), col("tags"), col("refs"), col("ref_types"))
+    val relMajorLatest = latestMajorState(relMajors, beforeR,
+      Seq("ts_ms", "visible", "tags", "refs", "ref_types"))
     val effectiveR = beforeR
       .join(broadcast(relMajorLatest.select("id")), Seq("id"), "left_anti")
       .unionByName(relMajorLatest)
@@ -432,7 +414,6 @@ object OsmUpdater {
       .unionByName(wayChangeTs
         .join(wayRelRefs, Seq("ref_id"))
         .select(explode(col("parent_ids")).as("id"), col("edit_ts")))
-      .join(broadcast(geomRelIds), Seq("id"), "left_anti")
       .distinct()
     val relMinors = relEditEvents
       .join(effectiveR.filter(col("visible")), Seq("id"))
@@ -515,6 +496,22 @@ object OsmUpdater {
     updateStores(spark, root, dn, beforeN, dw, dr, beforeW, beforeR, wayMinors, relMinors, out)
     out
   }
+
+  /** Newest visible diff major per entity as a store-row-shaped frame
+    * (version reset to minor 0, edit counter carried from the store) — the
+    * override half of the effective-state union that minor candidacy
+    * attaches to.
+    */
+  private def latestMajorState(majors: DataFrame, before: DataFrame,
+      carryCols: Seq[String]): DataFrame =
+    majors.filter(col("visible"))
+      .withColumn("mrk", row_number().over(
+        Window.partitionBy("id").orderBy(desc("version"), desc("ts_ms"))))
+      .filter(col("mrk") === 1).drop("mrk")
+      .join(before.select(col("id"), col("edits").as("prev_edits")), Seq("id"), "left")
+      .select((Seq(col("id"), col("version"), lit(0).as("minor_version"),
+        coalesce(col("prev_edits"), lit(0L)).as("edits")) ++
+        carryCols.map(col)): _*)
 
   /** Sequenced catch-up over a replication directory of `.osc` diffs — the
     * full ReplicationManager.java loop on the TYPED store: applies every

@@ -119,7 +119,7 @@ object ReplicationCatchup {
     val basePath = Paths.get(storeDir, "events", s"base=$base")
     val committed =
       (if (base > 0 && Files.exists(basePath)) Seq(basePath) else Seq.empty) ++
-        ((base + 1) to math.max(upTo, 0L))
+        ((base + 1) to upTo)
           .map(i => Paths.get(storeDir, "events", s"batch=$i"))
           .filter(Files.exists(_))
     if (committed.isEmpty)

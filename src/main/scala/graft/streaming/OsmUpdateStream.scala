@@ -32,7 +32,7 @@ object OsmUpdateStream {
     // pre-existing flat layout breaks partition discovery). Refuse loudly.
     val cp = java.nio.file.Paths.get(storeRoot, "stream-checkpoint")
     val outP = java.nio.file.Paths.get(outDir)
-    if (!java.nio.file.Files.exists(cp) && java.nio.file.Files.exists(outP)) {
+    if (!java.nio.file.Files.exists(cp) && java.nio.file.Files.isDirectory(outP)) {
       val stream = java.nio.file.Files.list(outP)
       val nonEmpty = try stream.findFirst().isPresent finally stream.close()
       require(!nonEmpty,

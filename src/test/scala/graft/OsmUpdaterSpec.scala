@@ -410,6 +410,37 @@ class OsmUpdaterSpec extends SparkSpec {
     assert(ways.head.getAs[Long]("ts_ms") === 1704067240000L)
   }
 
+  test("geometry way major plus LATER node move: post-major minor emitted") {
+    val root = freshRoot()
+    OsmUpdater.initStore(spark, root, seedEntities)
+    // way 10 changes refs at T1 (GEOMETRY major: drops node 2); node 1
+    // moves at T2 > T1 — the major's as-of rebuild cannot see T2, so a
+    // minor must carry it
+    val out = OsmUpdater.applyDiff(spark, root, oscDf(
+      """<osmChange version="0.6">
+        | <modify>
+        |  <way id="10" version="2" timestamp="2024-01-01T00:00:10Z" changeset="100" uid="9" user="alice">
+        |   <nd ref="1"/>
+        |  </way>
+        |  <node id="1" version="2" timestamp="2024-01-01T00:00:40Z" changeset="100" uid="9" user="alice" lat="1.5" lon="1.0"/>
+        | </modify>
+        |</osmChange>""".stripMargin))
+    val w10 = out.filter(col("osm_type") === "way" && col("osm_id") === 10)
+      .orderBy("osm_minor_version").collect()
+    assert(w10.length === 2, "GEOMETRY major + post-major node minor")
+    assert(w10.head.getAs[String]("contrib_type").contains("GEOMETRY"))
+    assert(w10(1).getAs[Int]("osm_version") === 2)
+    assert(w10(1).getAs[Int]("osm_minor_version") === 1)
+    // store timestamp advanced past the minor → replay emits nothing
+    val replay = OsmUpdater.applyDiff(spark, root, oscDf(
+      """<osmChange version="0.6">
+        | <modify>
+        |  <node id="1" version="2" timestamp="2024-01-01T00:00:40Z" changeset="100" uid="9" user="alice" lat="1.5" lon="1.0"/>
+        | </modify>
+        |</osmChange>""".stripMargin))
+    assert(replay.count() === 0)
+  }
+
   test("way deletion removes its backrefs") {
     val root = freshRoot()
     OsmUpdater.initStore(spark, root, seedEntities)
