@@ -497,14 +497,20 @@ object OsmUpdater {
     out
   }
 
-  /** Newest visible diff major per entity as a store-row-shaped frame
-    * (version reset to minor 0, edit counter carried from the store) — the
-    * override half of the effective-state union that minor candidacy
-    * attaches to.
+  /** Newest diff major per entity — REGARDLESS of visibility — as a
+    * store-row-shaped frame (version reset to minor 0, edit counter carried
+    * from the store): the override half of the effective-state union that
+    * minor candidacy attaches to. A same-diff DELETION major must win this
+    * rank (carrying `visible = false`) so the downstream
+    * `effective.filter(visible)` guards suppress member-edit minors after
+    * the deletion — the reference's timeline processing emits nothing for
+    * an element past its deletion, and the common delete-way-plus-its-nodes
+    * changeset would otherwise fabricate GEOMETRY minors on the stored
+    * pre-delete row.
     */
   private def latestMajorState(majors: DataFrame, before: DataFrame,
       carryCols: Seq[String]): DataFrame =
-    majors.filter(col("visible"))
+    majors
       .withColumn("mrk", row_number().over(
         Window.partitionBy("id").orderBy(desc("version"), desc("ts_ms"))))
       .filter(col("mrk") === 1).drop("mrk")
