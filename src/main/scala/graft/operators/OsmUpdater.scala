@@ -423,6 +423,21 @@ object OsmUpdater {
       .withColumn("contrib_type", lit("GEOMETRY"))
       .localCheckpoint(true)
 
+    // relation geometry: multipolygon assembly for every emitted visible
+    // relation row — the ContributionUpdater.updateRelation analog
+    // (ContributionUpdater.java:101-121): member ways resolve as-of the
+    // row's instant (store ∪ diff), their node refs resolve as-of the same
+    // instant, and the batch ring-stitch machinery ([[RelationGeometry]])
+    // assembles the rings, so the update path's WKB is byte-equal to the
+    // batch path's by construction
+    val relRowsForGeom = relMajors.filter(col("visible"))
+      .select(col("id"), col("version"), col("osm_minor_version"),
+        col("ts_ms").as("row_ts"), col("refs"), col("ref_types"))
+      .unionByName(relMinors.select(col("id"), col("version"),
+        col("osm_minor_version"), col("edit_ts").as("row_ts"),
+        col("refs"), col("ref_types")))
+    val relGeoms = relationGeoms(spark, root, relRowsForGeom, dw, dn)
+
     // ---------------- emitted contributions ----------------
     val out =
       nodeContribs.select(
@@ -462,27 +477,29 @@ object OsmUpdater {
             lit(null).cast(DoubleType).as("lat"),
             col("wkb"), col("length_mm")))
       .unionByName(
-        relMajors.select(
-          lit("relation").as("osm_type"), col("id").as("osm_id"),
-          col("version").as("osm_version"), col("osm_minor_version"),
-          col("ts_ms").as("valid_from"), col("contrib_type"), col("tags"),
-          col("changeset"), col("uid"), col("user"),
-          lit(null).cast(DoubleType).as("lon"),
-          lit(null).cast(DoubleType).as("lat"),
-          lit(null).cast(BinaryType).as("wkb"),
-          lit(null).cast(LongType).as("length_mm")))
+        relMajors.join(relGeoms, Seq("id", "version", "osm_minor_version"), "left")
+          .select(
+            lit("relation").as("osm_type"), col("id").as("osm_id"),
+            col("version").as("osm_version"), col("osm_minor_version"),
+            col("ts_ms").as("valid_from"), col("contrib_type"), col("tags"),
+            col("changeset"), col("uid"), col("user"),
+            lit(null).cast(DoubleType).as("lon"),
+            lit(null).cast(DoubleType).as("lat"),
+            col("rel_wkb").as("wkb"),
+            lit(null).cast(LongType).as("length_mm")))
       .unionByName(
-        relMinors.select(
-          lit("relation").as("osm_type"), col("id").as("osm_id"),
-          col("version").as("osm_version"), col("osm_minor_version"),
-          col("edit_ts").as("valid_from"), col("contrib_type"), col("tags"),
-          lit(null).cast(LongType).as("changeset"),
-          lit(null).cast(LongType).as("uid"),
-          lit(null).cast(StringType).as("user"),
-          lit(null).cast(DoubleType).as("lon"),
-          lit(null).cast(DoubleType).as("lat"),
-          lit(null).cast(BinaryType).as("wkb"),
-          lit(null).cast(LongType).as("length_mm")))
+        relMinors.join(relGeoms, Seq("id", "version", "osm_minor_version"), "left")
+          .select(
+            lit("relation").as("osm_type"), col("id").as("osm_id"),
+            col("version").as("osm_version"), col("osm_minor_version"),
+            col("edit_ts").as("valid_from"), col("contrib_type"), col("tags"),
+            lit(null).cast(LongType).as("changeset"),
+            lit(null).cast(LongType).as("uid"),
+            lit(null).cast(StringType).as("user"),
+            lit(null).cast(DoubleType).as("lon"),
+            lit(null).cast(DoubleType).as("lat"),
+            col("rel_wkb").as("wkb"),
+            lit(null).cast(LongType).as("length_mm")))
       .localCheckpoint(true)
 
     // commit order: emitted contributions reach the caller's sink BEFORE
@@ -507,6 +524,15 @@ object OsmUpdater {
     * an element past its deletion, and the common delete-way-plus-its-nodes
     * changeset would otherwise fabricate GEOMETRY minors on the stored
     * pre-delete row.
+    *
+    * Known intra-diff divergence: a member edit timestamped BEFORE a
+    * same-diff deletion (node moves at t1, way deleted at t2 > t1) is
+    * elided too — the deletion wins the rank for the whole diff, so the
+    * pre-deletion GEOMETRY minor the reference's full timeline would emit
+    * at t1 never materializes. Same bounded intra-diff elision as the
+    * major-fold rule above (edits at/before a same-diff major fold into
+    * the major's as-of rebuild); both collapse sub-minute ordering inside
+    * one diff, never across diffs.
     */
   private def latestMajorState(majors: DataFrame, before: DataFrame,
       carryCols: Seq[String]): DataFrame =
@@ -518,6 +544,99 @@ object OsmUpdater {
       .select((Seq(col("id"), col("version"), lit(0).as("minor_version"),
         coalesce(col("prev_edits"), lit(0L)).as("edits")) ++
         carryCols.map(col)): _*)
+
+  /** Multipolygon WKB per emitted relation row: member ways as-of the
+    * row's instant (stored latest overridden by same-diff way versions at
+    * or before it), node refs as-of the same instant, then the EXACT batch
+    * assembly — [[RelationGeometry.dedupeWays]] → [[RelationGeometry.stitch]]
+    * → [[RelationGeometry.removeSpikes]] → [[RelationGeometry.classify]] →
+    * the shared WKB writers — so update-path relation geometry is
+    * byte-equal to the batch path's on the same member state
+    * (ContributionUpdater.java:101-121 updateRelations/updateRelation).
+    *
+    * A member way with an unresolvable ref (node deleted/unknown as of the
+    * row) contributes NO line — its ring stays open, `wkb` still encodes
+    * whatever closed rings remain (the batch closed-rings-only rule).
+    * Relations with no way members keep a null wkb. Scale: every frame here
+    * is diff-sized; the store reads are bucket-pruned to member ids.
+    */
+  private def relationGeoms(spark: SparkSession, root: String,
+      relRows: DataFrame, dw: DataFrame, dn: DataFrame): DataFrame = {
+    import spark.implicits._
+    val members = relRows
+      .select(col("id"), col("version"), col("osm_minor_version"), col("row_ts"),
+        explode(arrays_zip(col("refs"), col("ref_types"))).as("m"))
+      .filter(col("m.ref_types") === "way")
+      .select(col("id"), col("version"), col("osm_minor_version"), col("row_ts"),
+        col("m.refs").as("way_id"))
+    val wayIds = members.select(col("way_id").as("id")).distinct()
+    val storedW = readFor(spark, dir(root, "ways"), waySchema, wayIds, "id")
+    val wayCand = storedW
+      .select(col("id").as("way_id"), col("version").as("w_version"),
+        col("ts_ms").as("w_ts"), col("visible").as("w_vis"), col("refs").as("w_refs"))
+      .unionByName(dw
+        .select(col("id").as("way_id"), col("version").as("w_version"),
+          col("ts_ms").as("w_ts"), col("visible").as("w_vis"), col("refs").as("w_refs")))
+    val wayAsOf = members.join(wayCand, Seq("way_id"))
+      .filter(col("w_ts") <= col("row_ts"))
+      .withColumn("wrk", row_number().over(
+        Window.partitionBy("id", "version", "osm_minor_version", "way_id")
+          .orderBy(desc("w_ts"), desc("w_version"))))
+      .filter(col("wrk") === 1 && col("w_vis"))
+      .localCheckpoint(true)
+    val refIds = wayAsOf.select(explode(col("w_refs")).as("id")).distinct()
+    val nodeCand = readFor(spark, dir(root, "nodes"), nodeSchema, refIds, "id")
+      .select(col("id").as("node_id"), col("ts_ms").as("node_ts"),
+        col("version").as("node_version"),
+        col("lon"), col("lat"), col("visible").as("vis"))
+      .unionByName(dn
+        .select(col("id").as("node_id"), col("ts_ms").as("node_ts"),
+          col("version").as("node_version"),
+          col("lon"), col("lat"), col("visible").as("vis")))
+    val lines = wayAsOf
+      .select(col("id"), col("version"), col("osm_minor_version"), col("row_ts"),
+        col("way_id"), size(col("w_refs")).as("n_refs"),
+        posexplode(col("w_refs")).as(Seq("pos", "node_id")))
+      .join(nodeCand, Seq("node_id"))
+      .filter(col("node_ts") <= col("row_ts"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id", "version", "osm_minor_version", "way_id", "pos")
+          .orderBy(desc("node_ts"), desc("node_version"))))
+      .filter(col("rk") === 1)
+      .filter(col("vis") && !isnan(col("lat")) && !isnan(col("lon")))
+      .groupBy("id", "version", "osm_minor_version", "way_id")
+      .agg(count(lit(1)).as("n_pts"), first("n_refs").as("n_refs"),
+        sort_array(collect_list(struct(col("pos"), col("lon"), col("lat")))).as("p"))
+      // an incompletely-resolved member way drops whole: a shortened line
+      // would stitch a WRONG ring; a missing one leaves the ring open
+      .filter(col("n_pts") === col("n_refs"))
+      .select(col("id"), col("version"), col("osm_minor_version"), col("way_id"),
+        expr("transform(p, q -> q.lon)").as("lons"),
+        expr("transform(p, q -> q.lat)").as("lats"))
+    lines.as[(Long, Int, Int, Long, Array[Double], Array[Double])]
+      .groupByKey(t => (t._1, t._2, t._3))
+      .mapGroups { (key: (Long, Int, Int), it: Iterator[(Long, Int, Int, Long, Array[Double], Array[Double])]) =>
+        val (id, ver, minor) = key
+        // way_id sort = the batch assembly's member order (assemble:277)
+        val ways = it.toSeq.sortBy(_._4).map(t => (t._5, t._6))
+        val (uniq, _) = RelationGeometry.dedupeWays(ways)
+        val rings = RelationGeometry.stitch(uniq).flatMap {
+          case (xs, ys, true) =>
+            val (rx, ry, _) = RelationGeometry.removeSpikes(xs.toSeq, ys.toSeq)
+            if (rx.isEmpty) None else Some((rx, ry))
+          case _ => None
+        }
+        val shells = RelationGeometry.classify(rings)
+        val polys = shells.map(s =>
+          ((s.shell._1.toArray, s.shell._2.toArray)) +:
+            s.holes.toSeq.map(h => (h._1.toArray, h._2.toArray)))
+        val wkb =
+          if (polys.length > 1) graft.functions.Geo.wkbMultiPolygonHex(polys)
+          else graft.functions.Geo.wkbPolygonHex(polys.headOption.getOrElse(Seq.empty))
+        (id, ver, minor, wkb)
+      }
+      .toDF("id", "version", "osm_minor_version", "rel_wkb")
+  }
 
   /** Sequenced catch-up over a replication directory of `.osc` diffs — the
     * full ReplicationManager.java loop on the TYPED store: applies every

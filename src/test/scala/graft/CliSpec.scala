@@ -91,5 +91,9 @@ class CliSpec extends SparkSpec {
     assert(w42.length === 1 && w42.head.getAs[Int]("osm_minor_version") === 1)
     val r7 = out.filter(col("osm_type") === "relation" && col("osm_id") === 7).collect()
     assert(r7.length === 1 && r7.head.getAs[Int]("osm_minor_version") === 1)
+    // the update path assembles relation geometry (null WKB was the r7 gap);
+    // way 42 is an open 2-node chain, so the WKB is the empty polygon — but
+    // it must be PRESENT, proving the assembly ran
+    assert(r7.head.getAs[String]("wkb") != null)
   }
 }

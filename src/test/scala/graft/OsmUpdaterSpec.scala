@@ -80,7 +80,7 @@ class OsmUpdaterSpec extends SparkSpec {
     assert(w11.length === 1)
     assert(w11.head.getAs[Int]("osm_minor_version") === 0)
     assert(w11.head.getAs[String]("contrib_type").contains("GEOMETRY"))
-    assert(w11.head.getAs[Array[Byte]]("wkb") != null)
+    assert(w11.head.getAs[String]("wkb") != null)
     assert(w11.head.getAs[Long]("length_mm") > 0L)
 
     // way 10 NOT in the diff: node-1 movement reaches it through the
@@ -325,13 +325,13 @@ class OsmUpdaterSpec extends SparkSpec {
         |</osmChange>""".stripMargin))
     val n2 = out.filter(col("osm_type") === "node" && col("osm_id") === 2).head()
     assert(n2.getAs[String]("contrib_type") === "DELETION")
-    assert(n2.getAs[Array[Byte]]("wkb") == null, "no NaN-encoding point WKB")
+    assert(n2.getAs[String]("wkb") == null, "no NaN-encoding point WKB")
     assert(n2.isNullAt(n2.fieldIndex("lat")), "NaN coordinates must null out")
     // way 10 references the deleted node: minor emitted, geometry nulled
     // (the ref is unresolvable at the deletion instant)
     val w10 = out.filter(col("osm_type") === "way" && col("osm_id") === 10).head()
     assert(w10.getAs[Int]("osm_minor_version") === 1)
-    assert(w10.getAs[Array[Byte]]("wkb") == null,
+    assert(w10.getAs[String]("wkb") == null,
       "deleted ref must null the geometry, not keep the stale linestring")
   }
 
@@ -439,6 +439,128 @@ class OsmUpdaterSpec extends SparkSpec {
         | </modify>
         |</osmChange>""".stripMargin))
     assert(replay.count() === 0)
+  }
+
+  test("relation rows carry multipolygon WKB byte-equal to the batch assembly") {
+    import spark.implicits._
+    import graft.operators.RelationGeometry
+    val root = freshRoot()
+    // square ring: way 12 = n1→n2→n3, way 13 = n3→n4→n1
+    val seed = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("node", 1L, 1, 1000L, true, 0.0, 0.0, Map.empty[String, String], null, null),
+        Row("node", 2L, 1, 1000L, true, 1.0, 0.0, Map.empty[String, String], null, null),
+        Row("node", 3L, 1, 1000L, true, 1.0, 1.0, Map.empty[String, String], null, null),
+        Row("node", 4L, 1, 1000L, true, 0.0, 1.0, Map.empty[String, String], null, null),
+        Row("way", 12L, 1, 1000L, true, Double.NaN, Double.NaN,
+          Map.empty[String, String], Seq(1L, 2L, 3L), null),
+        Row("way", 13L, 1, 1000L, true, Double.NaN, Double.NaN,
+          Map.empty[String, String], Seq(3L, 4L, 1L), null),
+        Row("relation", 30L, 1, 1000L, true, Double.NaN, Double.NaN,
+          Map("type" -> "multipolygon"), null,
+          Seq(Row("way", 12L, "outer"), Row("way", 13L, "outer"))))),
+      entitySchema)
+    OsmUpdater.initStore(spark, root, seed)
+
+    // n2 moves (lat 1→2): way-12 minor + relation-30 minor, whose WKB must
+    // equal the batch ring assembly over the moved member geometry
+    val out = OsmUpdater.applyDiff(spark, root, oscDf(
+      """<osmChange version="0.6">
+        | <modify>
+        |  <node id="2" version="2" timestamp="2024-01-01T00:00:10Z" changeset="100" uid="9" user="alice" lat="2.0" lon="0.0"/>
+        | </modify>
+        |</osmChange>""".stripMargin))
+    val r30 = out.filter(col("osm_type") === "relation" && col("osm_id") === 30).collect()
+    assert(r30.length === 1)
+    assert(r30.head.getAs[Int]("osm_minor_version") === 1)
+    val expected = RelationGeometry.assemble(
+      Seq((30L, 12L), (30L, 13L)).toDF("rel_id", "way_id"),
+      Seq((12L, Array(0.0, 0.0, 1.0), Array(0.0, 2.0, 1.0)),
+        (13L, Array(1.0, 1.0, 0.0), Array(1.0, 0.0, 0.0)))
+        .toDF("way_id", "lons", "lats")).collect().head
+    assert(expected.closed && expected.n_shells === 1)
+    assert(r30.head.getAs[String]("wkb") === expected.wkb,
+      "update-path relation WKB must be byte-equal to the batch assembly")
+
+    // a diff relation MAJOR (tag change) also carries assembled WKB, as-of
+    // its own timestamp (node 2 already moved)
+    val out2 = OsmUpdater.applyDiff(spark, root, oscDf(
+      """<osmChange version="0.6">
+        | <modify>
+        |  <relation id="30" version="2" timestamp="2024-01-01T01:00:00Z" changeset="101" uid="9" user="alice">
+        |   <member type="way" ref="12" role="outer"/>
+        |   <member type="way" ref="13" role="outer"/>
+        |   <tag k="type" v="multipolygon"/><tag k="landuse" v="forest"/>
+        |  </relation>
+        | </modify>
+        |</osmChange>""".stripMargin))
+    val r30v2 = out2.filter(col("osm_type") === "relation" && col("osm_id") === 30).head()
+    assert(r30v2.getAs[Int]("osm_version") === 2)
+    assert(r30v2.getAs[String]("wkb") === expected.wkb)
+  }
+
+  test("same-diff way deletion suppresses its member-edit minors") {
+    val root = freshRoot()
+    OsmUpdater.initStore(spark, root, seedEntities)
+    // one changeset deletes way 10 at t1 and moves its member node 1 at
+    // t2 > t1 — the r7 latestMajorState scenario: the deletion must win the
+    // effective-state rank so NO way minor materializes after it
+    val out = OsmUpdater.applyDiff(spark, root, oscDf(
+      """<osmChange version="0.6">
+        | <delete>
+        |  <way id="10" version="2" timestamp="2024-01-01T00:00:10Z" changeset="100" uid="9" user="alice"/>
+        | </delete>
+        | <modify>
+        |  <node id="1" version="2" timestamp="2024-01-01T00:00:40Z" changeset="100" uid="9" user="alice" lat="1.5" lon="1.0"/>
+        | </modify>
+        |</osmChange>""".stripMargin))
+    val w10 = out.filter(col("osm_type") === "way" && col("osm_id") === 10).collect()
+    assert(w10.length === 1, "only the DELETION major, no fabricated minors")
+    assert(w10.head.getAs[String]("contrib_type") === "DELETION")
+    assert(w10.head.getAs[Int]("osm_minor_version") === 0)
+    // relation 20 sees the member deletion (t1) but NOT the node move (t2):
+    // node 1 is not a relation member, and way 10 is dead past t1
+    val r20 = out.filter(col("osm_type") === "relation" && col("osm_id") === 20).collect()
+    assert(r20.length === 1)
+    assert(r20.head.getAs[Long]("valid_from") === 1704067210000L,
+      "the relation minor carries the deletion instant, not the later node edit")
+  }
+
+  test("same-diff delete-then-recreate: minors attach to the recreation") {
+    val root = freshRoot()
+    OsmUpdater.initStore(spark, root, seedEntities)
+    // way 10: deleted at t1, recreated at t2 as v3, member node 1 moves at
+    // t3 > t2 — the recreation major must win the effective-state rank
+    // again, so the node edit emits a minor on v3
+    val out = OsmUpdater.applyDiff(spark, root, oscDf(
+      """<osmChange version="0.6">
+        | <delete>
+        |  <way id="10" version="2" timestamp="2024-01-01T00:00:10Z" changeset="100" uid="9" user="alice"/>
+        | </delete>
+        | <create>
+        |  <way id="10" version="3" timestamp="2024-01-01T00:00:20Z" changeset="100" uid="9" user="alice">
+        |   <nd ref="1"/><nd ref="2"/>
+        |  </way>
+        | </create>
+        | <modify>
+        |  <node id="1" version="2" timestamp="2024-01-01T00:00:40Z" changeset="100" uid="9" user="alice" lat="1.5" lon="1.0"/>
+        | </modify>
+        |</osmChange>""".stripMargin))
+    val w10 = out.filter(col("osm_type") === "way" && col("osm_id") === 10)
+      .orderBy("osm_version", "osm_minor_version").collect()
+    assert(w10.map(r => (r.getAs[Int]("osm_version"), r.getAs[Int]("osm_minor_version"),
+      r.getAs[String]("contrib_type"))).toSeq ===
+      Seq((2, 0, "DELETION"), (3, 0, "CREATION"), (3, 1, "GEOMETRY")),
+      "deletion, recreation, then the node-move minor on the NEW version")
+    assert(w10(2).getAs[Long]("valid_from") === 1704067240000L)
+    assert(w10(2).getAs[Long]("length_mm") > 0L, "minor geometry rebuilt on v3 refs")
+    // store lands on v3 with minor counter 1
+    val ways = ChangesetStore.readBucketed(spark, s"$root/ways")
+      .filter(col("id") === 10).collect()
+    assert(ways.length === 1)
+    assert(ways.head.getAs[Int]("version") === 3)
+    assert(ways.head.getAs[Boolean]("visible"))
+    assert(ways.head.getAs[Int]("minor_version") === 1)
   }
 
   test("way deletion removes its backrefs") {
