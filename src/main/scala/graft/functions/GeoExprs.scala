@@ -662,6 +662,7 @@ object GeoFunctions {
     "dot9" -> (es => Dot9(es(0), es(1))),
     "minhash8" -> (es => Minhash8(es(0))),
     "rollhash8" -> (es => RollHash8(es(0))),
+    "rollfps16" -> (es => RollFps16(es(0))),
     "ahash16" -> (es => AHash16(es(0))),
     "bloom_might_contain" -> (es => BloomMightContain(es(0), es(1))))
 

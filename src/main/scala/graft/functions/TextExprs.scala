@@ -144,6 +144,46 @@ object TextKernels {
       Array[Any](minH, minPos, (last + 1).toLong))
   }
 
+  /** 0-mod-p fingerprint sampling rate for [[rollFps]]: a window hash is a
+    * selected fingerprint when `hv % FpSample == 0` — the deterministic
+    * winnowing variant (Manber's mod-p sampling) both engines can replay
+    * exactly, selecting ~1/16 of windows.
+    */
+  val FpSample = 16L
+
+  /** Sampled Karp–Rabin fingerprint SET of `text`: every 8-byte window
+    * hash (same recurrence as [[rollHash]]) with `hv % FpSample == 0`,
+    * distinct and ascending. Two documents sharing a byte span ≥ 8+15
+    * share its sampled fingerprints, so joining on these values finds
+    * shared-substring pairs without comparing documents pairwise. One
+    * O(n) pass; output is bounded by n/FpSample on random text.
+    */
+  def rollFps(text: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    if (n >= RollWindow) {
+      var h = 0L
+      var i = 0
+      while (i < RollWindow) { h = (h * 257L + (bytes(i) & 0xffL)) % RollMod; i += 1 }
+      if (h % FpSample == 0L) sel.add(h)
+      val outPow = RollPow(RollWindow - 1)
+      var w = 1
+      val last = n - RollWindow
+      while (w <= last) {
+        h = ((h - (bytes(w - 1) & 0xffL) * outPow) % RollMod + RollMod) % RollMod
+        h = (h * 257L + (bytes(w + RollWindow - 1) & 0xffL)) % RollMod
+        if (h % FpSample == 0L) sel.add(h)
+        w += 1
+      }
+    }
+    val out = new Array[Any](sel.size)
+    val it = sel.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next().longValue(); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** 64-bit SimHash of the whitespace tokens of `text`, as 16 lowercase hex
     * chars: token hash = first 64 bits of md5, per-bit ±1 vote, bit set when
     * the vote sum is positive. Single pass per document — the distributed
@@ -294,6 +334,26 @@ case class AHash16(child: Expression) extends UnaryExpression {
       s"graft.functions.TextKernels.aHash16($p)")
 
   override protected def withNewChildInternal(newChild: Expression): AHash16 =
+    copy(child = newChild)
+}
+
+/** `rollfps16(text)` → sorted distinct sampled window hashes
+  * (TextKernels.rollFps) — the shared-substring fingerprint set, one
+  * codegen kernel call per document.
+  */
+case class RollFps16(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)
+  override def prettyName: String = "rollfps16"
+
+  override protected def nullSafeEval(text: Any): Any =
+    TextKernels.rollFps(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.TextKernels.rollFps($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollFps16 =
     copy(child = newChild)
 }
 

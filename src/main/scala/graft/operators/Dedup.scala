@@ -212,6 +212,46 @@ object Dedup {
       grams, sigs)
   }
 
+  /** Minimum shared sampled fingerprints for a [[dedupSubstring]] pair.
+    * A same-vocabulary corpus shares single 8-byte windows ("the data")
+    * constantly — at sf0.01 the noise floor decays smoothly up to ~10
+    * shared fingerprints while genuine shared spans sit at 12-30, so 8
+    * (≈ 8·FpSample bytes of shared content) separates span-sharing pairs
+    * from phrase-collision noise.
+    */
+  val MinSharedFps = 8
+
+  /** EXACT-substring dedup — pairs of documents sharing literal byte
+    * spans, via the winnowing fingerprint kernel (mod-p sampled Karp–Rabin
+    * window hashes, the `text_rollhash` machinery): each document emits
+    * its sampled fingerprint SET (one codegen kernel pass), pairs join
+    * PER FINGERPRINT VALUE — never all-pairs — with the same
+    * [[MaxBucket]] cap as LSH so one boilerplate n-gram shared by the
+    * whole corpus cannot make candidate generation quadratic.
+    * `n_shared` counts distinct shared fingerprints;
+    * `est_shared_bytes` scales by the sampling rate (each selected
+    * fingerprint stands for ~FpSample windows of shared text).
+    */
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame =
+    substringPairsOf(s, Tables.documents(s, dir))
+
+  private[graft] def substringPairsOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GeoFunctions.register(s)
+    val fps = docs
+      .select(col("doc_id"), explode(call_function("rollfps16", col("text"))).as("fp"))
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("bsz") <= MaxBucket)
+      .select("doc_id", "fp")
+    fps.toDF("doc_a", "fp")
+      .join(fps.toDF("doc_b", "fp"), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinSharedFps)
+      .withColumn("est_shared_bytes",
+        col("n_shared") * lit(graft.functions.TextKernels.FpSample))
+  }
+
   /** Near-dup clustering: connected components over the LSH candidate
     * graph (pairs with signature-agreement ≥ 0.5), keeping the minimum
     * doc_id as the cluster representative — the step a training pipeline
@@ -375,6 +415,7 @@ object Dedup {
     "dedup_lsh_pairs" -> (dedupLshPairs _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_substring" -> (dedupSubstring _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _))
 
   // ---- oracle SQL -----------------------------------------------------
@@ -448,6 +489,32 @@ object Dedup {
          |$candSql
          |SELECT doc_a, doc_b, ($agree) / 8.0 AS jaccard_est
          |FROM cand JOIN sigs a ON a.doc_id = doc_a JOIN sigs b ON b.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "dedup_substring" -> {
+      import graft.functions.TextKernels.{FpSample, RollMod, RollPow, RollWindow}
+      val powCase = (0 until RollWindow)
+        .map(k => s"WHEN $k THEN ${RollPow(RollWindow - 1 - k)}")
+        .mkString(" ")
+      s"""WITH d AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+         |              octet_length(encode(text)) AS nb FROM documents),
+         |bytes AS (SELECT doc_id, p, CAST(('0x' || substr(hx, 2*p - 1, 2)) AS BIGINT) AS bv
+         |          FROM d, LATERAL (SELECT unnest(range(1, nb + 1)) AS p) r),
+         |win AS (SELECT doc_id, i FROM d,
+         |        LATERAL (SELECT unnest(range(1, greatest(nb - ${RollWindow - 1}, 0) + 1)) AS i) rr),
+         |h AS (SELECT w.doc_id, w.i,
+         |        CAST(sum(b.bv * CASE CAST(b.p - w.i AS INT) $powCase END) % $RollMod AS BIGINT) AS hv
+         |      FROM win w JOIN bytes b
+         |        ON b.doc_id = w.doc_id AND b.p >= w.i AND b.p < w.i + $RollWindow
+         |      GROUP BY 1, 2),
+         |fps AS (SELECT DISTINCT doc_id, hv FROM h WHERE hv % $FpSample = 0),
+         |capped AS (SELECT doc_id, hv FROM fps
+         |           QUALIFY count(*) OVER (PARTITION BY hv) <= $MaxBucket)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  count(*) AS n_shared,
+         |  CAST(count(*) * $FpSample AS BIGINT) AS est_shared_bytes
+         |FROM capped a JOIN capped b ON a.hv = b.hv AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= $MinSharedFps
          |ORDER BY doc_a, doc_b""".stripMargin
     },
     "dedup_simhash" ->

@@ -58,6 +58,40 @@ class PipelineSpec extends SparkSpec {
     assert(short.getLong(0) === -1L && short.getLong(1) === -1L && short.getLong(2) === 0L)
   }
 
+  test("rollfps kernel: sampled subset of window hashes, shared spans collide") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val text = "the quick brown fox jumps over the lazy dog 0123456789 again and again"
+    val fps = TextKernels.rollFps(UTF8String.fromString(text))
+    assert(fps.numElements() > 0, "a 70-byte doc should sample at least one fp")
+    // every selected fingerprint obeys the 0-mod-p rule and is ascending
+    val vs = (0 until fps.numElements()).map(fps.getLong)
+    assert(vs.forall(_ % TextKernels.FpSample === 0))
+    assert(vs === vs.sorted && vs.distinct === vs)
+    // a document CONTAINING this text selects a superset (windows inside
+    // the shared span hash identically — the substring-dedup property)
+    val sup = TextKernels.rollFps(UTF8String.fromString("prefix words " + text + " suffix"))
+    val svs = (0 until sup.numElements()).map(sup.getLong).toSet
+    assert(vs.forall(svs.contains))
+    // shorter than one window → empty set
+    assert(TextKernels.rollFps(UTF8String.fromString("short")).numElements() === 0)
+  }
+
+  test("dedup_substring: span-sharing pairs found, disjoint docs not paired") {
+    import spark.implicits._
+    val shared = (1 to 40).map(i => s"shared-span-token-$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha preamble $shared alpha tail"),
+      (2L, s"beta intro $shared beta outro"),
+      (3L, "completely different content with nothing in common at all x y z"),
+      (4L, "another unrelated document full of its own words qrs tuv wxy"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.substringPairsOf(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "the span-sharing pair must surface")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L),
+      "disjoint docs must not pair")
+  }
+
   test("text_pii: redacts emails, phones, and long digit runs on synthetic rows") {
     import spark.implicits._
     val rows = Seq(
