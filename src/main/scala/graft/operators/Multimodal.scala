@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
 /** Input to the decode stage: opaque binary payload + typed metadata. */
 case class MMInput(doc_id: Long, fmt: String, payload: Array[Byte])
 
-/** Decoded record: metadata + extracted feature vector. `feat_str` is the
-  * vector as comma-joined fixed-point micro-units (round(f*1e6)) — raw
-  * array columns are unsortable/unhashable in the driver's pandas compare.
+/** Decoded record: container metadata (encoded size, real magic bytes) +
+  * the feature vector extracted from the DECODED pixel/sample plane.
+  * `feat_str` = comma-joined integers [w, h, meanR_µ, meanG_µ, meanB_µ,
+  * lum_first, lum_last, pos_checksum] — a string because raw array columns
+  * are unsortable/unhashable in the driver's pandas compare.
   */
 case class MMFeature(doc_id: Long, fmt: String, n_bytes: Int,
     magic_hex: String, feat_str: String)
@@ -19,29 +21,53 @@ case class MMFeature(doc_id: Long, fmt: String, n_bytes: Int,
   *
   * The Spark-side shape is the real thing — binary column + case-class
   * schema, `mapPartitions` batch iteration (the JVM analog of
-  * `mapInPandas` batches), per-partition decoder state reuse. The decoder
-  * itself is a STUB: no image/audio codecs exist in this container, so
-  * `decodeStub` derives a deterministic md5-based fake feature vector
-  * where a real pixel/sample decode would plug in. Everything around the
-  * stub (schema, partitioning, batch iteration, output encoding) is
-  * exercised for real and oracle-checked.
+  * `mapInPandas` batches), per-partition decoder reuse — and since round 8
+  * the DECODE is real too: each payload is a well-formed PPM / BMP / WAV
+  * container ([[MediaCodec]] builds it from the document bytes, standing in
+  * for the blobs a real corpus would carry) and the feature vector is
+  * computed from the PARSED pixel/sample plane, not from the raw bytes.
+  * Header parsing, BMP bottom-up row order, BGR→RGB conversion and WAV
+  * chunk walking are all on the feature path: the oracle derives the same
+  * features from the source bytes directly, so any decode bug — a
+  * misread dimension, a flipped row, a swapped channel — breaks the
+  * order-sensitive checksum and fails CORRECTNESS.
   */
 object Multimodal {
 
-  /** STUB decode kernel — replace with a real codec (e.g. image resize /
-    * audio frame sample) in a container that ships one. Deterministic:
-    * feature i = i-th md5 byte of the payload, scaled to [0, 1].
+  /** Position-sensitive feature vector from a decoded plane: dimensions,
+    * per-channel fixed-point means, first/last luminance, and a positional
+    * luminance checksum (Σ (i+1)·lum_i mod 1000003) that catches row-order
+    * and channel-order decode bugs means alone would miss. All-integer —
+    * bit-identical across engines.
     */
-  private def decodeStub(md: java.security.MessageDigest, in: MMInput): MMFeature = {
-    md.reset()
-    val h = md.digest(in.payload)
-    // feature i = h(i)/255 in micro-units, computed in pure integer
-    // arithmetic ((b*1e6 + 127) div 255 — 255 is odd so no .5 ties):
-    // bit-identical to the DuckDB oracle with no float rounding hazard
-    val feat = Array.tabulate(8)(i => ((h(i) & 0xff) * 1000000L + 127L) / 255L)
-    val magic = in.payload.take(4).map(b => f"${b & 0xff}%02x").mkString
-    MMFeature(in.doc_id, in.fmt, in.payload.length, magic, feat.mkString(","))
+  private def features(in: MMInput, payload: Array[Byte], r: Raster): MMFeature = {
+    val n = r.w * r.h
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var posChk = 0L
+    var lumFirst = 0L; var lumLast = 0L
+    var i = 0
+    while (i < n) {
+      val rr = r.rgb(3 * i) & 0xff
+      val gg = r.rgb(3 * i + 1) & 0xff
+      val bb = r.rgb(3 * i + 2) & 0xff
+      sr += rr; sg += gg; sb += bb
+      val lum = (299L * rr + 587L * gg + 114L * bb) / 1000L
+      if (i == 0) lumFirst = lum
+      if (i == n - 1) lumLast = lum
+      posChk = (posChk + (i + 1).toLong * lum) % 1000003L
+      i += 1
+    }
+    val feat = Array(r.w.toLong, r.h.toLong,
+      sr * 1000000L / n, sg * 1000000L / n, sb * 1000000L / n,
+      lumFirst, lumLast, posChk)
+    val magic = payload.take(4).map(b => f"${b & 0xff}%02x").mkString
+    MMFeature(in.doc_id, in.fmt, payload.length, magic, feat.mkString(","))
   }
+
+  /** Images are 16 px wide; height = available pixel rows, capped. */
+  private val ImgW = 16
+  private val MaxRows = 64
+  private val MaxSamples = 3072
 
   /** Perceptual-hash dedup for multimodal payloads: a 16-bit average-hash
     * (`ahash16` codegen kernel) over the opaque bytes — near-identical
@@ -64,15 +90,36 @@ object Multimodal {
     import s.implicits._
     val inputs = Tables.documents(s, dir)
       .select(col("doc_id"),
-        when(col("doc_id") % 3 === 0, "png")
-          .when(col("doc_id") % 3 === 1, "jpg")
+        when(col("doc_id") % 3 === 0, "ppm")
+          .when(col("doc_id") % 3 === 1, "bmp")
           .otherwise("wav").as("fmt"),
         encode(col("text"), "utf-8").as("payload"))
       .as[MMInput]
     inputs.mapPartitions { batch =>
-      // per-partition decoder state, reused across the whole batch
-      val md = java.security.MessageDigest.getInstance("MD5")
-      batch.map(decodeStub(md, _))
+      batch.flatMap { in =>
+        in.fmt match {
+          case "wav" =>
+            val ns = math.min(in.payload.length, MaxSamples)
+            if (ns < 1) None
+            else {
+              val payload = MediaCodec.encodeWav(java.util.Arrays.copyOf(in.payload, ns))
+              MediaCodec.decodeWav(payload).map(features(in, payload, _))
+            }
+          case fmt =>
+            // payloads below one pixel row are skipped (a real pipeline
+            // drops undecodable blobs, it doesn't fake them)
+            val h = math.min(in.payload.length / (ImgW * 3), MaxRows)
+            if (h < 1) None
+            else {
+              val rgb = java.util.Arrays.copyOf(in.payload, h * ImgW * 3)
+              val payload =
+                if (fmt == "ppm") MediaCodec.encodePpm(ImgW, h, rgb)
+                else MediaCodec.encodeBmp(ImgW, h, rgb)
+              (if (fmt == "ppm") MediaCodec.decodePpm(payload)
+               else MediaCodec.decodeBmp(payload)).map(features(in, payload, _))
+            }
+        }
+      }
     }.toDF()
   }
 
@@ -144,16 +191,53 @@ object Multimodal {
         |  CAST(max(n) AS INT) AS max_bytes
         |FROM d LEFT JOIN ph ON d.doc_id = ph.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the oracle derives features from the SOURCE bytes directly (pixel i
+    // = byte triple 3i..3i+2 for images, sample i for wav) — the Spark side
+    // must reproduce them through a full encode→parse roundtrip (PPM/BMP/
+    // WAV headers, bottom-up BGR rows, chunk walk), so a decode bug breaks
+    // the compare
     "mm_features" ->
-      """SELECT doc_id,
-        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END AS fmt,
-        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-        |  lower(substr(hex(encode(text)), 1, 8)) AS magic_hex,
-        |  array_to_string(list_transform(range(0, 8), i ->
-        |    CAST((((strpos('0123456789abcdef', substr(md5(text), 2 * i + 1, 1)) - 1) * 16
-        |           + (strpos('0123456789abcdef', substr(md5(text), 2 * i + 2, 1)) - 1))
-        |          * 1000000 + 127) // 255 AS VARCHAR)), ',') AS feat_str
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH d AS (SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'wav' END AS fmt,
+        |    lower(hex(encode(text))) AS hx,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents),
+        |dim AS (SELECT doc_id, fmt, hx,
+        |    CASE WHEN fmt = 'wav' THEN least(nb, 3072) ELSE 16 END AS w,
+        |    CASE WHEN fmt = 'wav' THEN CASE WHEN nb >= 1 THEN 1 ELSE 0 END
+        |         ELSE least(nb // 48, 64) END AS h
+        |  FROM d),
+        |ok AS (SELECT * FROM dim WHERE h >= 1 AND w >= 1),
+        |px AS (SELECT doc_id, fmt, w, h, i,
+        |    CASE WHEN fmt = 'wav' THEN CAST(('0x' || substr(hx, 2*i + 1, 2)) AS BIGINT)
+        |         ELSE CAST(('0x' || substr(hx, 6*i + 1, 2)) AS BIGINT) END AS r,
+        |    CASE WHEN fmt = 'wav' THEN CAST(('0x' || substr(hx, 2*i + 1, 2)) AS BIGINT)
+        |         ELSE CAST(('0x' || substr(hx, 6*i + 3, 2)) AS BIGINT) END AS g,
+        |    CASE WHEN fmt = 'wav' THEN CAST(('0x' || substr(hx, 2*i + 1, 2)) AS BIGINT)
+        |         ELSE CAST(('0x' || substr(hx, 6*i + 5, 2)) AS BIGINT) END AS b
+        |  FROM ok, LATERAL (SELECT unnest(range(0, CAST(w * h AS BIGINT))) AS i) rr),
+        |lm AS (SELECT *, (299*r + 587*g + 114*b) // 1000 AS lum FROM px),
+        |agg AS (SELECT doc_id, any_value(fmt) AS fmt, any_value(w) AS w, any_value(h) AS h,
+        |    CAST((sum(r) * 1000000) // count(*) AS BIGINT) AS mr,
+        |    CAST((sum(g) * 1000000) // count(*) AS BIGINT) AS mg,
+        |    CAST((sum(b) * 1000000) // count(*) AS BIGINT) AS mb,
+        |    min(CASE WHEN i = 0 THEN lum END) AS lum_first,
+        |    min(CASE WHEN i = w * h - 1 THEN lum END) AS lum_last,
+        |    CAST(sum((i + 1) * lum) % 1000003 AS BIGINT) AS poschk
+        |  FROM lm GROUP BY doc_id)
+        |SELECT doc_id, fmt,
+        |  CAST(CASE fmt WHEN 'ppm' THEN 11 + length(CAST(h AS VARCHAR)) + h * 48
+        |       WHEN 'bmp' THEN 54 + h * 48
+        |       ELSE 44 + w END AS INT) AS n_bytes,
+        |  CASE fmt WHEN 'ppm' THEN '50360a31'
+        |       WHEN 'bmp' THEN '424d' || lower(lpad(to_hex((54 + h * 48) % 256), 2, '0'))
+        |                           || lower(lpad(to_hex(((54 + h * 48) // 256) % 256), 2, '0'))
+        |       ELSE '52494646' END AS magic_hex,
+        |  CAST(w AS VARCHAR) || ',' || CAST(h AS VARCHAR) || ',' ||
+        |    CAST(mr AS VARCHAR) || ',' || CAST(mg AS VARCHAR) || ',' ||
+        |    CAST(mb AS VARCHAR) || ',' || CAST(lum_first AS VARCHAR) || ',' ||
+        |    CAST(lum_last AS VARCHAR) || ',' || CAST(poschk AS VARCHAR) AS feat_str
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "mm_resize" ->
       """SELECT doc_id, CAST(n_bytes AS INT) AS n_bytes, 32 AS target,
         |  resized_hex, md5(resized_hex) AS resized_md5

@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.{MediaCodec, Raster}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real-codec contracts: encode→decode identity, spec edge cases the
+  * encoder never produces (comments, padding, top-down BMP, extra RIFF
+  * chunks), and malformed-input rejection.
+  */
+class MediaCodecSpec extends AnyFunSuite {
+
+  private def rgb(n: Int): Array[Byte] = Array.tabulate(n * 3)(i => (i * 7 + 3).toByte)
+
+  test("ppm roundtrip and header tokenization with comments") {
+    val px = rgb(16 * 4)
+    val enc = MediaCodec.encodePpm(16, 4, px)
+    assert(new String(enc.take(11), "US-ASCII") === "P6\n16 4\n255")
+    val dec = MediaCodec.decodePpm(enc).get
+    assert((dec.w, dec.h) === (16, 4))
+    assert(dec.rgb.toSeq === px.toSeq)
+    // netpbm allows comments and arbitrary whitespace in the header
+    val weird = "P6 #comment\n#another\n 2\t1 #w h\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4, 5, 6)
+    val d2 = MediaCodec.decodePpm(weird).get
+    assert((d2.w, d2.h) === (2, 1))
+    assert(d2.rgb.toSeq === Seq[Byte](1, 2, 3, 4, 5, 6))
+    // truncated pixel plane / wrong magic / non-255 maxval → None
+    assert(MediaCodec.decodePpm(enc.dropRight(1)).isEmpty)
+    assert(MediaCodec.decodePpm("P5\n1 1\n255\nxxx".getBytes("US-ASCII")).isEmpty)
+    assert(MediaCodec.decodePpm("P6\n1 1\n65535\n".getBytes("US-ASCII") ++ rgb(1)).isEmpty)
+  }
+
+  test("bmp roundtrip inverts bottom-up BGR rows; padded widths; top-down variant") {
+    val px = rgb(16 * 3)
+    val enc = MediaCodec.encodeBmp(16, 3, px)
+    assert(enc(0) === 'B'.toByte && enc(1) === 'M'.toByte)
+    val dec = MediaCodec.decodeBmp(enc).get
+    assert((dec.w, dec.h) === (16, 3))
+    assert(dec.rgb.toSeq === px.toSeq, "bottom-up BGR must invert to row-major RGB")
+    // width 3 → row size 12 with 3 pad bytes per row
+    val px3 = rgb(3 * 2)
+    val enc3 = MediaCodec.encodeBmp(3, 2, px3)
+    assert(enc3.length === 54 + 12 * 2)
+    assert(MediaCodec.decodeBmp(enc3).get.rgb.toSeq === px3.toSeq)
+    // top-down: negative biHeight, rows NOT flipped
+    val td = enc3.clone()
+    val negH = -2
+    td(22) = (negH & 0xff).toByte; td(23) = ((negH >> 8) & 0xff).toByte
+    td(24) = ((negH >> 16) & 0xff).toByte; td(25) = ((negH >> 24) & 0xff).toByte
+    val dtd = MediaCodec.decodeBmp(td).get
+    // the encoder wrote bottom-up, so a top-down read sees flipped rows
+    assert(dtd.rgb.toSeq === (px3.slice(9, 18) ++ px3.slice(0, 9)).toSeq)
+    // truncated / non-24bpp rejected
+    assert(MediaCodec.decodeBmp(enc.take(53)).isEmpty)
+    val bad = enc.clone(); bad(28) = 8
+    assert(MediaCodec.decodeBmp(bad).isEmpty)
+  }
+
+  test("wav roundtrip walks chunks; rejects non-PCM and missing fmt") {
+    val samples = Array.tabulate(100)(i => (i * 13).toByte)
+    val enc = MediaCodec.encodeWav(samples)
+    assert(enc.length === 44 + 100)
+    assert(new String(enc.take(4), "US-ASCII") === "RIFF")
+    val dec = MediaCodec.decodeWav(enc).get
+    assert((dec.w, dec.h) === (100, 1))
+    assert((0 until 100).forall(i => dec.rgb(3 * i) === samples(i) &&
+      dec.rgb(3 * i + 1) === samples(i) && dec.rgb(3 * i + 2) === samples(i)))
+    // an extra chunk between fmt and data must be skipped (odd size → word
+    // alignment padding too)
+    val extra = "LIST".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0) ++
+      Array[Byte](9, 9, 9, 0) // 3 data bytes + 1 alignment pad
+    val spliced = enc.take(36) ++ extra ++ enc.drop(36)
+    // patch RIFF size (bytes 4..7) to cover the insertion
+    val riffSize = spliced.length - 8
+    spliced(4) = (riffSize & 0xff).toByte
+    spliced(5) = ((riffSize >> 8) & 0xff).toByte
+    spliced(6) = ((riffSize >> 16) & 0xff).toByte
+    spliced(7) = ((riffSize >> 24) & 0xff).toByte
+    assert(MediaCodec.decodeWav(spliced).get.rgb.toSeq === dec.rgb.toSeq)
+    // 16-bit PCM (unsupported here) rejected: patch bits-per-sample
+    val b16 = enc.clone(); b16(34) = 16
+    assert(MediaCodec.decodeWav(b16).isEmpty)
+    assert(MediaCodec.decodeWav("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("raster feature invariants: decode(encode(x)) identical across formats") {
+    // same pixel source through PPM and BMP must decode to the same plane
+    val px = rgb(16 * 5)
+    val viaPpm = MediaCodec.decodePpm(MediaCodec.encodePpm(16, 5, px)).get
+    val viaBmp = MediaCodec.decodeBmp(MediaCodec.encodeBmp(16, 5, px)).get
+    assert(viaPpm === Raster(16, 5, viaPpm.rgb))
+    assert(viaPpm.rgb.toSeq === viaBmp.rgb.toSeq)
+  }
+}

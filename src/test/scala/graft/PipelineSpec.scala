@@ -208,12 +208,21 @@ class PipelineSpec extends SparkSpec {
     assert(ok / n > 0.25, s"accuracy ${ok / n} should beat random")
   }
 
-  test("mm_features: stub decode is deterministic and batch-shaped") {
+  test("mm_features: real decode is deterministic, batch-shaped, magic bytes match format") {
     val a = Multimodal.mmFeatures(spark, sfDir).collect()
     val b = Multimodal.mmFeatures(spark, sfDir).collect()
     assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
     assert(a.forall(_.getAs[String]("feat_str").split(",").length === 8))
-    assert(a.forall(r => Set("png", "jpg", "wav").contains(r.getString(1))))
+    // magic bytes come from the ENCODED container, proving the payload is
+    // a real file of the claimed format
+    a.foreach { r =>
+      (r.getString(1), r.getAs[String]("magic_hex")) match {
+        case ("ppm", m) => assert(m.startsWith("50360a")) // "P6\n"
+        case ("bmp", m) => assert(m.startsWith("424d"))   // "BM"
+        case ("wav", m) => assert(m === "52494646")       // "RIFF"
+        case (f, _) => fail(s"unexpected fmt $f")
+      }
+    }
   }
 
   test("kmeansRounds: the Lloyd loop converges in 2 rounds on a 3-cluster corpus") {
