@@ -18,6 +18,11 @@ import org.apache.spark.sql.functions._
   *                                             # apply pending .osc diffs in
   *                                             # sequence order; resumable
   *                                             # via storeDir/state.txt
+  * graft.Cli changeset-catchup <diffDir> <storeDir> [maxSteps]
+  *                                             # apply pending changeset .osm
+  *                                             # diffs into the changeset
+  *                                             # store; same state.txt
+  *                                             # bookmark contract
   * graft.Cli pbf-info   <file> <outDir>        # debug: blob/entity summary
   * graft.Cli store-peek <storeDir> <osmId>     # debug: element's versions
   * }}}
@@ -30,9 +35,11 @@ import org.apache.spark.sql.functions._
 object Cli {
   def main(args: Array[String]): Unit = {
     require(args.length == 3 ||
-      (args.length == 4 && Set("replication-catchup", "osm-update")(args(0))),
+      (args.length == 4 &&
+        Set("replication-catchup", "osm-update", "changeset-catchup")(args(0))),
       "usage: graft.Cli <contributions|contributions-pbf|changesets|replication> <in> <outDir>" +
         " | graft.Cli replication-catchup <replDir> <storeDir> [maxSteps]" +
+        " | graft.Cli changeset-catchup <diffDir> <storeDir> [maxSteps]" +
         " | graft.Cli osm-update-init <pbf> <storeRoot>" +
         " | graft.Cli osm-update <replDir> <storeRoot> [maxSteps]")
     val Array(cmd, sfDir, outDir) = args.take(3)
@@ -92,6 +99,16 @@ object Cli {
         val n = operators.ReplicationCatchup.catchUp(spark, sfDir, outDir, maxSteps)
         val st = operators.ReplicationCatchup.readState(outDir)
         println(s"[graft] applied $n diff(s); state=${st.map(_.sequenceNumber).getOrElse(0L)}")
+      case "changeset-catchup" =>
+        // sequenced changeset-diff catch-up (ChangesetStateManager.java
+        // analog): minutely changeset .osm diffs upserted into the store
+        // with a persisted state.txt bookmark; optional 4th arg = max
+        // states per run. No bookmark → starting sequence is estimated
+        // from the store's max timestamp (findStartStateByTimestamp).
+        val maxSteps = if (args.length == 4) args(3).toInt else Int.MaxValue
+        val n = operators.ChangesetCatchup.catchUp(spark, sfDir, outDir, maxSteps)
+        val st = operators.ReplicationCatchup.readState(outDir)
+        println(s"[graft] changeset-catchup: applied $n diff(s); state=${st.map(_.sequenceNumber).getOrElse(0L)}")
       case "osm-update-init" =>
         // seed the typed update store from a history PBF (the reference's
         // initial UpdateStore fill before replication starts)

@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.sources.{ChangesetStore, OsmXml}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+
+/** Changeset replication sequencing — the ChangesetStateManager.java:26-47
+  * analog. The reference keeps the ChangesetDB current by walking minutely
+  * changeset diffs from the replication endpoint: a persisted local-state
+  * bookmark, an estimated starting sequence when no bookmark exists
+  * (`findStartStateByTimestamp` against the DB's max timestamp), then
+  * batched sequential application (`updateToRemoteState` →
+  * `Flux.range(local+1, steps).buffer(500)` → `upsertChangesets` +
+  * `updateLocalState` per batch). Here the endpoint is a local replication
+  * directory of `<osm><changeset…/></osm>` diff files (grouped
+  * `000/000/042.osm` or flat `42.osm`), the DB is a
+  * [[graft.sources.ChangesetStore]], and the bookmark reuses
+  * [[ReplicationCatchup]]'s `state.txt` Properties contract — one commit
+  * point after each applied batch, so a crash resumes exactly where it
+  * left off and replaying a batch is a latest-wins no-op.
+  *
+  * Scale: each batch is one distributed `wholeTextFiles` parse (minutely
+  * changeset diffs are KB-sized; a 500-diff batch is still tiny) followed
+  * by ONE bucket-pruned store upsert — the store side reads and rewrites
+  * only the buckets the batch touches, never the full table. Nothing in
+  * the loop scans the accumulated store.
+  */
+object ChangesetCatchup {
+  import ReplicationCatchup.{State, readState, writeState}
+
+  /** Reference batch width (`.buffer(500)`). */
+  val DefaultBatchSize = 500
+
+  /** One diff batch parsed DISTRIBUTED, each row tagged with its diff's
+    * sequence number so later diffs win the within-batch fold (a changeset
+    * created in diff N and closed in diff N+k appears twice in one batch;
+    * only the closure row may reach the store).
+    */
+  private def readBatch(spark: SparkSession, batch: Seq[(Long, String)]): DataFrame = {
+    val seqByPath = batch.map { case (seq, p) =>
+      new org.apache.hadoop.fs.Path(p).toUri.getPath -> seq
+    }.toMap
+    val bc = spark.sparkContext.broadcast(seqByPath)
+    val rdd = spark.sparkContext
+      .wholeTextFiles(batch.map(_._2).mkString(","), batch.size.min(32))
+      .flatMap { case (path, content) =>
+        val seq = bc.value(new org.apache.hadoop.fs.Path(path).toUri.getPath)
+        OsmXml.parseChangesets(content).map(r =>
+          (seq, r.id, r.created_at, r.closed_at, r.open, r.uid, r.user,
+            r.num_changes, r.tags))
+      }
+    spark.createDataFrame(rdd).toDF("seq", "id", "created_at", "closed_at",
+      "open", "uid", "user", "num_changes", "tags")
+  }
+
+  /** Latest row per changeset id within one batch (highest sequence wins —
+    * the order the reference gets from applying diffs one by one).
+    */
+  private def foldBatch(parsed: DataFrame): DataFrame = {
+    val cols = Seq("id", "created_at", "closed_at", "open", "uid", "user",
+      "num_changes", "tags")
+    parsed.groupBy("id")
+      .agg(max_by(struct(cols.filter(_ != "id").map(col): _*), col("seq")).as("r"))
+      .select(col("id") +: cols.filter(_ != "id").map(c => col(s"r.$c")): _*)
+  }
+
+  /** Max lifecycle timestamp present in the store (ISO-8601 strings order
+    * lexicographically), or None for an empty/new store. The reference's
+    * `changesetDB.getMaxLocalTimestamp`.
+    */
+  def maxLocalTimestamp(spark: SparkSession, storeDir: String): Option[String] =
+    ChangesetStore.currentVersion(spark, storeDir).flatMap { _ =>
+      val r = ChangesetStore.readAuto(spark, storeDir)
+        .agg(max(greatest(col("created_at"), col("closed_at")))).collect().head
+      if (r.isNullAt(0)) None else Some(r.getString(0))
+    }
+
+  /** Max lifecycle timestamp inside one diff file (driver-side parse — the
+    * probe reads O(log n) of these KB-sized files, never the data path).
+    */
+  private def diffMaxTs(path: String): String = {
+    val rows = OsmXml.parseChangesets(Files.readString(Paths.get(path)))
+    if (rows.isEmpty) ""
+    else rows.map(r => if (r.closed_at > r.created_at) r.closed_at else r.created_at).max
+  }
+
+  /** Estimated starting bookmark when no `state.txt` exists — the
+    * reference's `initializeLocalState` → `findStartStateByTimestamp`:
+    * binary-search the available diffs for the last one whose newest
+    * changeset is still ≤ the store's max timestamp; catch-up resumes at
+    * the next sequence. Overlap is harmless (latest-wins upsert), missing
+    * data is not, so ties resolve backwards. An empty store replays
+    * everything available.
+    */
+  def estimateStartSequence(spark: SparkSession, diffDir: String,
+      storeDir: String): Long = {
+    val diffs = ReplicationCatchup.listDiffs(diffDir, ext = ".osm")
+    if (diffs.isEmpty) return 0L
+    maxLocalTimestamp(spark, storeDir) match {
+      case None => diffs.head._1 - 1
+      case Some(localMax) =>
+        // rightmost diff with maxTs <= localMax; -1 if even the first is newer
+        var lo = 0
+        var hi = diffs.size - 1
+        var found = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) / 2
+          if (diffMaxTs(diffs(mid)._2) <= localMax) { found = mid; lo = mid + 1 }
+          else hi = mid - 1
+        }
+        if (found < 0) diffs.head._1 - 1 else diffs(found)._1
+    }
+  }
+
+  /** Applies every pending changeset diff in strict sequence order (stops
+    * at a gap — sequences must advance by exactly 1), at most `maxSteps`,
+    * upserting each batch of `batchSize` diffs into the store and then
+    * committing the `state.txt` bookmark — the reference's per-batch
+    * `upsertChangesets` + `updateLocalState`. A crash between the upsert
+    * and the bookmark re-applies the batch on resume; latest-wins by id
+    * makes that a no-op. Returns the number of diffs applied.
+    */
+  def catchUp(spark: SparkSession, diffDir: String, storeDir: String,
+      maxSteps: Int = Int.MaxValue, batchSize: Int = DefaultBatchSize): Long = {
+    require(batchSize > 0, "batchSize must be positive")
+    Files.createDirectories(Paths.get(storeDir))
+    var st = readState(storeDir).getOrElse(
+      State(estimateStartSequence(spark, diffDir, storeDir), ""))
+    val pending0 = ReplicationCatchup.listDiffs(diffDir, ext = ".osm")
+      .filter(_._1 > st.sequenceNumber)
+      .take(maxSteps)
+    // strict +1 chain from the bookmark — a gap means diffs are missing
+    // upstream; applying past it would silently skip history
+    val pending = pending0.zipWithIndex
+      .takeWhile { case ((seq, _), i) => seq == st.sequenceNumber + i + 1 }
+      .map(_._1)
+    var applied = 0L
+    pending.grouped(batchSize).foreach { batch =>
+      val folded = foldBatch(readBatch(spark, batch))
+      ChangesetStore.upsertAuto(spark, storeDir, folded, Seq("id"))
+      val ts = folded.agg(max(greatest(col("created_at"), col("closed_at"))))
+        .collect().head
+      st = State(batch.last._1,
+        if (ts.isNullAt(0)) st.timestamp else ts.getString(0))
+      writeState(storeDir, st)
+      applied += batch.size
+    }
+    applied
+  }
+
+  /** Open changesets whose creation predates `cutoffIso` — the reference's
+    * `getOpenChangesetsOlderThanTwoHours` candidate set for the unclosed-
+    * changeset refresh (the refresh fetch itself is the declared non-goal
+    * HTTP API; [[refreshUnclosed]] applies its result).
+    */
+  def openOlderThan(spark: SparkSession, storeDir: String,
+      cutoffIso: String): DataFrame =
+    ChangesetStore.readAuto(spark, storeDir)
+      .filter(col("open") && col("created_at") < lit(cutoffIso))
+
+  /** Upserts re-fetched (now closed) changeset rows — the
+    * `updateUnclosedChangesets` apply half: latest-wins by id, bucket-
+    * pruned, bookmark untouched (closures arrive out of band of the
+    * sequence stream).
+    */
+  def refreshUnclosed(spark: SparkSession, storeDir: String,
+      refreshed: DataFrame): Int =
+    ChangesetStore.upsertAuto(spark, storeDir, refreshed, Seq("id"))
+}

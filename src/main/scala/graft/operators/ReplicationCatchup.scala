@@ -77,19 +77,21 @@ object ReplicationCatchup {
   /** Available diffs as (sequence, path), ascending. Accepts both the
     * reference's grouped layout `000/000/042.osc`
     * (ReplicationState.sequenceNumberAsPath — digits split 3/3/3 across
-    * directories) and the flat `42.osc` form.
+    * directories) and the flat `42.osc` form. `ext` selects the diff kind:
+    * `.osc` (contribution diffs) or `.osm` (changeset diffs — the
+    * planet replication/changesets layout [[ChangesetCatchup]] consumes).
     */
-  def listDiffs(replDir: String): Seq[(Long, String)] = {
+  def listDiffs(replDir: String, ext: String = ".osc"): Seq[(Long, String)] = {
     val root = Paths.get(replDir)
     if (!Files.exists(root)) return Seq.empty
     val stream = Files.walk(root)
     try {
       import scala.jdk.CollectionConverters._
       stream.iterator().asScala
-        .filter(p => p.toString.endsWith(".osc") && Files.isRegularFile(p))
+        .filter(p => p.toString.endsWith(ext) && Files.isRegularFile(p))
         .flatMap { p =>
           val digits = root.relativize(p).toString
-            .stripSuffix(".osc").replace(java.io.File.separator, "")
+            .stripSuffix(ext).replace(java.io.File.separator, "")
           if (digits.nonEmpty && digits.forall(_.isDigit))
             Some(digits.toLong -> p.toString)
           else None

@@ -127,6 +127,39 @@ object ChangesetStore {
     next
   }
 
+  // ---- layout-agnostic facade -------------------------------------------
+
+  /** Whether the live version was committed by [[upsertBucketed]] (a
+    * manifest exists for it) rather than as a plain snapshot.
+    */
+  def isBucketed(spark: SparkSession, storeDir: String, v: Int): Boolean =
+    fs(spark, storeDir).exists(new Path(storeDir, s"manifest-v$v.json"))
+
+  /** The live table regardless of which layout committed it — lets a
+    * store bulk-loaded as snapshots (the dump-ingest path) be read by the
+    * same consumers as a bucketed catch-up store.
+    */
+  def readAuto(spark: SparkSession, storeDir: String): DataFrame = {
+    val v = currentVersion(spark, storeDir).getOrElse(
+      throw new IllegalStateException(s"$storeDir: no committed store version"))
+    if (isBucketed(spark, storeDir, v)) readBucketed(spark, storeDir)
+    else spark.read.parquet(s"$storeDir/v=$v")
+  }
+
+  /** Upsert that follows the store's existing layout (a snapshot store
+    * stays snapshot, a bucketed store stays bucketed); a NEW store starts
+    * bucketed — the 100 TB default. One store must never mix layouts: the
+    * version counter is shared, so a bucketed upsert onto a snapshot store
+    * would read an empty manifest and silently drop the loaded rows.
+    */
+  def upsertAuto(spark: SparkSession, storeDir: String, batch: DataFrame,
+      keys: Seq[String], numBuckets: Int = 64): Int =
+    currentVersion(spark, storeDir) match {
+      case Some(v) if !isBucketed(spark, storeDir, v) =>
+        upsert(spark, storeDir, batch, keys)
+      case _ => upsertBucketed(spark, storeDir, batch, keys, numBuckets)
+    }
+
   // ---- bucketed layout --------------------------------------------------
 
   /** Single-step atomic pointer swap: tmp write + rename-with-OVERWRITE
