@@ -25,13 +25,13 @@ object Ann {
   /** Exact, order-independent dot product (fixed-point 1e-9 longs) via the
     * custom codegen expression `dot9` (graft.functions.Dot9).
     */
-  private def dotDec(a: Column, b: Column): Column =
+  private[operators] def dotDec(a: Column, b: Column): Column =
     call_function("dot9", a, b)
 
-  private def cosine(dot: Column, na2: Column, nb2: Column): Column =
+  private[operators] def cosine(dot: Column, na2: Column, nb2: Column): Column =
     (dot / 1e9) / (sqrt(na2 / 1e9) * sqrt(nb2 / 1e9))
 
-  private def withNorm(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def withNorm(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GeoFunctions.register(s)
     Tables.embeddings(s, dir)
       .withColumn("n2", dotDec(col("embedding"), col("embedding")))
@@ -113,7 +113,7 @@ object Ann {
 
   // (cos, -c_id) struct array: array_max picks highest cosine, ties break
   // to the LOWEST centroid id (matching ORDER BY ccos DESC, c_id ASC)
-  private def cellScores(cents: Array[(Long, Seq[Float], Long)])(
+  private[operators] def cellScores(cents: Array[(Long, Seq[Float], Long)])(
       emb: Column, n2: Column): Column =
     array(cents.map { case (cid, vec, cn2) =>
       struct(
@@ -177,7 +177,7 @@ object Ann {
   }
 
   /** Fixed-point dot9-compatible squared norm of a driver-side vector. */
-  private def n2Of(v: Seq[Float]): Long =
+  private[operators] def n2Of(v: Seq[Float]): Long =
     v.map(x => math.round(x.toDouble * x.toDouble * 1e9)).sum
 
   /** The full Lloyd LOOP [[embKmeans]] is one round of: run `rounds`
@@ -248,7 +248,8 @@ object Ann {
     "emb_kmeans" -> (embKmeans _),
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
-    "ann_ivf" -> (annIvf _))
+    "ann_ivf" -> (annIvf _),
+    "ann_ivf_store" -> (IvfIndex.annIvfStore _))
 
   /** Flattened embeddings + exact decimal dot products, shared by the
     * oracle queries.
@@ -276,6 +277,30 @@ object Ann {
       |  FROM cscored),
       |cells AS (SELECT vec_id AS n_id, c_id AS cell FROM cranked
       |  WHERE crk = 1 AND vec_id >= 8)""".stripMargin
+
+  /** IVF probe oracle — shared verbatim by `ann_ivf` (inline) and
+    * `ann_ivf_store` (persisted artifact): both must produce it exactly.
+    */
+  private val ivfSql =
+    s"""WITH $flatSql,
+       |$cellsSql,
+       |probes AS (SELECT vec_id AS q_id, c_id AS cell FROM cranked
+       |  WHERE crk <= 2 AND vec_id < 8),
+       |dots AS (SELECT p.q_id, ce.n_id, ce.cell,
+       |    sum(CAST(round(q.e * b.e * 1000000000.0) AS BIGINT)) AS dot
+       |  FROM probes p JOIN cells ce ON ce.cell = p.cell
+       |       JOIN flat q ON q.vec_id = p.q_id
+       |       JOIN flat b ON b.vec_id = ce.n_id AND b.i = q.i
+       |  GROUP BY 1, 2, 3),
+       |scored AS (SELECT q_id, n_id, cell,
+       |    (dot / 1e9) / (sqrt(nq.n2 / 1e9) * sqrt(nb.n2 / 1e9)) AS cos
+       |  FROM dots JOIN norm nq ON nq.vec_id = q_id JOIN norm nb ON nb.vec_id = n_id),
+       |ranked AS (SELECT q_id, n_id, cell, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM scored)
+       |SELECT q_id, n_id, rnk, CAST(cell AS BIGINT) AS cell, cos
+       |FROM ranked WHERE rnk <= 3
+       |ORDER BY q_id, rnk""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "emb_kmeans" ->
@@ -322,26 +347,10 @@ object Ann {
          |  FROM scored)
          |SELECT q_id, n_id, rnk, bucket, cos FROM ranked WHERE rnk <= 3
          |ORDER BY q_id, rnk""".stripMargin,
-    "ann_ivf" ->
-      s"""WITH $flatSql,
-         |$cellsSql,
-         |probes AS (SELECT vec_id AS q_id, c_id AS cell FROM cranked
-         |  WHERE crk <= 2 AND vec_id < 8),
-         |dots AS (SELECT p.q_id, ce.n_id, ce.cell,
-         |    sum(CAST(round(q.e * b.e * 1000000000.0) AS BIGINT)) AS dot
-         |  FROM probes p JOIN cells ce ON ce.cell = p.cell
-         |       JOIN flat q ON q.vec_id = p.q_id
-         |       JOIN flat b ON b.vec_id = ce.n_id AND b.i = q.i
-         |  GROUP BY 1, 2, 3),
-         |scored AS (SELECT q_id, n_id, cell,
-         |    (dot / 1e9) / (sqrt(nq.n2 / 1e9) * sqrt(nb.n2 / 1e9)) AS cos
-         |  FROM dots JOIN norm nq ON nq.vec_id = q_id JOIN norm nb ON nb.vec_id = n_id),
-         |ranked AS (SELECT q_id, n_id, cell, cos,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
-         |  FROM scored)
-         |SELECT q_id, n_id, rnk, CAST(cell AS BIGINT) AS cell, cos
-         |FROM ranked WHERE rnk <= 3
-         |ORDER BY q_id, rnk""".stripMargin,
+    "ann_ivf" -> ivfSql,
+    // the persisted-index probe serves byte-identical results to the
+    // inline IVF: same codebook, same cells, same rerank
+    "ann_ivf_store" -> ivfSql,
     "ann_recall" ->
       s"""WITH $flatSql,
          |$cellsSql,

@@ -168,7 +168,7 @@ object ChangesetStore {
     * missing mid-commit; [[recoverVersion]] covers pre-existing stores
     * written by the old two-step swap or exotic filesystems.
     */
-  private def commitPointer(spark: SparkSession, storeDir: String, next: Int): Unit = {
+  private[graft] def commitPointer(spark: SparkSession, storeDir: String, next: Int): Unit = {
     val f = fs(spark, storeDir)
     val tmp = new Path(storeDir, "current.tmp")
     val out = f.create(tmp, true)
