@@ -37,7 +37,12 @@ object Ann {
       .withColumn("n2", dotDec(col("embedding"), col("embedding")))
   }
 
-  /** Embedding-cosine near-dup pairs, blocked by label. */
+  /** Embedding-cosine near-dup pairs, blocked by label. Candidate pairs
+    * are quadratic IN THE BLOCK SIZE (sf1 run: ×100 pairs for ×10 rows
+    * under a fixed label domain — SCALE_sf1.md), so this is the declared
+    * brute-force baseline; at scale the blocking key must bound block
+    * size, or use the LSH path (`ann_lsh` / `dedup_lsh_pairs`).
+    */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(s, dir)
     val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
