@@ -191,7 +191,7 @@ object ChangesetStore {
       .map(m => m.group(1).toInt -> m.group(2).toInt).toMap
   }
 
-  private def writeManifest(spark: SparkSession, storeDir: String, v: Int,
+  private[graft] def writeManifest(spark: SparkSession, storeDir: String, v: Int,
       m: Map[Int, Int]): Unit = {
     val f = fs(spark, storeDir)
     val body = m.toSeq.sorted.map { case (b, bv) => s""""$b":$bv""" }

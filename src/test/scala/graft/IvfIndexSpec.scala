@@ -83,6 +83,47 @@ class IvfIndexSpec extends SparkSpec {
     assert(rows(IvfIndex.probe(spark, idx, queries)) === before)
   }
 
+  test("append: build + incremental batch == one-shot build, untouched cells carried") {
+    val (corpus, queries) = corpusAndQueries()
+    // one-shot reference index
+    val full = tmp("graft-ivf-full")
+    IvfIndex.build(spark, corpus, fixedCentroids(), full)
+    val oneShot = rows(IvfIndex.probe(spark, full, queries))
+
+    // build on 80%, append the rest
+    val inc = tmp("graft-ivf-inc")
+    IvfIndex.build(spark, corpus.filter(col("vec_id") % 5 =!= 0),
+      fixedCentroids(), inc)
+    val m1 = ChangesetStore.readManifest(spark, inc, 1)
+    assert(IvfIndex.append(spark, corpus.filter(col("vec_id") % 5 === 0), inc) === 2)
+    assert(rows(IvfIndex.probe(spark, inc, queries)) === oneShot)
+
+    // cells the batch did not land in must carry their v=1 artifact
+    val m2 = ChangesetStore.readManifest(spark, inc, 2)
+    val untouched = m2.filter(_._2 == 1).keySet
+    assert(untouched.forall(c => m1(c) == 1))
+  }
+
+  test("append latest-wins: re-appending a vec_id replaces its vector") {
+    val (corpus, queries) = corpusAndQueries()
+    val idx = tmp("graft-ivf-upd")
+    IvfIndex.build(spark, corpus, fixedCentroids(), idx)
+    // move vector 20 onto centroid 9's exact position: it must now rank
+    // first for any query probing cell 9
+    val c9 = fixedCentroids().find(_._1 == 9L).get._2
+    import spark.implicits._
+    val moved = Seq((20L, c9)).toDF("vec_id", "embedding")
+    IvfIndex.append(spark, moved, idx)
+    val out = IvfIndex.probe(spark, idx, moved).collect()
+    assert(out.exists(r => r.getLong(1) == 9L || r.getLong(1) == 20L))
+    // vector 20 appears exactly once across all cells (replaced, not duplicated)
+    val v = ChangesetStore.currentVersion(spark, idx).get
+    val paths = ChangesetStore.readManifest(spark, idx, v)
+      .toSeq.map { case (c, cv) => s"$idx/cells/c=$c/v=$cv" }
+    val n20 = spark.read.parquet(paths: _*).filter(col("vec_id") === 20).count()
+    assert(n20 === 1L)
+  }
+
   test("trained codebook: kmeansRounds output feeds the build directly") {
     val (corpus, queries) = corpusAndQueries()
     val trained = Ann.kmeansRounds(corpus, fixedCentroids().take(4), rounds = 2)

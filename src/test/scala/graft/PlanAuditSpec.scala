@@ -69,6 +69,21 @@ class PlanAuditSpec extends SparkSpec {
   }
 
 
+  test("round-8 keys: dedup_substring bucket-joined, ann_ivf_store broadcast probe") {
+    // substring pairs join per fingerprint value under the MaxBucket cap —
+    // hash joins only, and the doc side exchanges at most for the
+    // fingerprint groupBys, never into an all-pairs shape
+    assert(!plans("dedup_substring").contains("BroadcastNestedLoopJoin"),
+      "dedup_substring must join per fingerprint bucket, never all-pairs")
+    // the persisted-index probe broadcasts the query side; the cell-pruned
+    // corpus scan feeds the join unshuffled — the only exchange is the
+    // per-query rerank window on the (tiny) candidate set
+    assert(plans("ann_ivf_store").contains("BroadcastExchange"),
+      "ann_ivf_store must broadcast the probe side")
+    assert(shuffleCount(plans("ann_ivf_store")) <= 1,
+      s"ann_ivf_store corpus side must not shuffle:\n${plans("ann_ivf_store")}")
+  }
+
   test("no sort-merge joins at test scale (broadcast should win everywhere)") {
     // dedup_clusters joins two node-sized frames (labels ⨝ neighbor mins):
     // big-big at scale, where a shuffle join IS the intended plan — cached
