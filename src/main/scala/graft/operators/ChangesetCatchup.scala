@@ -55,10 +55,28 @@ object ChangesetCatchup {
       "open", "uid", "user", "num_changes", "tags")
   }
 
+  /** Sequence number encoded in a diff file path — digits of the final
+    * path segments (flat `42.osm` or grouped `000/000/042.osm`), shared
+    * with [[graft.streaming.ChangesetStream]] where the watched-file path
+    * is the only sequence carrier.
+    */
+  private[graft] def sequenceOf(path: String): Option[Long] = {
+    val segs = path.split('/').filter(_.nonEmpty)
+    if (segs.isEmpty) return None
+    val name = segs.last.stripSuffix(".osm")
+    if (name.isEmpty || !name.forall(_.isDigit)) return None
+    val groups = segs.dropRight(1).takeRight(2).filter(s => s.nonEmpty && s.forall(_.isDigit))
+    // grouped layout only when BOTH parent segments are digit groups (the
+    // reference splits digits 3/3/3); a flat file in `2024/` must not
+    // absorb the year
+    if (groups.length == 2) Some((groups.mkString + name).toLong)
+    else Some(name.toLong)
+  }
+
   /** Latest row per changeset id within one batch (highest sequence wins —
     * the order the reference gets from applying diffs one by one).
     */
-  private def foldBatch(parsed: DataFrame): DataFrame = {
+  private[graft] def foldBatch(parsed: DataFrame): DataFrame = {
     val cols = Seq("id", "created_at", "closed_at", "open", "uid", "user",
       "num_changes", "tags")
     parsed.groupBy("id")
