@@ -168,6 +168,61 @@ class EndToEndSpec extends SparkSpec {
     java.nio.file.Files.delete(tmp)
   }
 
+  test("changeset-catchup store feeds the typed update path end-to-end") {
+    // the continuously-updated deployment: changeset diffs keep the
+    // ChangesetStore fresh (changeset-catchup) while contribution diffs
+    // flow through the typed store (osm-update) joining the LIVE structs
+    val csDiffs = java.nio.file.Files.createTempDirectory("graft-e2e-csdiffs")
+    val csStore = java.nio.file.Files.createTempDirectory("graft-e2e-csstore").toString
+    def csDiff(body: String) =
+      s"""<?xml version="1.0"?>\n<osm version="0.6">\n$body\n</osm>"""
+    java.nio.file.Files.writeString(csDiffs.resolve("1.osm"), csDiff(
+      """ <changeset id="100" created_at="2024-01-21T00:00:00Z" closed_at="" open="true" uid="5" user="alice" num_changes="0">
+        |  <tag k="created_by" v="iD"/><tag k="comment" v="mapping #roads"/>
+        | </changeset>""".stripMargin))
+    graft.operators.ChangesetCatchup.catchUp(spark, csDiffs.toString, csStore)
+
+    val pbf = java.nio.file.Files.createTempFile("graft-e2e-upd", ".osm.pbf")
+    java.nio.file.Files.write(pbf, PbfEncode.buildTestPbf())
+    val store = java.nio.file.Files.createTempDirectory("graft-e2e-updstore").toString
+    graft.operators.OsmUpdater.initStore(spark, store,
+      spark.read.format("osmpbf").load(pbf.toString))
+
+    val repl = java.nio.file.Files.createTempDirectory("graft-e2e-updrepl")
+    java.nio.file.Files.writeString(repl.resolve("1.osc"),
+      """<osmChange version="0.6"><modify>
+        | <node id="10" version="3" timestamp="2024-01-21T00:00:30Z" changeset="100" uid="5" user="alice" lat="52.6" lon="13.4"/>
+        |</modify></osmChange>""".stripMargin)
+    def applyPending(): Unit =
+      graft.operators.OsmUpdater.catchUp(spark, repl.toString, store,
+        changesetDb = Some(graft.sources.ChangesetStore.readAuto(spark, csStore)))
+    applyPending()
+    val out1 = spark.read.parquet(s"$store/out/seq=1")
+      .filter(col("osm_type") === "node" && col("osm_id") === 10).collect()
+    assert(out1.length === 1)
+    assert(out1.head.getAs[String]("cs_editor") === "iD")
+    assert(out1.head.getAs[String]("cs_hashtags") === "roads")
+    assert(out1.head.getAs[Long]("cs_num_changes") === 0L)
+
+    // the changeset closes in a later changeset diff; contributions
+    // emitted AFTER the catch-up must carry the updated struct
+    java.nio.file.Files.writeString(csDiffs.resolve("2.osm"), csDiff(
+      """ <changeset id="100" created_at="2024-01-21T00:00:00Z" closed_at="2024-01-21T00:02:00Z" open="false" uid="5" user="alice" num_changes="2">
+        |  <tag k="created_by" v="iD"/><tag k="comment" v="mapping #roads"/>
+        | </changeset>""".stripMargin))
+    graft.operators.ChangesetCatchup.catchUp(spark, csDiffs.toString, csStore)
+    java.nio.file.Files.writeString(repl.resolve("2.osc"),
+      """<osmChange version="0.6"><modify>
+        | <node id="13" version="3" timestamp="2024-01-21T00:01:00Z" changeset="100" uid="5" user="alice" lat="48.2" lon="11.6"/>
+        |</modify></osmChange>""".stripMargin)
+    applyPending()
+    val out2 = spark.read.parquet(s"$store/out/seq=2")
+      .filter(col("osm_type") === "node" && col("osm_id") === 13).collect()
+    assert(out2.length === 1)
+    assert(out2.head.getAs[Long]("cs_num_changes") === 2L,
+      "post-catch-up emissions must serve the CLOSED changeset struct")
+  }
+
   test("cli debug commands: pbf-info summary and store-peek versions") {
     val tmp = java.nio.file.Files.createTempFile("graft-dbg", ".osm.pbf")
     java.nio.file.Files.write(tmp, buildHistoryPbf())
