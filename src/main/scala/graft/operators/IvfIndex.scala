@@ -136,7 +136,8 @@ object IvfIndex {
     * committed version.
     */
   def build(spark: SparkSession, corpus: DataFrame,
-      centroids: Seq[(Long, Seq[Float])], indexDir: String): Int = {
+      centroids: Seq[(Long, Seq[Float])], indexDir: String,
+      locatorBuckets: Int = 64): Int = {
     require(centroids.nonEmpty, "centroids must be non-empty")
     val next = ChangesetStore.currentVersion(spark, indexDir).getOrElse(0) + 1
     val cents = centroids.map { case (cid, v) => (cid, v, Ann.n2Of(v)) }.toArray
@@ -149,7 +150,7 @@ object IvfIndex {
     val f = fs(spark, indexDir)
     f.delete(new Path(locatorDir(indexDir)), true)
     ChangesetStore.upsertBucketed(spark, locatorDir(indexDir),
-      assigned.select("vec_id", "cell"), Seq("vec_id"))
+      assigned.select("vec_id", "cell"), Seq("vec_id"), locatorBuckets)
     committed
   }
 
@@ -164,7 +165,8 @@ object IvfIndex {
     * `dedup_incremental`, applied to the ANN index. Returns the committed
     * version.
     */
-  def append(spark: SparkSession, batch: DataFrame, indexDir: String): Int = {
+  def append(spark: SparkSession, batch: DataFrame, indexDir: String,
+      locatorBuckets: Int = 64): Int = {
     val v = ChangesetStore.currentVersion(spark, indexDir).getOrElse(
       throw new IllegalStateException(s"$indexDir: append needs a built index"))
     val cents = centroids(spark, indexDir)
@@ -177,7 +179,7 @@ object IvfIndex {
     val landed = assigned.select("cell").distinct().collect()
       .map(_.getLong(0).toInt).toSet
     val priorCells = ChangesetStore
-      .readBucketsFor(spark, locatorDir(indexDir), keyDf, Seq("vec_id"))
+      .readBucketsFor(spark, locatorDir(indexDir), keyDf, Seq("vec_id"), locatorBuckets)
       .map(_.join(broadcast(keyDf), Seq("vec_id"), "left_semi")
         .select("cell").distinct().collect().map(_.getLong(0).toInt).toSet)
       .getOrElse(Set.empty)
@@ -196,7 +198,7 @@ object IvfIndex {
       cents.map { case (cid, vec, _) => (cid, vec) }.toSeq,
       manifest.filter(t => !touched(t._1)))
     ChangesetStore.upsertBucketed(spark, locatorDir(indexDir),
-      assigned.select("vec_id", "cell"), Seq("vec_id"))
+      assigned.select("vec_id", "cell"), Seq("vec_id"), locatorBuckets)
     committed
   }
 
@@ -268,8 +270,10 @@ object IvfIndex {
       .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
     val idx = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
     val corpus = e.filter(col("vec_id") >= 8).select("vec_id", "embedding")
-    build(s, corpus.filter(col("vec_id") % 5 =!= 0), cents, idx)
-    append(s, corpus.filter(col("vec_id") % 5 === 0), idx)
+    // locator buckets sized to the corpus: the 64-bucket default is the
+    // 100 TB layout; at driver-check scale it is pure small-file overhead
+    build(s, corpus.filter(col("vec_id") % 5 =!= 0), cents, idx, locatorBuckets = 8)
+    append(s, corpus.filter(col("vec_id") % 5 === 0), idx, locatorBuckets = 8)
     probe(s, idx, e.filter(col("vec_id") < 8).select("vec_id", "embedding"))
   }
 }
