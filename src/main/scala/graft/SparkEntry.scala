@@ -19,7 +19,7 @@ object SparkEntry {
     Relational.queries ++ History.queries ++ Changesets.queries ++
       Replication.queries ++ Geometry.queries ++ Contributions.queries ++ Dedup.queries ++
       TextOps.queries ++ Ann.queries ++ Multimodal.queries ++ Skew.queries ++
-      Temporal.queries ++ Sampling.queries
+      Temporal.queries ++ Sampling.queries ++ ChangesetCatchup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -28,5 +28,5 @@ object SparkEntry {
     Relational.oracles ++ History.oracles ++ Changesets.oracles ++
       Replication.oracles ++ Geometry.oracles ++ Contributions.oracles ++ Dedup.oracles ++
       TextOps.oracles ++ Ann.oracles ++ Multimodal.oracles ++ Skew.oracles ++
-      Temporal.oracles ++ Sampling.oracles
+      Temporal.oracles ++ Sampling.oracles ++ ChangesetCatchup.oracles
 }

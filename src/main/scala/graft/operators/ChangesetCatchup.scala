@@ -168,6 +168,58 @@ object ChangesetCatchup {
     applied
   }
 
+  /** Driver-checked key `cs_catchup`: the sequenced catch-up loop under
+    * the DuckDB oracle. Three changeset diffs are derived from `events` —
+    * diff k carries, for every user TOUCHED in time window k, that user's
+    * session stats AS OF window k's cutoff (changeset id = user id).
+    * Because a user's final diff includes all their events, latest-wins
+    * application of the full sequence converges to the per-user GLOBAL
+    * stats — which the oracle computes directly, so a missed diff, a
+    * first-wins merge, or a broken bookmark breaks the hash compare while
+    * the cutoff choice cannot affect the result. Diff packaging writes
+    * driver-side XML (test-scale only — the catch-up itself parses and
+    * upserts distributed, same as production).
+    */
+  def csCatchup(s: SparkSession, dir: String): DataFrame = {
+    import graft.Tables
+    val e = Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+    val mm = e.agg(min("ts_us"), max("ts_us")).collect().head
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val cuts = Seq(lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3, hi)
+    val diffDir = Files.createTempDirectory("graft-cs-catchup-diffs")
+    val store = Files.createTempDirectory("graft-cs-catchup-store").toString
+    cuts.zipWithIndex.foreach { case (cut, i) =>
+      val prev = if (i == 0) Long.MinValue else cuts(i - 1)
+      val touched = e.filter(col("ts_us") > prev && col("ts_us") <= cut)
+        .select("user_id").distinct()
+      val rows = e.filter(col("ts_us") <= cut)
+        .join(broadcast(touched), Seq("user_id"), "left_semi")
+        .groupBy("user_id")
+        .agg(min("ts_us").as("created_at"), max("ts_us").as("closed_at"),
+          count(lit(1)).as("num_changes"))
+        .collect()
+      val body = rows.map { r =>
+        s"""<changeset id="${r.getLong(0)}" created_at="${r.getLong(1)}" closed_at="${r.getLong(2)}" open="false" uid="${r.getLong(0)}" user="u${r.getLong(0)}" num_changes="${r.getLong(3)}"/>"""
+      }.mkString("\n")
+      Files.writeString(diffDir.resolve(s"${i + 1}.osm"),
+        s"""<?xml version="1.0"?>\n<osm version="0.6">\n$body\n</osm>""")
+    }
+    catchUp(s, diffDir.toString, store, batchSize = 2)
+    ChangesetStore.readAuto(s, store).select(col("id"),
+      col("created_at").cast("long").as("created_at"),
+      col("closed_at").cast("long").as("closed_at"),
+      col("num_changes"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cs_catchup" -> (csCatchup _))
+
+  val oracles: Map[String, String] = Map(
+    "cs_catchup" ->
+      """SELECT user_id AS id, min(epoch_us(ts)) AS created_at,
+        |  max(epoch_us(ts)) AS closed_at, count(*) AS num_changes
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** Open changesets whose creation predates `cutoffIso` — the reference's
     * `getOpenChangesetsOlderThanTwoHours` candidate set for the unclosed-
     * changeset refresh (the refresh fetch itself is the declared non-goal
