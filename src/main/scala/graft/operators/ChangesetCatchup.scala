@@ -141,7 +141,8 @@ object ChangesetCatchup {
     * makes that a no-op. Returns the number of diffs applied.
     */
   def catchUp(spark: SparkSession, diffDir: String, storeDir: String,
-      maxSteps: Int = Int.MaxValue, batchSize: Int = DefaultBatchSize): Long = {
+      maxSteps: Int = Int.MaxValue, batchSize: Int = DefaultBatchSize,
+      numBuckets: Int = 64): Long = {
     require(batchSize > 0, "batchSize must be positive")
     Files.createDirectories(Paths.get(storeDir))
     var st = readState(storeDir).getOrElse(
@@ -157,7 +158,7 @@ object ChangesetCatchup {
     var applied = 0L
     pending.grouped(batchSize).foreach { batch =>
       val folded = foldBatch(readBatch(spark, batch))
-      ChangesetStore.upsertAuto(spark, storeDir, folded, Seq("id"))
+      ChangesetStore.upsertAuto(spark, storeDir, folded, Seq("id"), numBuckets)
       val ts = folded.agg(max(greatest(col("created_at"), col("closed_at"))))
         .collect().head
       st = State(batch.last._1,
@@ -204,7 +205,9 @@ object ChangesetCatchup {
       Files.writeString(diffDir.resolve(s"${i + 1}.osm"),
         s"""<?xml version="1.0"?>\n<osm version="0.6">\n$body\n</osm>""")
     }
-    catchUp(s, diffDir.toString, store, batchSize = 2)
+    // 8 store buckets: the 64-bucket default is the 100 TB layout; at
+    // driver-check scale it is pure small-file overhead
+    catchUp(s, diffDir.toString, store, batchSize = 2, numBuckets = 8)
     ChangesetStore.readAuto(s, store).select(col("id"),
       col("created_at").cast("long").as("created_at"),
       col("closed_at").cast("long").as("closed_at"),
