@@ -71,20 +71,37 @@ object Dedup {
     * join, so the cap costs no extra exchange — and without it one
     * mega-bucket makes candidate generation quadratic at 100 TB.
     */
-  /** Capped (doc_id, band, bkey) bucket rows — at 100 TB this table IS the
-    * persisted dedup-store artifact an incremental batch probes against.
+  /** Uncapped (doc_id, band, bkey) rows — the raw LSH band table. The
+    * PERSISTED form ([[LshIndex]]) stores these uncapped: the MaxBucket
+    * cap is a property of the candidate-generation moment (bucket size
+    * over ALL docs including the probing batch), so it must be applied at
+    * probe time over index∪batch, never frozen into the artifact.
     */
-  private[graft] def bandTable(sigs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  private[operators] def bandRows(sigs: DataFrame): DataFrame =
     sigs
       .withColumn("bs", array((0 until Bands).map(b =>
         struct(lit(b).as("band"), bandKey(b))): _*))
       .select(col("doc_id"), explode(col("bs")).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bkey"))
+
+  /** Drops (band, bkey) groups above [[MaxBucket]] — the quadratic-bucket
+    * guard; the window shares the (band, bkey) partitioning downstream
+    * joins use, so the cap costs no extra exchange.
+    */
+  private[operators] def capBuckets(rows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    rows
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bkey")))
       .filter(col("bsz") <= MaxBucket)
       .drop("bsz")
   }
+
+  /** Capped (doc_id, band, bkey) bucket rows — at 100 TB this table IS the
+    * persisted dedup-store artifact an incremental batch probes against
+    * ([[LshIndex]] is that artifact made real).
+    */
+  private[graft] def bandTable(sigs: DataFrame): DataFrame =
+    capBuckets(bandRows(sigs))
 
   private[graft] def candidates(sigs: DataFrame): DataFrame = {
     val bands = bandTable(sigs)
@@ -414,6 +431,7 @@ object Dedup {
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_lsh_pairs" -> (dedupLshPairs _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_incr_store" -> (LshIndex.dedupIncrStore _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _))
@@ -446,6 +464,23 @@ object Dedup {
        |  WHERE a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** Shared by `dedup_incremental` (in-query corpus) and `dedup_incr_store`
+    * (corpus served from the persisted [[LshIndex]] artifact).
+    */
+  private val incrementalSql = {
+    val agree = (0 until NumHashes)
+      .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH sigs AS ($sigSql),
+       |$candSql,
+       |inc AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  WHERE doc_a % 5 = 4 OR doc_b % 5 = 4)
+       |SELECT doc_a, doc_b, ($agree) / 8.0 AS jaccard_est,
+       |  ((doc_a % 5 = 4) <> (doc_b % 5 = 4)) AS is_cross
+       |FROM inc JOIN sigs a ON a.doc_id = doc_a JOIN sigs b ON b.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // connected components as a recursive reachability closure + min per
     // node — tractable at oracle scale; the Spark side's label propagation
@@ -472,16 +507,11 @@ object Dedup {
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "dedup_minhash" -> s"$sigSql ORDER BY doc_id",
-    "dedup_incremental" ->
-      s"""WITH sigs AS ($sigSql),
-         |$candSql,
-         |inc AS (
-         |  SELECT doc_a, doc_b FROM cand
-         |  WHERE doc_a % 5 = 4 OR doc_b % 5 = 4)
-         |SELECT doc_a, doc_b, (CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END + CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END + CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END + CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END + CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END + CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END + CASE WHEN a.mh6 = b.mh6 THEN 1 ELSE 0 END + CASE WHEN a.mh7 = b.mh7 THEN 1 ELSE 0 END) / 8.0 AS jaccard_est,
-         |  ((doc_a % 5 = 4) <> (doc_b % 5 = 4)) AS is_cross
-         |FROM inc JOIN sigs a ON a.doc_id = doc_a JOIN sigs b ON b.doc_id = doc_b
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_incremental" -> incrementalSql,
+    // the persisted-index probe (LshIndex) must reproduce the in-query
+    // incremental computation exactly: same candidates, same cap, same
+    // jaccard — corpus side served from the artifact
+    "dedup_incr_store" -> incrementalSql,
     "dedup_lsh_pairs" -> {
       val agree = (0 until NumHashes)
         .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END").mkString(" + ")

@@ -225,10 +225,12 @@ object ChangesetStore {
     * opened. Returns None for an empty/untouched store.
     */
   def readBucketsFor(spark: SparkSession, storeDir: String, keyDf: DataFrame,
-      keys: Seq[String], numBuckets: Int = 64): Option[DataFrame] =
+      keys: Seq[String], numBuckets: Int = 64,
+      bucketBy: Seq[String] = Seq.empty): Option[DataFrame] =
     currentVersion(spark, storeDir).flatMap { v =>
+      val bCols = if (bucketBy.nonEmpty) bucketBy else keys
       val touched = keyDf
-        .select(pmod(hash(keys.map(col): _*), lit(numBuckets)).as("_b"))
+        .select(pmod(hash(bCols.map(col): _*), lit(numBuckets)).as("_b"))
         .distinct().collect().map(_.getInt(0)).toSet
       val paths = readManifest(spark, storeDir, v).filter(t => touched(t._1))
         .toSeq.sorted.map { case (b, bv) => s"$storeDir/b=$b/v=$bv" }
@@ -242,14 +244,28 @@ object ChangesetStore {
     * a crash leaves the previous version live and the re-run deletes and
     * rewrites the orphan bucket dirs (idempotent).
     */
+  /** @param bucketBy optional bucket-defining column subset (default: the
+    *                  identity `keys`). A PROPER subset lets readers prune
+    *                  on a lookup key coarser than row identity (e.g. LSH
+    *                  (band, bkey) buckets holding many doc rows each) —
+    *                  but then a row whose bucketBy VALUES change between
+    *                  upserts lands in a new bucket while the stale copy
+    *                  in the old bucket goes undetected, so proper-subset
+    *                  stores are append-only-or-immutable by contract
+    *                  (cf. the IvfIndex locator for the mutable case).
+    */
   def upsertBucketed(spark: SparkSession, storeDir: String, batch: DataFrame,
-      keys: Seq[String], numBuckets: Int = 64): Int = {
+      keys: Seq[String], numBuckets: Int = 64,
+      bucketBy: Seq[String] = Seq.empty): Int = {
     require(numBuckets > 0, "numBuckets must be positive")
+    require(bucketBy.isEmpty || bucketBy.forall(keys.contains),
+      "bucketBy must be a subset of keys")
     val f = fs(spark, storeDir)
     f.mkdirs(new Path(storeDir))
     val prev = currentVersion(spark, storeDir)
     val next = prev.getOrElse(0) + 1
-    val bCol = pmod(hash(keys.map(col): _*), lit(numBuckets))
+    val bCol = pmod(hash((if (bucketBy.nonEmpty) bucketBy else keys).map(col): _*),
+      lit(numBuckets))
     val batchB = batch.withColumn("_b", bCol)
     val touched = batchB.select("_b").distinct().collect().map(_.getInt(0)).toSet
     val prevManifest = prev.map(readManifest(spark, storeDir, _)).getOrElse(Map.empty)
