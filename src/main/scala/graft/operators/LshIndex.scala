@@ -32,17 +32,28 @@ object LshIndex {
 
   private def sigCols = (0 until Dedup.NumHashes).map(j => s"mh$j")
 
-  /** Band rows + signatures for a signature frame (doc_id, mh0..mh7). */
+  /** Band rows + signatures for a signature frame (doc_id, mh0..mh7).
+    * The signature side broadcasts: store-derived frames carry no size
+    * stats, and without the hint this doc_id equi-join falls back to a
+    * sort-merge shuffle of the (bigger) band-row side.
+    */
   private def indexRows(sigs: DataFrame): DataFrame =
-    Dedup.bandRows(sigs).join(sigs, Seq("doc_id"))
+    Dedup.bandRows(sigs).join(broadcast(sigs), Seq("doc_id"))
       .select((Seq("band", "bkey", "doc_id") ++ sigCols).map(col): _*)
 
-  /** Builds the index from the corpus signatures (one store version). */
+  /** Builds the index from the corpus signatures (one store version). The
+    * row pipeline materializes once: the store upsert consumes its batch
+    * three times (touched-bucket probe, key set, staging write), and
+    * recomputing the minhash/band lineage for each is the dominant cost.
+    */
   def build(spark: SparkSession, corpusSigs: DataFrame, indexDir: String,
-      numBuckets: Int = 64): Int =
-    ChangesetStore.upsertBucketed(spark, indexDir, indexRows(corpusSigs),
+      numBuckets: Int = 64): Int = {
+    val rows = indexRows(corpusSigs).localCheckpoint(true)
+    try ChangesetStore.upsertBucketed(spark, indexDir, rows,
       keys = Seq("band", "bkey", "doc_id"), numBuckets,
       bucketBy = Seq("band", "bkey"))
+    finally rows.unpersist(blocking = false)
+  }
 
   /** Appends a new batch's rows — only the buckets the batch's band keys
     * hash into are merged and rewritten.
@@ -63,7 +74,9 @@ object LshIndex {
     */
   def probe(spark: SparkSession, indexDir: String, batchSigs: DataFrame,
       numBuckets: Int = 64): DataFrame = {
-    val batchRows = indexRows(batchSigs)
+    // materialized once: consumed by the touched-bucket probe AND the
+    // index∪batch union
+    val batchRows = indexRows(batchSigs).localCheckpoint(true)
     val probeKeys = batchRows.select("band", "bkey").distinct()
 
     val corpusRows = ChangesetStore
@@ -74,7 +87,10 @@ object LshIndex {
       .getOrElse(batchRows.limit(0))
 
     val all = corpusRows.unionByName(batchRows)
-    val capped = Dedup.capBuckets(all)
+    // materialized once: the capped table feeds the pair join, the
+    // bandsNew derivation, AND the signature lookup — recomputing the
+    // bucket-count window three times would triple the store read
+    val capped = Dedup.capBuckets(all).localCheckpoint(true)
     val bandsNew = capped
       .join(broadcast(batchSigs.select("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("band"), col("bkey"), col("doc_id").as("new_id"))
@@ -82,7 +98,12 @@ object LshIndex {
     val agree = (0 until Dedup.NumHashes)
       .map(j => when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0))
       .reduce(_ + _)
-    val sigsAll = all.select((Seq("doc_id") ++ sigCols).map(col): _*).distinct()
+    // signature lookup sides broadcast (store-read frames have no stats;
+    // the md5-signature table is MB-scale at any K since only probed
+    // groups' docs appear in it)
+    // every doc that can pair appears in >=1 surviving capped row, so the
+    // (checkpointed) capped table is a sufficient signature source
+    val sigsAll = capped.select((Seq("doc_id") ++ sigCols).map(col): _*).distinct()
     val aSigs = sigsAll.toDF("doc_a" +: sigCols.map("a_" + _): _*)
     val bSigs = sigsAll.toDF("doc_b" +: sigCols.map("b_" + _): _*)
     val batchIds = batchSigs.select(col("doc_id").as("_bid"), lit(true).as("_in_batch"))
@@ -93,7 +114,7 @@ object LshIndex {
       .select(least(col("doc_id"), col("new_id")).as("doc_a"),
         greatest(col("doc_id"), col("new_id")).as("doc_b"))
       .distinct()
-      .join(aSigs, "doc_a").join(bSigs, "doc_b")
+      .join(broadcast(aSigs), "doc_a").join(broadcast(bSigs), "doc_b")
       .join(broadcast(batchIds).withColumnRenamed("_bid", "doc_a")
         .withColumnRenamed("_in_batch", "a_new"), Seq("doc_a"), "left")
       .join(broadcast(batchIds).withColumnRenamed("_bid", "doc_b")
