@@ -141,7 +141,9 @@ object IvfIndex {
     require(centroids.nonEmpty, "centroids must be non-empty")
     val next = ChangesetStore.currentVersion(spark, indexDir).getOrElse(0) + 1
     val cents = centroids.map { case (cid, v) => (cid, v, Ann.n2Of(v)) }.toArray
-    val assigned = assign(corpus, cents)
+    // materialized once: consumed by the cell staging write AND the
+    // locator upsert (which probes/keys/writes its batch three times)
+    val assigned = assign(corpus, cents).localCheckpoint(true)
     // a full (re)build replaces every cell: carry nothing forward
     val committed = commit(spark, indexDir, next, assigned, centroids, Map.empty)
     // locator rebuilt from scratch AFTER the main commit: a crash between
@@ -170,7 +172,9 @@ object IvfIndex {
     val v = ChangesetStore.currentVersion(spark, indexDir).getOrElse(
       throw new IllegalStateException(s"$indexDir: append needs a built index"))
     val cents = centroids(spark, indexDir)
-    val assigned = assign(batch, cents)
+    // materialized once: landed-cell collect, merge union, cell staging
+    // write, and the locator upsert all consume the assignment
+    val assigned = assign(batch, cents).localCheckpoint(true)
     val keyDf = batch.select("vec_id").distinct()
 
     val manifest = ChangesetStore.readManifest(spark, indexDir, v)
