@@ -283,7 +283,13 @@ object ChangesetStore {
       }
     }
     val staging = s"$storeDir/stage-v$next"
-    merged.write.mode("overwrite").partitionBy("_b").parquet(staging)
+    // cluster by bucket before the partitioned write: without it every
+    // input task emits a file into every bucket dir (tasks × buckets small
+    // files — at 64 buckets the store read cost is file-open dominated).
+    // One task per bucket hash is the right write parallelism for a
+    // bucketed store at any scale: buckets are the unit of rewrite.
+    merged.repartition(numBuckets, col("_b"))
+      .write.mode("overwrite").partitionBy("_b").parquet(staging)
 
     // move each written bucket into place (delete-then-rename: a crashed
     // previous attempt may have left the target behind)
