@@ -68,8 +68,12 @@ object IvfIndex {
     f.mkdirs(new Path(indexDir))
     val staging = s"$indexDir/stage-v$next"
     // _c duplicates cell as the partition key so the data files keep the
-    // cell column (partition columns are stripped from the files)
+    // cell column (partition columns are stripped from the files). Cluster
+    // by cell first: without it every task emits a file into every cell
+    // dir (tasks x cells small files); one task per cell is the right
+    // write parallelism — cells are the unit of rewrite and of probe I/O.
     rows.withColumn("_c", col("cell"))
+      .repartition(centroids.size.max(1), col("_c"))
       .write.mode("overwrite").partitionBy("_c").parquet(staging)
 
     val written = f.listStatus(new Path(staging))
