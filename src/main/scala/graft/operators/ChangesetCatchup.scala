@@ -183,7 +183,10 @@ object ChangesetCatchup {
     */
   def csCatchup(s: SparkSession, dir: String): DataFrame = {
     import graft.Tables
+    // materialized once: the min/max probe plus each diff window's
+    // touched-user and as-of aggregations all re-consume the table
     val e = Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+      .localCheckpoint(true)
     val mm = e.agg(min("ts_us"), max("ts_us")).collect().head
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val cuts = Seq(lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3, hi)
