@@ -55,14 +55,20 @@ object Bench {
     val nFailed = results.values.count(_ < 0)
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir","reps":$reps,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}"}"""
-    // stdout for the driver's log parse (clean of sbt [info] prefixes via
-    // outputStrategy := StdoutOutput in build.sbt) AND a file for a
-    // guaranteed machine-readable copy; path overridable for non-default
-    // checkouts
-    println(json)
+    // The full per-query line goes to the FILE; stdout gets it too for
+    // humans, but the line the driver must parse is the COMPACT one below:
+    // the driver keeps only a 2000-char stdout tail, and at 73 keys the
+    // full line is ~3.5 KB — its head (with "metric") fell outside the
+    // window in round 8 and the bench went unregistered (parsed: null).
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
       json + "\n")
+    println(json)
+    // compact summary LAST (≤ ~250 chars): value rounded to ms so the
+    // whole line always fits the tail window regardless of key count
+    val totalMs = math.round(total * 1000.0) / 1000.0
+    println(
+      s"""{"metric":"total","value":$totalMs,"unit":"sec","queries_n":${results.size},"failed":$nFailed,"sf":"$sfDir","reps":$reps,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}"}""")
     spark.stop()
   }
 }
