@@ -55,12 +55,30 @@ object LshIndex {
     finally rows.unpersist(blocking = false)
   }
 
-  /** Appends a new batch's rows — only the buckets the batch's band keys
-    * hash into are merged and rewritten.
+  /** Appends a new batch's rows as per-bucket DELTA files — O(batch)
+    * I/O. The store is append-only by contract (row identity
+    * (band, bkey, doc_id) never repeats for an immutable corpus), so no
+    * existing bucket data is read or rewritten: a diverse daily batch
+    * hashes into essentially every bucket, and the previous
+    * read-merge-rewrite append cost O(corpus) per day for zero
+    * correctness benefit. Probes multi-path-scan base + deltas;
+    * [[compact]] folds delta-heavy buckets periodically.
     */
   def append(spark: SparkSession, batchSigs: DataFrame, indexDir: String,
-      numBuckets: Int = 64): Int =
-    build(spark, batchSigs, indexDir, numBuckets)
+      numBuckets: Int = 64): Int = {
+    val rows = indexRows(batchSigs).localCheckpoint(true)
+    try ChangesetStore.appendBucketed(spark, indexDir, rows,
+      keys = Seq("band", "bkey", "doc_id"), numBuckets,
+      bucketBy = Seq("band", "bkey"))
+    finally rows.unpersist(blocking = false)
+  }
+
+  /** Folds pending delta files into their buckets' bases once a bucket
+    * accumulates `minDeltas` of them — bounds probe file fan-in at
+    * O(minDeltas) per bucket while appends stay O(batch).
+    */
+  def compact(spark: SparkSession, indexDir: String, minDeltas: Int = 4): Int =
+    ChangesetStore.compactBucketed(spark, indexDir, minDeltas)
 
   /** Candidate pairs of the batch against the indexed corpus (plus
     * batch-internal pairs), with the signature-agreement jaccard estimate

@@ -130,6 +130,108 @@ class ChangesetStoreSpec extends SparkSpec {
     assert(diff.isEmpty, "store-backed enrichment must equal the global rebuild")
   }
 
+  /** Every data file under the store with its size — the byte-audit probe
+    * for O(batch) append claims.
+    */
+  private def dataFiles(dir: String): Map[String, Long] = {
+    val root = java.nio.file.Paths.get(dir)
+    val out = scala.collection.mutable.Map[String, Long]()
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        out(root.relativize(p).toString) = java.nio.file.Files.size(p)
+    }
+    out.toMap
+  }
+
+  test("appendBucketed: O(batch) delta writes, union reads, upsert + compact fold") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cs-delta").toString
+    val nb = 4
+
+    // base: 2000 rows spread over every bucket
+    val base = (1L to 2000L).map(k => (k, s"v$k")).toDF("id", "value")
+    assert(ChangesetStore.upsertBucketed(spark, dir, base, Seq("id"), nb) === 1)
+    val before = dataFiles(dir)
+    val baseBytes = before.values.sum
+
+    // append 20 rows that hash into (essentially) all buckets
+    val batch = (3001L to 3020L).map(k => (k, s"v$k")).toDF("id", "value")
+    assert(ChangesetStore.appendBucketed(spark, dir, batch, Seq("id"), nb) === 2)
+
+    // O(batch): every pre-existing file is untouched byte-for-byte, and
+    // everything new lives in d= directories totalling a small fraction
+    // of the base (parquet per-file overhead dominates 20 rows)
+    val after = dataFiles(dir)
+    before.foreach { case (p, sz) =>
+      assert(after.get(p).contains(sz), s"append must not rewrite base file $p")
+    }
+    val newFiles = after -- before.keySet
+    assert(newFiles.nonEmpty && newFiles.keySet.forall(_.contains("d=")),
+      s"append may only add delta files, got ${newFiles.keySet}")
+    assert(newFiles.values.sum < baseBytes / 2,
+      s"delta bytes ${newFiles.values.sum} must be far below base $baseBytes")
+
+    // reads see base ∪ deltas, full and pruned alike
+    assert(ChangesetStore.readBucketed(spark, dir).count() === 2020)
+    val got = ChangesetStore.readBucketsFor(spark, dir,
+      Seq(3001L, 7L).toDF("id"), Seq("id"), nb).get
+    assert(got.filter(col("id") === 3001L).count() === 1)
+    assert(got.filter(col("id") === 7L).count() === 1)
+
+    // a latest-wins upsert folds the deltas it touches: the appended key
+    // must not survive twice
+    val up = Seq((3001L, "NEW")).toDF("id", "value")
+    assert(ChangesetStore.upsertBucketed(spark, dir, up, Seq("id"), nb) === 3)
+    val r3001 = ChangesetStore.readBucketed(spark, dir)
+      .filter(col("id") === 3001L).collect()
+    assert(r3001.length === 1 && r3001.head.getString(1) === "NEW")
+
+    // pile up deltas past the threshold, then compact: reads unchanged,
+    // delta entries cleared, fan-in back to one dir per bucket
+    (1 to 4).foreach { i =>
+      val b = Seq((4000L + i, s"d$i")).toDF("id", "value")
+      ChangesetStore.appendBucketed(spark, dir, b, Seq("id"), nb)
+    }
+    val preCompact = ChangesetStore.readBucketed(spark, dir)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val v = ChangesetStore.compactBucketed(spark, dir, minDeltas = 1)
+    assert(v > 3, "compaction must commit a new version")
+    assert(ChangesetStore.readDeltas(spark, dir, v).isEmpty,
+      "compaction must clear the folded delta entries")
+    val postCompact = ChangesetStore.readBucketed(spark, dir)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(postCompact === preCompact, "compaction must not change the table")
+    // below threshold → no-op
+    assert(ChangesetStore.compactBucketed(spark, dir, minDeltas = 1) === v)
+  }
+
+  test("bucket meta pins the layout: later writers and readers adopt it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cs-meta").toString
+    // creation with 8 buckets pins numBuckets=8
+    val b1 = (1L to 100L).map(k => (k, k)).toDF("id", "x")
+    ChangesetStore.upsertBucketed(spark, dir, b1, Seq("id"), numBuckets = 8)
+    assert(ChangesetStore.readBucketMeta(spark, dir)
+      .exists(_.numBuckets === 8))
+
+    // a second writer passing the (wrong) 64-bucket default must adopt 8:
+    // the same id keeps hashing into the same bucket
+    val b2 = Seq((7L, 777L)).toDF("id", "x")
+    ChangesetStore.upsertBucketed(spark, dir, b2, Seq("id"), numBuckets = 64)
+    val vs = ChangesetStore.currentVersion(spark, dir).get
+    assert(ChangesetStore.readManifest(spark, dir, vs).keySet.forall(_ < 8),
+      "adopted layout must keep every bucket id under the pinned count")
+    val r7 = ChangesetStore.readBucketed(spark, dir)
+      .filter(col("id") === 7L).collect()
+    assert(r7.length === 1 && r7.head.getLong(1) === 777L,
+      "divergent bucket counts would leave the id live in two buckets")
+
+    // pruned reads with the wrong caller count still find the key
+    val got = ChangesetStore.readBucketsFor(spark, dir,
+      Seq(7L).toDF("id"), Seq("id"), numBuckets = 64).get
+    assert(got.filter(col("id") === 7L).count() === 1)
+  }
+
   test("readBucketsFor: point lookups equal the full read, pruned bucket set") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("graft-rbf").toString

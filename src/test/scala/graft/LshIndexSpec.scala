@@ -47,7 +47,18 @@ class LshIndexSpec extends SparkSpec {
 
     val idx = tmp("graft-lsh-idx2")
     LshIndex.build(spark, corpus, idx, numBuckets = 8)
+
+    // the daily append must be O(batch): no base file is read-merged or
+    // rewritten even though a diverse batch hashes into every band bucket
+    // (the pre-delta design rewrote the whole accumulated store per day)
+    val before = files(idx)
     LshIndex.append(spark, day1, idx, numBuckets = 8)
+    val after = files(idx)
+    before.foreach { case (p, sz) =>
+      assert(after.get(p).contains(sz), s"append must not rewrite base file $p")
+    }
+    assert((after -- before.keySet).keySet.forall(_.contains("d=")),
+      "append may only add delta files")
 
     // today's probe must see day-1 docs as CORPUS (is_cross pairs against
     // them), identically to an index built on corpus∪day1 in one shot
@@ -58,5 +69,20 @@ class LshIndexSpec extends SparkSpec {
     // day-2-vs-day-1 pairs exist and count as cross (day1 is corpus now)
     val d21 = incremental.filter(p => (p._1 % 3 == 1) != (p._2 % 3 == 1))
     assert(d21.forall(_._4))
+
+    // compaction folds the deltas without changing any probe result
+    assert(LshIndex.compact(spark, idx, minDeltas = 1) >
+      0, "compact must commit when deltas exist")
+    assert(pairs(LshIndex.probe(spark, idx, day2, numBuckets = 8)) === incremental)
+  }
+
+  private def files(dir: String): Map[String, Long] = {
+    val root = java.nio.file.Paths.get(dir)
+    val out = scala.collection.mutable.Map[String, Long]()
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        out(root.relativize(p).toString) = java.nio.file.Files.size(p)
+    }
+    out.toMap
   }
 }
