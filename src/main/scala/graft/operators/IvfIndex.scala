@@ -29,12 +29,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale: a build is one corpus scan (centroids inlined as literals —
   * assignment is pure map work, no shuffle) plus one cell-partitioned
-  * write. An APPEND touches only the cells the batch lands in: those
-  * cells merge batch + live rows (latest-wins by vec_id) into new `v=`
-  * dirs; every untouched cell's manifest entry carries forward and its
-  * files are never opened. A probe reads K centroid rows + the `nprobe`
-  * probed cells' directories; cost is O(corpus/K · nprobe) I/O
-  * regardless of corpus size.
+  * write. An APPEND is O(batch): rows land as per-cell `d=<v>` DELTA
+  * dirs (tombstones covering cross-cell moves), no existing cell data is
+  * read or rewritten, and [[compactCells]] periodically folds
+  * delta-heavy cells back into their base. A probe reads K centroid rows
+  * + the `nprobe` probed cells' directories (base + deltas, merged
+  * latest-wins); cost is O(corpus/K · nprobe) I/O regardless of corpus
+  * size.
   */
 object IvfIndex {
 
@@ -57,84 +58,171 @@ object IvfIndex {
         -array_max(Ann.cellScores(cents)(col("embedding"), col("n2"))).getField("nid"))
       .select("cell", "vec_id", "embedding", "n2")
 
-  /** Installs per-cell data + centroids + manifest + pointer as version
-    * `next`. `rows` must carry (cell, vec_id, embedding, n2); only its
-    * cells are written — `carried` manifest entries survive unchanged.
+  /** Stages `rows` (carrying a `cell` column) partitioned by cell and
+    * installs each written cell as `cells/c=<c>/<kind>=<next>` — `kind`
+    * "v" for base artifacts, "d" for append deltas. `_c` duplicates cell
+    * as the partition key so the data files keep the cell column
+    * (partition columns are stripped from the files). Cluster by cell
+    * first: without it every task emits a file into every cell dir
+    * (tasks x cells small files); one task per cell is the right write
+    * parallelism — cells are the unit of rewrite and of probe I/O.
     */
-  private def commit(spark: SparkSession, indexDir: String, next: Int,
-      rows: DataFrame, centroids: Seq[(Long, Seq[Float])],
-      carried: Map[Int, Int]): Int = {
+  private def installCells(spark: SparkSession, indexDir: String, next: Int,
+      rows: DataFrame, kind: String, nTasks: Int): Seq[Int] = {
     val f = fs(spark, indexDir)
     f.mkdirs(new Path(indexDir))
     val staging = s"$indexDir/stage-v$next"
-    // _c duplicates cell as the partition key so the data files keep the
-    // cell column (partition columns are stripped from the files). Cluster
-    // by cell first: without it every task emits a file into every cell
-    // dir (tasks x cells small files); one task per cell is the right
-    // write parallelism — cells are the unit of rewrite and of probe I/O.
     rows.withColumn("_c", col("cell"))
-      .repartition(centroids.size.max(1), col("_c"))
+      .repartition(nTasks.max(1), col("_c"))
       .write.mode("overwrite").partitionBy("_c").parquet(staging)
-
     val written = f.listStatus(new Path(staging))
       .map(_.getPath.getName).filter(_.startsWith("_c="))
-      .map(_.stripPrefix("_c=").toInt)
+      .map(_.stripPrefix("_c=").toInt).toSeq
     written.foreach { c =>
-      val target = new Path(s"$indexDir/cells/c=$c/v=$next")
+      val target = new Path(s"$indexDir/cells/c=$c/$kind=$next")
       f.mkdirs(target.getParent)
       if (f.exists(target)) f.delete(target, true) // crashed previous attempt
       if (!f.rename(new Path(s"$staging/_c=$c"), target))
         throw new java.io.IOException(s"$indexDir: cell $c install failed")
     }
     f.delete(new Path(staging), true)
+    written
+  }
 
+  private def writeCodebook(spark: SparkSession, indexDir: String, next: Int,
+      centroids: Seq[(Long, Seq[Float])]): Unit = {
     import spark.implicits._
     centroids.toDF("cid", "embedding")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids-v$next")
+  }
 
-    ChangesetStore.writeManifest(spark, indexDir, next,
-      carried ++ written.map(_ -> next).toMap)
-    ChangesetStore.commitPointer(spark, indexDir, next)
-
-    // GC: cell artifacts referenced by neither the new nor the previous
-    // manifest (readers mid-flight on prev stay safe), plus manifests and
-    // codebooks older than prev
-    if (next > 1) {
-      val prev = next - 1
-      val keep = ChangesetStore.readManifest(spark, indexDir, prev).toSet ++
-        carried ++ written.map(_ -> next)
-      written.foreach { c =>
-        val dir = new Path(s"$indexDir/cells/c=$c")
-        f.listStatus(dir).foreach { st =>
-          val n = st.getPath.getName
-          if (n.startsWith("v=") && n.drop(2).forall(_.isDigit) &&
-            !keep((c, n.drop(2).toInt)))
-            f.delete(st.getPath, true)
-        }
-      }
-      f.listStatus(new Path(indexDir)).foreach { st =>
+  /** GC after a commit of version `next`: inside every `touched` cell,
+    * delete `v=`/`d=` dirs referenced by neither the previous manifest
+    * (readers mid-flight stay safe) nor the new one; then drop manifests
+    * and codebooks older than prev.
+    */
+  private def gcCells(spark: SparkSession, indexDir: String, next: Int,
+      touched: Iterable[Int]): Unit = {
+    if (next <= 1) return
+    val f = fs(spark, indexDir)
+    val prev = next - 1
+    val pM = ChangesetStore.readManifest(spark, indexDir, prev)
+    val pD = ChangesetStore.readDeltas(spark, indexDir, prev)
+    val nM = ChangesetStore.readManifest(spark, indexDir, next)
+    val nD = ChangesetStore.readDeltas(spark, indexDir, next)
+    touched.foreach { c =>
+      val keepV = pM.get(c).toSet ++ nM.get(c)
+      val keepD = pD.getOrElse(c, Seq.empty).toSet ++ nD.getOrElse(c, Seq.empty)
+      val dir = new Path(s"$indexDir/cells/c=$c")
+      if (f.exists(dir)) f.listStatus(dir).foreach { st =>
         val n = st.getPath.getName
         val stale =
-          (n.startsWith("manifest-v") && n.endsWith(".json") &&
-            n.stripPrefix("manifest-v").stripSuffix(".json").forall(_.isDigit) &&
-            n.stripPrefix("manifest-v").stripSuffix(".json").toInt < prev) ||
-          (n.startsWith("centroids-v") &&
-            n.stripPrefix("centroids-v").forall(_.isDigit) &&
-            n.stripPrefix("centroids-v").toInt < prev)
+          (n.startsWith("v=") && n.drop(2).forall(_.isDigit) &&
+            !keepV(n.drop(2).toInt)) ||
+          (n.startsWith("d=") && n.drop(2).forall(_.isDigit) &&
+            !keepD(n.drop(2).toInt))
         if (stale) f.delete(st.getPath, true)
       }
     }
+    f.listStatus(new Path(indexDir)).foreach { st =>
+      val n = st.getPath.getName
+      val stale =
+        (n.startsWith("manifest-v") && n.endsWith(".json") &&
+          n.stripPrefix("manifest-v").stripSuffix(".json").forall(_.isDigit) &&
+          n.stripPrefix("manifest-v").stripSuffix(".json").toInt < prev) ||
+        (n.startsWith("centroids-v") &&
+          n.stripPrefix("centroids-v").forall(_.isDigit) &&
+          n.stripPrefix("centroids-v").toInt < prev)
+      if (stale) f.delete(st.getPath, true)
+    }
+  }
+
+  /** Installs per-cell BASE data + centroids + manifest + pointer as
+    * version `next`. `rows` must carry (cell, vec_id, embedding, n2);
+    * only its cells are written — `carried` manifest entries (and their
+    * pending deltas, `carriedDeltas`) survive unchanged.
+    */
+  private def commit(spark: SparkSession, indexDir: String, next: Int,
+      rows: DataFrame, centroids: Seq[(Long, Seq[Float])],
+      carried: Map[Int, Int],
+      carriedDeltas: Map[Int, Seq[Int]] = Map.empty): Int = {
+    val written = installCells(spark, indexDir, next, rows, "v", centroids.size)
+    writeCodebook(spark, indexDir, next, centroids)
+    ChangesetStore.writeManifest(spark, indexDir, next,
+      carried ++ written.map(_ -> next).toMap, carriedDeltas)
+    ChangesetStore.commitPointer(spark, indexDir, next)
+    gcCells(spark, indexDir, next, written)
     next
   }
 
-  /** The key→cell locator sidecar — a hash-bucketed ChangesetStore of
-    * (vec_id, cell). Cell-defined bucketing breaks the key→bucket
-    * invariant latest-wins needs (a re-appended vector's NEW embedding can
-    * land in a different cell than its old row, which would go stale
-    * undetected); the locator answers "which cell holds this key today"
-    * with a bucket-pruned point lookup, never a cell scan.
+  /** The LIVE merged view of the given cells: base + pending delta files
+    * with per-(cell, vec_id) latest-wins by delta version and tombstone
+    * drop. Fast path: cells with no pending deltas read as one plain
+    * base scan — zero merge overhead for a compacted index. Base rows
+    * rank as version 0, which every delta outranks (delta versions are
+    * the store versions that committed them, always past the base's
+    * fold point).
+    */
+  private def liveCellRows(spark: SparkSession, indexDir: String, v: Int,
+      cells: Set[Int]): Option[DataFrame] = {
+    val manifest = ChangesetStore.readManifest(spark, indexDir, v)
+      .filter(t => cells(t._1))
+    val deltas = ChangesetStore.readDeltas(spark, indexDir, v)
+      .filter(t => cells(t._1))
+    val basePaths = manifest.toSeq.sorted
+      .map { case (c, cv) => s"$indexDir/cells/c=$c/v=$cv" }
+    val deltaPaths = deltas.toSeq.sortBy(_._1).flatMap { case (c, ds) =>
+      ds.sorted.map(d => s"$indexDir/cells/c=$c/d=$d") }
+    if (basePaths.isEmpty && deltaPaths.isEmpty) None
+    else if (deltaPaths.isEmpty) Some(spark.read.parquet(basePaths: _*))
+    else {
+      val delta = spark.read.parquet(deltaPaths: _*)
+      val all =
+        if (basePaths.isEmpty) delta
+        else spark.read.parquet(basePaths: _*)
+          .withColumn("_v", lit(0L)).withColumn("_del", lit(false))
+          .unionByName(delta)
+      Some(all
+        .withColumn("_rk", row_number().over(
+          Window.partitionBy("cell", "vec_id").orderBy(desc("_v"))))
+        .filter(col("_rk") === 1 && !col("_del"))
+        .select("cell", "vec_id", "embedding", "n2"))
+    }
+  }
+
+  /** The whole live table — every cell's merged view (test/maintenance
+    * utility; probes never scan all cells).
+    */
+  private[graft] def readLive(spark: SparkSession, indexDir: String): DataFrame = {
+    val v = ChangesetStore.currentVersion(spark, indexDir).getOrElse(
+      throw new IllegalStateException(s"$indexDir: no committed index version"))
+    val cells = ChangesetStore.readManifest(spark, indexDir, v).keySet ++
+      ChangesetStore.readDeltas(spark, indexDir, v).keySet
+    liveCellRows(spark, indexDir, v, cells).getOrElse(
+      throw new IllegalStateException(s"$indexDir: empty index"))
+  }
+
+  /** The key→cells locator sidecar — a hash-bucketed ChangesetStore of
+    * (vec_id, cell) PLACEMENTS. Cell-defined bucketing breaks the
+    * key→bucket invariant latest-wins needs (a re-appended vector's NEW
+    * embedding can land in a different cell than its old row, which
+    * would go stale undetected); the locator answers "which cells have
+    * ever held this key" with a bucket-pruned point lookup, never a cell
+    * scan. It is a SET (row identity (vec_id, cell), bucketed by vec_id
+    * alone), not a latest-pointer: appends tombstone every known
+    * non-landing placement, so a crash between the locator write and the
+    * index commit — in either order — can only leave EXTRA entries,
+    * which cost nothing but a redundant tombstone on the next move. A
+    * latest-pointer locator had an unhealable window where a stranded
+    * old placement was never tombstoned again.
     */
   private def locatorDir(indexDir: String) = s"$indexDir/locator"
+
+  private def upsertLocator(spark: SparkSession, indexDir: String,
+      assigned: DataFrame, locatorBuckets: Int): Unit =
+    ChangesetStore.upsertBucketed(spark, locatorDir(indexDir),
+      assigned.select("vec_id", "cell"), Seq("vec_id", "cell"),
+      locatorBuckets, bucketBy = Seq("vec_id"))
 
   /** Builds and commits a FULL index version from the corpus. Returns the
     * committed version.
@@ -150,64 +238,110 @@ object IvfIndex {
     val assigned = assign(corpus, cents).localCheckpoint(true)
     // a full (re)build replaces every cell: carry nothing forward
     val committed = commit(spark, indexDir, next, assigned, centroids, Map.empty)
-    // locator rebuilt from scratch AFTER the main commit: a crash between
-    // the two leaves the previous locator, and re-running the (idempotent)
-    // build heals it — same retry contract as every catch-up store here
-    val f = fs(spark, indexDir)
-    f.delete(new Path(locatorDir(indexDir)), true)
-    ChangesetStore.upsertBucketed(spark, locatorDir(indexDir),
-      assigned.select("vec_id", "cell"), Seq("vec_id"), locatorBuckets)
+    // locator extended (never deleted) AFTER the main commit: placements
+    // from an earlier build stay in the set, where they only ever cost a
+    // redundant tombstone — deleting first would open a crash window with
+    // NO locator at all, in which a later append could strand a live row
+    upsertLocator(spark, indexDir, assigned, locatorBuckets)
     committed
   }
 
-  /** Appends a new vector batch to the live index WITHOUT re-reading the
-    * corpus: batch rows are assigned with the live codebook (map-only);
-    * the touched-cell set is the batch's landing cells PLUS — via the
-    * bucket-pruned locator lookup — the cells currently holding any
-    * re-appended key (so a vector whose update moves it across cells is
-    * removed from its old cell, not duplicated). Only touched cells are
-    * read + merged (latest-wins by vec_id) + rewritten; every other
-    * cell's artifact carries forward untouched. The incremental shape of
-    * `dedup_incremental`, applied to the ANN index. Returns the committed
-    * version.
+  /** Appends a new vector batch to the live index as per-cell DELTA
+    * files — O(batch) I/O, no existing cell data read or rewritten (the
+    * previous design merged + rewrote every touched cell, which for a
+    * batch landing across most cells degenerated to a full-store rewrite
+    * per day). Batch rows are assigned with the live codebook (map-only)
+    * and land as `d=<next>` dirs in their cells; for every re-appended
+    * key the bucket-pruned locator lookup finds its CURRENT cell, and a
+    * key that moved cells leaves a TOMBSTONE delta row in its old cell —
+    * each cell's local view stays self-sufficient, so probes (which open
+    * cells independently) never serve the stale copy. Reads apply
+    * latest-wins per (cell, vec_id) by delta version; [[compactCells]]
+    * folds delta-heavy cells back into their base.
+    *
+    * The locator upsert happens BEFORE the pointer commit: a crash in
+    * between leaves a stale-FORWARD locator, which only ever adds
+    * harmlessly-extra tombstone targets on the retry — the reverse order
+    * (pointer first) had an unhealable window where the locator pointed
+    * at a vector's old cell forever.
     */
   def append(spark: SparkSession, batch: DataFrame, indexDir: String,
       locatorBuckets: Int = 64): Int = {
     val v = ChangesetStore.currentVersion(spark, indexDir).getOrElse(
       throw new IllegalStateException(s"$indexDir: append needs a built index"))
     val cents = centroids(spark, indexDir)
-    // materialized once: landed-cell collect, merge union, cell staging
-    // write, and the locator upsert all consume the assignment
+    val next = v + 1
+    // materialized once: the tombstone join, cell staging write, and the
+    // locator upsert all consume the assignment
     val assigned = assign(batch, cents).localCheckpoint(true)
     val keyDf = batch.select("vec_id").distinct()
 
-    val manifest = ChangesetStore.readManifest(spark, indexDir, v)
-    // the batch is the small side by contract: its touched-cell set is a
-    // tiny collect (the dedup_incremental probe shape)
-    val landed = assigned.select("cell").distinct().collect()
-      .map(_.getLong(0).toInt).toSet
-    val priorCells = ChangesetStore
+    // tombstones for cross-cell moves (the batch is the small side by
+    // contract — both join sides here are batch-scale)
+    val prior = ChangesetStore
       .readBucketsFor(spark, locatorDir(indexDir), keyDf, Seq("vec_id"), locatorBuckets)
       .map(_.join(broadcast(keyDf), Seq("vec_id"), "left_semi")
-        .select("cell").distinct().collect().map(_.getLong(0).toInt).toSet)
-      .getOrElse(Set.empty)
-    val touched = landed ++ priorCells
+        .select(col("vec_id"), col("cell").as("prior_cell")))
+    val newRows = assigned
+      .withColumn("_v", lit(next.toLong)).withColumn("_del", lit(false))
+    val deltaRows = prior match {
+      case None => newRows
+      case Some(p) =>
+        val tombs = assigned.select("vec_id", "cell")
+          .join(broadcast(p), Seq("vec_id"))
+          .filter(col("prior_cell") =!= col("cell"))
+          .select(col("prior_cell").as("cell"), col("vec_id"),
+            lit(null).cast("array<float>").as("embedding"),
+            lit(null).cast("long").as("n2"),
+            lit(next.toLong).as("_v"), lit(true).as("_del"))
+        newRows.unionByName(tombs)
+    }
 
-    val livePaths = manifest.filter(t => touched(t._1))
-      .toSeq.sorted.map { case (c, cv) => s"$indexDir/cells/c=$c/v=$cv" }
-    val merged =
-      if (livePaths.isEmpty) assigned
-      else
-        spark.read.parquet(livePaths: _*)
-          .join(broadcast(keyDf), Seq("vec_id"), "left_anti")
-          .select("cell", "vec_id", "embedding", "n2")
-          .unionByName(assigned)
-    val committed = commit(spark, indexDir, v + 1, merged,
-      cents.map { case (cid, vec, _) => (cid, vec) }.toSeq,
-      manifest.filter(t => !touched(t._1)))
-    ChangesetStore.upsertBucketed(spark, locatorDir(indexDir),
-      assigned.select("vec_id", "cell"), Seq("vec_id"), locatorBuckets)
-    committed
+    val written = installCells(spark, indexDir, next, deltaRows, "d",
+      cents.length)
+    // locator extended before the pointer commit: a crash in between
+    // leaves extra placements in the set, never missing ones
+    upsertLocator(spark, indexDir, assigned, locatorBuckets)
+    writeCodebook(spark, indexDir, next,
+      cents.map { case (cid, vec, _) => (cid, vec) }.toSeq)
+    val manifest = ChangesetStore.readManifest(spark, indexDir, v)
+    val prevDeltas = ChangesetStore.readDeltas(spark, indexDir, v)
+    ChangesetStore.writeManifest(spark, indexDir, next, manifest,
+      prevDeltas ++ written.map(c =>
+        c -> (prevDeltas.getOrElse(c, Seq.empty) :+ next)))
+    ChangesetStore.commitPointer(spark, indexDir, next)
+    gcCells(spark, indexDir, next, written)
+    next
+  }
+
+  /** Folds base + pending deltas into a fresh base for every cell with
+    * at least `minDeltas` deltas (latest-wins by vec_id applied, moved
+    * keys' tombstones erased for good) — bounds probe file fan-in while
+    * appends stay O(batch). Returns the committed version, unchanged if
+    * no cell met the threshold.
+    */
+  def compactCells(spark: SparkSession, indexDir: String,
+      minDeltas: Int = 4): Int = {
+    val v = ChangesetStore.currentVersion(spark, indexDir).getOrElse(
+      throw new IllegalStateException(s"$indexDir: no committed index version"))
+    val deltas = ChangesetStore.readDeltas(spark, indexDir, v)
+    val toCompact = deltas.filter(_._2.size >= minDeltas).keySet
+    if (toCompact.isEmpty) return v
+    val next = v + 1
+    val manifest = ChangesetStore.readManifest(spark, indexDir, v)
+    val merged = liveCellRows(spark, indexDir, v, toCompact).get
+    val written = installCells(spark, indexDir, next, merged, "v",
+      toCompact.size)
+    writeCodebook(spark, indexDir, next,
+      centroids(spark, indexDir).map { case (cid, vec, _) => (cid, vec) }.toSeq)
+    // a compacted cell whose live view emptied (everything tombstoned)
+    // stages no partition: drop it from the manifest entirely
+    ChangesetStore.writeManifest(spark, indexDir, next,
+      manifest -- toCompact ++ written.map(_ -> next).toMap,
+      deltas -- toCompact)
+    ChangesetStore.commitPointer(spark, indexDir, next)
+    gcCells(spark, indexDir, next, toCompact)
+    next
   }
 
   /** The live codebook: K rows, collected driver-side (an index probe's
@@ -242,17 +376,15 @@ object IvfIndex {
         col("embedding").as("qe"), col("n2").as("qn2"))
 
     // queries are the small side by contract: the touched-cell set is a
-    // tiny collect, and only those cells' live artifacts are ever opened
+    // tiny collect, and only those cells' live artifacts (base + pending
+    // deltas, merged latest-wins) are ever opened
     val touched = probes.select("cell").distinct().collect()
       .map(_.getLong(0).toInt).toSet
-    val manifest = ChangesetStore.readManifest(spark, indexDir, v)
-    val paths = manifest.filter(t => touched(t._1))
-      .toSeq.sorted.map { case (c, cv) => s"$indexDir/cells/c=$c/v=$cv" }
-    if (paths.isEmpty)
+    val live = liveCellRows(spark, indexDir, v, touched).getOrElse(
       return probes.select(col("q_id"), col("q_id").as("n_id"),
-        lit(0).as("rnk"), col("cell"), lit(0.0).as("cos")).limit(0)
+        lit(0).as("rnk"), col("cell"), lit(0.0).as("cos")).limit(0))
 
-    spark.read.parquet(paths: _*)
+    live
       .select(col("cell"), col("vec_id").as("n_id"),
         col("embedding").as("ne"), col("n2").as("nn2"))
       .join(broadcast(probes), Seq("cell"))
@@ -266,10 +398,13 @@ object IvfIndex {
 
   /** Driver-checked key `ann_ivf_store`: build the index artifact ONCE
     * from most of the corpus, [[append]] the remainder as an incremental
-    * batch (fixed vec_id 8..15 centroids — the [[Ann.annIvf]] codebook),
-    * then serve the queries from the artifact. Build + append must be
-    * indistinguishable from a one-shot build, so this shares the
-    * `ann_ivf` oracle verbatim.
+    * (delta) batch (fixed vec_id 8..15 centroids — the [[Ann.annIvf]]
+    * codebook), [[compactCells]] the deltas, then serve the queries from
+    * the artifact. Build + append + compact must be indistinguishable
+    * from a one-shot build, so this shares the `ann_ivf` oracle verbatim
+    * — and the compacted probe keeps the broadcast-join-only plan the
+    * PlanAudit pins (un-compacted delta probing is covered by
+    * IvfIndexSpec's append≡one-shot case).
     */
   def annIvfStore(s: SparkSession, dir: String): DataFrame = {
     val e = Ann.withNorm(s, dir)
@@ -282,6 +417,7 @@ object IvfIndex {
     // 100 TB layout; at driver-check scale it is pure small-file overhead
     build(s, corpus.filter(col("vec_id") % 5 =!= 0), cents, idx, locatorBuckets = 8)
     append(s, corpus.filter(col("vec_id") % 5 === 0), idx, locatorBuckets = 8)
+    compactCells(s, idx, minDeltas = 1)
     probe(s, idx, e.filter(col("vec_id") < 8).select("vec_id", "embedding"))
   }
 }

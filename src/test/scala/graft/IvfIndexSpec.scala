@@ -116,12 +116,55 @@ class IvfIndexSpec extends SparkSpec {
     IvfIndex.append(spark, moved, idx)
     val out = IvfIndex.probe(spark, idx, moved).collect()
     assert(out.exists(r => r.getLong(1) == 9L || r.getLong(1) == 20L))
-    // vector 20 appears exactly once across all cells (replaced, not duplicated)
+    // the LIVE view serves vector 20 exactly once (the old placement is
+    // tombstoned in its cell, the new one lives in cell 9's delta)
+    def n20 = IvfIndex.readLive(spark, idx)
+      .filter(col("vec_id") === 20).count()
+    assert(n20 === 1L, "replaced, not duplicated")
+    // compacting erases the tombstone and stale copy from the base files
+    // too, without changing anything a reader sees
+    val preCompact = IvfIndex.readLive(spark, idx)
+      .orderBy("vec_id").collect().map(_.getLong(1)).toSeq
+    assert(IvfIndex.compactCells(spark, idx, minDeltas = 1) > 0)
+    assert(n20 === 1L)
+    assert(IvfIndex.readLive(spark, idx)
+      .orderBy("vec_id").collect().map(_.getLong(1)).toSeq === preCompact)
     val v = ChangesetStore.currentVersion(spark, idx).get
+    assert(ChangesetStore.readDeltas(spark, idx, v).isEmpty,
+      "compaction must clear the delta entries")
     val paths = ChangesetStore.readManifest(spark, idx, v)
       .toSeq.map { case (c, cv) => s"$idx/cells/c=$c/v=$cv" }
-    val n20 = spark.read.parquet(paths: _*).filter(col("vec_id") === 20).count()
-    assert(n20 === 1L)
+    assert(spark.read.parquet(paths: _*)
+      .filter(col("vec_id") === 20).count() === 1L)
+  }
+
+  test("append is O(batch): delta files only, no base cell rewritten") {
+    val (corpus, queries) = corpusAndQueries()
+    val idx = tmp("graft-ivf-obatch")
+    IvfIndex.build(spark, corpus.filter(col("vec_id") % 5 =!= 0),
+      fixedCentroids(), idx)
+    def files(): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(idx, "cells")
+      val out = scala.collection.mutable.Map[String, Long]()
+      java.nio.file.Files.walk(root).forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+          out(root.relativize(p).toString) = java.nio.file.Files.size(p)
+      }
+      out.toMap
+    }
+    val before = files()
+    // this batch lands across most cells — the pre-delta design rewrote
+    // every one of them
+    IvfIndex.append(spark, corpus.filter(col("vec_id") % 5 === 0), idx)
+    val after = files()
+    before.foreach { case (p, sz) =>
+      assert(after.get(p).contains(sz), s"append must not rewrite base file $p")
+    }
+    assert((after -- before.keySet).keySet.forall(_.contains("d=")),
+      "append may only add delta files")
+    // and the merged result still equals the one-shot build (covered in
+    // depth by the append≡one-shot test; cheap sanity here)
+    assert(rows(IvfIndex.probe(spark, idx, queries)).nonEmpty)
   }
 
   test("trained codebook: kmeansRounds output feeds the build directly") {
