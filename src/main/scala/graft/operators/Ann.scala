@@ -37,14 +37,33 @@ object Ann {
       .withColumn("n2", dotDec(col("embedding"), col("embedding")))
   }
 
-  /** Embedding-cosine near-dup pairs, blocked by label. Candidate pairs
-    * are quadratic IN THE BLOCK SIZE (sf1 run: ×100 pairs for ×10 rows
-    * under a fixed label domain — SCALE_sf1.md), so this is the declared
-    * brute-force baseline; at scale the blocking key must bound block
-    * size, or use the LSH path (`ann_lsh` / `dedup_lsh_pairs`).
+  /** Per-label block cap for the brute-force near-dup baseline. Pairs are
+    * quadratic IN THE BLOCK SIZE, and the label domain is fixed — so
+    * without a bound, 10× rows means 100× pairs (measured ×53 at sf1,
+    * SCALE_sf1.md) and an accidental run at corpus scale melts a cluster.
+    * Oversized blocks keep their MaxBlock lowest vec_ids (deterministic,
+    * so the oracle replays it): every emitted pair is still a true
+    * near-dup pair, and exhaustive coverage inside huge blocks is what
+    * the LSH path (`ann_lsh` / `dedup_lsh_pairs`) is for. 256 is above
+    * every organic block at sf0.1 (max 218), so results are unchanged
+    * there.
     */
-  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(s, dir)
+  val MaxBlock = 256
+
+  /** Embedding-cosine near-dup pairs, blocked by label, for any
+    * (vec_id, label, embedding) frame — blocks capped at [[MaxBlock]].
+    * The cap's rank window partitions by label, the same key the pair
+    * join shuffles on, so the guard rides the exchange the join needs
+    * anyway.
+    */
+  private[graft] def dedupEmbeddingOf(emb: DataFrame): DataFrame = {
+    graft.functions.GeoFunctions.register(emb.sparkSession)
+    val e = emb
+      .withColumn("n2", dotDec(col("embedding"), col("embedding")))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("label").orderBy("vec_id")))
+      .filter(col("_rk") <= MaxBlock)
+      .drop("_rk")
     val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
       col("label"), col("n2").as("na2"))
     val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
@@ -54,6 +73,12 @@ object Ann {
       .filter(col("cos") >= 0.3)
       .select("va", "vb", "label", "cos")
   }
+
+  /** The declared brute-force baseline over the embeddings table; the
+    * scale path is LSH bucketing.
+    */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    dedupEmbeddingOf(Tables.embeddings(s, dir))
 
   /** Brute-force cosine top-5 per query (queries = vec_id < 8), with a
     * deterministic (cos DESC, vec_id ASC) tiebreak.
@@ -318,9 +343,14 @@ object Ann {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dedup_embedding" ->
       s"""WITH $flatSql,
+         |capped AS (SELECT vec_id FROM (
+         |    SELECT vec_id, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rk
+         |    FROM embeddings) WHERE rk <= $MaxBlock),
          |dots AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.label,
          |    sum(CAST(round(a.e * b.e * 1000000000.0) AS BIGINT)) AS dot
          |  FROM flat a JOIN flat b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE a.vec_id IN (SELECT vec_id FROM capped)
+         |    AND b.vec_id IN (SELECT vec_id FROM capped)
          |  GROUP BY 1, 2, 3)
          |SELECT va, vb, label,
          |  (dot / 1e9) / (sqrt(na.n2 / 1e9) * sqrt(nb.n2 / 1e9)) AS cos

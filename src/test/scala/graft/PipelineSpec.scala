@@ -259,4 +259,25 @@ class PipelineSpec extends SparkSpec {
       1L -> mean(Seq(pts(2), pts(3))),
       2L -> mean(Seq(pts(4), pts(5)))))
   }
+
+  test("dedup_embedding caps oversized label blocks instead of going quadratic") {
+    import spark.implicits._
+    val n = Ann.MaxBlock + 44
+    // one label whose block far exceeds the cap; identical vectors so
+    // every surviving pair passes the cosine threshold
+    val v = (0 until 8).map(_ => 1.0f)
+    val emb = (1 to n).map(i => (i.toLong, "big", v))
+      .toDF("vec_id", "label", "embedding")
+    val pairs = Ann.dedupEmbeddingOf(emb)
+    val kept = Ann.MaxBlock.toLong
+    assert(pairs.count() === kept * (kept - 1) / 2,
+      "the block must shrink to its MaxBlock lowest vec_ids before pairing")
+    // deterministic prefix: only the lowest vec_ids survive
+    assert(pairs.agg(max("vb")).head.getLong(0) === kept)
+
+    // an at-cap block is untouched
+    val small = (1 to 10).map(i => (i.toLong, "ok", v))
+      .toDF("vec_id", "label", "embedding")
+    assert(Ann.dedupEmbeddingOf(small).count() === 45L)
+  }
 }
