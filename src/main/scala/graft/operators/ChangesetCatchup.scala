@@ -74,14 +74,18 @@ object ChangesetCatchup {
   }
 
   /** Latest row per changeset id within one batch (highest sequence wins —
-    * the order the reference gets from applying diffs one by one).
+    * the order the reference gets from applying diffs one by one). The
+    * winning row KEEPS its `seq`: store rows carry the sequence that
+    * produced them, so an out-of-order consumer (the streaming face,
+    * where a lower-seq file can surface in a later micro-batch) can
+    * refuse to overwrite newer data with older.
     */
   private[graft] def foldBatch(parsed: DataFrame): DataFrame = {
-    val cols = Seq("id", "created_at", "closed_at", "open", "uid", "user",
-      "num_changes", "tags")
+    val cols = Seq("created_at", "closed_at", "open", "uid", "user",
+      "num_changes", "tags", "seq")
     parsed.groupBy("id")
-      .agg(max_by(struct(cols.filter(_ != "id").map(col): _*), col("seq")).as("r"))
-      .select(col("id") +: cols.filter(_ != "id").map(c => col(s"r.$c")): _*)
+      .agg(max_by(struct(cols.map(col): _*), col("seq")).as("r"))
+      .select(col("id") +: cols.map(c => col(s"r.$c")): _*)
   }
 
   /** Max lifecycle timestamp present in the store (ISO-8601 strings order
@@ -239,9 +243,20 @@ object ChangesetCatchup {
   /** Upserts re-fetched (now closed) changeset rows — the
     * `updateUnclosedChangesets` apply half: latest-wins by id, bucket-
     * pruned, bookmark untouched (closures arrive out of band of the
-    * sequence stream).
+    * sequence stream). A sequenced store's rows carry `seq`; out-of-band
+    * closures are stamped with the current bookmark — future diffs
+    * (higher seq) can still update the row, late stream files (lower
+    * seq) cannot rewind it.
     */
   def refreshUnclosed(spark: SparkSession, storeDir: String,
-      refreshed: DataFrame): Int =
-    ChangesetStore.upsertAuto(spark, storeDir, refreshed, Seq("id"))
+      refreshed: DataFrame): Int = {
+    val storeHasSeq = ChangesetStore.currentVersion(spark, storeDir).exists(_ =>
+      ChangesetStore.readAuto(spark, storeDir).columns.contains("seq"))
+    val aligned =
+      if (storeHasSeq == refreshed.columns.contains("seq")) refreshed
+      else if (storeHasSeq) refreshed.withColumn("seq",
+        lit(readState(storeDir).map(_.sequenceNumber).getOrElse(0L)))
+      else refreshed.drop("seq")
+    ChangesetStore.upsertAuto(spark, storeDir, aligned, Seq("id"))
+  }
 }

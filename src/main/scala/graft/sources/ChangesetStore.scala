@@ -129,9 +129,13 @@ object ChangesetStore {
       case None => batch
       case Some(_) =>
         val keyDf = batch.select(keys.map(col): _*).distinct()
+        // allowMissingColumns: a store's schema may GROW across writers
+        // (a dump-ingested snapshot later caught up by the sequenced
+        // path, whose rows carry `seq`); carried rows surface the new
+        // column as null
         read(spark, storeDir)
           .join(broadcast(keyDf), keys, "left_anti")
-          .unionByName(batch)
+          .unionByName(batch, allowMissingColumns = true)
     }
     merged.write.mode("overwrite").parquet(s"$storeDir/v=$next")
     commitPointer(spark, storeDir, next)
@@ -389,7 +393,7 @@ object ChangesetStore {
         spark.read.parquet(livePaths: _*)
           .join(broadcast(keyDf), keys, "left_anti")
           .withColumn("_b", bCol)
-          .unionByName(batchB)
+          .unionByName(batchB, allowMissingColumns = true)
       }
     }
     val written = stageAndInstall(spark, storeDir, merged, nb, next, "v")

@@ -32,12 +32,21 @@ final case class CsDiffRow(seq: Long, id: Long, created_at: String,
   */
 object ChangesetStream {
 
-  def start(spark: SparkSession, diffDir: String, storeDir: String): StreamingQuery = {
+  /** @param numBuckets bucket count for a store this stream CREATES; an
+    *                    existing store's pinned meta.json layout always
+    *                    wins, so a stream continuing a catch-up store
+    *                    with a non-default count adopts it safely.
+    */
+  def start(spark: SparkSession, diffDir: String, storeDir: String,
+      numBuckets: Int = 64): StreamingQuery = {
     import spark.implicits._
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(storeDir))
     val raw = spark.readStream
       .format("text")
       .option("wholetext", "true")
+      // the grouped 000/000/042.osm layout sequenceOf supports must also
+      // be DISCOVERED — the file source is non-recursive by default
+      .option("recursiveFileLookup", "true")
       .load(diffDir)
       .select(col("value"), col("_metadata.file_path").as("path"))
       .as[(String, String)]
@@ -53,8 +62,30 @@ object ChangesetStream {
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val b = batch.localCheckpoint(true) // parsed once, used thrice
-          ChangesetStore.upsertAuto(spark, storeDir,
-            ChangesetCatchup.foldBatch(b), Seq("id"))
+          val folded = ChangesetCatchup.foldBatch(b)
+          // cross-batch sequencing: the fold orders WITHIN a micro-batch,
+          // but a lower-seq file can surface in a LATER trigger (watched
+          // directories make no ordering promise). Store rows carry the
+          // seq that wrote them, so the batch drops any row an already-
+          // stored higher-seq row outranks — a late diff can never rewind
+          // data the bookmark says is applied. The stored-seq lookup is
+          // bucket-pruned: only the buckets the batch's ids hash into are
+          // opened, batch-scale I/O at any store size.
+          val ids = folded.select("id")
+          val winners = ChangesetStore
+            .readBucketsFor(spark, storeDir, ids, Seq("id"), numBuckets) match {
+            case None => folded
+            case Some(stored) =>
+              val storedSeq = stored
+                .join(broadcast(ids), Seq("id"), "left_semi")
+                .groupBy("id").agg(max("seq").as("_sseq"))
+              folded.join(broadcast(storedSeq), Seq("id"), "left")
+                .filter(col("_sseq").isNull || col("seq") > col("_sseq"))
+                .drop("_sseq")
+          }
+          if (!winners.isEmpty)
+            ChangesetStore.upsertAuto(spark, storeDir, winners, Seq("id"),
+              numBuckets)
           // bookmark parity with the sequenced catch-up: monotonic advance
           // only (a replayed batch must never rewind the sequence)
           val agg = b.agg(max("seq"),

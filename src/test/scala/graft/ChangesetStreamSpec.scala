@@ -80,6 +80,41 @@ class ChangesetStreamSpec extends SparkSpec {
       (200L, "2024-01-21T00:01:40Z", false, 3L)))
   }
 
+  test("a late lower-seq file cannot rewind a colliding id's newer row") {
+    val diffs = tmp("graft-cs-stream-diffs4")
+    val store = tmp("graft-cs-stream-store4")
+    // diff 5 closes cs 100; then diff 4 — an OLDER file for the SAME id —
+    // surfaces in a later trigger. Latest-wins-by-arrival would reopen
+    // the changeset while the bookmark stays at 5; the store's per-row
+    // seq must refuse the rewind.
+    write(diffs, 5, diff3)
+    val q = ChangesetStream.start(spark, diffs, store)
+    q.processAllAvailable()
+    q.stop()
+    assert(storeRows(store) === Seq((100L, "2024-01-21T00:02:00Z", false, 7L)))
+
+    write(diffs, 4, diff1)
+    val q2 = ChangesetStream.start(spark, diffs, store)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(storeRows(store) === Seq((100L, "2024-01-21T00:02:00Z", false, 7L)),
+      "the seq-4 open row must not overwrite the seq-5 closure")
+    assert(ReplicationCatchup.readState(store).map(_.sequenceNumber) === Some(5L))
+  }
+
+  test("grouped 000/000/NNN.osm diff layout is discovered and sequenced") {
+    val diffs = tmp("graft-cs-stream-diffs5")
+    val store = tmp("graft-cs-stream-store5")
+    val grouped = java.nio.file.Paths.get(diffs, "000", "000")
+    java.nio.file.Files.createDirectories(grouped)
+    java.nio.file.Files.writeString(grouped.resolve("042.osm"), diff2)
+    val q = ChangesetStream.start(spark, diffs, store)
+    q.processAllAvailable()
+    q.stop()
+    assert(storeRows(store) === Seq((200L, "2024-01-21T00:01:40Z", false, 3L)))
+    assert(ReplicationCatchup.readState(store).map(_.sequenceNumber) === Some(42L))
+  }
+
   test("bookmark never rewinds below an already-applied sequence") {
     val diffs = tmp("graft-cs-stream-diffs3")
     val store = tmp("graft-cs-stream-store3")
