@@ -23,6 +23,10 @@ import org.apache.spark.sql.functions._
   *                                             # diffs into the changeset
   *                                             # store; same state.txt
   *                                             # bookmark contract
+  * graft.Cli changeset-refresh <closureFile> <storeDir> [cutoffIso]
+  *                                             # re-close open changesets from
+  *                                             # a re-fetched changeset file
+  *                                             # (unclosed-changeset loop)
   * graft.Cli pbf-info   <file> <outDir>        # debug: blob/entity summary
   * graft.Cli store-peek <storeDir> <osmId>     # debug: element's versions
   * }}}
@@ -36,10 +40,12 @@ object Cli {
   def main(args: Array[String]): Unit = {
     require(args.length == 3 ||
       (args.length == 4 &&
-        Set("replication-catchup", "osm-update", "changeset-catchup")(args(0))),
+        Set("replication-catchup", "osm-update", "changeset-catchup",
+          "changeset-refresh")(args(0))),
       "usage: graft.Cli <contributions|contributions-pbf|changesets|replication> <in> <outDir>" +
         " | graft.Cli replication-catchup <replDir> <storeDir> [maxSteps]" +
         " | graft.Cli changeset-catchup <diffDir> <storeDir> [maxSteps]" +
+        " | graft.Cli changeset-refresh <closureFile> <storeDir> [cutoffIso]" +
         " | graft.Cli osm-update-init <pbf> <storeRoot>" +
         " | graft.Cli osm-update <replDir> <storeRoot> [maxSteps]")
     val Array(cmd, sfDir, outDir) = args.take(3)
@@ -109,6 +115,22 @@ object Cli {
         val n = operators.ChangesetCatchup.catchUp(spark, sfDir, outDir, maxSteps)
         val st = operators.ReplicationCatchup.readState(outDir)
         println(s"[graft] changeset-catchup: applied $n diff(s); state=${st.map(_.sequenceNumber).getOrElse(0L)}")
+      case "changeset-refresh" =>
+        // the reference's unclosed-changeset loop
+        // (getOpenChangesetsOlderThanTwoHours → re-fetch → upsert): open
+        // candidates older than the cutoff are refreshed from a re-fetched
+        // changeset file (the fetch itself is the declared non-goal HTTP
+        // API), latest-wins by id, bookmark untouched. Optional 4th arg =
+        // the age cutoff (ISO); default refreshes every open changeset.
+        val cutoff = if (args.length == 4) args(3) else "\uffff" // U+FFFF: above any ISO timestamp = every open changeset
+        val candidates = operators.ChangesetCatchup
+          .openOlderThan(spark, outDir, cutoff).select("id")
+        val refreshed = graft.sources.OsmXml.readChangesetDump(spark, sfDir)
+          .join(broadcast(candidates), Seq("id"), "left_semi")
+          .localCheckpoint(true) // counted AND upserted — parsed once
+        val n = refreshed.count()
+        if (n > 0) operators.ChangesetCatchup.refreshUnclosed(spark, outDir, refreshed)
+        println(s"[graft] changeset-refresh: $n candidate closure(s) applied")
       case "osm-update-init" =>
         // seed the typed update store from a history PBF (the reference's
         // initial UpdateStore fill before replication starts)

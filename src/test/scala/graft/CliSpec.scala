@@ -67,6 +67,40 @@ class CliSpec extends SparkSpec {
       .currentContributions(spark, store).count() === 2L)
   }
 
+  test("cli changeset-refresh closes open candidates from a re-fetched file") {
+    import org.apache.spark.sql.functions.col
+    val diffs = java.nio.file.Files.createTempDirectory("graft-cli-csr-diffs")
+    val store = java.nio.file.Files.createTempDirectory("graft-cli-csr-store").toString
+    def diff(body: String) =
+      s"""<?xml version="1.0"?>\n<osm version="0.6">\n$body\n</osm>"""
+    // seed via the sequenced catch-up: cs 100 stays open, cs 200 closed
+    java.nio.file.Files.writeString(diffs.resolve("1.osm"), diff(
+      """ <changeset id="100" created_at="2024-01-21T00:00:00Z" closed_at="" open="true" uid="9" user="bob" num_changes="0"/>
+        | <changeset id="200" created_at="2024-01-21T00:01:00Z" closed_at="2024-01-21T00:01:40Z" open="false" uid="5" user="amy" num_changes="3"/>""".stripMargin))
+    Cli.main(Array("changeset-catchup", diffs.toString, store))
+
+    // re-fetched closure file: cs 100 now closed; cs 999 is NOT an open
+    // candidate in the store and must be ignored
+    val closures = diffs.resolve("refetched.osm")
+    java.nio.file.Files.writeString(closures, diff(
+      """ <changeset id="100" created_at="2024-01-21T00:00:00Z" closed_at="2024-01-21T02:30:00Z" open="false" uid="9" user="bob" num_changes="12"/>
+        | <changeset id="999" created_at="2024-01-21T00:00:00Z" closed_at="2024-01-21T00:05:00Z" open="false" uid="1" user="zed" num_changes="1"/>""".stripMargin))
+    Cli.main(Array("changeset-refresh", closures.toString, store))
+
+    val back = graft.sources.ChangesetStore.readAuto(spark, store)
+    val r100 = back.filter(col("id") === 100L).collect()
+    assert(r100.length === 1 && !r100.head.getAs[Boolean]("open"))
+    assert(r100.head.getAs[Long]("num_changes") === 12L)
+    assert(back.filter(col("id") === 999L).isEmpty,
+      "non-candidate rows from the re-fetched file must be ignored")
+    // the bookmark is untouched — closures arrive out of band
+    assert(graft.operators.ReplicationCatchup.readState(store)
+      .map(_.sequenceNumber) === Some(1L))
+    // nothing left to refresh: a second run is a counted no-op
+    Cli.main(Array("changeset-refresh", closures.toString, store))
+    assert(graft.sources.ChangesetStore.readAuto(spark, store).count() === 2L)
+  }
+
   test("cli osm-update-init + osm-update: PBF seed, diff, backref minors") {
     import org.apache.spark.sql.functions.col
     val pbf = java.nio.file.Files.createTempFile("graft-cli-upd", ".osm.pbf")
