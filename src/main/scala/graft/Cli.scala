@@ -53,7 +53,13 @@ object Cli {
     val preexisting = org.apache.spark.sql.SparkSession.getActiveSession.isDefined
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    cmd match {
+    // per-stage progress lines on stderr (the reference CLI runs behind a
+    // console progress bar; silent-between-log-lines runs read as hung)
+    val progress =
+      if (sys.env.get("SPARK_GRAFT_PROGRESS").contains("0")) None
+      else Some(new Progress())
+    progress.foreach(spark.sparkContext.addSparkListener)
+    try cmd match {
       case "contributions" =>
         // partition on contribFull's own status column — it already carries
         // the deleted/history/latest distinction (overriding it here would
@@ -178,7 +184,7 @@ object Cli {
         rows.foreach(r => println(s"[graft] $r"))
         println(s"[graft] store-peek: ${rows.length} version(s) of $outDir")
       case other => throw new IllegalArgumentException(s"unknown command $other")
-    }
+    } finally progress.foreach(spark.sparkContext.removeSparkListener)
     println(s"[graft] $cmd -> $outDir")
     if (!preexisting) spark.stop() // leave embedding callers' session alive
   }
