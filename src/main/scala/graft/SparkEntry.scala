@@ -19,7 +19,8 @@ object SparkEntry {
     Relational.queries ++ History.queries ++ Changesets.queries ++
       Replication.queries ++ Geometry.queries ++ Contributions.queries ++ Dedup.queries ++
       TextOps.queries ++ Ann.queries ++ Multimodal.queries ++ Skew.queries ++
-      Temporal.queries ++ Sampling.queries ++ ChangesetCatchup.queries
+      Temporal.queries ++ Sampling.queries ++ ChangesetCatchup.queries ++
+      Events.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -28,5 +29,6 @@ object SparkEntry {
     Relational.oracles ++ History.oracles ++ Changesets.oracles ++
       Replication.oracles ++ Geometry.oracles ++ Contributions.oracles ++ Dedup.oracles ++
       TextOps.oracles ++ Ann.oracles ++ Multimodal.oracles ++ Skew.oracles ++
-      Temporal.oracles ++ Sampling.oracles ++ ChangesetCatchup.oracles
+      Temporal.oracles ++ Sampling.oracles ++ ChangesetCatchup.oracles ++
+      Events.oracles
 }

@@ -269,6 +269,35 @@ object Dedup {
         col("n_shared") * lit(graft.functions.TextKernels.FpSample))
   }
 
+  /** Benchmark DECONTAMINATION: flag training documents that share any
+    * word 3-gram with a held-out benchmark set (here the deterministic
+    * doc_id % 101 == 0 slice standing in for an eval suite) — the
+    * overlap check a training pipeline runs so test data never leaks
+    * into the corpus (the n-gram-overlap rule from the GPT-3/PaLM
+    * decontamination appendices).
+    *
+    * Scale shape: the benchmark side is an eval suite — bounded MBs no
+    * matter how big the corpus — so its distinct-gram set is BROADCAST
+    * and the corpus side stays scan-shaped: tokenize, emit distinct
+    * grams per doc (higher-order functions, no shuffle), hash-join
+    * against the broadcast set, partial-agg the hit counts per doc.
+    * The big side never shuffles its text.
+    */
+  def dedupDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        when(size(col("w")) >= 3, array_distinct(expr(
+          "transform(sequence(1, size(w) - 2), i -> array_join(slice(w, i, 3), ' '))")))
+          .otherwise(array().cast("array<string>")).as("gs"))
+    val bench = grams.filter(col("doc_id") % 101 === 0)
+      .select(explode(col("gs")).as("g")).distinct()
+    grams.filter(col("doc_id") % 101 =!= 0)
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+      .join(broadcast(bench), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_gram_hits"))
+  }
+
   /** Near-dup clustering: connected components over the LSH candidate
     * graph (pairs with signature-agreement ≥ 0.5), keeping the minimum
     * doc_id as the cluster representative — the step a training pipeline
@@ -434,6 +463,7 @@ object Dedup {
     "dedup_incr_store" -> (LshIndex.dedupIncrStore _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_substring" -> (dedupSubstring _),
+    "dedup_decontaminate" -> (dedupDecontaminate _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _))
 
   // ---- oracle SQL -----------------------------------------------------
@@ -506,6 +536,23 @@ object Dedup {
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    // 3-gram slice w[i:i+2] is 1-based INCLUSIVE (3 tokens), matching the
+    // Spark side's slice(w, i, 3); range() end is exclusive so i runs to
+    // len(w)-2, the last full trigram start
+    "dedup_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(w) - 1),
+        |                    i -> array_to_string(w[i:i+2], ' ')))
+        |    ELSE [] END AS gs
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 101 = 0)
+        |SELECT c.doc_id, count(*) AS n_gram_hits
+        |FROM grams c, unnest(c.gs) AS u(g) JOIN bench ON u.g = bench.g
+        |WHERE c.doc_id % 101 <> 0
+        |GROUP BY c.doc_id""".stripMargin,
     "dedup_minhash" -> s"$sigSql ORDER BY doc_id",
     "dedup_incremental" -> incrementalSql,
     // the persisted-index probe (LshIndex) must reproduce the in-query

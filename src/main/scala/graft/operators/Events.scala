@@ -1,0 +1,184 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table: sessionization,
+  * funnel conversion, cohort retention, and JSON property extraction —
+  * the product-analytics shapes a clickstream warehouse runs daily.
+  *
+  * Scale notes (the 100 TB question per operator):
+  * - Sessionization is ONE hash exchange on `user_id` followed by a
+  *   per-user sort inside the window; the session fold and the
+  *   per-session aggregate reuse the same partitioning, so the whole
+  *   operator is a single shuffle regardless of event volume. Skewed
+  *   users (bots) are bounded by the per-user sort, not a cross-user
+  *   product.
+  * - Funnel stages chain equi-joins on `user_id`; every stage's left
+  *   side shrinks monotonically (stage-2 users ⊆ stage-1 users), so
+  *   AQE can flip later stages to broadcast once the survivor set
+  *   fits. No stage ever rescans more than the filtered event type.
+  * - Retention is groupBy(count distinct) — partial aggregation
+  *   map-side, one exchange on (cohort_week, week_offset).
+  * - JSON extraction (`get_json_object`) is scan-side and
+  *   codegen-friendly; nothing shuffles until the final groupBy on the
+  *   5-value event_type domain.
+  */
+object Events {
+
+  /** Session gap: a new session starts after 4 h of inactivity. */
+  private val SessionGapS = 14400L
+
+  /** Funnel step window: each stage must follow within 24 h. */
+  private val FunnelWindowS = 86400L
+
+  /** `events.ts` is parquet `timestamp[ns]`, which Spark surfaces as raw
+    * epoch-nanos int64 (nanos have no Spark logical type). Floor-seconds
+    * here equals DuckDB's `date_diff('second', …)` boundary count on the
+    * native timestamp, so second-granular arithmetic agrees between
+    * engines; [[tsStamp]] rebuilds a µs timestamp where the OUTPUT needs
+    * a real timestamp column.
+    */
+  private def tsS(name: String) = expr(s"$name div 1000000000")
+
+  private def tsStamp(name: String) = expr(s"timestamp_micros($name div 1000)")
+
+  /** Gap-based sessionization: per-user sessions split on >4 h silence,
+    * with per-session event count and duration. Session index is the
+    * running sum of break flags — deterministic under the (ts, event_id)
+    * tiebreak even when two events share a timestamp.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), tsS("ts").as("ts_s"))
+      .withColumn("prev_s", lag(col("ts_s"), 1).over(order))
+      .withColumn("brk",
+        when(col("prev_s").isNull || col("ts_s") - col("prev_s") > SessionGapS,
+          1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("brk")).over(run))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts_s")) - min(col("ts_s"))).as("duration_s"))
+  }
+
+  /** Ordered conversion funnel signup → view → purchase, each step
+    * within 24 h of the previous one. Stage times are per-user minima,
+    * so the result is order-insensitive and deterministic.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), tsS("ts").as("ts_s"))
+    def stageAfter(evType: String, prev: DataFrame, prevTs: String, out: String) =
+      ev.filter(col("event_type") === evType)
+        .join(prev.select("user_id", prevTs), "user_id")
+        .filter(col("ts") > col(prevTs) &&
+          col("ts_s") - tsS(prevTs) <= FunnelWindowS)
+        .groupBy("user_id").agg(min("ts").as(out))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = stageAfter("view", s1, "t1", "t2")
+    val s3 = stageAfter("purchase", s2, "t2", "t3")
+    def counted(df: DataFrame, stage: String) =
+      df.agg(count(lit(1)).as("n_users")).withColumn("stage", lit(stage))
+    counted(s1, "stage1_signup")
+      .unionByName(counted(s2, "stage2_view"))
+      .unionByName(counted(s3, "stage3_purchase"))
+      .select("stage", "n_users")
+  }
+
+  /** Weekly cohort retention: users grouped by the ISO week of their
+    * first event; for each later week, how many came back. Week offsets
+    * are exact multiples of 7 days (both endpoints are Monday-truncated)
+    * so the integer division is lossless.
+    */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), tsStamp("ts").as("tst"))
+    val first = ev.groupBy("user_id")
+      .agg(date_trunc("week", min("tst")).as("cohort_week"))
+    ev.join(first, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(date_trunc("week", col("tst")), col("cohort_week")) / 7)
+          .cast("bigint").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** JSON property extraction + aggregation: pull `$.k` out of the
+    * props JSON string per event, aggregate per type. The average is
+    * derived from the exact integer sum with ONE double division so
+    * both engines produce bit-identical doubles.
+    */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("n_events"))
+      .withColumn("k_avg", col("k_sum").cast("double") / col("n_events"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_sessionize" -> (sessionize _),
+    "evt_funnel" -> (funnel _),
+    "evt_retention" -> (retention _),
+    "evt_json" -> (jsonExtract _))
+
+  val oracles: Map[String, String] = Map(
+    "evt_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR date_diff('second', lag(ts) OVER w, ts) > 14400
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM g
+        |)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  count(*) AS n_events,
+        |  date_diff('second', min(ts), max(ts)) AS duration_s
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
+    "evt_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t1
+        |    AND date_diff('second', s1.t1, e.ts) <= 86400
+        |  GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND date_diff('second', s2.t2, e.ts) <= 86400
+        |  GROUP BY e.user_id
+        |)
+        |SELECT 'stage1_signup' AS stage, count(*) AS n_users FROM s1
+        |UNION ALL SELECT 'stage2_view', count(*) FROM s2
+        |UNION ALL SELECT 'stage3_purchase', count(*) FROM s3""".stripMargin,
+    "evt_retention" ->
+      """WITH first AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT f.cohort_week,
+        |  CAST(date_diff('day', f.cohort_week, date_trunc('week', e.ts)) / 7
+        |       AS BIGINT) AS week_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN first f ON e.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
+    "evt_json" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+        |    / count(*) AS k_avg
+        |FROM events GROUP BY event_type""".stripMargin)
+}

@@ -176,7 +176,20 @@ object Relational {
         max("n").cast("bigint").as("n"))
   }
 
+  /** Anti join (NOT EXISTS): customers who never placed an urgent-priority
+    * order. LeftAnti keeps the build side to the filtered orders subset —
+    * the filter pushes to the parquet scan, and at scale the join is a
+    * plain hash exchange on the key with no row-width amplification
+    * (anti joins emit only left columns).
+    */
+  def q14AntiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_anti_join" -> (q14AntiJoin _),
     "q10_rollup" -> (q10Rollup _),
     "q11_pivot" -> (q11Pivot _),
     "q12_quantiles" -> (q12Quantiles _),
@@ -197,6 +210,11 @@ object Relational {
   private val lBp = "CAST(round(l_discount * 100) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q14_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin,
     "q10_rollup" ->
       s"""SELECT coalesce(l_returnflag, '(all)') AS rf,
          |  coalesce(l_linestatus, '(all)') AS ls,

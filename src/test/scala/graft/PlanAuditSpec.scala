@@ -84,6 +84,20 @@ class PlanAuditSpec extends SparkSpec {
       s"ann_ivf_store corpus side must not shuffle:\n${plans("ann_ivf_store")}")
   }
 
+  test("round-9 keys: sessionize one keyed exchange, decontaminate broadcast bench") {
+    // sessionize: the window's user_id exchange also satisfies the
+    // (user_id, session_idx) aggregation clustering — one shuffle total
+    assert(shuffleCount(plans("evt_sessionize")) <= 1,
+      s"evt_sessionize must reuse the window exchange:\n${plans("evt_sessionize")}")
+    // decontamination: the benchmark gram set broadcasts; the corpus side
+    // feeds the join scan-shaped (its only exchange is the final per-doc
+    // partial agg)
+    assert(plans("dedup_decontaminate").contains("BroadcastExchange"),
+      "dedup_decontaminate must broadcast the benchmark gram set")
+    assert(shuffleCount(plans("dedup_decontaminate")) <= 2,
+      s"dedup_decontaminate corpus side must stay scan-shaped:\n${plans("dedup_decontaminate")}")
+  }
+
   test("no sort-merge joins at test scale (broadcast should win everywhere)") {
     // dedup_clusters joins two node-sized frames (labels ⨝ neighbor mins):
     // big-big at scale, where a shuffle join IS the intended plan — cached
