@@ -81,6 +81,40 @@ object TextOps {
         length(col("text")).cast("double") / col("ws_tokens"))
       .select("doc_id", "ws_tokens", "bpe_tokens", "chars_per_tok")
 
+  /** Sequence PACKING for pretraining: concatenate documents in doc_id
+    * order into fixed-length (512-token) training sequences; each doc gets
+    * its start offset in the concatenated token stream and the sequence it
+    * starts in — the deterministic "concat then chunk" packing a
+    * dataloader replays without materializing the concatenation.
+    *
+    * Scale shape: the global running sum is a DISTRIBUTED PREFIX SUM, not
+    * a single-partition window — per-block token totals (block = doc_id
+    * div 4096) aggregate map-side, the tiny block table prefix-sums in one
+    * task and broadcasts back, and the within-block running sum windows on
+    * block-partitioned exchanges. No stage ever sees more than a block of
+    * rows in one task, so the operator survives any corpus size; a plain
+    * `Window.orderBy(doc_id)` would funnel 100 TB through one task.
+    */
+  def textPack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(expr(toksExpr)).cast("bigint").as("n_tokens"))
+      .withColumn("block", expr("doc_id div 4096"))
+    val blockOff = docs.groupBy("block").agg(sum("n_tokens").as("btot"))
+      .withColumn("boff", coalesce(sum("btot").over(
+        Window.orderBy("block").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("block", "boff")
+    val inBlock = Window.partitionBy("block").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.join(broadcast(blockOff), "block")
+      .withColumn("start_off",
+        col("boff") + coalesce(sum("n_tokens").over(inBlock), lit(0L)))
+      .withColumn("seq_id", expr("start_off div 512"))
+      .select("doc_id", "n_tokens", "start_off", "seq_id")
+  }
+
   /** Canonical fingerprint: md5 of the sorted distinct token set — docs
     * with the same bag of words collide; keep-lowest-id per group.
     */
@@ -182,9 +216,23 @@ object TextOps {
     "text_tokens" -> (textTokens _),
     "text_pii" -> (textPii _),
     "text_rollhash" -> (textRollhash _),
+    "text_pack" -> (textPack _),
     "text_fingerprint" -> (textFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    // the oracle replays the packing as ONE global window — correct at
+    // oracle scale; the Spark side's block-and-broadcast prefix sum is the
+    // distributed equivalent
+    "text_pack" ->
+      s"""SELECT doc_id, n_tokens,
+         |  CAST(start_off AS BIGINT) AS start_off,
+         |  CAST(start_off // 512 AS BIGINT) AS seq_id
+         |FROM (
+         |  SELECT doc_id, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+         |  FROM (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |        FROM documents) t) p""".stripMargin,
     "text_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |c AS (SELECT doc_id, toks,

@@ -280,4 +280,20 @@ class PipelineSpec extends SparkSpec {
       .toDF("vec_id", "label", "embedding")
     assert(Ann.dedupEmbeddingOf(small).count() === 45L)
   }
+
+  test("text_pack: offsets tile the concatenated token stream exactly") {
+    val rows = TextOps.textPack(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("start_off"), r.getAs[Long]("seq_id")))
+      .sortBy(_._1)
+    assert(rows.head._3 === 0L, "first doc starts the stream")
+    // each doc starts exactly where the previous one ended — the
+    // distributed block-prefix sum must equal the naive serial scan
+    rows.sliding(2).foreach {
+      case Array((_, n, off, _), (id2, _, off2, _)) =>
+        assert(off2 === off + n, s"doc $id2 offset breaks the tiling")
+      case _ =>
+    }
+    rows.foreach { case (_, _, off, seq) => assert(seq === off / 512L) }
+  }
 }
