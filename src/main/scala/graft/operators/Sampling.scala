@@ -49,9 +49,59 @@ object Sampling {
       .filter(col("rk") <= 20)
       .select("doc_id", "lang", "rk")
 
+  /** Fine-grained hash bucket in [0, 1e6): first 32 bits of
+    * md5("mix|" + id), mod 1e6 — ppm granularity so small target shares
+    * still resolve.
+    */
+  private def bucketPpm(id: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit("mix|"), id.cast("string"))), 1, 8), 16, 10)
+      .cast("bigint") % 1000000L
+
+  /** Domain-mixture sampling: fill each source's share of a target
+    * mixture (in parts of 200: head sources 30, mid 10, tail 2) measured
+    * in CHARACTERS, the token-budget proxy — the "data mixing" step that
+    * turns a raw crawl into a pretraining recipe. A document survives iff
+    *
+    *   bucket_ppm * (200 * src_chars)  <  total_chars * part * 1e6
+    *
+    * i.e. hash-rate ≈ its source's budget / its source's volume, capped
+    * at keep-everything when the source is smaller than its budget (the
+    * inequality caps naturally — no branch). DECIMAL(38,0) cross-
+    * multiplication instead of a rate division: exact at 100 TB corpus
+    * sizes (≈1e14 chars × 1e6 ppm × 200 ≈ 2e22 ≪ 1e38) where BIGINT
+    * would overflow and a double rate would round engine-dependently.
+    *
+    * Scale shape: two column-pruned scans of `documents` ((source,
+    * n_chars) then the filter pass), one tiny per-source aggregate
+    * broadcast back, zero fact-table shuffles — the decision is a pure
+    * map, so Parquet filter/projection pushdown and AQE see through it.
+    */
+  def sampleMixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val dec = "decimal(38,0)"
+    val part = when(col("source").isin("src0", "src1", "src2", "src3"), lit(30L))
+      .when(col("source").isin("src4", "src5", "src6", "src7", "src8", "src9"), lit(10L))
+      .otherwise(lit(2L))
+    // total_chars rides the tiny per-source table as a window over all
+    // 20 rows (NOT a crossJoin of a 1-row aggregate — that plans a
+    // BroadcastNestedLoopJoin); the fact side then needs just the one
+    // broadcast hash join on source.
+    val perSrc = docs.groupBy("source")
+      .agg(sum("n_chars").cast(dec).as("src_chars"))
+      .withColumn("total_chars", expr("sum(src_chars) over ()"))
+    docs
+      .join(broadcast(perSrc), "source")
+      .withColumn("part", part.cast(dec))
+      .withColumn("bucket", bucketPpm(col("doc_id")))
+      .filter(col("bucket").cast(dec) * lit(200L).cast(dec) * col("src_chars")
+        < col("total_chars") * col("part") * lit(1000000L).cast(dec))
+      .select(col("doc_id"), col("source"), col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleStratified _),
-    "sample_quota" -> (sampleQuota _))
+    "sample_quota" -> (sampleQuota _),
+    "sample_mixture" -> (sampleMixture _))
 
   val oracles: Map[String, String] = Map(
     "sample_stratified" ->
@@ -60,6 +110,22 @@ object Sampling {
         |    CAST(('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS bucket
         |  FROM documents) t
         |WHERE bucket < CASE WHEN lang = 'en' THEN 5 ELSE 20 END
+        |ORDER BY doc_id""".stripMargin,
+    "sample_mixture" ->
+      """WITH tot AS (SELECT CAST(sum(n_chars) AS HUGEINT) AS total_chars
+        |            FROM documents),
+        |src AS (SELECT source, CAST(sum(n_chars) AS HUGEINT) AS src_chars
+        |        FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source,
+        |  CAST(('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS bucket
+        |FROM documents d JOIN src ON src.source = d.source, tot
+        |WHERE CAST(CAST(('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS HUGEINT)
+        |      * 200 * src.src_chars
+        |    < tot.total_chars
+        |      * (CASE WHEN d.source IN ('src0','src1','src2','src3') THEN 30
+        |              WHEN d.source IN ('src4','src5','src6','src7','src8','src9') THEN 10
+        |              ELSE 2 END)
+        |      * 1000000
         |ORDER BY doc_id""".stripMargin,
     "sample_quota" ->
       """SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM (

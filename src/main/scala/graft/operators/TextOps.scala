@@ -115,6 +115,33 @@ object TextOps {
       .select("doc_id", "n_tokens", "start_off", "seq_id")
   }
 
+  /** Top-3 SALIENT terms per document — the keyword-extraction step of a
+    * corpus explorer: rank a doc's terms by (tf DESC, df ASC, term ASC),
+    * i.e. tf-idf's ordering expressed purely in integers (frequent in
+    * this doc, rare in the corpus) with no float arithmetic for an
+    * engine to round differently.
+    *
+    * Scale shape: the explode fans out to one row per token, but the
+    * (doc_id, term) tf aggregate partial-aggregates map-side before its
+    * exchange (a doc's repeated tokens collapse in place, so the shuffle
+    * carries distinct terms, not tokens); df reduces the already-distinct
+    * tf rows; the per-doc window is Spark 4 WindowGroupLimit — the rank
+    * cutoff prunes map-side, never materializing a doc's full term list
+    * post-join.
+    */
+  def textSalient(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(df, "term")
+      .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df").asc, col("term"))))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "term", "tf", "df", "rk")
+  }
+
   /** Canonical fingerprint: md5 of the sorted distinct token set — docs
     * with the same bag of words collide; keep-lowest-id per group.
     */
@@ -217,9 +244,20 @@ object TextOps {
     "text_pii" -> (textPii _),
     "text_rollhash" -> (textRollhash _),
     "text_pack" -> (textPack _),
+    "text_salient" -> (textSalient _),
     "text_fingerprint" -> (textFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_salient" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+         |SELECT doc_id, term, tf, df, CAST(rk AS INT) AS rk FROM (
+         |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |    row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rk
+         |  FROM tf JOIN df USING (term)) t
+         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     // the oracle replays the packing as ONE global window — correct at
     // oracle scale; the Spark side's block-and-broadcast prefix sum is the
     // distributed equivalent

@@ -281,6 +281,57 @@ class PipelineSpec extends SparkSpec {
     assert(Ann.dedupEmbeddingOf(small).count() === 45L)
   }
 
+  test("sample_mixture: kept set equals a driver-side BigInt replay of the budget rule") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val srcChars = docs.groupBy(_._2).view.mapValues(ds => BigInt(ds.map(_._3).sum)).toMap
+    val totChars = BigInt(docs.map(_._3).sum)
+    def part(src: String): BigInt =
+      if (Set("src0", "src1", "src2", "src3")(src)) 30
+      else if (Set("src4", "src5", "src6", "src7", "src8", "src9")(src)) 10
+      else 2
+    def bucket(id: Long): BigInt = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mix|$id".getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(8)
+      BigInt(java.lang.Long.parseLong(hex, 16)) % 1000000
+    }
+    val expected = docs.collect {
+      case (id, src, _) if bucket(id) * 200 * srcChars(src) < totChars * part(src) * 1000000 => id
+    }.toSet
+    val got = operators.Sampling.sampleMixture(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+    // head sources are under-budget (want 15% of chars, have ~5%): every doc kept
+    val bySrc = docs.filter(d => part(d._2) == BigInt(30)).map(_._1).toSet
+    assert(bySrc.subsetOf(got), "under-budget head sources must keep everything")
+    // tail sources are over-budget (want 1%, have ~5%): strictly downsampled
+    val tailAll = docs.filter(d => part(d._2) == BigInt(2)).map(_._1).toSet
+    assert((tailAll -- got).nonEmpty, "over-budget tail sources must drop docs")
+  }
+
+  test("text_salient: ranks replay the (tf desc, df asc, term) ordering exactly") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val tf = docs.flatMap { case (id, t) =>
+      t.split(' ').filter(_.nonEmpty).groupBy(identity)
+        .map { case (term, hits) => (id, term, hits.length.toLong) }
+    }
+    val df = tf.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expected = tf.groupBy(_._1).toSeq.flatMap { case (id, ts) =>
+      ts.toSeq.map { case (_, term, n) => (term, n, df(term)) }
+        .sortBy { case (term, n, d) => (-n, d, term) }
+        .take(3).zipWithIndex
+        .map { case ((term, n, d), i) => (id, term, n, d, i + 1) }
+    }.toSet
+    val got = operators.TextOps.textSalient(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSet
+    assert(got === expected)
+  }
+
   test("text_pack: offsets tile the concatenated token stream exactly") {
     val rows = TextOps.textPack(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),

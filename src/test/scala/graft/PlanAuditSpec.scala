@@ -98,6 +98,22 @@ class PlanAuditSpec extends SparkSpec {
       s"dedup_decontaminate corpus side must stay scan-shaped:\n${plans("dedup_decontaminate")}")
   }
 
+  test("sample_mixture keeps the fact side scan-shaped behind one broadcast") {
+    val p = plans("sample_mixture")
+    // the fact side never exchanges: its only join is the broadcast of the
+    // 20-row per-source budget table; the two exchanges belong to that tiny
+    // side (per-source agg + the single-partition total window)
+    assert(p.contains("BroadcastExchange"),
+      "sample_mixture must broadcast the per-source budget table")
+    assert(shuffleCount(p) <= 2,
+      s"sample_mixture's exchanges must stay on the tiny side:\n$p")
+  }
+
+  test("text_salient top-k is WindowGroupLimit-pruned") {
+    assert(plans("text_salient").contains("WindowGroupLimit"),
+      "text_salient's rank cutoff must prune map-side")
+  }
+
   test("no sort-merge joins at test scale (broadcast should win everywhere)") {
     // dedup_clusters joins two node-sized frames (labels ⨝ neighbor mins):
     // big-big at scale, where a shuffle join IS the intended plan — cached
