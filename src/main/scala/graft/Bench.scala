@@ -7,11 +7,17 @@ object Bench {
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: JIT/codegen paths + parquet footers + page cache, so the
-    // first measured query doesn't absorb JVM startup
-    SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
-    Seq("lineitem", "events", "documents", "embeddings")
-      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet")
-        .write.mode("overwrite").format("noop").save())
+    // first measured query doesn't absorb JVM startup. Guarded: a warmup
+    // failure must degrade to a cold first query, never kill the bench
+    // before it prints its JSON line (BENCH_r09 rc=1 did exactly that).
+    try {
+      SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
+      Seq("lineitem", "events", "documents", "embeddings")
+        .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet")
+          .write.mode("overwrite").format("noop").save())
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+    }
     // median-of-5 per query: a single-shot bench promotes one GC/page-cache
     // stall into the official number (23% of the recorded r3 total was one
     // unreproducible 15 s spike; r7's eight ≥2× regressions were co-located

@@ -57,10 +57,13 @@ object ReplicationStream {
   /** Convenience runner: parquet events dir → in-memory sink table `name`. */
   def start(spark: SparkSession, eventsDir: String, name: String): StreamingQuery = {
     import spark.implicits._
+    // events.ts is parquet timestamp[us] (TIMESTAMP_NTZ); with the session
+    // zone pinned to UTC the cast below makes ts_us the same epoch-µs the
+    // batch operators derive via Tables.events' nanos normalization.
     val stream = spark.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .schema("event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, value DOUBLE, props STRING")
       .parquet(eventsDir)
-      .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+      .select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"),
         col("user_id"), col("event_type"), col("value"))
       .as[EditEvent]
     apply(stream).writeStream
