@@ -107,6 +107,30 @@ object Events {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Tumbling 1-hour windowed aggregate — the batch face of the
+    * streaming WindowedStats operator, via Spark's native `window()`
+    * (so the same grouping works under `readStream` with a watermark).
+    * Window starts are epoch-aligned floors, identical to DuckDB's
+    * `time_bucket`. The double `value` is aggregated as exact integer
+    * cents (`round(value*100)`: one correctly-rounded double product +
+    * round, bit-identical cross-engine) so the sum is order-independent.
+    *
+    * Scale shape: partial aggregation map-side, ONE exchange on
+    * (window, event_type) — cardinality = hours × types, tiny at any
+    * corpus size, so the reduce side never skews.
+    */
+  def tumblingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(tsStamp("ts").as("tst"), col("event_type"),
+        round(col("value") * 100).cast("bigint").as("cents"),
+        col("user_id"))
+      .groupBy(window(col("tst"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum("cents").as("value_cents"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_events"), col("value_cents"), col("n_users"))
+
   /** JSON property extraction + aggregation: pull `$.k` out of the
     * props JSON string per event, aggregate per type. The average is
     * derived from the exact integer sum with ONE double division so
@@ -123,7 +147,8 @@ object Events {
     "evt_sessionize" -> (sessionize _),
     "evt_funnel" -> (funnel _),
     "evt_retention" -> (retention _),
-    "evt_json" -> (jsonExtract _))
+    "evt_json" -> (jsonExtract _),
+    "evt_window" -> (tumblingWindow _))
 
   val oracles: Map[String, String] = Map(
     "evt_sessionize" ->
@@ -180,5 +205,11 @@ object Events {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
         |    / count(*) AS k_avg
-        |FROM events GROUP BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type""".stripMargin,
+    "evt_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2""".stripMargin)
 }

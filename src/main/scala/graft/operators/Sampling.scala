@@ -98,10 +98,50 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("bucket"))
   }
 
+  /** Temperature-scaled source sampling (T = 0.5, the multilingual-LLM
+    * upsampling rule of mC4/XLM-R): target share p_s ∝ count_s^T, so
+    * low-resource sources are upweighted relative to their natural share.
+    * The overall budget is total/4 documents; a document survives iff
+    *
+    *   bucket_ppm * count_s * Σw  <  budget * w_s * 1e6,
+    *     where w_s = floor(sqrt(count_s) * 1e6)
+    *
+    * — the per-source keep rate budget·p_s/count_s, capped naturally at
+    * keep-everything (bucket < 1e6 always). Exactness: `sqrt` is
+    * IEEE-754 correctly rounded in BOTH engines (unlike `pow`, which is
+    * why T is a square root and not a free parameter), the *1e6 product
+    * and floor are deterministic double ops on identical inputs, and the
+    * comparison is DECIMAL(38,0) cross-multiplication — magnitudes
+    * ≤1e6·1e12·2e13 ≈ 2e31 ≪ 1e38 at 100 TB corpus sizes. No double
+    * division ever happens, so no engine-dependent rounding can flip a
+    * keep decision.
+    *
+    * Scale shape: identical to [[sampleMixture]] — a tiny per-source
+    * aggregate (count + weight) broadcast back onto a scan-shaped fact
+    * pass; the decision is a pure map with zero fact-table shuffles.
+    */
+  def sampleTemperature(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val dec = "decimal(38,0)"
+    val perSrc = docs.groupBy("source")
+      .agg(count(lit(1)).as("src_n"))
+      .withColumn("w", floor(sqrt(col("src_n").cast("double")) * lit(1000000.0))
+        .cast(dec))
+      .withColumn("sum_w", expr("sum(w) over ()"))
+      .withColumn("budget", expr("(sum(src_n) over ()) div 4").cast(dec))
+    docs
+      .join(broadcast(perSrc), "source")
+      .withColumn("bucket", bucketPpm(col("doc_id")))
+      .filter(col("bucket").cast(dec) * col("src_n").cast(dec) * col("sum_w")
+        < col("budget") * col("w") * lit(1000000L).cast(dec))
+      .select(col("doc_id"), col("source"), col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleStratified _),
     "sample_quota" -> (sampleQuota _),
-    "sample_mixture" -> (sampleMixture _))
+    "sample_mixture" -> (sampleMixture _),
+    "sample_temperature" -> (sampleTemperature _))
 
   val oracles: Map[String, String] = Map(
     "sample_stratified" ->
@@ -134,5 +174,21 @@ object Sampling {
         |      ORDER BY md5('quota|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents) t
         |WHERE rk <= 20
-        |ORDER BY lang, rk""".stripMargin)
+        |ORDER BY lang, rk""".stripMargin,
+    "sample_temperature" ->
+      """WITH src AS (
+        |  SELECT source, count(*) AS src_n,
+        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000) AS HUGEINT) AS w
+        |  FROM documents GROUP BY source
+        |), agg AS (
+        |  SELECT CAST(sum(w) AS HUGEINT) AS sum_w,
+        |    CAST(sum(src_n) // 4 AS HUGEINT) AS budget FROM src
+        |)
+        |SELECT d.doc_id, d.source,
+        |  CAST(('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS bucket
+        |FROM documents d JOIN src ON src.source = d.source, agg
+        |WHERE CAST(CAST(('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS HUGEINT)
+        |      * src.src_n * agg.sum_w
+        |    < agg.budget * src.w * 1000000
+        |ORDER BY doc_id""".stripMargin)
 }

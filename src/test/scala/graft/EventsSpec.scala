@@ -98,4 +98,26 @@ class EventsSpec extends SparkSpec {
     assert(got === expect)
     assert(got.nonEmpty, "sf0.001 corpus should contain at least one contaminated doc")
   }
+
+  test("evt_window: hourly buckets partition the event set and conserve cents") {
+    val win = Events.tumblingWindow(spark, sfDir).collect()
+    val nEvents = events.count()
+    assert(win.map(_.getAs[Long]("n_events")).sum === nEvents,
+      "windows must partition the event set")
+    // independent recomputation: hour floor of epoch-µs, per (hour, type)
+    val raw = events.select("ts", "event_type", "value", "user_id").collect()
+      .map(r => (Math.floorDiv(r.getLong(0) / 1000L, 3600000000L),
+        r.getString(1), Math.round(r.getDouble(2) * 100), r.getLong(3)))
+    val expect = raw.groupBy(t => (t._1, t._2)).view.mapValues { rows =>
+      (rows.length.toLong, rows.map(_._3).sum, rows.map(_._4).distinct.length.toLong)
+    }.toMap
+    val got = win.map { r =>
+      val hour = Math.floorDiv(
+        r.getAs[java.sql.Timestamp]("w_start").getTime, 3600000L)
+      ((hour, r.getAs[String]("event_type")),
+        (r.getAs[Long]("n_events"), r.getAs[Long]("value_cents"),
+          r.getAs[Long]("n_users")))
+    }.toMap
+    assert(got === expect)
+  }
 }

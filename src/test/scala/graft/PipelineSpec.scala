@@ -311,6 +311,36 @@ class PipelineSpec extends SparkSpec {
     assert((tailAll -- got).nonEmpty, "over-budget tail sources must drop docs")
   }
 
+  test("sample_temperature: kept set equals a driver-side BigInt replay of the sqrt rule") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val srcN = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val w = srcN.view.mapValues(n => BigInt(math.floor(math.sqrt(n.toDouble) * 1e6).toLong)).toMap
+    val sumW = w.values.sum
+    val budget = BigInt(docs.length / 4)
+    def bucket(id: Long): BigInt = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mix|$id".getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(8)
+      BigInt(java.lang.Long.parseLong(hex, 16)) % 1000000
+    }
+    val expected = docs.collect {
+      case (id, src) if bucket(id) * srcN(src) * sumW < budget * w(src) * 1000000 => id
+    }.toSet
+    val got = operators.Sampling.sampleTemperature(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+    // temperature flattening: every source's kept fraction is positive and
+    // small sources keep a HIGHER fraction than the corpus-wide rate
+    val keptBySrc = docs.filter(d => got(d._1)).groupBy(_._2).view.mapValues(_.length).toMap
+    val overallRate = got.size.toDouble / docs.length
+    val smallest = srcN.minBy(_._2)._1
+    if (srcN(smallest) < docs.length / srcN.size)
+      assert(keptBySrc.getOrElse(smallest, 0).toDouble / srcN(smallest) >= overallRate,
+        "temperature sampling must upweight low-resource sources")
+  }
+
   test("text_salient: ranks replay the (tf desc, df asc, term) ordering exactly") {
     val docs = graft.Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()

@@ -98,6 +98,20 @@ class PlanAuditSpec extends SparkSpec {
       s"dedup_decontaminate corpus side must stay scan-shaped:\n${plans("dedup_decontaminate")}")
   }
 
+  test("round-10 keys: temperature sampling broadcast-only, window agg bounded") {
+    // sample_temperature: the fact side is a pure map behind ONE broadcast
+    // of the tiny per-source table; the only exchanges belong to the
+    // per-source aggregate + its window (dim-side, O(sources) rows)
+    assert(plans("sample_temperature").contains("BroadcastExchange"),
+      "sample_temperature must broadcast the per-source weight table")
+    assert(shuffleCount(plans("sample_temperature")) <= 3,
+      s"sample_temperature fact side must not shuffle:\n${plans("sample_temperature")}")
+    // evt_window: partial agg map-side; count(distinct user) makes this a
+    // two-phase agg — two keyed exchanges max, both on (window, type[, user])
+    assert(shuffleCount(plans("evt_window")) <= 2,
+      s"evt_window must stay a two-phase windowed agg:\n${plans("evt_window")}")
+  }
+
   test("sample_mixture keeps the fact side scan-shaped behind one broadcast") {
     val p = plans("sample_mixture")
     // the fact side never exchanges: its only join is the broadcast of the
