@@ -250,6 +250,74 @@ object Ann {
     cents.map { case (cid, v, _) => (cid, v) }.toSeq
   }
 
+  /** Product-quantization ANN (PQ/ADC): M=2 subspaces × K=4 codewords.
+    * Codewords are the subvectors of vec_id 8..11 — like [[annIvf]]'s
+    * centroids, the codebook is an offline training artifact, so a
+    * deterministic driver-scale constant is the honest analog. Every base
+    * vector is ENCODED as (code0, code1) = per-subspace argmin of the
+    * fixed-point squared distance n2(sub) + n2(cw) − 2·dot9(sub, cw) —
+    * exact integers, ties to the smaller code — and queries score
+    * candidates by ADC: per-query lookup tables of the 4 distances per
+    * subspace, summed by code. Everything is integer fixed-point, so
+    * encode, LUT, and ranking replay bit-for-bit in the oracle.
+    *
+    * Scale shape: encoding is pure scan-side map work (8 dot9 kernels
+    * against inlined codeword literals — no shuffle, no join); the stored
+    * index is 2 small ints per vector (the whole point of PQ: the 100 TB
+    * float corpus compresses to codes); ADC is a map-only crossJoin with
+    * the broadcast 8-row query LUT; the final top-5 rank is
+    * WindowGroupLimit-pruned map-side before the per-query merge, so the
+    * 8-partition window never sees more than 5 rows per upstream
+    * partition.
+    */
+  def annPq(s: SparkSession, dir: String): DataFrame =
+    annPqOf(s, Tables.embeddings(s, dir))
+
+  private[graft] def annPqOf(s: SparkSession, e: DataFrame): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val cb: Array[(Seq[Float], Long, Seq[Float], Long)] =
+      e.filter(col("vec_id") >= 8 && col("vec_id") < 12)
+        .select("vec_id", "embedding").collect().sortBy(_.getLong(0))
+        .map { r =>
+          val v = r.getSeq[Float](1)
+          (v.take(32), n2Of(v.take(32)), v.drop(32), n2Of(v.drop(32)))
+        }
+    def l2fix(m: Int, k: Int): Column = {
+      val (cw, cn2) = if (m == 0) (cb(k)._1, cb(k)._2) else (cb(k)._3, cb(k)._4)
+      col(s"sn$m") + lit(cn2) - lit(2L) * dotDec(col(s"s$m"), typedLit(cw))
+    }
+    def withDists(df: DataFrame): DataFrame = {
+      val base = df
+        .withColumn("s0", slice(col("embedding"), 1, 32))
+        .withColumn("s1", slice(col("embedding"), 33, 32))
+        .withColumn("sn0", dotDec(col("s0"), col("s0")))
+        .withColumn("sn1", dotDec(col("s1"), col("s1")))
+      (for (m <- 0 until 2; k <- 0 until 4) yield (m, k))
+        .foldLeft(base) { case (acc, (m, k)) =>
+          acc.withColumn(s"d$m$k", l2fix(m, k)) }
+    }
+    def argmin(m: Int): Column = {
+      val d = (0 until 4).map(k => col(s"d$m$k"))
+      when(d(0) <= d(1) && d(0) <= d(2) && d(0) <= d(3), lit(0))
+        .when(d(1) <= d(2) && d(1) <= d(3), lit(1))
+        .when(d(2) <= d(3), lit(2)).otherwise(lit(3))
+    }
+    val enc = withDists(e.filter(col("vec_id") >= 8))
+      .withColumn("code0", argmin(0)).withColumn("code1", argmin(1))
+      .select(col("vec_id").as("n_id"), col("code0"), col("code1"))
+    val lut = withDists(e.filter(col("vec_id") < 8))
+      .select(col("vec_id").as("q_id"),
+        array((0 until 4).map(k => col(s"d0$k")): _*).as("lut0"),
+        array((0 until 4).map(k => col(s"d1$k")): _*).as("lut1"))
+    enc.crossJoin(broadcast(lut))
+      .withColumn("adc", element_at(col("lut0"), col("code0") + 1)
+        + element_at(col("lut1"), col("code1") + 1))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adc"), col("n_id"))))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "n_id", "rnk", "code0", "code1", "adc")
+  }
+
   /** Index evaluation — recall@3 of the multi-probe IVF against the exact
     * brute-force top-k, per query: the measurement loop any production ANN
     * deployment runs before trusting an index. Composes the two existing
@@ -279,6 +347,7 @@ object Ann {
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
+    "ann_pq" -> (annPq _),
     "ann_ivf_store" -> (IvfIndex.annIvfStore _))
 
   /** Flattened embeddings + exact decimal dot products, shared by the
@@ -432,5 +501,35 @@ object Ann {
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
          |  FROM scored)
          |SELECT q_id, n_id, rnk, cos FROM ranked WHERE rnk <= 5
-         |ORDER BY q_id, rnk""".stripMargin)
+         |ORDER BY q_id, rnk""".stripMargin,
+    "ann_pq" ->
+      s"""WITH $flatSql,
+         |sub AS (SELECT vec_id, CASE WHEN i <= 32 THEN 0 ELSE 1 END AS m,
+         |    CASE WHEN i <= 32 THEN i ELSE i - 32 END AS j, e FROM flat),
+         |cw AS (SELECT CAST(vec_id - 8 AS INT) AS k, m, j, e FROM sub
+         |  WHERE vec_id BETWEEN 8 AND 11),
+         |d AS (SELECT s.vec_id, s.m, c.k,
+         |    sum(CAST(round(s.e * s.e * 1000000000.0) AS BIGINT)
+         |      + CAST(round(c.e * c.e * 1000000000.0) AS BIGINT)
+         |      - 2 * CAST(round(s.e * c.e * 1000000000.0) AS BIGINT)) AS l2fix
+         |  FROM sub s JOIN cw c ON c.m = s.m AND c.j = s.j
+         |  GROUP BY 1, 2, 3),
+         |codes AS (SELECT vec_id, m, k FROM (
+         |    SELECT vec_id, m, k,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY l2fix, k) AS rk
+         |    FROM d WHERE vec_id >= 8) WHERE rk = 1),
+         |wide AS (SELECT vec_id AS n_id,
+         |    CAST(max(CASE WHEN m = 0 THEN k END) AS INT) AS code0,
+         |    CAST(max(CASE WHEN m = 1 THEN k END) AS INT) AS code1
+         |  FROM codes GROUP BY 1),
+         |adc AS (SELECT dq.vec_id AS q_id, c.vec_id AS n_id,
+         |    CAST(sum(dq.l2fix) AS BIGINT) AS adc
+         |  FROM codes c JOIN d dq ON dq.m = c.m AND dq.k = c.k
+         |  WHERE dq.vec_id < 8 GROUP BY 1, 2),
+         |ranked AS (SELECT q_id, n_id, adc,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rnk
+         |  FROM adc)
+         |SELECT q_id, r.n_id, CAST(rnk AS INT) AS rnk, code0, code1, adc
+         |FROM ranked r JOIN wide w ON w.n_id = r.n_id
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin)
 }

@@ -341,6 +341,42 @@ class PipelineSpec extends SparkSpec {
         "temperature sampling must upweight low-resource sources")
   }
 
+  test("ann_pq: codewords self-encode, ranks are adc-monotone, codes in range") {
+    val rows = operators.Ann.annPq(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.toSeq == (1 to 5),
+        "every query must get exactly ranks 1..5")
+      val sorted = rs.sortBy(_.getAs[Int]("rnk"))
+      val adcs = sorted.map(_.getAs[Long]("adc"))
+      assert(adcs.zip(adcs.tail).forall { case (a, b) => a <= b },
+        "adc must be non-decreasing with rank")
+    }
+    assert(rows.forall(r => (0 to 3).contains(r.getAs[Int]("code0")) &&
+      (0 to 3).contains(r.getAs[Int]("code1"))), "codes must be 2-bit")
+    // when a QUERY equals a codeword vector, its ADC distance to that
+    // codeword's cell is exactly 0 — and the codeword source vector
+    // itself (vec_id 8..11, which self-encodes) sits in the base set, so
+    // the query's rank-1 hit must be adc=0 at that very vector
+    val emb = Tables.embeddings(spark, sfDir)
+    val cws = emb.filter(org.apache.spark.sql.functions.col("vec_id").between(8, 11))
+      .collect().map(r => (r.getLong(0) - 8, r.getSeq[Float](1), r.getInt(2)))
+    import spark.implicits._
+    val probe = cws.map { case (k, v, l) => (k, v, l) }.toSeq
+      .toDF("vec_id", "embedding", "label")
+      .unionByName(emb.filter(org.apache.spark.sql.functions.col("vec_id") >= 8))
+    val got = operators.Ann.annPqOf(spark, probe)
+      .filter(org.apache.spark.sql.functions.col("rnk") === 1).collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("adc") == 0L,
+        s"codeword query ${r.getAs[Long]("q_id")} must find an adc-0 neighbor")
+      assert(r.getAs[Long]("n_id") == r.getAs[Long]("q_id") + 8,
+        "the adc-0 rank-1 neighbor must be the codeword vector itself")
+    }
+    assert(got.length == 4)
+  }
+
   test("text_salient: ranks replay the (tf desc, df asc, term) ordering exactly") {
     val docs = graft.Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()

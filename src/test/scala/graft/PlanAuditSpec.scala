@@ -21,8 +21,10 @@ class PlanAuditSpec extends SparkSpec {
 
   test("nested-loop joins only where intended (ann_topk brute-force baseline)") {
     // ann_recall embeds ann_topk (it measures the IVF against it), so it
-    // inherits the one intentional broadcast crossJoin
-    for ((name, plan) <- plans if name != "ann_topk" && name != "ann_recall")
+    // inherits the one intentional broadcast crossJoin; ann_pq's ADC scan
+    // is the same shape — codes against the broadcast 8-row query LUT
+    val intended = Set("ann_topk", "ann_recall", "ann_pq")
+    for ((name, plan) <- plans if !intended(name))
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop join")
   }
@@ -110,6 +112,12 @@ class PlanAuditSpec extends SparkSpec {
     // two-phase agg — two keyed exchanges max, both on (window, type[, user])
     assert(shuffleCount(plans("evt_window")) <= 2,
       s"evt_window must stay a two-phase windowed agg:\n${plans("evt_window")}")
+    // ann_pq: encode is scan-side map work (codeword literals inlined);
+    // the only exchange is the WindowGroupLimit-pruned per-query top-5
+    assert(shuffleCount(plans("ann_pq")) <= 1,
+      s"ann_pq base side must not shuffle before the rank:\n${plans("ann_pq")}")
+    assert(plans("ann_pq").contains("WindowGroupLimit"),
+      "ann_pq top-5 must be WindowGroupLimit-pruned map-side")
   }
 
   test("sample_mixture keeps the fact side scan-shaped behind one broadcast") {
