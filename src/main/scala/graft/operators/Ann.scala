@@ -273,35 +273,50 @@ object Ann {
   def annPq(s: SparkSession, dir: String): DataFrame =
     annPqOf(s, Tables.embeddings(s, dir))
 
-  private[graft] def annPqOf(s: SparkSession, e: DataFrame): DataFrame = {
-    graft.functions.GeoFunctions.register(s)
-    val cb: Array[(Seq[Float], Long, Seq[Float], Long)] =
-      e.filter(col("vec_id") >= 8 && col("vec_id") < 12)
-        .select("vec_id", "embedding").collect().sortBy(_.getLong(0))
-        .map { r =>
-          val v = r.getSeq[Float](1)
-          (v.take(32), n2Of(v.take(32)), v.drop(32), n2Of(v.drop(32)))
-        }
+  /** PQ codebook: per subspace (m=0: dims 1-32, m=1: dims 33-64), the K=4
+    * codeword subvectors + their fixed-point squared norms. A 4-row
+    * collect — an offline training artifact, like [[centroidsOf]].
+    */
+  private def pqCodebookOf(e: DataFrame): Array[(Seq[Float], Long, Seq[Float], Long)] =
+    e.filter(col("vec_id") >= 8 && col("vec_id") < 12)
+      .select("vec_id", "embedding").collect().sortBy(_.getLong(0))
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        (v.take(32), n2Of(v.take(32)), v.drop(32), n2Of(v.drop(32)))
+      }
+
+  /** Adds d$m$k columns: the exact fixed-point squared L2 distance of each
+    * row's subvector m to codeword k — scan-side map work (8 dot9 kernels
+    * against inlined codeword literals).
+    */
+  private def pqWithDists(cb: Array[(Seq[Float], Long, Seq[Float], Long)])(
+      df: DataFrame): DataFrame = {
     def l2fix(m: Int, k: Int): Column = {
       val (cw, cn2) = if (m == 0) (cb(k)._1, cb(k)._2) else (cb(k)._3, cb(k)._4)
       col(s"sn$m") + lit(cn2) - lit(2L) * dotDec(col(s"s$m"), typedLit(cw))
     }
-    def withDists(df: DataFrame): DataFrame = {
-      val base = df
-        .withColumn("s0", slice(col("embedding"), 1, 32))
-        .withColumn("s1", slice(col("embedding"), 33, 32))
-        .withColumn("sn0", dotDec(col("s0"), col("s0")))
-        .withColumn("sn1", dotDec(col("s1"), col("s1")))
-      (for (m <- 0 until 2; k <- 0 until 4) yield (m, k))
-        .foldLeft(base) { case (acc, (m, k)) =>
-          acc.withColumn(s"d$m$k", l2fix(m, k)) }
-    }
-    def argmin(m: Int): Column = {
-      val d = (0 until 4).map(k => col(s"d$m$k"))
-      when(d(0) <= d(1) && d(0) <= d(2) && d(0) <= d(3), lit(0))
-        .when(d(1) <= d(2) && d(1) <= d(3), lit(1))
-        .when(d(2) <= d(3), lit(2)).otherwise(lit(3))
-    }
+    val base = df
+      .withColumn("s0", slice(col("embedding"), 1, 32))
+      .withColumn("s1", slice(col("embedding"), 33, 32))
+      .withColumn("sn0", dotDec(col("s0"), col("s0")))
+      .withColumn("sn1", dotDec(col("s1"), col("s1")))
+    (for (m <- 0 until 2; k <- 0 until 4) yield (m, k))
+      .foldLeft(base) { case (acc, (m, k)) =>
+        acc.withColumn(s"d$m$k", l2fix(m, k)) }
+  }
+
+  /** Per-subspace argmin over the d$m$k columns; ties to the smaller code. */
+  private def pqArgmin(m: Int): Column = {
+    val d = (0 until 4).map(k => col(s"d$m$k"))
+    when(d(0) <= d(1) && d(0) <= d(2) && d(0) <= d(3), lit(0))
+      .when(d(1) <= d(2) && d(1) <= d(3), lit(1))
+      .when(d(2) <= d(3), lit(2)).otherwise(lit(3))
+  }
+
+  private[graft] def annPqOf(s: SparkSession, e: DataFrame): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val withDists = pqWithDists(pqCodebookOf(e)) _
+    def argmin(m: Int): Column = pqArgmin(m)
     val enc = withDists(e.filter(col("vec_id") >= 8))
       .withColumn("code0", argmin(0)).withColumn("code1", argmin(1))
       .select(col("vec_id").as("n_id"), col("code0"), col("code1"))
@@ -316,6 +331,92 @@ object Ann {
         Window.partitionBy("q_id").orderBy(col("adc"), col("n_id"))))
       .filter(col("rnk") <= 5)
       .select("q_id", "n_id", "rnk", "code0", "code1", "adc")
+  }
+
+  /** IVF-PQ (IVFADC without residual encoding): the coarse IVF quantizer
+    * prunes candidates to the query's nprobe=2 nearest cells, and ranking
+    * inside the probed cells runs on PQ codes via ADC — the classic
+    * billion-scale ANN layout (coarse index bounds I/O, product codes
+    * bound memory: 2 small ints per stored vector). Cells come from
+    * [[annIvf]]'s centroid artifact (vec_id 8..15), codes from
+    * [[annPq]]'s codebook (vec_id 8..11); both are inlined literals, so
+    * BOTH cell assignment and encoding are pure scan-side map work — the
+    * corpus never shuffles to build the index.
+    *
+    * The only join is stored-codes ⨝ broadcast(query probe LUTs) on the
+    * cell key — candidates are strictly within probed cells, never the
+    * corpus — and the top-5 rank is WindowGroupLimit-pruned map-side.
+    * All quantities are exact integers (same fixed-point kernels), so
+    * cell ids, codes, and ADC ranks replay bit-for-bit in the oracle.
+    */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+    val cents = centroidsOf(e)
+    val withDists = pqWithDists(pqCodebookOf(e)) _
+    val enc = withDists(e.filter(col("vec_id") >= 8))
+      .withColumn("cell",
+        -array_max(cellScores(cents)(col("embedding"), col("n2"))).getField("nid"))
+      .withColumn("code0", pqArgmin(0)).withColumn("code1", pqArgmin(1))
+      .select(col("cell"), col("vec_id").as("n_id"), col("code0"), col("code1"))
+    val probes = withDists(e.filter(col("vec_id") < 8))
+      .withColumn("probe", explode(
+        slice(reverse(sort_array(cellScores(cents)(col("embedding"), col("n2")))), 1, 2)))
+      .select((-col("probe.nid")).as("cell"), col("vec_id").as("q_id"),
+        array((0 until 4).map(k => col(s"d0$k")): _*).as("lut0"),
+        array((0 until 4).map(k => col(s"d1$k")): _*).as("lut1"))
+    enc.join(broadcast(probes), Seq("cell"))
+      .withColumn("adc", element_at(col("lut0"), col("code0") + 1)
+        + element_at(col("lut1"), col("code1") + 1))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adc"), col("n_id"))))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "n_id", "rnk", "cell", "code0", "code1", "adc")
+  }
+
+  /** Semantic-dedup cosine threshold: within-cluster pairs at or above it
+    * are near-duplicates (SemDeDup keeps one representative per group).
+    */
+  val SemTau = 0.5
+
+  /** Semantic deduplication (the SemDeDup recipe: Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the k-means artifact,
+    * then inside each cluster drop every vector that has an earlier
+    * (lower vec_id) near-duplicate at cosine ≥ [[SemTau]] — the
+    * keep-one-representative rule made deterministic by ordering on
+    * vec_id. Clustering is WHY this scales: candidate pairs exist only
+    * within a cluster, never across the corpus, and oversized clusters
+    * are capped at [[MaxBlock]] like every blocking key in the dedup
+    * family (rows beyond the cap pass through as kept, with the cap
+    * recorded in `capped` so an audit can count them).
+    *
+    * Shape: cell assignment is the same inlined-literal argmax as
+    * [[annIvf]] (no shuffle), the pair join shuffles BOTH sides once on
+    * the cell key (the same exchange the cap's rank window needs), and
+    * the verdict is a left anti-style count join back on vec_id.
+    */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+    val cents = centroidsOf(e)
+    val cells = e.filter(col("vec_id") >= 8)
+      .withColumn("cell",
+        -array_max(cellScores(cents)(col("embedding"), col("n2"))).getField("nid"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cell").orderBy("vec_id")))
+    val capped = cells.filter(col("rk") <= MaxBlock)
+    val a = capped.select(col("cell"), col("vec_id").as("va"),
+      col("embedding").as("ea"), col("n2").as("na2"))
+    val b = capped.select(col("cell"), col("vec_id").as("vb"),
+      col("embedding").as("eb"), col("n2").as("nb2"))
+    val dups = a.join(b, Seq("cell")).filter(col("va") < col("vb"))
+      .withColumn("cos", cosine(dotDec(col("ea"), col("eb")), col("na2"), col("nb2")))
+      .filter(col("cos") >= SemTau)
+      .groupBy(col("vb").as("vec_id"))
+      .agg(count(lit(1)).as("n_earlier_dups"))
+    cells.select(col("vec_id"), col("cell"), (col("rk") > MaxBlock).as("capped"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("capped"),
+        coalesce(col("n_earlier_dups"), lit(0L)).as("n_earlier_dups"),
+        (coalesce(col("n_earlier_dups"), lit(0L)) === 0L).as("kept"))
   }
 
   /** Index evaluation — recall@3 of the multi-probe IVF against the exact
@@ -348,6 +449,8 @@ object Ann {
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_pq" -> (annPq _),
+    "ann_ivfpq" -> (annIvfPq _),
+    "dedup_semantic" -> (dedupSemantic _),
     "ann_ivf_store" -> (IvfIndex.annIvfStore _))
 
   /** Flattened embeddings + exact decimal dot products, shared by the
@@ -531,5 +634,65 @@ object Ann {
          |  FROM adc)
          |SELECT q_id, r.n_id, CAST(rnk AS INT) AS rnk, code0, code1, adc
          |FROM ranked r JOIN wide w ON w.n_id = r.n_id
-         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin)
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "ann_ivfpq" ->
+      s"""WITH $flatSql,
+         |$cellsSql,
+         |probes AS (SELECT vec_id AS q_id, c_id AS cell FROM cranked
+         |  WHERE crk <= 2 AND vec_id < 8),
+         |sub AS (SELECT vec_id, CASE WHEN i <= 32 THEN 0 ELSE 1 END AS m,
+         |    CASE WHEN i <= 32 THEN i ELSE i - 32 END AS j, e FROM flat),
+         |cw AS (SELECT CAST(vec_id - 8 AS INT) AS k, m, j, e FROM sub
+         |  WHERE vec_id BETWEEN 8 AND 11),
+         |d AS (SELECT s.vec_id, s.m, c.k,
+         |    sum(CAST(round(s.e * s.e * 1000000000.0) AS BIGINT)
+         |      + CAST(round(c.e * c.e * 1000000000.0) AS BIGINT)
+         |      - 2 * CAST(round(s.e * c.e * 1000000000.0) AS BIGINT)) AS l2fix
+         |  FROM sub s JOIN cw c ON c.m = s.m AND c.j = s.j
+         |  GROUP BY 1, 2, 3),
+         |codes AS (SELECT vec_id, m, k FROM (
+         |    SELECT vec_id, m, k,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY l2fix, k) AS rk
+         |    FROM d WHERE vec_id >= 8) WHERE rk = 1),
+         |wide AS (SELECT vec_id AS n_id,
+         |    CAST(max(CASE WHEN m = 0 THEN k END) AS INT) AS code0,
+         |    CAST(max(CASE WHEN m = 1 THEN k END) AS INT) AS code1
+         |  FROM codes GROUP BY 1),
+         |adc AS (SELECT p.q_id, ce.n_id, ce.cell,
+         |    CAST(sum(dq.l2fix) AS BIGINT) AS adc
+         |  FROM probes p JOIN cells ce ON ce.cell = p.cell
+         |       JOIN codes c ON c.vec_id = ce.n_id
+         |       JOIN d dq ON dq.m = c.m AND dq.k = c.k AND dq.vec_id = p.q_id
+         |  GROUP BY 1, 2, 3),
+         |ranked AS (SELECT q_id, n_id, cell, adc,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rnk
+         |  FROM adc)
+         |SELECT q_id, r.n_id, CAST(rnk AS INT) AS rnk,
+         |  CAST(cell AS BIGINT) AS cell, code0, code1, adc
+         |FROM ranked r JOIN wide w ON w.n_id = r.n_id
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH $flatSql,
+         |$cellsSql,
+         |rcell AS (SELECT n_id AS vec_id, cell,
+         |    row_number() OVER (PARTITION BY cell ORDER BY n_id) AS rk
+         |  FROM cells),
+         |cap AS (SELECT vec_id, cell FROM rcell WHERE rk <= $MaxBlock),
+         |pdots AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+         |    sum(CAST(round(fa.e * fb.e * 1000000000.0) AS BIGINT)) AS dot
+         |  FROM cap a JOIN cap b ON b.cell = a.cell AND a.vec_id < b.vec_id
+         |       JOIN flat fa ON fa.vec_id = a.vec_id
+         |       JOIN flat fb ON fb.vec_id = b.vec_id AND fb.i = fa.i
+         |  GROUP BY 1, 2),
+         |dups AS (SELECT vb AS vec_id, count(*) AS n_earlier_dups
+         |  FROM pdots JOIN norm na ON na.vec_id = va
+         |       JOIN norm nb ON nb.vec_id = vb
+         |  WHERE (dot / 1e9) / (sqrt(na.n2 / 1e9) * sqrt(nb.n2 / 1e9)) >= $SemTau
+         |  GROUP BY 1)
+         |SELECT rc.vec_id, CAST(rc.cell AS BIGINT) AS cell,
+         |  rc.rk > $MaxBlock AS capped,
+         |  CAST(coalesce(d.n_earlier_dups, 0) AS BIGINT) AS n_earlier_dups,
+         |  coalesce(d.n_earlier_dups, 0) = 0 AS kept
+         |FROM rcell rc LEFT JOIN dups d ON d.vec_id = rc.vec_id
+         |ORDER BY rc.vec_id""".stripMargin)
 }

@@ -131,6 +131,66 @@ object Events {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n_events"), col("value_cents"), col("n_users"))
 
+  /** Attribution lookback: a purchase converts its user's most recent
+    * click if it happened within 24 h.
+    */
+  private val AttributionWindowS = 86400L
+
+  /** Last-touch marketing attribution: each purchase is attributed to the
+    * user's most recent preceding click within 24 h. The "most recent
+    * preceding" is a conditional running max over the per-user event
+    * order — ONE hash exchange on `user_id` (the same single-shuffle
+    * shape as sessionization), no self-join of purchases against clicks
+    * (the naive join is quadratic in events-per-user; bot users would
+    * melt it). Unattributed purchases stay as rows with `click_s = -1`
+    * rather than NULL so the BIGINT column never degrades to float in
+    * the cross-engine compare.
+    */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val prior = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        tsS("ts").as("ts_s"),
+        round(col("value") * 100).cast("bigint").as("value_cents"))
+      .withColumn("last_click_s",
+        max(when(col("event_type") === "click", col("ts_s"))).over(prior))
+      .filter(col("event_type") === "purchase")
+      .withColumn("attributed",
+        col("last_click_s").isNotNull &&
+          col("ts_s") - col("last_click_s") <= AttributionWindowS)
+      .select(col("event_id"), col("user_id"), col("ts_s").as("purchase_s"),
+        when(col("attributed"), col("last_click_s")).otherwise(lit(-1L)).as("click_s"),
+        col("attributed"), col("value_cents"))
+  }
+
+  /** Markov path analysis: the event-type transition matrix within
+    * sessions — for every consecutive event pair of a user separated by
+    * at most the session gap, count (from_type → to_type) and derive the
+    * transition probability as an integer fixed-point `(1e6·n) div
+    * row_total`. The pairing is the same single user_id exchange as
+    * [[sessionize]] (a lag window, never a self-join); the matrix is
+    * |types|² rows, so the reduce side is constant-size at any corpus
+    * scale and the row totals come from a tiny window over the matrix
+    * itself.
+    */
+  def transitions(s: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), tsS("ts").as("ts_s"))
+      .withColumn("prev_type", lag("event_type", 1).over(order))
+      .withColumn("prev_s", lag(col("ts_s"), 1).over(order))
+      .filter(col("prev_type").isNotNull &&
+        col("ts_s") - col("prev_s") <= SessionGapS)
+    pairs.groupBy(col("prev_type").as("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total",
+        sum("n").over(Window.partitionBy("from_type")))
+      .withColumn("p6", expr("(1000000 * n) div row_total"))
+  }
+
   /** JSON property extraction + aggregation: pull `$.k` out of the
     * props JSON string per event, aggregate per type. The average is
     * derived from the exact integer sum with ONE double division so
@@ -148,7 +208,9 @@ object Events {
     "evt_funnel" -> (funnel _),
     "evt_retention" -> (retention _),
     "evt_json" -> (jsonExtract _),
-    "evt_window" -> (tumblingWindow _))
+    "evt_window" -> (tumblingWindow _),
+    "evt_attribution" -> (attribution _),
+    "evt_transitions" -> (transitions _))
 
   val oracles: Map[String, String] = Map(
     "evt_sessionize" ->
@@ -206,6 +268,39 @@ object Events {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
         |    / count(*) AS k_avg
         |FROM events GROUP BY event_type""".stripMargin,
+    "evt_transitions" ->
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER w AS from_type, event_type AS to_type,
+        |    epoch_us(ts) // 1000000
+        |      - lag(epoch_us(ts) // 1000000) OVER w AS gap_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), m AS (
+        |  SELECT from_type, to_type, count(*) AS n FROM p
+        |  WHERE from_type IS NOT NULL AND gap_s <= 14400
+        |  GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        |  CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_total,
+        |  CAST((1000000 * n) // sum(n) OVER (PARTITION BY from_type)
+        |       AS BIGINT) AS p6
+        |FROM m""".stripMargin,
+    "evt_attribution" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) // 1000000 AS ts_s,
+        |    CAST(round(value * 100) AS BIGINT) AS value_cents,
+        |    max(CASE WHEN event_type = 'click'
+        |             THEN epoch_us(ts) // 1000000 END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_s
+        |  FROM events
+        |)
+        |SELECT event_id, user_id, ts_s AS purchase_s,
+        |  CASE WHEN last_click_s IS NOT NULL AND ts_s - last_click_s <= 86400
+        |       THEN last_click_s ELSE -1 END AS click_s,
+        |  last_click_s IS NOT NULL AND ts_s - last_click_s <= 86400 AS attributed,
+        |  value_cents
+        |FROM w WHERE event_type = 'purchase'""".stripMargin,
     "evt_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
         |  count(*) AS n_events,

@@ -144,6 +144,21 @@ object Relational {
         coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
         col("sum_price"), col("n"))
 
+  /** CUBE over (status, priority) — all four grouping sets in one pass
+    * (Expand feeds a single hash aggregate, so the fact table is scanned
+    * once, not 4×). `grouping_id` disambiguates the subtotal rows by the
+    * standard SQL bitmask, identical to DuckDB's GROUPING(a, b).
+    */
+  def q15Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(grouping_id().as("gid"),
+        sum(cents(col("o_totalprice"))).as("sum_price"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("gid"), col("sum_price"), col("n"))
+
   /** Pivot event types into columns (conditional-aggregation form in the
     * oracle); missing combinations filled with 0 so no nullable-BIGINT
     * column degrades to float in the compare.
@@ -190,6 +205,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_anti_join" -> (q14AntiJoin _),
+    "q15_cube" -> (q15Cube _),
     "q10_rollup" -> (q10Rollup _),
     "q11_pivot" -> (q11Pivot _),
     "q12_quantiles" -> (q12Quantiles _),
@@ -215,6 +231,14 @@ object Relational {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin,
+    "q15_cube" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |  coalesce(o_orderpriority, '(all)') AS priority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price,
+        |  count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY 1, 2""".stripMargin,
     "q10_rollup" ->
       s"""SELECT coalesce(l_returnflag, '(all)') AS rf,
          |  coalesce(l_linestatus, '(all)') AS ls,

@@ -137,13 +137,74 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("bucket"))
   }
 
+  /** Data-selection-with-importance-resampling scores (the DSIR shape,
+    * arXiv:2302.03169 — there hashed n-gram log-ratios between a target
+    * and a raw corpus rank candidates). Here the target domain is the
+    * `lang = 'en'` slice, the feature is the word unigram, and the
+    * per-word affinity is the integer fixed-point target share
+    * `(1e4·c_target) div c_raw` — summed per doc (an integer sum is
+    * order-independent; log-ratio doubles are not). A doc is kept when
+    * its mean affinity beats the corpus-wide target share, i.e. it looks
+    * more target-like than average.
+    *
+    * Scale shape: two vocabulary-sized count tables (≪ corpus — DSIR
+    * hashes features into a fixed bucket space for exactly this reason)
+    * broadcast onto the token scan; the per-doc fold is one doc_id
+    * exchange; the global totals are a 1-row aggregate collected as a
+    * driver-scale constant.
+    */
+  def sampleDsir(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("filter(split(text, ' '), t -> t <> '')")).as("tok"))
+    val cr = toks.groupBy("tok").agg(count(lit(1)).as("c_r"))
+    val ct = toks.filter(col("lang") === "en")
+      .groupBy("tok").agg(count(lit(1)).as("c_t"))
+    val ratios = cr.join(ct, Seq("tok"), "left")
+      .na.fill(0L, Seq("c_t"))
+      .withColumn("p4", expr("(10000 * c_t) div c_r"))
+      .select("tok", "p4")
+    val Array(nR, nT) = {
+      val t = toks.agg(count(lit(1)).as("n_r"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_t"))
+        .collect()(0)
+      Array(t.getLong(0), t.getLong(1))
+    }
+    toks.join(broadcast(ratios), Seq("tok"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_toks"), sum("p4").as("sum_p4"))
+      .withColumn("avg_p4", expr("sum_p4 div n_toks"))
+      .withColumn("keep", col("avg_p4") >= lit(10000L * nT / nR))
+      .select("doc_id", "lang", "n_toks", "sum_p4", "avg_p4", "keep")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_dsir" -> (sampleDsir _),
     "sample_stratified" -> (sampleStratified _),
     "sample_quota" -> (sampleQuota _),
     "sample_mixture" -> (sampleMixture _),
     "sample_temperature" -> (sampleTemperature _))
 
   val oracles: Map[String, String] = Map(
+    "sample_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        |  FROM documents),
+        |cr AS (SELECT tok, count(*) AS c_r FROM toks GROUP BY 1),
+        |ct AS (SELECT tok, count(*) AS c_t FROM toks WHERE lang = 'en' GROUP BY 1),
+        |ratios AS (SELECT cr.tok,
+        |    (10000 * coalesce(ct.c_t, 0)) // cr.c_r AS p4
+        |  FROM cr LEFT JOIN ct ON ct.tok = cr.tok),
+        |tot AS (SELECT count(*) AS n_r,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_t FROM toks),
+        |scored AS (SELECT doc_id, lang, count(*) AS n_toks,
+        |    CAST(sum(p4) AS BIGINT) AS sum_p4
+        |  FROM toks JOIN ratios USING (tok) GROUP BY 1, 2)
+        |SELECT doc_id, lang, n_toks, sum_p4,
+        |  CAST(sum_p4 // n_toks AS BIGINT) AS avg_p4,
+        |  sum_p4 // n_toks >= (10000 * tot.n_t) // tot.n_r AS keep
+        |FROM scored, tot ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang, bucket FROM (
         |  SELECT doc_id, lang,

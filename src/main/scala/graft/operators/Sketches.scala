@@ -1,0 +1,188 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Probabilistic sketches — the approximate-aggregation toolkit a 100 TB
+  * warehouse leans on when exact answers cost a full shuffle of the fact
+  * table: HyperLogLog distinct counting (Flajolet et al. 2007) and
+  * count-min heavy-hitter estimation (Cormode & Muthukrishnan 2005).
+  *
+  * Spark's own `approx_count_distinct` is HLL++ too, but its register
+  * layout is engine-private, so results can't be replayed by another
+  * engine. These sketches instead build the registers from an explicit
+  * modular hash in plain integer arithmetic — every register, and
+  * therefore every estimate, is bit-identical in the DuckDB oracle. That
+  * is the point: a sketch you can hand to ANY engine and merge.
+  *
+  * Scale shape (both sketches): one scan + map-side partial aggregation
+  * into a FIXED-size state (64 registers / 512 cells) — the reduce side
+  * is O(groups × sketch), independent of row count. Register max and
+  * cell sum are both commutative monoids, so the sketches merge across
+  * partitions, days, or clusters without re-reading data.
+  */
+object Sketches {
+
+  /** Modulus for the first fold: a prime, so the fold is close to
+    * uniform; small enough that `u0 * KnuthA` cannot overflow a long.
+    */
+  private val FoldP = 94906249L
+
+  /** Knuth's multiplicative constant and an offset prime. */
+  private val KnuthA = 2654435761L
+  private val HashB = 104729L
+
+  /** Hash range: the prime 2^52 - 47 — products stay inside a long. */
+  private val HashP = 4503599627370449L
+
+  /** HLL register count (m = 64 → alpha = 0.709 per the HLL paper). */
+  private val HllM = 64
+
+  /** The shared integer hash: h in [0, HashP). */
+  private def h64(u: Column): Column =
+    ((u % FoldP) * KnuthA + HashB) % HashP
+
+  /** Small-range (linear counting) lookup: lc(V) = round(m·ln(m/V)) for
+    * V zero registers, precomputed ONCE here and inlined into both the
+    * Spark plan and the oracle SQL — the only ln in the sketch runs at
+    * plan-build time, so no runtime float can diverge between engines.
+    */
+  private[graft] val LcLut: Seq[Long] =
+    (1 to HllM).map(v => math.round(HllM * math.log(HllM.toDouble / v)))
+
+  /** HyperLogLog distinct users per event type, next to the exact
+    * count-distinct it approximates. Register index = h mod 64; rank =
+    * trailing-zero count of h div 64, clamped to 47 (h has 52 hashed
+    * bits). The harmonic mean is evaluated in EXACT integer arithmetic:
+    * num = Σ 2^(47-M_r) ≤ 2^53, raw = (709 · (2^59 div num)) div 1000 —
+    * no float ever enters, so Spark and DuckDB agree to the last digit.
+    * In the small range (raw ≤ 2.5m with zero registers present) the
+    * estimate switches to linear counting via the integer [[LcLut]],
+    * exactly as the HLL paper prescribes.
+    */
+  def sketchHll(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"))
+      .withColumn("h", h64(col("user_id")))
+      .withColumn("reg", (col("h") % HllM).cast("int"))
+      .withColumn("w", expr(s"h div $HllM"))
+      .withColumn("rho",
+        least(expr("bit_count((w & -w) - 1) + 1"), lit(47)).cast("long"))
+    val regs = ev.groupBy("event_type", "reg").agg(max("rho").as("m_rho"))
+    // empty registers count as rho = 0 (the standard HLL convention) —
+    // the grid explodes a literal 0..63 array per type, no join needed
+    val grid = ev.select("event_type").distinct()
+      .select(col("event_type"),
+        explode(typedLit((0 until HllM).toArray)).as("reg"))
+    val est = grid.join(regs, Seq("event_type", "reg"), "left")
+      .withColumn("m_rho", coalesce(col("m_rho"), lit(0L)))
+      .groupBy("event_type")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(47 - m_rho AS INT))"))
+        .as("num"),
+        sum(when(col("m_rho") === 0L, 1L).otherwise(0L)).as("v0"))
+      .withColumn("raw_est", expr("(709 * (576460752303423488 div num)) div 1000"))
+      .withColumn("hll_est",
+        when(col("v0") > 0L && col("raw_est") <= 2L * HllM + HllM / 2,
+          element_at(typedLit(LcLut), col("v0").cast("int")))
+          .otherwise(col("raw_est")))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_n"))
+    est.join(exact, Seq("event_type"))
+      .select("event_type", "hll_est", "exact_n")
+  }
+
+  /** Count-min sketch width/depth. */
+  private val CmsW = 128
+  private val CmsD = 4
+
+  /** Per-row hash family: 4 affine variants of the shared fold. */
+  private def cmsCol(j: Int, u: Column): Column =
+    (((u % FoldP) * (KnuthA + 2 * j + 1) + HashB * (j + 1)) % HashP) % CmsW
+
+  /** Count-min heavy hitters: build a 4×128 sketch of per-user event
+    * counts, then read the top-10 users (by exact count, user_id
+    * tiebreak) back THROUGH the sketch — est = min over the 4 cells, the
+    * classic one-sided estimate (est ≥ exact always; `exact_hit` marks
+    * collision-free cells). Build aggregates per-user partials into 512
+    * integer cells; probe joins 40 (user, cell) pairs against them.
+    */
+  def sketchCms(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n_u"))
+    val cells = perUser
+      .select(col("n_u"), explode(array((0 until CmsD).map(j =>
+        struct(lit(j).as("j"), cmsCol(j, col("user_id")).as("c"))): _*)).as("jc"))
+      .groupBy(col("jc.j").as("j"), col("jc.c").as("c"))
+      .agg(sum("n_u").as("cnt"))
+    val top = perUser
+      .orderBy(desc("n_u"), asc("user_id")).limit(10)
+      .select(col("user_id"), col("n_u").as("exact_n"),
+        explode(array((0 until CmsD).map(j =>
+          struct(lit(j).as("j"), cmsCol(j, col("user_id")).as("c"))): _*)).as("jc"))
+      .select(col("user_id"), col("exact_n"),
+        col("jc.j").as("j"), col("jc.c").as("c"))
+    top.join(broadcast(cells), Seq("j", "c"))
+      .groupBy("user_id", "exact_n")
+      .agg(min("cnt").as("cms_est"))
+      .withColumn("exact_hit", col("cms_est") === col("exact_n"))
+      .select("user_id", "exact_n", "cms_est", "exact_hit")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_hll" -> (sketchHll _),
+    "sketch_cms" -> (sketchCms _))
+
+  private val hSql = s"((user_id % $FoldP) * $KnuthA + $HashB) % $HashP"
+
+  val oracles: Map[String, String] = Map(
+    "sketch_hll" ->
+      s"""WITH e AS (SELECT event_type, user_id, $hSql AS h FROM events),
+         |r AS (SELECT event_type, h % $HllM AS reg, h // $HllM AS w FROM e),
+         |rho AS (SELECT event_type, reg,
+         |    least(bit_count((w & (-w)) - 1) + 1, 47) AS rho FROM r),
+         |regs AS (SELECT event_type, reg, max(rho) AS m_rho
+         |  FROM rho GROUP BY 1, 2),
+         |grid AS (SELECT DISTINCT event_type, g.range AS reg
+         |  FROM events, range(0, $HllM) g),
+         |full_regs AS (SELECT grid.event_type, grid.reg,
+         |    coalesce(regs.m_rho, 0) AS m_rho
+         |  FROM grid LEFT JOIN regs
+         |    ON regs.event_type = grid.event_type AND regs.reg = grid.reg),
+         |est AS (SELECT event_type,
+         |    CAST(sum(CAST(1 AS BIGINT) << CAST(47 - m_rho AS INT)) AS BIGINT) AS num,
+         |    CAST(sum(CASE WHEN m_rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v0
+         |  FROM full_regs GROUP BY 1),
+         |fin AS (SELECT event_type, v0,
+         |    CAST((709 * (576460752303423488 // num)) // 1000 AS BIGINT) AS raw_est
+         |  FROM est)
+         |SELECT e.event_type,
+         |  CAST(CASE WHEN fin.v0 > 0 AND fin.raw_est <= 160
+         |       THEN (LIST_VALUE(${LcLut.mkString(", ")}))[CAST(fin.v0 AS INT)]
+         |       ELSE fin.raw_est END AS BIGINT) AS hll_est,
+         |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS exact_n
+         |FROM events e JOIN fin ON fin.event_type = e.event_type
+         |GROUP BY 1, fin.v0, fin.raw_est ORDER BY 1""".stripMargin,
+    "sketch_cms" -> {
+      val cols = (0 until CmsD).map(j =>
+        s"(((user_id % $FoldP) * (${KnuthA + 2 * j + 1}) + ${HashB * (j + 1)}) % $HashP) % $CmsW AS c$j")
+        .mkString(", ")
+      val cellUnion = (0 until CmsD).map(j =>
+        s"SELECT $j AS j, c$j AS c, CAST(sum(n_u) AS BIGINT) AS cnt FROM pu GROUP BY 2")
+        .mkString(" UNION ALL ")
+      val probeUnion = (0 until CmsD).map(j =>
+        s"SELECT user_id, exact_n, $j AS j, c$j AS c FROM top")
+        .mkString(" UNION ALL ")
+      s"""WITH pu AS (SELECT user_id, count(*) AS n_u, $cols
+         |  FROM events GROUP BY user_id),
+         |cells AS ($cellUnion),
+         |top AS (SELECT user_id, n_u AS exact_n, c0, c1, c2, c3 FROM pu
+         |  ORDER BY n_u DESC, user_id LIMIT 10),
+         |probe AS ($probeUnion)
+         |SELECT p.user_id, CAST(p.exact_n AS BIGINT) AS exact_n,
+         |  CAST(min(cnt) AS BIGINT) AS cms_est,
+         |  min(cnt) = p.exact_n AS exact_hit
+         |FROM probe p JOIN cells ON cells.j = p.j AND cells.c = p.c
+         |GROUP BY p.user_id, p.exact_n ORDER BY 1""".stripMargin
+    })
+}

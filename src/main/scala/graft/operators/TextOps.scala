@@ -236,7 +236,41 @@ object TextOps {
       .select("doc_id", "n_tokens", "n_distinct", "n_grams", "top_tok_n",
         "dup_word_ratio", "dup_gram_ratio", "top_tok_ratio")
 
+  /** Bigram-LM fluency score (the CCNet quality-filter shape, arXiv:
+    * 1911.00359 — there a pretrained KenLM scores perplexity per doc;
+    * here the LM is self-trained on the corpus in the same job). Pass 1
+    * reduces the corpus to the bigram/prefix count tables; pass 2 scores
+    * every bigram occurrence with the integer fixed-point conditional
+    * probability `(1e6·c(w1,w2)) div c(w1·)` — exact BIGINTs end to end,
+    * so scores replay bit-for-bit in the oracle (a float log-prob sum
+    * would be order-sensitive; an integer sum is not).
+    *
+    * Scale shape: both passes are scan + map-side partial aggregation;
+    * the count tables are vocabulary-sized (≪ corpus — the whole reason
+    * n-gram LMs train at web scale), so the score join broadcasts them
+    * and the 100 TB side never shuffles; the per-doc fold is one keyed
+    * exchange on doc_id.
+    */
+  def textBigramLm(s: SparkSession, dir: String): DataFrame = {
+    val bi = Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cnt2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val cnt1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bi.join(broadcast(cnt2), Seq("w1", "w2"))
+      .join(broadcast(cnt1), Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr("(1000000 * c2) div c1")).as("sum_p6"))
+      .withColumn("avg_p6", expr("sum_p6 div n_bigrams"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bigram_lm" -> (textBigramLm _),
     "text_repetition" -> (textRepetition _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
@@ -248,6 +282,20 @@ object TextOps {
     "text_fingerprint" -> (textFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_bigram_lm" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |bi AS (SELECT doc_id, unnest(tk[1:len(tk) - 1]) AS w1,
+         |    unnest(tk[2:len(tk)]) AS w2
+         |  FROM toks WHERE len(tk) >= 2),
+         |cnt2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+         |cnt1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+         |scored AS (SELECT doc_id, count(*) AS n_bigrams,
+         |    CAST(sum((1000000 * c2) // c1) AS BIGINT) AS sum_p6
+         |  FROM bi JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1)
+         |  GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, sum_p6,
+         |  CAST(sum_p6 // n_bigrams AS BIGINT) AS avg_p6
+         |FROM scored ORDER BY doc_id""".stripMargin,
     "text_salient" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),

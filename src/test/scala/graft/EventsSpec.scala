@@ -120,4 +120,76 @@ class EventsSpec extends SparkSpec {
     }.toMap
     assert(got === expect)
   }
+
+  test("evt_attribution: replays the last-preceding-click walk per user") {
+    val got = Events.attribution(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("click_s"), r.getAs[Boolean]("attributed"))).toMap
+    // independent recomputation: per user, walk events in (ts, event_id)
+    // order carrying the last click's floor-second
+    val raw = events.select("event_id", "user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val expect = raw.groupBy(_._2).values.flatMap { evs =>
+      var lastClick = Option.empty[Long]
+      evs.sortBy(e => (e._4, e._1)).flatMap { case (id, _, typ, ts) =>
+        val out = if (typ == "purchase") {
+          val tsS = Math.floorDiv(ts, 1000000000L)
+          val attributed = lastClick.exists(c => tsS - c <= 86400L)
+          Some(id -> (if (attributed) lastClick.get else -1L, attributed))
+        } else None
+        if (typ == "click") lastClick = Some(Math.floorDiv(ts, 1000000000L))
+        out
+      }
+    }.toMap
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
+  test("evt_transitions: matrix replays the per-user lag walk, probs sum to ~1") {
+    val got = Events.transitions(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("row_total"), r.getAs[Long]("p6"))).toMap
+    val raw = events.select("user_id", "event_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val pairs = raw.groupBy(_._1).values.flatMap { evs =>
+      evs.sortBy(e => (e._3, e._2)).sliding(2).collect {
+        case Array(a, b)
+          if Math.floorDiv(b._3, 1000000000L) - Math.floorDiv(a._3, 1000000000L) <= 14400L =>
+          (a._4, b._4)
+      }
+    }.toSeq
+    val expectN = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.view.mapValues(_._1).toMap === expectN)
+    // fixed-point rows sum to 1e6 minus the floor losses (< |types| per row)
+    got.groupBy(_._1._1).foreach { case (from, cells) =>
+      val s = cells.values.map(_._3).sum
+      assert(s <= 1000000L && s > 1000000L - 5 * cells.size,
+        s"row $from fixed-point probs sum $s")
+      val tot = cells.values.head._2
+      assert(cells.values.map(_._1).sum === tot, s"row_total mismatch for $from")
+    }
+  }
+
+  test("q15_cube: every grouping set is consistent with the base aggregate") {
+    val rows = Relational.q15Cube(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("status"), r.getAs[String]("priority"),
+        r.getAs[Long]("gid"), r.getAs[Long]("sum_price"), r.getAs[Long]("n")))
+    val base = rows.filter(_._3 == 0L)
+    assert(base.nonEmpty)
+    val grand = rows.filter(_._3 == 3L)
+    assert(grand.length === 1)
+    assert(grand.head._5 === base.map(_._5).sum, "grand total n")
+    assert(grand.head._4 === base.map(_._4).sum, "grand total cents")
+    // each one-dimension subtotal equals the sum of its base cells
+    rows.filter(_._3 == 1L).foreach { case (st, _, _, sp, n) =>
+      val cells = base.filter(_._1 == st)
+      assert(n === cells.map(_._5).sum && sp === cells.map(_._4).sum,
+        s"status subtotal $st")
+    }
+    rows.filter(_._3 == 2L).foreach { case (_, pr, _, sp, n) =>
+      val cells = base.filter(_._2 == pr)
+      assert(n === cells.map(_._5).sum && sp === cells.map(_._4).sum,
+        s"priority subtotal $pr")
+    }
+  }
 }

@@ -413,4 +413,190 @@ class PipelineSpec extends SparkSpec {
     }
     rows.foreach { case (_, _, off, seq) => assert(seq === off / 512L) }
   }
+
+  test("ann_ivfpq: candidates come only from probed cells, adc ranks are monotone") {
+    // independent replay of the probe selection: top-2 centroids by
+    // (cosine desc, centroid id asc), same fixed-point dot kernel
+    val allEmb = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def dot9(a: Seq[Float], b: Seq[Float]): Long =
+      a.zip(b).map { case (x, y) => Math.round(x.toDouble * y.toDouble * 1e9) }.sum
+    def cosD(a: Seq[Float], b: Seq[Float]): Double =
+      (dot9(a, b) / 1e9) / (math.sqrt(dot9(a, a) / 1e9) * math.sqrt(dot9(b, b) / 1e9))
+    val cents = (8L to 15L).map(c => c -> allEmb(c))
+    val probedCells = allEmb.keys.filter(_ < 8).map { q =>
+      q -> cents.map { case (c, cv) => (c, cosD(allEmb(q), cv)) }
+        .sortBy { case (c, cos) => (-cos, c) }.take(2).map(_._1).toSet
+    }.toMap
+    val rows = operators.Ann.annIvfPq(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq == (1 to sorted.length),
+        "ranks must be dense from 1")
+      val adcs = sorted.map(_.getAs[Long]("adc"))
+      assert(adcs.zip(adcs.tail).forall { case (a, b) => a <= b },
+        "adc non-decreasing with rank")
+      // the coarse quantizer prunes: every neighbor's cell is one the
+      // SAME query probed in the inline IVF (identical centroid artifact)
+      probedCells.get(q).foreach { cells =>
+        assert(rs.map(_.getAs[Long]("cell")).toSet.subsetOf(cells),
+          s"query $q returned a neighbor outside its probed cells")
+      }
+    }
+    // IVF-PQ neighbors are a subset of full-PQ candidates ranked the same
+    // way, so any shared (q, n) pair must carry the same codes
+    val pq = operators.Ann.annPq(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")) ->
+        (r.getAs[Int]("code0"), r.getAs[Int]("code1"))).toMap
+    rows.foreach { r =>
+      pq.get((r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).foreach { codes =>
+        assert(codes === (r.getAs[Int]("code0"), r.getAs[Int]("code1")),
+          "codes must match the plain PQ encoding")
+      }
+    }
+  }
+
+  test("dedup_semantic: keep-first rule replayed from the pair relation") {
+    val rows = operators.Ann.dedupSemantic(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+        r.getAs[Boolean]("capped"), r.getAs[Long]("n_earlier_dups"),
+        r.getAs[Boolean]("kept")))
+    assert(rows.nonEmpty)
+    // verdict consistency
+    rows.foreach { case (id, _, _, n, kept) =>
+      assert(kept === (n == 0L), s"vec $id kept flag inconsistent")
+    }
+    // independent replay: exact cosine over the cell blocks
+    val e = Tables.embeddings(spark, sfDir).filter(col("vec_id") >= 8)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def dot9(a: Seq[Float], b: Seq[Float]): Long =
+      a.zip(b).map { case (x, y) => Math.round(x.toDouble * y.toDouble * 1e9) }.sum
+    def cos(a: Seq[Float], b: Seq[Float]): Double =
+      (dot9(a, b) / 1e9) / (math.sqrt(dot9(a, a) / 1e9) * math.sqrt(dot9(b, b) / 1e9))
+    val byCell = rows.filter(!_._3).groupBy(_._2)
+    byCell.values.foreach { members =>
+      val ids = members.map(_._1).sorted
+      val expected = ids.map { id =>
+        id -> ids.filter(o => o < id && cos(e(o), e(id)) >= operators.Ann.SemTau).length.toLong
+      }.toMap
+      members.foreach { case (id, _, _, n, _) =>
+        assert(n === expected(id), s"vec $id n_earlier_dups mismatch")
+      }
+    }
+    // a vector's near-identical twin must be dropped: cosine ≈ 1 ≥ tau
+    val sameCellDupes = rows.filter(!_._3).sortBy(_._1).groupBy(_._2).values
+      .flatMap(_.combinations(2).filter { case Array(a, b) =>
+        cos(e(a._1), e(b._1)) >= 0.999 }.map(_.last))
+    sameCellDupes.foreach { case (id, _, _, _, kept) =>
+      assert(!kept, s"near-identical later vector $id must be dropped")
+    }
+  }
+
+  test("text_bigram_lm: integer conditional-probability sums replay exactly") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(' ').filter(_.nonEmpty)))
+    val bigrams = docs.flatMap { case (id, t) =>
+      t.sliding(2).collect { case Array(a, b) => (id, a, b) }
+    }
+    val c2 = bigrams.groupBy(t => (t._2, t._3)).view.mapValues(_.length.toLong).toMap
+    val c1 = bigrams.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expected = bigrams.groupBy(_._1).view.mapValues { bs =>
+      val sum = bs.map { case (_, a, b) => 1000000L * c2((a, b)) / c1(a) }.sum
+      (bs.length.toLong, sum, sum / bs.length)
+    }.toMap
+    val got = TextOps.textBigramLm(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_p6"), r.getAs[Long]("avg_p6")))
+      .toMap
+    assert(got === expected.toMap)
+    assert(got.nonEmpty)
+    // a document repeating one bigram scores 1e6 per occurrence (p = 1)
+    // in a corpus where that prefix always leads to the same word
+    got.foreach { case (_, (n, sum, _)) =>
+      assert(sum <= 1000000L * n, "p6 can never exceed probability one")
+    }
+  }
+
+  test("sample_dsir: affinity scores replay, target docs score above threshold on average") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(' ').filter(_.nonEmpty)))
+    val all = docs.flatMap { case (id, lang, ts) => ts.map(t => (id, lang, t)) }
+    val cr = all.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val ct = all.filter(_._2 == "en").groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val p4 = cr.keys.map(t => t -> 10000L * ct.getOrElse(t, 0L) / cr(t)).toMap
+    val nR = all.length.toLong
+    val nT = all.count(_._2 == "en").toLong
+    val thresh = 10000L * nT / nR
+    val expect = docs.filter(_._3.nonEmpty).map { case (id, lang, ts) =>
+      val sum = ts.map(p4).sum
+      id -> (lang, ts.length.toLong, sum, sum / ts.length,
+        sum / ts.length >= thresh)
+    }.toMap
+    val got = operators.Sampling.sampleDsir(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[String]("lang"),
+        r.getAs[Long]("n_toks"), r.getAs[Long]("sum_p4"),
+        r.getAs[Long]("avg_p4"), r.getAs[Boolean]("keep"))).toMap
+    assert(got === expect)
+    assert(got.nonEmpty)
+    // the selection must enrich the target domain: the keep rate of 'en'
+    // docs beats the keep rate of the rest
+    val (en, rest) = got.values.partition(_._1 == "en")
+    def rate(xs: Iterable[(String, Long, Long, Long, Boolean)]) =
+      if (xs.isEmpty) 0.0 else xs.count(_._5).toDouble / xs.size
+    assert(rate(en) >= rate(rest),
+      "DSIR keep rate must favor the target domain")
+  }
+
+  test("sketch_hll: registers are engine-replayable and the estimate is sane") {
+    val rows = operators.Sketches.sketchHll(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hll_est"),
+        r.getAs[Long]("exact_n")))
+    assert(rows.nonEmpty)
+    // independent replay of the register walk in plain Scala
+    val ev = Tables.events(spark, sfDir).select("event_type", "user_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expect = ev.groupBy(_._1).view.mapValues { es =>
+      val regs = Array.fill(64)(0L)
+      es.foreach { case (_, u) =>
+        val h = ((u % 94906249L) * 2654435761L + 104729L) % 4503599627370449L
+        val reg = (h % 64).toInt
+        val w = h / 64
+        val rho = math.min(java.lang.Long.numberOfTrailingZeros(w) + 1, 47)
+        if (rho > regs(reg)) regs(reg) = rho
+      }
+      val num = regs.map(m => 1L << (47 - m)).sum
+      val raw = 709L * (576460752303423488L / num) / 1000L
+      val v0 = regs.count(_ == 0L)
+      if (v0 > 0 && raw <= 160) operators.Sketches.LcLut(v0 - 1) else raw
+    }.toMap
+    rows.foreach { case (t, est, exact) =>
+      assert(est === expect(t), s"register replay diverges for $t")
+      // m=64 gives ~13% standard error (linear counting is tighter in
+      // the small range); 40% is a generous 3-sigma sanity bound
+      assert(math.abs(est - exact).toDouble / exact < 0.4,
+        s"HLL estimate for $t off by more than 40%: est=$est exact=$exact")
+    }
+  }
+
+  test("sketch_cms: estimates are one-sided and exact for collision-free cells") {
+    val rows = operators.Sketches.sketchCms(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("exact_n"),
+        r.getAs[Long]("cms_est"), r.getAs[Boolean]("exact_hit")))
+    assert(rows.length === 10, "top-10 probe")
+    rows.foreach { case (u, exact, est, hit) =>
+      assert(est >= exact, s"CMS must overestimate, user $u: $est < $exact")
+      assert(hit === (est == exact))
+    }
+    // the probed users ARE the exact top-10 by event count
+    val counts = Tables.events(spark, sfDir).groupBy("user_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val top = counts.sortBy { case (u, n) => (-n, u) }.take(10).map(_._1).toSet
+    assert(rows.map(_._1).toSet === top)
+  }
 }

@@ -120,6 +120,53 @@ class PlanAuditSpec extends SparkSpec {
       "ann_pq top-5 must be WindowGroupLimit-pruned map-side")
   }
 
+  test("round-10b keys: ivfpq/bigram-lm/sketches keep their broadcast shapes") {
+    // ann_ivfpq: cell assignment + PQ encode are inlined-literal map work;
+    // the probe LUTs broadcast; the only exchange is the top-5 rank window
+    assert(plans("ann_ivfpq").contains("BroadcastExchange"),
+      "ann_ivfpq must broadcast the probe LUT side")
+    assert(shuffleCount(plans("ann_ivfpq")) <= 1,
+      s"ann_ivfpq corpus side must not shuffle before the rank:\n${plans("ann_ivfpq")}")
+    // text_bigram_lm: both count tables broadcast back onto the scan; the
+    // fact side's only exchange is the per-doc fold (plus the two
+    // vocabulary-sized count aggregations)
+    assert(plans("text_bigram_lm").contains("BroadcastExchange"),
+      "text_bigram_lm must broadcast the n-gram count tables")
+    assert(shuffleCount(plans("text_bigram_lm")) <= 4,
+      s"text_bigram_lm must stay scan + broadcast-shaped:\n${plans("text_bigram_lm")}")
+    // q15_cube: Expand feeds ONE hash aggregate — a single exchange, the
+    // fact table scanned once for all four grouping sets
+    assert(shuffleCount(plans("q15_cube")) <= 1,
+      s"q15_cube must be one Expand + one aggregate:\n${plans("q15_cube")}")
+    assert(plans("q15_cube").contains("Expand"),
+      "q15_cube must plan the grouping sets via Expand")
+    // evt_attribution: single user_id window exchange, no self-join
+    assert(shuffleCount(plans("evt_attribution")) <= 1,
+      s"evt_attribution must be one keyed window, not a join:\n${plans("evt_attribution")}")
+    // sketches: fixed-size state; cms probes the broadcast cell table
+    assert(plans("sketch_cms").contains("BroadcastExchange"),
+      "sketch_cms must broadcast the 512-cell sketch to the probe")
+    assert(shuffleCount(plans("sketch_hll")) <= 6 &&
+      shuffleCount(plans("sketch_cms")) <= 4,
+      "sketch exchanges must stay on sketch-sized frames")
+  }
+
+  test("round-10c keys: transitions single-keyed, dsir broadcast-scored") {
+    // evt_transitions: the pair walk is ONE user_id window exchange; the
+    // matrix aggregation + its row-total window run on a |types|²-row frame
+    assert(shuffleCount(plans("evt_transitions")) <= 3,
+      s"evt_transitions must stay lag-window + tiny-matrix:\n${plans("evt_transitions")}")
+    assert(!plans("evt_transitions").contains("SortMergeJoin") &&
+      !plans("evt_transitions").contains("BroadcastHashJoin"),
+      "evt_transitions must pair via lag, never a self-join")
+    // sample_dsir: the token scan joins the broadcast vocabulary ratios;
+    // exchanges belong to the two count tables + the per-doc fold
+    assert(plans("sample_dsir").contains("BroadcastExchange"),
+      "sample_dsir must broadcast the vocabulary ratio table")
+    assert(shuffleCount(plans("sample_dsir")) <= 4,
+      s"sample_dsir fact side must stay scan + broadcast:\n${plans("sample_dsir")}")
+  }
+
   test("sample_mixture keeps the fact side scan-shaped behind one broadcast") {
     val p = plans("sample_mixture")
     // the fact side never exchanges: its only join is the broadcast of the
@@ -137,10 +184,13 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("no sort-merge joins at test scale (broadcast should win everywhere)") {
-    // dedup_clusters joins two node-sized frames (labels ⨝ neighbor mins):
-    // big-big at scale, where a shuffle join IS the intended plan — cached
-    // intermediates have no stats for broadcast planning at test scale
-    for ((name, plan) <- plans if name != "dedup_clusters")
+    // dedup_clusters joins two node-sized frames (labels ⨝ neighbor mins);
+    // dedup_semantic's verdict is corpus LEFT JOIN per-vector dup counts —
+    // both big-big at scale, where a shuffle join IS the intended plan
+    // (cached/derived intermediates also lack stats for broadcast planning
+    // at test scale)
+    val bigBig = Set("dedup_clusters", "dedup_semantic")
+    for ((name, plan) <- plans if !bigBig(name))
       assert(!plan.contains("SortMergeJoin"), s"$name falls back to SMJ")
   }
 }
