@@ -43,6 +43,29 @@ object Sketches {
   private def h64(u: Column): Column =
     ((u % FoldP) * KnuthA + HashB) % HashP
 
+  /** Scala-side twin of the register update the SQL plan performs —
+    * shared with [[graft.streaming.SketchStream]] so the streaming face
+    * cannot drift from the batch operator (one source of truth for the
+    * hash, the rank clamp, and the estimate).
+    */
+  private[graft] def hllUpdate(regs: Array[Long], userId: Long): Unit = {
+    val h = ((userId % FoldP) * KnuthA + HashB) % HashP
+    val reg = (h % HllM).toInt
+    val w = h / HllM
+    val rho = math.min(java.lang.Long.numberOfTrailingZeros(w) + 1, 47).toLong
+    if (rho > regs(reg)) regs(reg) = rho
+  }
+
+  /** Exact-integer HLL estimate from a 64-register array (raw harmonic
+    * mean, linear counting below 2.5m when zero registers remain).
+    */
+  private[graft] def hllEstimate(regs: Array[Long]): Long = {
+    val num = regs.map(m => 1L << (47 - m)).sum
+    val raw = 709L * (576460752303423488L / num) / 1000L
+    val v0 = regs.count(_ == 0L)
+    if (v0 > 0 && raw <= 2L * HllM + HllM / 2) LcLut(v0 - 1) else raw
+  }
+
   /** Small-range (linear counting) lookup: lc(V) = round(m·ln(m/V)) for
     * V zero registers, precomputed ONCE here and inlined into both the
     * Spark plan and the oracle SQL — the only ln in the sketch runs at
