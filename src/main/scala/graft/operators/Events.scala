@@ -191,6 +191,38 @@ object Events {
       .withColumn("p6", expr("(1000000 * n) div row_total"))
   }
 
+  /** Volume-spike detection: flag (type, hour) buckets whose event count
+    * sits more than two standard deviations above the type's hourly
+    * mean. The z-test is evaluated WITHOUT floats by cross-multiplying
+    * the variance identity — `x > μ + 2σ  ⇔  n·x − S > 0 ∧ (n·x − S)² >
+    * 4·(n·SS − S²)` with S = Σx, SS = Σx² over the type's observed hours
+    * — exact BIGINTs, so both engines flag the identical bucket set (a
+    * float stddev differs in the last ulp between engines and can flip a
+    * borderline bucket). Two keyed exchanges and ONE events scan: the
+    * (type, hour) partial count, then the per-type moments as window
+    * aggregates over the hours×types-row hourly frame — a separate
+    * moments groupBy would rescan the fact table for a |types|-row
+    * result. Hours with zero events are not observed rows and thus not
+    * part of the baseline — the monitoring convention for sparse
+    * streams. (At 1e10 events/hour the squares need DECIMAL(38); the
+    * cross-multiplied form ports unchanged.)
+    */
+  def anomaly(s: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("ts div 3600000000000").as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("n_hours", count(lit(1)).over(byType))
+      .withColumn("s1", sum("n_events").over(byType))
+      .withColumn("s2", sum(col("n_events") * col("n_events")).over(byType))
+      .withColumn("dev", col("n_hours") * col("n_events") - col("s1"))
+      .withColumn("is_spike",
+        col("dev") > 0 &&
+          col("dev") * col("dev") >
+            lit(4L) * (col("n_hours") * col("s2") - col("s1") * col("s1")))
+      .select("event_type", "hour", "n_events", "is_spike")
+  }
+
   /** JSON property extraction + aggregation: pull `$.k` out of the
     * props JSON string per event, aggregate per type. The average is
     * derived from the exact integer sum with ONE double division so
@@ -210,7 +242,8 @@ object Events {
     "evt_json" -> (jsonExtract _),
     "evt_window" -> (tumblingWindow _),
     "evt_attribution" -> (attribution _),
-    "evt_transitions" -> (transitions _))
+    "evt_transitions" -> (transitions _),
+    "evt_anomaly" -> (anomaly _))
 
   val oracles: Map[String, String] = Map(
     "evt_sessionize" ->
@@ -268,6 +301,21 @@ object Events {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
         |    / count(*) AS k_avg
         |FROM events GROUP BY event_type""".stripMargin,
+    "evt_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, count(*) AS n_hours,
+        |    CAST(sum(n_events) AS BIGINT) AS s1,
+        |    CAST(sum(n_events * n_events) AS BIGINT) AS s2
+        |  FROM hourly GROUP BY 1)
+        |SELECT h.event_type, CAST(h.hour AS BIGINT) AS hour,
+        |  h.n_events,
+        |  (m.n_hours * h.n_events - m.s1 > 0 AND
+        |   (m.n_hours * h.n_events - m.s1) * (m.n_hours * h.n_events - m.s1)
+        |     > 4 * (m.n_hours * m.s2 - m.s1 * m.s1)) AS is_spike
+        |FROM hourly h JOIN m ON m.event_type = h.event_type""".stripMargin,
     "evt_transitions" ->
       """WITH p AS (
         |  SELECT lag(event_type) OVER w AS from_type, event_type AS to_type,

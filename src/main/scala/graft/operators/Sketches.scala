@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Probabilistic sketches — the approximate-aggregation toolkit a 100 TB
@@ -152,13 +153,59 @@ object Sketches {
       .select("user_id", "exact_n", "cms_est", "exact_hit")
   }
 
+  /** Histogram-quantile bin width (cents) and bin count. */
+  private val QBinW = 1024L
+  private val QBins = 64
+
+  /** Histogram quantile sketch: per event type, fold the `value` column
+    * into 64 fixed-width integer bins and read the 25/50/75th percentile
+    * estimates off the cumulative counts (estimate = upper edge of the
+    * first bin whose running count reaches ceil(q·n) — one-sided error ≤
+    * one bin width, the classic fixed-histogram bound). The state is 64
+    * integers per group like [[sketchHll]]: map-side partial counts, a
+    * constant-size reduce, and bin counts merge by addition across
+    * partitions/days — where an exact quantile (`q12_quantiles`) needs a
+    * full per-group sort at every refresh.
+    */
+  def sketchQuantile(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.events(s, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      .withColumn("bin", least(expr(s"cents div $QBinW"), lit(QBins - 1L)))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("n_bin"))
+    val w = Window.partitionBy("event_type").orderBy("bin")
+    val cum = hist
+      .withColumn("cum", sum("n_bin").over(w))
+      .withColumn("n", sum("n_bin").over(Window.partitionBy("event_type")))
+    def qEst(q: Int): Column =
+      min(when(col("cum") * 100 >= col("n") * q, (col("bin") + 1) * QBinW))
+    cum.groupBy("event_type")
+      .agg(max("n").as("n"),
+        qEst(25).as("q25_est"), qEst(50).as("q50_est"), qEst(75).as("q75_est"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_hll" -> (sketchHll _),
-    "sketch_cms" -> (sketchCms _))
+    "sketch_cms" -> (sketchCms _),
+    "sketch_quantile" -> (sketchQuantile _))
 
   private val hSql = s"((user_id % $FoldP) * $KnuthA + $HashB) % $HashP"
 
   val oracles: Map[String, String] = Map(
+    "sketch_quantile" ->
+      s"""WITH h AS (SELECT event_type,
+         |    least(CAST(round(value * 100) AS BIGINT) // $QBinW, ${QBins - 1}) AS bin,
+         |    count(*) AS n_bin
+         |  FROM events GROUP BY 1, 2),
+         |c AS (SELECT event_type, bin, n_bin,
+         |    sum(n_bin) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         |    sum(n_bin) OVER (PARTITION BY event_type) AS n
+         |  FROM h)
+         |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         |  CAST(min(CASE WHEN cum * 100 >= n * 25 THEN (bin + 1) * $QBinW END) AS BIGINT) AS q25_est,
+         |  CAST(min(CASE WHEN cum * 100 >= n * 50 THEN (bin + 1) * $QBinW END) AS BIGINT) AS q50_est,
+         |  CAST(min(CASE WHEN cum * 100 >= n * 75 THEN (bin + 1) * $QBinW END) AS BIGINT) AS q75_est
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "sketch_hll" ->
       s"""WITH e AS (SELECT event_type, user_id, $hSql AS h FROM events),
          |r AS (SELECT event_type, h % $HllM AS reg, h // $HllM AS w FROM e),

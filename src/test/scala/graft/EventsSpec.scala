@@ -170,6 +170,32 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("evt_anomaly: integer z-rule agrees with the float computation off the boundary") {
+    val got = Events.anomaly(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hour")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Boolean]("is_spike"))).toMap
+    val raw = events.select("event_type", "ts").collect()
+      .map(r => (r.getString(0), Math.floorDiv(r.getLong(1), 3600000000000L)))
+    val counts = raw.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got.view.mapValues(_._1).toMap === counts)
+    // float replay: mean + 2*stddev (population) per type
+    counts.keys.groupBy(_._1).foreach { case (t, keys) =>
+      val xs = keys.toSeq.map(counts)
+      val n = xs.length.toDouble
+      val mean = xs.sum / n
+      val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / n)
+      keys.foreach { k =>
+        val x = counts(k).toDouble
+        val z = if (sd == 0) 0.0 else (x - mean) / sd
+        // stay off the exact boundary: integer and float rules may only
+        // disagree within one ulp of z = 2
+        if (math.abs(z - 2.0) > 1e-9)
+          assert(got(k)._2 === (z > 2.0),
+            s"$k z=$z flagged=${got(k)._2}")
+      }
+    }
+  }
+
   test("q15_cube: every grouping set is consistent with the base aggregate") {
     val rows = Relational.q15Cube(spark, sfDir).collect()
       .map(r => (r.getAs[String]("status"), r.getAs[String]("priority"),

@@ -584,6 +584,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("sketch_quantile: estimates bracket the exact quantiles within one bin") {
+    val rows = operators.Sketches.sketchQuantile(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("q25_est"),
+          r.getAs[Long]("q50_est"), r.getAs[Long]("q75_est"))).toMap
+    assert(rows.nonEmpty)
+    val cents = Tables.events(spark, sfDir)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), Math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { case (t, (n, e25, e50, e75)) =>
+      val xs = cents(t)
+      assert(n === xs.length.toLong)
+      Seq((25, e25), (50, e50), (75, e75)).foreach { case (q, est) =>
+        val exact = xs((Math.ceil(q * xs.length / 100.0) - 1).toInt.max(0))
+        // upper-edge estimate: never below the exact value, within a bin
+        assert(est >= exact && est - exact <= 1024L,
+          s"$t q$q est=$est exact=$exact")
+      }
+    }
+  }
+
   test("sketch_cms: estimates are one-sided and exact for collision-free cells") {
     val rows = operators.Sketches.sketchCms(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("exact_n"),

@@ -167,6 +167,19 @@ class PlanAuditSpec extends SparkSpec {
       s"sample_dsir fact side must stay scan + broadcast:\n${plans("sample_dsir")}")
   }
 
+  test("round-10d keys: quantile sketch constant-state, anomaly broadcast moments") {
+    // sketch_quantile: one (type, bin) partial-agg exchange; the cumsum
+    // window and final fold run on the 5×64-row histogram
+    assert(shuffleCount(plans("sketch_quantile")) <= 3,
+      s"sketch_quantile must fold into fixed bins first:\n${plans("sketch_quantile")}")
+    // evt_anomaly: ONE events scan — moments are window aggregates over
+    // the tiny hourly frame, never a second fact-table aggregation
+    assert(shuffleCount(plans("evt_anomaly")) <= 2,
+      s"evt_anomaly must stay two keyed exchanges:\n${plans("evt_anomaly")}")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(plans("evt_anomaly")).size == 1,
+      "evt_anomaly must scan events exactly once")
+  }
+
   test("sample_mixture keeps the fact side scan-shaped behind one broadcast") {
     val p = plans("sample_mixture")
     // the fact side never exchanges: its only join is the broadcast of the
