@@ -374,7 +374,43 @@ object Geometry {
         sum(when(col("is_spike"), 1L).otherwise(0L)).as("n_spikes"))
   }
 
+  /** Grid-kNN spatial join: the 5 nearest points to each query point,
+    * candidates drawn from the query's 3×3 grid-cell neighborhood (cell
+    * = 1200 integer-centidegree units ≈ 12°). The neighborhood IS the
+    * contract — like LSH ANN, recall outside the probed cells is
+    * explicitly out of scope, which is what makes the operator exact,
+    * engine-portable, and distributable: the base side partitions by
+    * cell and never sees a query it can't match. Distances are exact
+    * squared-integer centidegree sums (no float, no sqrt — ranking by d²
+    * equals ranking by d); the tiny query sample (event_id ≡ 0 mod 1009)
+    * explodes into its 9 probe cells and broadcasts, so the 100 TB point
+    * side joins hash-partitioned on its own cell key, and the top-5 rank
+    * is WindowGroupLimit-pruned map-side.
+    */
+  def geoKnn(s: SparkSession, dir: String): DataFrame = {
+    val p = points(s, dir)
+      .withColumn("cx", expr("xi div 1200"))
+      .withColumn("cy", expr("yi div 1200"))
+    val probes = p.filter(col("event_id") % 1009 === 0)
+      .select(col("event_id").as("q_id"), col("xi").as("qx"),
+        col("yi").as("qy"), col("cx"), col("cy"))
+      .withColumn("dx", explode(typedLit(Seq(-1L, 0L, 1L))))
+      .withColumn("dy", explode(typedLit(Seq(-1L, 0L, 1L))))
+      .select(col("q_id"), col("qx"), col("qy"),
+        (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+    p.join(broadcast(probes), Seq("cx", "cy"))
+      .filter(col("event_id") =!= col("q_id"))
+      .withColumn("d2",
+        (col("xi") - col("qx")) * (col("xi") - col("qx")) +
+          (col("yi") - col("qy")) * (col("yi") - col("qy")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy("d2", "event_id")))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("event_id").as("n_id"), col("rnk"), col("d2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_knn" -> (geoKnn _),
     "geo_spikes" -> (geoSpikes _),
     "geo_ring_valid" -> (geoRingValid _),
     "geo_wkt_join" -> (geoWktJoin _),
@@ -658,6 +694,24 @@ object Geometry {
   }
 
   val oracles: Map[String, String] = Map(
+    "geo_knn" ->
+      s"""WITH pts AS ($ptsSql),
+         |p AS (SELECT event_id, xi, yi,
+         |    xi // 1200 AS cx, yi // 1200 AS cy FROM pts),
+         |q AS (SELECT event_id AS q_id, xi AS qx, yi AS qy,
+         |    cx + dx.range AS cx, cy + dy.range AS cy
+         |  FROM p, range(-1, 2) dx, range(-1, 2) dy
+         |  WHERE event_id % 1009 = 0),
+         |cand AS (SELECT q.q_id, p.event_id AS n_id,
+         |    (p.xi - q.qx) * (p.xi - q.qx)
+         |      + (p.yi - q.qy) * (p.yi - q.qy) AS d2
+         |  FROM q JOIN p ON p.cx = q.cx AND p.cy = q.cy
+         |  WHERE p.event_id <> q.q_id),
+         |ranked AS (SELECT q_id, n_id, d2,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS rnk
+         |  FROM cand)
+         |SELECT q_id, n_id, CAST(rnk AS INT) AS rnk, CAST(d2 AS BIGINT) AS d2
+         |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "geo_spikes" ->
       s"""WITH pts AS ($ptsSql),
          |grid AS (

@@ -584,6 +584,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("geo_knn: replays the 3x3 neighborhood contract with exact integer distances") {
+    val pts = Tables.events(spark, sfDir).select("event_id").collect()
+      .map(_.getLong(0))
+      .map(id => (id, id * 7919 % 36000, id * 104729 % 18000))
+    val byCell = pts.groupBy { case (_, x, y) => (x / 1200, y / 1200) }
+    val expect = pts.filter(_._1 % 1009 == 0).flatMap { case (q, qx, qy) =>
+      val (cx, cy) = (qx / 1200, qy / 1200)
+      val cands = for {
+        dx <- -1 to 1; dy <- -1 to 1
+        c <- byCell.getOrElse((cx + dx, cy + dy), Array.empty).toSeq
+        if c._1 != q
+      } yield (c._1, (c._2 - qx) * (c._2 - qx) + (c._3 - qy) * (c._3 - qy))
+      cands.sortBy { case (id, d2) => (d2, id) }.take(5).zipWithIndex
+        .map { case ((n, d2), i) => (q, n, i + 1, d2) }
+    }.toSet
+    val got = operators.Geometry.geoKnn(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"),
+        r.getAs[Int]("rnk"), r.getAs[Long]("d2"))).toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
   test("sketch_quantile: estimates bracket the exact quantiles within one bin") {
     val rows = operators.Sketches.sketchQuantile(spark, sfDir).collect()
       .map(r => r.getAs[String]("event_type") ->

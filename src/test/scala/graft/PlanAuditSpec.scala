@@ -180,6 +180,13 @@ class PlanAuditSpec extends SparkSpec {
       "evt_anomaly must scan events exactly once")
   }
 
+  test("geo_knn broadcasts probes; point side hashes on its own cell key") {
+    assert(plans("geo_knn").contains("BroadcastExchange"),
+      "geo_knn must broadcast the exploded probe cells")
+    assert(shuffleCount(plans("geo_knn")) <= 1,
+      s"geo_knn point side must not shuffle before the rank:\n${plans("geo_knn")}")
+  }
+
   test("sample_mixture keeps the fact side scan-shaped behind one broadcast") {
     val p = plans("sample_mixture")
     // the fact side never exchanges: its only join is the broadcast of the
