@@ -85,21 +85,28 @@ object Sketches {
     * estimate switches to linear counting via the integer [[LcLut]],
     * exactly as the HLL paper prescribes.
     */
-  def sketchHll(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-      .select(col("event_type"), col("user_id"))
-      .withColumn("h", h64(col("user_id")))
+  /** Adds the register columns (`reg`, `rho`) to any frame with a
+    * `user_id` — the scan-side half of the sketch, shared by the inline
+    * operator and the persisted store's daily builds.
+    */
+  private[operators] def withRegisterCols(df: DataFrame): DataFrame =
+    df.withColumn("h", h64(col("user_id")))
       .withColumn("reg", (col("h") % HllM).cast("int"))
       .withColumn("w", expr(s"h div $HllM"))
       .withColumn("rho",
         least(expr("bit_count((w & -w) - 1) + 1"), lit(47)).cast("long"))
-    val regs = ev.groupBy("event_type", "reg").agg(max("rho").as("m_rho"))
+
+  /** Folds a (event_type, reg, m_rho) register table into per-type
+    * estimates — exact integer arithmetic, shared by the inline sketch
+    * and any merge of persisted register artifacts.
+    */
+  private[operators] def estimateFromRegisters(regs: DataFrame): DataFrame = {
     // empty registers count as rho = 0 (the standard HLL convention) —
     // the grid explodes a literal 0..63 array per type, no join needed
-    val grid = ev.select("event_type").distinct()
+    val grid = regs.select("event_type").distinct()
       .select(col("event_type"),
         explode(typedLit((0 until HllM).toArray)).as("reg"))
-    val est = grid.join(regs, Seq("event_type", "reg"), "left")
+    grid.join(regs, Seq("event_type", "reg"), "left")
       .withColumn("m_rho", coalesce(col("m_rho"), lit(0L)))
       .groupBy("event_type")
       .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(47 - m_rho AS INT))"))
@@ -110,9 +117,54 @@ object Sketches {
         when(col("v0") > 0L && col("raw_est") <= 2L * HllM + HllM / 2,
           element_at(typedLit(LcLut), col("v0").cast("int")))
           .otherwise(col("raw_est")))
+  }
+
+  def sketchHll(s: SparkSession, dir: String): DataFrame = {
+    val ev = withRegisterCols(
+      Tables.events(s, dir).select(col("event_type"), col("user_id")))
+    val est = estimateFromRegisters(
+      ev.groupBy("event_type", "reg").agg(max("rho").as("m_rho")))
     val exact = ev.groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("exact_n"))
     est.join(exact, Seq("event_type"))
+      .select("event_type", "hll_est", "exact_n")
+  }
+
+  /** Persisted day-partitioned HLL registers — the warehouse pattern the
+    * sketch exists for: each day's job reduces that day's events to a
+    * 64-register file per group (O(sketch) bytes, never the raw ids),
+    * and ANY day range answers distinct-count queries later by merging
+    * registers with max — no re-scan of history, no raw-id retention
+    * (the privacy side-benefit real pipelines lean on). Day writes are
+    * independent dynamic partitions, so daily appends touch O(day)
+    * bytes; the register max is associative + commutative + idempotent,
+    * so replayed or overlapping builds merge to the same artifact.
+    *
+    * Driver key `sketch_hll_store`: bulk-build all days but the last,
+    * append the last day separately (the daily-increment path), then
+    * answer the full-range query from the ARTIFACT alone — which must be
+    * indistinguishable from the inline sketch, so it shares the
+    * `sketch_hll` oracle verbatim.
+    */
+  def sketchHllStore(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        expr("ts div 86400000000000").as("day"))
+    val store = java.nio.file.Files.createTempDirectory("graft-hll-store").toString
+    val maxDay = ev.agg(max("day")).collect()(0).getLong(0)
+    def dailyRegs(df: DataFrame): DataFrame =
+      withRegisterCols(df)
+        .groupBy("day", "event_type", "reg").agg(max("rho").as("m_rho"))
+    dailyRegs(ev.filter(col("day") < maxDay))
+      .write.partitionBy("day").mode("overwrite").parquet(store)
+    dailyRegs(ev.filter(col("day") === maxDay))
+      .write.partitionBy("day").mode("append").parquet(store)
+    val merged = s.read.parquet(store)
+      .groupBy("event_type", "reg").agg(max("m_rho").as("m_rho"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_n"))
+    estimateFromRegisters(merged)
+      .join(exact, Seq("event_type"))
       .select("event_type", "hll_est", "exact_n")
   }
 
@@ -186,6 +238,7 @@ object Sketches {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_hll" -> (sketchHll _),
+    "sketch_hll_store" -> (sketchHllStore _),
     "sketch_cms" -> (sketchCms _),
     "sketch_quantile" -> (sketchQuantile _))
 
@@ -206,7 +259,13 @@ object Sketches {
          |  CAST(min(CASE WHEN cum * 100 >= n * 50 THEN (bin + 1) * $QBinW END) AS BIGINT) AS q50_est,
          |  CAST(min(CASE WHEN cum * 100 >= n * 75 THEN (bin + 1) * $QBinW END) AS BIGINT) AS q75_est
          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
-    "sketch_hll" ->
+    "sketch_hll" -> hllSql,
+    // the persisted day-partitioned store must serve the identical
+    // estimate: daily register max then cross-day max == global max
+    "sketch_hll_store" -> hllSql,
+    "sketch_cms" -> cmsSql)
+
+  private lazy val hllSql: String =
       s"""WITH e AS (SELECT event_type, user_id, $hSql AS h FROM events),
          |r AS (SELECT event_type, h % $HllM AS reg, h // $HllM AS w FROM e),
          |rho AS (SELECT event_type, reg,
@@ -232,8 +291,9 @@ object Sketches {
          |       ELSE fin.raw_est END AS BIGINT) AS hll_est,
          |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS exact_n
          |FROM events e JOIN fin ON fin.event_type = e.event_type
-         |GROUP BY 1, fin.v0, fin.raw_est ORDER BY 1""".stripMargin,
-    "sketch_cms" -> {
+         |GROUP BY 1, fin.v0, fin.raw_est ORDER BY 1""".stripMargin
+
+  private lazy val cmsSql: String = {
       val cols = (0 until CmsD).map(j =>
         s"(((user_id % $FoldP) * (${KnuthA + 2 * j + 1}) + ${HashB * (j + 1)}) % $HashP) % $CmsW AS c$j")
         .mkString(", ")
@@ -254,5 +314,5 @@ object Sketches {
          |  min(cnt) = p.exact_n AS exact_hit
          |FROM probe p JOIN cells ON cells.j = p.j AND cells.c = p.c
          |GROUP BY p.user_id, p.exact_n ORDER BY 1""".stripMargin
-    })
+  }
 }

@@ -628,6 +628,19 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("sketch_hll_store: day-partitioned register merge equals the inline sketch") {
+    val inline0 = operators.Sketches.sketchHll(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("hll_est"), r.getAs[Long]("exact_n")))
+      .toSet
+    val store = operators.Sketches.sketchHllStore(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("hll_est"), r.getAs[Long]("exact_n")))
+      .toSet
+    // bulk-build + daily append + cross-day max must be indistinguishable
+    // from the one-shot sketch: max is associative over any day split
+    assert(store === inline0)
+    assert(store.nonEmpty)
+  }
+
   test("sketch_cms: estimates are one-sided and exact for collision-free cells") {
     val rows = operators.Sketches.sketchCms(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("exact_n"),
