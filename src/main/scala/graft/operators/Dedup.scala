@@ -298,6 +298,77 @@ object Dedup {
       .groupBy("doc_id").agg(count(lit(1)).as("n_gram_hits"))
   }
 
+  /** Bloom filter width in bits (64 longs). Deliberately small so the
+    * false-positive path is EXERCISED at test scale (~0.35% per gram
+    * with the benchmark's ~1000 set bits) — at 100 TB the filter is
+    * sized to the key cardinality (2^30+ bits, broadcast instead of
+    * inlined) and the same arithmetic ports unchanged.
+    */
+  private val BloomBits = 4096L
+
+  /** 48-bit integer fold of a string key (md5 prefix), shared by build
+    * and probe and replayed verbatim by the oracle.
+    */
+  private def keyHash(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("bigint")
+
+  private def bloomPos(j: Int, h: Column): Column =
+    (((h % Sketches.FoldP) * (Sketches.KnuthA + 2 * j + 1) +
+      Sketches.HashB * (j + 1)) % Sketches.HashP) % BloomBits
+
+  /** Bloom-GATED decontamination — what [[dedupDecontaminate]] becomes
+    * when the reference set outgrows a broadcast: the benchmark's gram
+    * set folds into a k=4 Bloom bitmap (an 8 KB artifact here; 100s of
+    * MB at real scale, still ≪ the gram set itself), the training side
+    * tests membership as pure scan-side bit arithmetic, and ONLY the
+    * grams that bloom-positive reach the exact verification join — the
+    * filter's one-sided guarantee (no false negatives) is what makes the
+    * gate sound, and the per-doc `n_fp` column measures exactly what the
+    * gate overpays. Everything is integer arithmetic on a shared md5
+    * fold, so bitmap, probes, and FP counts replay bit-for-bit in
+    * DuckDB.
+    */
+  def dedupBloom(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        when(size(col("w")) >= 3, array_distinct(expr(
+          "transform(sequence(1, size(w) - 2), i -> array_join(slice(w, i, 3), ' '))")))
+          .otherwise(array().cast("array<string>")).as("gs"))
+    val bench = grams.filter(col("doc_id") % 101 === 0)
+      .select(explode(col("gs")).as("g")).distinct()
+    // build: distinct bit positions of the benchmark grams — artifact-
+    // scale (≤ 4096 values), packed driver-side into 64 literal longs
+    val positions = bench.withColumn("h", keyHash(col("g")))
+      .select(explode(array((0 until 4).map(j => bloomPos(j, col("h"))): _*)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val bitmap = Array.fill((BloomBits / 64).toInt)(0L)
+    positions.foreach(p => bitmap((p / 64).toInt) |= 1L << (p % 64).toInt)
+    val bm = typedLit(bitmap.toSeq)
+    def bitSet(j: Int): Column =
+      element_at(bm, expr(s"p$j div 64").cast("int") + 1)
+        .bitwiseAND(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p$j % 64 AS INT))")) =!= 0L
+    val probes = (0 until 4).foldLeft(
+      grams.filter(col("doc_id") % 101 =!= 0)
+        .select(col("doc_id"), explode(col("gs")).as("g"))
+        .withColumn("h", keyHash(col("g")))) {
+      case (df, j) => df.withColumn(s"p$j", bloomPos(j, col("h")))
+    }.withColumn("maybe", (0 until 4).map(bitSet).reduce(_ && _))
+    // the gate: only bloom-positive grams reach the exact join
+    val checked = probes.filter(col("maybe"))
+      .join(bench.withColumn("th", lit(true)), Seq("g"), "left")
+      .select(col("doc_id"), col("maybe"),
+        coalesce(col("th"), lit(false)).as("true_hit"))
+    val unchecked = probes.filter(!col("maybe"))
+      .select(col("doc_id"), col("maybe"), lit(false).as("true_hit"))
+    checked.unionByName(unchecked)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("maybe"), 1L).otherwise(0L)).as("n_bloom_hits"),
+        sum(when(col("true_hit"), 1L).otherwise(0L)).as("n_true_hits"))
+      .withColumn("n_fp", col("n_bloom_hits") - col("n_true_hits"))
+  }
+
   /** Near-dup clustering: connected components over the LSH candidate
     * graph (pairs with signature-agreement ≥ 0.5), keeping the minimum
     * doc_id as the cluster representative — the step a training pipeline
@@ -464,6 +535,7 @@ object Dedup {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_decontaminate" -> (dedupDecontaminate _),
+    "dedup_bloom" -> (dedupBloom _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _))
 
   // ---- oracle SQL -----------------------------------------------------
@@ -553,6 +625,38 @@ object Dedup {
         |FROM grams c, unnest(c.gs) AS u(g) JOIN bench ON u.g = bench.g
         |WHERE c.doc_id % 101 <> 0
         |GROUP BY c.doc_id""".stripMargin,
+    "dedup_bloom" -> {
+      val pj = (0 until 4).map(j =>
+        s"(((h % ${Sketches.FoldP}) * ${Sketches.KnuthA + 2 * j + 1} + ${Sketches.HashB * (j + 1)}) % ${Sketches.HashP}) % $BloomBits AS p$j")
+        .mkString(", ")
+      val inChecks = (0 until 4).map(j => s"p$j IN (SELECT p FROM bpos)").mkString(" AND ")
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |grams AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(w) >= 3 THEN
+         |      list_distinct(list_transform(range(1, len(w) - 1),
+         |                    i -> array_to_string(w[i:i+2], ' ')))
+         |    ELSE [] END AS gs
+         |  FROM toks),
+         |bench AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 101 = 0),
+         |bh AS (SELECT CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT) AS h FROM bench),
+         |bp AS (SELECT $pj FROM bh),
+         |bpos AS (SELECT DISTINCT p FROM (
+         |  SELECT p0 AS p FROM bp UNION ALL SELECT p1 FROM bp
+         |  UNION ALL SELECT p2 FROM bp UNION ALL SELECT p3 FROM bp)),
+         |tg AS (SELECT c.doc_id, u.g AS g,
+         |    CAST(('0x' || substr(md5(u.g), 1, 12)) AS BIGINT) AS h
+         |  FROM grams c, unnest(c.gs) AS u(g) WHERE c.doc_id % 101 <> 0),
+         |tp AS (SELECT doc_id, g, $pj FROM tg),
+         |fl AS (SELECT doc_id, ($inChecks) AS maybe,
+         |    g IN (SELECT g FROM bench) AS th FROM tp)
+         |SELECT doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+         |  CAST(sum(CASE WHEN th THEN 1 ELSE 0 END) AS BIGINT) AS n_true_hits,
+         |  CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END)
+         |    - sum(CASE WHEN th THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
+         |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "dedup_minhash" -> s"$sigSql ORDER BY doc_id",
     "dedup_incremental" -> incrementalSql,
     // the persisted-index probe (LshIndex) must reproduce the in-query

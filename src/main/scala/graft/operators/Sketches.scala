@@ -28,14 +28,14 @@ object Sketches {
   /** Modulus for the first fold: a prime, so the fold is close to
     * uniform; small enough that `u0 * KnuthA` cannot overflow a long.
     */
-  private val FoldP = 94906249L
+  private[operators] val FoldP = 94906249L
 
   /** Knuth's multiplicative constant and an offset prime. */
-  private val KnuthA = 2654435761L
-  private val HashB = 104729L
+  private[operators] val KnuthA = 2654435761L
+  private[operators] val HashB = 104729L
 
   /** Hash range: the prime 2^52 - 47 — products stay inside a long. */
-  private val HashP = 4503599627370449L
+  private[operators] val HashP = 4503599627370449L
 
   /** HLL register count (m = 64 → alpha = 0.709 per the HLL paper). */
   private val HllM = 64
@@ -75,16 +75,6 @@ object Sketches {
   private[graft] val LcLut: Seq[Long] =
     (1 to HllM).map(v => math.round(HllM * math.log(HllM.toDouble / v)))
 
-  /** HyperLogLog distinct users per event type, next to the exact
-    * count-distinct it approximates. Register index = h mod 64; rank =
-    * trailing-zero count of h div 64, clamped to 47 (h has 52 hashed
-    * bits). The harmonic mean is evaluated in EXACT integer arithmetic:
-    * num = Σ 2^(47-M_r) ≤ 2^53, raw = (709 · (2^59 div num)) div 1000 —
-    * no float ever enters, so Spark and DuckDB agree to the last digit.
-    * In the small range (raw ≤ 2.5m with zero registers present) the
-    * estimate switches to linear counting via the integer [[LcLut]],
-    * exactly as the HLL paper prescribes.
-    */
   /** Adds the register columns (`reg`, `rho`) to any frame with a
     * `user_id` — the scan-side half of the sketch, shared by the inline
     * operator and the persisted store's daily builds.
@@ -119,6 +109,16 @@ object Sketches {
           .otherwise(col("raw_est")))
   }
 
+  /** HyperLogLog distinct users per event type, next to the exact
+    * count-distinct it approximates. Register index = h mod 64; rank =
+    * trailing-zero count of h div 64, clamped to 47 (h has 52 hashed
+    * bits). The harmonic mean is evaluated in EXACT integer arithmetic:
+    * num = Σ 2^(47-M_r) ≤ 2^53, raw = (709 · (2^59 div num)) div 1000 —
+    * no float ever enters, so Spark and DuckDB agree to the last digit.
+    * In the small range (raw ≤ 2.5m with zero registers present) the
+    * estimate switches to linear counting via the integer [[LcLut]],
+    * exactly as the HLL paper prescribes.
+    */
   def sketchHll(s: SparkSession, dir: String): DataFrame = {
     val ev = withRegisterCols(
       Tables.events(s, dir).select(col("event_type"), col("user_id")))

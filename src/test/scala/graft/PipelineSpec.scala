@@ -628,6 +628,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("dedup_bloom: no false negatives, true hits equal the exact decontamination") {
+    val rows = operators.Dedup.dedupBloom(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_bloom_hits"),
+          r.getAs[Long]("n_true_hits"), r.getAs[Long]("n_fp")))
+      .toMap
+    assert(rows.nonEmpty)
+    // one-sided filter: bloom hits >= true hits, fp is exactly the gap
+    rows.values.foreach { case (n, bloom, truth, fp) =>
+      assert(truth <= bloom, "a bloom filter must never miss a member")
+      assert(fp === bloom - truth)
+      assert(bloom <= n)
+    }
+    // the gated exact count must equal the ungated broadcast operator:
+    // dedup_decontaminate reports hits only for docs with >= 1
+    val exact = operators.Dedup.dedupDecontaminate(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_gram_hits")).toMap
+    assert(rows.view.mapValues(_._3).filter(_._2 > 0).toMap === exact,
+      "bloom-gated true hits must match the exact decontamination")
+  }
+
   test("sketch_hll_store: day-partitioned register merge equals the inline sketch") {
     val inline0 = operators.Sketches.sketchHll(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getAs[Long]("hll_est"), r.getAs[Long]("exact_n")))

@@ -180,6 +180,15 @@ class PlanAuditSpec extends SparkSpec {
       "evt_anomaly must scan events exactly once")
   }
 
+  test("dedup_bloom: membership test is scan-side bit arithmetic before any join") {
+    // the bitmap is an inlined literal: bloom probing must add NO join —
+    // the only joins are the gated exact verification and nothing else
+    val p = plans("dedup_bloom")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(shuffleCount(p) <= 4,
+      s"dedup_bloom must gate the exact join behind the scan-side bitmap:\n$p")
+  }
+
   test("geo_knn broadcasts probes; point side hashes on its own cell key") {
     assert(plans("geo_knn").contains("BroadcastExchange"),
       "geo_knn must broadcast the exploded probe cells")
