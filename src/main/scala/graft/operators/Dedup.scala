@@ -335,10 +335,14 @@ object Dedup {
         when(size(col("w")) >= 3, array_distinct(expr(
           "transform(sequence(1, size(w) - 2), i -> array_join(slice(w, i, 3), ' '))")))
           .otherwise(array().cast("array<string>")).as("gs"))
-    // cached: the bench gram set feeds the bitmap build AND the exact
-    // verification join — one derivation, two consumers
+    // materialized once: the bench gram set feeds the bitmap build AND
+    // the exact verification join. localCheckpoint (not cache): a live
+    // session cache would silently rewrite OTHER queries' plans wherever
+    // the same logical subtree appears — the checkpoint is private to
+    // this lineage.
     val bench = grams.filter(col("doc_id") % 101 === 0)
-      .select(explode(col("gs")).as("g")).distinct().cache()
+      .select(explode(col("gs")).as("g")).distinct()
+      .localCheckpoint(eager = true)
     // build: distinct bit positions of the benchmark grams — artifact-
     // scale (≤ 4096 values), packed driver-side into 64 literal longs
     val positions = bench.withColumn("h", keyHash(col("g")))
@@ -363,9 +367,6 @@ object Dedup {
         coalesce(col("th"), lit(false)).as("true_hit"))
     val unchecked = probes.filter(!col("maybe"))
       .select(col("doc_id"), col("maybe"), lit(false).as("true_hit"))
-    // no eager checkpoint: the result stays lazy; the bench cache (a few
-    // hundred rows) is swept by GraftSession.releaseStorage with the rest
-    // of the session's leaked storage
     checked.unionByName(unchecked)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),

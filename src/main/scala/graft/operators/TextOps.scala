@@ -269,7 +269,36 @@ object TextOps {
       .withColumn("avg_p6", expr("sum_p6 div n_bigrams"))
   }
 
+  /** The first step of BPE tokenizer training (Sennrich et al. 2016):
+    * count adjacent character pairs inside every word across the corpus
+    * and rank the merge candidates — the argmax pair is the first merge
+    * a tokenizer trained on this corpus would learn. Emits the top-10
+    * candidates with a deterministic (count desc, pair asc) tiebreak.
+    *
+    * Scale shape: the pair emit is scan-side (token explode + in-word
+    * character pairs), counts partial-aggregate map-side into a
+    * vocabulary²-bounded key space, and the top-10 is a
+    * TakeOrderedAndProject — no full sort, no shuffle beyond the count.
+    * This is exactly how production BPE trainers distribute their count
+    * phase; the merge LOOP re-runs it per merge with the learned pair
+    * fused.
+    */
+  def textBpePairs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(expr(toksExpr)).as("t"))
+      .filter(length(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("pair"))
+      .limit(10)
+      .withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(desc("n"), asc("pair"))))
+      .select("rnk", "pair", "n")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_pairs" -> (textBpePairs _),
     "text_bigram_lm" -> (textBigramLm _),
     "text_repetition" -> (textRepetition _),
     "text_langid" -> (textLangid _),
@@ -282,6 +311,15 @@ object TextOps {
     "text_fingerprint" -> (textFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_bpe_pairs" ->
+      s"""WITH t AS (SELECT unnest($toksSql) AS t FROM documents),
+         |cs AS (SELECT string_split(t, '') AS c FROM t WHERE length(t) >= 2),
+         |pairs AS (SELECT unnest(c[1:len(c) - 1]) || unnest(c[2:len(c)]) AS pair
+         |  FROM cs),
+         |counts AS (SELECT pair, count(*) AS n FROM pairs GROUP BY 1)
+         |SELECT CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rnk,
+         |  pair, n
+         |FROM counts ORDER BY n DESC, pair LIMIT 10""".stripMargin,
     "text_bigram_lm" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |bi AS (SELECT doc_id, unnest(tk[1:len(tk) - 1]) AS w1,

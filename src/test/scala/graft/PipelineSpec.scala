@@ -628,6 +628,23 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("text_bpe_pairs: top merge candidates replay the corpus char-pair counts") {
+    val toks = graft.Tables.documents(spark, sfDir)
+      .select("text").collect()
+      .flatMap(_.getString(0).split(' ').filter(_.nonEmpty))
+    val counts = toks.filter(_.length >= 2)
+      .flatMap(t => t.sliding(2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expect = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(10)
+      .zipWithIndex.map { case ((p, n), i) => (i + 1, p, n) }
+    val got = TextOps.textBpePairs(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("rnk"), r.getAs[String]("pair"), r.getAs[Long]("n")))
+      .sortBy(_._1)
+    assert(got.toSeq === expect)
+    // rank 1 is the first merge a BPE trainer would learn
+    assert(got.head._3 === counts.values.max)
+  }
+
   test("dedup_bloom: no false negatives, true hits equal the exact decontamination") {
     val rows = operators.Dedup.dedupBloom(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") ->
