@@ -236,7 +236,81 @@ object Sketches {
         qEst(25).as("q25_est"), qEst(50).as("q50_est"), qEst(75).as("q75_est"))
   }
 
+  /** KMV sketch size. */
+  private val KmvK = 64
+
+  /** Second mixing round for KMV: unlike HLL (which reads only the LOW
+    * bits of h64, fine for any input), KMV compares hash VALUES against
+    * the full range — and for small inputs `u·A + B` never wraps HashP,
+    * leaving h64 linear in u and θ meaningless. Folding through FoldP
+    * and re-multiplying wraps the modulus ~50× for every input, so the
+    * k-th minimum actually measures density.
+    */
+  private def kmvHash(u: Column): Column =
+    ((h64(u) % FoldP) * 2654435789L + 97L) % HashP
+
+  /** K-minimum-values sketch with SET-INTERSECTION estimation — the
+    * operation HLL registers cannot answer (register max loses identity;
+    * KMV keeps the k smallest hash VALUES, so sketches intersect). For
+    * every unordered event-type pair: the union estimate
+    * `(k−1)·P div θ` (θ = k-th smallest hash of the union) scaled by the
+    * matching fraction `m div k` (m = union-top-k hashes present in BOTH
+    * sketches) — the Beyer et al. 2007 estimator, evaluated entirely in
+    * exact integers next to the exact distinct-both count it
+    * approximates.
+    *
+    * Scale shape: the ONE pass over the fact table is the per-type
+    * distinct + k-smallest reduce (WindowGroupLimit prunes to k rows per
+    * type map-side); everything after operates on ≤ types·k hash values
+    * — sketch algebra is coordinator-scale by design, exactly why KMV
+    * sketches ship between systems. The exact control is a per-user
+    * type-pair join bounded by 10 pairs per user.
+    */
+  def sketchKmv(s: SparkSession, dir: String): DataFrame = {
+    val hs = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"))
+      .withColumn("h", kmvHash(col("user_id")))
+      .select("event_type", "h").distinct()
+    val kmv = hs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("h")))
+      .filter(col("rn") <= KmvK)
+      .select("event_type", "h")
+      .localCheckpoint(true) // ≤ types·k rows — private materialization
+    import s.implicits._
+    val types = kmv.select("event_type").distinct()
+      .collect().map(_.getString(0)).sorted
+    val pairs = types.combinations(2).map { case Array(a, b) => (a, b) }
+      .toSeq.toDF("ta", "tb")
+    val ua = pairs.join(kmv.select(col("event_type").as("ta"), col("h")), "ta")
+    val ub = pairs.join(kmv.select(col("event_type").as("tb"), col("h")), "tb")
+    val topu = ua.select("ta", "tb", "h").union(ub.select("ta", "tb", "h"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("ta", "tb").orderBy("h")))
+      .filter(col("rn") <= KmvK)
+    val theta = topu.groupBy("ta", "tb").agg(max("h").as("theta"))
+    val matches = topu
+      .join(kmv.select(col("event_type").as("ta"), col("h")), Seq("ta", "h"), "left_semi")
+      .join(kmv.select(col("event_type").as("tb"), col("h")), Seq("tb", "h"), "left_semi")
+      .groupBy("ta", "tb").agg(count(lit(1)).as("m"))
+    val tu = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val exact = tu.join(tu.toDF("tb_", "user_id"), "user_id")
+      .filter(col("event_type") < col("tb_"))
+      .groupBy(col("event_type").as("ta"), col("tb_").as("tb"))
+      .agg(count(lit(1)).as("exact_n"))
+    theta.join(matches, Seq("ta", "tb"), "left")
+      .na.fill(0L, Seq("m"))
+      .withColumn("kmv_est",
+        expr(s"(m * ((${(KmvK - 1).toLong * HashP} div theta))) div $KmvK"))
+      .join(exact, Seq("ta", "tb"), "left")
+      .na.fill(0L, Seq("exact_n"))
+      .select("ta", "tb", "m", "kmv_est", "exact_n")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_kmv" -> (sketchKmv _),
     "sketch_hll" -> (sketchHll _),
     "sketch_hll_store" -> (sketchHllStore _),
     "sketch_cms" -> (sketchCms _),
@@ -245,6 +319,43 @@ object Sketches {
   private val hSql = s"((user_id % $FoldP) * $KnuthA + $HashB) % $HashP"
 
   val oracles: Map[String, String] = Map(
+    "sketch_kmv" ->
+      s"""WITH hs AS (SELECT DISTINCT event_type,
+         |    ((($hSql) % $FoldP) * 2654435789 + 97) % $HashP AS h FROM events),
+         |kmv AS (SELECT event_type, h FROM (
+         |    SELECT event_type, h,
+         |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |    FROM hs) WHERE rn <= $KmvK),
+         |tps AS (SELECT DISTINCT event_type FROM kmv),
+         |pairs AS (SELECT a.event_type AS ta, b.event_type AS tb
+         |  FROM tps a JOIN tps b ON a.event_type < b.event_type),
+         |uni AS (SELECT DISTINCT p.ta, p.tb, k.h
+         |  FROM pairs p JOIN kmv k ON k.event_type = p.ta OR k.event_type = p.tb),
+         |topu AS (SELECT ta, tb, h FROM (
+         |    SELECT ta, tb, h,
+         |      row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+         |    FROM uni) WHERE rn <= $KmvK),
+         |theta AS (SELECT ta, tb, max(h) AS theta FROM topu GROUP BY 1, 2),
+         |mm AS (SELECT t.ta, t.tb, count(*) AS m FROM topu t
+         |  WHERE EXISTS (SELECT 1 FROM kmv ka
+         |                WHERE ka.event_type = t.ta AND ka.h = t.h)
+         |    AND EXISTS (SELECT 1 FROM kmv kb
+         |                WHERE kb.event_type = t.tb AND kb.h = t.h)
+         |  GROUP BY 1, 2),
+         |tu AS (SELECT DISTINCT event_type, user_id FROM events),
+         |ex AS (SELECT a.event_type AS ta, b.event_type AS tb,
+         |    count(*) AS exact_n
+         |  FROM tu a JOIN tu b
+         |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+         |  GROUP BY 1, 2)
+         |SELECT th.ta, th.tb, CAST(coalesce(mm.m, 0) AS BIGINT) AS m,
+         |  CAST((coalesce(mm.m, 0) * (${(KmvK - 1).toLong * HashP} // th.theta))
+         |    // $KmvK AS BIGINT) AS kmv_est,
+         |  CAST(coalesce(ex.exact_n, 0) AS BIGINT) AS exact_n
+         |FROM theta th
+         |LEFT JOIN mm ON mm.ta = th.ta AND mm.tb = th.tb
+         |LEFT JOIN ex ON ex.ta = th.ta AND ex.tb = th.tb
+         |ORDER BY 1, 2""".stripMargin,
     "sketch_quantile" ->
       s"""WITH h AS (SELECT event_type,
          |    least(CAST(round(value * 100) AS BIGINT) // $QBinW, ${QBins - 1}) AS bin,

@@ -666,6 +666,39 @@ class PipelineSpec extends SparkSpec {
       "bloom-gated true hits must match the exact decontamination")
   }
 
+  test("sketch_kmv: integer estimator replays; intersection estimate tracks exact") {
+    val P = 4503599627370449L
+    def h(u: Long): Long =
+      ((((u % 94906249L) * 2654435761L + 104729L) % P % 94906249L)
+        * 2654435789L + 97L) % P
+    val tu = Tables.events(spark, sfDir)
+      .select("event_type", "user_id").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val kmv = tu.map { case (t, u) => (t, h(u)) }.distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted.take(64).toSet).toMap
+    val types = kmv.keys.toSeq.sorted
+    val users = tu.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expect = types.combinations(2).map { case Seq(a, b) =>
+      val union = (kmv(a) ++ kmv(b)).toSeq.sorted.take(64)
+      val theta = union.max
+      val m = union.count(x => kmv(a)(x) && kmv(b)(x)).toLong
+      val est = m * (63L * P / theta) / 64L
+      (a, b) -> (m, est, (users(a) & users(b)).size.toLong)
+    }.toMap
+    val got = operators.Sketches.sketchKmv(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("ta"), r.getAs[String]("tb")) ->
+        (r.getAs[Long]("m"), r.getAs[Long]("kmv_est"), r.getAs[Long]("exact_n")))
+      .toMap
+    assert(got === expect)
+    assert(got.nonEmpty)
+    // accuracy: KMV at k=64 carries ~12.5% standard error; 40% bound
+    got.values.foreach { case (_, est, exact) =>
+      if (exact > 64)
+        assert(math.abs(est - exact).toDouble / exact < 0.4,
+          s"KMV intersection estimate off: est=$est exact=$exact")
+    }
+  }
+
   test("sketch_hll_store: day-partitioned register merge equals the inline sketch") {
     val inline0 = operators.Sketches.sketchHll(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getAs[Long]("hll_est"), r.getAs[Long]("exact_n")))

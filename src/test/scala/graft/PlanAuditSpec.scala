@@ -218,7 +218,9 @@ class PlanAuditSpec extends SparkSpec {
     // both big-big at scale, where a shuffle join IS the intended plan
     // (cached/derived intermediates also lack stats for broadcast planning
     // at test scale)
-    val bigBig = Set("dedup_clusters", "dedup_semantic")
+    // sketch_kmv's EXACT control is the per-user type-pair self-join —
+    // big-big at scale by nature (that's what the sketch exists to avoid)
+    val bigBig = Set("dedup_clusters", "dedup_semantic", "sketch_kmv")
     for ((name, plan) <- plans if !bigBig(name))
       assert(!plan.contains("SortMergeJoin"), s"$name falls back to SMJ")
   }
