@@ -223,6 +223,32 @@ object Events {
       .select("event_type", "hour", "n_events", "is_spike")
   }
 
+  /** DAU / WAU / stickiness — the engagement dashboard every event
+    * warehouse refreshes daily: distinct users per day, distinct users
+    * over the trailing 7 days, and their ratio (as integer fixed-point
+    * permille, one exact division). The trailing window EXPANDS instead
+    * of range-joining: each (day, user) row is generated into the 7
+    * trailing windows it serves (`sequence(day, day+6)` — map-side,
+    * fanout exactly 7) and the rest is a plain count-distinct per day —
+    * an equi-shuffle Spark partial-aggregates, where a range join
+    * degenerates to a nested loop and a sliding count-distinct window
+    * cannot partial-aggregate at all. At 100 TB the per-day user table
+    * is the intermediate every engagement pipeline persists anyway.
+    */
+  def dau(s: SparkSession, dir: String): DataFrame = {
+    val perDay = Tables.events(s, dir)
+      .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+      .distinct()
+    val dauDf = perDay.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wauDf = perDay
+      .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("day"))
+      .groupBy("day").agg(countDistinct("user_id").as("wau"))
+    // inner join against real days drops the phantom day+1..day+6 tails
+    dauDf.join(wauDf, "day")
+      .withColumn("stickiness_pm", expr("(1000 * dau) div wau"))
+      .select("day", "dau", "wau", "stickiness_pm")
+  }
+
   /** JSON property extraction + aggregation: pull `$.k` out of the
     * props JSON string per event, aggregate per type. The average is
     * derived from the exact integer sum with ONE double division so
@@ -243,7 +269,8 @@ object Events {
     "evt_window" -> (tumblingWindow _),
     "evt_attribution" -> (attribution _),
     "evt_transitions" -> (transitions _),
-    "evt_anomaly" -> (anomaly _))
+    "evt_anomaly" -> (anomaly _),
+    "evt_dau" -> (dau _))
 
   val oracles: Map[String, String] = Map(
     "evt_sessionize" ->
@@ -301,6 +328,17 @@ object Events {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
         |    / count(*) AS k_avg
         |FROM events GROUP BY event_type""".stripMargin,
+    "evt_dau" ->
+      """WITH pd AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+        |  FROM events),
+        |d AS (SELECT day, count(*) AS dau FROM pd GROUP BY 1),
+        |w AS (SELECT d.day, count(DISTINCT pd.user_id) AS wau
+        |  FROM d JOIN pd ON pd.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY 1)
+        |SELECT d.day, CAST(d.dau AS BIGINT) AS dau,
+        |  CAST(w.wau AS BIGINT) AS wau,
+        |  CAST((1000 * d.dau) // w.wau AS BIGINT) AS stickiness_pm
+        |FROM d JOIN w ON w.day = d.day ORDER BY 1""".stripMargin,
     "evt_anomaly" ->
       """WITH hourly AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,

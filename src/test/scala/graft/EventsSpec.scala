@@ -196,6 +196,25 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("evt_dau: trailing-7-day distinct replays; stickiness bounded by 1000") {
+    val got = Events.dau(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("wau"), r.getAs[Long]("stickiness_pm")))
+      .toMap
+    val pd = events.select("ts", "user_id").collect()
+      .map(r => (Math.floorDiv(r.getLong(0), 86400000000000L), r.getLong(1)))
+      .distinct
+    val byDay = pd.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expect = byDay.map { case (d, us) =>
+      val wau = (d - 6 to d).flatMap(byDay.get).flatten.toSet.size.toLong
+      d -> (us.size.toLong, wau, 1000L * us.size / wau)
+    }
+    assert(got === expect.toMap)
+    got.values.foreach { case (dau, wau, pm) =>
+      assert(dau <= wau && pm <= 1000L, "DAU within WAU, stickiness <= 1")
+    }
+  }
+
   test("q15_cube: every grouping set is consistent with the base aggregate") {
     val rows = Relational.q15Cube(spark, sfDir).collect()
       .map(r => (r.getAs[String]("status"), r.getAs[String]("priority"),
