@@ -40,6 +40,37 @@ object TextKernels {
     h
   }
 
+  /** 64-bit variant of [[aHash16]] for Hamming-banded near-dup joins: 16
+    * bits give only 16 band values per 4-bit band — every bucket saturates
+    * past a few thousand rows — while 64 bits band into 4×16-bit keys
+    * (65 536 values each), keeping bucket occupancy ~n/65536 per band at
+    * any corpus size. Same integer cross-multiplied window rule; windows
+    * beyond the payload length (n < 64) stay clear in both engines.
+    */
+  def aHash64(payload: Array[Byte]): Long = {
+    val n = payload.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var total = 0L
+    var q = 0
+    while (q < n) {
+      val w = (q.toLong * 64 / n).toInt
+      val b = (payload(q) & 0xff).toLong
+      sums(w) += b
+      counts(w) += 1
+      total += b
+      q += 1
+    }
+    var h = 0L
+    var w = 0
+    while (w < 64) {
+      if (counts(w) > 0 && sums(w) * n > total * counts(w)) h |= (1L << w)
+      w += 1
+    }
+    h
+  }
+
   private val md = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -334,6 +365,24 @@ case class AHash16(child: Expression) extends UnaryExpression {
       s"graft.functions.TextKernels.aHash16($p)")
 
   override protected def withNewChildInternal(newChild: Expression): AHash16 =
+    copy(child = newChild)
+}
+
+/** `ahash64(payload)` → 64-bit average-hash (TextKernels.aHash64), the
+  * banding-grade perceptual hash for multimodal near-dup detection.
+  */
+case class AHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "ahash64"
+
+  override protected def nullSafeEval(payload: Any): Any =
+    TextKernels.aHash64(payload.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, p =>
+      s"graft.functions.TextKernels.aHash64($p)")
+
+  override protected def withNewChildInternal(newChild: Expression): AHash64 =
     copy(child = newChild)
 }
 

@@ -165,9 +165,54 @@ object Multimodal {
       .select(col("doc_id"), col("n_bytes"), lit(32).as("target"),
         col("resized_hex"), md5(col("resized_hex")).as("resized_md5"))
 
+  /** Near-duplicate payload PAIRS via Hamming-banded perceptual hashes —
+    * the join [[mmPhash]]'s exact-collision grouping cannot do: re-encodes
+    * and small edits land a few bits apart, not equal. Each payload's
+    * 64-bit average-hash (`ahash64` codegen kernel) splits into 4×16-bit
+    * bands; pairs sharing ANY band meet in a bucket equi-join and verify
+    * `bit_count(xor) <= 16` — the classic ~¼-of-bits aHash radius.
+    * The candidate set IS the contract (the [[geo_knn]]/ann_lsh rule):
+    * pairs at radius ≤3 are GUARANTEED candidates (pigeonhole: 3 bits
+    * touch ≤3 of 4 bands, one band survives intact), wider pairs are
+    * recalled only when an aligned 16-bit run survives — exactly the
+    * recall/cost dial real Hamming-LSH dedup ships with.
+    *
+    * Scale shape (the dedup_lsh_pairs discipline on the multimodal axis):
+    * hash + band explode are scan-side; the only exchange is the (band,
+    * bkey) hash join; 16-bit bands give 65 536 buckets per band so
+    * occupancy stays ~n/65536, and [[Dedup.MaxBucket]] drops degenerate
+    * buckets (all-constant payloads) BEFORE the self-join — candidate
+    * count is bounded per bucket, never corpus-quadratic.
+    */
+  def mmDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GeoFunctions.register(s)
+    val bands = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        call_function("ahash64", encode(col("text"), "utf-8")).as("phash"))
+      .select(col("doc_id"), col("phash"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bkey",
+        expr("shiftrightunsigned(phash, cast(band * 16 as int)) & 65535"))
+    val capped = bands
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bkey")))
+      .filter(col("bsz") <= Dedup.MaxBucket)
+      .drop("bsz")
+    capped.select(col("band"), col("bkey"),
+        col("doc_id").as("id_a"), col("phash").as("ph_a"))
+      .join(capped.select(col("band"), col("bkey"),
+        col("doc_id").as("id_b"), col("phash").as("ph_b")), Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "ph_a", "ph_b").distinct()
+      .withColumn("hamming", expr("cast(bit_count(ph_a ^ ph_b) as int)"))
+      .filter(col("hamming") <= 16)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> (mmFeatures _),
     "mm_phash" -> (mmPhash _),
+    "mm_dedup" -> (mmDedup _),
     "mm_frames" -> (mmFrames _),
     "mm_resize" -> (mmResize _))
 
@@ -191,6 +236,52 @@ object Multimodal {
         |  CAST(max(n) AS INT) AS max_bytes
         |FROM d LEFT JOIN ph ON d.doc_id = ph.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the oracle rebuilds the 64 window bits from the source bytes, band
+    // keys as bit sums (no shifts on the signed hash), and hamming as the
+    // symmetric difference of the two docs' bit sets — same integers, no
+    // engine-specific shift semantics anywhere
+    "mm_dedup" ->
+      s"""WITH d AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+        |            octet_length(encode(text)) AS n FROM documents),
+        |bytes AS (SELECT doc_id, n,
+        |    CAST(('0x' || substr(hx, 2*p - 1, 2)) AS BIGINT) AS bv,
+        |    CAST((p - 1) * 64 // n AS INT) AS w
+        |  FROM d, LATERAL (SELECT unnest(range(1, n + 1)) AS p) r),
+        |tot AS (SELECT doc_id, sum(bv) AS total FROM bytes GROUP BY 1),
+        |wins AS (SELECT doc_id, w, max(n) AS n, sum(bv) AS sw, count(*) AS nw
+        |  FROM bytes GROUP BY 1, 2),
+        |bits AS (SELECT wins.doc_id, w FROM wins JOIN tot USING (doc_id)
+        |  WHERE sw * n > total * nw),
+        |allb AS (SELECT d.doc_id, b.band FROM d,
+        |  LATERAL (SELECT CAST(unnest(range(0, 4)) AS INT) AS band) b),
+        |bk AS (SELECT allb.doc_id, allb.band,
+        |    coalesce(k.bkey, 0) AS bkey
+        |  FROM allb LEFT JOIN
+        |    (SELECT doc_id, w // 16 AS band,
+        |        CAST(sum(1 << (w % 16)) AS BIGINT) AS bkey
+        |     FROM bits GROUP BY 1, 2) k
+        |    ON k.doc_id = allb.doc_id AND k.band = allb.band),
+        |capped AS (SELECT * FROM bk
+        |  QUALIFY count(*) OVER (PARTITION BY band, bkey) <= ${Dedup.MaxBucket}),
+        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM capped a JOIN capped b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |bitcnt AS (SELECT doc_id, count(*) AS nb FROM bits GROUP BY 1),
+        |inter AS (SELECT p.id_a, p.id_b, count(*) AS ni
+        |  FROM pairs p
+        |  JOIN bits x ON x.doc_id = p.id_a
+        |  JOIN bits y ON y.doc_id = p.id_b AND y.w = x.w
+        |  GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b,
+        |  CAST(coalesce(ca.nb, 0) + coalesce(cb.nb, 0)
+        |       - 2 * coalesce(i.ni, 0) AS INT) AS hamming
+        |FROM pairs p
+        |LEFT JOIN bitcnt ca ON ca.doc_id = p.id_a
+        |LEFT JOIN bitcnt cb ON cb.doc_id = p.id_b
+        |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+        |WHERE coalesce(ca.nb, 0) + coalesce(cb.nb, 0)
+        |      - 2 * coalesce(i.ni, 0) <= 16
+        |ORDER BY 1, 2""".stripMargin,
     // the oracle derives features from the SOURCE bytes directly (pixel i
     // = byte triple 3i..3i+2 for images, sample i for wav) — the Spark side
     // must reproduce them through a full encode→parse roundtrip (PPM/BMP/

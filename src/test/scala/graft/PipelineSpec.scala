@@ -727,4 +727,36 @@ class PipelineSpec extends SparkSpec {
     val top = counts.sortBy { case (u, n) => (-n, u) }.take(10).map(_._1).toSet
     assert(rows.map(_._1).toSet === top)
   }
+
+  test("mm_dedup: radius-3 pairs always share a band; hamming replays the kernel") {
+    // kernel determinism
+    val p = "some payload content for hashing".getBytes("UTF-8")
+    assert(TextKernels.aHash64(p) === TextKernels.aHash64(p.clone))
+    // pigeonhole guarantee: ≤3 flipped bits leave ≥1 of the 4 16-bit
+    // bands intact, so a radius-3 pair can never miss the candidate join
+    val h = TextKernels.aHash64(p)
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val h2 = Seq.fill(3)(rnd.nextInt(64)).foldLeft(h)((x, b) => x ^ (1L << b))
+      assert((0 until 4).exists(bd =>
+        ((h >>> (bd * 16)) & 0xffffL) === ((h2 >>> (bd * 16)) & 0xffffL)),
+        f"radius-3 neighbor lost all bands: $h%016x vs $h2%016x")
+    }
+    // operator rows: ordered pairs, radius bound, hamming = kernel xor
+    // popcount, and every pair genuinely shares a band (the contract)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Multimodal.mmDedup(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (a, b, ham) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      assert(a < b && ham <= 16)
+      val ha = TextKernels.aHash64(docs(a).getBytes("UTF-8"))
+      val hb = TextKernels.aHash64(docs(b).getBytes("UTF-8"))
+      assert(java.lang.Long.bitCount(ha ^ hb) === ham)
+      assert((0 until 4).exists(bd =>
+        ((ha >>> (bd * 16)) & 0xffffL) === ((hb >>> (bd * 16)) & 0xffffL)))
+    }
+    // pair uniqueness (band-join dedup really happened)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length === rows.length)
+  }
 }

@@ -180,6 +180,16 @@ class PlanAuditSpec extends SparkSpec {
       "evt_anomaly must scan events exactly once")
   }
 
+  test("mm_dedup stays a capped bucket equi-join (never all-pairs)") {
+    val p = plans("mm_dedup")
+    // hash + band explode are scan-side; candidates meet ONLY in the
+    // (band, bkey) equi-join — a nested-loop/cartesian here would be the
+    // all-pairs plan the banding exists to avoid (globally asserted too)
+    assert(shuffleCount(p) <= 4, s"mm_dedup grew extra exchanges:\n$p")
+    assert(p.contains("Join") && !p.contains("BroadcastNestedLoopJoin"),
+      "mm_dedup candidates must come from the band-bucket equi-join")
+  }
+
   test("dedup_bloom: membership test is scan-side bit arithmetic before any join") {
     // the bitmap is an inlined literal: bloom probing must add NO join —
     // the only joins are the gated exact verification and nothing else
