@@ -261,7 +261,66 @@ object Events {
       .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("n_events"))
       .withColumn("k_avg", col("k_sum").cast("double") / col("n_events"))
 
+  /** Sweep-line session concurrency: how many sessions are live at once,
+    * reported as the per-hour maximum. The classic formulation is a
+    * GLOBAL running sum over +1/−1 boundaries — a single total order no
+    * cluster can partition — so this decomposes it into the distributed
+    * two-level prefix sum: (1) per-hour boundary deltas partial-aggregate
+    * map-side into an hours×1 frame; (2) the carry-in at each hour's open
+    * is a prefix sum over THAT tiny frame (single-task window over a
+    * bounded domain — 10 years is 87 660 rows at any corpus size); (3)
+    * the within-hour running sum re-partitions by hour, the same keyed
+    * exchange shape as sessionize per-user. Nothing global ever sorts
+    * more than the hour domain; a hotter grain (minute) is the same plan
+    * with a bigger — still bounded — carry frame.
+    *
+    * A session counts as live on [start_s, end_s] inclusive (−1 lands at
+    * end_s+1); the hour max includes the carried-in level, since the step
+    * function holds it from the hour's open to the first boundary.
+    * Reported hours are those containing ≥1 boundary (the step function
+    * is constant — and known from the previous row — everywhere else).
+    */
+  def concurrency(s: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), tsS("ts").as("ts_s"))
+      .withColumn("prev_s", lag(col("ts_s"), 1).over(order))
+      .withColumn("brk",
+        when(col("prev_s").isNull || col("ts_s") - col("prev_s") > SessionGapS,
+          1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("brk")).over(run))
+      .groupBy("user_id", "session_idx")
+      .agg(min("ts_s").as("start_s"), max("ts_s").as("end_s"))
+    // explode, not union: a union of two selects would branch the session
+    // lineage and recompute the sessionize exchange twice
+    val bounds = sessions
+      .select(explode(array(
+        struct(col("start_s").as("t"), lit(1L).as("delta")),
+        struct((col("end_s") + 1).as("t"), lit(-1L).as("delta")))).as("b"))
+      .select(expr("b.t div 3600").as("hour"), col("b.t").as("t"),
+        col("b.delta").as("delta"))
+      .groupBy("hour", "t").agg(sum("delta").as("delta"))
+    // max(carry + run_local) = carry + max(run_local): fold each hour to
+    // one row BEFORE the carry prefix, so the global pass touches only the
+    // hour frame and no join ever returns to the boundary table
+    bounds
+      .withColumn("run_local", sum("delta").over(Window.partitionBy("hour")
+        .orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("hour")
+      .agg(max("run_local").as("max_local"), sum("delta").as("h_delta"),
+        count(lit(1)).as("n_points"))
+      .withColumn("carry_in", coalesce(sum("h_delta").over(
+        Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("hour"),
+        greatest(col("carry_in") + col("max_local"), col("carry_in"))
+          .as("max_conc"),
+        col("n_points"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_concurrency" -> (concurrency _),
     "evt_sessionize" -> (sessionize _),
     "evt_funnel" -> (funnel _),
     "evt_retention" -> (retention _),
@@ -273,6 +332,49 @@ object Events {
     "evt_dau" -> (dau _))
 
   val oracles: Map[String, String] = Map(
+    "evt_concurrency" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR date_diff('second', lag(ts) OVER w, ts) > 14400
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM g
+        |), sess AS (
+        |  SELECT user_id, session_idx,
+        |    min(epoch_us(ts) // 1000000) AS start_s,
+        |    max(epoch_us(ts) // 1000000) AS end_s
+        |  FROM s GROUP BY 1, 2
+        |), b AS (
+        |  SELECT start_s AS t, 1 AS delta FROM sess
+        |  UNION ALL SELECT end_s + 1, -1 FROM sess
+        |), bt AS (
+        |  SELECT t // 3600 AS hour, t, CAST(sum(delta) AS BIGINT) AS delta
+        |  FROM b GROUP BY 1, 2
+        |), ht AS (
+        |  SELECT hour, sum(delta) AS h_delta, count(*) AS n_points
+        |  FROM bt GROUP BY 1
+        |), c AS (
+        |  SELECT hour, n_points,
+        |    CAST(coalesce(sum(h_delta) OVER (ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS carry_in
+        |  FROM ht
+        |), w AS (
+        |  SELECT hour, t, sum(delta) OVER (PARTITION BY hour ORDER BY t
+        |    ROWS UNBOUNDED PRECEDING) AS run_local
+        |  FROM bt
+        |)
+        |SELECT w.hour,
+        |  CAST(greatest(max(c.carry_in + w.run_local), max(c.carry_in))
+        |       AS BIGINT) AS max_conc,
+        |  CAST(max(c.n_points) AS BIGINT) AS n_points
+        |FROM w JOIN c ON c.hour = w.hour
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "evt_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id,

@@ -215,6 +215,49 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("evt_concurrency: two-level prefix sum equals the single global sweep") {
+    // independent replay: ONE totally-ordered driver-side sweep over all
+    // session boundaries — the formulation the operator decomposes — then
+    // per-hour maxima including the carried-in level at each hour's open
+    val sess = Events.concurrency(spark, sfDir) // operator under test
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // rebuild sessions directly from raw events (independent code path)
+    val raw = events.select("user_id", "event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2) / 1000000000L))
+    // .toSeq before flatMap: flatMapping a Map of tuple results would
+    // rebuild a Map and silently drop same-start sessions across users
+    val bySess = raw.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2)).map(_._3)
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var start = sorted.head; var last = sorted.head
+      sorted.tail.foreach { t =>
+        if (t - last > 14400L) { out += ((start, last)); start = t }
+        last = t
+      }
+      out += ((start, last)); out
+    }.toSeq
+    // global sweep
+    val deltas = bySess.flatMap { case (st, en) => Seq((st, 1L), (en + 1, -1L)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    var level = 0L
+    var carried = Map.empty[Long, Long].withDefaultValue(0L) // hour -> open level
+    val maxByHour = scala.collection.mutable.Map[Long, Long]()
+    val seenHours = scala.collection.mutable.Set[Long]()
+    var prevLevel = 0L
+    deltas.foreach { case (t, d) =>
+      val hour = t / 3600L
+      if (!seenHours.contains(hour)) { seenHours += hour; carried += hour -> prevLevel }
+      level += d
+      maxByHour(hour) = math.max(maxByHour.getOrElse(hour, carried(hour)), level)
+      prevLevel = level
+    }
+    val expect = maxByHour.map { case (h, m) =>
+      h -> (math.max(m, carried(h)), deltas.count(_._1 / 3600L == h).toLong)
+    }.toMap
+    assert(sess.nonEmpty)
+    assert(sess.map(r => r._1 -> ((r._2, r._3))).toMap === expect)
+  }
+
   test("q15_cube: every grouping set is consistent with the base aggregate") {
     val rows = Relational.q15Cube(spark, sfDir).collect()
       .map(r => (r.getAs[String]("status"), r.getAs[String]("priority"),

@@ -190,6 +190,18 @@ class PlanAuditSpec extends SparkSpec {
       "mm_dedup candidates must come from the band-bucket equi-join")
   }
 
+  test("evt_concurrency: global sweep decomposes into bounded-domain passes") {
+    val p = plans("evt_concurrency")
+    // ONE events scan (explode, not union — a union would branch the
+    // sessionize lineage and scan twice); exchanges = sessionize user_id
+    // + boundary (hour,t) + within-hour window + the single-partition
+    // carry prefix over the bounded hour frame. No join anywhere.
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+      s"evt_concurrency must scan events exactly once:\n$p")
+    assert(!p.contains("Join"), "the hour fold must make the carry join unnecessary")
+    assert(shuffleCount(p) <= 5, s"evt_concurrency grew extra exchanges:\n$p")
+  }
+
   test("dedup_bloom: membership test is scan-side bit arithmetic before any join") {
     // the bitmap is an inlined literal: bloom probing must add NO join —
     // the only joins are the gated exact verification and nothing else
