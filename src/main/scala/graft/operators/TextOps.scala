@@ -297,7 +297,68 @@ object TextOps {
           .orderBy(desc("n"), asc("pair"))))
       .select("rnk", "pair", "n")
 
+  /** The whole pretraining-curation pipeline as ONE declarative plan:
+    * language gate (keep predicted 'en'), quality gate (≥10 words,
+    * punctuation ≤ 30 % by the integer cross-multiplication
+    * `(len−clean)·10 ≤ len·3` — no float threshold can flip cross-engine),
+    * repetition gate (duplicate trigrams ≤ 20 %, same integer rule), and
+    * exact-dedup gate (first doc per sorted-distinct-token md5 wins).
+    * Verdict + first-failing-stage reason per doc — what a real curation
+    * run materializes before dropping rows.
+    *
+    * Scale shape: every signal is scan-side expression work over the SAME
+    * single documents scan (chaining the four standalone operators would
+    * scan and shuffle four times); the only exchange is the fingerprint
+    * window for the dedup gate. 100 TB cost = one pass + one keyed
+    * exchange, identical to `text_fingerprint` alone.
+    */
+  def pipeCurate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, dir).withColumn("toks", expr(toksExpr))
+    val scored = Models.foldLeft(base) { case (df, (l, (prior, ws))) =>
+      df.withColumn(s"s_$l",
+        aggregate(col("toks"), lit(prior),
+          (acc, t) => acc + coalesce(element_at(typedLit(ws), t), lit(0)).cast("long")))
+    }
+    val m = greatest(Models.map { case (l, _) => col(s"s_$l") }: _*)
+    val pred = Models.foldLeft(when(lit(false), "")) { case (c, (l, _)) =>
+      c.when(col(s"s_$l") === m, l)
+    }
+    scored
+      .withColumn("pred_lang", pred)
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("len", length(col("text")).cast("long"))
+      .withColumn("clean_len",
+        length(regexp_replace(col("text"), "[^a-z0-9 ]", "")).cast("long"))
+      .withColumn("grams3", expr(
+        """CASE WHEN size(toks) >= 3
+          |  THEN transform(sequence(1, size(toks) - 2),
+          |         i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))
+          |  ELSE array() END""".stripMargin))
+      .withColumn("n_grams", size(col("grams3")).cast("long"))
+      .withColumn("n_gram_dist", size(array_distinct(col("grams3"))).cast("long"))
+      .withColumn("fp", md5(expr("concat_ws(' ', array_sort(array_distinct(toks)))")))
+      .withColumn("keep_id", min("doc_id").over(Window.partitionBy("fp")))
+      .withColumn("ok_lang", col("pred_lang") === lit("en"))
+      .withColumn("ok_quality", col("n_words") >= 10 &&
+        (col("len") - col("clean_len")) * 10 <= col("len") * 3)
+      .withColumn("ok_rep",
+        (col("n_grams") - col("n_gram_dist")) * 5 <= col("n_grams"))
+      .withColumn("ok_uniq", col("doc_id") === col("keep_id"))
+      .withColumn("keep",
+        col("ok_lang") && col("ok_quality") && col("ok_rep") && col("ok_uniq"))
+      .withColumn("reason",
+        when(!col("ok_lang"), "lang")
+          .when(!col("ok_quality"), "quality")
+          .when(!col("ok_rep"), "repetition")
+          .when(!col("ok_uniq"), "duplicate")
+          .otherwise("kept"))
+      .select("doc_id", "pred_lang", "n_words", "ok_lang", "ok_quality",
+        "ok_rep", "ok_uniq", "keep", "reason")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_curate" -> (pipeCurate _),
     "text_bpe_pairs" -> (textBpePairs _),
     "text_bigram_lm" -> (textBigramLm _),
     "text_repetition" -> (textRepetition _),
@@ -310,7 +371,46 @@ object TextOps {
     "text_salient" -> (textSalient _),
     "text_fingerprint" -> (textFingerprint _))
 
+  private def pipeCurateSql: String = {
+    val scores = Models.map { case (l, (prior, ws)) =>
+      s"$prior + coalesce(list_sum(list_transform(toks, t -> ${caseSql(ws)})), 0) AS s_$l"
+    }.mkString(",\n    ")
+    val m = s"greatest(${Models.map("s_" + _._1).mkString(", ")})"
+    val pred = "CASE " + Models.map { case (l, _) => s"WHEN s_$l = $m THEN '$l'" }
+      .mkString(" ") + " END"
+    s"""WITH t0 AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |t1 AS (SELECT doc_id, text, toks, $scores FROM t0),
+       |t2 AS (SELECT doc_id,
+       |    $pred AS pred_lang,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    CAST(length(text) AS BIGINT) AS len,
+       |    CAST(length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS BIGINT)
+       |      AS clean_len,
+       |    CASE WHEN len(toks) >= 3
+       |      THEN list_transform(range(1, CAST(len(toks) - 1 AS BIGINT)),
+       |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |      ELSE CAST([] AS VARCHAR[]) END AS grams3,
+       |    md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+       |  FROM t1),
+       |t3 AS (SELECT doc_id, pred_lang, n_words,
+       |    pred_lang = 'en' AS ok_lang,
+       |    n_words >= 10 AND (len - clean_len) * 10 <= len * 3 AS ok_quality,
+       |    (CAST(len(grams3) AS BIGINT) - CAST(len(list_distinct(grams3)) AS BIGINT)) * 5
+       |      <= CAST(len(grams3) AS BIGINT) AS ok_rep,
+       |    doc_id = min(doc_id) OVER (PARTITION BY fp) AS ok_uniq
+       |  FROM t2)
+       |SELECT doc_id, pred_lang, n_words, ok_lang, ok_quality, ok_rep, ok_uniq,
+       |  ok_lang AND ok_quality AND ok_rep AND ok_uniq AS keep,
+       |  CASE WHEN NOT ok_lang THEN 'lang'
+       |       WHEN NOT ok_quality THEN 'quality'
+       |       WHEN NOT ok_rep THEN 'repetition'
+       |       WHEN NOT ok_uniq THEN 'duplicate'
+       |       ELSE 'kept' END AS reason
+       |FROM t3 ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "pipe_curate" -> pipeCurateSql,
     "text_bpe_pairs" ->
       s"""WITH t AS (SELECT unnest($toksSql) AS t FROM documents),
          |cs AS (SELECT string_split(t, '') AS c FROM t WHERE length(t) >= 2),

@@ -728,6 +728,45 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_._1).toSet === top)
   }
 
+  test("pipe_curate: every gate fires on a crafted corpus and agrees with the standalone ops") {
+    import spark.implicits._
+    // crafted corpus: one doc per verdict path (the sf corpus never trips
+    // the quality/repetition gates — synthetic text is too clean)
+    val en = "the hash join order by key group filter sort merge table row scan"
+    val docs = Seq(
+      (1L, en, "en"),                                          // kept
+      (2L, en, "en"),                                          // duplicate of 1
+      (3L, "dup dup dup dup dup dup dup dup dup dup dup", "de"), // lang gate
+      (4L, "the join!!! ??? ### $$$ %%% &&& *** ((( ))) @@@", "en"), // punct gate
+      (5L, "short text", "en"),                                // <10 words gate
+      (6L, "order table " * 12, "en")  // repetition gate (en-favored words)
+    ).toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("crafted"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("curate").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.pipeCurate(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Boolean]("keep"), r.getAs[String]("reason")))
+      .toMap
+    assert(got(1L) === ((true, "kept")))
+    assert(got(2L) === ((false, "duplicate")))
+    assert(got(3L)._2 === "lang")
+    assert(got(4L)._2 === "quality")
+    assert(got(5L)._2 === "quality")
+    assert(got(6L)._2 === "repetition", s"got ${got(6L)}")
+    // on the sf corpus, gate flags must agree with the standalone operators
+    val pc = TextOps.pipeCurate(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val lang = TextOps.textLangid(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    val fp = TextOps.textFingerprint(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_canonical")).toMap
+    pc.foreach { case (id, r) =>
+      assert(r.getAs[Boolean]("ok_lang") === (lang(id) == "en"))
+      assert(r.getAs[Boolean]("ok_uniq") === fp(id))
+    }
+  }
+
   test("mm_dedup: radius-3 pairs always share a band; hamming replays the kernel") {
     // kernel determinism
     val p = "some payload content for hashing".getBytes("UTF-8")

@@ -202,6 +202,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffleCount(p) <= 5, s"evt_concurrency grew extra exchanges:\n$p")
   }
 
+  test("pipe_curate: four gates share one scan and one keyed exchange") {
+    val p = plans("pipe_curate")
+    // the composed pipeline must cost what text_fingerprint costs alone —
+    // all gate signals are expression work on the SAME scan, and only the
+    // dedup window exchanges (chaining the standalone ops would scan 4×)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+      s"pipe_curate must scan documents exactly once:\n$p")
+    assert(shuffleCount(p) <= 1, s"pipe_curate grew extra exchanges:\n$p")
+    assert(!p.contains("Join"), "gates must compose as expressions, not joins")
+  }
+
   test("dedup_bloom: membership test is scan-side bit arithmetic before any join") {
     // the bitmap is an inlined literal: bloom probing must add NO join —
     // the only joins are the gated exact verification and nothing else
