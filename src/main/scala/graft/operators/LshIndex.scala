@@ -80,6 +80,38 @@ object LshIndex {
   def compact(spark: SparkSession, indexDir: String, minDeltas: Int = 4): Int =
     ChangesetStore.compactBucketed(spark, indexDir, minDeltas)
 
+  /** Every band row the index holds under the given signatures' band
+    * keys — the artifact-parity surface for specs and debugging (two
+    * indexes that must be equal are compared through it).
+    */
+  def rowsFor(spark: SparkSession, indexDir: String, sigs: DataFrame,
+      numBuckets: Int = 64): DataFrame = {
+    val bandKeys = Dedup.bandRows(sigs).select("band", "bkey").distinct()
+    ChangesetStore.readBucketsFor(spark, indexDir, bandKeys,
+        keys = Seq("band", "bkey", "doc_id"), numBuckets,
+        bucketBy = Seq("band", "bkey"))
+      .map(_.join(broadcast(bandKeys), Seq("band", "bkey"), "left_semi"))
+      .getOrElse(indexRows(sigs).limit(0))
+  }
+
+  /** Batch doc ids ALREADY present in the index. Exact with batch-scale
+    * I/O: a doc's band rows live only in the buckets its own band keys
+    * hash to (the probe opens the same set), so presence is decidable
+    * without touching the rest of the store. This is the replay gate for
+    * the streaming ingest face — an at-least-once redelivered batch finds
+    * its ids here and appends nothing.
+    */
+  def indexedIds(spark: SparkSession, indexDir: String, batchSigs: DataFrame,
+      numBuckets: Int = 64): DataFrame = {
+    val bandKeys = Dedup.bandRows(batchSigs).select("band", "bkey").distinct()
+    ChangesetStore.readBucketsFor(spark, indexDir, bandKeys,
+        keys = Seq("band", "bkey", "doc_id"), numBuckets,
+        bucketBy = Seq("band", "bkey"))
+      .map(_.join(broadcast(bandKeys), Seq("band", "bkey"), "left_semi")
+        .select("doc_id").distinct())
+      .getOrElse(batchSigs.select("doc_id").limit(0))
+  }
+
   /** Candidate pairs of the batch against the indexed corpus (plus
     * batch-internal pairs), with the signature-agreement jaccard estimate
     * and `is_cross` (reaches into the corpus) — exactly the
