@@ -206,6 +206,38 @@ object Ann {
         sum(round(col("ev") * 1e9).cast("bigint")).as("sum9"))
   }
 
+  /** Embedding-space outlier flagging — the cleaning pass a training
+    * pipeline runs before ANN indexing or SemDeDup: every base vector is
+    * assigned to its nearest centroid (the same map-only inlined-literal
+    * argmax as [[annIvf]]) and flagged when its centroid cosine falls
+    * below 0.9× its cell's mean. Cosines round to exact micro-cosine
+    * BIGINTs before any aggregation (a double sum is order-dependent
+    * across engines), and the verdict is the integer cross-multiplication
+    * `10·n·cos6 < 9·Σcos6` — no float boundary to flip.
+    *
+    * Scale shape: assignment is scan-side; the cell-stats aggregate
+    * partial-aggs map-side into a K-row frame that broadcasts back onto a
+    * second pass of the same scan lineage. The rescan is deliberate: a
+    * `sum over (partition by cell)` window would funnel the entire corpus
+    * through K=8 reducers — with K this small, re-scanning (cheap,
+    * pushdown-friendly, no wide exchange) beats the skew bomb.
+    */
+  def embOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+    val cents = centroidsOf(e)
+    val asg = e.filter(col("vec_id") >= 8)
+      .withColumn("best",
+        array_max(cellScores(cents)(col("embedding"), col("n2"))))
+      .select(col("vec_id"), (-col("best.nid")).as("cell"),
+        expr("cast(round(best.c * 1000000.0) as bigint)").as("cos6"))
+    val stats = asg.groupBy("cell")
+      .agg(sum("cos6").as("sum6"), count(lit(1)).as("cell_n"))
+    asg.join(broadcast(stats), "cell")
+      .select(col("vec_id"), col("cell"), col("cos6"), col("cell_n"),
+        (lit(10) * col("cell_n") * col("cos6") < lit(9) * col("sum6"))
+          .as("is_outlier"))
+  }
+
   /** Fixed-point dot9-compatible squared norm of a driver-side vector. */
   private[operators] def n2Of(v: Seq[Float]): Long =
     v.map(x => math.round(x.toDouble * x.toDouble * 1e9)).sum
@@ -445,6 +477,7 @@ object Ann {
     "ann_recall" -> (annRecall _),
     "dedup_embedding" -> (dedupEmbedding _),
     "emb_kmeans" -> (embKmeans _),
+    "emb_outliers" -> (embOutliers _),
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
@@ -505,6 +538,21 @@ object Ann {
        |ORDER BY q_id, rnk""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "emb_outliers" ->
+      s"""WITH $flatSql,
+         |$cellsSql,
+         |asg AS (SELECT cr.vec_id, cr.c_id AS cell,
+         |    CAST(round(cs.ccos * 1000000.0) AS BIGINT) AS cos6
+         |  FROM cranked cr JOIN cscored cs
+         |    ON cs.vec_id = cr.vec_id AND cs.c_id = cr.c_id
+         |  WHERE cr.crk = 1 AND cr.vec_id >= 8),
+         |stats AS (SELECT cell, CAST(sum(cos6) AS BIGINT) AS sum6,
+         |    CAST(count(*) AS BIGINT) AS cell_n
+         |  FROM asg GROUP BY 1)
+         |SELECT a.vec_id, a.cell, a.cos6, s.cell_n,
+         |  10 * s.cell_n * a.cos6 < 9 * s.sum6 AS is_outlier
+         |FROM asg a JOIN stats s ON s.cell = a.cell
+         |ORDER BY a.vec_id""".stripMargin,
     "emb_kmeans" ->
       s"""WITH $flatSql,
          |$cellsSql

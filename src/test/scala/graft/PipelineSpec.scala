@@ -728,6 +728,29 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_._1).toSet === top)
   }
 
+  test("emb_outliers: verdicts replay the integer 0.9-mean rule; centroids self-assign clean") {
+    val rows = Ann.embOutliers(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    // independent replay: per-cell sums from the collected rows
+    val byCell = rows.groupBy(_._2)
+    byCell.foreach { case (cell, members) =>
+      val sum6 = members.map(m => BigInt(m._3)).sum
+      val n = members.length
+      assert(members.forall(_._4 == n.toLong), s"cell_n wrong in cell $cell")
+      members.foreach { case (id, _, cos6, _, flagged) =>
+        assert(flagged === (BigInt(10) * n * cos6 < BigInt(9) * sum6),
+          s"vec $id verdict diverges from the integer rule")
+      }
+    }
+    // the centroid vectors assign to themselves at cosine exactly 1
+    rows.filter(r => r._1 >= 8 && r._1 < 16).foreach { case (id, cell, cos6, _, fl) =>
+      assert(cell === id && cos6 === 1000000L && !fl,
+        s"centroid $id must self-assign clean")
+    }
+  }
+
   test("pipe_curate: every gate fires on a crafted corpus and agrees with the standalone ops") {
     import spark.implicits._
     // crafted corpus: one doc per verdict path (the sf corpus never trips

@@ -213,6 +213,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "gates must compose as expressions, not joins")
   }
 
+  test("emb_outliers: map-only assignment, K-row stats broadcast back") {
+    val p = plans("emb_outliers")
+    // assignment is inlined-literal argmax (no shuffle for the corpus);
+    // the only exchange belongs to the K-row stats aggregate, which must
+    // BROADCAST back — a cell window would funnel everything through K=8
+    // reducers, and a shuffle join would exchange the corpus for an
+    // 8-row side
+    assert(p.contains("BroadcastExchange"),
+      s"emb_outliers must broadcast the cell stats:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the stats join must not shuffle the corpus side")
+    assert(shuffleCount(p) <= 1, s"emb_outliers grew extra exchanges:\n$p")
+  }
+
   test("dedup_bloom: membership test is scan-side bit arithmetic before any join") {
     // the bitmap is an inlined literal: bloom probing must add NO join —
     // the only joins are the gated exact verification and nothing else
