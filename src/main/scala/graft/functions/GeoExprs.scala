@@ -665,6 +665,7 @@ object GeoFunctions {
     "rollfps16" -> (es => RollFps16(es(0))),
     "ahash16" -> (es => AHash16(es(0))),
     "ahash64" -> (es => AHash64(es(0))),
+    "wgrams3" -> (es => WGrams3(es(0))),
     "bloom_might_contain" -> (es => BloomMightContain(es(0), es(1))))
 
   def register(spark: SparkSession): Unit =

@@ -71,6 +71,32 @@ object TextKernels {
     h
   }
 
+  /** Distinct word-trigram array of a document in ONE pass — the codegen
+    * replacement for `array_distinct(transform(sequence(...), i ->
+    * array_join(slice(split(text, ' '), i, 3), ' ')))`: higher-order
+    * functions run interpreted (no whole-stage codegen), and the chain
+    * costs ~3× this kernel on the gram-heavy decontamination keys.
+    * Semantics are bit-equal to the expression it replaces: split on
+    * single spaces KEEPING empty fields (Java split limit −1 ==
+    * Spark `split` == DuckDB `string_split`), trigrams joined by ' ',
+    * de-duplicated keeping first occurrence (== `array_distinct`).
+    */
+  def wordGrams3(text: UTF8String): Array[UTF8String] = {
+    val w = text.toString.split(" ", -1)
+    if (w.length < 3) return Array.empty
+    val seen = new java.util.LinkedHashSet[String](w.length * 2)
+    var i = 0
+    while (i + 2 < w.length) {
+      seen.add(w(i) + " " + w(i + 1) + " " + w(i + 2))
+      i += 1
+    }
+    val out = new Array[UTF8String](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    out
+  }
+
   private val md = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -383,6 +409,29 @@ case class AHash64(child: Expression) extends UnaryExpression {
       s"graft.functions.TextKernels.aHash64($p)")
 
   override protected def withNewChildInternal(newChild: Expression): AHash64 =
+    copy(child = newChild)
+}
+
+/** `wgrams3(text)` → distinct word-trigram array
+  * (TextKernels.wordGrams3) — one codegen call per document where the
+  * equivalent higher-order-function chain runs interpreted.
+  */
+case class WGrams3(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "wgrams3"
+
+  override protected def nullSafeEval(text: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextKernels.wordGrams3(text.asInstanceOf[UTF8String])
+        .asInstanceOf[Array[Any]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextKernels.wordGrams3($t))")
+
+  override protected def withNewChildInternal(newChild: Expression): WGrams3 =
     copy(child = newChild)
 }
 

@@ -283,13 +283,19 @@ object Dedup {
     * against the broadcast set, partial-agg the hit counts per doc.
     * The big side never shuffles its text.
     */
+  /** Per-doc distinct word-trigram arrays via the `wgrams3` codegen
+    * kernel — one static call per document; the equivalent
+    * transform/slice/array_join higher-order chain runs interpreted and
+    * cost ~3× on these gram-heavy keys.
+    */
+  private def gramFrame(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), call_function("wgrams3", col("text")).as("gs"))
+  }
+
   def dedupDecontaminate(s: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"),
-        when(size(col("w")) >= 3, array_distinct(expr(
-          "transform(sequence(1, size(w) - 2), i -> array_join(slice(w, i, 3), ' '))")))
-          .otherwise(array().cast("array<string>")).as("gs"))
+    val grams = gramFrame(s, dir)
     val bench = grams.filter(col("doc_id") % 101 === 0)
       .select(explode(col("gs")).as("g")).distinct()
     grams.filter(col("doc_id") % 101 =!= 0)
@@ -298,13 +304,27 @@ object Dedup {
       .groupBy("doc_id").agg(count(lit(1)).as("n_gram_hits"))
   }
 
-  /** Bloom filter width in bits (64 longs). Deliberately small so the
-    * false-positive path is EXERCISED at test scale (~0.35% per gram
-    * with the benchmark's ~1000 set bits) — at 100 TB the filter is
-    * sized to the key cardinality (2^30+ bits, broadcast instead of
-    * inlined) and the same arithmetic ports unchanged.
+  /** Bloom width floor in bits (64 longs). The ACTUAL width is data-
+    * derived — the smallest power of two ≥ 8·(bench gram count), floored
+    * here — because a fixed width saturates the moment the reference set
+    * grows: at sf0.1 this floor alone held 2522 grams × 4 hashes in 4096
+    * bits (92 % fill, ~70 % FP rate — the "gate" passed most of the
+    * corpus to the exact join and cost 5 s of bench time). 8 bits/key at
+    * k=4 keeps fill ≈ 39 % and per-gram FP ≈ 2 % at every scale, and the
+    * floor keeps the FP path exercised at test scale. At 100 TB the same
+    * rule yields 2^30+ bits, broadcast instead of inlined.
     */
-  private val BloomBits = 4096L
+  private val BloomBitsFloor = 4096L
+
+  /** Smallest power of two ≥ 8·n, floored at [[BloomBitsFloor]] — the
+    * shared width rule (the oracle picks the same value from an exact
+    * integer VALUES lookup, no float log2 at the boundaries).
+    */
+  private[operators] def bloomBitsFor(nKeys: Long): Long = {
+    var bits = BloomBitsFloor
+    while (bits < 8 * nKeys) bits <<= 1
+    bits
+  }
 
   /** 48-bit integer fold of a string key (md5 prefix), shared by build
     * and probe and replayed verbatim by the oracle.
@@ -312,9 +332,9 @@ object Dedup {
   private def keyHash(c: Column): Column =
     conv(substring(md5(c), 1, 12), 16, 10).cast("bigint")
 
-  private def bloomPos(j: Int, h: Column): Column =
+  private def bloomPos(j: Int, h: Column, bits: Long): Column =
     (((h % Sketches.FoldP) * (Sketches.KnuthA + 2 * j + 1) +
-      Sketches.HashB * (j + 1)) % Sketches.HashP) % BloomBits
+      Sketches.HashB * (j + 1)) % Sketches.HashP) % bits
 
   /** Bloom-GATED decontamination — what [[dedupDecontaminate]] becomes
     * when the reference set outgrows a broadcast: the benchmark's gram
@@ -329,12 +349,7 @@ object Dedup {
     * DuckDB.
     */
   def dedupBloom(s: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"),
-        when(size(col("w")) >= 3, array_distinct(expr(
-          "transform(sequence(1, size(w) - 2), i -> array_join(slice(w, i, 3), ' '))")))
-          .otherwise(array().cast("array<string>")).as("gs"))
+    val grams = gramFrame(s, dir)
     // materialized once: the bench gram set feeds the bitmap build AND
     // the exact verification join. localCheckpoint (not cache): a live
     // session cache would silently rewrite OTHER queries' plans wherever
@@ -343,12 +358,18 @@ object Dedup {
     val bench = grams.filter(col("doc_id") % 101 === 0)
       .select(explode(col("gs")).as("g")).distinct()
       .localCheckpoint(eager = true)
+    // width from the bench gram count (the count is artifact-scale and
+    // the checkpoint makes it a cheap local scan), THEN the positions:
+    // a fixed width saturates as the reference set grows — see
+    // BloomBitsFloor
+    val bits = bloomBitsFor(bench.count())
     // build: distinct bit positions of the benchmark grams — artifact-
-    // scale (≤ 4096 values), packed driver-side into 64 literal longs
+    // scale, packed driver-side into bits/64 literal longs
     val positions = bench.withColumn("h", keyHash(col("g")))
-      .select(explode(array((0 until 4).map(j => bloomPos(j, col("h"))): _*)).as("p"))
+      .select(explode(array((0 until 4).map(j =>
+        bloomPos(j, col("h"), bits)): _*)).as("p"))
       .distinct().collect().map(_.getLong(0))
-    val bitmap = Array.fill((BloomBits / 64).toInt)(0L)
+    val bitmap = Array.fill((bits / 64).toInt)(0L)
     positions.foreach(p => bitmap((p / 64).toInt) |= 1L << (p % 64).toInt)
     val bm = typedLit(bitmap.toSeq)
     def bitSet(j: Int): Column =
@@ -358,7 +379,7 @@ object Dedup {
       grams.filter(col("doc_id") % 101 =!= 0)
         .select(col("doc_id"), explode(col("gs")).as("g"))
         .withColumn("h", keyHash(col("g")))) {
-      case (df, j) => df.withColumn(s"p$j", bloomPos(j, col("h")))
+      case (df, j) => df.withColumn(s"p$j", bloomPos(j, col("h"), bits))
     }.withColumn("maybe", (0 until 4).map(bitSet).reduce(_ && _))
     // the gate: only bloom-positive grams reach the exact join
     val checked = probes.filter(col("maybe"))
@@ -633,9 +654,14 @@ object Dedup {
         |GROUP BY c.doc_id""".stripMargin,
     "dedup_bloom" -> {
       val pj = (0 until 4).map(j =>
-        s"(((h % ${Sketches.FoldP}) * ${Sketches.KnuthA + 2 * j + 1} + ${Sketches.HashB * (j + 1)}) % ${Sketches.HashP}) % $BloomBits AS p$j")
+        s"(((h % ${Sketches.FoldP}) * ${Sketches.KnuthA + 2 * j + 1} + ${Sketches.HashB * (j + 1)}) % ${Sketches.HashP}) % bw.bits AS p$j")
         .mkString(", ")
       val inChecks = (0 until 4).map(j => s"p$j IN (SELECT p FROM bpos)").mkString(" AND ")
+      // the width CTE replays bloomBitsFor exactly: smallest power of two
+      // ≥ 8·|bench| from an integer VALUES list — no float log2 whose
+      // rounding could flip a boundary (list covers oracle scales; the
+      // Spark side computes any power of two)
+      val widths = (12 to 24).map(b => s"(${1L << b})").mkString(",")
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |grams AS (
          |  SELECT doc_id,
@@ -645,15 +671,18 @@ object Dedup {
          |    ELSE [] END AS gs
          |  FROM toks),
          |bench AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 101 = 0),
-         |bh AS (SELECT CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT) AS h FROM bench),
-         |bp AS (SELECT $pj FROM bh),
+         |bw AS (SELECT min(v) AS bits FROM (VALUES $widths) t(v)
+         |  WHERE v >= 8 * (SELECT count(*) FROM bench)),
+         |bh AS (SELECT CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT) AS h
+         |  FROM bench, bw),
+         |bp AS (SELECT $pj FROM bh, bw),
          |bpos AS (SELECT DISTINCT p FROM (
          |  SELECT p0 AS p FROM bp UNION ALL SELECT p1 FROM bp
          |  UNION ALL SELECT p2 FROM bp UNION ALL SELECT p3 FROM bp)),
          |tg AS (SELECT c.doc_id, u.g AS g,
          |    CAST(('0x' || substr(md5(u.g), 1, 12)) AS BIGINT) AS h
          |  FROM grams c, unnest(c.gs) AS u(g) WHERE c.doc_id % 101 <> 0),
-         |tp AS (SELECT doc_id, g, $pj FROM tg),
+         |tp AS (SELECT doc_id, g, $pj FROM tg, bw),
          |fl AS (SELECT doc_id, ($inChecks) AS maybe,
          |    g IN (SELECT g FROM bench) AS th FROM tp)
          |SELECT doc_id, count(*) AS n_grams,

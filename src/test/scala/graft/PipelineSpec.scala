@@ -728,6 +728,24 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_._1).toSet === top)
   }
 
+  test("wgrams3 kernel equals the interpreted HOF chain it replaced, edge cases included") {
+    import spark.implicits._
+    graft.functions.GeoFunctions.register(spark)
+    val edge = Seq("a b c d", "a b", "", "a  b c", " a b c ", "x y x y x y",
+      "solo", "a b c a b c a b c").toDF("text")
+    val corpus = Tables.documents(spark, sfDir).select("text")
+    for (df <- Seq(edge, corpus)) {
+      val got = df.select(call_function("wgrams3", col("text")).as("gs"))
+        .collect().map(_.getSeq[String](0).toList)
+      val want = df.select(split(col("text"), " ").as("w"))
+        .select(when(size(col("w")) >= 3, array_distinct(expr(
+          "transform(sequence(1, size(w) - 2), i -> array_join(slice(w, i, 3), ' '))")))
+          .otherwise(array().cast("array<string>")).as("gs"))
+        .collect().map(_.getSeq[String](0).toList)
+      assert(got.toSeq === want.toSeq)
+    }
+  }
+
   test("emb_outliers: verdicts replay the integer 0.9-mean rule; centroids self-assign clean") {
     val rows = Ann.embOutliers(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
