@@ -666,6 +666,7 @@ object GeoFunctions {
     "ahash16" -> (es => AHash16(es(0))),
     "ahash64" -> (es => AHash64(es(0))),
     "wgrams3" -> (es => WGrams3(es(0))),
+    "repstats" -> (es => RepStats(es(0))),
     "bloom_might_contain" -> (es => BloomMightContain(es(0), es(1))))
 
   def register(spark: SparkSession): Unit =

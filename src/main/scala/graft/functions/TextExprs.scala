@@ -97,6 +97,45 @@ object TextKernels {
     out
   }
 
+  /** Repetition-signal counts of a document in ONE pass:
+    * [n_tokens, n_distinct, n_grams, n_gram_distinct, top_tok_n] over
+    * the non-empty space-split tokens. Replaces an expression chain
+    * whose `top_tok_n` (`array_max(transform(distinct, t ->
+    * size(filter(toks, eq))))`) is O(distinct × tokens) per document —
+    * quadratic in doc length, and interpreted (HOF) on top; the hash
+    * counting here is O(tokens).
+    */
+  def repStats(text: UTF8String): Array[Long] = {
+    val parts = text.toString.split(" ", -1)
+    val toks = new java.util.ArrayList[String](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      if (!parts(i).isEmpty) toks.add(parts(i))
+      i += 1
+    }
+    val n = toks.size
+    val counts = new java.util.HashMap[String, Long](n * 2)
+    var top = 0L
+    i = 0
+    while (i < n) {
+      val c = counts.getOrDefault(toks.get(i), 0L) + 1L
+      counts.put(toks.get(i), c)
+      if (c > top) top = c
+      i += 1
+    }
+    var nGrams = 0L
+    val gramSet = new java.util.HashSet[String]()
+    if (n >= 3) {
+      nGrams = (n - 2).toLong
+      i = 0
+      while (i + 2 < n) {
+        gramSet.add(toks.get(i) + " " + toks.get(i + 1) + " " + toks.get(i + 2))
+        i += 1
+      }
+    }
+    Array(n.toLong, counts.size.toLong, nGrams, gramSet.size.toLong, top)
+  }
+
   private val md = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -432,6 +471,29 @@ case class WGrams3(child: Expression) extends UnaryExpression {
         s"graft.functions.TextKernels.wordGrams3($t))")
 
   override protected def withNewChildInternal(newChild: Expression): WGrams3 =
+    copy(child = newChild)
+}
+
+/** `repstats(text)` → [n_tokens, n_distinct, n_grams, n_gram_distinct,
+  * top_tok_n] (TextKernels.repStats) — linear-time counting where the
+  * expression chain it replaces was per-doc quadratic and interpreted.
+  */
+case class RepStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "repstats"
+
+  override protected def nullSafeEval(text: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextKernels.repStats(text.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextKernels.repStats($t))")
+
+  override protected def withNewChildInternal(newChild: Expression): RepStats =
     copy(child = newChild)
 }
 

@@ -374,23 +374,44 @@ object Geometry {
         sum(when(col("is_spike"), 1L).otherwise(0L)).as("n_spikes"))
   }
 
+  /** Grid-kNN cell-edge ladder + target occupancy: the edge halves until
+    * the expected per-cell point count drops to ~[[KnnOccupancy]] (or the
+    * 75-centidegree floor). A FIXED grid is a scale trap this operator
+    * measured directly: at sf1 the 1200 edge held 10× the density, so
+    * candidates grew 10× per probe × 10× probes = ×100 (35.9 s) — the
+    * adaptive edge restores candidates ∝ probes.
+    */
+  private val KnnEdges = Seq(1200L, 600L, 300L, 150L, 75L)
+  private val KnnOccupancy = 250L
+
+  private def knnEdgeFor(n: Long): Long =
+    KnnEdges.find(e => n <= KnnOccupancy * ((36000L / e) * (18000L / e)))
+      .getOrElse(KnnEdges.last)
+
   /** Grid-kNN spatial join: the 5 nearest points to each query point,
-    * candidates drawn from the query's 3×3 grid-cell neighborhood (cell
-    * = 1200 integer-centidegree units ≈ 12°). The neighborhood IS the
-    * contract — like LSH ANN, recall outside the probed cells is
-    * explicitly out of scope, which is what makes the operator exact,
-    * engine-portable, and distributable: the base side partitions by
-    * cell and never sees a query it can't match. Distances are exact
-    * squared-integer centidegree sums (no float, no sqrt — ranking by d²
-    * equals ranking by d); the tiny query sample (event_id ≡ 0 mod 1009)
-    * explodes into its 9 probe cells and broadcasts, so the 100 TB point
-    * side joins hash-partitioned on its own cell key, and the top-5 rank
-    * is WindowGroupLimit-pruned map-side.
+    * candidates drawn from the query's 3×3 grid-cell neighborhood. The
+    * cell edge is DENSITY-ADAPTIVE — the largest of [[KnnEdges]] whose
+    * expected occupancy stays ≤ [[KnnOccupancy]] points/cell (a count()
+    * over the scan; a deployment would read the catalog row count) — so
+    * per-probe candidate work is bounded at any corpus size instead of
+    * growing with density. The (adaptive) neighborhood IS the contract —
+    * like LSH ANN, recall outside the probed cells is explicitly out of
+    * scope, which is what makes the operator exact, engine-portable, and
+    * distributable: the base side partitions by cell and never sees a
+    * query it can't match; the oracle derives the same edge from the
+    * same integer rule. Distances are exact squared-integer centidegree
+    * sums (no float, no sqrt — ranking by d² equals ranking by d); the
+    * tiny query sample (event_id ≡ 0 mod 1009) explodes into its 9 probe
+    * cells and broadcasts, so the 100 TB point side joins
+    * hash-partitioned on its own cell key, and the top-5 rank is
+    * WindowGroupLimit-pruned map-side.
     */
   def geoKnn(s: SparkSession, dir: String): DataFrame = {
-    val p = points(s, dir)
-      .withColumn("cx", expr("xi div 1200"))
-      .withColumn("cy", expr("yi div 1200"))
+    val pts = points(s, dir)
+    val edge = knnEdgeFor(pts.count())
+    val p = pts
+      .withColumn("cx", expr(s"xi div $edge"))
+      .withColumn("cy", expr(s"yi div $edge"))
     val probes = p.filter(col("event_id") % 1009 === 0)
       .select(col("event_id").as("q_id"), col("xi").as("qx"),
         col("yi").as("qy"), col("cx"), col("cy"))
@@ -696,8 +717,12 @@ object Geometry {
   val oracles: Map[String, String] = Map(
     "geo_knn" ->
       s"""WITH pts AS ($ptsSql),
+         |edge AS (SELECT coalesce(max(v), ${KnnEdges.last}) AS e
+         |  FROM (VALUES ${KnnEdges.map(e => s"($e)").mkString(",")}) t(v)
+         |  WHERE (SELECT count(*) FROM pts)
+         |        <= $KnnOccupancy * ((36000 // v) * (18000 // v))),
          |p AS (SELECT event_id, xi, yi,
-         |    xi // 1200 AS cx, yi // 1200 AS cy FROM pts),
+         |    xi // e AS cx, yi // e AS cy FROM pts, edge),
          |q AS (SELECT event_id AS q_id, xi AS qx, yi AS qy,
          |    cx + dx.range AS cx, cy + dy.range AS cy
          |  FROM p, range(-1, 2) dx, range(-1, 2) dy

@@ -205,23 +205,18 @@ object TextOps {
     * divisions (identical in both engines). Scan-only — no shuffle at any
     * scale.
     */
-  def textRepetition(s: SparkSession, dir: String): DataFrame =
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    // one `repstats` kernel call per doc: the expression chain this
+    // replaces was interpreted (HOFs) and its top_tok_n term O(distinct ×
+    // tokens) — per-doc QUADRATIC, measured ×17 at the sf1 scale run
     Tables.documents(s, dir)
-      .withColumn("toks", expr(toksExpr))
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
-      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
-      .withColumn("grams3", expr(
-        """CASE WHEN size(toks) >= 3
-          |  THEN transform(sequence(1, size(toks) - 2),
-          |         i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))
-          |  ELSE array() END""".stripMargin))
-      .withColumn("n_grams", size(col("grams3")).cast("long"))
-      .withColumn("n_gram_distinct", size(array_distinct(col("grams3"))).cast("long"))
-      .withColumn("top_tok_n", expr(
-        """CASE WHEN size(toks) > 0
-          |  THEN array_max(transform(array_distinct(toks),
-          |         t -> size(filter(toks, x -> x = t))))
-          |  ELSE 0 END""".stripMargin).cast("long"))
+      .withColumn("st", call_function("repstats", col("text")))
+      .withColumn("n_tokens", expr("st[0]"))
+      .withColumn("n_distinct", expr("st[1]"))
+      .withColumn("n_grams", expr("st[2]"))
+      .withColumn("n_gram_distinct", expr("st[3]"))
+      .withColumn("top_tok_n", expr("st[4]"))
       .withColumn("dup_word_ratio",
         when(col("n_tokens") > 0,
           (col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
@@ -235,6 +230,7 @@ object TextOps {
           col("top_tok_n").cast("double") / col("n_tokens")).otherwise(0.0))
       .select("doc_id", "n_tokens", "n_distinct", "n_grams", "top_tok_n",
         "dup_word_ratio", "dup_gram_ratio", "top_tok_ratio")
+  }
 
   /** Bigram-LM fluency score (the CCNet quality-filter shape, arXiv:
     * 1911.00359 — there a pretrained KenLM scores perplexity per doc;

@@ -746,6 +746,35 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("repstats kernel equals the expression chain it replaced, edge cases included") {
+    import spark.implicits._
+    graft.functions.GeoFunctions.register(spark)
+    val edge = Seq("a b c d", "a b", "", "a  b c", " a b c ", "x y x y x y",
+      "solo", "a a a a", "a b c a b c a b c").toDF("text")
+    val corpus = Tables.documents(spark, sfDir).select("text")
+    for (df <- Seq(edge, corpus)) {
+      val got = df.select(call_function("repstats", col("text")).as("st"))
+        .collect().map(_.getSeq[Long](0).toList)
+      val want = df.withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+        .withColumn("grams3", expr(
+          """CASE WHEN size(toks) >= 3
+            |  THEN transform(sequence(1, size(toks) - 2),
+            |         i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))
+            |  ELSE array() END""".stripMargin))
+        .select(array(
+          size(col("toks")).cast("long"),
+          size(array_distinct(col("toks"))).cast("long"),
+          size(col("grams3")).cast("long"),
+          size(array_distinct(col("grams3"))).cast("long"),
+          expr("""CASE WHEN size(toks) > 0
+                 |  THEN array_max(transform(array_distinct(toks),
+                 |         t -> size(filter(toks, x -> x = t))))
+                 |  ELSE 0 END""".stripMargin).cast("long")))
+        .collect().map(_.getSeq[Long](0).toList)
+      assert(got.toSeq === want.toSeq)
+    }
+  }
+
   test("emb_outliers: verdicts replay the integer 0.9-mean rule; centroids self-assign clean") {
     val rows = Ann.embOutliers(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
