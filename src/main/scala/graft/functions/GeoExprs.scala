@@ -667,6 +667,9 @@ object GeoFunctions {
     "ahash64" -> (es => AHash64(es(0))),
     "wgrams3" -> (es => WGrams3(es(0))),
     "repstats" -> (es => RepStats(es(0))),
+    "jgrams3" -> (es => JGrams3(es(0))),
+    "langscores5" -> (es => LangScores5(es(0))),
+    "bpepairs" -> (es => BpePairs(es(0))),
     "bloom_might_contain" -> (es => BloomMightContain(es(0), es(1))))
 
   def register(spark: SparkSession): Unit =

@@ -136,6 +136,123 @@ object TextKernels {
     Array(n.toLong, counts.size.toLong, nGrams, gramSet.size.toLong, top)
   }
 
+  /** Distinct word-trigram array over the NON-EMPTY tokens, replicating
+    * `array_distinct(transform(sequence(0, greatest(n-3, 0)), i ->
+    * concat_ws(' ', get(toks,i), get(toks,i+1), get(toks,i+2))))`
+    * bit-for-bit — including its short-doc quirk: fewer than 3 tokens
+    * still emit ONE partial gram (concat_ws skips the missing slots;
+    * zero tokens emit the empty string). Used by the n-gram Jaccard
+    * verifier, whose oracle replays exactly these semantics.
+    */
+  def jointGrams3(text: UTF8String): Array[UTF8String] = {
+    val parts = text.toString.split(" ", -1)
+    val toks = new java.util.ArrayList[String](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      if (!parts(i).isEmpty) toks.add(parts(i))
+      i += 1
+    }
+    val n = toks.size
+    val m = math.max(n - 3, 0)
+    val seen = new java.util.LinkedHashSet[String](2 * (m + 1))
+    i = 0
+    while (i <= m) {
+      val sb = new java.lang.StringBuilder
+      var j = i
+      var first = true
+      while (j < math.min(i + 3, n)) {
+        if (!first) sb.append(' ')
+        sb.append(toks.get(j))
+        first = false
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[UTF8String](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    out
+  }
+
+  /** Per-model language-ID scores in ONE pass: token weights summed onto
+    * the model priors via a single hash probe per token (the weight
+    * vector holds all models), where the expression form folds the token
+    * array once PER MODEL through an interpreted `aggregate` HOF. The
+    * weight table is the same [[graft.operators.TextOps.Models]] data the
+    * oracle CASE chains replay.
+    */
+  private lazy val langIdx: (Array[Long], java.util.HashMap[String, Array[Long]]) = {
+    val models = graft.operators.TextOps.Models
+    val priors = models.map(_._2._1).toArray
+    val idx = new java.util.HashMap[String, Array[Long]]()
+    for (((_, (_, ws)), m) <- models.zipWithIndex; (w, v) <- ws) {
+      val arr = idx.computeIfAbsent(w, _ => new Array[Long](models.size))
+      arr(m) = v.toLong
+    }
+    (priors, idx)
+  }
+
+  def langScores(text: UTF8String): Array[Long] = {
+    val (priors, idx) = langIdx
+    val out = priors.clone()
+    val parts = text.toString.split(" ", -1)
+    var i = 0
+    while (i < parts.length) {
+      if (!parts(i).isEmpty) {
+        val w = idx.get(parts(i))
+        if (w != null) {
+          var m = 0
+          while (m < out.length) { out(m) += w(m); m += 1 }
+        }
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Per-document adjacent-char-pair counts (the BPE statistics unit),
+    * pre-aggregated into a map in ONE pass: pairs are drawn inside each
+    * non-empty space-split token (character-based, multibyte-safe), so
+    * the corpus-wide count becomes Σ over doc maps — the scan emits one
+    * row per DISTINCT pair per doc instead of one per pair occurrence,
+    * and skips the double explode + interpreted transform it replaces.
+    */
+  def bpePairCounts(text: UTF8String): (Array[UTF8String], Array[Long]) = {
+    val parts = text.toString.split(" ", -1)
+    val counts = new java.util.LinkedHashMap[String, Long]()
+    var i = 0
+    while (i < parts.length) {
+      val t = parts(i)
+      // pairs over CODE POINTS, like Spark's length()/substring(t, i, 2)
+      val cp = t.codePointCount(0, t.length)
+      if (cp >= 2) {
+        var start = 0
+        var j = 0
+        while (j + 1 < cp) {
+          val end2 = t.offsetByCodePoints(start, 2)
+          val pair = t.substring(start, end2)
+          counts.put(pair, counts.getOrDefault(pair, 0L) + 1L)
+          start = t.offsetByCodePoints(start, 1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val keys = new Array[UTF8String](counts.size)
+    val vals = new Array[Long](counts.size)
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(k) = UTF8String.fromString(e.getKey)
+      vals(k) = e.getValue
+      k += 1
+    }
+    (keys, vals)
+  }
+
   private val md = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -494,6 +611,85 @@ case class RepStats(child: Expression) extends UnaryExpression {
         s"graft.functions.TextKernels.repStats($t))")
 
   override protected def withNewChildInternal(newChild: Expression): RepStats =
+    copy(child = newChild)
+}
+
+/** `jgrams3(text)` → distinct filtered-token trigram array
+  * (TextKernels.jointGrams3) — the n-gram-Jaccard gram set as one
+  * codegen call.
+  */
+case class JGrams3(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "jgrams3"
+
+  override protected def nullSafeEval(text: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextKernels.jointGrams3(text.asInstanceOf[UTF8String])
+        .asInstanceOf[Array[Any]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextKernels.jointGrams3($t))")
+
+  override protected def withNewChildInternal(newChild: Expression): JGrams3 =
+    copy(child = newChild)
+}
+
+/** `langscores5(text)` → per-model language-ID score array
+  * (TextKernels.langScores) — one pass over the tokens instead of one
+  * interpreted `aggregate` fold per model.
+  */
+case class LangScores5(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "langscores5"
+
+  override protected def nullSafeEval(text: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextKernels.langScores(text.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextKernels.langScores($t))")
+
+  override protected def withNewChildInternal(newChild: Expression): LangScores5 =
+    copy(child = newChild)
+}
+
+/** `bpepairs(text)` → map<pair, count> of adjacent char pairs inside
+  * words (TextKernels.bpePairCounts) — the per-doc pre-aggregated BPE
+  * statistics unit.
+  */
+case class BpePairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.MapType(StringType,
+      org.apache.spark.sql.types.LongType, valueContainsNull = false)
+  override def prettyName: String = "bpepairs"
+
+  private def build(text: Any): org.apache.spark.sql.catalyst.util.MapData = {
+    val (ks, vs) = TextKernels.bpePairCounts(text.asInstanceOf[UTF8String])
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ks.asInstanceOf[Array[Any]]),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(vs))
+  }
+
+  override protected def nullSafeEval(text: Any): Any = build(text)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeExpr", this, classOf[BpePairs].getName)
+    defineCodeGen(ctx, ev, t => s"$ref.buildPublic($t)")
+  }
+
+  /** Codegen entry point (generated code can't see the protected eval). */
+  def buildPublic(text: UTF8String): org.apache.spark.sql.catalyst.util.MapData =
+    build(text)
+
+  override protected def withNewChildInternal(newChild: Expression): BpePairs =
     copy(child = newChild)
 }
 

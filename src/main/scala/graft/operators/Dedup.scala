@@ -204,11 +204,11 @@ object Dedup {
 
   /** n-gram (word trigram) Jaccard verification of the LSH candidates. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    // jgrams3 codegen kernel — the interpreted transform/concat_ws chain
+    // it replaces was the dominant cost of this key at sf1
     val grams = Tables.documents(s, dir)
-      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
-      .withColumn("grams", expr(
-        "array_distinct(transform(sequence(0, greatest(size(toks) - 3, 0)), " +
-          "i -> concat_ws(' ', get(toks, i), get(toks, i + 1), get(toks, i + 2))))"))
+      .withColumn("grams", call_function("jgrams3", col("text")))
       .select(col("doc_id"), col("grams"), size(col("grams")).as("ng"))
       .cache() // reused by flat + both size joins
     val flat = grams.select(col("doc_id"), explode(col("grams")).as("g"))

@@ -32,13 +32,15 @@ object TextOps {
 
 
   def textLangid(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir).withColumn("toks", expr(toksExpr))
-    // literal-map lookup (hash probe per token) — same values as the
-    // oracle's CASE chain, O(1) instead of O(|vocab|) per token
-    val scored = Models.foldLeft(base) { case (df, (l, (prior, ws))) =>
-      df.withColumn(s"s_$l",
-        aggregate(col("toks"), lit(prior),
-          (acc, t) => acc + coalesce(element_at(typedLit(ws), t), lit(0)).cast("long")))
+    graft.functions.GeoFunctions.register(s)
+    // one `langscores5` kernel pass scores all models at once (hash probe
+    // per token onto a multi-model weight vector) — same values as the
+    // oracle's CASE chain; the per-model `aggregate` HOF folds this
+    // replaces ran interpreted, 5 passes per document
+    val base = Tables.documents(s, dir)
+      .withColumn("ls", call_function("langscores5", col("text")))
+    val scored = Models.zipWithIndex.foldLeft(base) {
+      case (df, ((l, _), i)) => df.withColumn(s"s_$l", expr(s"ls[$i]"))
     }
     val m = greatest(Models.map { case (l, _) => col(s"s_$l") }: _*)
     val pred = Models.foldLeft(when(lit(false), "")) { case (c, (l, _)) =>
@@ -279,19 +281,22 @@ object TextOps {
     * phase; the merge LOOP re-runs it per merge with the learned pair
     * fused.
     */
-  def textBpePairs(s: SparkSession, dir: String): DataFrame =
+  def textBpePairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    // per-doc pair counts pre-aggregated by the bpepairs kernel: the scan
+    // emits one row per DISTINCT pair per doc (vs one per occurrence
+    // through a double explode + interpreted transform)
     Tables.documents(s, dir)
-      .select(explode(expr(toksExpr)).as("t"))
-      .filter(length(col("t")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("pair"))
-      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .select(explode(call_function("bpepairs", col("text")))
+        .as(Seq("pair", "n0")))
+      .groupBy("pair").agg(sum("n0").as("n"))
       .orderBy(desc("n"), asc("pair"))
       .limit(10)
       .withColumn("rnk",
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(desc("n"), asc("pair"))))
       .select("rnk", "pair", "n")
+  }
 
   /** The whole pretraining-curation pipeline as ONE declarative plan:
     * language gate (keep predicted 'en'), quality gate (≥10 words,
@@ -310,11 +315,12 @@ object TextOps {
     */
   def pipeCurate(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = Tables.documents(s, dir).withColumn("toks", expr(toksExpr))
-    val scored = Models.foldLeft(base) { case (df, (l, (prior, ws))) =>
-      df.withColumn(s"s_$l",
-        aggregate(col("toks"), lit(prior),
-          (acc, t) => acc + coalesce(element_at(typedLit(ws), t), lit(0)).cast("long")))
+    graft.functions.GeoFunctions.register(s)
+    val base = Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("ls", call_function("langscores5", col("text")))
+    val scored = Models.zipWithIndex.foldLeft(base) {
+      case (df, ((l, _), i)) => df.withColumn(s"s_$l", expr(s"ls[$i]"))
     }
     val m = greatest(Models.map { case (l, _) => col(s"s_$l") }: _*)
     val pred = Models.foldLeft(when(lit(false), "")) { case (c, (l, _)) =>
@@ -322,17 +328,16 @@ object TextOps {
     }
     scored
       .withColumn("pred_lang", pred)
-      .withColumn("n_words", size(col("toks")).cast("long"))
+      // token/gram counts from the one-pass repstats kernel (same
+      // filtered-token semantics as toksExpr; the HOF gram chain it
+      // replaces ran interpreted and cost ~15× at the sf1 scale run)
+      .withColumn("st", call_function("repstats", col("text")))
+      .withColumn("n_words", expr("st[0]"))
       .withColumn("len", length(col("text")).cast("long"))
       .withColumn("clean_len",
         length(regexp_replace(col("text"), "[^a-z0-9 ]", "")).cast("long"))
-      .withColumn("grams3", expr(
-        """CASE WHEN size(toks) >= 3
-          |  THEN transform(sequence(1, size(toks) - 2),
-          |         i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))
-          |  ELSE array() END""".stripMargin))
-      .withColumn("n_grams", size(col("grams3")).cast("long"))
-      .withColumn("n_gram_dist", size(array_distinct(col("grams3"))).cast("long"))
+      .withColumn("n_grams", expr("st[2]"))
+      .withColumn("n_gram_dist", expr("st[3]"))
       .withColumn("fp", md5(expr("concat_ws(' ', array_sort(array_distinct(toks)))")))
       .withColumn("keep_id", min("doc_id").over(Window.partitionBy("fp")))
       .withColumn("ok_lang", col("pred_lang") === lit("en"))

@@ -775,6 +775,46 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("jgrams3 / langscores5 / bpepairs kernels equal the expressions they replaced") {
+    import spark.implicits._
+    graft.functions.GeoFunctions.register(spark)
+    val edge = Seq("a b c d", "a b", "", "a  b c", " a b c ", "x y x y x y",
+      "solo", "ab", "abc de", "a b c a b c").toDF("text")
+    val corpus = Tables.documents(spark, sfDir).select("text")
+    for (df <- Seq(edge, corpus)) {
+      // jgrams3 vs the transform/get/concat_ws chain (short-doc quirk incl.)
+      val jg = df.select(call_function("jgrams3", col("text")).as("g"))
+        .collect().map(_.getSeq[String](0).toList)
+      val jw = df.withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+        .select(expr(
+          "array_distinct(transform(sequence(0, greatest(size(toks) - 3, 0)), " +
+            "i -> concat_ws(' ', get(toks, i), get(toks, i + 1), get(toks, i + 2))))"))
+        .collect().map(_.getSeq[String](0).toList)
+      assert(jg.toSeq === jw.toSeq)
+      // langscores5 vs the per-model aggregate folds
+      val ls = df.select(call_function("langscores5", col("text")).as("ls"))
+        .collect().map(_.getSeq[Long](0).toList)
+      val lw = df.withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+        .select(array(TextOps.Models.map { case (_, (prior, ws)) =>
+          aggregate(col("toks"), lit(prior),
+            (acc, t) => acc + coalesce(element_at(typedLit(ws), t), lit(0)).cast("long"))
+        }: _*)).collect().map(_.getSeq[Long](0).toList)
+      assert(ls.toSeq === lw.toSeq)
+      // bpepairs map vs the occurrence-exploded counts
+      val bp = df.select(explode(call_function("bpepairs", col("text")))
+          .as(Seq("pair", "n")))
+        .groupBy("pair").agg(sum("n").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bw = df.select(explode(expr("filter(split(text, ' '), t -> t <> '')")).as("t"))
+        .filter(length(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(bp === bw)
+    }
+  }
+
   test("emb_outliers: verdicts replay the integer 0.9-mean rule; centroids self-assign clean") {
     val rows = Ann.embOutliers(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
