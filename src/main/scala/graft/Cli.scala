@@ -27,6 +27,9 @@ import org.apache.spark.sql.functions._
   *                                             # re-close open changesets from
   *                                             # a re-fetched changeset file
   *                                             # (unclosed-changeset loop)
+  * graft.Cli curate <sfDir> <outDir>           # pretraining curation run:
+  *                                             # per-doc verdicts (partitioned
+  *                                             # by drop reason) + kept corpus
   * graft.Cli pbf-info   <file> <outDir>        # debug: blob/entity summary
   * graft.Cli store-peek <storeDir> <osmId>     # debug: element's versions
   * }}}
@@ -105,6 +108,21 @@ object Cli {
       case "replication" =>
         Replication.replMerge(spark, sfDir)
           .write.mode("overwrite").parquet(outDir)
+      case "curate" =>
+        // the pretraining-curation pipeline over a documents table:
+        // verdicts to outDir/verdicts, the kept corpus (original text
+        // re-attached by doc_id) to outDir/kept — partitioned by the
+        // drop reason so downstream audits prune by directory
+        val verdicts = operators.TextOps.pipeCurate(spark, sfDir)
+          .localCheckpoint(true)
+        verdicts.write.mode("overwrite").partitionBy("reason")
+          .parquet(s"$outDir/verdicts")
+        Tables.documents(spark, sfDir)
+          .join(verdicts.filter(col("keep")).select("doc_id"), "doc_id")
+          .write.mode("overwrite").parquet(s"$outDir/kept")
+        val n = verdicts.groupBy("reason").count().collect()
+          .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+        println(s"[graft] curate: $n")
       case "replication-catchup" =>
         // optional 4th arg = max states per run (the reference's `--size`)
         val maxSteps = if (args.length == 4) args(3).toInt else Int.MaxValue

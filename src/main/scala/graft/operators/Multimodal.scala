@@ -209,7 +209,53 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Audio feature extraction through the REAL WAV decode path: each
+    * payload round-trips encodeWav → RIFF chunk walk → samples, and the
+    * features (sample count, energy = Σ(s−128)², strict-sign zero
+    * crossings, peak amplitude, fixed-point mean) come from the DECODED
+    * sample plane — the oracle recomputes them from the source bytes
+    * directly, so a chunk-walk or sign bug breaks the compare. All
+    * integers; `mapPartitions` batch shape like [[mmFeatures]] (the JVM
+    * analog of `mapInPandas`), undecodable payloads dropped.
+    */
+  def mmAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (docId, raw) =>
+          val ns = math.min(raw.length, MaxSamples)
+          if (ns < 1) None
+          else {
+            val payload = MediaCodec.encodeWav(java.util.Arrays.copyOf(raw, ns))
+            MediaCodec.decodeWav(payload).map { r =>
+              var energy = 0L
+              var zc = 0L
+              var peak = 0
+              var sum = 0L
+              var prev = 0
+              var i = 0
+              while (i < r.w) {
+                val sv = r.rgb(3 * i) & 0xff
+                val c = sv - 128
+                energy += c.toLong * c
+                if (i > 0 && ((prev > 0 && c < 0) || (prev < 0 && c > 0))) zc += 1
+                if (math.abs(c) > peak) peak = math.abs(c)
+                sum += sv
+                prev = c
+                i += 1
+              }
+              (docId, r.w, energy, zc, peak, sum * 1000L / r.w)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "n_samples", "energy", "zero_cross", "peak", "mean_milli")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio" -> (mmAudio _),
     "mm_features" -> (mmFeatures _),
     "mm_phash" -> (mmPhash _),
     "mm_dedup" -> (mmDedup _),
@@ -236,6 +282,28 @@ object Multimodal {
         |  CAST(max(n) AS INT) AS max_bytes
         |FROM d LEFT JOIN ph ON d.doc_id = ph.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the oracle recomputes audio features from the SOURCE bytes (sample
+    // i = byte i, capped at 3072) — the Spark side must reproduce them
+    // through the full encodeWav → chunk-walk decode roundtrip
+    "mm_audio" ->
+      """WITH d AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+        |    least(octet_length(encode(text)), 3072) AS n FROM documents),
+        |ok AS (SELECT * FROM d WHERE n >= 1),
+        |b AS (SELECT doc_id, p, n,
+        |    CAST(('0x' || substr(hx, 2*p - 1, 2)) AS BIGINT) AS s,
+        |    CAST(('0x' || substr(hx, 2*p - 1, 2)) AS BIGINT) - 128 AS c
+        |  FROM ok, LATERAL (SELECT unnest(range(1, n + 1)) AS p) r),
+        |w AS (SELECT doc_id, n, s, c,
+        |    lag(c) OVER (PARTITION BY doc_id ORDER BY p) AS pc
+        |  FROM b)
+        |SELECT doc_id, CAST(max(n) AS INT) AS n_samples,
+        |  CAST(sum(c * c) AS BIGINT) AS energy,
+        |  CAST(sum(CASE WHEN pc IS NOT NULL
+        |        AND ((pc > 0 AND c < 0) OR (pc < 0 AND c > 0))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross,
+        |  CAST(max(abs(c)) AS INT) AS peak,
+        |  CAST((sum(s) * 1000) // max(n) AS BIGINT) AS mean_milli
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the oracle rebuilds the 64 window bits from the source bytes, band
     // keys as bit sums (no shifts on the signed hash), and hamming as the
     // symmetric difference of the two docs' bit sets — same integers, no

@@ -23,6 +23,25 @@ class CliSpec extends SparkSpec {
     assert(meta.exists(_.contains("\"primary_column\":\"geometry\"")))
   }
 
+  test("cli curate writes reason-partitioned verdicts and the kept corpus") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft-cli").toString
+    Cli.main(Array("curate", sfDir, out))
+    val verdicts = spark.read.parquet(s"$out/verdicts")
+    val kept = spark.read.parquet(s"$out/kept")
+    // verdicts cover every document exactly once
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(verdicts.count() === nDocs)
+    // kept corpus = exactly the keep=true rows, with text re-attached
+    assert(kept.count() === verdicts.filter(col("keep")).count())
+    assert(kept.columns.contains("text"))
+    // the reason partition dirs exist on disk for directory-level pruning
+    val parts = new java.io.File(s"$out/verdicts").listFiles()
+      .map(_.getName).filter(_.startsWith("reason=")).toSet
+    assert(parts.contains("reason=kept"))
+    assert(parts.size >= 2, s"expected multiple reasons, got $parts")
+  }
+
   test("cli changesets and replication write plain parquet") {
     val o1 = java.nio.file.Files.createTempDirectory("graft-cli").toString
     val o2 = java.nio.file.Files.createTempDirectory("graft-cli").toString

@@ -877,6 +877,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("mm_audio: features replay hand-computed sample math through the decode path") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mmaudio").toString
+    // "aé" → UTF-8 bytes [97, 0xC3=195, 0xA9=169]; centered [-31, 67, 41]
+    Seq((1L, "aé", "en"), (2L, "", "en")).toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("crafted"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = Multimodal.mmAudio(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getLong(5)))).toMap
+    // empty payload is dropped (undecodable), not faked
+    assert(rows.keySet === Set(1L))
+    val (n, energy, zc, peak, mean) = rows(1L)
+    assert(n === 3)
+    assert(energy === 31L * 31 + 67L * 67 + 41L * 41)
+    assert(zc === 1L) // one strict sign change: -31 → +67
+    assert(peak === 67)
+    assert(mean === (97L + 195L + 169L) * 1000L / 3L)
+  }
+
   test("mm_dedup: radius-3 pairs always share a band; hamming replays the kernel") {
     // kernel determinism
     val p = "some payload content for hashing".getBytes("UTF-8")
