@@ -260,6 +260,19 @@ object TextKernels {
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
+  /** First 48 bits of md5(key) as a non-negative long — the value of
+    * `CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT)` without the hex
+    * string round-trip (`conv` parses a string per row; this reads the
+    * digest bytes directly). The bloom-gate keyHash.
+    */
+  def md5Head48(key: UTF8String): Long = {
+    val d = md.get()
+    d.reset()
+    val h = d.digest(key.getBytes)
+    ((h(0) & 0xffL) << 40) | ((h(1) & 0xffL) << 32) | ((h(2) & 0xffL) << 24) |
+      ((h(3) & 0xffL) << 16) | ((h(4) & 0xffL) << 8) | (h(5) & 0xffL)
+  }
+
   private val saltBytes: Array[Array[Byte]] =
     (0 until 8).map(j => s"|$j".getBytes(StandardCharsets.UTF_8)).toArray
 
@@ -657,6 +670,23 @@ case class LangScores5(child: Expression) extends UnaryExpression {
         s"graft.functions.TextKernels.langScores($t))")
 
   override protected def withNewChildInternal(newChild: Expression): LangScores5 =
+    copy(child = newChild)
+}
+
+/** `md5head48(key)` → first 48 md5 bits as BIGINT
+  * (TextKernels.md5Head48) — digest-byte read instead of hex + conv.
+  */
+case class Md5Head48(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "md5head48"
+
+  override protected def nullSafeEval(key: Any): Any =
+    TextKernels.md5Head48(key.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, k => s"graft.functions.TextKernels.md5Head48($k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Head48 =
     copy(child = newChild)
 }
 

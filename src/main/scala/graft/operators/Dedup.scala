@@ -327,10 +327,12 @@ object Dedup {
   }
 
   /** 48-bit integer fold of a string key (md5 prefix), shared by build
-    * and probe and replayed verbatim by the oracle.
+    * and probe and replayed verbatim by the oracle — the `md5head48`
+    * kernel reads the digest bytes directly; the expression form
+    * (`conv(substring(md5(c), 1, 12), 16, 10)`) paid a hex round-trip
+    * plus conv's per-row string parse.
     */
-  private def keyHash(c: Column): Column =
-    conv(substring(md5(c), 1, 12), 16, 10).cast("bigint")
+  private def keyHash(c: Column): Column = call_function("md5head48", c)
 
   private def bloomPos(j: Int, h: Column, bits: Long): Column =
     (((h % Sketches.FoldP) * (Sketches.KnuthA + 2 * j + 1) +

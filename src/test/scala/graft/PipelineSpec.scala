@@ -812,6 +812,13 @@ class PipelineSpec extends SparkSpec {
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(bp === bw)
+      // md5head48 vs the conv/substring/md5 expression it replaced
+      val mh = df.select(call_function("md5head48", col("text")))
+        .collect().map(_.getLong(0))
+      val mw = df.select(conv(substring(md5(col("text")), 1, 12), 16, 10)
+          .cast("long"))
+        .collect().map(_.getLong(0))
+      assert(mh.toSeq === mw.toSeq)
     }
   }
 
