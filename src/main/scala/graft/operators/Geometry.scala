@@ -69,25 +69,31 @@ object Geometry {
     "round(2 * 6371000.0 * asin(sqrt(" +
       "sin(radians(lat - plat) / 2) * sin(radians(lat - plat) / 2) + " +
       "cos(radians(plat)) * cos(radians(lat)) * " +
-      "sin(radians(lon - plon) / 2) * sin(radians(lon - plon) / 2))), 4)"
+      "sin(radians(lon - plon) / 2) * sin(radians(lon - plon) / 2))), 3)"
 
   /** Per-event step length + running line length per entity. Steps are
-    * rounded to 4 decimals (tie-free for transcendental output) and then
-    * accumulated as fixed-point 1e-4 longs — exact like a DECIMAL sum but
-    * the window stays in primitive-long codegen. Outputs stay BIGINT
-    * (units of 1e-4 m): fixed-point integers are the only numeric type
-    * that stringifies identically on both sides of the driver's compare.
+    * rounded to integer MILLIMETERS and then accumulated as fixed-point
+    * longs — exact like a DECIMAL sum but the window stays in
+    * primitive-long codegen. The mm granularity is the engine-portability
+    * margin, same as the `geodesic_length_mm` kernel: sin/cos/asin are
+    * not correctly rounded, so the two engines' step doubles can differ
+    * by ~ulp — a flip needs the true value within that ulp of a 0.5 mm
+    * boundary. The former 0.1 mm granularity made ties 10× denser and
+    * one of 100 000 sf0.1 rows actually flipped (caught by an sf0.1
+    * oracle sweep); at mm the expected flip count stays ≪ 1 through sf1.
+    * Outputs are BIGINT mm: fixed-point integers are the only numeric
+    * type that stringifies identically on both sides of the compare.
     */
   def geoLength(s: SparkSession, dir: String): DataFrame =
     points(s, dir)
       .withColumn("plon", lag("lon", 1).over(byUserEv))
       .withColumn("plat", lag("lat", 1).over(byUserEv))
-      .withColumn("step4",
+      .withColumn("step3",
         when(col("plon").isNull, lit(0L))
-          .otherwise(round(expr(stepSql) * 10000).cast("bigint")))
-      .withColumn("step_m4", col("step4"))
-      .withColumn("cum_m4", sum("step4").over(cumFrame))
-      .select("event_id", "user_id", "step_m4", "cum_m4")
+          .otherwise(round(expr(stepSql) * 1000).cast("bigint")))
+      .withColumn("step_mm", col("step3"))
+      .withColumn("cum_mm", sum("step3").over(cumFrame))
+      .select("event_id", "user_id", "step_mm", "cum_mm")
 
   /** Shoelace ring area per entity prefix (the ring closes back to the
     * entity's first point) + area_delta vs the previous prefix — all in
@@ -783,11 +789,11 @@ object Geometry {
          |           FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
          |stepped AS (SELECT event_id, user_id,
          |    CASE WHEN plon IS NULL THEN 0
-         |         ELSE CAST(round($stepSql * 10000) AS BIGINT) END AS step4
+         |         ELSE CAST(round($stepSql * 1000) AS BIGINT) END AS step3
          |  FROM lagged)
-         |SELECT event_id, user_id, step4 AS step_m4,
-         |       CAST(sum(step4) OVER (PARTITION BY user_id ORDER BY event_id
-         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_m4
+         |SELECT event_id, user_id, step3 AS step_mm,
+         |       CAST(sum(step3) OVER (PARTITION BY user_id ORDER BY event_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_mm
          |FROM stepped ORDER BY event_id""".stripMargin,
     "geo_area" ->
       s"""WITH pts AS ($ptsSql),
