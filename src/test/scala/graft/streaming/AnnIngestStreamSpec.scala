@@ -1,0 +1,99 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.IvfIndex
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming IVF ingest: a drained stream of vector batches must serve
+  * the same probes as the batch probe+append lifecycle, and latest-wins
+  * appends make redelivery value-idempotent.
+  */
+class AnnIngestStreamSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    .select("vec_id", "embedding")
+
+  private def centsOf(df: org.apache.spark.sql.DataFrame) =
+    df.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+
+  private def normProbe(df: org.apache.spark.sql.DataFrame) =
+    df.select("q_id", "n_id", "rnk", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sortBy(p => (p._1, p._3)).toSeq
+
+  test("drained stream matches the batch probe+append lifecycle") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cents = centsOf(emb)
+    val corpus = emb.filter(col("vec_id") >= 8 && col("vec_id") % 5 =!= 0)
+    val day1 = emb.filter(col("vec_id") >= 8 && col("vec_id") % 10 === 0)
+    val day2 = emb.filter(col("vec_id") >= 8 && col("vec_id") % 10 === 5)
+    val queries = emb.filter(col("vec_id") < 8)
+
+    // batch lifecycle (the reference computation)
+    val idxB = tmp("ann-ingest-batch")
+    IvfIndex.build(spark, corpus, cents, idxB, locatorBuckets = 8)
+    val p1 = normProbe(IvfIndex.probe(spark, idxB, day1))
+    IvfIndex.append(spark, day1, idxB)
+    val p2 = normProbe(IvfIndex.probe(spark, idxB, day2))
+    IvfIndex.append(spark, day2, idxB)
+
+    // streaming lifecycle over the same index seed
+    val idxS = tmp("ann-ingest-stream")
+    IvfIndex.build(spark, corpus, cents, idxS, locatorBuckets = 8)
+    val resDir = tmp("ann-ingest-res")
+    val toArr = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => VecArrival(r.getLong(0), r.getSeq[Float](1).toArray))
+    val input = MemoryStream[VecArrival]
+    val q = AnnIngestStream.start(spark, input.toDS().toDF(), idxS, resDir,
+      tmp("ann-ingest-ckpt"))
+    input.addData(toArr(day1).toSeq: _*)
+    q.processAllAvailable()
+    input.addData(toArr(day2).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val feed = AnnIngestStream.results(spark, resDir)
+    val batches = feed.select("batch_id").distinct()
+      .collect().map(_.get(0).toString.toLong).sorted
+    assert(batches.length === 2)
+    assert(normProbe(feed.filter(col("batch_id") === batches(0))) === p1)
+    assert(normProbe(feed.filter(col("batch_id") === batches(1))) === p2)
+    // index parity: identical probes after the drain
+    assert(normProbe(IvfIndex.probe(spark, idxS, queries)) ===
+      normProbe(IvfIndex.probe(spark, idxB, queries)))
+  }
+
+  test("latest-wins append makes redelivery value-idempotent") {
+    import spark.implicits._
+    val cents = centsOf(emb)
+    val corpus = emb.filter(col("vec_id") >= 8 && col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") >= 8 && col("vec_id") % 5 === 0)
+    val queries = emb.filter(col("vec_id") < 8)
+
+    val idx = tmp("ann-replay-idx")
+    val resDir = tmp("ann-replay-res")
+    IvfIndex.build(spark, corpus, cents, idx, locatorBuckets = 8)
+    AnnIngestStream.processBatch(spark, batch, 0L, idx, resDir, 3, 0)
+    val after1 = normProbe(IvfIndex.probe(spark, idx, queries))
+
+    // redelivered trigger: same vectors re-append latest-wins — every
+    // probe answer must be unchanged
+    AnnIngestStream.processBatch(spark, batch, 1L, idx, resDir, 3, 0)
+    assert(normProbe(IvfIndex.probe(spark, idx, queries)) === after1)
+    // the replayed feed probes the post-append index, so each vector now
+    // finds ITSELF at rank 1 (the documented at-least-once nuance) —
+    // assert the feed is consistent with a fresh probe of that state
+    val feed = AnnIngestStream.results(spark, resDir)
+    assert(normProbe(feed.filter(col("batch_id") === 1)) ===
+      normProbe(IvfIndex.probe(spark, idx, batch)))
+  }
+}
