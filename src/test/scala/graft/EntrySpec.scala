@@ -6,6 +6,38 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  /** SURVEY §2's declared driver-key count. A key silently vanishing from
+    * `queries` (a module dropped from the ++ chain, a duplicate key
+    * collapsing the map) shrank CORRECTNESS_r09 without any test failing —
+    * this pins the inventory so the suite fails before the driver does.
+    * Bump this number together with SURVEY §2 when adding keys.
+    */
+  val declaredKeys = 107
+
+  test(s"driver contract: SparkEntry.queries matches SURVEY §2 ($declaredKeys keys)") {
+    assert(
+      SparkEntry.queries.size == declaredKeys,
+      s"SparkEntry.queries has ${SparkEntry.queries.size} keys but SURVEY §2 declares $declaredKeys — " +
+        "either a module fell out of the ++ chain / two modules collide on a key name (silent map collapse), " +
+        "or a key was added without bumping declaredKeys + SURVEY §2."
+    )
+    // a colliding key would collapse silently in the ++ chain; count the
+    // per-module totals too so the failure names the overlap
+    val perModule = Seq(
+      graft.operators.Relational.queries, graft.operators.History.queries,
+      graft.operators.Changesets.queries, graft.operators.Replication.queries,
+      graft.operators.Geometry.queries, graft.operators.Contributions.queries,
+      graft.operators.Dedup.queries, graft.operators.TextOps.queries,
+      graft.operators.Ann.queries, graft.operators.Multimodal.queries,
+      graft.operators.Skew.queries, graft.operators.Temporal.queries,
+      graft.operators.Sampling.queries, graft.operators.ChangesetCatchup.queries,
+      graft.operators.Events.queries, graft.operators.Sketches.queries)
+    val flat = perModule.flatMap(_.keys)
+    val dupes = flat.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    assert(dupes.isEmpty, s"duplicate driver keys across modules: ${dupes.mkString(", ")}")
+    assert(flat.size == SparkEntry.queries.size)
+  }
+
   test("driver contract: every oracle key has a query; all queries run at sf0.001") {
     val qs = SparkEntry.queries
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
