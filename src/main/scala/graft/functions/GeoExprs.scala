@@ -671,6 +671,7 @@ object GeoFunctions {
     "langscores5" -> (es => LangScores5(es(0))),
     "bpepairs" -> (es => BpePairs(es(0))),
     "md5head48" -> (es => Md5Head48(es(0))),
+    "deconstats" -> (es => DeconStats(es(0), es(1))),
     "bloom_might_contain" -> (es => BloomMightContain(es(0), es(1))))
 
   def register(spark: SparkSession): Unit =

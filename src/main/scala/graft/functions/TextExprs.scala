@@ -273,6 +273,61 @@ object TextKernels {
       ((h(3) & 0xffL) << 16) | ((h(4) & 0xffL) << 8) | (h(5) & 0xffL)
   }
 
+  /** Bloom position j of a 48-bit key hash in a `bits`-wide bitmap — the
+    * shared double-hash family (Sketches constants), identical to the
+    * Column form in Dedup.bloomPos and the oracle's SQL expansion.
+    * `(h % FoldP) ≤ 9.5e7` times `KnuthA + 2j + 1 ≤ 2.7e9` stays inside a
+    * long.
+    */
+  def bloomPos(j: Int, h: Long, bits: Long): Long =
+    (((h % graft.operators.Sketches.FoldP) *
+      (graft.operators.Sketches.KnuthA + 2 * j + 1) +
+      graft.operators.Sketches.HashB * (j + 1)) %
+      graft.operators.Sketches.HashP) % bits
+
+  /** Decontamination statistics of ONE document in ONE pass:
+    * `[n_grams, n_bloom_hits, n_true_hits]` of its distinct word-trigram
+    * set (same gram definition as [[wordGrams3]]) against a benchmark
+    * artifact (k=4 Bloom bitmap + the exact gram set, sorted for binary
+    * search). This is the scan-side form of the `dedup_bloom`
+    * explode→probe→join→groupBy pipeline: split, dedup, bitmap gate (no
+    * false negatives) and the O(log |bench|) exact check for
+    * bloom-positive grams all fuse into one kernel call — no
+    * intermediate gram array, no exchange — so a composed curation plan
+    * gets the per-doc contamination verdict at tokenization cost.
+    */
+  def deconStats(text: UTF8String, bits: Long, bitmap: Array[Long],
+      bench: Array[AnyRef]): Array[Long] = {
+    val w = text.toString.split(" ", -1)
+    if (w.length < 3) return Array(0L, 0L, 0L)
+    val seen = new java.util.HashSet[String](w.length * 2)
+    var n = 0L
+    var bloom = 0L
+    var tru = 0L
+    var i = 0
+    while (i + 2 < w.length) {
+      val g = w(i) + " " + w(i + 1) + " " + w(i + 2)
+      if (seen.add(g)) {
+        n += 1
+        val gu = UTF8String.fromString(g)
+        val h = md5Head48(gu)
+        var maybe = true
+        var j = 0
+        while (maybe && j < 4) {
+          val p = bloomPos(j, h, bits)
+          maybe = (bitmap((p >> 6).toInt) & (1L << (p & 63).toInt)) != 0
+          j += 1
+        }
+        if (maybe) {
+          bloom += 1
+          if (java.util.Arrays.binarySearch(bench, gu) >= 0) tru += 1
+        }
+      }
+      i += 1
+    }
+    Array(n, bloom, tru)
+  }
+
   private val saltBytes: Array[Array[Byte]] =
     (0 until 8).map(j => s"|$j".getBytes(StandardCharsets.UTF_8)).toArray
 
@@ -688,6 +743,56 @@ case class Md5Head48(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Md5Head48 =
     copy(child = newChild)
+}
+
+/** `deconstats(text, artifact)` → `[n_grams, n_bloom_hits,
+  * n_true_hits]` (TextKernels.deconStats). `artifact` is a foldable
+  * struct literal `(bits BIGINT, bitmap ARRAY<BIGINT>, bench
+  * ARRAY<STRING>)` — the benchmark decontamination artifact, evaluated
+  * ONCE per expression instance into a sorted probe set (the
+  * [[BloomMightContain]] bound-artifact pattern), so the per-row cost is
+  * the kernel's single pass. At 100 TB the artifact rides the closure as
+  * a broadcast-scale object exactly like a broadcast-join hash relation;
+  * the fact side stays scan-shaped.
+  */
+case class DeconStats(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "deconstats"
+
+  @transient private lazy val artifact: (Long, Array[Long], Array[AnyRef]) = {
+    val r = right.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    val bits = r.getLong(0)
+    val bitmap = r.getArray(1).toLongArray()
+    val bench = r.getArray(2).toObjectArray(StringType)
+    // binary search wants the probe set in UTF8String natural order;
+    // sorting here (once per instance) frees the caller from a contract
+    java.util.Arrays.sort(bench, null)
+    (bits, bitmap, bench)
+  }
+
+  override protected def nullSafeEval(text: Any, ignored: Any): Any =
+    evalPublic(text.asInstanceOf[UTF8String])
+
+  /** Codegen entry point (generated code can't see the protected eval). */
+  def evalPublic(text: UTF8String)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val (bits, bitmap, bench) = artifact
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextKernels.deconStats(text, bits, bitmap, bench))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("deconExpr", this, classOf[DeconStats].getName)
+    defineCodeGen(ctx, ev, (g, _) => s"$ref.evalPublic($g)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DeconStats =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `bpepairs(text)` → map<pair, count> of adjacent char pairs inside

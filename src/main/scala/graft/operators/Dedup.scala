@@ -569,6 +569,28 @@ object Dedup {
 
   // ---- oracle SQL -----------------------------------------------------
 
+  /** SQL twins of the Bloom machinery, shared by the `dedup_bloom` oracle
+    * and `pipe_curate`'s composed decontamination gate. The width CTE
+    * replays [[bloomBitsFor]] exactly: smallest power of two ≥ 8·|bench|
+    * from an integer VALUES list — no float log2 whose rounding could
+    * flip a boundary. The list covers 2^12..2^40 (bench sets to ~137 G
+    * grams — far past oracle scale); the `error()` coalesce makes an
+    * out-of-range scale fail LOUDLY instead of nulling every probe
+    * (`min` over an empty filter is NULL).
+    */
+  private[operators] val bloomPosSql: String = (0 until 4).map(j =>
+    s"(((h % ${Sketches.FoldP}) * ${Sketches.KnuthA + 2 * j + 1} + ${Sketches.HashB * (j + 1)}) % ${Sketches.HashP}) % bw.bits AS p$j")
+    .mkString(", ")
+  private[operators] val bloomInChecksSql: String =
+    (0 until 4).map(j => s"p$j IN (SELECT p FROM bpos)").mkString(" AND ")
+  private[operators] val bloomWidthsSql: String =
+    (12 to 40).map(b => s"(${1L << b})").mkString(",")
+  private[operators] val bloomWidthSelectSql: String =
+    s"""SELECT coalesce(min(v),
+       |    error('bench gram count exceeds the oracle bloom width list'))
+       |    AS bits
+       |  FROM (VALUES $bloomWidthsSql) t(v)""".stripMargin
+
   private val sigSql = {
     val mhs = (0 until NumHashes).map(j =>
       s"list_min(list_transform(shingles, x -> md5(x || '|$j'))) AS mh$j").mkString(",\n       ")
@@ -655,15 +677,8 @@ object Dedup {
         |WHERE c.doc_id % 101 <> 0
         |GROUP BY c.doc_id""".stripMargin,
     "dedup_bloom" -> {
-      val pj = (0 until 4).map(j =>
-        s"(((h % ${Sketches.FoldP}) * ${Sketches.KnuthA + 2 * j + 1} + ${Sketches.HashB * (j + 1)}) % ${Sketches.HashP}) % bw.bits AS p$j")
-        .mkString(", ")
-      val inChecks = (0 until 4).map(j => s"p$j IN (SELECT p FROM bpos)").mkString(" AND ")
-      // the width CTE replays bloomBitsFor exactly: smallest power of two
-      // ≥ 8·|bench| from an integer VALUES list — no float log2 whose
-      // rounding could flip a boundary (list covers oracle scales; the
-      // Spark side computes any power of two)
-      val widths = (12 to 24).map(b => s"(${1L << b})").mkString(",")
+      val pj = bloomPosSql
+      val inChecks = bloomInChecksSql
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |grams AS (
          |  SELECT doc_id,
@@ -673,7 +688,7 @@ object Dedup {
          |    ELSE [] END AS gs
          |  FROM toks),
          |bench AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 101 = 0),
-         |bw AS (SELECT min(v) AS bits FROM (VALUES $widths) t(v)
+         |bw AS ($bloomWidthSelectSql
          |  WHERE v >= 8 * (SELECT count(*) FROM bench)),
          |bh AS (SELECT CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT) AS h
          |  FROM bench, bw),

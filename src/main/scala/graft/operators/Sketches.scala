@@ -28,14 +28,14 @@ object Sketches {
   /** Modulus for the first fold: a prime, so the fold is close to
     * uniform; small enough that `u0 * KnuthA` cannot overflow a long.
     */
-  private[operators] val FoldP = 94906249L
+  private[graft] val FoldP = 94906249L
 
   /** Knuth's multiplicative constant and an offset prime. */
-  private[operators] val KnuthA = 2654435761L
-  private[operators] val HashB = 104729L
+  private[graft] val KnuthA = 2654435761L
+  private[graft] val HashB = 104729L
 
   /** Hash range: the prime 2^52 - 47 — products stay inside a long. */
-  private[operators] val HashP = 4503599627370449L
+  private[graft] val HashP = 4503599627370449L
 
   /** HLL register count (m = 64 → alpha = 0.709 per the HLL paper). */
   private val HllM = 64

@@ -302,20 +302,64 @@ object TextOps {
     * language gate (keep predicted 'en'), quality gate (≥10 words,
     * punctuation ≤ 30 % by the integer cross-multiplication
     * `(len−clean)·10 ≤ len·3` — no float threshold can flip cross-engine),
-    * repetition gate (duplicate trigrams ≤ 20 %, same integer rule), and
-    * exact-dedup gate (first doc per sorted-distinct-token md5 wins).
+    * repetition gate (duplicate trigrams ≤ 20 %, same integer rule),
+    * exact-dedup gate (first doc per sorted-distinct-token md5 wins), and
+    * the benchmark-decontamination gate (zero exact word-trigram hits
+    * against the held-out benchmark docs, Bloom-gated like the standalone
+    * `dedup_bloom`, with the same per-doc `n_fp` false-positive audit).
     * Verdict + first-failing-stage reason per doc — what a real curation
-    * run materializes before dropping rows.
+    * run materializes before dropping rows. Benchmark docs themselves
+    * (doc_id % 101 = 0) gate out as contaminated — by construction their
+    * grams all hit — which is the verdict a curation run wants for them.
     *
     * Scale shape: every signal is scan-side expression work over the SAME
-    * single documents scan (chaining the four standalone operators would
-    * scan and shuffle four times); the only exchange is the fingerprint
-    * window for the dedup gate. 100 TB cost = one pass + one keyed
-    * exchange, identical to `text_fingerprint` alone.
+    * single documents scan (chaining the five standalone operators would
+    * scan and shuffle five times); the only exchange is the fingerprint
+    * window for the dedup gate. The decontamination artifact (bench gram
+    * set + data-derived Bloom bitmap) is built by a separate
+    * artifact-scale job and bound into the `deconstats` kernel the way a
+    * broadcast join binds its hash relation, so the fact side stays one
+    * pass + one keyed exchange, identical to `text_fingerprint` alone.
     */
+  /** Benchmark-decontamination artifact per corpus dir: the held-out
+    * docs' distinct gram set (artifact-scale — the premise of
+    * decontamination is |bench| ≪ corpus) and the k=4 bitmap at the
+    * data-derived dedup_bloom width. Memoized by dir because building it
+    * runs a (small) Spark job at DataFrame-construction time — a plan
+    * audit or a bench rep should not re-pay a job for an immutable
+    * artifact (the corpus dirs here are write-once).
+    */
+  private val deconArtifactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Array[Long], Array[String])]()
+
+  private def deconArtifact(s: SparkSession, dir: String): (Long, Array[Long], Array[String]) =
+    deconArtifactCache.computeIfAbsent(dir, _ => {
+      import graft.functions.TextKernels
+      val benchGrams = Tables.documents(s, dir)
+        .filter(col("doc_id") % 101 === 0)
+        .select(explode(call_function("wgrams3", col("text"))).as("g"))
+        .distinct().collect().map(_.getString(0))
+      val bits = Dedup.bloomBitsFor(benchGrams.length.toLong)
+      val bitmap = Array.fill((bits / 64).toInt)(0L)
+      benchGrams.foreach { g =>
+        val h = TextKernels.md5Head48(
+          org.apache.spark.unsafe.types.UTF8String.fromString(g))
+        var j = 0
+        while (j < 4) {
+          val p = TextKernels.bloomPos(j, h, bits)
+          bitmap((p >> 6).toInt) |= 1L << (p & 63).toInt
+          j += 1
+        }
+      }
+      (bits, bitmap, benchGrams)
+    })
+
   def pipeCurate(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GeoFunctions.register(s)
+    val (bits, bitmap, benchGrams) = deconArtifact(s, dir)
+    val artifact = struct(lit(bits), typedLit(bitmap.toSeq),
+      typedLit(benchGrams.toSeq))
     val base = Tables.documents(s, dir)
       .withColumn("toks", expr(toksExpr))
       .withColumn("ls", call_function("langscores5", col("text")))
@@ -339,6 +383,7 @@ object TextOps {
       .withColumn("n_grams", expr("st[2]"))
       .withColumn("n_gram_dist", expr("st[3]"))
       .withColumn("fp", md5(expr("concat_ws(' ', array_sort(array_distinct(toks)))")))
+      .withColumn("dc", call_function("deconstats", col("text"), artifact))
       .withColumn("keep_id", min("doc_id").over(Window.partitionBy("fp")))
       .withColumn("ok_lang", col("pred_lang") === lit("en"))
       .withColumn("ok_quality", col("n_words") >= 10 &&
@@ -346,16 +391,20 @@ object TextOps {
       .withColumn("ok_rep",
         (col("n_grams") - col("n_gram_dist")) * 5 <= col("n_grams"))
       .withColumn("ok_uniq", col("doc_id") === col("keep_id"))
+      .withColumn("n_fp", expr("dc[1] - dc[2]"))
+      .withColumn("ok_decon", expr("dc[2] = 0"))
       .withColumn("keep",
-        col("ok_lang") && col("ok_quality") && col("ok_rep") && col("ok_uniq"))
+        col("ok_lang") && col("ok_quality") && col("ok_rep") &&
+          col("ok_uniq") && col("ok_decon"))
       .withColumn("reason",
         when(!col("ok_lang"), "lang")
           .when(!col("ok_quality"), "quality")
           .when(!col("ok_rep"), "repetition")
           .when(!col("ok_uniq"), "duplicate")
+          .when(!col("ok_decon"), "contaminated")
           .otherwise("kept"))
       .select("doc_id", "pred_lang", "n_words", "ok_lang", "ok_quality",
-        "ok_rep", "ok_uniq", "keep", "reason")
+        "ok_rep", "ok_uniq", "n_fp", "ok_decon", "keep", "reason")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -379,6 +428,8 @@ object TextOps {
     val m = s"greatest(${Models.map("s_" + _._1).mkString(", ")})"
     val pred = "CASE " + Models.map { case (l, _) => s"WHEN s_$l = $m THEN '$l'" }
       .mkString(" ") + " END"
+    val pj = Dedup.bloomPosSql
+    val inChecks = Dedup.bloomInChecksSql
     s"""WITH t0 AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
        |t1 AS (SELECT doc_id, text, toks, $scores FROM t0),
        |t2 AS (SELECT doc_id,
@@ -393,19 +444,49 @@ object TextOps {
        |      ELSE CAST([] AS VARCHAR[]) END AS grams3,
        |    md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
        |  FROM t1),
+       |dg AS (SELECT doc_id,
+       |    CASE WHEN len(w) >= 3 THEN
+       |      list_distinct(list_transform(range(1, len(w) - 1),
+       |                    i -> array_to_string(w[i:i+2], ' ')))
+       |    ELSE [] END AS gs
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+       |bench AS (SELECT DISTINCT unnest(gs) AS g FROM dg WHERE doc_id % 101 = 0),
+       |bw AS (${Dedup.bloomWidthSelectSql}
+       |  WHERE v >= 8 * (SELECT count(*) FROM bench)),
+       |bh AS (SELECT CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT) AS h
+       |  FROM bench, bw),
+       |bp AS (SELECT $pj FROM bh, bw),
+       |bpos AS (SELECT DISTINCT p FROM (
+       |  SELECT p0 AS p FROM bp UNION ALL SELECT p1 FROM bp
+       |  UNION ALL SELECT p2 FROM bp UNION ALL SELECT p3 FROM bp)),
+       |tg AS (SELECT c.doc_id, u.g AS g,
+       |    CAST(('0x' || substr(md5(u.g), 1, 12)) AS BIGINT) AS h
+       |  FROM dg c, unnest(c.gs) AS u(g)),
+       |tp AS (SELECT doc_id, g, $pj FROM tg, bw),
+       |fl AS (SELECT doc_id, ($inChecks) AS maybe,
+       |    g IN (SELECT g FROM bench) AS th FROM tp),
+       |dstats AS (SELECT doc_id,
+       |    CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END)
+       |      - sum(CASE WHEN th THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+       |    CAST(sum(CASE WHEN th THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+       |  FROM fl GROUP BY doc_id),
        |t3 AS (SELECT doc_id, pred_lang, n_words,
        |    pred_lang = 'en' AS ok_lang,
        |    n_words >= 10 AND (len - clean_len) * 10 <= len * 3 AS ok_quality,
        |    (CAST(len(grams3) AS BIGINT) - CAST(len(list_distinct(grams3)) AS BIGINT)) * 5
        |      <= CAST(len(grams3) AS BIGINT) AS ok_rep,
-       |    doc_id = min(doc_id) OVER (PARTITION BY fp) AS ok_uniq
-       |  FROM t2)
+       |    doc_id = min(doc_id) OVER (PARTITION BY fp) AS ok_uniq,
+       |    coalesce(ds.n_fp, CAST(0 AS BIGINT)) AS n_fp,
+       |    coalesce(ds.n_true, CAST(0 AS BIGINT)) = 0 AS ok_decon
+       |  FROM t2 LEFT JOIN dstats ds USING (doc_id))
        |SELECT doc_id, pred_lang, n_words, ok_lang, ok_quality, ok_rep, ok_uniq,
-       |  ok_lang AND ok_quality AND ok_rep AND ok_uniq AS keep,
+       |  n_fp, ok_decon,
+       |  ok_lang AND ok_quality AND ok_rep AND ok_uniq AND ok_decon AS keep,
        |  CASE WHEN NOT ok_lang THEN 'lang'
        |       WHEN NOT ok_quality THEN 'quality'
        |       WHEN NOT ok_rep THEN 'repetition'
        |       WHEN NOT ok_uniq THEN 'duplicate'
+       |       WHEN NOT ok_decon THEN 'contaminated'
        |       ELSE 'kept' END AS reason
        |FROM t3 ORDER BY doc_id""".stripMargin
   }

@@ -856,7 +856,12 @@ class PipelineSpec extends SparkSpec {
       (3L, "dup dup dup dup dup dup dup dup dup dup dup", "de"), // lang gate
       (4L, "the join!!! ??? ### $$$ %%% &&& *** ((( ))) @@@", "en"), // punct gate
       (5L, "short text", "en"),                                // <10 words gate
-      (6L, "order table " * 12, "en")  // repetition gate (en-favored words)
+      (6L, "order table " * 12, "en"), // repetition gate (en-favored words)
+      // 101 % 101 = 0 → benchmark doc: OOV words (no trigram shared with
+      // docs 1-6), passes every text gate, then gates out contaminated by
+      // its own grams; doc 7 embeds one of its trigrams → contaminated
+      (101L, "zeta eta theta iota kappa lambda mu nu xi omicron pi rho", "en"),
+      (7L, "the hash join order by key group filter sort merge kappa lambda mu", "en")
     ).toDF("doc_id", "text", "lang")
       .withColumn("source", lit("crafted"))
       .withColumn("n_chars", length(col("text")).cast("long"))
@@ -871,6 +876,10 @@ class PipelineSpec extends SparkSpec {
     assert(got(4L)._2 === "quality")
     assert(got(5L)._2 === "quality")
     assert(got(6L)._2 === "repetition", s"got ${got(6L)}")
+    assert(got(101L) === ((false, "contaminated")),
+      s"benchmark doc must gate out on its own grams, got ${got(101L)}")
+    assert(got(7L) === ((false, "contaminated")),
+      s"doc sharing a bench trigram must gate out, got ${got(7L)}")
     // on the sf corpus, gate flags must agree with the standalone operators
     val pc = TextOps.pipeCurate(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r).toMap
@@ -881,6 +890,23 @@ class PipelineSpec extends SparkSpec {
     pc.foreach { case (id, r) =>
       assert(r.getAs[Boolean]("ok_lang") === (lang(id) == "en"))
       assert(r.getAs[Boolean]("ok_uniq") === fp(id))
+    }
+    // the composed decon gate must match the standalone dedup_bloom audit
+    // per training doc (bench docs are absent from the standalone output;
+    // the pipeline marks them contaminated by construction)
+    val bl = Dedup.dedupBloom(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_fp"), r.getAs[Long]("n_true_hits")))).toMap
+    assert(bl.nonEmpty)
+    bl.foreach { case (id, (nfp, ntrue)) =>
+      val r = pc(id)
+      assert(r.getAs[Long]("n_fp") === nfp, s"n_fp diverges for doc $id")
+      assert(r.getAs[Boolean]("ok_decon") === (ntrue == 0L),
+        s"ok_decon diverges for doc $id")
+    }
+    pc.keys.filter(_ % 101 == 0).foreach { id =>
+      assert(!pc(id).getAs[Boolean]("ok_decon"),
+        s"benchmark doc $id must not pass the decon gate")
     }
   }
 

@@ -202,15 +202,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffleCount(p) <= 5, s"evt_concurrency grew extra exchanges:\n$p")
   }
 
-  test("pipe_curate: four gates share one scan and one keyed exchange") {
+  test("pipe_curate: five gates share one scan and one keyed exchange") {
     val p = plans("pipe_curate")
     // the composed pipeline must cost what text_fingerprint costs alone —
-    // all gate signals are expression work on the SAME scan, and only the
-    // dedup window exchanges (chaining the standalone ops would scan 4×)
+    // all gate signals (incl. the r11 deconstats decontamination gate,
+    // whose bench artifact binds into the kernel like a broadcast hash
+    // relation) are expression work on the SAME scan, and only the dedup
+    // window exchanges (chaining the standalone ops would scan 5×)
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
       s"pipe_curate must scan documents exactly once:\n$p")
     assert(shuffleCount(p) <= 1, s"pipe_curate grew extra exchanges:\n$p")
     assert(!p.contains("Join"), "gates must compose as expressions, not joins")
+    assert(p.contains("deconstats"),
+      s"the decontamination gate must ride the composed scan:\n$p")
   }
 
   test("emb_outliers: map-only assignment, K-row stats broadcast back") {
