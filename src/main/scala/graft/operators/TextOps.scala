@@ -298,6 +298,79 @@ object TextOps {
       .select("rnk", "pair", "n")
   }
 
+  /** Number of BPE merge rounds the trainer learns. */
+  private[operators] val BpeRounds = 5
+
+  /** Iterative BPE tokenizer training (Sennrich et al. 2016): the full
+    * count→merge→recount loop for [[BpeRounds]] merges, not just the
+    * round-1 candidate table of [[textBpePairs]]. Emits one row per
+    * learned merge: `(round, pair, merged, n)` with the deterministic
+    * (count desc, pair asc) tiebreak.
+    *
+    * Scale shape — the reason BPE trains at web scale: the corpus is
+    * touched ONCE, collapsing into the word-frequency dictionary (one
+    * scan + one exchange, vocabulary-sized output ≪ corpus). Every merge
+    * round then runs on the dictionary alone: pair counts are a
+    * freq-weighted explode + partial-aggregating groupBy over vocab rows,
+    * the argmax is a 1-row TakeOrdered collect (bounded, like the k-means
+    * centroid loop), and applying the merge is map-side `replace` on the
+    * space-delimited symbol string — greedy left-to-right non-overlapping
+    * in both engines, exactly the reference algorithm's regex sub. The
+    * driver loop is [[BpeRounds]] bounded iterations; all data work is
+    * declarative.
+    */
+  def textBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // corpus → word-frequency dict; words under 2 chars can never hold a
+    // pair (symbols only grow), so the dict drops them up front
+    val dict0 = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("f"))
+      // initial symbolization: code-point chars joined by ' ' (the symbol
+      // separator; symbols themselves never contain spaces)
+      .select(array_join(expr("filter(split(word, ''), c -> c <> '')"), " ")
+        .as("s"), col("f"))
+      .localCheckpoint(eager = true)
+    var dict = dict0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= BpeRounds && !exhausted) {
+      val top = dict
+        .select(col("f"), expr("split(s, ' ')").as("sy"))
+        // fully-merged words collapse to one symbol: sequence(0, -1)
+        // DESCENDS in Spark rather than being empty, so guard explicitly
+        .select(col("f"), explode(expr(
+          "CASE WHEN size(sy) >= 2 THEN transform(sequence(0, size(sy) - 2), " +
+            "i -> concat(sy[i], ' ', sy[i+1])) ELSE array() END"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("f").as("n"))
+        .orderBy(desc("n"), asc("pair")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        val n = top(0).getLong(1)
+        val merged = pair.replace(" ", "")
+        merges += ((round, pair, merged, n))
+        // greedy left-to-right merge, reference-equivalent: a plain
+        // single-space replace under-merges alternating runs ("a b a b"
+        // merges once — the trailing space of one match is the leading
+        // space of the next), so the separators are DOUBLED first: every
+        // occurrence then owns its boundary spaces, the doubled pattern
+        // ' a  b ' matches exactly the lookaround-regex positions, and
+        // the doubles collapse back afterwards
+        val (a, b) = (pair.split(" ")(0), pair.split(" ")(1))
+        dict = dict.withColumn("s",
+          trim(replace(replace(
+            concat(lit(" "), replace(col("s"), lit(" "), lit("  ")), lit(" ")),
+            lit(s" $a  $b "), lit(s" $merged ")), lit("  "), lit(" "))))
+        round += 1
+      }
+    }
+    merges.toSeq.toDF("round", "pair", "merged", "n")
+  }
+
   /** The whole pretraining-curation pipeline as ONE declarative plan:
     * language gate (keep predicted 'en'), quality gate (≥10 words,
     * punctuation ≤ 30 % by the integer cross-multiplication
@@ -409,6 +482,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_curate" -> (pipeCurate _),
+    "text_bpe_train" -> (textBpeTrain _),
     "text_bpe_pairs" -> (textBpePairs _),
     "text_bigram_lm" -> (textBigramLm _),
     "text_repetition" -> (textRepetition _),
@@ -491,8 +565,42 @@ object TextOps {
        |FROM t3 ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB replay of the full [[textBpeTrain]] loop: one CTE triple
+    * (pair counts → argmax merge → merged dictionary) per round, chained
+    * from the same word-frequency dict, with the same greedy
+    * space-delimited `replace` merge.
+    */
+  private def bpeTrainSql: String = {
+    val w0 =
+      """w0 AS (SELECT
+        |    array_to_string(list_filter(string_split(word, ''), c -> c <> ''), ' ') AS s,
+        |    f
+        |  FROM (SELECT word, CAST(count(*) AS BIGINT) AS f
+        |        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |        WHERE length(word) >= 2 GROUP BY word))""".stripMargin
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""p$r AS (SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM (
+         |    SELECT f, unnest(list_transform(range(1, len(sy)),
+         |        i -> sy[i] || ' ' || sy[i+1])) AS pair
+         |    FROM (SELECT string_split(s, ' ') AS sy, f FROM w${r - 1}))
+         |  GROUP BY pair),
+         |m$r AS (SELECT pair, replace(pair, ' ', '') AS merged, n
+         |  FROM p$r ORDER BY n DESC, pair LIMIT 1),
+         |w$r AS (SELECT trim(replace(replace(
+         |    ' ' || replace(s, ' ', '  ') || ' ',
+         |    ' ' || replace((SELECT pair FROM m$r), ' ', '  ') || ' ',
+         |    ' ' || (SELECT merged FROM m$r) || ' '), '  ', ' ')) AS s, f
+         |  FROM w${r - 1})""".stripMargin
+    }
+    val sel = (1 to BpeRounds)
+      .map(r => s"SELECT $r AS round, pair, merged, n FROM m$r")
+      .mkString("\nUNION ALL ")
+    s"WITH $w0,\n${rounds.mkString(",\n")}\n$sel\nORDER BY round"
+  }
+
   val oracles: Map[String, String] = Map(
     "pipe_curate" -> pipeCurateSql,
+    "text_bpe_train" -> bpeTrainSql,
     "text_bpe_pairs" ->
       s"""WITH t AS (SELECT unnest($toksSql) AS t FROM documents),
          |cs AS (SELECT string_split(t, '') AS c FROM t WHERE length(t) >= 2),

@@ -910,6 +910,40 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("text_bpe_train: merges replay a hand-computed corpus and compose from prior rounds") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpetrain").toString
+    // dict: abab f=3, ab f=2 → round 1 merges 'a b' (2·3 + 1·2 = 8),
+    // round 2 merges 'ab ab' (3), round 3 finds no pairs → 2 rows
+    Seq((1L, "abab abab abab", "en"), (2L, "ab ab", "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("crafted"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.textBpeTrain(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1, "a b", "ab", 8L), (2, "ab ab", "abab", 3L)),
+      s"got ${got.toSeq}")
+    // on the sf corpus: full round count, non-increasing counts, and every
+    // round-k pair is built from single chars or earlier rounds' merges —
+    // the vocabulary-containment property of a correct BPE loop
+    val rows = TextOps.textBpeTrain(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.length === 5)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 <= a._4, s"merge count must be non-increasing: $a -> $b")
+    }
+    rows.zipWithIndex.foreach { case ((k, pair, merged, _), i) =>
+      assert(pair.replace(" ", "") === merged)
+      val earlier = rows.take(i).map(_._3).toSet
+      pair.split(" ").foreach { sym =>
+        assert(sym.codePointCount(0, sym.length) == 1 || earlier.contains(sym),
+          s"round-$k symbol '$sym' is neither a char nor an earlier merge")
+      }
+    }
+  }
+
   test("mm_audio: features replay hand-computed sample math through the decode path") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mmaudio").toString
