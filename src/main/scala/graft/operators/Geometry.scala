@@ -412,9 +412,20 @@ object Geometry {
     * hash-partitioned on its own cell key, and the top-5 rank is
     * WindowGroupLimit-pruned map-side.
     */
+  /** Point-count per corpus dir, memoized: the adaptive edge needs the
+    * scan's row count at plan-CONSTRUCTION time, and without the cache
+    * merely building the plan (explain, plan audits, every bench rep)
+    * re-ran a full count job. A deployment would read the catalog row
+    * count; the dirs here are write-once, so one count per dir is its
+    * moral equivalent.
+    */
+  private val knnCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   def geoKnn(s: SparkSession, dir: String): DataFrame = {
     val pts = points(s, dir)
-    val edge = knnEdgeFor(pts.count())
+    val edge = knnEdgeFor(
+      knnCountCache.computeIfAbsent(dir, _ => pts.count()))
     val p = pts
       .withColumn("cx", expr(s"xi div $edge"))
       .withColumn("cy", expr(s"yi div $edge"))

@@ -100,6 +100,15 @@ object LshIndex {
     * without touching the rest of the store. This is the replay gate for
     * the streaming ingest face — an at-least-once redelivered batch finds
     * its ids here and appends nothing.
+    *
+    * CONTRACT: documents are immutable per doc_id. The gate keys on id
+    * presence under the BATCH's band keys — exact when a redelivery
+    * carries the same text (same signature → same band keys → the lookup
+    * opens the buckets holding the id's rows), but a doc_id re-delivered
+    * with DIFFERENT text computes different band keys, may miss its old
+    * rows, and would append a second generation of band rows for the same
+    * id. Mutable corpora need an upsert path (tombstone old band rows by
+    * id, like [[IvfIndex]]'s latest-wins cells), not this gate.
     */
   def indexedIds(spark: SparkSession, indexDir: String, batchSigs: DataFrame,
       numBuckets: Int = 64): DataFrame = {
