@@ -239,6 +239,13 @@ object Sketches {
   /** KMV sketch size. */
   private val KmvK = 64
 
+  /** Hard cap on the KMV pair frame's type domain: pairs are |types|²,
+    * which the operator's contract assumes is enum-scale. Past the cap
+    * the first [[KmvTypeCap]] types (sorted) are kept, the drop is
+    * logged, and `n_types_dropped` audits it in every output row.
+    */
+  private[operators] val KmvTypeCap = 64
+
   /** Second mixing round for KMV: unlike HLL (which reads only the LOW
     * bits of h64, fine for any input), KMV compares hash VALUES against
     * the full range — and for small inputs `u·A + B` never wraps HashP,
@@ -278,8 +285,20 @@ object Sketches {
       .select("event_type", "h")
       .localCheckpoint(true) // ≤ types·k rows — private materialization
     import s.implicits._
-    val types = kmv.select("event_type").distinct()
+    // |types|² contract, made explicit: the pair frame is quadratic in
+    // the type domain, which is fine for an enum-like key (~6 here) and
+    // catastrophic if someone points this at a high-cardinality column —
+    // so the domain is CAPPED at the first KmvTypeCap types (sorted, so
+    // the kept set is deterministic), the drop is logged, and the
+    // n_types_dropped audit column records it in the output
+    val allTypes = kmv.select("event_type").distinct()
       .collect().map(_.getString(0)).sorted
+    val types = allTypes.take(KmvTypeCap)
+    val nDropped = (allTypes.length - types.length).toLong
+    if (nDropped > 0)
+      System.err.println(s"[sketch_kmv] type domain ${allTypes.length} exceeds " +
+        s"cap $KmvTypeCap: dropping $nDropped types from the pair frame " +
+        "(KMV pair estimation is |types|^2 — this key expects an enum-like domain)")
     val pairs = types.combinations(2).map { case Array(a, b) => (a, b) }
       .toSeq.toDF("ta", "tb")
     val ua = pairs.join(kmv.select(col("event_type").as("ta"), col("h")), "ta")
@@ -306,7 +325,8 @@ object Sketches {
         expr(s"(m * ((${(KmvK - 1).toLong * HashP} div theta))) div $KmvK"))
       .join(exact, Seq("ta", "tb"), "left")
       .na.fill(0L, Seq("exact_n"))
-      .select("ta", "tb", "m", "kmv_est", "exact_n")
+      .withColumn("n_types_dropped", lit(nDropped))
+      .select("ta", "tb", "m", "kmv_est", "exact_n", "n_types_dropped")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -326,7 +346,12 @@ object Sketches {
          |    SELECT event_type, h,
          |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
          |    FROM hs) WHERE rn <= $KmvK),
-         |tps AS (SELECT DISTINCT event_type FROM kmv),
+         |tall AS (SELECT DISTINCT event_type FROM kmv),
+         |tps AS (SELECT event_type FROM (
+         |    SELECT event_type, row_number() OVER (ORDER BY event_type) AS rn
+         |    FROM tall) WHERE rn <= $KmvTypeCap),
+         |aud AS (SELECT CAST(greatest(count(*) - $KmvTypeCap, 0) AS BIGINT)
+         |    AS n_types_dropped FROM tall),
          |pairs AS (SELECT a.event_type AS ta, b.event_type AS tb
          |  FROM tps a JOIN tps b ON a.event_type < b.event_type),
          |uni AS (SELECT DISTINCT p.ta, p.tb, k.h
@@ -351,8 +376,10 @@ object Sketches {
          |SELECT th.ta, th.tb, CAST(coalesce(mm.m, 0) AS BIGINT) AS m,
          |  CAST((coalesce(mm.m, 0) * (${(KmvK - 1).toLong * HashP} // th.theta))
          |    // $KmvK AS BIGINT) AS kmv_est,
-         |  CAST(coalesce(ex.exact_n, 0) AS BIGINT) AS exact_n
+         |  CAST(coalesce(ex.exact_n, 0) AS BIGINT) AS exact_n,
+         |  aud.n_types_dropped
          |FROM theta th
+         |CROSS JOIN aud
          |LEFT JOIN mm ON mm.ta = th.ta AND mm.tb = th.tb
          |LEFT JOIN ex ON ex.ta = th.ta AND ex.tb = th.tb
          |ORDER BY 1, 2""".stripMargin,

@@ -699,6 +699,30 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("sketch_kmv: a high-cardinality type domain hits the cap and audits the drop") {
+    import spark.implicits._
+    // 70 synthetic types (2 users each) — 6 past the 64-type cap; types
+    // are zero-padded so the sorted keep-set is t00..t63
+    val dir = java.nio.file.Files.createTempDirectory("kmvcap").toString
+    val rows = for {
+      t <- 0 until 70
+      u <- 0 until 2
+    } yield (t.toLong * 100 + u, t.toLong * 1000L + u, (t * 2 + u).toLong,
+      f"t$t%02d", 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = operators.Sketches.sketchKmv(spark, dir).collect()
+    assert(got.nonEmpty)
+    val kept = got.flatMap(r => Seq(r.getAs[String]("ta"), r.getAs[String]("tb"))).toSet
+    assert(kept === (0 until 64).map(t => f"t$t%02d").toSet,
+      s"pair frame must only hold the first 64 sorted types, got ${kept.toSeq.sorted}")
+    assert(got.forall(_.getAs[Long]("n_types_dropped") === 6L),
+      "the audit column must record the 6 dropped types")
+    // at the sf corpus the enum domain is under the cap: audit stays 0
+    assert(operators.Sketches.sketchKmv(spark, sfDir).collect()
+      .forall(_.getAs[Long]("n_types_dropped") === 0L))
+  }
+
   test("sketch_hll_store: day-partitioned register merge equals the inline sketch") {
     val inline0 = operators.Sketches.sketchHll(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getAs[Long]("hll_est"), r.getAs[Long]("exact_n")))

@@ -202,6 +202,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffleCount(p) <= 5, s"evt_concurrency grew extra exchanges:\n$p")
   }
 
+  test("evt_concurrency: the global carry window reads the hour-folded frame") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // the single-partition carry prefix is safe ONLY because its input is
+    // the hour-folded aggregate (bounded by the hour domain — 87 660 rows
+    // per decade at any corpus size); a refactor feeding it the boundary
+    // table would funnel the corpus through one task. Pin the structure:
+    // the one empty-partition Window must sit directly on an Aggregate
+    // grouped exactly by hour.
+    val lp = graft.operators.Events.concurrency(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val globals = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    assert(globals.size === 1,
+      s"exactly one global window expected in evt_concurrency:\n$lp")
+    var node: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+      globals.head.child
+    var hops = 0
+    while (!node.isInstanceOf[Aggregate] && hops < 10) {
+      assert(!node.isInstanceOf[LWindow],
+        s"no other window may feed the carry before the hour fold:\n$lp")
+      assert(node.children.size === 1,
+        s"the carry input must be a straight pipeline to the fold:\n$lp")
+      node = node.children.head
+      hops += 1
+    }
+    node match {
+      case a: Aggregate =>
+        val keys = a.groupingExpressions.flatMap(_.references.map(_.name)).distinct
+        assert(keys === Seq("hour"),
+          s"the carry window's input must be folded to one row per hour, " +
+            s"got grouping $keys:\n$lp")
+      case other =>
+        fail(s"the carry window must read an hour-grouped Aggregate, got $other:\n$lp")
+    }
+  }
+
   test("pipe_curate: five gates share one scan and one keyed exchange") {
     val p = plans("pipe_curate")
     // the composed pipeline must cost what text_fingerprint costs alone —
