@@ -321,6 +321,16 @@ object TextOps {
     */
   def textBpeTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    bpeLoop(s, dir)._2.toDF("round", "pair", "merged", "n")
+  }
+
+  /** The shared trainer loop: runs [[BpeRounds]] count→merge→recount
+    * iterations and returns BOTH faces — the final word dictionary
+    * `(word, s, f)` with every merge applied (what the encoder joins
+    * against) and the learned merge list (what the trainer reports).
+    */
+  private def bpeLoop(s: SparkSession, dir: String)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
     // corpus → word-frequency dict; words under 2 chars can never hold a
     // pair (symbols only grow), so the dict drops them up front
     val dict0 = Tables.documents(s, dir)
@@ -329,8 +339,9 @@ object TextOps {
       .groupBy("word").agg(count(lit(1)).as("f"))
       // initial symbolization: code-point chars joined by ' ' (the symbol
       // separator; symbols themselves never contain spaces)
-      .select(array_join(expr("filter(split(word, ''), c -> c <> '')"), " ")
-        .as("s"), col("f"))
+      .select(col("word"),
+        array_join(expr("filter(split(word, ''), c -> c <> '')"), " ")
+          .as("s"), col("f"))
       .localCheckpoint(eager = true)
     var dict = dict0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -368,7 +379,32 @@ object TextOps {
         round += 1
       }
     }
-    merges.toSeq.toDF("round", "pair", "merged", "n")
+    (dict, merges.toSeq)
+  }
+
+  /** BPE ENCODING — the trainer's other face: tokenize the corpus with
+    * the learned merges and report per-doc token counts (`n_tokens_bpe`
+    * = symbols after all merges; the signal a pretraining pipeline
+    * feeds into sequence packing and per-doc cost accounting).
+    *
+    * Scale shape — the amortization every real tokenizer uses: the
+    * corpus is never re-symbolized per document. The trainer's final
+    * dictionary already holds each distinct WORD's merged symbolization,
+    * so encoding is one corpus scan exploded to words, a BROADCAST join
+    * against the vocab-sized dict, and a per-doc fold (one keyed
+    * exchange). Words under the dict's 2-char floor encode as one
+    * symbol, exactly what their char split would yield.
+    */
+  def textBpeApply(s: SparkSession, dir: String): DataFrame = {
+    val enc = bpeLoop(s, dir)._1
+      .select(col("word"), size(split(col("s"), " ")).as("n_syms"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(enc), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_syms").cast("long"), lit(1L))).as("n_tokens_bpe"))
   }
 
   /** The whole pretraining-curation pipeline as ONE declarative plan:
@@ -483,6 +519,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_curate" -> (pipeCurate _),
     "text_bpe_train" -> (textBpeTrain _),
+    "text_bpe_apply" -> (textBpeApply _),
     "text_bpe_pairs" -> (textBpePairs _),
     "text_bigram_lm" -> (textBigramLm _),
     "text_repetition" -> (textRepetition _),
@@ -570,9 +607,14 @@ object TextOps {
     * from the same word-frequency dict, with the same greedy
     * space-delimited `replace` merge.
     */
-  private def bpeTrainSql: String = {
+  /** The CTE chain both BPE oracles share: w0 (word-frequency dict,
+    * char-symbolized) and per-round (pair counts → argmax merge → merged
+    * dict), with `word` carried through so the apply oracle can join the
+    * final dictionary back to the corpus.
+    */
+  private def bpeChainSql: String = {
     val w0 =
-      """w0 AS (SELECT
+      """w0 AS (SELECT word,
         |    array_to_string(list_filter(string_split(word, ''), c -> c <> ''), ' ') AS s,
         |    f
         |  FROM (SELECT word, CAST(count(*) AS BIGINT) AS f
@@ -586,21 +628,38 @@ object TextOps {
          |  GROUP BY pair),
          |m$r AS (SELECT pair, replace(pair, ' ', '') AS merged, n
          |  FROM p$r ORDER BY n DESC, pair LIMIT 1),
-         |w$r AS (SELECT trim(replace(replace(
+         |w$r AS (SELECT word, trim(replace(replace(
          |    ' ' || replace(s, ' ', '  ') || ' ',
          |    ' ' || replace((SELECT pair FROM m$r), ' ', '  ') || ' ',
          |    ' ' || (SELECT merged FROM m$r) || ' '), '  ', ' ')) AS s, f
          |  FROM w${r - 1})""".stripMargin
     }
+    s"$w0,\n${rounds.mkString(",\n")}"
+  }
+
+  private def bpeTrainSql: String = {
     val sel = (1 to BpeRounds)
       .map(r => s"SELECT $r AS round, pair, merged, n FROM m$r")
       .mkString("\nUNION ALL ")
-    s"WITH $w0,\n${rounds.mkString(",\n")}\n$sel\nORDER BY round"
+    s"WITH $bpeChainSql\n$sel\nORDER BY round"
   }
+
+  private def bpeApplySql: String =
+    s"""WITH $bpeChainSql,
+       |enc AS (SELECT word, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_syms
+       |  FROM w$BpeRounds),
+       |dw AS (SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '')
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(coalesce(enc.n_syms, 1)) AS BIGINT) AS n_tokens_bpe
+       |FROM dw LEFT JOIN enc USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "pipe_curate" -> pipeCurateSql,
     "text_bpe_train" -> bpeTrainSql,
+    "text_bpe_apply" -> bpeApplySql,
     "text_bpe_pairs" ->
       s"""WITH t AS (SELECT unnest($toksSql) AS t FROM documents),
          |cs AS (SELECT string_split(t, '') AS c FROM t WHERE length(t) >= 2),

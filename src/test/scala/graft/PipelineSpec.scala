@@ -968,6 +968,37 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("text_bpe_apply: encoding counts replay the learned merges per doc") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpeapply").toString
+    // merges learned on this corpus: r1 'a b'→ab, r2 'ab ab'→abab; the
+    // final dict encodes abab and ab as ONE symbol each, and sub-dict
+    // single-char words ('a', 'b') encode as one symbol by the fallback
+    Seq((1L, "abab abab abab", "en"), (2L, "ab ab", "en"), (3L, "a b ab", "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("crafted"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.textBpeApply(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> ((3L, 3L)), 2L -> ((2L, 2L)), 3L -> ((3L, 3L))),
+      s"got $got")
+    // on the sf corpus: tokens never exceed the pre-merge symbol count
+    // and never undercut the word count (merges only shrink within words)
+    val chars = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id",
+        "size(filter(split(text, ' '), w -> w <> '')) AS nw",
+        "aggregate(transform(filter(split(text, ' '), w -> w <> ''), " +
+          "w -> size(filter(split(w, ''), c -> c <> ''))), 0, (a, x) -> a + x) AS nc")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1).toLong, r.getInt(2).toLong))).toMap
+    TextOps.textBpeApply(spark, sfDir).collect().foreach { r =>
+      val (nw, nc) = chars(r.getLong(0))
+      assert(r.getLong(1) === nw)
+      assert(r.getLong(2) <= nc && r.getLong(2) >= nw,
+        s"doc ${r.getLong(0)}: tokens ${r.getLong(2)} outside [$nw, $nc]")
+    }
+  }
+
   test("mm_audio: features replay hand-computed sample math through the decode path") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mmaudio").toString
