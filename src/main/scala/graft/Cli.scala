@@ -123,6 +123,18 @@ object Cli {
         val n = verdicts.groupBy("reason").count().collect()
           .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
         println(s"[graft] curate: $n")
+      case "tokenize" =>
+        // BPE tokenizer training + corpus encoding over a documents
+        // table: the learned merge table to outDir/merges, per-doc token
+        // counts to outDir/encoded — the train→encode flow a pretraining
+        // pipeline runs before sequence packing
+        operators.TextOps.textBpeTrain(spark, sfDir)
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/merges")
+        val enc = operators.TextOps.textBpeApply(spark, sfDir)
+          .localCheckpoint(true)
+        enc.write.mode("overwrite").parquet(s"$outDir/encoded")
+        val t = enc.selectExpr("sum(n_words)", "sum(n_tokens_bpe)").head()
+        println(s"[graft] tokenize: words=${t.getLong(0)} tokens=${t.getLong(1)}")
       case "replication-catchup" =>
         // optional 4th arg = max states per run (the reference's `--size`)
         val maxSteps = if (args.length == 4) args(3).toInt else Int.MaxValue

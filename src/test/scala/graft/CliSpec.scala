@@ -42,6 +42,21 @@ class CliSpec extends SparkSpec {
     assert(parts.size >= 2, s"expected multiple reasons, got $parts")
   }
 
+  test("cli tokenize writes the merge table and per-doc encodings") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft-cli").toString
+    Cli.main(Array("tokenize", sfDir, out))
+    val merges = spark.read.parquet(s"$out/merges")
+    val encoded = spark.read.parquet(s"$out/encoded")
+    assert(merges.count() === 5)
+    assert(merges.columns.toSeq === Seq("round", "pair", "merged", "n"))
+    // every doc with a non-empty text is encoded, tokens bounded below by
+    // words (merges only fuse within words)
+    assert(encoded.count() ===
+      Tables.documents(spark, sfDir).filter(col("text") =!= "").count())
+    assert(encoded.filter(col("n_tokens_bpe") < col("n_words")).count() === 0)
+  }
+
   test("cli changesets and replication write plain parquet") {
     val o1 = java.nio.file.Files.createTempDirectory("graft-cli").toString
     val o2 = java.nio.file.Files.createTempDirectory("graft-cli").toString

@@ -237,6 +237,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("text_bpe_apply: encode is a broadcast dict join, one corpus scan + one fold") {
+    val p = plans("text_bpe_apply")
+    // the corpus is never re-symbolized per doc: one documents scan,
+    // words joined against the BROADCAST vocab-sized dictionary (the
+    // checkpointed trainer output — not a parquet rescan), and the only
+    // shuffle is the per-doc fold
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+      s"text_bpe_apply must scan documents exactly once:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the dict join must broadcast:\n$p")
+    assert(shuffleCount(p) <= 1, s"text_bpe_apply grew extra exchanges:\n$p")
+  }
+
   test("pipe_curate: five gates share one scan and one keyed exchange") {
     val p = plans("pipe_curate")
     // the composed pipeline must cost what text_fingerprint costs alone —
