@@ -319,7 +319,44 @@ object Events {
         col("n_points"))
   }
 
+  /** Top-10 within-session 3-step event-type paths — the "how do users
+    * actually move through the product" query next to [[transitions]]'s
+    * global bigram matrix: a path counts only when all three events fall
+    * in ONE session (the gap rule of [[sessionize]]), with the
+    * deterministic (count desc, path asc) tiebreak.
+    *
+    * Scale shape: session breaks and both lookaheads ride the SAME
+    * per-user window partitioning — one hash exchange on `user_id` total
+    * (plan-pinned); the path aggregate lands in a ≤|types|³ key space
+    * with map-side partials, and the top-10 is TakeOrderedAndProject.
+    * Session boundaries are enforced by the lookahead BREAK flags (an
+    * event whose next or next-next row starts a new session emits no
+    * path), not by re-partitioning on (user, session).
+    */
+  def paths(s: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        tsS("ts").as("ts_s"))
+      .withColumn("prev_s", lag(col("ts_s"), 1).over(order))
+      .withColumn("brk",
+        when(col("prev_s").isNull || col("ts_s") - col("prev_s") > SessionGapS,
+          1L).otherwise(0L))
+      .withColumn("t1", lead(col("event_type"), 1).over(order))
+      .withColumn("t2", lead(col("event_type"), 2).over(order))
+      .withColumn("b1", lead(col("brk"), 1).over(order))
+      .withColumn("b2", lead(col("brk"), 2).over(order))
+      .filter(col("b1") === 0L && col("b2") === 0L)
+      .withColumn("path",
+        concat_ws(" > ", col("event_type"), col("t1"), col("t2")))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("path")).limit(10)
+      .withColumn("rnk", row_number().over(Window.orderBy(desc("n"), asc("path"))))
+      .select("rnk", "path", "n")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_paths" -> (paths _),
     "evt_concurrency" -> (concurrency _),
     "evt_sessionize" -> (sessionize _),
     "evt_funnel" -> (funnel _),
@@ -332,6 +369,28 @@ object Events {
     "evt_dau" -> (dau _))
 
   val oracles: Map[String, String] = Map(
+    "evt_paths" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR date_diff('second', lag(ts) OVER w, ts) > 14400
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), g2 AS (
+        |  SELECT event_type,
+        |    lead(event_type, 1) OVER w AS t1,
+        |    lead(event_type, 2) OVER w AS t2,
+        |    lead(brk, 1) OVER w AS b1,
+        |    lead(brk, 2) OVER w AS b2
+        |  FROM g WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), p AS (
+        |  SELECT event_type || ' > ' || t1 || ' > ' || t2 AS path,
+        |    count(*) AS n
+        |  FROM g2 WHERE b1 = 0 AND b2 = 0 GROUP BY 1
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, path) AS INT) AS rnk,
+        |  path, n
+        |FROM p ORDER BY n DESC, path LIMIT 10""".stripMargin,
     "evt_concurrency" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id,

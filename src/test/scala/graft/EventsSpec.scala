@@ -33,6 +33,38 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("evt_paths: trigram paths respect session boundaries and user isolation") {
+    import spark.implicits._
+    val gapNs = 14400L * 1000000000L
+    val secNs = 1000000000L
+    val t0 = 1700000000L * secNs
+    // user 1: A B C D (one session), >4 h break, E F G (second session);
+    // user 2: interleaved timestamps, A B only — no trigram of its own
+    // and none crossing users
+    val rows = Seq(
+      (1L, t0 + 0 * secNs, 1L, "A"), (2L, t0 + 1 * secNs, 1L, "B"),
+      (3L, t0 + 2 * secNs, 1L, "C"), (4L, t0 + 3 * secNs, 1L, "D"),
+      (5L, t0 + 3 * secNs + gapNs + secNs, 1L, "E"),
+      (6L, t0 + 3 * secNs + gapNs + 2 * secNs, 1L, "F"),
+      (7L, t0 + 3 * secNs + gapNs + 3 * secNs, 1L, "G"),
+      (8L, t0 + 0 * secNs, 2L, "A"), (9L, t0 + 1 * secNs, 2L, "B"))
+      .map { case (id, ts, u, t) => (id, ts, u, t, 1.0, "{}") }
+    val dir = java.nio.file.Files.createTempDirectory("paths").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Events.paths(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      (1, "A > B > C", 1L), (2, "B > C > D", 1L), (3, "E > F > G", 1L)),
+      s"got ${got.toSeq}")
+    // sf corpus: at most 10 dense ranks, counts non-increasing
+    val sf = Events.paths(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(2))).sortBy(_._1)
+    assert(sf.nonEmpty && sf.length <= 10)
+    assert(sf.map(_._1).toSeq === (1 to sf.length))
+    assert(sf.sliding(2).forall(w => w.length < 2 || w(1)._2 <= w(0)._2))
+  }
+
   test("evt_funnel: stage survivor sets shrink monotonically") {
     val stages = Events.funnel(spark, sfDir).collect()
       .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
