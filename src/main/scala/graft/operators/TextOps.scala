@@ -463,13 +463,26 @@ object TextOps {
       (bits, bitmap, benchGrams)
     })
 
-  def pipeCurate(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    graft.functions.GeoFunctions.register(s)
+  /** The decontamination artifact as a bindable Column literal — the
+    * `deconstats` second argument. Shared by [[pipeCurate]] and the
+    * streaming face ([[graft.streaming.CurateStream]]).
+    */
+  private[graft] def deconArtifactCol(s: SparkSession, dir: String) = {
     val (bits, bitmap, benchGrams) = deconArtifact(s, dir)
-    val artifact = struct(lit(bits), typedLit(bitmap.toSeq),
-      typedLit(benchGrams.toSeq))
-    val base = Tables.documents(s, dir)
+    struct(lit(bits), typedLit(bitmap.toSeq), typedLit(benchGrams.toSeq))
+  }
+
+  /** Every per-document curation signal EXCEPT the dedup verdict (which
+    * needs cross-document state): language scores + prediction, token/
+    * gram counts, the canonical fingerprint, the decontamination stats,
+    * and the four stateless gate flags. Shared verbatim by the batch
+    * [[pipeCurate]] (which adds the fingerprint window) and the
+    * streaming [[graft.streaming.CurateStream]] (which adds the
+    * fingerprint state store), so the two faces cannot drift.
+    */
+  private[graft] def curateSignals(docs: DataFrame,
+      artifact: org.apache.spark.sql.Column): DataFrame = {
+    val base = docs
       .withColumn("toks", expr(toksExpr))
       .withColumn("ls", call_function("langscores5", col("text")))
     val scored = Models.zipWithIndex.foldLeft(base) {
@@ -493,15 +506,21 @@ object TextOps {
       .withColumn("n_gram_dist", expr("st[3]"))
       .withColumn("fp", md5(expr("concat_ws(' ', array_sort(array_distinct(toks)))")))
       .withColumn("dc", call_function("deconstats", col("text"), artifact))
-      .withColumn("keep_id", min("doc_id").over(Window.partitionBy("fp")))
       .withColumn("ok_lang", col("pred_lang") === lit("en"))
       .withColumn("ok_quality", col("n_words") >= 10 &&
         (col("len") - col("clean_len")) * 10 <= col("len") * 3)
       .withColumn("ok_rep",
         (col("n_grams") - col("n_gram_dist")) * 5 <= col("n_grams"))
-      .withColumn("ok_uniq", col("doc_id") === col("keep_id"))
       .withColumn("n_fp", expr("dc[1] - dc[2]"))
       .withColumn("ok_decon", expr("dc[2] = 0"))
+  }
+
+  def pipeCurate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GeoFunctions.register(s)
+    curateSignals(Tables.documents(s, dir), deconArtifactCol(s, dir))
+      .withColumn("keep_id", min("doc_id").over(Window.partitionBy("fp")))
+      .withColumn("ok_uniq", col("doc_id") === col("keep_id"))
       .withColumn("keep",
         col("ok_lang") && col("ok_quality") && col("ok_rep") &&
           col("ok_uniq") && col("ok_decon"))

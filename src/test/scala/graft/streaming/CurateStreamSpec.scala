@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+
+/** Streaming curation: drained verdicts must equal the batch
+  * `pipe_curate` row-for-row when ingest order follows doc_id, and
+  * fingerprint state must hold across micro-batches.
+  */
+class CurateStreamSpec extends SparkSpec {
+
+  test("drained stream equals batch pipe_curate when ingest follows doc_id order") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => DocArrival(r.getLong(0), r.getString(1))).sortBy(_.doc_id)
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+
+    val input = MemoryStream[DocArrival]
+    val q = CurateStream(spark, input.toDS(), sfDir).writeStream
+      .format("memory").queryName("curate_stream")
+      .outputMode("append").start()
+    input.addData(b1.toSeq: _*)
+    q.processAllAvailable()
+    input.addData(b2.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    def key(r: org.apache.spark.sql.Row) = r.getAs[Long]("doc_id") ->
+      ((r.getAs[String]("pred_lang"), r.getAs[Long]("n_words"),
+        r.getAs[Boolean]("ok_lang"), r.getAs[Boolean]("ok_quality"),
+        r.getAs[Boolean]("ok_rep"), r.getAs[Boolean]("ok_uniq"),
+        r.getAs[Long]("n_fp"), r.getAs[Boolean]("ok_decon"),
+        r.getAs[Boolean]("keep"), r.getAs[String]("reason")))
+    val streamed = spark.table("curate_stream").collect().map(key).toMap
+    val batch = graft.operators.TextOps.pipeCurate(spark, sfDir)
+      .collect().map(key).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      "streaming verdicts must equal the batch pipeline under doc_id-ordered ingest")
+  }
+
+  test("fingerprint state persists across batches; redelivery keeps the first verdict") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val en = "the hash join order by key group filter sort merge table row scan"
+    val input = MemoryStream[DocArrival]
+    val dir = java.nio.file.Files.createTempDirectory("curate-stream").toString
+    // empty bench corpus dir → empty artifact (decon gate passes all)
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val q = CurateStream(spark, input.toDS(), dir).writeStream
+      .format("memory").queryName("curate_replay")
+      .outputMode("append").start()
+    input.addData(DocArrival(1L, en))
+    q.processAllAvailable()
+    // batch 2: a cross-batch duplicate AND a redelivery of doc 1
+    input.addData(DocArrival(2L, en), DocArrival(1L, en))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("curate_replay").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("ok_uniq"),
+        r.getAs[String]("reason")))
+    // doc 1's first and redelivered verdicts agree (kept); doc 2 is the
+    // cross-batch duplicate
+    assert(rows.filter(_._1 == 1L).toSet === Set((1L, true, "kept")))
+    assert(rows.filter(_._1 == 2L).toSet === Set((2L, false, "duplicate")))
+  }
+}
