@@ -42,6 +42,37 @@ class CurateStreamSpec extends SparkSpec {
       "streaming verdicts must equal the batch pipeline under doc_id-ordered ingest")
   }
 
+  test("fingerprint state survives a checkpointed restart") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val en = "the hash join order by key group filter sort merge table row scan"
+    val out = java.nio.file.Files.createTempDirectory("curate-ckpt-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("curate-ckpt").toString
+    val bench = java.nio.file.Files.createTempDirectory("curate-ckpt-bench").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$bench/documents.parquet")
+    val input = MemoryStream[DocArrival]
+    def start() = CurateStream(spark, input.toDS(), bench).writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    input.addData(DocArrival(1L, en))
+    q1.processAllAvailable()
+    q1.stop()
+    // restart from checkpoint: the duplicate must be caught by RECOVERED
+    // state, not same-process memory
+    val q2 = start()
+    input.addData(DocArrival(2L, en))
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("reason"))).toSet
+    assert(rows === Set((1L, "kept"), (2L, "duplicate")),
+      s"state must survive the restart, got $rows")
+  }
+
   test("fingerprint state persists across batches; redelivery keeps the first verdict") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
