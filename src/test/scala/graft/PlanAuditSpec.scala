@@ -237,6 +237,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("evt_paths: one user exchange feeds every window; bounded tail") {
+    val p = plans("evt_paths")
+    // session breaks and both lookaheads share the per-user partitioning:
+    // one user_id exchange + the |types|³-bounded path aggregate + the
+    // ≤10-row rank tail; no join anywhere
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+      s"evt_paths must scan events exactly once:\n$p")
+    assert(!p.contains("Join"), s"evt_paths must not join:\n$p")
+    assert(shuffleCount(p) <= 4, s"evt_paths grew extra exchanges:\n$p")
+  }
+
   test("text_bpe_apply: encode is a broadcast dict join, one corpus scan + one fold") {
     val p = plans("text_bpe_apply")
     // the corpus is never re-symbolized per doc: one documents scan,
