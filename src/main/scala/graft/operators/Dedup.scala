@@ -606,12 +606,12 @@ object Dedup {
       val parts = (0 until 4).map(r => s"mh${4 * b + r}").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($parts) AS bkey FROM sigs"
     }.mkString("\n  UNION ALL ")
-    s"""bands_raw AS (
+    s"""bands_raw AS MATERIALIZED (
        |  $bandSelects),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  SELECT doc_id, band, bkey FROM bands_raw
        |  QUALIFY count(*) OVER (PARTITION BY band, bkey) <= $MaxBucket),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
        |  WHERE a.doc_id < b.doc_id)""".stripMargin
@@ -623,7 +623,7 @@ object Dedup {
   private val incrementalSql = {
     val agree = (0 until NumHashes)
       .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH sigs AS ($sigSql),
+    s"""WITH sigs AS MATERIALIZED ($sigSql),
        |$candSql,
        |inc AS (
        |  SELECT doc_a, doc_b FROM cand
@@ -641,7 +641,7 @@ object Dedup {
     "dedup_clusters" -> {
       val agree = (0 until NumHashes)
         .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END").mkString(" + ")
-      s"""WITH RECURSIVE sigs AS ($sigSql),
+      s"""WITH RECURSIVE sigs AS MATERIALIZED ($sigSql),
          |$candSql,
          |agreed AS (
          |  SELECT doc_a, doc_b
@@ -664,14 +664,14 @@ object Dedup {
     // len(w)-2, the last full trigram start
     "dedup_decontaminate" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |grams AS (
+        |grams AS MATERIALIZED (
         |  SELECT doc_id,
         |    CASE WHEN len(w) >= 3 THEN
         |      list_distinct(list_transform(range(1, len(w) - 1),
         |                    i -> array_to_string(w[i:i+2], ' ')))
         |    ELSE [] END AS gs
         |  FROM toks),
-        |bench AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 101 = 0)
+        |bench AS MATERIALIZED (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 101 = 0)
         |SELECT c.doc_id, count(*) AS n_gram_hits
         |FROM grams c, unnest(c.gs) AS u(g) JOIN bench ON u.g = bench.g
         |WHERE c.doc_id % 101 <> 0
@@ -680,20 +680,20 @@ object Dedup {
       val pj = bloomPosSql
       val inChecks = bloomInChecksSql
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |grams AS (
+         |grams AS MATERIALIZED (
          |  SELECT doc_id,
          |    CASE WHEN len(w) >= 3 THEN
          |      list_distinct(list_transform(range(1, len(w) - 1),
          |                    i -> array_to_string(w[i:i+2], ' ')))
          |    ELSE [] END AS gs
          |  FROM toks),
-         |bench AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 101 = 0),
+         |bench AS MATERIALIZED (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 101 = 0),
          |bw AS ($bloomWidthSelectSql
          |  WHERE v >= 8 * (SELECT count(*) FROM bench)),
          |bh AS (SELECT CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT) AS h
          |  FROM bench, bw),
          |bp AS (SELECT $pj FROM bh, bw),
-         |bpos AS (SELECT DISTINCT p FROM (
+         |bpos AS MATERIALIZED (SELECT DISTINCT p FROM (
          |  SELECT p0 AS p FROM bp UNION ALL SELECT p1 FROM bp
          |  UNION ALL SELECT p2 FROM bp UNION ALL SELECT p3 FROM bp)),
          |tg AS (SELECT c.doc_id, u.g AS g,
@@ -718,7 +718,7 @@ object Dedup {
     "dedup_lsh_pairs" -> {
       val agree = (0 until NumHashes)
         .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END").mkString(" + ")
-      s"""WITH sigs AS ($sigSql),
+      s"""WITH sigs AS MATERIALIZED ($sigSql),
          |$candSql
          |SELECT doc_a, doc_b, ($agree) / 8.0 AS jaccard_est
          |FROM cand JOIN sigs a ON a.doc_id = doc_a JOIN sigs b ON b.doc_id = doc_b
@@ -731,16 +731,16 @@ object Dedup {
         .mkString(" ")
       s"""WITH d AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
          |              octet_length(encode(text)) AS nb FROM documents),
-         |bytes AS (SELECT doc_id, p, CAST(('0x' || substr(hx, 2*p - 1, 2)) AS BIGINT) AS bv
+         |bytes AS MATERIALIZED (SELECT doc_id, p, CAST(('0x' || substr(hx, 2*p - 1, 2)) AS BIGINT) AS bv
          |          FROM d, LATERAL (SELECT unnest(range(1, nb + 1)) AS p) r),
-         |win AS (SELECT doc_id, i FROM d,
+         |win AS MATERIALIZED (SELECT doc_id, i FROM d,
          |        LATERAL (SELECT unnest(range(1, greatest(nb - ${RollWindow - 1}, 0) + 1)) AS i) rr),
-         |h AS (SELECT w.doc_id, w.i,
+         |h AS MATERIALIZED (SELECT w.doc_id, w.i,
          |        CAST(sum(b.bv * CASE CAST(b.p - w.i AS INT) $powCase END) % $RollMod AS BIGINT) AS hv
          |      FROM win w JOIN bytes b
          |        ON b.doc_id = w.doc_id AND b.p >= w.i AND b.p < w.i + $RollWindow
          |      GROUP BY 1, 2),
-         |fps AS (SELECT DISTINCT doc_id, hv FROM h WHERE hv % $FpSample = 0),
+         |fps AS MATERIALIZED (SELECT DISTINCT doc_id, hv FROM h WHERE hv % $FpSample = 0),
          |capped AS (SELECT doc_id, hv FROM fps
          |           QUALIFY count(*) OVER (PARTITION BY hv) <= $MaxBucket)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -770,9 +770,9 @@ object Dedup {
         |FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
-      s"""WITH sigs AS ($sigSql),
+      s"""WITH sigs AS MATERIALIZED ($sigSql),
          |$candSql,
-         |grams AS (SELECT doc_id,
+         |grams AS MATERIALIZED (SELECT doc_id,
          |    list_distinct(list_transform(range(0, greatest(len(toks) - 2, 1)),
          |      i -> concat_ws(' ', toks[i + 1], toks[i + 2], toks[i + 3]))) AS gs
          |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks

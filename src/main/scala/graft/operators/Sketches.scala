@@ -340,9 +340,9 @@ object Sketches {
 
   val oracles: Map[String, String] = Map(
     "sketch_kmv" ->
-      s"""WITH hs AS (SELECT DISTINCT event_type,
+      s"""WITH hs AS MATERIALIZED (SELECT DISTINCT event_type,
          |    ((($hSql) % $FoldP) * 2654435789 + 97) % $HashP AS h FROM events),
-         |kmv AS (SELECT event_type, h FROM (
+         |kmv AS MATERIALIZED (SELECT event_type, h FROM (
          |    SELECT event_type, h,
          |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
          |    FROM hs) WHERE rn <= $KmvK),
@@ -356,7 +356,7 @@ object Sketches {
          |  FROM tps a JOIN tps b ON a.event_type < b.event_type),
          |uni AS (SELECT DISTINCT p.ta, p.tb, k.h
          |  FROM pairs p JOIN kmv k ON k.event_type = p.ta OR k.event_type = p.tb),
-         |topu AS (SELECT ta, tb, h FROM (
+         |topu AS MATERIALIZED (SELECT ta, tb, h FROM (
          |    SELECT ta, tb, h,
          |      row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
          |    FROM uni) WHERE rn <= $KmvK),
@@ -367,7 +367,7 @@ object Sketches {
          |    AND EXISTS (SELECT 1 FROM kmv kb
          |                WHERE kb.event_type = t.tb AND kb.h = t.h)
          |  GROUP BY 1, 2),
-         |tu AS (SELECT DISTINCT event_type, user_id FROM events),
+         |tu AS MATERIALIZED (SELECT DISTINCT event_type, user_id FROM events),
          |ex AS (SELECT a.event_type AS ta, b.event_type AS tb,
          |    count(*) AS exact_n
          |  FROM tu a JOIN tu b

@@ -574,19 +574,19 @@ object TextOps {
        |      ELSE CAST([] AS VARCHAR[]) END AS grams3,
        |    md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
        |  FROM t1),
-       |dg AS (SELECT doc_id,
+       |dg AS MATERIALIZED (SELECT doc_id,
        |    CASE WHEN len(w) >= 3 THEN
        |      list_distinct(list_transform(range(1, len(w) - 1),
        |                    i -> array_to_string(w[i:i+2], ' ')))
        |    ELSE [] END AS gs
        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-       |bench AS (SELECT DISTINCT unnest(gs) AS g FROM dg WHERE doc_id % 101 = 0),
+       |bench AS MATERIALIZED (SELECT DISTINCT unnest(gs) AS g FROM dg WHERE doc_id % 101 = 0),
        |bw AS (${Dedup.bloomWidthSelectSql}
        |  WHERE v >= 8 * (SELECT count(*) FROM bench)),
        |bh AS (SELECT CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT) AS h
        |  FROM bench, bw),
        |bp AS (SELECT $pj FROM bh, bw),
-       |bpos AS (SELECT DISTINCT p FROM (
+       |bpos AS MATERIALIZED (SELECT DISTINCT p FROM (
        |  SELECT p0 AS p FROM bp UNION ALL SELECT p1 FROM bp
        |  UNION ALL SELECT p2 FROM bp UNION ALL SELECT p3 FROM bp)),
        |tg AS (SELECT c.doc_id, u.g AS g,
@@ -633,21 +633,21 @@ object TextOps {
     */
   private def bpeChainSql: String = {
     val w0 =
-      """w0 AS (SELECT word,
+      """w0 AS MATERIALIZED (SELECT word,
         |    array_to_string(list_filter(string_split(word, ''), c -> c <> ''), ' ') AS s,
         |    f
         |  FROM (SELECT word, CAST(count(*) AS BIGINT) AS f
         |        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |        WHERE length(word) >= 2 GROUP BY word))""".stripMargin
     val rounds = (1 to BpeRounds).map { r =>
-      s"""p$r AS (SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM (
+      s"""p$r AS MATERIALIZED (SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM (
          |    SELECT f, unnest(list_transform(range(1, len(sy)),
          |        i -> sy[i] || ' ' || sy[i+1])) AS pair
          |    FROM (SELECT string_split(s, ' ') AS sy, f FROM w${r - 1}))
          |  GROUP BY pair),
-         |m$r AS (SELECT pair, replace(pair, ' ', '') AS merged, n
+         |m$r AS MATERIALIZED (SELECT pair, replace(pair, ' ', '') AS merged, n
          |  FROM p$r ORDER BY n DESC, pair LIMIT 1),
-         |w$r AS (SELECT word, trim(replace(replace(
+         |w$r AS MATERIALIZED (SELECT word, trim(replace(replace(
          |    ' ' || replace(s, ' ', '  ') || ' ',
          |    ' ' || replace((SELECT pair FROM m$r), ' ', '  ') || ' ',
          |    ' ' || (SELECT merged FROM m$r) || ' '), '  ', ' ')) AS s, f
