@@ -553,6 +553,30 @@ object VecKernels {
     }
     acc
   }
+
+  /** Per-row upper-triangle second-moment entries in the same fixed point
+    * as [[dot9]]: entry k (pairs (i,j), i ≤ j, row-major) =
+    * round((v_i·v_j)·1e9). One codegen call emits the d(d+1)/2 longs the
+    * covariance aggregation needs — the HOF equivalent (nested transform
+    * + flatten) runs interpreted and allocates per element.
+    */
+  def mom9(a: Array[Float]): Array[Long] = {
+    val n = a.length
+    val out = new Array[Long](n * (n + 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val ai = a(i).toDouble
+      var j = i
+      while (j < n) {
+        out(k) = Math.round(ai * a(j).toDouble * 1e9)
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
 }
 
 /** `dot9(a, b)` over two float-array columns → fixed-point (1e-9) dot
@@ -577,6 +601,31 @@ case class Dot9(left: Expression, right: Expression) extends BinaryExpression {
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Dot9 =
     copy(left = newLeft, right = newRight)
+}
+
+/** `mom9(vec)` → the d(d+1)/2 upper-triangle fixed-point second-moment
+  * entries of a float vector as ARRAY<BIGINT> (VecKernels.mom9) — the
+  * scan-side half of the distributed covariance aggregation.
+  */
+case class Mom9(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "mom9"
+
+  override protected def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VecKernels.mom9(
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toFloatArray()))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VecKernels.mom9($a.toFloatArray()))")
+
+  override protected def withNewChildInternal(newChild: Expression): Mom9 =
+    copy(child = newChild)
 }
 
 /** `simhash64(text)` → 16-hex-char fingerprint; codegen stays a single

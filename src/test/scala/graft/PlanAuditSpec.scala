@@ -334,4 +334,29 @@ class PlanAuditSpec extends SparkSpec {
     for ((name, plan) <- plans if !bigBig(name))
       assert(!plan.contains("SortMergeJoin"), s"$name falls back to SMJ")
   }
+
+  test("round-11 keys: colloc/bm25 broadcast-shaped, emb_pca projection map-only") {
+    // collocations: 3 exchanges = the bigram count + the unigram count
+    // table planned under each of its two broadcast sides; top-20 is a
+    // TakeOrderedAndProject (never a global sort) and the rank window
+    // runs on the 20 surviving rows
+    assert(shuffleCount(plans("text_collocations")) <= 3,
+      s"text_collocations:\n${plans("text_collocations")}")
+    assert(plans("text_collocations").contains("TakeOrderedAndProject"),
+      "text_collocations top-20 must be TakeOrdered, not a global sort")
+    // bm25: the postings lineage (scan + one keyed exchange — the
+    // inverted-index artifact a deployment persists once) and the tiny
+    // query-term lineage are each planned twice, once under the broadcast
+    // df subtree and once on the probe side; the remaining exchanges are
+    // matched-candidate-scale. Both rank windows must WindowGroupLimit-
+    // prune map-side, and the match side must join broadcast.
+    assert(shuffleCount(plans("text_bm25")) <= 10,
+      s"text_bm25:\n${plans("text_bm25")}")
+    assert(plans("text_bm25").contains("WindowGroupLimit"),
+      "bm25 rank cutoffs must prune map-side")
+    assert(plans("text_bm25").contains("BroadcastHashJoin"),
+      "bm25 postings must meet query terms in a broadcast join")
+    assert(shuffleCount(plans("emb_pca")) <= 0,
+      s"emb_pca:\n${plans("emb_pca")}")
+  }
 }
