@@ -846,6 +846,53 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("mom9 kernel equals the HOF upper-triangle chain; diagonal sums to dot9") {
+    import spark.implicits._
+    graft.functions.GeoFunctions.register(spark)
+    val edge = Seq(
+      Seq(0.5f, -0.25f, 0.125f),
+      Seq(1.0f),
+      Seq(0.0f, 0.0f),
+      Seq(-1.5f, 2.75f, -0.0625f, 3.25f)).toDF("embedding")
+    val corpus = Tables.embeddings(spark, sfDir).select("embedding")
+    for (df <- Seq(edge, corpus)) {
+      val got = df.select(call_function("mom9", col("embedding")).as("m"))
+        .collect().map(_.getSeq[Long](0).toList)
+      val want = df.select(expr(
+        "flatten(transform(sequence(0, size(embedding) - 1), i -> " +
+          "transform(sequence(i, size(embedding) - 1), j -> " +
+          "cast(round((cast(embedding[i] as double) * cast(embedding[j] as double)) * 1e9) as bigint))))")
+        .as("m")).collect().map(_.getSeq[Long](0).toList)
+      assert(got.toSeq === want.toSeq)
+      // the diagonal entries ARE dot9(v, v)'s per-element terms
+      val diag = df.select(call_function("mom9", col("embedding")).as("m"),
+        size(col("embedding")).as("d"),
+        call_function("dot9", col("embedding"), col("embedding")).as("n2"))
+        .collect()
+      diag.foreach { r =>
+        val m = r.getSeq[Long](0)
+        val d = r.getInt(1)
+        var k = 0
+        var s = BigInt(0)
+        for (i <- 0 until d) { s += m(k); k += d - i }
+        assert(s === BigInt(r.getLong(2)), "mom9 diagonal must sum to dot9")
+      }
+    }
+  }
+
+  test("emb_pca: projection is the exact integer component dot; iteration is idempotent per dir") {
+    val a = Ann.embPca(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.nonEmpty && a.map(_._1).distinct.length === a.length)
+    // memoized component: a second build returns the identical frame
+    val b = Ann.embPca(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.toSeq === b.toSeq)
+    // the projection must separate the corpus (a degenerate all-equal
+    // projection would mean the iteration collapsed)
+    assert(a.map(_._3).distinct.length > 1)
+  }
+
   test("emb_outliers: verdicts replay the integer 0.9-mean rule; centroids self-assign clean") {
     val rows = Ann.embOutliers(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
