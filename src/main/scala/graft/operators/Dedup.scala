@@ -191,6 +191,37 @@ object Dedup {
       sigs)
   }
 
+  /** Exact edit-distance verification of the LSH candidate pairs — the
+    * final arbiter a dedup pipeline runs where minhash agreement is only
+    * an estimate: Levenshtein distance is an integer metric both engines
+    * implement identically, so the verdict replays with no float anywhere.
+    * A pair is a duplicate when lev ≤ 20 % of the longer document
+    * (integer cross-mult `100·lev ≤ 20·max(len)`).
+    *
+    * Scale shape: Levenshtein is O(len²) PER PAIR — the whole design is
+    * that it only ever runs on the banded, MaxBucket-capped candidate
+    * set (never corpus-quadratic, same contract as [[dedupLshPairs]]);
+    * the text join is two keyed exchanges of candidate-scale rows
+    * against the corpus. At deployment scale the threshold variant
+    * (`levenshtein(a, b, k)`, early-exit beyond k) is the dial once a
+    * distance cap is fixed; the driver key keeps the exact distance so
+    * the oracle can replay it.
+    */
+  def dedupEditDist(s: SparkSession, dir: String): DataFrame = {
+    val sigs = signatures(s, dir).cache()
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    releasing(
+      candidates(sigs)
+        .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("ta"), col("tb")).as("lev"),
+          length(col("ta")).as("len_a"), length(col("tb")).as("len_b"))
+        .withColumn("is_dup",
+          lit(100) * col("lev") <= lit(20) * greatest(col("len_a"), col("len_b"))),
+      sigs)
+  }
+
   /** SimHash 64-bit fingerprint (hex) via the custom codegen expression —
     * one pass per document instead of a token explode + 64-way groupBy.
     * Hamming-near pair generation = band on hex prefix + verify; the scan
@@ -565,7 +596,8 @@ object Dedup {
     "dedup_substring" -> (dedupSubstring _),
     "dedup_decontaminate" -> (dedupDecontaminate _),
     "dedup_bloom" -> (dedupBloom _),
-    "dedup_ngram_jaccard" -> (dedupNgramJaccard _))
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_editdist" -> (dedupEditDist _))
 
   // ---- oracle SQL -----------------------------------------------------
 
@@ -769,6 +801,18 @@ object Dedup {
         |SELECT d.doc_id, coalesce(fp.sh, '0000000000000000') AS simhash
         |FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "dedup_editdist" ->
+      s"""WITH sigs AS MATERIALIZED ($sigSql),
+         |$candSql
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(levenshtein(a.text, b.text) AS INT) AS lev,
+         |  CAST(length(a.text) AS INT) AS len_a,
+         |  CAST(length(b.text) AS INT) AS len_b,
+         |  100 * levenshtein(a.text, b.text)
+         |    <= 20 * greatest(length(a.text), length(b.text)) AS is_dup
+         |FROM cand c JOIN documents a ON a.doc_id = c.doc_a
+         |  JOIN documents b ON b.doc_id = c.doc_b
+         |ORDER BY c.doc_a, c.doc_b""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH sigs AS MATERIALIZED ($sigSql),
          |$candSql,
