@@ -223,6 +223,41 @@ object Events {
       .select("event_type", "hour", "n_events", "is_spike")
   }
 
+  /** EWMA-smoothed hourly event rates + burst flags — the classic
+    * monitoring recurrence (α = 0.3) next to [[anomaly]]'s global-2σ
+    * rule: s_1 = 10·x_1, s_t = (30·x_t + 7·s_{t-1}) div 10 in exact
+    * integer TENTHS, burst when 100·x_t > 15·s_{t-1} (1.5× the trailing
+    * baseline). An EWMA is a linear recurrence — inherently sequential
+    * per series, the one shape no engine can partition away — so the
+    * fold deliberately runs over the HOUR-FOLDED frame, never raw
+    * events: the corpus collapses map-side into ≤ |types| × 87,660
+    * hourly rows per decade (the [[concurrency]] bounded-domain
+    * argument), each type's series folds in one `aggregate` HOF over
+    * its sorted array, and results explode back to rows. The DuckDB
+    * oracle replays the recurrence as a linear recursive CTE — floor
+    * and truncating division agree because every term is positive.
+    */
+  def smooth(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("ts div 3600000000000").as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("hour"), col("n_events")))).as("xs"))
+      .withColumn("s_arr", expr(
+        """aggregate(xs, cast(array() as array<bigint>),
+          |  (acc, x) -> case when size(acc) = 0 then array(10 * x.n_events)
+          |    else array_append(acc,
+          |      (30 * x.n_events + 7 * element_at(acc, size(acc))) div 10) end)"""
+          .stripMargin))
+      .select(col("event_type"), posexplode(col("xs")).as(Seq("pos", "x")),
+        col("s_arr"))
+      .select(col("event_type"), col("x.hour").as("hour"),
+        col("x.n_events").as("n_events"),
+        expr("element_at(s_arr, pos + 1)").as("ewma10"),
+        expr("pos > 0 AND 100 * x.n_events > 15 * element_at(s_arr, pos)")
+          .as("is_burst"))
+  }
+
   /** DAU / WAU / stickiness — the engagement dashboard every event
     * warehouse refreshes daily: distinct users per day, distinct users
     * over the trailing 7 days, and their ratio (as integer fixed-point
@@ -366,6 +401,7 @@ object Events {
     "evt_attribution" -> (attribution _),
     "evt_transitions" -> (transitions _),
     "evt_anomaly" -> (anomaly _),
+    "evt_smooth" -> (smooth _),
     "evt_dau" -> (dau _))
 
   val oracles: Map[String, String] = Map(
@@ -500,6 +536,29 @@ object Events {
         |  CAST(w.wau AS BIGINT) AS wau,
         |  CAST((1000 * d.dau) // w.wau AS BIGINT) AS stickiness_pm
         |FROM d JOIN w ON w.day = d.day ORDER BY 1""".stripMargin,
+    "evt_smooth" ->
+      """WITH RECURSIVE hourly AS MATERIALIZED (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |idx AS MATERIALIZED (SELECT event_type, hour, n_events,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY hour) AS BIGINT) AS i
+        |  FROM hourly),
+        |rec(event_type, i, hour, n_events, s) AS (
+        |  SELECT event_type, i, hour, n_events, 10 * n_events
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT x.event_type, x.i, x.hour, x.n_events,
+        |    (30 * x.n_events + 7 * r.s) // 10
+        |  FROM idx x JOIN rec r
+        |    ON r.event_type = x.event_type AND x.i = r.i + 1)
+        |SELECT event_type, CAST(hour AS BIGINT) AS hour, n_events,
+        |  CAST(s AS BIGINT) AS ewma10,
+        |  coalesce(i > 1 AND 100 * n_events >
+        |    15 * lag(s) OVER (PARTITION BY event_type ORDER BY i),
+        |    false) AS is_burst
+        |FROM rec ORDER BY event_type, hour""".stripMargin,
     "evt_anomaly" ->
       """WITH hourly AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,

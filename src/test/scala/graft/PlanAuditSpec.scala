@@ -358,5 +358,10 @@ class PlanAuditSpec extends SparkSpec {
       "bm25 postings must meet query terms in a broadcast join")
     assert(shuffleCount(plans("emb_pca")) <= 0,
       s"emb_pca:\n${plans("emb_pca")}")
+    // evt_smooth: the EWMA fold must consume the hour-folded frame, not
+    // raw events — exactly two keyed exchanges (hourly count, per-type
+    // series), the explode back to rows is map-side
+    assert(shuffleCount(plans("evt_smooth")) <= 2,
+      s"evt_smooth:\n${plans("evt_smooth")}")
   }
 }
