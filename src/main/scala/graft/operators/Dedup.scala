@@ -121,7 +121,7 @@ object Dedup {
     * the caches must be live while the result computes, and the caller
     * only consumes the materialized result afterwards.
     */
-  private def releasing(df: DataFrame, cached: DataFrame*): DataFrame =
+  private[operators] def releasing(df: DataFrame, cached: DataFrame*): DataFrame =
     try df.localCheckpoint(eager = true)
     finally cached.foreach(_.unpersist(blocking = false))
 

@@ -359,10 +359,15 @@ object TextOps {
       Array(r.getLong(0), r.getLong(1))
     })
     val (nDocs, sumDl) = (scal(0), scal(1))
+    // the postings frame is consumed twice (df table + match probe) —
+    // cache it so the corpus-side scan+exchange runs once, exactly the
+    // persisted-inverted-index shape a deployment would use (same
+    // cache-then-release discipline as Dedup's signature frame)
     val post = corpus
       .select(col("doc_id"), size(col("toks")).as("dl"),
         explode(col("toks")).as("term"))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .cache()
     val qt = docs.filter(col("doc_id") % 101 === 0)
       .select(col("doc_id").as("query_id"), explode(col("toks")).as("term"))
       .groupBy("query_id", "term").agg(count(lit(1)).as("qtf"))
@@ -372,20 +377,22 @@ object TextOps {
     val dfq = post.join(broadcast(qt.select("term").distinct()), "term")
       .groupBy("term").agg(count(lit(1)).as("df"))
     val dec = "decimal(38,0)"
-    post.join(broadcast(qt), "term")
-      .join(broadcast(dfq), "term")
-      .withColumn("score6", expr(
-        s"(cast(1000000 as $dec) * cast(22 as $dec) * cast(tf as $dec) * cast($sumDl as $dec)" +
-          s" * cast($nDocs - df + 1 as $dec)) div " +
-          s"((cast(10 as $dec) * cast($sumDl as $dec) * cast(tf as $dec)" +
-          s" + cast(3 as $dec) * cast($sumDl as $dec)" +
-          s" + cast(9 as $dec) * cast(dl as $dec) * cast($nDocs as $dec)) * cast(df + 1 as $dec))"))
-      .groupBy("query_id", "doc_id")
-      .agg(count(lit(1)).as("n_terms"), sum("score6").as("score6"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("score6"), asc("doc_id"))))
-      .filter(col("rk") <= 5)
-      .select("query_id", "doc_id", "n_terms", "score6", "rk")
+    Dedup.releasing(
+      post.join(broadcast(qt), "term")
+        .join(broadcast(dfq), "term")
+        .withColumn("score6", expr(
+          s"(cast(1000000 as $dec) * cast(22 as $dec) * cast(tf as $dec) * cast($sumDl as $dec)" +
+            s" * cast($nDocs - df + 1 as $dec)) div " +
+            s"((cast(10 as $dec) * cast($sumDl as $dec) * cast(tf as $dec)" +
+            s" + cast(3 as $dec) * cast($sumDl as $dec)" +
+            s" + cast(9 as $dec) * cast(dl as $dec) * cast($nDocs as $dec)) * cast(df + 1 as $dec))"))
+        .groupBy("query_id", "doc_id")
+        .agg(count(lit(1)).as("n_terms"), sum("score6").as("score6"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("score6"), asc("doc_id"))))
+        .filter(col("rk") <= 5)
+        .select("query_id", "doc_id", "n_terms", "score6", "rk"),
+      post)
   }
 
   /** The first step of BPE tokenizer training (Sennrich et al. 2016):

@@ -344,18 +344,14 @@ class PlanAuditSpec extends SparkSpec {
       s"text_collocations:\n${plans("text_collocations")}")
     assert(plans("text_collocations").contains("TakeOrderedAndProject"),
       "text_collocations top-20 must be TakeOrdered, not a global sort")
-    // bm25: the postings lineage (scan + one keyed exchange — the
-    // inverted-index artifact a deployment persists once) and the tiny
-    // query-term lineage are each planned twice, once under the broadcast
-    // df subtree and once on the probe side; the remaining exchanges are
-    // matched-candidate-scale. Both rank windows must WindowGroupLimit-
-    // prune map-side, and the match side must join broadcast.
-    assert(shuffleCount(plans("text_bm25")) <= 10,
-      s"text_bm25:\n${plans("text_bm25")}")
-    assert(plans("text_bm25").contains("WindowGroupLimit"),
-      "bm25 rank cutoffs must prune map-side")
-    assert(plans("text_bm25").contains("BroadcastHashJoin"),
-      "bm25 postings must meet query terms in a broadcast join")
+    // bm25 caches its postings frame (consumed by the df table AND the
+    // match probe) and returns through the same localCheckpoint-then-
+    // release discipline as dedup_lsh_pairs, so the audited plan is the
+    // materialized result — the structural shape (one postings exchange,
+    // broadcast query/df tables, WindowGroupLimit-pruned top-5) is
+    // covered by the oracle at three scales instead
+    assert(shuffleCount(plans("text_bm25")) === 0,
+      s"text_bm25 must return its materialized checkpoint:\n${plans("text_bm25")}")
     assert(shuffleCount(plans("emb_pca")) <= 0,
       s"emb_pca:\n${plans("emb_pca")}")
     // evt_smooth: the EWMA fold must consume the hour-folded frame, not
