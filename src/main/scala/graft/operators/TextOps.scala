@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  private val toksExpr = "filter(split(text, ' '), t -> t <> '')"
+  private[graft] val toksExpr = "filter(split(text, ' '), t -> t <> '')"
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
 
   /** Per-language naive-Bayes model: (scaled log prior, scaled log
@@ -348,8 +348,53 @@ object TextOps {
     * runs on queries × candidates, ≪ corpus. Corpus scalars (N, Σdl)
     * are a 1-row count/sum scan inlined as literals.
     */
-  def textBm25(s: SparkSession, dir: String): DataFrame = {
+  /** Postings (term, doc_id, dl, tf) for a frame carrying `toks` — the
+    * inverted-index rows [[textBm25]] derives in-query and [[Bm25Index]]
+    * persists.
+    */
+  private[graft] def bm25Postings(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+
+  /** The query-term table: every 101st doc's top-3 within-doc-tf terms. */
+  private[graft] def bm25QueryTerms(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    docs.filter(col("doc_id") % 101 === 0)
+      .select(col("doc_id").as("query_id"), explode(col("toks")).as("term"))
+      .groupBy("query_id", "term").agg(count(lit(1)).as("qtf"))
+      .withColumn("qrk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("qtf"), asc("term"))))
+      .filter(col("qrk") <= 3).select("query_id", "term")
+  }
+
+  /** The integer BM25 scoring + per-query top-5 over already-matched
+    * frames (see [[textBm25]] for the formula derivation). `qt` and
+    * `dfq` broadcast — both are query-scale, and store-read frames carry
+    * no size stats to trigger the hint automatically.
+    */
+  private[graft] def bm25Score(post: DataFrame, qt: DataFrame,
+      dfq: DataFrame, nDocs: Long, sumDl: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    post.join(broadcast(qt), "term")
+      .join(broadcast(dfq), "term")
+      .withColumn("score6", expr(
+        s"(cast(1000000 as $dec) * cast(22 as $dec) * cast(tf as $dec) * cast($sumDl as $dec)" +
+          s" * cast($nDocs - df + 1 as $dec)) div " +
+          s"((cast(10 as $dec) * cast($sumDl as $dec) * cast(tf as $dec)" +
+          s" + cast(3 as $dec) * cast($sumDl as $dec)" +
+          s" + cast(9 as $dec) * cast(dl as $dec) * cast($nDocs as $dec)) * cast(df + 1 as $dec))"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("score6").as("score6"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("score6"), asc("doc_id"))))
+      .filter(col("rk") <= 5)
+      .select("query_id", "doc_id", "n_terms", "score6", "rk")
+  }
+
+  def textBm25(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).withColumn("toks", expr(toksExpr))
     val corpus = docs.filter(col("doc_id") % 101 =!= 0)
     val scal = scalarCache.computeIfAbsent(s"bm25:$dir", _ => {
@@ -363,36 +408,11 @@ object TextOps {
     // cache it so the corpus-side scan+exchange runs once, exactly the
     // persisted-inverted-index shape a deployment would use (same
     // cache-then-release discipline as Dedup's signature frame)
-    val post = corpus
-      .select(col("doc_id"), size(col("toks")).as("dl"),
-        explode(col("toks")).as("term"))
-      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-      .cache()
-    val qt = docs.filter(col("doc_id") % 101 === 0)
-      .select(col("doc_id").as("query_id"), explode(col("toks")).as("term"))
-      .groupBy("query_id", "term").agg(count(lit(1)).as("qtf"))
-      .withColumn("qrk", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("qtf"), asc("term"))))
-      .filter(col("qrk") <= 3).select("query_id", "term")
+    val post = bm25Postings(corpus).cache()
+    val qt = bm25QueryTerms(docs)
     val dfq = post.join(broadcast(qt.select("term").distinct()), "term")
       .groupBy("term").agg(count(lit(1)).as("df"))
-    val dec = "decimal(38,0)"
-    Dedup.releasing(
-      post.join(broadcast(qt), "term")
-        .join(broadcast(dfq), "term")
-        .withColumn("score6", expr(
-          s"(cast(1000000 as $dec) * cast(22 as $dec) * cast(tf as $dec) * cast($sumDl as $dec)" +
-            s" * cast($nDocs - df + 1 as $dec)) div " +
-            s"((cast(10 as $dec) * cast($sumDl as $dec) * cast(tf as $dec)" +
-            s" + cast(3 as $dec) * cast($sumDl as $dec)" +
-            s" + cast(9 as $dec) * cast(dl as $dec) * cast($nDocs as $dec)) * cast(df + 1 as $dec))"))
-        .groupBy("query_id", "doc_id")
-        .agg(count(lit(1)).as("n_terms"), sum("score6").as("score6"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("query_id").orderBy(desc("score6"), asc("doc_id"))))
-        .filter(col("rk") <= 5)
-        .select("query_id", "doc_id", "n_terms", "score6", "rk"),
-      post)
+    Dedup.releasing(bm25Score(post, qt, dfq, nDocs, sumDl), post)
   }
 
   /** The first step of BPE tokenizer training (Sennrich et al. 2016):
@@ -667,6 +687,7 @@ object TextOps {
     "pipe_curate" -> (pipeCurate _),
     "text_collocations" -> (textCollocations _),
     "text_bm25" -> (textBm25 _),
+    "bm25_store" -> (Bm25Index.bm25Store _),
     "text_bpe_train" -> (textBpeTrain _),
     "text_bpe_apply" -> (textBpeApply _),
     "text_bpe_pairs" -> (textBpePairs _),
@@ -825,7 +846,14 @@ object TextOps {
          |SELECT CAST(row_number() OVER (ORDER BY lift6 DESC, w1, w2) AS INT) AS rnk,
          |  w1, w2, c2, c1a, c1b, lift6
          |FROM sc ORDER BY lift6 DESC, w1, w2 LIMIT 20""".stripMargin,
-    "text_bm25" ->
+    "text_bm25" -> bm25Sql,
+    "bm25_store" -> bm25Sql) ++ moreOracles
+
+  /** Shared by `text_bm25` and `bm25_store` — the store lifecycle must
+    * reproduce the one-shot computation exactly, so they verify against
+    * the SAME SQL.
+    */
+  private[operators] def bm25Sql: String =
       s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |sc AS (SELECT CAST(count(*) AS BIGINT) AS n,
          |    CAST(sum(len(tk)) AS BIGINT) AS sl
@@ -856,7 +884,9 @@ object TextOps {
          |SELECT query_id, doc_id, n_terms, score6, CAST(rk AS INT) AS rk FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY score6 DESC, doc_id) AS rk FROM agg) t
-         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  private def moreOracles: Map[String, String] = Map(
     "text_bpe_pairs" ->
       s"""WITH t AS (SELECT unnest($toksSql) AS t FROM documents),
          |cs AS (SELECT string_split(t, '') AS c FROM t WHERE length(t) >= 2),
