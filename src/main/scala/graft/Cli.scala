@@ -135,6 +135,23 @@ object Cli {
         enc.write.mode("overwrite").parquet(s"$outDir/encoded")
         val t = enc.selectExpr("sum(n_words)", "sum(n_tokens_bpe)").head()
         println(s"[graft] tokenize: words=${t.getLong(0)} tokens=${t.getLong(1)}")
+      case "search" =>
+        // build the persisted BM25 inverted index over a documents table
+        // and serve the standard query set from the artifact: the index
+        // (term-bucketed postings + additive stats) to outDir/index, the
+        // per-query top-5 to outDir/results
+        val docs = Tables.documents(spark, sfDir)
+          .withColumn("toks", expr(operators.TextOps.toksExpr))
+        val corpus = docs.filter(col("doc_id") % 101 =!= 0)
+        val post = operators.TextOps.bm25Postings(corpus).localCheckpoint(true)
+        operators.Bm25Index.build(spark, post, s"$outDir/index")
+        val res = operators.Bm25Index
+          .probe(spark, s"$outDir/index", operators.TextOps.bm25QueryTerms(docs))
+          .localCheckpoint(true)
+        res.write.mode("overwrite").parquet(s"$outDir/results")
+        val (nd, sl) = operators.Bm25Index.stats(s"$outDir/index")
+        println(s"[graft] search: indexed_docs=$nd sum_dl=$sl " +
+          s"queries=${res.select("query_id").distinct().count()} hits=${res.count()}")
       case "replication-catchup" =>
         // optional 4th arg = max states per run (the reference's `--size`)
         val maxSteps = if (args.length == 4) args(3).toInt else Int.MaxValue

@@ -42,6 +42,26 @@ class CliSpec extends SparkSpec {
     assert(parts.size >= 2, s"expected multiple reasons, got $parts")
   }
 
+  test("cli search builds the persisted index and serves the query set from it") {
+    val out = java.nio.file.Files.createTempDirectory("graft-cli").toString
+    Cli.main(Array("search", sfDir, out))
+    val results = spark.read.parquet(s"$out/results")
+    assert(results.columns.toSeq ===
+      Seq("query_id", "doc_id", "n_terms", "score6", "rk"))
+    // the artifact-served ranking equals the one-shot operator
+    val got = results.orderBy("query_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSeq
+    val want = operators.TextOps.textBm25(spark, sfDir)
+      .orderBy("query_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSeq
+    assert(got.nonEmpty && got === want)
+    // the stats file carries the corpus totals
+    val (nd, sl) = operators.Bm25Index.stats(s"$out/index")
+    assert(nd > 0 && sl > nd)
+  }
+
   test("cli tokenize writes the merge table and per-doc encodings") {
     import org.apache.spark.sql.functions.col
     val out = java.nio.file.Files.createTempDirectory("graft-cli").toString
