@@ -145,6 +145,45 @@ object Multimodal {
       .select(col("doc_id"), col("off").cast("bigint").as("off"),
         col("frame_len"), col("frame_md5"))
 
+  /** Scene-cut detection over the sampled frame sequence — the shot
+    * segmentation a video-curation pipeline runs after frame sampling:
+    * each sampled frame window (the [[mmFrames]] stride) gets the same
+    * 64-bit average-hash as [[mmDedup]] (`ahash64` codegen kernel over
+    * the 64-byte window), consecutive frames of a payload compare by
+    * Hamming distance, and a jump past the [[mmDedup]] near-dup radius
+    * (> 16 bits) marks a cut. First frame of every payload reports
+    * hamming = −1, no cut.
+    *
+    * Scale shape: frame emit + hashing are scan-side expression work
+    * (fanout = payload_bytes/256); the only exchange is the per-payload
+    * lag window on doc_id — frames of one payload are a bounded group,
+    * so the window never sees unbounded partitions. The oracle rebuilds
+    * each frame's bit set positionally (the [[mmDedup]] set algebra,
+    * window-local mean) and takes hamming = nb_a + nb_b − 2·|∩| without
+    * ever materializing the 64-bit value — bit 63 would overflow a
+    * signed BIGINT reconstruction.
+    */
+  def mmScenes(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GeoFunctions.register(s)
+    val w = Window.partitionBy("doc_id").orderBy("off")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .withColumn("n_bytes", length(col("payload")))
+      .withColumn("off",
+        explode(expr("sequence(0, greatest(n_bytes - 1, 0), 256)")))
+      .withColumn("frame_len", least(lit(64), col("n_bytes") - col("off")))
+      .filter(col("frame_len") > 0)
+      .withColumn("phash",
+        call_function("ahash64", expr("substring(payload, off + 1, 64)")))
+      .withColumn("prev", lag("phash", 1).over(w))
+      .withColumn("hamming", when(col("prev").isNull, lit(-1))
+        .otherwise(expr("cast(bit_count(phash ^ prev) as int)")))
+      .withColumn("is_cut", col("hamming") > 16)
+      .select(col("doc_id"), col("off").cast("bigint").as("off"),
+        col("hamming"), col("is_cut"))
+  }
+
   /** Resize — the image-resize analog in the byte domain: nearest-neighbor
     * resampling of the opaque payload to a fixed TARGET=32 samples, sample
     * j taking byte floor(j·n/32) (the exact per-axis index rule of a real
@@ -260,6 +299,7 @@ object Multimodal {
     "mm_phash" -> (mmPhash _),
     "mm_dedup" -> (mmDedup _),
     "mm_frames" -> (mmFrames _),
+    "mm_scenes" -> (mmScenes _),
     "mm_resize" -> (mmResize _))
 
   val oracles: Map[String, String] = Map(
@@ -407,6 +447,45 @@ object Multimodal {
         |              lower(hex(encode(text))) AS hexp
         |            FROM documents) a) b
         |ORDER BY doc_id""".stripMargin,
+    "mm_scenes" ->
+      """WITH d AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+        |            octet_length(encode(text)) AS n FROM documents),
+        |fr AS MATERIALIZED (SELECT doc_id, off, least(64, n - off) AS fl, hx
+        |  FROM d, LATERAL (SELECT unnest(
+        |    range(0, CAST(greatest(n, 1) AS BIGINT), 256)) AS off) o
+        |  WHERE least(64, n - off) > 0),
+        |fb AS MATERIALIZED (SELECT doc_id, off,
+        |    CAST(('0x' || substr(hx, CAST(2 * (off + p) - 1 AS INT), 2)) AS BIGINT) AS bv,
+        |    CAST((p - 1) * 64 // fl AS INT) AS w
+        |  FROM fr, LATERAL (SELECT unnest(range(1, fl + 1)) AS p) r),
+        |tot AS (SELECT doc_id, off, sum(bv) AS total, count(*) AS nn
+        |  FROM fb GROUP BY 1, 2),
+        |wins AS (SELECT doc_id, off, w, sum(bv) AS sw, count(*) AS nw
+        |  FROM fb GROUP BY 1, 2, 3),
+        |bits AS MATERIALIZED (SELECT wins.doc_id, wins.off, wins.w
+        |  FROM wins JOIN tot ON tot.doc_id = wins.doc_id AND tot.off = wins.off
+        |  WHERE wins.sw * tot.nn > tot.total * wins.nw),
+        |nbits AS MATERIALIZED (SELECT doc_id, off, count(*) AS nb
+        |  FROM bits GROUP BY 1, 2),
+        |seq AS (SELECT doc_id, off,
+        |    lag(off) OVER (PARTITION BY doc_id ORDER BY off) AS poff FROM fr),
+        |inter AS (SELECT s.doc_id, s.off, count(*) AS ni
+        |  FROM seq s
+        |  JOIN bits x ON x.doc_id = s.doc_id AND x.off = s.off
+        |  JOIN bits y ON y.doc_id = s.doc_id AND y.off = s.poff AND y.w = x.w
+        |  GROUP BY 1, 2)
+        |SELECT s.doc_id AS doc_id, CAST(s.off AS BIGINT) AS off,
+        |  CAST(CASE WHEN s.poff IS NULL THEN -1
+        |    ELSE coalesce(na.nb, 0) + coalesce(npv.nb, 0)
+        |      - 2 * coalesce(i.ni, 0) END AS INT) AS hamming,
+        |  CASE WHEN s.poff IS NULL THEN false
+        |    ELSE coalesce(na.nb, 0) + coalesce(npv.nb, 0)
+        |      - 2 * coalesce(i.ni, 0) > 16 END AS is_cut
+        |FROM seq s
+        |LEFT JOIN nbits na ON na.doc_id = s.doc_id AND na.off = s.off
+        |LEFT JOIN nbits npv ON npv.doc_id = s.doc_id AND npv.off = s.poff
+        |LEFT JOIN inter i ON i.doc_id = s.doc_id AND i.off = s.off
+        |ORDER BY s.doc_id, s.off""".stripMargin,
     "mm_frames" ->
       """SELECT doc_id, CAST(off AS BIGINT) AS off,
         |  CAST(least(64, n_bytes - off) AS INT) AS frame_len,
