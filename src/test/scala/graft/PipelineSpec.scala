@@ -846,6 +846,57 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("editdist banding: verdicts equal the unbanded rule on random pairs") {
+    import spark.implicits._
+    // pure-Scala reference DP, an independent implementation path
+    def lev(a: String, b: String): Int = {
+      val prev = Array.range(0, b.length + 1)
+      for (i <- 1 to a.length) {
+        var diag = prev(0)
+        prev(0) = i
+        for (j <- 1 to b.length) {
+          val t = prev(j)
+          prev(j) = math.min(math.min(prev(j) + 1, prev(j - 1) + 1),
+            diag + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          diag = t
+        }
+      }
+      prev(b.length)
+    }
+    val rnd = new scala.util.Random(7)
+    val words = Vector("alpha", "beta", "gamma", "delta", "omega", "zz")
+    def doc() = Seq.fill(2 + rnd.nextInt(12))(words(rnd.nextInt(words.length)))
+      .mkString(" ")
+    // pairs biased toward near-duplicates (mutate a shared base) so both
+    // branches of the verdict are exercised
+    val pairs = Seq.fill(150) {
+      val a = doc()
+      val b = if (rnd.nextBoolean()) doc()
+        else a.split(" ").map(w =>
+          if (rnd.nextInt(4) == 0) words(rnd.nextInt(words.length)) else w)
+          .mkString(" ")
+      (a, b)
+    }
+    val maxLen = pairs.flatMap(p => Seq(p._1.length, p._2.length)).max
+    val k = (20 * maxLen) / 100
+    val got = pairs.toDF("ta", "tb")
+      .select(levenshtein(col("ta"), col("tb"), k).as("lv"),
+        length(col("ta")).as("la"), length(col("tb")).as("lb"))
+      .withColumn("is_dup",
+        col("lv") >= 0 && lit(100) * col("lv") <= lit(20) * greatest(col("la"), col("lb")))
+      .collect().map(r => (r.getInt(0), r.getBoolean(3)))
+    assert(got.exists(_._2) && got.exists(!_._2),
+      "the sample must exercise both verdict branches")
+    pairs.zip(got).foreach { case ((a, b), (lvBanded, dupBanded)) =>
+      val full = lev(a, b)
+      // exact within the band, -1 beyond it
+      assert(lvBanded === (if (full > k) -1 else full), s"'$a' vs '$b'")
+      // the banded verdict equals the unbanded rule
+      val dupFull = 100 * full <= 20 * math.max(a.length, b.length)
+      assert(dupBanded === dupFull, s"verdict flip on '$a' vs '$b'")
+    }
+  }
+
   test("mom9 kernel equals the HOF upper-triangle chain; diagonal sums to dot9") {
     import spark.implicits._
     graft.functions.GeoFunctions.register(spark)
