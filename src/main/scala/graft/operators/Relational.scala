@@ -203,7 +203,29 @@ object Relational {
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
 
+  /** Set algebra (INTERSECT / EXCEPT — the one relational primitive the
+    * q-set lacked): the 1995-vs-1996 customer cohorts partitioned into
+    * both / only-1995 / only-1996 membership classes. Spark plans set
+    * ops as dedup aggregates feeding left-semi/anti hash joins — the
+    * distributed shape — and the year bounds are pushable timestamp
+    * RANGE predicates (a `year()` call would reach the scan unpushed).
+    */
+  def q16SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def keys(y: String, y1: String) = o
+      .filter(col("o_orderdate") >= lit(y).cast("timestamp") &&
+        col("o_orderdate") < lit(y1).cast("timestamp"))
+      .select("o_custkey").distinct()
+    val a = keys("1995-01-01", "1996-01-01")
+    val b = keys("1996-01-01", "1997-01-01")
+    a.intersect(b).withColumn("tag", lit("both"))
+      .unionByName(a.except(b).withColumn("tag", lit("only_1995")))
+      .unionByName(b.except(a).withColumn("tag", lit("only_1996")))
+      .select(col("o_custkey").as("custkey"), col("tag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_setops" -> (q16SetOps _),
     "q14_anti_join" -> (q14AntiJoin _),
     "q15_cube" -> (q15Cube _),
     "q10_rollup" -> (q10Rollup _),
@@ -226,6 +248,22 @@ object Relational {
   private val lBp = "CAST(round(l_discount * 100) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q16_setops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01'),
+        |b AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01')
+        |SELECT o_custkey AS custkey, 'both' AS tag
+        |  FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |UNION ALL
+        |SELECT o_custkey, 'only_1995'
+        |  FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        |UNION ALL
+        |SELECT o_custkey, 'only_1996'
+        |  FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+        |ORDER BY tag, custkey""".stripMargin,
     "q14_anti_join" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (

@@ -359,5 +359,9 @@ class PlanAuditSpec extends SparkSpec {
     // series), the explode back to rows is map-side
     assert(shuffleCount(plans("evt_smooth")) <= 2,
       s"evt_smooth:\n${plans("evt_smooth")}")
+    // mm_scenes: frame emit + hashing scan-side; the ONLY exchange is
+    // the per-payload lag window
+    assert(shuffleCount(plans("mm_scenes")) <= 1,
+      s"mm_scenes:\n${plans("mm_scenes")}")
   }
 }
