@@ -269,12 +269,19 @@ object Ann {
   private val pcaCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
 
-  def embPca(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GeoFunctions.register(s)
-    val dim = 64
-    val dec = "decimal(38,0)"
-    val e = Tables.embeddings(s, dir)
-    val comp = pcaCache.computeIfAbsent(dir, _ => {
+  private val PcaDim = 64
+
+  /** Top-2 components per dir: the moment matrix once, then v1 by power
+    * iteration and v2 by power iteration on the EXACT-INTEGER Hotelling
+    * deflation S₂ = S·d² − n·v₁'v₁'ᵀ (v₁' = v₁ div 1000, d = v₁'ᵀv₁',
+    * n = v₁'ᵀSv₁' — multiplying the rational λ = n/d² through keeps
+    * every entry an integer, so both engines derive the bit-identical
+    * second direction too). Returned flat: v1 ++ v2.
+    */
+  private def pcaComponents(e: DataFrame, dir: String): Array[Long] =
+    pcaCache.computeIfAbsent(dir, _ => {
+      val dim = PcaDim
+      val dec = "decimal(38,0)"
       val tri = e
         .select(posexplode(call_function("mom9", col("embedding")))
           .as(Seq("pos", "p")))
@@ -288,18 +295,58 @@ object Ann {
         mat(i)(j) = v
         mat(j)(i) = v
       }
-      var v = Array.fill(dim)(BigInt(1000000))
-      for (_ <- 1 to 4) {
-        val w = Array.tabulate(dim)(i => (0 until dim).map(j => mat(i)(j) * v(j)).sum)
-        val mx = w.map(_.abs).max.max(BigInt(1))
-        v = w.map(x => BigInt(x.signum) * ((x.abs * 1000000) / mx))
+      def iterate(m: Array[Array[BigInt]], scale: Long): Array[BigInt] = {
+        var v = Array.fill(dim)(BigInt(scale))
+        for (_ <- 1 to 4) {
+          val w = Array.tabulate(dim)(i => (0 until dim).map(j => m(i)(j) * v(j)).sum)
+          val mx = w.map(_.abs).max.max(BigInt(1))
+          v = w.map(x => BigInt(x.signum) * ((x.abs * scale) / mx))
+        }
+        v
       }
-      v.map(_.toLong)
+      val v1 = iterate(mat, 1000000L)
+      // deflate at 1e3 scale so S·d² stays within the oracle's HUGEINT
+      val v1s = v1.map(x => BigInt(x.signum) * (x.abs / 1000))
+      val d1 = v1s.map(x => x * x).sum.max(BigInt(1))
+      val sv = Array.tabulate(dim)(i => (0 until dim).map(j => mat(i)(j) * v1s(j)).sum)
+      val n1 = (0 until dim).map(i => v1s(i) * sv(i)).sum
+      val mat2 = Array.tabulate(dim, dim)((i, j) =>
+        mat(i)(j) * d1 * d1 - n1 * v1s(i) * v1s(j))
+      // the deflated matrix carries d^2-scaled entries; iterating at 1e3
+      // keeps w*scale within the oracle's INT128 at any bench SF
+      val v2 = iterate(mat2, 1000L)
+      (v1 ++ v2).map(_.toLong)
     })
-    val projExpr = (0 until dim).map(i =>
-      s"cast(round(cast(embedding[$i] as double) * 1e9) as bigint) * ${comp(i)}L")
+
+  private def pcaProjExpr(comp: Array[Long], from: Int): String =
+    (0 until PcaDim).map(i =>
+      s"cast(round(cast(embedding[$i] as double) * 1e9) as bigint) * ${comp(from + i)}L")
       .mkString(" + ")
-    e.select(col("vec_id"), col("label"), expr(projExpr).as("proj15"))
+
+  def embPca(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val comp = pcaComponents(e, dir)
+    e.select(col("vec_id"), col("label"),
+      expr(pcaProjExpr(comp, 0)).as("proj15"))
+  }
+
+  /** The 2-D projection — [[embPca]] plus the SECOND principal direction
+    * from exact integer Hotelling deflation (see [[pcaComponents]]):
+    * proj2 is each vector's projection onto the dominant direction of
+    * S·d² − n·v₁'v₁'ᵀ. Standard fixed-round deflation with an
+    * approximate v₁ — the residual v₁ component is part of the DEFINED
+    * op, identically derived in both engines. Same plan shape as
+    * [[embPca]]: the projection pass is map-only with both components
+    * inlined as codegen sums.
+    */
+  def embPca2(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val comp = pcaComponents(e, dir)
+    e.select(col("vec_id"), col("label"),
+      expr(pcaProjExpr(comp, 0)).as("proj15"),
+      expr(pcaProjExpr(comp, PcaDim)).as("proj2_15"))
   }
 
   /** Fixed-point dot9-compatible squared norm of a driver-side vector. */
@@ -537,17 +584,20 @@ object Ann {
         (coalesce(col("n_hits"), lit(0L)).cast("double") / 3.0).as("recall_at_3"))
   }
 
-  /** DuckDB replay of [[embPca]]: the same moment matrix, the same 4
-    * integer power-iteration rounds as chained CTEs, the same projection.
+  /** The shared CTE chain for the PCA oracles: moment matrix + 4 power-
+    * iteration rounds named `wPfx`/`vPfx` over matrix CTE `mat`.
     */
-  private def embPcaSql: String = {
-    val rounds = (1 to 4).map { r =>
-      s"""w$r AS (SELECT m.i AS i, CAST(sum(m.s * v${r - 1}.v) AS HUGEINT) AS w
-         |  FROM m JOIN v${r - 1} ON v${r - 1}.i = m.j GROUP BY 1),
-         |v$r AS (SELECT i, CAST(sign(w) AS HUGEINT) *
-         |    ((abs(w) * 1000000) // greatest((SELECT max(abs(w)) FROM w$r), 1)) AS v
-         |  FROM w$r)""".stripMargin
+  private def pcaRoundsSql(mat: String, wPfx: String, vPfx: String,
+      scale: Long = 1000000L): String =
+    (1 to 4).map { r =>
+      s"""$wPfx$r AS (SELECT $mat.i AS i, CAST(sum($mat.s * ${vPfx}${r - 1}.v) AS HUGEINT) AS w
+         |  FROM $mat JOIN ${vPfx}${r - 1} ON ${vPfx}${r - 1}.i = $mat.j GROUP BY 1),
+         |$vPfx$r AS (SELECT i, CAST(sign(w) AS HUGEINT) *
+         |    ((abs(w) * $scale) // greatest((SELECT max(abs(w)) FROM $wPfx$r), 1)) AS v
+         |  FROM $wPfx$r)""".stripMargin
     }.mkString(",\n")
+
+  private def pcaPrefixSql: String =
     s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
        |px AS MATERIALIZED (SELECT ii.i AS i, jj.j AS j, CAST(sum(
        |      CAST(round((CAST(embedding[ii.i + 1] AS DOUBLE)
@@ -558,19 +608,54 @@ object Ann {
        |m AS MATERIALIZED (SELECT i, j, s FROM px
        |  UNION ALL SELECT j, i, s FROM px WHERE i <> j),
        |v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM range(0, 64) t(i)),
-       |$rounds
+       |${pcaRoundsSql("m", "w", "v")}""".stripMargin
+
+  /** DuckDB replay of [[embPca]]: the same moment matrix, the same 4
+    * integer power-iteration rounds as chained CTEs, the same projection.
+    */
+  private def embPcaSql: String =
+    s"""$pcaPrefixSql
        |SELECT e.vec_id, e.label, CAST(sum(
        |    CAST(round(CAST(embedding[t.i + 1] AS DOUBLE) * 1e9) AS BIGINT) * v4.v
        |  ) AS BIGINT) AS proj15
        |FROM e CROSS JOIN range(0, 64) t(i) JOIN v4 ON v4.i = t.i
        |GROUP BY 1, 2 ORDER BY vec_id""".stripMargin
-  }
+
+  /** DuckDB replay of [[embPca2]]: the [[embPcaSql]] chain, then the
+    * exact-integer Hotelling deflation (v₁' = v₁ div 1000, S₂ = S·d² −
+    * n·v₁'v₁'ᵀ) and 4 more rounds over S₂, projecting onto both.
+    */
+  private def embPca2Sql: String =
+    s"""$pcaPrefixSql,
+       |v1s AS (SELECT i, CAST(sign(v) AS HUGEINT) * (abs(v) // 1000) AS v
+       |  FROM v4),
+       |d1 AS (SELECT greatest(CAST(sum(v * v) AS HUGEINT), 1) AS d FROM v1s),
+       |sv AS (SELECT m.i AS i, CAST(sum(m.s * v1s.v) AS HUGEINT) AS w
+       |  FROM m JOIN v1s ON v1s.i = m.j GROUP BY 1),
+       |n1 AS (SELECT CAST(sum(a.v * sv.w) AS HUGEINT) AS n
+       |  FROM v1s a JOIN sv ON sv.i = a.i),
+       |m2 AS MATERIALIZED (SELECT m.i AS i, m.j AS j,
+       |    m.s * d1.d * d1.d - n1.n * a.v * b.v AS s
+       |  FROM m JOIN v1s a ON a.i = m.i JOIN v1s b ON b.i = m.j, d1, n1),
+       |u0 AS (SELECT i, CAST(1000 AS HUGEINT) AS v FROM range(0, 64) t(i)),
+       |${pcaRoundsSql("m2", "y", "u", 1000L)}
+       |SELECT e.vec_id, e.label,
+       |  CAST(sum(
+       |    CAST(round(CAST(embedding[t.i + 1] AS DOUBLE) * 1e9) AS BIGINT) * v4.v
+       |  ) AS BIGINT) AS proj15,
+       |  CAST(sum(
+       |    CAST(round(CAST(embedding[t.i + 1] AS DOUBLE) * 1e9) AS BIGINT) * u4.v
+       |  ) AS BIGINT) AS proj2_15
+       |FROM e CROSS JOIN range(0, 64) t(i)
+       |  JOIN v4 ON v4.i = t.i JOIN u4 ON u4.i = t.i
+       |GROUP BY 1, 2 ORDER BY vec_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall" -> (annRecall _),
     "dedup_embedding" -> (dedupEmbedding _),
     "emb_kmeans" -> (embKmeans _),
     "emb_pca" -> (embPca _),
+    "emb_pca2" -> (embPca2 _),
     "emb_outliers" -> (embOutliers _),
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
@@ -633,6 +718,7 @@ object Ann {
 
   val oracles: Map[String, String] = Map(
     "emb_pca" -> embPcaSql,
+    "emb_pca2" -> embPca2Sql,
     "emb_outliers" ->
       s"""WITH $flatSql,
          |$cellsSql,
