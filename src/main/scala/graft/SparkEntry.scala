@@ -20,7 +20,7 @@ object SparkEntry {
       Replication.queries ++ Geometry.queries ++ Contributions.queries ++ Dedup.queries ++
       TextOps.queries ++ Ann.queries ++ Multimodal.queries ++ Skew.queries ++
       Temporal.queries ++ Sampling.queries ++ ChangesetCatchup.queries ++
-      Events.queries ++ Sketches.queries
+      Events.queries ++ Sketches.queries ++ Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -30,5 +30,5 @@ object SparkEntry {
       Replication.oracles ++ Geometry.oracles ++ Contributions.oracles ++ Dedup.oracles ++
       TextOps.oracles ++ Ann.oracles ++ Multimodal.oracles ++ Skew.oracles ++
       Temporal.oracles ++ Sampling.oracles ++ ChangesetCatchup.oracles ++
-      Events.oracles ++ Sketches.oracles
+      Events.oracles ++ Sketches.oracles ++ Graph.oracles
 }

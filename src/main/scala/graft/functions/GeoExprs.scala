@@ -664,6 +664,7 @@ object GeoFunctions {
     "minhash8" -> (es => Minhash8(es(0))),
     "rollhash8" -> (es => RollHash8(es(0))),
     "rollfps16" -> (es => RollFps16(es(0))),
+    "winnow8" -> (es => Winnow8(es(0))),
     "ahash16" -> (es => AHash16(es(0))),
     "ahash64" -> (es => AHash64(es(0))),
     "wgrams3" -> (es => WGrams3(es(0))),

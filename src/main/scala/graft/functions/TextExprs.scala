@@ -465,6 +465,67 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Winnowing guarantee window: every run of `WinnowW` consecutive window
+    * hashes contributes at least one selected fingerprint (Schleimer et
+    * al., SIGMOD'03, §4 — the t = k + w − 1 guarantee threshold). Shared
+    * by [[winnow]] and the `text_winnowing` oracle.
+    */
+  val WinnowW = 4
+
+  /** Winnowing fingerprint selection (Schleimer et al., SIGMOD'03): hash
+    * every `RollWindow`-byte window (the [[rollHash]] recurrence), slide a
+    * `WinnowW`-wide window over the hash sequence, and in each select the
+    * minimum hash, rightmost position on ties (the paper's robust-winnowing
+    * tie rule) — positions selected by several windows count once. Unlike
+    * [[rollFps]]'s mod-p sampling, winnowing GUARANTEES a fingerprint in
+    * every `WinnowW` consecutive hashes (no unlucky gap a match can hide
+    * in), at density ~2/(w+1). One O(n·w) pass per document, w = 4.
+    * Returns [n_windows, n_selected, fp_sum] where fp_sum is the exact
+    * integer sum of the selected hash values (each < 1e9+7, so the sum is
+    * overflow-free for any realistic document).
+    */
+  def winnow(text: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    if (n < RollWindow)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](0L, 0L, 0L))
+    val nH = n - RollWindow + 1
+    val hs = new Array[Long](nH)
+    var h = 0L
+    var i = 0
+    while (i < RollWindow) { h = (h * 257L + (bytes(i) & 0xffL)) % RollMod; i += 1 }
+    hs(0) = h
+    val outPow = RollPow(RollWindow - 1)
+    var w = 1
+    while (w < nH) {
+      h = ((h - (bytes(w - 1) & 0xffL) * outPow) % RollMod + RollMod) % RollMod
+      h = (h * 257L + (bytes(w + RollWindow - 1) & 0xffL)) % RollMod
+      hs(w) = h
+      w += 1
+    }
+    if (nH < WinnowW)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](nH.toLong, 0L, 0L))
+    val selected = new Array[Boolean](nH)
+    var s = 0
+    val lastStart = nH - WinnowW
+    while (s <= lastStart) {
+      // rightmost minimum: <= keeps advancing `best` through ties
+      var best = s
+      var j = s + 1
+      while (j < s + WinnowW) { if (hs(j) <= hs(best)) best = j; j += 1 }
+      selected(best) = true
+      s += 1
+    }
+    var cnt = 0L
+    var sumv = 0L
+    var k = 0
+    while (k < nH) { if (selected(k)) { cnt += 1L; sumv += hs(k) }; k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](nH.toLong, cnt, sumv))
+  }
+
   /** 64-bit SimHash of the whitespace tokens of `text`, as 16 lowercase hex
     * chars: token hash = first 64 bits of md5, per-bit ±1 vote, bit set when
     * the vote sum is positive. Single pass per document — the distributed
@@ -894,6 +955,26 @@ case class RollFps16(child: Expression) extends UnaryExpression {
       s"graft.functions.TextKernels.rollFps($t)")
 
   override protected def withNewChildInternal(newChild: Expression): RollFps16 =
+    copy(child = newChild)
+}
+
+/** `winnow8(text)` → [n_windows, n_selected, fp_sum]: winnowing fingerprint
+  * selection over the 8-byte Karp–Rabin window hashes (TextKernels.winnow)
+  * — one codegen kernel call per document, no per-position explode.
+  */
+case class Winnow8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)
+  override def prettyName: String = "winnow8"
+
+  override protected def nullSafeEval(text: Any): Any =
+    TextKernels.winnow(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.TextKernels.winnow($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): Winnow8 =
     copy(child = newChild)
 }
 

@@ -1,0 +1,211 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over the co-purchase graph.
+  *
+  * The graph: parts are nodes, and an undirected edge joins two parts that
+  * ever appear in the same order (`lineitem` self-join on `l_orderkey`).
+  * This is the item-item graph a recommender / curation pipeline builds
+  * from transaction logs, and in the reference's world it is the shape of
+  * "entities co-edited in one changeset" (ohsome-contributions groups
+  * edits by changeset the same way; cf.
+  * reference/ohsome-contributions/.../ContributionsAvroConverter.java's
+  * changeset struct).
+  *
+  * Both operators here are the canonical MapReduce-era distributed-graph
+  * algorithms re-expressed as Catalyst plans:
+  *
+  *  - '''graph_triangles''' — triangle counting by degree orientation
+  *    (Suri & Vassilvitskii, WWW 2011): orient every undirected edge from
+  *    its lower-(degree, id) endpoint to the higher one. Every triangle
+  *    then has exactly ONE "pivot" node with two outgoing oriented edges,
+  *    so wedges (pairs of out-edges at a node) + one hash join against the
+  *    oriented edge set count each triangle exactly once. Orientation
+  *    bounds out-degree by O(√m) even on power-law graphs — the wedge
+  *    explosion Σ outdeg² that kills the naive formulation is capped, so
+  *    the plan survives a 100× scale-up where "join edges to edges on any
+  *    shared endpoint" would not.
+  *
+  *  - '''graph_pagerank''' — PageRank as the iterative join+aggregate loop
+  *    (the GraphX/Pregel shape): 5 rounds of
+  *    `r' = base + d·Σ_{u→v} r(u)/deg(u)`, entirely in FIXED-POINT integer
+  *    arithmetic (scale 10^12, damping 85/100, every division a floor
+  *    `div`) so DuckDB replays bit-for-bit — no float accumulation order
+  *    to diverge. Per round: one shuffle join (ranks onto edges, keyed by
+  *    source) + one aggregate (keyed by destination). Round count is
+  *    bounded and small, so lineage stays shallow; at planet scale each
+  *    round's exchange reuses the same hash partitioning on the node key.
+  */
+object Graph {
+
+  /** Fixed-point scale for PageRank mass (10^12 ≈ 40 bits of fraction —
+    * 85·S and 15·S both fit comfortably in a BIGINT).
+    */
+  val PrScale = 1000000000000L
+
+  /** PageRank iterations. Bounded + small keeps the iterative plan's
+    * lineage shallow; real deployments checkpoint between rounds.
+    */
+  val PrRounds = 5
+
+  /** Distinct undirected co-purchase edges `(pa < pb)`.
+    *
+    * One self-join on the order key — Spark plans a single exchange on
+    * `l_orderkey` reused by both sides (ReusedExchange) — then a distinct
+    * on the pair. Lines per order are bounded (TPC-H ≤ 7), so the
+    * per-order pair fan-out is constant: edge count is O(rows), never
+    * quadratic in the corpus.
+    */
+  private[operators] def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .distinct()
+  }
+
+  /** Per-node triangle counts, top 20 by (count desc, part asc).
+    *
+    * Orientation key is the pair (degree, id) compared lexicographically —
+    * a total order, so every triangle has exactly one pivot. The wedge
+    * join and the closing join are both equi-joins on node keys (hash
+    * exchanges); the `<` ordering predicates ride along as join filters.
+    * Each closed wedge is one triangle; exploding its 3 corners and
+    * aggregating gives per-node counts in one more exchange.
+    */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val e = copurchaseEdges(s, dir)
+    val deg = e.select(col("pa").as("node")).unionAll(e.select(col("pb")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient: src = lower (deg, id) endpoint; carry dst's degree for the
+    // wedge-side ordering comparison
+    val ed = e
+      .join(deg.withColumnRenamed("node", "pa").withColumnRenamed("deg", "da"), "pa")
+      .join(deg.withColumnRenamed("node", "pb").withColumnRenamed("deg", "db"), "pb")
+      .select(
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("pa") < col("pb")), col("pa"))
+          .otherwise(col("pb")).as("src"),
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("pa") < col("pb")), col("pb"))
+          .otherwise(col("pa")).as("dst"),
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("pa") < col("pb")), col("db"))
+          .otherwise(col("da")).as("ddeg"))
+    val e1 = ed.select(col("src"), col("dst").as("v"), col("ddeg").as("dv"))
+    val e2 = ed.select(col("src"), col("dst").as("w"), col("ddeg").as("dw"))
+    val wedges = e1.join(e2,
+      Seq("src")).where(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    val tri = wedges.join(ed.select(col("src").as("v"), col("dst").as("w")),
+      Seq("v", "w"))
+    tri.select(col("src").as("node"))
+      .unionAll(tri.select(col("v")))
+      .unionAll(tri.select(col("w")))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("node"))
+      .limit(20)
+      .select(col("node").as("part"), col("n_tri"))
+  }
+
+  /** 5-round fixed-point PageRank, top 20 by (rank desc, part asc).
+    *
+    * All arithmetic is integer: `r0 = S div N`,
+    * `r' = (15·S) div (100·N) + (85 · Σ share) div 100` with
+    * `share = r div deg`. N rides in as a broadcast 1-row aggregate, so
+    * plan construction runs no job and the plan stays fully declarative.
+    * Nodes with no in-edges can't occur (the graph is symmetric), but the
+    * left join + coalesce keeps the recurrence total anyway.
+    */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val e = copurchaseEdges(s, dir)
+    // symmetric directed view + degrees; cached because every round joins it
+    val bi = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(e.select(col("pb"), col("pa")))
+    val deg = bi.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .cache()
+    val nRow = deg.agg(count(lit(1)).as("nn"))
+    var ranks = deg.crossJoin(broadcast(nRow))
+      .select(col("node"), col("deg"),
+        expr(s"${PrScale}L div nn").as("r"),
+        expr(s"${15 * PrScale}L div (100L * nn)").as("base"))
+    var round = 0
+    while (round < PrRounds) {
+      val contrib = bi
+        .join(ranks.select(col("node").as("src"),
+          expr("r div deg").as("share")), "src")
+        .groupBy(col("dst").as("node")).agg(sum("share").as("sm"))
+      ranks = ranks.drop("r")
+        .join(contrib, Seq("node"), "left")
+        .withColumn("r", col("base") + expr("(85L * coalesce(sm, 0L)) div 100L"))
+        .drop("sm")
+      round += 1
+    }
+    ranks.orderBy(col("r").desc, col("node"))
+      .limit(20)
+      .select(col("node").as("part"), col("r").as("pr_fp"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_triangles" -> (graphTriangles _),
+    "graph_pagerank" -> (graphPagerank _))
+
+  /** Shared oracle CTE prefix: the distinct co-purchase edge set. */
+  private val edgeSql =
+    """li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS MATERIALIZED (
+      |  SELECT DISTINCT a.pk AS pa, b.pk AS pb
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |bi AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM e
+      |                    UNION ALL SELECT pb, pa FROM e),
+      |deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM bi GROUP BY 1)""".stripMargin
+
+  private def prRoundSql(k: Int): String =
+    s"""r$k AS MATERIALIZED (
+       |  SELECT d.node, d.deg,
+       |    CAST((15 * ${PrScale}::BIGINT) // (100 * (SELECT n FROM nn))
+       |      + (85 * coalesce(s.sm, 0)) // 100 AS BIGINT) AS r
+       |  FROM deg d LEFT JOIN (
+       |    SELECT bi.dst AS node, sum(p.r // p.deg) AS sm
+       |    FROM bi JOIN r${k - 1} p ON p.node = bi.src GROUP BY 1) s
+       |  USING (node))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "graph_triangles" ->
+      s"""WITH $edgeSql,
+         |ed AS MATERIALIZED (
+         |  SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND pa < pb)
+         |              THEN pa ELSE pb END AS src,
+         |         CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND pa < pb)
+         |              THEN pb ELSE pa END AS dst,
+         |         CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND pa < pb)
+         |              THEN db.deg ELSE da.deg END AS ddeg
+         |  FROM e JOIN deg da ON da.node = pa JOIN deg db ON db.node = pb),
+         |tri AS MATERIALIZED (
+         |  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+         |  FROM ed e1
+         |  JOIN ed e2 ON e1.src = e2.src
+         |   AND ((e1.ddeg < e2.ddeg) OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+         |  JOIN ed e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+         |corners AS (SELECT u AS node FROM tri
+         |            UNION ALL SELECT v FROM tri
+         |            UNION ALL SELECT w FROM tri)
+         |SELECT node AS part, count(*) AS n_tri
+         |FROM corners GROUP BY 1
+         |ORDER BY n_tri DESC, part LIMIT 20""".stripMargin,
+    "graph_pagerank" ->
+      s"""WITH $edgeSql,
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |r0 AS MATERIALIZED (
+         |  SELECT node, deg,
+         |    CAST(${PrScale}::BIGINT // (SELECT n FROM nn) AS BIGINT) AS r
+         |  FROM deg),
+         |${(1 to PrRounds).map(prRoundSql).mkString(",\n")}
+         |SELECT node AS part, r AS pr_fp FROM r$PrRounds
+         |ORDER BY pr_fp DESC, part LIMIT 20""".stripMargin)
+}

@@ -200,6 +200,24 @@ object TextOps {
         col("rh").getItem(1).as("fp_pos"), col("rh").getItem(2).as("n_windows"))
   }
 
+  /** Winnowing fingerprint selection (Schleimer et al., SIGMOD'03) — THE
+    * standard local document-fingerprinting scheme (MOSS): in every window
+    * of [[graft.functions.TextKernels.WinnowW]] consecutive Karp–Rabin
+    * window hashes select the minimum (rightmost on ties). Unlike
+    * `text_rollhash`'s single global minimum or `dedup_substring`'s mod-p
+    * sampling, winnowing guarantees a fingerprint in EVERY w-hash run, so
+    * any shared substring of ≥ k+w−1 bytes is provably caught. One
+    * `winnow8` kernel call per document — scan-only, codegen, no shuffle
+    * at any corpus size; output is three integers per doc.
+    */
+  def textWinnowing(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    Tables.documents(s, dir)
+      .withColumn("wn", call_function("winnow8", col("text")))
+      .select(col("doc_id"), col("wn").getItem(0).as("n_windows"),
+        col("wn").getItem(1).as("n_selected"), col("wn").getItem(2).as("fp_sum"))
+  }
+
   /** Repetition ratios — the Gopher/CCNet-style quality signals a
     * training-data pipeline filters on: duplicate-word fraction,
     * duplicate-trigram fraction, and the most-frequent-token share. All
@@ -698,6 +716,7 @@ object TextOps {
     "text_tokens" -> (textTokens _),
     "text_pii" -> (textPii _),
     "text_rollhash" -> (textRollhash _),
+    "text_winnowing" -> (textWinnowing _),
     "text_pack" -> (textPack _),
     "text_salient" -> (textSalient _),
     "text_fingerprint" -> (textFingerprint _))
@@ -991,6 +1010,52 @@ object TextOps {
          |FROM d LEFT JOIN agg ON agg.doc_id = d.doc_id
          |       LEFT JOIN pos ON pos.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
+    },
+    // winnowing replay: same byte/window/hash CTEs as text_rollhash, then
+    // per window-start s of width W the min hash, rightmost position on
+    // ties (max(i) FILTER hv = min), distinct selected positions summed
+    "text_winnowing" -> {
+      import graft.functions.TextKernels.{RollMod, RollPow, RollWindow, WinnowW}
+      val powCase = (0 until RollWindow)
+        .map(k => s"WHEN $k THEN ${RollPow(RollWindow - 1 - k)}")
+        .mkString(" ")
+      s"""WITH d AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+         |              octet_length(encode(text)) AS nb FROM documents),
+         |bytes AS MATERIALIZED (
+         |  SELECT doc_id, p, CAST(('0x' || substr(hx, 2*p - 1, 2)) AS BIGINT) AS bv
+         |  FROM d, LATERAL (SELECT unnest(range(1, nb + 1)) AS p) r),
+         |win AS (SELECT doc_id, i FROM d,
+         |        LATERAL (SELECT unnest(range(1, greatest(nb - ${RollWindow - 1}, 0) + 1)) AS i) rr),
+         |h AS MATERIALIZED (
+         |  SELECT w.doc_id, w.i,
+         |    CAST(sum(b.bv * CASE CAST(b.p - w.i AS INT) $powCase END) % $RollMod AS BIGINT) AS hv
+         |  FROM win w JOIN bytes b
+         |    ON b.doc_id = w.doc_id AND b.p >= w.i AND b.p < w.i + $RollWindow
+         |  GROUP BY 1, 2),
+         |hn AS (SELECT doc_id, greatest(nb - ${RollWindow - 1}, 0) AS nh FROM d),
+         |starts AS (SELECT hn.doc_id, s FROM hn,
+         |           LATERAL (SELECT unnest(range(1, nh - $WinnowW + 2)) AS s) r
+         |           WHERE nh >= $WinnowW),
+         |wmin AS MATERIALIZED (
+         |  SELECT st.doc_id, st.s, min(h.hv) AS mh
+         |  FROM starts st JOIN h
+         |    ON h.doc_id = st.doc_id AND h.i >= st.s AND h.i < st.s + $WinnowW
+         |  GROUP BY 1, 2),
+         |sel AS (SELECT w.doc_id, max(h.i) AS pick
+         |        FROM wmin w JOIN h
+         |          ON h.doc_id = w.doc_id AND h.i >= w.s AND h.i < w.s + $WinnowW
+         |         AND h.hv = w.mh
+         |        GROUP BY w.doc_id, w.s),
+         |pos AS (SELECT DISTINCT doc_id, pick FROM sel),
+         |agg AS (SELECT p.doc_id, count(*) AS n_sel, sum(h.hv) AS fps
+         |        FROM pos p JOIN h ON h.doc_id = p.doc_id AND h.i = p.pick
+         |        GROUP BY 1)
+         |SELECT hn.doc_id,
+         |  CAST(hn.nh AS BIGINT) AS n_windows,
+         |  CAST(coalesce(a.n_sel, 0) AS BIGINT) AS n_selected,
+         |  CAST(coalesce(a.fps, 0) AS BIGINT) AS fp_sum
+         |FROM hn LEFT JOIN agg a USING (doc_id)
+         |ORDER BY hn.doc_id""".stripMargin
     },
     "text_pii" ->
       s"""SELECT doc_id,

@@ -12,7 +12,7 @@ class EntrySpec extends SparkSpec {
     * this pins the inventory so the suite fails before the driver does.
     * Bump this number together with SURVEY §2 when adding keys.
     */
-  val declaredKeys = 119
+  val declaredKeys = 122
 
   test(s"driver contract: SparkEntry.queries matches SURVEY §2 ($declaredKeys keys)") {
     assert(
@@ -31,7 +31,8 @@ class EntrySpec extends SparkSpec {
       graft.operators.Ann.queries, graft.operators.Multimodal.queries,
       graft.operators.Skew.queries, graft.operators.Temporal.queries,
       graft.operators.Sampling.queries, graft.operators.ChangesetCatchup.queries,
-      graft.operators.Events.queries, graft.operators.Sketches.queries)
+      graft.operators.Events.queries, graft.operators.Sketches.queries,
+      graft.operators.Graph.queries)
     val flat = perModule.flatMap(_.keys)
     val dupes = flat.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
     assert(dupes.isEmpty, s"duplicate driver keys across modules: ${dupes.mkString(", ")}")

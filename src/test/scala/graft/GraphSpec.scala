@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** Graph operators checked against INDEPENDENT formulations: triangles vs
+  * a brute-force unoriented triple join, PageRank vs a driver-side exact
+  * integer replay on the collected edge list.
+  */
+class GraphSpec extends SparkSpec {
+
+  test("graph_triangles matches a brute-force unoriented triple join") {
+    val e = Graph.copurchaseEdges(spark, sfDir).cache()
+    // brute force: triangles are ordered triples a<b<c with all three edges
+    // present in canonical (lo, hi) form — no degree orientation involved
+    val ab = e.select(col("pa").as("a"), col("pb").as("b"))
+    val bc = e.select(col("pa").as("b"), col("pb").as("c"))
+    val ac = e.select(col("pa").as("a"), col("pb").as("c"))
+    val tri = ab.join(bc, "b").join(ac, Seq("a", "c"))
+    val expected = tri.select(col("a").as("node"))
+      .unionAll(tri.select(col("b")))
+      .unionAll(tri.select(col("c")))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("node")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = Graph.graphTriangles(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+    e.unpersist()
+  }
+
+  test("graph_pagerank matches a driver-side exact integer replay") {
+    val edges = Graph.copurchaseEdges(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bi = edges ++ edges.map { case (a, b) => (b, a) }
+    val deg = bi.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    val n = deg.size.toLong
+    val s = Graph.PrScale
+    val base = (15L * s) / (100L * n)
+    var r: Map[Long, Long] = deg.map { case (node, _) => node -> s / n }
+    for (_ <- 1 to Graph.PrRounds) {
+      val shares = r.map { case (node, v) => node -> v / deg(node) }
+      val in = bi.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => shares(e._1)).sum
+      }
+      r = r.map { case (node, _) =>
+        node -> (base + (85L * in.getOrElse(node, 0L)) / 100L)
+      }
+    }
+    val expected = r.toSeq.sortBy { case (node, v) => (-v, node) }.take(20)
+    val got = Graph.graphPagerank(spark, sfDir)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
+  test("pagerank mass stays conserved up to floor-division loss") {
+    val rows = Graph.graphPagerank(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val vals = rows.map(_.getLong(1))
+    assert(vals.sameElements(vals.sortBy(-_)), "ranks must be descending")
+    // every rank is positive and below total mass
+    assert(vals.forall(v => v > 0 && v < Graph.PrScale))
+  }
+}
