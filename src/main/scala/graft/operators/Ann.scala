@@ -600,8 +600,15 @@ object Ann {
   private def pcaPrefixSql: String =
     s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
        |px AS MATERIALIZED (SELECT ii.i AS i, jj.j AS j, CAST(sum(
-       |      CAST(round((CAST(embedding[ii.i + 1] AS DOUBLE)
-       |        * CAST(embedding[jj.j + 1] AS DOUBLE)) * 1e9) AS BIGINT)
+       |      -- floor(x + 0.5), NOT round(x): the x_i·x_j product is 48
+       |      -- significand bits, so ×1e9 is the one fixed-point landing
+       |      -- here that is INEXACT in double and can sit exactly on a
+       |      -- .5 boundary — Java Math.round (mom9) is floor(x+0.5)
+       |      -- while DuckDB round() is half-away-from-zero, and they
+       |      -- disagree at negative .5. floor(+0.5) replays the JVM rule
+       |      -- bit-for-bit (same IEEE multiply, same IEEE add).
+       |      CAST(floor((CAST(embedding[ii.i + 1] AS DOUBLE)
+       |        * CAST(embedding[jj.j + 1] AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
        |    ) AS HUGEINT) AS s
        |  FROM e CROSS JOIN range(0, 64) ii(i) CROSS JOIN range(0, 64) jj(j)
        |  WHERE jj.j >= ii.i GROUP BY 1, 2),

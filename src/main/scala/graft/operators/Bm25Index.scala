@@ -133,7 +133,7 @@ object Bm25Index {
     val isNew = (col("doc_id") % 5) === 4
     // 8 store buckets: 64 is the 100 TB layout; at driver-check scale it
     // is pure small-file overhead (the LshIndex precedent)
-    val idx = Files.createTempDirectory("graft-bm25-idx").toString
+    val idx = Scratch.scratch("graft-bm25-idx").toString
     build(s, post.filter(!isNew), idx, numBuckets = 8)
     append(s, post.filter(isNew), idx, numBuckets = 8)
     Dedup.releasing(

@@ -194,8 +194,8 @@ object ChangesetCatchup {
     val mm = e.agg(min("ts_us"), max("ts_us")).collect().head
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val cuts = Seq(lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3, hi)
-    val diffDir = Files.createTempDirectory("graft-cs-catchup-diffs")
-    val store = Files.createTempDirectory("graft-cs-catchup-store").toString
+    val diffDir = Scratch.scratch("graft-cs-catchup-diffs")
+    val store = Scratch.scratch("graft-cs-catchup-store").toString
     cuts.zipWithIndex.foreach { case (cut, i) =>
       val prev = if (i == 0) Long.MinValue else cuts(i - 1)
       val touched = e.filter(col("ts_us") > prev && col("ts_us") <= cut)

@@ -141,7 +141,7 @@ object Changesets {
     */
   def csDbEnrich(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.ChangesetStore
-    val store = java.nio.file.Files.createTempDirectory("graft-cs-store").toString
+    val store = Scratch.scratch("graft-cs-store").toString
     val e = Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
     def changesets(ev: DataFrame): DataFrame =
       sessionize(ev).groupBy("user_id", "cs_seq")

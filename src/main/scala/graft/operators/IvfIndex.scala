@@ -411,7 +411,7 @@ object IvfIndex {
     val cents = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
       .select("vec_id", "embedding").collect().sortBy(_.getLong(0))
       .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
-    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    val idx = Scratch.scratch("graft-ivf-idx").toString
     val corpus = e.filter(col("vec_id") >= 8).select("vec_id", "embedding")
     // locator buckets sized to the corpus: the 64-bucket default is the
     // 100 TB layout; at driver-check scale it is pure small-file overhead

@@ -192,7 +192,7 @@ object LshIndex {
   def dedupIncrStore(s: SparkSession, dir: String): DataFrame = {
     val sigs = Dedup.signaturesOf(s, Tables.documents(s, dir)).cache()
     val isNew = (col("doc_id") % 5) === 4
-    val idx = java.nio.file.Files.createTempDirectory("graft-lsh-idx").toString
+    val idx = Scratch.scratch("graft-lsh-idx").toString
     // 8 store buckets: the 64-bucket default is the 100 TB layout; at
     // driver-check scale it is pure small-file overhead
     build(s, sigs.filter(!isNew), idx, numBuckets = 8)

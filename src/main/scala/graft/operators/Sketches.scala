@@ -150,7 +150,7 @@ object Sketches {
     val ev = Tables.events(s, dir)
       .select(col("event_type"), col("user_id"),
         expr("ts div 86400000000000").as("day"))
-    val store = java.nio.file.Files.createTempDirectory("graft-hll-store").toString
+    val store = Scratch.scratch("graft-hll-store").toString
     val maxDay = ev.agg(max("day")).collect()(0).getLong(0)
     def dailyRegs(df: DataFrame): DataFrame =
       withRegisterCols(df)

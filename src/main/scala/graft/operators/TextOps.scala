@@ -494,12 +494,42 @@ object TextOps {
     * iterations and returns BOTH faces — the final word dictionary
     * `(word, s, f)` with every merge applied (what the encoder joins
     * against) and the learned merge list (what the trainer reports).
+    *
+    * The MERGE LIST is memoized per corpus dir (the geo_knn /
+    * deconArtifact precedent): the trainer runs the corpus
+    * word-dictionary job plus one argmax collect per round, and both
+    * `textBpeTrain` and `textBpeApply` (and hence `graft.Cli tokenize`,
+    * which calls both) need the same loop — without the memo the CLI
+    * trained the tokenizer twice per invocation. Only the DRIVER-SIDE
+    * merges are cached (5 small rows), never the dict DataFrame: its
+    * backing local checkpoint is released between Verify/bench keys
+    * (GraftSession.releaseStorage), so the cached dict face is rebuilt
+    * DECLARATIVELY from dict0's lineage + the memoized merges — zero
+    * jobs at construction, one extra word-dict scan inside whichever
+    * job consumes it.
     */
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Int, String, String, Long)]]()
+
   private def bpeLoop(s: SparkSession, dir: String)
       : (DataFrame, Seq[(Int, String, String, Long)]) = {
-    // corpus → word-frequency dict; words under 2 chars can never hold a
-    // pair (symbols only grow), so the dict drops them up front
-    val dict0 = Tables.documents(s, dir)
+    val cached = bpeCache.get(dir)
+    if (cached != null)
+      (cached.foldLeft(bpeDict0(s, dir)) { case (d, (_, pair, merged, _)) =>
+        applyMerge(d, pair, merged)
+      }, cached)
+    else {
+      val r = bpeLoopUncached(s, dir)
+      bpeCache.put(dir, r._2)
+      r
+    }
+  }
+
+  /** Corpus → word-frequency dict with the initial char symbolization —
+    * the trainer's round-0 state, as a plain declarative frame.
+    */
+  private def bpeDict0(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 2)
       .groupBy("word").agg(count(lit(1)).as("f"))
@@ -508,7 +538,24 @@ object TextOps {
       .select(col("word"),
         array_join(expr("filter(split(word, ''), c -> c <> '')"), " ")
           .as("s"), col("f"))
-      .localCheckpoint(eager = true)
+
+  /** One greedy left-to-right merge applied to the symbol column —
+    * see the doubled-separator note in [[bpeLoopUncached]].
+    */
+  private def applyMerge(dict: DataFrame, pair: String, merged: String): DataFrame = {
+    val (a, b) = (pair.split(" ")(0), pair.split(" ")(1))
+    dict.withColumn("s",
+      trim(replace(replace(
+        concat(lit(" "), replace(col("s"), lit(" "), lit("  ")), lit(" ")),
+        lit(s" $a  $b "), lit(s" $merged ")), lit("  "), lit(" "))))
+  }
+
+  private def bpeLoopUncached(s: SparkSession, dir: String)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
+    // corpus → word-frequency dict; words under 2 chars can never hold a
+    // pair (symbols only grow), so the dict drops them up front.
+    // Checkpointed because the loop below collects against it 5 times.
+    val dict0 = bpeDict0(s, dir).localCheckpoint(eager = true)
     var dict = dict0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var round = 1
@@ -533,15 +580,11 @@ object TextOps {
         // greedy left-to-right merge, reference-equivalent: a plain
         // single-space replace under-merges alternating runs ("a b a b"
         // merges once — the trailing space of one match is the leading
-        // space of the next), so the separators are DOUBLED first: every
-        // occurrence then owns its boundary spaces, the doubled pattern
-        // ' a  b ' matches exactly the lookaround-regex positions, and
-        // the doubles collapse back afterwards
-        val (a, b) = (pair.split(" ")(0), pair.split(" ")(1))
-        dict = dict.withColumn("s",
-          trim(replace(replace(
-            concat(lit(" "), replace(col("s"), lit(" "), lit("  ")), lit(" ")),
-            lit(s" $a  $b "), lit(s" $merged ")), lit("  "), lit(" "))))
+        // space of the next), so applyMerge DOUBLES the separators
+        // first: every occurrence then owns its boundary spaces, the
+        // doubled pattern ' a  b ' matches exactly the lookaround-regex
+        // positions, and the doubles collapse back afterwards
+        dict = applyMerge(dict, pair, merged)
         round += 1
       }
     }

@@ -100,4 +100,37 @@ class CurateStreamSpec extends SparkSpec {
     assert(rows.filter(_._1 == 1L).toSet === Set((1L, true, "kept")))
     assert(rows.filter(_._1 == 2L).toSet === Set((2L, false, "duplicate")))
   }
+
+  test("out-of-order arrival: first ARRIVAL wins, deliberately diverging from batch min(doc_id)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val en = "the hash join order by key group filter sort merge table row scan"
+    val input = MemoryStream[DocArrival]
+    val dir = java.nio.file.Files.createTempDirectory("curate-ooo").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val q = CurateStream(spark, input.toDS(), dir).writeStream
+      .format("memory").queryName("curate_ooo")
+      .outputMode("append").start()
+    // the HIGHER doc_id arrives in an earlier micro-batch...
+    input.addData(DocArrival(7L, en))
+    q.processAllAvailable()
+    // ...and the fingerprint's LOWER doc_id only shows up later
+    input.addData(DocArrival(3L, en))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("curate_ooo").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("ok_uniq"),
+        r.getAs[String]("reason"))).toSet
+    // THE PARITY BOUNDARY, pinned: the stream's contract is
+    // first-ARRIVAL-wins, so under out-of-order ingest doc 7 stays
+    // canonical and the late lower id gates out — the opposite of the
+    // batch pipeline's min(doc_id) verdict over the same two docs. The
+    // stream==batch equality the parity spec asserts holds exactly when
+    // ingest order follows doc_id; this spec is the counterexample that
+    // keeps that precondition honest.
+    assert(rows === Set((7L, true, "kept"), (3L, false, "duplicate")),
+      s"first arrival must stay canonical under out-of-order ingest, got $rows")
+  }
 }
