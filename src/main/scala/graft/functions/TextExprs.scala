@@ -620,6 +620,14 @@ object VecKernels {
     * round((v_i·v_j)·1e9). One codegen call emits the d(d+1)/2 longs the
     * covariance aggregation needs — the HOF equivalent (nested transform
     * + flatten) runs interpreted and allocates per element.
+    *
+    * Unlike [[dot9]]'s tie-free argument, the ×1e9 here IS inexact in
+    * double (48-bit product × 21-bit odd part of 1e9 > 53 bits), so the
+    * rounded double can in principle land exactly on a .5 boundary where
+    * Java's Math.round (floor(x+0.5)) and away-from-zero rounding
+    * disagree. The PCA oracle therefore replays this as
+    * `floor(x*1e9 + 0.5)` — bit-identical to Math.round for every
+    * double — rather than DuckDB `round()`.
     */
   def mom9(a: Array[Float]): Array[Long] = {
     val n = a.length
@@ -638,6 +646,51 @@ object VecKernels {
     }
     out
   }
+
+  /** Intersection of two ascending-sorted long arrays by merge scan.
+    * Duplicate-free inputs (distinct adjacency lists) → duplicate-free
+    * output; result order is ascending.
+    */
+  def isectSorted(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = new Array[Long](math.min(a.length, b.length))
+    var i = 0; var j = 0; var k = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { out(k) = x; k += 1; i += 1; j += 1 }
+    }
+    if (k == out.length) out else java.util.Arrays.copyOf(out, k)
+  }
+}
+
+/** `isect_sorted(a, b)` over two SORTED long-array columns → their
+  * intersection, by a single merge scan (O(|a|+|b|), no per-row hash
+  * set — the built-in `array_intersect` builds one per call and runs
+  * interpreted). The triangle-counting hot path: both adjacency arrays
+  * arrive `sort_array`-ed, so sortedness is the caller's contract.
+  */
+case class IsectSorted(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "isect_sorted"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VecKernels.isectSorted(x.toLongArray(), y.toLongArray()))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VecKernels.isectSorted($a.toLongArray(), $b.toLongArray()))")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IsectSorted =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `dot9(a, b)` over two float-array columns → fixed-point (1e-9) dot
