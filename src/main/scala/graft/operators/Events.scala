@@ -390,7 +390,33 @@ object Events {
       .select("rnk", "path", "n")
   }
 
+  /** Log₂-bucketed value histogram per event type — the numeric-feature
+    * distribution pass a warehouse (or a curation pipeline profiling
+    * per-doc costs) runs before choosing thresholds: bucket =
+    * ⌊log₂ cents⌋ + 1, computed WITHOUT libm as `length(bin(cents))` —
+    * the binary-string length of a positive int64 is an exact integer
+    * log₂ in both engines, so no transcendental can diverge the bucket
+    * edge. Values are exact 2-decimal money → lossless cents; the whole
+    * operator is one scan + one partial-agg exchange on the
+    * (type × ≤64 buckets)-bounded key space, the smallest shuffle an
+    * aggregation can have.
+    */
+  def histogram(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      .select(col("event_type"),
+        when(col("cents") <= 0, lit(0))
+          .otherwise(length(bin(col("cents")))).as("bucket"),
+        col("cents"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"),
+        sum("cents").as("sum_cents"))
+      .orderBy("event_type", "bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_histogram" -> (histogram _),
     "evt_paths" -> (paths _),
     "evt_concurrency" -> (concurrency _),
     "evt_sessionize" -> (sessionize _),
@@ -405,6 +431,15 @@ object Events {
     "evt_dau" -> (dau _))
 
   val oracles: Map[String, String] = Map(
+    "evt_histogram" ->
+      """WITH c AS (SELECT event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_type,
+        |  CASE WHEN cents <= 0 THEN 0 ELSE length(bin(cents)) END AS bucket,
+        |  count(*) AS n,
+        |  min(cents) AS min_cents, max(cents) AS max_cents,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM c GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
     "evt_paths" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id, event_type,

@@ -63,7 +63,7 @@ object Graph {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-    li.as("a").join(li.as("b"),
+    li.as("a").join(li.as("b").hint("shuffle_hash"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
       .distinct()
@@ -95,15 +95,20 @@ object Graph {
     * Corner attribution per edge (u,v) with W = N⁺(u) ∩ N⁺(v): u and v
     * each close |W| triangles, every w ∈ W closes one.
     */
-  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GeoFunctions.register(s)
-    val e = copurchaseEdges(s, dir)
-    val deg = e.select(col("pa").as("node")).unionAll(e.select(col("pb")))
+  /** Per-node full degrees over the undirected edge set. */
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(col("pa").as("node")).unionAll(e.select(col("pb")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    // orient: src = lower (deg, id) endpoint
-    val ed = e
-      .join(deg.withColumnRenamed("node", "pa").withColumnRenamed("deg", "da"), "pa")
-      .join(deg.withColumnRenamed("node", "pb").withColumnRenamed("deg", "db"), "pb")
+
+  /** Degree-oriented edges: src = lower (deg, id) endpoint. The total
+    * order makes every triangle have exactly one pivot and bounds
+    * out-degree O(√m) even on power-law graphs.
+    */
+  private def orientedEdges(e: DataFrame, deg: DataFrame): DataFrame =
+    e.join(deg.withColumnRenamed("node", "pa").withColumnRenamed("deg", "da")
+        .hint("shuffle_hash"), "pa")
+      .join(deg.withColumnRenamed("node", "pb").withColumnRenamed("deg", "db")
+        .hint("shuffle_hash"), "pb")
       .select(
         when(col("da") < col("db") ||
              (col("da") === col("db") && col("pa") < col("pb")), col("pa"))
@@ -111,16 +116,30 @@ object Graph {
         when(col("da") < col("db") ||
              (col("da") === col("db") && col("pa") < col("pb")), col("pb"))
           .otherwise(col("pa")).as("dst"))
-    // per-node sorted out-neighbor arrays (bounded O(√m) by orientation)
+
+  /** Closed triads: one row per oriented edge (src, dst) with the array
+    * `ws` of third corners N⁺(src) ∩ N⁺(dst) — each (src, dst, w) is one
+    * triangle, counted exactly once (src is its pivot). Intersection via
+    * the `isect_sorted` merge-scan kernel over sorted out-neighbor
+    * arrays (O(√m)-bounded by the orientation).
+    */
+  private def closedTriads(ed: DataFrame): DataFrame = {
     val adj = ed.groupBy(col("src").as("node"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-    val tri = ed
-      .join(adj.withColumnRenamed("nbrs", "nu"), col("src") === col("node"))
+    ed.join(adj.withColumnRenamed("nbrs", "nu").hint("shuffle_hash"),
+        col("src") === col("node"))
       .drop("node")
-      .join(adj.withColumnRenamed("nbrs", "nv"), col("dst") === col("node"))
+      .join(adj.withColumnRenamed("nbrs", "nv").hint("shuffle_hash"),
+        col("dst") === col("node"))
       .select(col("src"), col("dst"),
         call_function("isect_sorted", col("nu"), col("nv")).as("ws"))
       .where(size(col("ws")) > 0)
+  }
+
+  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val e = copurchaseEdges(s, dir)
+    val tri = closedTriads(orientedEdges(e, degrees(e)))
     tri.select(col("src").as("node"), size(col("ws")).cast("long").as("c"))
       .unionAll(tri.select(col("dst"), size(col("ws")).cast("long")))
       .unionAll(tri.select(explode(col("ws")).as("node"), lit(1L)))
@@ -168,9 +187,123 @@ object Graph {
       .select(col("node").as("part"), col("r").as("pr_fp"))
   }
 
+  /** Hash-min label-propagation rounds for connected components. 8
+    * rounds closes any graph of diameter ≤ 8 — this co-purchase graph's
+    * diameter is 2-3 — and an unconverged label set is still
+    * DETERMINISTIC (round k's labels are a pure function of round k−1),
+    * so the oracle replays the same bounded iteration rather than a
+    * convergence test. Production components runs alternate large-star/
+    * small-star to collapse long paths in O(log n) rounds; the bounded
+    * hash-min here is that loop's per-round shape.
+    */
+  val CcRounds = 8
+
+  /** Co-purchase edges with SUPPORT ≥ 2 (the pair appears in at least
+    * two distinct orders) — the classic market-basket noise floor. The
+    * raw co-purchase graph is near-complete at this density (one giant
+    * component, diameter 2), so the support cut is what gives the
+    * component structure any meaning: one-off co-occurrences are noise,
+    * repeated ones are signal. Same single `l_orderkey` self-join as
+    * [[copurchaseEdges]], the distinct merely upgraded to a count.
+    */
+  private[graft] def supportEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    li.as("a").join(li.as("b").hint("shuffle_hash"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select("pa", "pb")
+  }
+
+  /** Connected components of the SUPPORT-≥2 co-purchase graph
+    * (hash-min label propagation), top 20 by (size desc, component
+    * asc). Component label = min node id reachable within [[CcRounds]]
+    * hops.
+    *
+    * Per round: ONE node-keyed join (labels onto edge sources) + one
+    * min-aggregate keyed by destination — the PageRank exchange shape
+    * reused, every exchange node- or edge-scale. Lineage stays shallow
+    * because rounds are bounded; a planet-scale deployment would
+    * checkpoint between rounds.
+    */
+  def graphCc(s: SparkSession, dir: String): DataFrame = {
+    // The edge set is MATERIALIZED once: every one of the 8 rounds joins
+    // against it, and without the checkpoint each round's lineage
+    // re-runs the (expensive) support self-join — round 8's plan would
+    // pay it 8×. This is exactly the "checkpoint between rounds" any
+    // iterative distributed graph job does; the support graph is orders
+    // of magnitude smaller than the corpus (noise floor ≥ 2 prunes
+    // ~97 % of pairs), so the artifact is cheap to hold.
+    val e = supportEdges(s, dir).localCheckpoint(eager = true)
+    val bi = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(e.select(col("pb"), col("pa")))
+    var lbl = degrees(e).select(col("node"), col("node").as("lbl"))
+    var round = 0
+    while (round < CcRounds) {
+      val m = bi.join(lbl.select(col("node").as("src"), col("lbl")), "src")
+        .groupBy(col("dst").as("node")).agg(min("lbl").as("ml"))
+      lbl = lbl.join(m, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("ml"), col("lbl"))).as("lbl"))
+      round += 1
+    }
+    Dedup.releasing(
+      lbl.groupBy(col("lbl").as("comp")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(desc("n_nodes"), asc("comp")).limit(20), e)
+  }
+
+  /** Neighborhood Jaccard similarity per co-purchase edge — the classic
+    * link-prediction / item-similarity feature: for each edge (a, b),
+    * `jac_pm = ⌊1000·|N(a)∩N(b)| / |N(a)∪N(b)|⌋`, top 20 by
+    * (jac_pm desc, pa, pb). Common-neighbor counts come FROM THE
+    * TRIANGLE MACHINERY, not a per-edge full-adjacency intersection:
+    * every triangle {u,v,w} credits each of its 3 edges with one shared
+    * neighbor, so exploding [[closedTriads]] and aggregating by
+    * canonical edge gives |N(a)∩N(b)| for every edge in triangle-scale
+    * rows. A full-adjacency formulation would carry O(max-degree)
+    * arrays — unbounded under power law — where the oriented arrays
+    * here stay O(√m); the credit aggregate is output-inherent
+    * (common-neighbor instances ARE triangle corners). Degrees join
+    * from the node-scale degree table; union size by inclusion-
+    * exclusion (da + db − common), division deferred to one integer
+    * `div` per edge.
+    */
+  def graphJaccard(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val e = copurchaseEdges(s, dir)
+    val deg = degrees(e)
+    val tw = closedTriads(orientedEdges(e, deg))
+      .select(col("src"), col("dst"), explode(col("ws")).as("w"))
+    val credits = tw.select(least(col("src"), col("dst")).as("pa"),
+        greatest(col("src"), col("dst")).as("pb"))
+      .unionAll(tw.select(least(col("src"), col("w")),
+        greatest(col("src"), col("w"))))
+      .unionAll(tw.select(least(col("dst"), col("w")),
+        greatest(col("dst"), col("w"))))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("common"))
+    // shuffle_hash, not SMJ: every side is a derived frame (no stats for
+    // broadcast planning), and at scale credits/deg are edge-/node-scale
+    // — a hash exchange on the join key without the two sorts SMJ pays
+    e.join(credits.hint("shuffle_hash"), Seq("pa", "pb"), "left")
+      .na.fill(0L, Seq("common"))
+      .join(deg.select(col("node").as("pa"), col("deg").as("da"))
+        .hint("shuffle_hash"), "pa")
+      .join(deg.select(col("node").as("pb"), col("deg").as("db"))
+        .hint("shuffle_hash"), "pb")
+      .select(col("pa"), col("pb"), col("common"), col("da"), col("db"),
+        expr("(1000L * common) div (da + db - common)").as("jac_pm"))
+      .orderBy(desc("jac_pm"), asc("pa"), asc("pb"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_triangles" -> (graphTriangles _),
-    "graph_pagerank" -> (graphPagerank _))
+    "graph_pagerank" -> (graphPagerank _),
+    "graph_cc" -> (graphCc _),
+    "graph_jaccard" -> (graphJaccard _))
 
   /** Shared oracle CTE prefix: the distinct co-purchase edge set. */
   private val edgeSql =
@@ -181,6 +314,14 @@ object Graph {
       |bi AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM e
       |                    UNION ALL SELECT pb, pa FROM e),
       |deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM bi GROUP BY 1)""".stripMargin
+
+  private def ccRoundSql(k: Int): String =
+    s"""l$k AS MATERIALIZED (
+       |  SELECT p.node, least(p.lbl, coalesce(m.ml, p.lbl)) AS lbl
+       |  FROM l${k - 1} p LEFT JOIN (
+       |    SELECT bi.dst AS node, min(q.lbl) AS ml
+       |    FROM bi JOIN l${k - 1} q ON q.node = bi.src GROUP BY 1) m
+       |  USING (node))""".stripMargin
 
   private def prRoundSql(k: Int): String =
     s"""r$k AS MATERIALIZED (
@@ -215,6 +356,36 @@ object Graph {
          |SELECT node AS part, count(*) AS n_tri
          |FROM corners GROUP BY 1
          |ORDER BY n_tri DESC, part LIMIT 20""".stripMargin,
+    "graph_cc" ->
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e AS MATERIALIZED (
+         |  SELECT a.pk AS pa, b.pk AS pb
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |bi AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM e
+         |                    UNION ALL SELECT pb, pa FROM e),
+         |deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM bi GROUP BY 1),
+         |l0 AS MATERIALIZED (SELECT node, node AS lbl FROM deg),
+         |${(1 to CcRounds).map(ccRoundSql).mkString(",\n")}
+         |SELECT lbl AS comp, count(*) AS n_nodes FROM l$CcRounds
+         |GROUP BY 1 ORDER BY n_nodes DESC, comp LIMIT 20""".stripMargin,
+    "graph_jaccard" ->
+      s"""WITH $edgeSql,
+         |common AS MATERIALIZED (
+         |  SELECT e.pa, e.pb, count(*) AS c
+         |  FROM e
+         |  JOIN bi n1 ON n1.src = e.pa
+         |  JOIN bi n2 ON n2.src = e.pb AND n2.dst = n1.dst
+         |  GROUP BY 1, 2)
+         |SELECT e.pa, e.pb,
+         |  CAST(coalesce(c.c, 0) AS BIGINT) AS common,
+         |  CAST(da.deg AS BIGINT) AS da, CAST(db.deg AS BIGINT) AS db,
+         |  CAST((1000 * coalesce(c.c, 0))
+         |    // (da.deg + db.deg - coalesce(c.c, 0)) AS BIGINT) AS jac_pm
+         |FROM e LEFT JOIN common c ON c.pa = e.pa AND c.pb = e.pb
+         |JOIN deg da ON da.node = e.pa JOIN deg db ON db.node = e.pb
+         |ORDER BY jac_pm DESC, e.pa, e.pb LIMIT 20""".stripMargin,
     "graph_pagerank" ->
       s"""WITH $edgeSql,
          |nn AS (SELECT count(*) AS n FROM deg),

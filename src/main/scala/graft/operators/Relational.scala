@@ -224,7 +224,39 @@ object Relational {
       .select(col("o_custkey").as("custkey"), col("tag"))
   }
 
+  /** TPC-H Q17 shape — the CORRELATED SCALAR SUBQUERY primitive
+    * (`l_quantity < 0.2 · avg(l_quantity) per part`), decorrelated the
+    * way every engine actually executes it: one per-part aggregate
+    * joined back onto the fact rows. The float threshold is cleared by
+    * integer cross-multiplication (`5·qty·cnt < Σqty` ⇔
+    * `qty < 0.2·avg`), so no division ever runs and the verdict cannot
+    * flip cross-engine. Scale shape: the brand filter prunes the part
+    * dim BEFORE both joins (broadcast — parts are the small side at any
+    * corpus size after a brand cut), the per-part threshold table is
+    * |brand parts|-bounded and broadcasts back onto the same fact
+    * subset, so lineitem never shuffles: two scans, zero fact
+    * exchanges until the final |parts|-bounded aggregate.
+    */
+  def q17Corr(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).filter(col("p_brand") === "Brand#13")
+      .select("p_partkey")
+    val li = Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"),
+        round(col("l_quantity")).cast("bigint").as("qty"),
+        cents(col("l_extendedprice")).as("price_c"))
+    val thr = li.groupBy("l_partkey")
+      .agg(count(lit(1)).as("cnt"), sum("qty").as("sum_qty"))
+    li.join(broadcast(thr), Seq("l_partkey"))
+      .filter(col("qty") * col("cnt") * lit(5L) < col("sum_qty"))
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(count(lit(1)).as("n_below"), sum("price_c").as("cents_below"))
+      .orderBy(desc("cents_below"), asc("partkey"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_corr" -> (q17Corr _),
     "q16_setops" -> (q16SetOps _),
     "q14_anti_join" -> (q14AntiJoin _),
     "q15_cube" -> (q15Cube _),
@@ -248,6 +280,20 @@ object Relational {
   private val lBp = "CAST(round(l_discount * 100) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q17_corr" ->
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
+         |         $lCents AS price_c
+         |  FROM lineitem JOIN part
+         |    ON p_partkey = l_partkey AND p_brand = 'Brand#13'),
+         |thr AS (SELECT l_partkey, count(*) AS cnt, sum(qty) AS sum_qty
+         |        FROM li GROUP BY 1)
+         |SELECT li.l_partkey AS partkey,
+         |  count(*) AS n_below,
+         |  CAST(sum(price_c) AS BIGINT) AS cents_below
+         |FROM li JOIN thr USING (l_partkey)
+         |WHERE qty * cnt * 5 < sum_qty
+         |GROUP BY 1 ORDER BY cents_below DESC, partkey LIMIT 20""".stripMargin,
     "q16_setops" ->
       """WITH a AS (SELECT DISTINCT o_custkey FROM orders
         |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'

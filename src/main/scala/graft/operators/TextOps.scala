@@ -525,6 +525,23 @@ object TextOps {
     }
   }
 
+  /** The trained vocab's per-word BPE symbol counts, memoized per dir —
+    * exactly the table [[textBpeApply]] BROADCASTS into its encode join,
+    * so holding it driver-side is the same size class the encoder
+    * already commits to (vocab-bounded, never corpus-bounded). Serving
+    * the encoder from this memo keeps its plan at ONE documents scan
+    * (LocalTableScan + broadcast for the dict side); rebuilding the dict
+    * from lineage would rescan the corpus per consumer.
+    */
+  private val bpeVocabCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[(String, Int)]]()
+
+  private def bpeVocab(s: SparkSession, dir: String): Array[(String, Int)] =
+    bpeVocabCache.computeIfAbsent(dir, _ =>
+      bpeLoop(s, dir)._1
+        .select(col("word"), size(split(col("s"), " ")).as("n"))
+        .collect().map(r => (r.getString(0), r.getInt(1))))
+
   /** Corpus → word-frequency dict with the initial char symbolization —
     * the trainer's round-0 state, as a plain declarative frame.
     */
@@ -605,8 +622,8 @@ object TextOps {
     * symbol, exactly what their char split would yield.
     */
   def textBpeApply(s: SparkSession, dir: String): DataFrame = {
-    val enc = bpeLoop(s, dir)._1
-      .select(col("word"), size(split(col("s"), " ")).as("n_syms"))
+    import s.implicits._
+    val enc = bpeVocab(s, dir).toSeq.toDF("word", "n_syms")
     Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")

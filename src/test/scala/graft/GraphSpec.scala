@@ -61,4 +61,55 @@ class GraphSpec extends SparkSpec {
     // every rank is positive and below total mass
     assert(vals.forall(v => v > 0 && v < Graph.PrScale))
   }
+
+  test("graph_cc matches an exact driver-side union-find on the support graph") {
+    val edges = Graph.supportEdges(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // exact union-find (path compression), TRUE components — 8 hash-min
+    // rounds must have converged on this graph for the spec to pass
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // component label = min member id (find-root after min-directed
+    // unions IS the min member)
+    val sizes = parent.keys.toSeq.groupBy(find).map { case (c, m) => c -> m.size.toLong }
+    val expected = sizes.toSeq.sortBy { case (c, n) => (-n, c) }.take(20)
+    val got = Graph.graphCc(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
+  test("graph_jaccard matches a brute-force common-neighbor count") {
+    val edges = Graph.copurchaseEdges(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (edges ++ edges.map { case (a, b) => (b, a) })
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val expected = edges.map { case (a, b) =>
+      val (na, nb) = (nbrs(a), nbrs(b))
+      val c = (na & nb).size.toLong
+      (a, b, c, na.size.toLong, nb.size.toLong,
+        (1000L * c) / (na.size + nb.size - c))
+    }.sortBy { case (a, b, _, _, _, j) => (-j, a, b) }.take(20).toSeq
+    val got = Graph.graphJaccard(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+  }
+
+  test("isectSorted equals set intersection on seeded sorted arrays") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val a = Array.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      val b = Array.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      val got = graft.functions.VecKernels.isectSorted(a, b).toSeq
+      val want = (a.toSet & b.toSet).toSeq.sorted
+      assert(got == want, s"a=${a.toSeq} b=${b.toSeq}")
+    }
+  }
 }

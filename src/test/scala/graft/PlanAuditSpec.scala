@@ -23,7 +23,10 @@ class PlanAuditSpec extends SparkSpec {
     // ann_recall embeds ann_topk (it measures the IVF against it), so it
     // inherits the one intentional broadcast crossJoin; ann_pq's ADC scan
     // is the same shape — codes against the broadcast 8-row query LUT
-    val intended = Set("ann_topk", "ann_recall", "ann_pq")
+    // graph_pagerank's one NLJ is the 1-row node-count aggregate
+    // broadcast-crossed onto the degree table — a scalar bind, not a
+    // pair explosion
+    val intended = Set("ann_topk", "ann_recall", "ann_pq", "graph_pagerank")
     for ((name, plan) <- plans if !intended(name))
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop join")
@@ -330,7 +333,12 @@ class PlanAuditSpec extends SparkSpec {
     // at test scale)
     // sketch_kmv's EXACT control is the per-user type-pair self-join —
     // big-big at scale by nature (that's what the sketch exists to avoid)
-    val bigBig = Set("dedup_clusters", "dedup_semantic", "sketch_kmv")
+    // graph_pagerank iterates rank ⨝ edges: both node-/edge-scale at
+    // scale (a broadcast of node-scale ranks would be the wrong plan at
+    // 100 TB), and the iterative lineage has no stats for broadcast
+    // planning anyway
+    val bigBig = Set("dedup_clusters", "dedup_semantic", "sketch_kmv",
+      "graph_pagerank")
     for ((name, plan) <- plans if !bigBig(name))
       assert(!plan.contains("SortMergeJoin"), s"$name falls back to SMJ")
   }
@@ -363,5 +371,32 @@ class PlanAuditSpec extends SparkSpec {
     // the per-payload lag window
     assert(shuffleCount(plans("mm_scenes")) <= 1,
       s"mm_scenes:\n${plans("mm_scenes")}")
+  }
+
+  test("round-12 keys: q17 broadcast-decorrelated, histogram one agg, cc materialized") {
+    // q17_corr: part dim AND the per-part threshold table broadcast, so
+    // the only exchanges are the two bounded aggregates (threshold +
+    // final per-part rollup) over the brand-filtered fact subset; top-20
+    // is TakeOrdered, never a global sort
+    assert(shuffleCount(plans("q17_corr")) <= 2,
+      s"q17_corr:\n${plans("q17_corr")}")
+    assert(plans("q17_corr").contains("TakeOrderedAndProject"),
+      "q17_corr top-20 must be TakeOrdered")
+    assert(plans("q17_corr").contains("BroadcastExchange"),
+      "q17_corr must broadcast the part dim and threshold table")
+    // evt_histogram: one partial-agg exchange on the bounded
+    // (type × bucket) key space + the presentation sort of ≤ 64·types rows
+    assert(shuffleCount(plans("evt_histogram")) <= 2,
+      s"evt_histogram:\n${plans("evt_histogram")}")
+    // graph_cc returns through the localCheckpoint-then-release
+    // discipline (8 bounded rounds against the materialized edge set),
+    // so the audited plan is the materialized result — iteration shape
+    // is covered by the union-find spec + the oracle replay
+    assert(shuffleCount(plans("graph_cc")) === 0,
+      s"graph_cc must return its materialized checkpoint:\n${plans("graph_cc")}")
+    // graph_jaccard: triangle-credit aggregate + edge joins — every
+    // exchange edge-scale, top-20 TakeOrdered
+    assert(plans("graph_jaccard").contains("TakeOrderedAndProject"),
+      "graph_jaccard top-20 must be TakeOrdered")
   }
 }
