@@ -132,6 +132,66 @@ object Geo {
   val FUnd: Double = 1.0 - 1.0 / InverseFlattening
   val SphereFact: Double = math.pow(FUnd, 1.5)
 
+  /** Douglas–Peucker tolerance in integer centidegrees and the bounded
+    * recursion depth — BOTH are part of the operator contract: a
+    * depth-capped DP is deterministic whether or not the cap binds
+    * (each level is a pure function of the previous one), which is what
+    * lets a SQL engine replay the recursion as a fixed chain of
+    * per-level argmax CTEs instead of an unbounded worklist.
+    */
+  val DpEps = 4000L
+  val DpDepth = 16
+
+  /** Depth-capped Douglas–Peucker over an integer polyline — all
+    * arithmetic exact int64 (perpendicular distance compared by
+    * cross² > ε²·|AB|², with the cross product ≤ 1.3e9 so its square
+    * fits int64; within one segment |AB|² is constant across candidate
+    * points, so the interior argmax orders by the raw numerator — no
+    * ratio, no float). Degenerate zero-length segments fall back to
+    * point distance. Split point = max distance, ties → smallest index.
+    * Returns [n_kept, Σ kept idx, Σ kept x, Σ kept y] — the checksum
+    * face the cross-engine compare hashes.
+    */
+  def dpKeep(xs: Array[Long], ys: Array[Long]): Array[Long] = {
+    val n = math.min(xs.length, ys.length)
+    if (n == 0) return Array(0L, 0L, 0L, 0L)
+    val kept = new java.util.BitSet(n)
+    kept.set(0); kept.set(n - 1)
+    var level: List[(Int, Int)] = List((0, n - 1))
+    var d = 0
+    while (d < DpDepth && level.nonEmpty) {
+      var nxt: List[(Int, Int)] = Nil
+      for ((i, j) <- level if j - i >= 2) {
+        val ax = xs(i); val ay = ys(i); val bx = xs(j); val by = ys(j)
+        val den = (bx - ax) * (bx - ax) + (by - ay) * (by - ay)
+        var bk = -1; var bn = -1L
+        var k = i + 1
+        while (k < j) {
+          val px = xs(k); val py = ys(k)
+          val num =
+            if (den == 0L) (px - ax) * (px - ax) + (py - ay) * (py - ay)
+            else { val cr = (bx - ax) * (ay - py) - (ax - px) * (by - ay); cr * cr }
+          if (num > bn) { bk = k; bn = num }
+          k += 1
+        }
+        val dden = if (den == 0L) 1L else den
+        if (bn > DpEps * DpEps * dden) {
+          kept.set(bk)
+          nxt = (i, bk) :: (bk, j) :: nxt
+        }
+      }
+      level = nxt
+      d += 1
+    }
+    var nk = 0L; var si = 0L; var sx = 0L; var sy = 0L
+    var i = kept.nextSetBit(0)
+    while (i >= 0) {
+      nk += 1; si += i; sx += xs(i); sy += ys(i)
+      i = kept.nextSetBit(i + 1)
+    }
+    Array(nk, si, sx, sy)
+  }
+
   /** Flattening-corrected geodesic polyline length in fixed-point
     * millimeters (reference formula: GeometryTools.java:43-61 — spherical
     * latitude via atan(f^1.5·tan φ), equirectangular step with mid-latitude
@@ -572,6 +632,34 @@ case class GeodesicLengthMm(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `dp_keep(xs, ys)` over two long-array columns → the 4-long
+  * Douglas–Peucker summary [n_kept, idx_sum, x_sum, y_sum]
+  * ([[Geo.dpKeep]]): one codegen call runs the whole depth-capped
+  * simplification per row — the per-entity recursion is imperative by
+  * nature (a worklist over split segments), exactly the "genuine
+  * per-partition imperative logic" a kernel exists for.
+  */
+case class DpKeep(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "dp_keep"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Geo.dpKeep(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray(),
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.Geo.dpKeep($a.toLongArray(), $b.toLongArray()))")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DpKeep =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `geodesic_area_m2(lons, lats)` → whole-m² ring area. */
 case class GeodesicAreaM2(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -657,6 +745,7 @@ object GeoFunctions {
     "ring_self_intersects" -> (es => RingSelfIntersects(es(0), es(1))),
     "ring_cross_pairs" -> (es => RingCrossPairs(es(0), es(1))),
     "geodesic_length_mm" -> (es => GeodesicLengthMm(es(0), es(1))),
+    "dp_keep" -> (es => DpKeep(es(0), es(1))),
     "geodesic_area_m2" -> (es => GeodesicAreaM2(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es(0))),
     "dot9" -> (es => Dot9(es(0), es(1))),

@@ -447,7 +447,41 @@ object Geometry {
       .select(col("q_id"), col("event_id").as("n_id"), col("rnk"), col("d2"))
   }
 
+  /** Douglas–Peucker polyline simplification (the geometry
+    * GENERALIZATION pass an OSM renderer / tile pipeline runs on every
+    * way; cf. reference geometry assembly in GeometryBuilder.java —
+    * simplification is the step after assembly): per entity, the
+    * depth-capped DP keep-set summary from ONE `dp_keep` codegen kernel
+    * call ([[graft.functions.Geo.dpKeep]]) over the event-ordered
+    * integer centidegree polyline. All arithmetic is exact int64
+    * (cross² vs ε²·|AB|² cross-multiplication; within a segment the
+    * denominator is constant, so the interior argmax needs no ratio),
+    * and the bounded depth ([[graft.functions.Geo.DpDepth]]) is part of
+    * the contract — it is what lets DuckDB replay the recursion as a
+    * fixed chain of per-level argmax CTEs, and what bounds the work a
+    * pathological polyline can demand at 100 TB. ONE keyed exchange
+    * (the per-entity collect); the kernel is O(depth · n) per entity,
+    * entity size bounded by the source (OSM ways cap at 2 000 nodes).
+    */
+  def geoSimplify(s: SparkSession, dir: String): DataFrame = {
+    GeoFunctions.register(s)
+    points(s, dir)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("event_id"), col("xi"), col("yi")))).as("pts"))
+      .select(col("user_id"), size(col("pts")).cast("long").as("n_points"),
+        call_function("dp_keep",
+          expr("transform(pts, p -> p.xi)"),
+          expr("transform(pts, p -> p.yi)")).as("dp"))
+      .select(col("user_id"), col("n_points"),
+        col("dp").getItem(0).as("n_kept"),
+        col("dp").getItem(1).as("idx_sum"),
+        col("dp").getItem(2).as("x_sum"),
+        col("dp").getItem(3).as("y_sum"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_simplify" -> (geoSimplify _),
     "geo_knn" -> (geoKnn _),
     "geo_spikes" -> (geoSpikes _),
     "geo_ring_valid" -> (geoRingValid _),
@@ -731,7 +765,70 @@ object Geometry {
        |ORDER BY b.user_id""".stripMargin
   }
 
+  /** One DP level for the `geo_simplify` oracle: per live segment, the
+    * interior argmax (exact — within a segment the denominator |AB|² is
+    * constant, so `ORDER BY num DESC, idx` needs no ratio) and the split
+    * test `num > ε²·den`; split children that can still hold an interior
+    * point carry to the next level.
+    */
+  private def dpLevelSql(k: Int): String = {
+    val e2 = graft.functions.Geo.DpEps * graft.functions.Geo.DpEps
+    s"""b$k AS MATERIALIZED (
+       |  SELECT u, i, j, k, num, den FROM (
+       |    SELECT s.u, s.i, s.j, p.idx AS k,
+       |      CASE WHEN (b.x-a.x)*(b.x-a.x)+(b.y-a.y)*(b.y-a.y) = 0
+       |           THEN (p.x-a.x)*(p.x-a.x)+(p.y-a.y)*(p.y-a.y)
+       |           ELSE ((b.x-a.x)*(a.y-p.y) - (a.x-p.x)*(b.y-a.y))
+       |              * ((b.x-a.x)*(a.y-p.y) - (a.x-p.x)*(b.y-a.y)) END AS num,
+       |      CASE WHEN (b.x-a.x)*(b.x-a.x)+(b.y-a.y)*(b.y-a.y) = 0 THEN 1
+       |           ELSE (b.x-a.x)*(b.x-a.x)+(b.y-a.y)*(b.y-a.y) END AS den,
+       |      row_number() OVER (PARTITION BY s.u, s.i, s.j ORDER BY
+       |        CASE WHEN (b.x-a.x)*(b.x-a.x)+(b.y-a.y)*(b.y-a.y) = 0
+       |             THEN (p.x-a.x)*(p.x-a.x)+(p.y-a.y)*(p.y-a.y)
+       |             ELSE ((b.x-a.x)*(a.y-p.y) - (a.x-p.x)*(b.y-a.y))
+       |                * ((b.x-a.x)*(a.y-p.y) - (a.x-p.x)*(b.y-a.y)) END DESC,
+       |        p.idx) AS rn
+       |    FROM s${k - 1} s
+       |    JOIN dpp a ON a.u = s.u AND a.idx = s.i
+       |    JOIN dpp b ON b.u = s.u AND b.idx = s.j
+       |    JOIN dpp p ON p.u = s.u AND p.idx > s.i AND p.idx < s.j) t
+       |  WHERE rn = 1),
+       |s$k AS MATERIALIZED (
+       |  SELECT u, i, j FROM (
+       |    SELECT u, i, k AS j FROM b$k WHERE num > $e2 * den
+       |    UNION ALL
+       |    SELECT u, k AS i, j FROM b$k WHERE num > $e2 * den) t
+       |  WHERE j - i >= 2)""".stripMargin
+  }
+
+  private val geoSimplifySql: String = {
+    val d = graft.functions.Geo.DpDepth
+    val e2 = graft.functions.Geo.DpEps * graft.functions.Geo.DpEps
+    s"""WITH p0 AS ($ptsSql),
+       |dpp AS MATERIALIZED (
+       |  SELECT user_id u,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS idx,
+       |         xi AS x, yi AS y
+       |  FROM p0),
+       |ends AS (SELECT u, 0 AS i, max(idx) AS j FROM dpp GROUP BY 1),
+       |s0 AS MATERIALIZED (SELECT u, i, j FROM ends WHERE j >= 2),
+       |${(1 to d).map(dpLevelSql).mkString(",\n")},
+       |kept AS (
+       |  SELECT u, 0 AS idx FROM ends
+       |  UNION SELECT u, j FROM ends
+       |  ${(1 to d).map(k => s"UNION SELECT u, k FROM b$k WHERE num > $e2 * den").mkString("\n  ")}
+       |),
+       |np AS (SELECT u, count(*) AS n FROM dpp GROUP BY 1)
+       |SELECT p.u AS user_id, CAST(any_value(np.n) AS BIGINT) AS n_points,
+       |  count(*) AS n_kept, CAST(sum(p.idx) AS BIGINT) AS idx_sum,
+       |  CAST(sum(p.x) AS BIGINT) AS x_sum, CAST(sum(p.y) AS BIGINT) AS y_sum
+       |FROM kept k JOIN dpp p ON p.u = k.u AND p.idx = k.idx
+       |JOIN np ON np.u = p.u
+       |GROUP BY 1 ORDER BY user_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "geo_simplify" -> geoSimplifySql,
     "geo_knn" ->
       s"""WITH pts AS ($ptsSql),
          |edge AS (SELECT coalesce(max(v), ${KnnEdges.last}) AS e

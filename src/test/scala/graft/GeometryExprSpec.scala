@@ -169,4 +169,49 @@ class GeometryExprSpec extends AnyFunSuite {
       assert(BigInt(Geo.xzCodeInt(a, b, c, d, 16)) === code, s"code of ($a,$b,$c,$d)")
     }
   }
+
+  test("dpKeep matches an independent recursive Douglas-Peucker on seeded polylines") {
+    // independent slant: DFS recursion carrying explicit depth (the
+    // kernel runs BFS levels over a worklist) — the kept SET must agree
+    // because a segment's depth is traversal-order-independent
+    def dpRec(xs: Array[Long], ys: Array[Long]): Set[Int] = {
+      var kept = Set(0, xs.length - 1)
+      def go(i: Int, j: Int, depth: Int): Unit = {
+        if (j - i < 2 || depth >= Geo.DpDepth) return
+        val den = (xs(j) - xs(i)) * (xs(j) - xs(i)) + (ys(j) - ys(i)) * (ys(j) - ys(i))
+        val scored = ((i + 1) until j).map { k =>
+          val num =
+            if (den == 0L) (xs(k) - xs(i)) * (xs(k) - xs(i)) + (ys(k) - ys(i)) * (ys(k) - ys(i))
+            else {
+              val cr = (xs(j) - xs(i)) * (ys(i) - ys(k)) - (xs(i) - xs(k)) * (ys(j) - ys(i))
+              cr * cr
+            }
+          (k, num)
+        }
+        val (bk, bn) = scored.maxBy { case (k, num) => (num, -k) }
+        if (bn > Geo.DpEps * Geo.DpEps * (if (den == 0L) 1L else den)) {
+          kept += bk
+          go(i, bk, depth + 1); go(bk, j, depth + 1)
+        }
+      }
+      go(0, xs.length - 1, 0)
+      kept
+    }
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 100) {
+      val n = 2 + rnd.nextInt(60)
+      val xs = Array.fill(n)(rnd.nextLong(36000))
+      val ys = Array.fill(n)(rnd.nextLong(18000))
+      val kept = dpRec(xs, ys)
+      val want = Array(kept.size.toLong, kept.toSeq.map(_.toLong).sum,
+        kept.toSeq.map(xs(_)).sum, kept.toSeq.map(ys(_)).sum)
+      assert(Geo.dpKeep(xs, ys).toSeq == want.toSeq, s"trial $trial n=$n")
+    }
+    // degenerate shapes: all-identical points (zero-length root segment)
+    // and a collinear run (nothing past tolerance)
+    assert(Geo.dpKeep(Array(5L, 5L, 5L, 5L), Array(7L, 7L, 7L, 7L)).toSeq ==
+      Seq(2L, 3L, 10L, 14L))
+    val colX = Array.tabulate(10)(i => i * 10L)
+    assert(Geo.dpKeep(colX, colX).toSeq == Seq(2L, 9L, 90L, 90L))
+  }
 }
