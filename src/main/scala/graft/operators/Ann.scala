@@ -238,6 +238,42 @@ object Ann {
           .as("is_outlier"))
   }
 
+  /** Scalar int8 quantization of the embedding corpus (the compression
+    * pass a vector store runs before sharding — FAISS's SQ8 layout):
+    * per-DIMENSION min/max over the corpus define a 255-step grid,
+    * `q = ((x9 − min9)·255) div max(1, max9 − min9)`, dequantized error
+    * audited per vector. Everything runs on the [[graft.functions
+    * .VecKernels.dot9]] fixed-point convention (x9 = round(x·1e9), exact
+    * and tie-free for floats), so codes and errors are bit-identical
+    * cross-engine — a float `(x−min)/(max−min)` would flip codes at grid
+    * boundaries.
+    *
+    * Scale shape: the stats pass partial-aggregates into a d-row (64)
+    * frame that BROADCASTS back onto a rescan; per-vector code/error
+    * rollup reuses the posexplode scan with one vec_id-keyed exchange.
+    * The corpus never shuffles wider than (vec × dim) rows carrying
+    * 3 longs.
+    */
+  def embQuantize(s: SparkSession, dir: String): DataFrame = {
+    val x9 = expr("cast(round(cast(e as double) * 1e9) as bigint)")
+    val ex = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "e")))
+      .select(col("vec_id"), col("label"), col("dim"), x9.as("x9"))
+    val stats = ex.groupBy("dim")
+      .agg(min("x9").as("min9"), max("x9").as("max9"))
+    ex.join(broadcast(stats), "dim")
+      .withColumn("rng", greatest(col("max9") - col("min9"), lit(1L)))
+      .withColumn("q", expr("((x9 - min9) * 255L) div rng"))
+      .withColumn("xq9", col("min9") + expr("(q * rng) div 255L"))
+      .withColumn("err9", abs(col("x9") - col("xq9")))
+      .groupBy("vec_id", "label")
+      .agg(sum("q").as("sum_q"),
+        max("err9").as("max_err9"),
+        sum("err9").as("sum_err9"))
+      .orderBy("vec_id")
+  }
+
   /** Principal-component projection of the embedding corpus — the
     * whitening / dimensionality-reduction pass a training pipeline runs
     * before ANN indexing or semantic clustering. Uncentered PCA (the
@@ -662,6 +698,7 @@ object Ann {
     "dedup_embedding" -> (dedupEmbedding _),
     "emb_kmeans" -> (embKmeans _),
     "emb_pca" -> (embPca _),
+    "emb_quantize" -> (embQuantize _),
     "emb_pca2" -> (embPca2 _),
     "emb_outliers" -> (embOutliers _),
     "ann_topk" -> (annTopk _),
@@ -725,6 +762,21 @@ object Ann {
 
   val oracles: Map[String, String] = Map(
     "emb_pca" -> embPcaSql,
+    "emb_quantize" ->
+      """WITH ex AS MATERIALIZED (
+        |  SELECT vec_id, label, t.i AS dim,
+        |    CAST(round(CAST(embedding[t.i + 1] AS DOUBLE) * 1e9) AS BIGINT) AS x9
+        |  FROM embeddings CROSS JOIN range(0, 64) t(i)),
+        |st AS (SELECT dim, min(x9) AS min9, max(x9) AS max9 FROM ex GROUP BY 1),
+        |qq AS (SELECT vec_id, label,
+        |    ((x9 - min9) * 255) // greatest(max9 - min9, 1) AS q,
+        |    abs(x9 - (min9 + ((((x9 - min9) * 255) // greatest(max9 - min9, 1))
+        |      * greatest(max9 - min9, 1)) // 255)) AS err9
+        |  FROM ex JOIN st USING (dim))
+        |SELECT vec_id, label, CAST(sum(q) AS BIGINT) AS sum_q,
+        |  CAST(max(err9) AS BIGINT) AS max_err9,
+        |  CAST(sum(err9) AS BIGINT) AS sum_err9
+        |FROM qq GROUP BY 1, 2 ORDER BY vec_id""".stripMargin,
     "emb_pca2" -> embPca2Sql,
     "emb_outliers" ->
       s"""WITH $flatSql,

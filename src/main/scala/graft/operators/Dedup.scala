@@ -168,6 +168,48 @@ object Dedup {
       .groupBy(md5(col("text")).as("h"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Passage width for sub-document dedup (words per passage). */
+  val PassageW = 10
+
+  /** Sub-document PASSAGE dedup — the CCNet/C4 paragraph-hash pass
+    * applied to structure-free text: the document splits into
+    * consecutive [[PassageW]]-word passages, a passage is a duplicate
+    * when an identical passage (md5) occurs EARLIER in the corpus
+    * ((doc_id, passage_idx) order — repeats inside one doc count from
+    * the second occurrence on, exactly the paragraph-level rule), and
+    * each doc reports how many of its passages survive and the word
+    * count they retain. Where `dedup_exact` drops whole documents,
+    * this is the finer instrument that strips boilerplate (headers,
+    * licence blocks, navigation chrome) repeated ACROSS different
+    * documents.
+    *
+    * Scale shape: passage strings assemble SCAN-SIDE from one
+    * `slice`/`array_join` transform (no word-level shuffle — the corpus
+    * shuffles once, keyed by passage hash, with the passage TEXT never
+    * leaving the map side: only (hash, doc, idx, n_words) rows move);
+    * first-occurrence rank is a WindowGroupLimit-free window on the
+    * hash key (rank 1 per hash = keeper), and the per-doc rollup reuses
+    * the doc_id exchange. Both exchanges are passage-count-scale.
+    */
+  def dedupPassage(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy("doc_id", "pidx")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(ws) - 1) div $PassageW), " +
+          s"i -> array_join(slice(ws, i * $PassageW + 1, $PassageW), ' '))"))
+        .as(Seq("pidx", "passage")))
+      .select(col("doc_id"), col("pidx"), md5(col("passage")).as("h"),
+        size(split(col("passage"), " ")).cast("long").as("n_words"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("rk") > 1, 1L).otherwise(0L)).as("n_dup_passages"),
+        sum(when(col("rk") === 1, col("n_words")).otherwise(0L)).as("n_words_kept"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash signatures (k=8, md5 over 5-char shingles). */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     signatures(s, dir)
@@ -598,6 +640,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (dedupClusters _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_passage" -> (dedupPassage _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_lsh_pairs" -> (dedupLshPairs _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -701,6 +744,24 @@ object Dedup {
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    // the generate_subscripts/unnest pair expands in lockstep, so word i
+    // keeps its 1-based position; passage idx = (i-1) div W, first
+    // occurrence per md5 in (doc_id, pidx) order
+    "dedup_passage" ->
+      s"""WITH wds AS (
+         |  SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
+         |  FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents) t),
+         |pass AS MATERIALIZED (
+         |  SELECT doc_id, (i - 1) // $PassageW AS pidx,
+         |    md5(string_agg(w, ' ' ORDER BY i)) AS h, count(*) AS n_words
+         |  FROM wds GROUP BY 1, 2),
+         |rk AS (SELECT doc_id, pidx, n_words,
+         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pidx) AS rk
+         |  FROM pass)
+         |SELECT doc_id, count(*) AS n_passages,
+         |  CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages,
+         |  CAST(sum(CASE WHEN rk = 1 THEN n_words ELSE 0 END) AS BIGINT) AS n_words_kept
+         |FROM rk GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // 3-gram slice w[i:i+2] is 1-based INCLUSIVE (3 tokens), matching the
     // Spark side's slice(w, i, 3); range() end is exclusive so i runs to
     // len(w)-2, the last full trigram start
