@@ -255,7 +255,66 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q18 shape — aggregate-HAVING-rejoin (large-volume orders):
+    * the per-group aggregate acts as a FILTER on its own grouping key,
+    * then the surviving keys rejoin the wide rows. Scale shape: the
+    * HAVING cut runs on the narrow (orderkey, qty) projection before
+    * any wide row moves — the qualifying-key set is a small,
+    * data-dependent fraction of orders, so its joins are left
+    * UNHINTED: AQE sees the post-filter size at runtime and picks
+    * broadcast when it fits, hash-exchange when it doesn't (a static
+    * broadcast hint on a data-growing set is exactly the 100 TB trap
+    * §4 warns about). The customer join runs after the orderkey cut,
+    * so it rejoins only the surviving rows.
+    */
+  def q18Having(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), round(col("l_quantity")).cast("bigint").as("qty"))
+      .groupBy("l_orderkey")
+      .agg(sum("qty").as("sum_qty"))
+      .filter(col("sum_qty") > 200L)
+    Tables.orders(s, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey").as("custkey"), col("c_name"),
+        col("o_orderkey").as("orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"),
+        cents(col("o_totalprice")).as("price_c"), col("sum_qty"))
+      .orderBy(desc("sum_qty"), asc("orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q19 shape — DISJUNCTIVE predicate pushdown (OR of brand ×
+    * size × quantity conjunctions). The planner can push only the
+    * UNION-SUPERSET of the disjuncts to each scan: the part scan gets
+    * `p_brand IN (…) AND p_size BETWEEN 1 AND 15`, the residual OR
+    * evaluates post-join. The brand-cut part side is a fixed small
+    * fraction of the dim at any corpus size (the q17 argument), so it
+    * broadcasts; lineitem never shuffles — one scan into a single
+    * partial-aggregated row.
+    */
+  def q19Disjunctive(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34") &&
+        col("p_size").between(1, 15))
+      .select("p_partkey", "p_brand", "p_size")
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), round(col("l_quantity")).cast("bigint").as("qty"),
+        cents(col("l_extendedprice")).as("price_c"), cents(col("l_discount")).as("bp"))
+    def arm(brand: String, maxSize: Int, qLo: Long, qHi: Long): Column =
+      col("p_brand") === brand && col("p_size") <= maxSize &&
+        col("qty").between(qLo, qHi)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(arm("Brand#12", 5, 1L, 11L) ||
+        arm("Brand#23", 10, 10L, 20L) ||
+        arm("Brand#34", 15, 20L, 30L))
+      .agg(sum(col("price_c") * (lit(100L) - col("bp"))).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_having" -> (q18Having _),
+    "q19_disjunctive" -> (q19Disjunctive _),
     "q17_corr" -> (q17Corr _),
     "q16_setops" -> (q16SetOps _),
     "q14_anti_join" -> (q14AntiJoin _),
@@ -280,6 +339,27 @@ object Relational {
   private val lBp = "CAST(round(l_discount * 100) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q18_having" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum_qty > 200)
+        |SELECT c_custkey AS custkey, c_name, o_orderkey AS orderkey,
+        |  epoch_ms(o_orderdate) AS odate_ms,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c, sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty DESC, orderkey LIMIT 100""".stripMargin,
+    "q19_disjunctive" ->
+      s"""SELECT
+         |  CAST(sum($lCents * (100 - $lBp)) AS BIGINT) AS revenue,
+         |  count(*) AS n_rows
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         |       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+         |       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+         |       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)""".stripMargin,
     "q17_corr" ->
       s"""WITH li AS MATERIALIZED (
          |  SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,

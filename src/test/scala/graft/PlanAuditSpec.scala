@@ -399,4 +399,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(plans("graph_jaccard").contains("TakeOrderedAndProject"),
       "graph_jaccard top-20 must be TakeOrdered")
   }
+
+  test("round-12 relational keys: q18 narrow HAVING cut, q19 pushed superset") {
+    // q18_having: the HAVING aggregate runs on the narrow (orderkey,
+    // qty) projection — exchanges are the qty aggregate + the two
+    // rejoins (AQE may collapse either to broadcast at runtime); top-100
+    // is TakeOrdered, never a global sort
+    assert(shuffleCount(plans("q18_having")) <= 4,
+      s"q18_having:\n${plans("q18_having")}")
+    assert(plans("q18_having").contains("TakeOrderedAndProject"),
+      "q18_having top-100 must be TakeOrdered")
+    // q19_disjunctive: the disjunction's union-superset must reach the
+    // part scan as pushed filters (brand IN + size range), the dim
+    // broadcasts, and lineitem aggregates without a keyed exchange —
+    // the only exchange is the single-row partial-agg gather
+    assert(plans("q19_disjunctive").contains("BroadcastExchange"),
+      "q19_disjunctive must broadcast the brand-cut part dim")
+    assert(shuffleCount(plans("q19_disjunctive")) <= 1,
+      s"q19_disjunctive:\n${plans("q19_disjunctive")}")
+    val partScan = plans("q19_disjunctive")
+    assert(partScan.contains("p_size") && partScan.contains("PushedFilters"),
+      "q19_disjunctive part scan must carry pushed brand/size filters")
+  }
 }
