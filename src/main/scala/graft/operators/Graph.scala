@@ -299,7 +299,100 @@ object Graph {
       .limit(20)
   }
 
+  /** k for the k-core peel and its bounded round count. 8 rounds peel
+    * this graph to its fixed point (the round-8 row equals round 7's);
+    * an unconverged peel is still deterministic — round k is a pure
+    * function of round k−1 — so the oracle replays the same bounded
+    * chain rather than a convergence test.
+    */
+  val KcoreK = 3
+  val KcoreRounds = 8
+
+  /** k-core decomposition by iterative peeling over the support graph:
+    * each round drops every node whose CURRENT degree is < k, then the
+    * edges touching it; the survivors after the fixed point are the
+    * k-core (the standard density filter a recommender runs before
+    * community detection — degree-1 tendrils and weak pairs peel away,
+    * cores of mutually-supported items remain). Output: one row per
+    * round `(round, n_nodes, n_edges)` — the peel trajectory, which
+    * pins every intermediate state, not just the fixed point.
+    *
+    * Scale shape: each round = one degree aggregate + two left-semi
+    * hash joins (edge-keyed), all support-graph-scale — the corpus is
+    * long gone. Rounds checkpoint (the graph_cc discipline): the
+    * 8-round union would otherwise recompute round i's lineage once
+    * per later round, O(R²) total; with per-round materialization each
+    * round runs once and the held blocks release on return.
+    */
+  def graphKcore(s: SparkSession, dir: String): DataFrame = {
+    var edges = supportEdges(s, dir).localCheckpoint(eager = true)
+    val held = scala.collection.mutable.ArrayBuffer[DataFrame](edges)
+    var rows: DataFrame = null
+    var round = 1
+    while (round <= KcoreRounds) {
+      val keep = degrees(edges).filter(col("deg") >= KcoreK).select("node")
+      val next = edges
+        .join(keep.withColumnRenamed("node", "pa").hint("shuffle_hash"),
+          Seq("pa"), "left_semi")
+        .join(keep.withColumnRenamed("node", "pb").hint("shuffle_hash"),
+          Seq("pb"), "left_semi")
+        .localCheckpoint(eager = true)
+      held += next
+      val row = keep.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(next.agg(count(lit(1)).as("n_edges")))
+        .select(lit(round.toLong).as("round"), col("n_nodes"), col("n_edges"))
+      rows = if (rows == null) row else rows.unionByName(row)
+      edges = next
+      round += 1
+    }
+    Dedup.releasing(rows.orderBy("round"), held.toSeq: _*)
+  }
+
+  /** Bounded BFS rounds (min-plus propagation reaches the 6-hop ball). */
+  val BfsRounds = 6
+
+  /** Multi-source BFS hop distance over the support graph — "how far is
+    * every item from the promoted set" (seeds = parts with
+    * `p_size = 50`), the reachability feature a curation pipeline
+    * derives before boosting neighbors. Min-PLUS label propagation:
+    * `hop' = min(hop, min_{u→v}(hop(u)) + 1)`, [[BfsRounds]] rounds —
+    * the graph_cc exchange shape with min-label upgraded to
+    * min-distance; unreached after the ball radius reports −1. All
+    * integer, sentinel 999 for ∞, so the bounded chain replays exactly
+    * in the oracle. Output: the hop histogram `(hop, n_nodes)`.
+    *
+    * Scale shape: seeds prune via one node-keyed left join; per round
+    * one edge-keyed join + one min-aggregate, all support-graph-scale;
+    * the edge set checkpoints once (every round joins it).
+    */
+  def graphBfs(s: SparkSession, dir: String): DataFrame = {
+    val Inf = 999L
+    val e = supportEdges(s, dir).localCheckpoint(eager = true)
+    val bi = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(e.select(col("pb"), col("pa")))
+    val seeds = Tables.part(s, dir).filter(col("p_size") === 50)
+      .select(col("p_partkey").as("node")).withColumn("z", lit(0L))
+    var dist = degrees(e).select("node")
+      .join(seeds, Seq("node"), "left")
+      .select(col("node"), coalesce(col("z"), lit(Inf)).as("hop"))
+    var round = 0
+    while (round < BfsRounds) {
+      val m = bi.join(dist.select(col("node").as("src"), col("hop")), "src")
+        .groupBy(col("dst").as("node")).agg(min("hop").as("mh"))
+      dist = dist.join(m, Seq("node"), "left")
+        .select(col("node"),
+          least(col("hop"), coalesce(col("mh"), lit(Inf)) + 1L, lit(Inf)).as("hop"))
+      round += 1
+    }
+    Dedup.releasing(
+      dist.select(when(col("hop") === Inf, lit(-1L)).otherwise(col("hop")).as("hop"))
+        .groupBy("hop").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("hop"), e)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_kcore" -> (graphKcore _),
+    "graph_bfs" -> (graphBfs _),
     "graph_triangles" -> (graphTriangles _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_cc" -> (graphCc _),
@@ -333,7 +426,54 @@ object Graph {
        |    FROM bi JOIN r${k - 1} p ON p.node = bi.src GROUP BY 1) s
        |  USING (node))""".stripMargin
 
+  /** Shared oracle CTE prefix: the SUPPORT-≥2 graph (mirrors graph_cc's). */
+  private val supportSql =
+    """li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e0 AS MATERIALIZED (
+      |  SELECT a.pk AS pa, b.pk AS pb
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
+  private def kcoreRoundSql(k: Int): String =
+    s"""k$k AS MATERIALIZED (
+       |  SELECT node FROM (SELECT pa AS node FROM c${k - 1}
+       |                    UNION ALL SELECT pb FROM c${k - 1})
+       |  GROUP BY 1 HAVING count(*) >= $KcoreK),
+       |c$k AS MATERIALIZED (
+       |  SELECT pa, pb FROM c${k - 1}
+       |  WHERE pa IN (SELECT node FROM k$k) AND pb IN (SELECT node FROM k$k))""".stripMargin
+
+  private def bfsRoundSql(k: Int): String =
+    s"""d$k AS MATERIALIZED (
+       |  SELECT p.node, least(p.hop, coalesce(m.mh, 999) + 1, 999) AS hop
+       |  FROM d${k - 1} p LEFT JOIN (
+       |    SELECT bi.dst AS node, min(q.hop) AS mh
+       |    FROM bi JOIN d${k - 1} q ON q.node = bi.src GROUP BY 1) m
+       |  USING (node))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "graph_kcore" ->
+      s"""WITH $supportSql,
+         |c0 AS MATERIALIZED (SELECT pa, pb FROM e0),
+         |${(1 to KcoreRounds).map(kcoreRoundSql).mkString(",\n")}
+         |${(1 to KcoreRounds).map(k =>
+           s"SELECT CAST($k AS BIGINT) AS round, " +
+           s"(SELECT count(*) FROM k$k) AS n_nodes, " +
+           s"(SELECT count(*) FROM c$k) AS n_edges").mkString("\nUNION ALL\n")}
+         |ORDER BY round""".stripMargin,
+    "graph_bfs" ->
+      s"""WITH $supportSql,
+         |bi AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM e0
+         |                    UNION ALL SELECT pb, pa FROM e0),
+         |d0 AS MATERIALIZED (
+         |  SELECT node,
+         |    CASE WHEN node IN (SELECT p_partkey FROM part WHERE p_size = 50)
+         |         THEN 0 ELSE 999 END AS hop
+         |  FROM (SELECT DISTINCT src AS node FROM bi)),
+         |${(1 to BfsRounds).map(bfsRoundSql).mkString(",\n")}
+         |SELECT CAST(CASE WHEN hop = 999 THEN -1 ELSE hop END AS BIGINT) AS hop,
+         |  count(*) AS n_nodes
+         |FROM d$BfsRounds GROUP BY 1 ORDER BY 1""".stripMargin,
     "graph_triangles" ->
       s"""WITH $edgeSql,
          |ed AS MATERIALIZED (

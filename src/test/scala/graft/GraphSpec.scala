@@ -102,6 +102,52 @@ class GraphSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("graph_kcore matches an exact driver-side peel") {
+    var edges = Graph.supportEdges(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = (1 to Graph.KcoreRounds).map { round =>
+      val deg = (edges.map(_._1) ++ edges.map(_._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size }
+      val keep = deg.filter(_._2 >= Graph.KcoreK).keySet
+      edges = edges.filter { case (a, b) => keep(a) && keep(b) }
+      (round.toLong, keep.size.toLong, edges.size.toLong)
+    }
+    // the peel must have CONVERGED within the bounded rounds on this
+    // graph — otherwise the "k-core" label on the last row is a lie
+    assert(expected(Graph.KcoreRounds - 1)._3 == expected(Graph.KcoreRounds - 2)._3)
+    val got = Graph.graphKcore(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
+  test("graph_bfs matches an exact driver-side BFS histogram") {
+    val edges = Graph.supportEdges(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).toSet
+    val seeds = graft.Tables.part(spark, sfDir)
+      .filter(col("p_size") === 50).select("p_partkey")
+      .collect().map(_.getLong(0)).toSet & nodes
+    assert(seeds.nonEmpty, "test data must place at least one seed in the graph")
+    val adj = (edges ++ edges.map { case (a, b) => (b, a) })
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    // true BFS; min-plus after R rounds is exact for dist <= R, -1 beyond
+    val dist = scala.collection.mutable.Map.empty[Long, Long]
+    var frontier = seeds
+    var d = 0L
+    while (frontier.nonEmpty) {
+      frontier.foreach(dist(_) = d)
+      frontier = frontier.flatMap(adj(_)).filterNot(dist.contains)
+      d += 1
+    }
+    val expected = nodes.toSeq
+      .map(n => dist.get(n).filter(_ <= Graph.BfsRounds).getOrElse(-1L))
+      .groupBy(identity).map { case (h, xs) => (h, xs.size.toLong) }
+      .toSeq.sorted
+    val got = Graph.graphBfs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
   test("isectSorted equals set intersection on seeded sorted arrays") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 200) {

@@ -420,5 +420,12 @@ class PlanAuditSpec extends SparkSpec {
     val partScan = plans("q19_disjunctive")
     assert(partScan.contains("p_size") && partScan.contains("PushedFilters"),
       "q19_disjunctive part scan must carry pushed brand/size filters")
+    // graph_kcore / graph_bfs return through the checkpoint-then-release
+    // discipline (bounded rounds against materialized support edges) —
+    // iteration shape is covered by the GraphSpec exact replays + oracle
+    assert(shuffleCount(plans("graph_kcore")) === 0,
+      s"graph_kcore must return its materialized checkpoint:\n${plans("graph_kcore")}")
+    assert(shuffleCount(plans("graph_bfs")) === 0,
+      s"graph_bfs must return its materialized checkpoint:\n${plans("graph_bfs")}")
   }
 }
