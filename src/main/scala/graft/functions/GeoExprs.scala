@@ -764,6 +764,11 @@ object GeoFunctions {
     "bpepairs" -> (es => BpePairs(es(0))),
     "md5head48" -> (es => Md5Head48(es(0))),
     "deconstats" -> (es => DeconStats(es(0), es(1))),
+    // builder runs on the DRIVER during analysis: the id literal resolves
+    // to its broadcast handle here, so the plan carries the handle, not
+    // the artifact bytes (see ArtifactBroadcasts)
+    "decon_artifact" -> (es => DeconArtifactRef(ArtifactBroadcasts.get(
+      es(0).eval(null).asInstanceOf[Long]))),
     "bloom_might_contain" -> (es => BloomMightContain(es(0), es(1))))
 
   def register(spark: SparkSession): Unit =

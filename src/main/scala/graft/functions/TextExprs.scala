@@ -908,14 +908,74 @@ case class Md5Head48(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Driver-side registry resolving plan-time artifact ids to their Spark
+  * broadcast handles. `call_function` can only pass Columns, so a bound
+  * artifact rides in two steps: the artifact builder broadcasts the
+  * value and registers the handle here under a fresh id, the plan
+  * carries `decon_artifact(<id>)`, and the function BUILDER (which runs
+  * on the driver during analysis) swaps the id literal for a
+  * [[DeconArtifactRef]] embedding the handle itself. Executors then
+  * deserialize the lightweight handle and fetch blocks once per node —
+  * the plan never inlines the artifact bytes, unlike a `typedLit`,
+  * whose serialized literal ships with every task.
+  */
+object ArtifactBroadcasts {
+  type Artifact = (Long, Array[Long], Array[String])
+  private val reg = new java.util.concurrent.ConcurrentHashMap[
+    Long, org.apache.spark.broadcast.Broadcast[Artifact]]()
+  private val next = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def put(bc: org.apache.spark.broadcast.Broadcast[Artifact]): Long = {
+    val id = next.incrementAndGet(); reg.put(id, bc); id
+  }
+  def get(id: Long): org.apache.spark.broadcast.Broadcast[Artifact] = {
+    val bc = reg.get(id)
+    require(bc != null,
+      s"unknown artifact id $id — decon_artifact(id) resolves on the DRIVER at plan time")
+    bc
+  }
+}
+
+/** The decontamination artifact struct served from a broadcast handle:
+  * `(bits BIGINT, bitmap ARRAY<BIGINT>, bench ARRAY<STRING>)`. A leaf —
+  * the broadcast handle is embedded at plan construction (see
+  * [[ArtifactBroadcasts]]); serializing the expression ships only the
+  * handle. CodegenFallback is fine here: [[DeconStats]] reads the struct
+  * once per expression INSTANCE (lazy bind), so the per-row cost is a
+  * cached-reference return, dwarfed by the gram kernel it feeds.
+  */
+case class DeconArtifactRef(
+    bc: org.apache.spark.broadcast.Broadcast[ArtifactBroadcasts.Artifact])
+    extends org.apache.spark.sql.catalyst.expressions.LeafExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = StructType(Seq(
+    StructField("bits", LongType, nullable = false),
+    StructField("bitmap", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("bench", ArrayType(StringType, containsNull = false), nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "decon_artifact"
+
+  @transient private lazy val row: org.apache.spark.sql.catalyst.InternalRow = {
+    val (bits, bitmap, bench) = bc.value
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      bits,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(bitmap),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        bench.map(UTF8String.fromString(_): Any))))
+  }
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = row
+}
+
 /** `deconstats(text, artifact)` → `[n_grams, n_bloom_hits,
-  * n_true_hits]` (TextKernels.deconStats). `artifact` is a foldable
-  * struct literal `(bits BIGINT, bitmap ARRAY<BIGINT>, bench
-  * ARRAY<STRING>)` — the benchmark decontamination artifact, evaluated
+  * n_true_hits]` (TextKernels.deconStats). `artifact` is a struct
+  * `(bits BIGINT, bitmap ARRAY<BIGINT>, bench ARRAY<STRING>)` — the
+  * benchmark decontamination artifact, normally a [[DeconArtifactRef]]
+  * broadcast reference (a struct literal also works) — evaluated
   * ONCE per expression instance into a sorted probe set (the
   * [[BloomMightContain]] bound-artifact pattern), so the per-row cost is
-  * the kernel's single pass. At 100 TB the artifact rides the closure as
-  * a broadcast-scale object exactly like a broadcast-join hash relation;
+  * the kernel's single pass. At 100 TB the artifact rides as a
+  * broadcast handle exactly like a broadcast-join hash relation;
   * the fact side stays scan-shaped.
   */
 case class DeconStats(left: Expression, right: Expression)

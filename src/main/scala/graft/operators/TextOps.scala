@@ -689,13 +689,26 @@ object TextOps {
       (bits, bitmap, benchGrams)
     })
 
-  /** The decontamination artifact as a bindable Column literal — the
-    * `deconstats` second argument. Shared by [[pipeCurate]] and the
-    * streaming face ([[graft.streaming.CurateStream]]).
+  /** Broadcast handle ids per dir: the artifact broadcasts ONCE per
+    * corpus dir and every later plan reuses the handle (the advisor's
+    * r11 item — a `typedLit` inlined the whole artifact into every
+    * serialized plan; a broadcast ships the handle and fetches blocks
+    * once per executor, the broadcast-join relation pattern).
+    */
+  private val deconBcIdCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  /** The decontamination artifact as a bindable Column — the
+    * `deconstats` second argument, a `decon_artifact(id)` broadcast
+    * reference resolved to its handle at plan time. Shared by
+    * [[pipeCurate]] and the streaming face
+    * ([[graft.streaming.CurateStream]]).
     */
   private[graft] def deconArtifactCol(s: SparkSession, dir: String) = {
-    val (bits, bitmap, benchGrams) = deconArtifact(s, dir)
-    struct(lit(bits), typedLit(bitmap.toSeq), typedLit(benchGrams.toSeq))
+    val id = deconBcIdCache.computeIfAbsent(dir, _ =>
+      graft.functions.ArtifactBroadcasts.put(
+        s.sparkContext.broadcast(deconArtifact(s, dir))))
+    call_function("decon_artifact", lit(id))
   }
 
   /** Every per-document curation signal EXCEPT the dedup verdict (which

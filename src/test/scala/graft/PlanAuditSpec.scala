@@ -427,5 +427,10 @@ class PlanAuditSpec extends SparkSpec {
       s"graph_kcore must return its materialized checkpoint:\n${plans("graph_kcore")}")
     assert(shuffleCount(plans("graph_bfs")) === 0,
       s"graph_bfs must return its materialized checkpoint:\n${plans("graph_bfs")}")
+    // pipe_curate: the decontamination artifact binds as a BROADCAST
+    // REFERENCE, never an inlined plan literal (the serialized literal
+    // would ship with every task at 100 TB)
+    assert(plans("pipe_curate").contains("decon_artifact"),
+      "pipe_curate must bind the decon artifact through the broadcast ref")
   }
 }
