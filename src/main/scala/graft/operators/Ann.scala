@@ -97,6 +97,30 @@ object Ann {
       .select("q_id", "n_id", "rnk", "cos")
   }
 
+  /** RANGE (radius) search — the other face of the similarity scan: ALL
+    * corpus vectors within cosine ≥ 0.25 of any probe (queries =
+    * vec_id < 8), not a fixed top-k. This is the query shape of dedup
+    * radius sweeps and contamination checks ("everything similar
+    * enough", unknown result cardinality). Brute force is the declared
+    * baseline (probes broadcast once, corpus scanned once, no
+    * per-probe exchange); the scale path is the IVF route — probe the
+    * nearest cells only — exactly as for top-k. The cosine is computed
+    * from the same fixed-point dot9 integers as everywhere, so the
+    * float compare is bit-identical cross-engine (the dedup_embedding
+    * precedent).
+    */
+  def annRange(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("n2").as("qn2"))
+    val base = e.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("n_id"), col("embedding").as("ne"), col("n2").as("nn2"))
+    base.crossJoin(broadcast(queries))
+      .withColumn("cos", cosine(dotDec(col("qe"), col("ne")), col("qn2"), col("nn2")))
+      .filter(col("cos") >= 0.25)
+      .select("q_id", "n_id", "cos")
+  }
+
   /** Hyperplane-LSH bucketed ANN: 8 deterministic integer hyperplanes →
     * sign-bit bucket; candidates are same-bucket only, then exact cosine
     * top-3. Bucket signs use the same fixed-point dot9 kernel as the
@@ -702,6 +726,7 @@ object Ann {
     "emb_pca2" -> (embPca2 _),
     "emb_outliers" -> (embOutliers _),
     "ann_topk" -> (annTopk _),
+    "ann_range" -> (annRange _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_pq" -> (annPq _),
@@ -879,6 +904,16 @@ object Ann {
          |  coalesce(n_hits, 0) / 3.0 AS recall_at_3
          |FROM qs LEFT JOIN hits ON hits.q_id = qs.q_id
          |ORDER BY qs.q_id""".stripMargin,
+    "ann_range" ->
+      s"""WITH $flatSql,
+         |dots AS (SELECT q.vec_id AS q_id, b.vec_id AS n_id,
+         |    sum(CAST(round(q.e * b.e * 1000000000.0) AS BIGINT)) AS dot
+         |  FROM flat q JOIN flat b ON q.i = b.i AND q.vec_id < 8 AND b.vec_id >= 8
+         |  GROUP BY 1, 2)
+         |SELECT q_id, n_id,
+         |  (dot / 1e9) / (sqrt(nq.n2 / 1e9) * sqrt(nb.n2 / 1e9)) AS cos
+         |FROM dots JOIN norm nq ON nq.vec_id = q_id JOIN norm nb ON nb.vec_id = n_id
+         |WHERE (dot / 1e9) / (sqrt(nq.n2 / 1e9) * sqrt(nb.n2 / 1e9)) >= 0.25""".stripMargin,
     "ann_topk" ->
       s"""WITH $flatSql,
          |dots AS (SELECT q.vec_id AS q_id, b.vec_id AS n_id,

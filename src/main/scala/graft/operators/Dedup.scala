@@ -168,6 +168,24 @@ object Dedup {
       .groupBy(md5(col("text")).as("h"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** SOFT dedup (the SoftDeDup / D4 down-WEIGHTING variant): instead of
+    * dropping duplicates, every doc gets a training weight inversely
+    * proportional to its exact-duplicate multiplicity —
+    * `weight_ppm = 10^6 div n_copies` (integer ppm, engine-exact), so a
+    * doc repeated k× contributes ~1× total mass. The signal a sampling
+    * stage consumes when outright dropping is too aggressive (near-dup
+    * boilerplate that still carries signal). One window over the
+    * text-hash fingerprint — a single fp-keyed exchange, no join back.
+    */
+  def dedupSoft(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("n_copies", count(lit(1)).over(Window.partitionBy("h")))
+      .select(col("doc_id"), col("n_copies"),
+        expr("1000000L div n_copies").as("weight_ppm"))
+  }
+
   /** Passage width for sub-document dedup (words per passage). */
   val PassageW = 10
 
@@ -640,6 +658,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (dedupClusters _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_soft" -> (dedupSoft _),
     "dedup_passage" -> (dedupPassage _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_lsh_pairs" -> (dedupLshPairs _),
@@ -744,6 +763,11 @@ object Dedup {
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "dedup_soft" ->
+      """SELECT doc_id,
+        |  count(*) OVER (PARTITION BY md5(text)) AS n_copies,
+        |  CAST(1000000 // count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS weight_ppm
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // the generate_subscripts/unnest pair expands in lockstep, so word i
     // keeps its 1-based position; passage idx = (i-1) div W, first
     // occurrence per md5 in (doc_id, pidx) order

@@ -83,6 +83,34 @@ object TextOps {
         length(col("text")).cast("double") / col("ws_tokens"))
       .select("doc_id", "ws_tokens", "bpe_tokens", "chars_per_tok")
 
+  /** Hashing-TF featurization (the HashingTF / feature-hashing trick):
+    * each token hashes into a FIXED 256-bucket space (`md5head48 mod
+    * 256` — engine-portable, no vocabulary pass), per-doc bucket counts
+    * are the feature vector. Output: per-doc vector summaries
+    * (`n_terms`, `nnz`, the order-independent index-weighted checksum
+    * `dot_idx = Σ c·(b+1)`, and `l2_sq = Σ c²`) — the checksums pin
+    * every bucket count without materializing 256 columns.
+    *
+    * Scale shape: the token explosion never shuffles raw — the
+    * (doc, bucket) aggregate partial-aggregates map-side to ≤ 256 rows
+    * per doc before its exchange, and the per-doc rollup is a second
+    * doc-scale exchange. (A `repartition(doc_id)` single-exchange
+    * variant would shuffle every TOKEN — strictly worse.)
+    */
+  def textHashTf(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("w"))
+      .select(col("doc_id"),
+        (call_function("md5head48", col("w")) % 256L).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    tf.groupBy("doc_id").agg(
+      sum("c").as("n_terms"),
+      count(lit(1)).as("nnz"),
+      sum(col("c") * (col("b") + 1L)).as("dot_idx"),
+      sum(col("c") * col("c")).as("l2_sq"))
+  }
+
   /** Sequence PACKING for pretraining: concatenate documents in doc_id
     * order into fixed-length (512-token) training sequences; each doc gets
     * its start offset in the concatenated token stream and the sequence it
@@ -787,6 +815,7 @@ object TextOps {
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
+    "text_hashtf" -> (textHashTf _),
     "text_pii" -> (textPii _),
     "text_rollhash" -> (textRollhash _),
     "text_winnowing" -> (textWinnowing _),
@@ -1167,6 +1196,16 @@ object TextOps {
          |        len(list_filter(toks, t -> t IN ('the', 'a'))) AS stop_n
          |      FROM (SELECT doc_id, text, $toksSql AS toks FROM documents) t0) t1
          |ORDER BY doc_id""".stripMargin,
+    "text_hashtf" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) % 256 AS b
+         |  FROM (SELECT doc_id, unnest($toksSql) AS w FROM documents)),
+         |tf AS (SELECT doc_id, b, count(*) AS c FROM t GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_terms, count(*) AS nnz,
+         |  CAST(sum(c * (b + 1)) AS BIGINT) AS dot_idx,
+         |  CAST(sum(c * c) AS BIGINT) AS l2_sq
+         |FROM tf GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       s"""SELECT doc_id, len($toksSql) AS ws_tokens,
          |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens,

@@ -26,7 +26,8 @@ class PlanAuditSpec extends SparkSpec {
     // graph_pagerank's one NLJ is the 1-row node-count aggregate
     // broadcast-crossed onto the degree table — a scalar bind, not a
     // pair explosion
-    val intended = Set("ann_topk", "ann_recall", "ann_pq", "graph_pagerank")
+    // ann_range: the radius variant of the same brute-force broadcast scan
+    val intended = Set("ann_topk", "ann_range", "ann_recall", "ann_pq", "graph_pagerank")
     for ((name, plan) <- plans if !intended(name))
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop join")
