@@ -60,6 +60,47 @@ object History {
       .select(col("user_id").as("osm_id"), col("osm_version"),
         col("valid_from"), col("event_type"), col("value"))
 
+  /** Epoch-micros of 2024-01-15T00:00:00Z — the diff's FROM instant. */
+  val DiffFromUs: Long = 1705276800000000L
+
+  /** Snapshot DIFF between two instants (T1 = 2024-01-15, T2 =
+    * [[SnapshotUs]]) — the "what changed since" query every OSM data
+    * consumer runs between planet dumps: each entity classifies as
+    * `added` (visible only at T2), `removed` (only at T1), `modified`
+    * (visible at both with a different version), or `unchanged`.
+    * Output: per-class counts + the entity-id checksum `id_sum`
+    * pinning MEMBERSHIP, not just cardinality.
+    *
+    * Scale shape — ONE pass, not two snapshots joined: at most one
+    * version interval covers each instant, so a conditional aggregate
+    * over the shared entity-windowed frame (`max(version WHERE
+    * interval covers T AND visible)`) extracts both snapshot versions
+    * in the window's own partitioning — the per-entity aggregate
+    * reuses the entity exchange, and the only further movement is the
+    * 4-row class rollup. A snapshot-join formulation would scan and
+    * window the history twice and pay a join exchange.
+    */
+  def histDiff(s: SparkSession, dir: String): DataFrame = {
+    def coveringVersion(tUs: Long) = max(when(
+      col("valid_from") <= tUs &&
+        (col("valid_to").isNull || col("valid_to") > tUs) &&
+        col("event_type") =!= "error", col("osm_version")))
+    withVersions(Tables.events(s, dir))
+      .groupBy(col("user_id").as("osm_id"))
+      .agg(coveringVersion(DiffFromUs).as("v1"),
+        coveringVersion(SnapshotUs).as("v2"))
+      .withColumn("change",
+        when(col("v1").isNull && col("v2").isNull, lit(null))
+          .when(col("v1").isNull, "added")
+          .when(col("v2").isNull, "removed")
+          .when(col("v1") === col("v2"), "unchanged")
+          .otherwise("modified"))
+      .filter(col("change").isNotNull)
+      .groupBy("change")
+      .agg(count(lit(1)).as("n"), sum("osm_id").as("id_sum"))
+      .orderBy("change")
+  }
+
   /** CREATION / TAG / GEOMETRY / TAG_GEOMETRY / DELETION classification —
     * exact decision order of ContributionsAvroConverter.java:167-180:
     * not-visible → DELETION; previous absent-or-not-visible → CREATION;
@@ -144,6 +185,7 @@ object History {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hist_build" -> (histBuild _),
     "hist_snapshot" -> (histSnapshot _),
+    "hist_diff" -> (histDiff _),
     "hist_contrib_type" -> (histContribType _),
     "hist_edits" -> (histEdits _),
     "hist_enrich_user" -> (histEnrichUser _),
@@ -174,6 +216,34 @@ object History {
         |  AND (valid_to IS NULL OR valid_to > 1706745600000000)
         |  AND event_type <> 'error'
         |ORDER BY osm_id""".stripMargin,
+    "hist_diff" ->
+      s"""WITH v AS (
+         |  SELECT user_id, event_type,
+         |    row_number() OVER w AS osm_version,
+         |    epoch_us(ts) AS valid_from,
+         |    lead(epoch_us(ts), 1) OVER w AS valid_to
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         |snap AS (
+         |  SELECT user_id AS osm_id,
+         |    max(CASE WHEN valid_from <= $DiffFromUs
+         |          AND (valid_to IS NULL OR valid_to > $DiffFromUs)
+         |          AND event_type <> 'error' THEN osm_version END) AS v1,
+         |    max(CASE WHEN valid_from <= $SnapshotUs
+         |          AND (valid_to IS NULL OR valid_to > $SnapshotUs)
+         |          AND event_type <> 'error' THEN osm_version END) AS v2
+         |  FROM v GROUP BY 1),
+         |cls AS (
+         |  SELECT osm_id,
+         |    CASE WHEN v1 IS NULL AND v2 IS NULL THEN NULL
+         |         WHEN v1 IS NULL THEN 'added'
+         |         WHEN v2 IS NULL THEN 'removed'
+         |         WHEN v1 = v2 THEN 'unchanged'
+         |         ELSE 'modified' END AS change
+         |  FROM snap)
+         |SELECT change, count(*) AS n, CAST(sum(osm_id) AS BIGINT) AS id_sum
+         |FROM cls WHERE change IS NOT NULL
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "hist_contrib_type" ->
       """SELECT event_id, user_id AS osm_id,
         |  CASE WHEN NOT visible THEN 'DELETION'
