@@ -121,6 +121,33 @@ object Ann {
       .select("q_id", "n_id", "cos")
   }
 
+  /** MIPS — maximum-INNER-PRODUCT top-5 per query (queries = vec_id <
+    * 8), the recommendation-scoring face of the similarity scan:
+    * score = ⟨q, x⟩ UN-normalized, so a longer vector legitimately
+    * outranks a better-aligned shorter one — a different ranking than
+    * cosine top-k (`ann_topk`), which is why engines treat MIPS as its
+    * own query type (norm-augmentation reductions à la Shrivastava &
+    * Li 2014 exist precisely because LSH needs the reduction; the
+    * brute-force scan does not). Brute force = probes broadcast once,
+    * corpus scanned once, zero per-probe exchanges; the ranking key is
+    * the RAW dot9 fixed-point int64 — no sqrt, no division, no float
+    * anywhere, so rank ties are impossible to flip cross-engine.
+    */
+  def annMips(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val base = e.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("n_id"), col("embedding").as("ne"))
+    base.crossJoin(broadcast(queries))
+      .withColumn("dot_fix", dotDec(col("qe"), col("ne")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("dot_fix"), col("n_id"))))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "n_id", "rnk", "dot_fix")
+  }
+
   /** Hyperplane-LSH bucketed ANN: 8 deterministic integer hyperplanes →
     * sign-bit bucket; candidates are same-bucket only, then exact cosine
     * top-3. Bucket signs use the same fixed-point dot9 kernel as the
@@ -726,6 +753,7 @@ object Ann {
     "emb_pca2" -> (embPca2 _),
     "emb_outliers" -> (embOutliers _),
     "ann_topk" -> (annTopk _),
+    "ann_mips" -> (annMips _),
     "ann_range" -> (annRange _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
@@ -927,6 +955,17 @@ object Ann {
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
          |  FROM scored)
          |SELECT q_id, n_id, rnk, cos FROM ranked WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin,
+    "ann_mips" ->
+      s"""WITH $flatSql,
+         |dots AS (SELECT q.vec_id AS q_id, b.vec_id AS n_id,
+         |    CAST(sum(CAST(round(q.e * b.e * 1000000000.0) AS BIGINT)) AS BIGINT) AS dot_fix
+         |  FROM flat q JOIN flat b ON q.i = b.i AND q.vec_id < 8 AND b.vec_id >= 8
+         |  GROUP BY 1, 2),
+         |ranked AS (SELECT q_id, n_id, dot_fix,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY dot_fix DESC, n_id) AS rnk
+         |  FROM dots)
+         |SELECT q_id, n_id, rnk, dot_fix FROM ranked WHERE rnk <= 5
          |ORDER BY q_id, rnk""".stripMargin,
     "ann_pq" ->
       s"""WITH $flatSql,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -270,6 +270,59 @@ object Events {
     * cannot partial-aggregate at all. At 100 TB the per-day user table
     * is the intermediate every engagement pipeline persists anyway.
     */
+  /** RFM segmentation (recency / frequency / monetary) — the classic
+    * CRM cohorting pass over the purchase log: each user scores 1–3 on
+    * how recently, how often, and how much they bought, at EXACT
+    * population terciles per dimension; output is the 27-cell segment
+    * matrix with membership checksums.
+    *
+    * Scale shape — three exact global quantile cuts with NO global
+    * sort (the text_lm_bucket discipline, ×3): each dimension's value
+    * domain is bounded (recency in days, frequency a per-user count,
+    * monetary folded to whole currency units), so its distribution is
+    * a domain-bounded histogram that partial-aggregates map-side; the
+    * tercile walk windows over the HISTOGRAM and the three (t1, t2)
+    * cut pairs broadcast back as 1-row scalar binds for a map-only
+    * score assignment. The purchase log itself exchanges exactly once,
+    * on user_id, for the per-user rollup. Cuts are value-closed
+    * (equal values share a bucket), the determinism the replay needs.
+    */
+  def rfm(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), tsS("ts").as("ts_s"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+    val anchor = p.agg(max("ts_s").as("anchor_s"))
+    val perUser = p.groupBy("user_id")
+      .agg(max("ts_s").as("last_s"), count(lit(1)).as("freq"),
+        sum("cents").as("money_c"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("recency_d", expr("(anchor_s - last_s) div 86400"))
+      .withColumn("money_u", expr("money_c div 100"))
+    def terciles(c: String, pfx: String): DataFrame =
+      perUser.groupBy(col(c)).agg(count(lit(1)).as("nv"))
+        .withColumn("cum", sum("nv").over(Window.orderBy(c)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum("nv").over(Window.partitionBy()))
+        .agg(min(when(col("cum") * 3L >= col("n"), col(c))).as(s"${pfx}_t1"),
+          min(when(col("cum") * 3L >= col("n") * 2L, col(c))).as(s"${pfx}_t2"))
+    def score(c: String, pfx: String): Column =
+      lit(1L) +
+        when(col(c) > col(s"${pfx}_t1"), 1L).otherwise(0L) +
+        when(col(c) > col(s"${pfx}_t2"), 1L).otherwise(0L)
+    perUser
+      .crossJoin(broadcast(terciles("recency_d", "r")))
+      .crossJoin(broadcast(terciles("freq", "f")))
+      .crossJoin(broadcast(terciles("money_u", "m")))
+      .withColumn("r_bucket", score("recency_d", "r"))
+      .withColumn("f_bucket", score("freq", "f"))
+      .withColumn("m_bucket", score("money_u", "m"))
+      .groupBy("r_bucket", "f_bucket", "m_bucket")
+      .agg(count(lit(1)).as("n_users"), sum("user_id").as("id_sum"),
+        sum("money_c").as("money_sum"))
+      .orderBy("r_bucket", "f_bucket", "m_bucket")
+  }
+
   def dau(s: SparkSession, dir: String): DataFrame = {
     val perDay = Tables.events(s, dir)
       .select(expr("ts div 86400000000000").as("day"), col("user_id"))
@@ -428,9 +481,46 @@ object Events {
     "evt_transitions" -> (transitions _),
     "evt_anomaly" -> (anomaly _),
     "evt_smooth" -> (smooth _),
+    "evt_rfm" -> (rfm _),
     "evt_dau" -> (dau _))
 
   val oracles: Map[String, String] = Map(
+    "evt_rfm" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) // 1000000 AS ts_s,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |anchor AS (SELECT max(ts_s) AS anchor_s FROM p),
+        |pu AS MATERIALIZED (
+        |  SELECT user_id, (anchor_s - max(ts_s)) // 86400 AS recency_d,
+        |    count(*) AS freq, CAST(sum(cents) AS BIGINT) AS money_c,
+        |    CAST(sum(cents) AS BIGINT) // 100 AS money_u
+        |  FROM p, anchor GROUP BY user_id, anchor_s),
+        |rt AS (SELECT min(CASE WHEN cum * 3 >= n THEN v END) AS r_t1,
+        |    min(CASE WHEN cum * 3 >= 2 * n THEN v END) AS r_t2
+        |  FROM (SELECT v, sum(nv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |      sum(nv) OVER () AS n
+        |    FROM (SELECT recency_d AS v, count(*) AS nv FROM pu GROUP BY 1))),
+        |ft AS (SELECT min(CASE WHEN cum * 3 >= n THEN v END) AS f_t1,
+        |    min(CASE WHEN cum * 3 >= 2 * n THEN v END) AS f_t2
+        |  FROM (SELECT v, sum(nv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |      sum(nv) OVER () AS n
+        |    FROM (SELECT freq AS v, count(*) AS nv FROM pu GROUP BY 1))),
+        |mt AS (SELECT min(CASE WHEN cum * 3 >= n THEN v END) AS m_t1,
+        |    min(CASE WHEN cum * 3 >= 2 * n THEN v END) AS m_t2
+        |  FROM (SELECT v, sum(nv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |      sum(nv) OVER () AS n
+        |    FROM (SELECT money_u AS v, count(*) AS nv FROM pu GROUP BY 1)))
+        |SELECT
+        |  CAST(1 + CASE WHEN recency_d > r_t1 THEN 1 ELSE 0 END
+        |    + CASE WHEN recency_d > r_t2 THEN 1 ELSE 0 END AS BIGINT) AS r_bucket,
+        |  CAST(1 + CASE WHEN freq > f_t1 THEN 1 ELSE 0 END
+        |    + CASE WHEN freq > f_t2 THEN 1 ELSE 0 END AS BIGINT) AS f_bucket,
+        |  CAST(1 + CASE WHEN money_u > m_t1 THEN 1 ELSE 0 END
+        |    + CASE WHEN money_u > m_t2 THEN 1 ELSE 0 END AS BIGINT) AS m_bucket,
+        |  count(*) AS n_users, CAST(sum(user_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(money_c) AS BIGINT) AS money_sum
+        |FROM pu, rt, ft, mt
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "evt_histogram" ->
       """WITH c AS (SELECT event_type,
         |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)

@@ -480,7 +480,37 @@ object Geometry {
       .orderBy("user_id")
   }
 
+  /** Tile-PYRAMID rollup (zooms 2..6) — the density aggregation a tile
+    * server / heat-map renderer precomputes over every zoom level at
+    * once. Tiling is EQUIRECTANGULAR on the integer centidegree grid:
+    * `tx = xi·2^z div 36000`, `ty = yi·2^z div 18000` — exact integer
+    * division, no Mercator `ln∘tan` transcendental anywhere (Web-
+    * Mercator Y is a monotone remap of the latitude bucket; it changes
+    * tile labels, not the plan, and would reintroduce the cross-engine
+    * libm risk geo_length already paid for once).
+    *
+    * Scale shape: ONE scan; the 5-zoom fan-out is a map-side explode
+    * of a constant array (rows ×5 before partial aggregation, the
+    * q15_cube Expand argument), and the aggregate key space is
+    * Σ_z 4^z ≤ 5 456 tiles — domain-bounded, so the partial aggregate
+    * collapses map-side and exactly ONE bounded exchange runs
+    * regardless of corpus size. Per tile: point count + distinct
+    * entities + an id checksum pinning membership.
+    */
+  def geoTilePyramid(s: SparkSession, dir: String): DataFrame =
+    points(s, dir)
+      .select(col("event_id"), col("user_id"), col("xi"), col("yi"),
+        explode(typedLit(Seq(2, 3, 4, 5, 6))).as("z"))
+      .withColumn("tx", expr("(xi * (1 << z)) div 36000"))
+      .withColumn("ty", expr("(yi * (1 << z)) div 18000"))
+      .groupBy("z", "tx", "ty")
+      .agg(count(lit(1)).as("n_points"),
+        countDistinct("user_id").as("n_entities"),
+        sum("event_id").as("id_sum"))
+      .orderBy("z", "tx", "ty")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_tile_pyramid" -> (geoTilePyramid _),
     "geo_simplify" -> (geoSimplify _),
     "geo_knn" -> (geoKnn _),
     "geo_spikes" -> (geoSpikes _),
@@ -875,6 +905,14 @@ object Geometry {
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_spikes
          |FROM tri GROUP BY user_id ORDER BY user_id""".stripMargin,
     "geo_ring_valid" -> ringValidOracleSql,
+    "geo_tile_pyramid" ->
+      s"""WITH pts AS ($ptsSql)
+         |SELECT z, (xi * (1 << z)) // 36000 AS tx, (yi * (1 << z)) // 18000 AS ty,
+         |  count(*) AS n_points,
+         |  count(DISTINCT user_id) AS n_entities,
+         |  CAST(sum(event_id) AS BIGINT) AS id_sum
+         |FROM pts, (SELECT unnest([2, 3, 4, 5, 6]) AS z) zs
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "geo_wkt_join" -> wktJoinOracleSql,
     "geo_poly_join" -> polyJoinOracleSql,
     "geo_geodesic" -> geodesicOracleSql,

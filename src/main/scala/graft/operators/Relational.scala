@@ -312,7 +312,120 @@ object Relational {
         count(lit(1)).as("n_rows"))
   }
 
+  /** TPC-H Q20 shape — NESTED aggregate-driven semi-join ("suppliers
+    * with excess stock", adapted to the tables at hand as DOMINANT
+    * SUPPLIERS: supplier ships ≥ 30% of a small part's total volume).
+    * The nested correlated subquery decorrelates into two aggregate
+    * LEVELS over the same narrow projection: per-(part, supp) volume,
+    * then the per-part total as a window over the FIRST aggregate's
+    * output — pair rows are |part×supp|-bounded, so the window's
+    * part-keyed exchange moves collapsed rows, never fact rows. The
+    * size-pruned part dim broadcasts ahead of the pair aggregate
+    * (lineitem's only full-scale movement is its partial-agg
+    * exchange); the dominance test is integer cross-mult
+    * (pair·n_supps ≥ 2·total, i.e. ≥ 2× the part's AVERAGE supplier
+    * share — no ratio, no float, and scale-INVARIANT: a fixed
+    * percentage cut empties as supplier counts per part grow with the
+    * corpus, a relative-to-average cut does not). The surviving
+    * (supp, part) set is data-dependent → supplier join left
+    * UNHINTED for AQE; nation is a fixed dim → broadcast.
+    */
+  def q20NestedAgg(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).filter(col("p_size") < 10).select("p_partkey")
+    val pairs = Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(round(col("l_quantity")).cast("bigint")).as("pair_qty"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+    val dominant = pairs
+      .withColumn("total_qty", sum("pair_qty").over(w))
+      .withColumn("n_part_supps", count(lit(1)).over(w))
+      .filter(col("pair_qty") * col("n_part_supps") >= col("total_qty") * 2L)
+    dominant
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct("l_suppkey").as("n_supps"),
+        sum("pair_qty").as("qty_sum"))
+      .orderBy("n_name")
+  }
+
+  /** TPC-H Q21 shape — EXISTS + NOT EXISTS over the same fact table
+    * ("suppliers who kept orders waiting"), decorrelated the way every
+    * modern engine runs it: NOT as two self-joins but as conditional
+    * aggregates per order. A line is LATE when it shipped > 60 days
+    * after the order date; a supplier is blamed when it is the SOLE
+    * late supplier on a multi-supplier finalized order.
+    *
+    * Scale shape — ONE fact-scale exchange total: the
+    * lineitem⋈orders sort-merge join exchanges on orderkey, and both
+    * aggregate levels above it — per-(order, supp) late flag, then
+    * the per-order supplier/blame rollup — group on key sets that
+    * CONTAIN orderkey, so HashPartitioning(orderkey) already
+    * satisfies their distribution: no further exchange until the
+    * final |supplier|-bounded blame count. The two-level rollup also
+    * avoids the Expand ×2 plan a double count-DISTINCT would cost.
+    */
+  def q21SoleBlame(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"))
+    val perPair = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        (col("ship_ms") - col("odate_ms") > lit(60L * 86400000L)).cast("bigint"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max("late").as("any_late"))
+    val perOrder = perPair.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supps"), sum("any_late").as("late_supps"),
+        max(when(col("any_late") === 1L, col("l_suppkey"))).as("blamed"))
+      .filter(col("n_supps") > 1L && col("late_supps") === 1L)
+    perOrder.groupBy(col("blamed").as("suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(Tables.supplier(s, dir), col("suppkey") === col("s_suppkey"))
+      .select("suppkey", "s_name", "numwait")
+      .orderBy(desc("numwait"), asc("suppkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q22 shape — SCALAR-SUBQUERY threshold + anti join ("global
+    * customer sales opportunity"): customers in target segments whose
+    * balance beats the segment-population positive-balance average and
+    * who have NO orders. The scalar subquery decorrelates to a 1-row
+    * aggregate cross-joined in as a broadcast (BroadcastNestedLoopJoin
+    * of one row — the literal-free way to thread a global statistic
+    * through a distributed plan); the average compare is integer
+    * cross-mult (bal_c·cnt > sum_c), so no float division can flip a
+    * boundary customer cross-engine. The NOT EXISTS is a left-anti
+    * join against big-ticket orders (totalprice > 3000 units — the
+    * filter pushes to the orders scan before the anti join's key set
+    * forms), UNHINTED: the anti side's distinct-key size is
+    * data-dependent, AQE picks the strategy.
+    */
+  def q22AntiScalar(s: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "HOUSEHOLD", "MACHINERY")
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_mktsegment").isin(segs: _*))
+      .select(col("c_custkey"), col("c_mktsegment"), cents(col("c_acctbal")).as("bal_c"))
+    val thr = cust.filter(col("bal_c") > 0L)
+      .agg(sum("bal_c").as("sum_c"), count(lit(1)).as("cnt"))
+    cust.crossJoin(broadcast(thr))
+      .filter(col("bal_c") * col("cnt") > col("sum_c"))
+      .join(Tables.orders(s, dir).filter(col("o_totalprice") > 300000.0)
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_cust"), sum("bal_c").as("bal_sum"))
+      .orderBy("segment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_nested_agg" -> (q20NestedAgg _),
+    "q21_sole_blame" -> (q21SoleBlame _),
+    "q22_anti_scalar" -> (q22AntiScalar _),
     "q18_having" -> (q18Having _),
     "q19_disjunctive" -> (q19Disjunctive _),
     "q17_corr" -> (q17Corr _),
@@ -339,6 +452,57 @@ object Relational {
   private val lBp = "CAST(round(l_discount * 100) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q20_nested_agg" ->
+      """WITH pairs AS MATERIALIZED (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS pair_qty
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey AND p_size < 10
+        |  GROUP BY 1, 2),
+        |dom AS (
+        |  SELECT * FROM (
+        |    SELECT l_partkey, l_suppkey, pair_qty,
+        |      CAST(sum(pair_qty) OVER (PARTITION BY l_partkey) AS BIGINT) AS total_qty,
+        |      count(*) OVER (PARTITION BY l_partkey) AS n_part_supps
+        |    FROM pairs) t
+        |  WHERE pair_qty * n_part_supps >= total_qty * 2)
+        |SELECT n_name, count(*) AS n_pairs,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  CAST(sum(pair_qty) AS BIGINT) AS qty_sum
+        |FROM dom JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q21_sole_blame" ->
+      """WITH pair AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    max(CASE WHEN epoch_ms(l_shipdate) - epoch_ms(o_orderdate)
+        |             > 60 * 86400000::BIGINT THEN 1 ELSE 0 END) AS any_late
+        |  FROM lineitem JOIN orders
+        |    ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+        |  GROUP BY 1, 2),
+        |ord AS (
+        |  SELECT l_orderkey, count(*) AS n_supps,
+        |    CAST(sum(any_late) AS BIGINT) AS late_supps,
+        |    max(CASE WHEN any_late = 1 THEN l_suppkey END) AS blamed
+        |  FROM pair GROUP BY 1
+        |  HAVING n_supps > 1 AND late_supps = 1)
+        |SELECT blamed AS suppkey, s_name, count(*) AS numwait
+        |FROM ord JOIN supplier ON blamed = s_suppkey
+        |GROUP BY 1, 2 ORDER BY numwait DESC, suppkey LIMIT 20""".stripMargin,
+    "q22_anti_scalar" ->
+      """WITH cust AS MATERIALIZED (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        |  FROM customer
+        |  WHERE c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD', 'MACHINERY')),
+        |thr AS (SELECT CAST(sum(bal_c) AS BIGINT) AS sum_c, count(*) AS cnt
+        |        FROM cust WHERE bal_c > 0)
+        |SELECT c_mktsegment AS segment, count(*) AS n_cust,
+        |  CAST(sum(bal_c) AS BIGINT) AS bal_sum
+        |FROM cust, thr
+        |WHERE bal_c * cnt > sum_c
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q18_having" ->
       """WITH big AS (
         |  SELECT l_orderkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty

@@ -165,12 +165,46 @@ object Replication {
     bloomPrunedMerge(
       Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000")), CutUs)
 
+  /** Replication-stream GAP detection — the monitor every replication
+    * consumer runs against the minutely sequence: which minute batches
+    * never arrived? Sequence numbers derive from the event stream
+    * (`seq = ts_us div 60e6`); a gap is a pair of adjacent OBSERVED
+    * minutes more than one apart, reported as the missing closed range.
+    *
+    * Scale shape: the corpus collapses to DISTINCT minutes first —
+    * map-side partial distinct, one exchange of minute-scale rows —
+    * and the adjacency walk (global lag) windows over a frame bounded
+    * by the TIME domain (a year is ~525 600 minutes), not the corpus;
+    * the same bounded-single-partition argument as text_lm_bucket's
+    * histogram. A per-entity gap walk would instead ride the entity
+    * partitioning; the replication stream is one global sequence, so
+    * the bounded global window IS the right plan.
+    */
+  def replGap(s: SparkSession, dir: String): DataFrame = {
+    val minutes = Tables.events(s, dir)
+      .select(expr("(ts div 1000) div 60000000").as("seq"))
+      .distinct()
+    minutes
+      .withColumn("prev", lag("seq", 1).over(Window.orderBy("seq")))
+      .filter(col("seq") - col("prev") > 1L)
+      .select((col("prev") + 1L).as("gap_start"), (col("seq") - 1L).as("gap_end"),
+        (col("seq") - col("prev") - 1L).as("gap_len"))
+      .orderBy("gap_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "repl_gap" -> (replGap _),
     "repl_merge" -> (replMerge _),
     "repl_bloom" -> (replBloom _),
     "repl_update" -> (replUpdate _))
 
   val oracles: Map[String, String] = Map(
+    "repl_gap" ->
+      """WITH m AS (SELECT DISTINCT epoch_us(ts) // 60000000 AS seq FROM events),
+        |g AS (SELECT seq, lag(seq) OVER (ORDER BY seq) AS prev FROM m)
+        |SELECT prev + 1 AS gap_start, seq - 1 AS gap_end,
+        |  seq - prev - 1 AS gap_len
+        |FROM g WHERE seq - prev > 1 ORDER BY gap_start""".stripMargin,
     // the bloom prune is semantically invisible (false positives are
     // cleared by the exact semi-join): the oracle is the plain
     // touched-entities aggregate, the Spark plan demonstrates the

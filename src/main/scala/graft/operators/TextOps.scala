@@ -313,6 +313,48 @@ object TextOps {
       .withColumn("avg_p6", expr("sum_p6 div n_bigrams"))
   }
 
+  /** CCNet head/middle/tail PARTITIONING (arXiv:1911.00359 §4.3) — the
+    * step after LM scoring that splits the corpus into quality
+    * terciles (head = most fluent third, kept; middle; tail = usually
+    * dropped). Docs partition by their [[textBigramLm]] `avg_p6`
+    * fluency score at EXACT tercile thresholds.
+    *
+    * Scale shape — exact global quantiles WITHOUT a global sort or a
+    * single-partition window (the naive `ntile(3) OVER (ORDER BY
+    * score)` — a non-starter at corpus scale): `avg_p6` lives in the
+    * bounded integer domain [0, 1e6], so the score DISTRIBUTION is a
+    * ≤1e6-row histogram that partial-aggregates map-side; the
+    * cumulative walk + threshold pick run as a window over the
+    * VALUE-DOMAIN-bounded histogram (its size is fixed by the score
+    * granularity, not the corpus), and the two thresholds broadcast
+    * back for a map-only bucket assignment. Ties at a threshold
+    * resolve by score value alone — buckets are value-closed (every
+    * equal-scored doc lands in the same bucket), the property the
+    * deterministic replay needs and doc-granular ntile lacks.
+    */
+  def textLmBucket(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = textBigramLm(s, dir).select("doc_id", "avg_p6")
+    val hist = scored.groupBy("avg_p6").agg(count(lit(1)).as("nv"))
+    val thr = hist
+      .withColumn("cum", sum("nv").over(Window.orderBy("avg_p6")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("nv").over(Window.partitionBy()))
+      .agg(
+        min(when(col("cum") * 3L >= col("n"), col("avg_p6"))).as("t1"),
+        min(when(col("cum") * 3L >= col("n") * 2L, col("avg_p6"))).as("t2"))
+    scored.crossJoin(broadcast(thr))
+      .withColumn("bucket",
+        when(col("avg_p6") <= col("t1"), "tail")
+          .when(col("avg_p6") <= col("t2"), "middle")
+          .otherwise("head"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("avg_p6").as("min_p6"), max("avg_p6").as("max_p6"),
+        sum("doc_id").as("id_sum"))
+      .orderBy("bucket")
+  }
+
   /** PMI-ranked collocation mining (Church & Hanks 1990) — the phrase
     * detector a tokenizer/curation pipeline runs to find multi-word
     * units worth fusing ("new york"-style). Score is the exact-integer
@@ -811,6 +853,7 @@ object TextOps {
     "text_bpe_apply" -> (textBpeApply _),
     "text_bpe_pairs" -> (textBpePairs _),
     "text_bigram_lm" -> (textBigramLm _),
+    "text_lm_bucket" -> (textLmBucket _),
     "text_repetition" -> (textRepetition _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
@@ -1031,6 +1074,35 @@ object TextOps {
          |SELECT doc_id, n_bigrams, sum_p6,
          |  CAST(sum_p6 // n_bigrams AS BIGINT) AS avg_p6
          |FROM scored ORDER BY doc_id""".stripMargin,
+    "text_lm_bucket" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |bi AS (SELECT doc_id, unnest(tk[1:len(tk) - 1]) AS w1,
+         |    unnest(tk[2:len(tk)]) AS w2
+         |  FROM toks WHERE len(tk) >= 2),
+         |cnt2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+         |cnt1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+         |scored AS MATERIALIZED (SELECT doc_id,
+         |    CAST(CAST(sum((1000000 * c2) // c1) AS BIGINT)
+         |      // count(*) AS BIGINT) AS avg_p6
+         |  FROM bi JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1)
+         |  GROUP BY doc_id),
+         |hist AS (SELECT avg_p6, count(*) AS nv FROM scored GROUP BY 1),
+         |cum AS (SELECT avg_p6,
+         |    sum(nv) OVER (ORDER BY avg_p6 ROWS UNBOUNDED PRECEDING) AS cum,
+         |    sum(nv) OVER () AS n
+         |  FROM hist),
+         |thr AS (SELECT min(CASE WHEN cum * 3 >= n THEN avg_p6 END) AS t1,
+         |    min(CASE WHEN cum * 3 >= 2 * n THEN avg_p6 END) AS t2 FROM cum)
+         |SELECT bucket, count(*) AS n_docs,
+         |  CAST(min(avg_p6) AS BIGINT) AS min_p6,
+         |  CAST(max(avg_p6) AS BIGINT) AS max_p6,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM (SELECT doc_id, avg_p6,
+         |    CASE WHEN avg_p6 <= t1 THEN 'tail'
+         |         WHEN avg_p6 <= t2 THEN 'middle'
+         |         ELSE 'head' END AS bucket
+         |  FROM scored, thr)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_salient" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),

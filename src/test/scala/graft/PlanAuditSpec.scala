@@ -27,7 +27,12 @@ class PlanAuditSpec extends SparkSpec {
     // broadcast-crossed onto the degree table — a scalar bind, not a
     // pair explosion
     // ann_range: the radius variant of the same brute-force broadcast scan
-    val intended = Set("ann_topk", "ann_range", "ann_recall", "ann_pq", "graph_pagerank")
+    // ann_mips: the inner-product variant of the same scan
+    // q22_anti_scalar / text_lm_bucket: 1-row scalar-aggregate broadcast
+    // binds (threshold / tercile cuts), not pair explosions
+    // evt_rfm: four 1-row scalar binds (anchor + three tercile cut pairs)
+    val intended = Set("ann_topk", "ann_range", "ann_mips", "ann_recall", "ann_pq",
+      "graph_pagerank", "q22_anti_scalar", "text_lm_bucket", "evt_rfm")
     for ((name, plan) <- plans if !intended(name))
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop join")
@@ -433,5 +438,51 @@ class PlanAuditSpec extends SparkSpec {
     // would ship with every task at 100 TB)
     assert(plans("pipe_curate").contains("decon_artifact"),
       "pipe_curate must bind the decon artifact through the broadcast ref")
+  }
+
+  test("late-round-12 keys: q20/q21/q22 collapsed exchanges, mips group-limit") {
+    // q20_nested_agg: part dim broadcasts BEFORE the pair aggregate, so
+    // lineitem's only movement is its partial-agg exchange; the window
+    // and final rollup exchanges all move |part×supp|-bounded rows
+    val q20 = plans("q20_nested_agg")
+    assert(q20.contains("BroadcastExchange"),
+      "q20 must broadcast the size-pruned part dim")
+    assert(shuffleCount(q20) <= 5, s"q20_nested_agg grew a shuffle:\n$q20")
+    assert(q20.contains("LessThan(p_size,10)"),
+      "q20 part scan must push the size prune")
+    // q21_sole_blame: every keyed exchange carries aggregate partials
+    // (pair / order / blame) — raw joined rows never shuffle because
+    // partial aggregation runs map-side below each exchange; joins are
+    // AQE-sized (broadcast at test scale)
+    val q21 = plans("q21_sole_blame")
+    assert(shuffleCount(q21) <= 3, s"q21_sole_blame grew a shuffle:\n$q21")
+    assert(q21.contains("TakeOrderedAndProject"),
+      "q21 top-20 must be TakeOrdered")
+    assert(q21.contains("EqualTo(o_orderstatus,F)"),
+      "q21 orders scan must push the status filter")
+    // q22_anti_scalar: the big-ticket price filter pushes to the orders
+    // scan feeding the anti join; the population threshold binds as a
+    // 1-row broadcast
+    val q22 = plans("q22_anti_scalar")
+    assert(q22.contains("GreaterThan(o_totalprice,300000.0)"),
+      "q22 orders scan must push the big-ticket filter")
+    assert(q22.contains("LeftAnti"), "q22 must plan a left-anti join")
+    // ann_mips: the per-probe top-5 must run as WindowGroupLimit
+    // (partial below the exchange), so only ≤ k rows per probe cross —
+    // the corpus itself never sorts or shuffles
+    val mips = plans("ann_mips")
+    assert(mips.contains("WindowGroupLimit"),
+      "ann_mips top-k must push down as WindowGroupLimit")
+    assert(shuffleCount(mips) <= 1, s"ann_mips grew a shuffle:\n$mips")
+    // text_lm_bucket: the only SinglePartition exchange feeds the
+    // value-domain-bounded histogram walk, never the corpus. The static
+    // plan duplicates the whole doc-score branch (scored + threshold
+    // sides, 10 exchanges); at runtime exchange reuse collapses the
+    // second branch to a ReusedExchange — assert the corpus-side
+    // SinglePartition count instead of the raw exchange tally
+    val lmb = plans("text_lm_bucket")
+    assert(shuffleCount(lmb) <= 10, s"text_lm_bucket grew a shuffle:\n$lmb")
+    assert("Exchange SinglePartition".r.findAllIn(lmb).size <= 2,
+      "text_lm_bucket must single-partition only the bounded histogram")
   }
 }
