@@ -148,6 +148,62 @@ object Ann {
       .select("q_id", "n_id", "rnk", "dot_fix")
   }
 
+  /** HYBRID retrieval — reciprocal-rank fusion (Cormack, Clarke &
+    * Büttcher, SIGIR 2009) of the corpus's two retrieval modalities:
+    * the BM25 lexical top-5 ([[TextOps.textBm25]]'s query set — every
+    * 101st doc) and the embedding-cosine top-5 over the SAME ids
+    * (vec_id ↔ doc_id, probes = vec_id % 101 = 0, corpus = the rest —
+    * mirroring BM25's corpus split). RRF score = Σ_lists 10⁶ div
+    * (60 + rank): rank-only fusion needs NO score normalization across
+    * the incomparable BM25/cosine scales — the reason RRF beats score
+    * fusion operationally — and the integer quotients replay bit-exact.
+    * Docs found by both modalities outrank either alone (the fusion
+    * property retrieval stacks buy this operator for).
+    *
+    * Scale shape: each branch keeps its own scale story (BM25: postings
+    * + broadcast query terms, corpus never shuffles for the match;
+    * cosine: probes broadcast once, corpus scanned once, top-5
+    * WindowGroupLimit-pruned) and each emits ≤ 5·|queries| rows, so the
+    * full-outer fusion join and the final re-rank run on query-scale
+    * frames — fusion cost is independent of corpus size by construction.
+    */
+  def annHybrid(s: SparkSession, dir: String): DataFrame = {
+    val lex = TextOps.textBm25(s, dir)
+      .select(col("query_id"), col("doc_id"), col("rk").as("lex_rk"))
+    val e = withNorm(s, dir)
+    val probes = e.filter(col("vec_id") % 101 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("n2").as("qn2"))
+    val sem = e.filter(col("vec_id") % 101 =!= 0)
+      .select(col("vec_id").as("n_id"), col("embedding").as("ne"),
+        col("n2").as("nn2"))
+      .crossJoin(broadcast(probes))
+      .withColumn("cos", cosine(dotDec(col("qe"), col("ne")), col("qn2"), col("nn2")))
+      .withColumn("sem_rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))))
+      .filter(col("sem_rk") <= 5)
+      .select(col("q_id"), col("n_id"), col("sem_rk"))
+    // fusion as UNION + re-aggregate, not an outer join: both lists carry
+    // the same (query, doc) key, so max() folds them and a doc missing
+    // from a list keeps rank 0 — no join operator at all on a frame this
+    // size beats planning one
+    val lexPart = lex.select(col("query_id").as("qid"), col("doc_id").as("did"),
+      col("lex_rk"), lit(0).as("sem_rk"))
+    val semPart = sem.select(col("q_id").as("qid"), col("n_id").as("did"),
+      lit(0).as("lex_rk"), col("sem_rk"))
+    lexPart.unionByName(semPart)
+      .groupBy("qid", "did")
+      .agg(max("lex_rk").as("lex_rk"), max("sem_rk").as("sem_rk"))
+      .withColumn("rrf6",
+        expr("case when lex_rk = 0 then 0L else cast(1000000 as bigint) div cast(60 + lex_rk as bigint) end") +
+          expr("case when sem_rk = 0 then 0L else cast(1000000 as bigint) div cast(60 + sem_rk as bigint) end"))
+      .withColumn("frank", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("rrf6"), col("did"))))
+      .filter(col("frank") <= 5)
+      .select(col("qid").as("query_id"), col("did").as("doc_id"), col("rrf6"),
+        col("frank"), col("lex_rk"), col("sem_rk"))
+  }
+
   /** Hyperplane-LSH bucketed ANN: 8 deterministic integer hyperplanes →
     * sign-bit bucket; candidates are same-bucket only, then exact cosine
     * top-3. Bucket signs use the same fixed-point dot9 kernel as the
@@ -754,6 +810,7 @@ object Ann {
     "emb_outliers" -> (embOutliers _),
     "ann_topk" -> (annTopk _),
     "ann_mips" -> (annMips _),
+    "ann_hybrid" -> (annHybrid _),
     "ann_range" -> (annRange _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
@@ -967,6 +1024,38 @@ object Ann {
          |  FROM dots)
          |SELECT q_id, n_id, rnk, dot_fix FROM ranked WHERE rnk <= 5
          |ORDER BY q_id, rnk""".stripMargin,
+    "ann_hybrid" ->
+      s"""WITH $flatSql,
+         |lex AS (SELECT query_id, doc_id, rk AS lex_rk
+         |  FROM (${TextOps.bm25Sql})),
+         |dots AS (SELECT q.vec_id AS q_id, b.vec_id AS n_id,
+         |    sum(CAST(round(q.e * b.e * 1000000000.0) AS BIGINT)) AS dot
+         |  FROM flat q JOIN flat b ON q.i = b.i
+         |    AND q.vec_id % 101 = 0 AND b.vec_id % 101 <> 0
+         |  GROUP BY 1, 2),
+         |scored AS (SELECT q_id, n_id,
+         |    (dot / 1e9) / (sqrt(nq.n2 / 1e9) * sqrt(nb.n2 / 1e9)) AS cos
+         |  FROM dots JOIN norm nq ON nq.vec_id = q_id JOIN norm nb ON nb.vec_id = n_id),
+         |sem AS (SELECT q_id, n_id, sem_rk FROM (
+         |    SELECT q_id, n_id, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY cos DESC, n_id) AS sem_rk
+         |    FROM scored) t WHERE sem_rk <= 5),
+         |fused AS (SELECT qid AS query_id, did AS doc_id,
+         |    max(lex_rk) AS lex_rk, max(sem_rk) AS sem_rk,
+         |    CAST(CASE WHEN max(lex_rk) = 0 THEN 0
+         |         ELSE 1000000 // (60 + max(lex_rk)) END
+         |       + CASE WHEN max(sem_rk) = 0 THEN 0
+         |         ELSE 1000000 // (60 + max(sem_rk)) END AS BIGINT) AS rrf6
+         |  FROM (SELECT query_id AS qid, doc_id AS did, lex_rk, 0 AS sem_rk FROM lex
+         |        UNION ALL
+         |        SELECT q_id, n_id, 0, sem_rk FROM sem)
+         |  GROUP BY 1, 2)
+         |SELECT query_id, doc_id, rrf6, CAST(frank AS INT) AS frank,
+         |  CAST(lex_rk AS INT) AS lex_rk, CAST(sem_rk AS INT) AS sem_rk
+         |FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rrf6 DESC, doc_id) AS frank
+         |  FROM fused) f
+         |WHERE frank <= 5 ORDER BY query_id, frank""".stripMargin,
     "ann_pq" ->
       s"""WITH $flatSql,
          |sub AS (SELECT vec_id, CASE WHEN i <= 32 THEN 0 ELSE 1 END AS m,

@@ -323,6 +323,56 @@ object Events {
       .orderBy("r_bucket", "f_bucket", "m_bucket")
   }
 
+  /** A/B cohort comparison — the experimentation readout every event
+    * warehouse serves: users split into two cohorts by id parity (the
+    * deterministic stand-in for a hash split), and per event type each
+    * cohort's distinct-user conversion, rates and lift in basis points,
+    * and a two-proportion z-test verdict at α = 0.05 evaluated EXACTLY:
+    * z² ≥ 1.96² cross-multiplies into pure integer arithmetic —
+    * `10⁴·(a₁n₂−a₂n₁)²·N ≥ 38416·n₁n₂·A·(N−A)` with A = a₁+a₂,
+    * N = n₁+n₂ in DECIMAL(38,0) — so both engines flag the identical
+    * verdict set (a float z at the threshold can flip cross-engine).
+    * Exact through ~10⁸ users per cohort ((a₁n₂)²·N·10⁴ < 10³⁸); beyond
+    * that, pre-scale the counts. Lift division truncates toward zero on
+    * both engines (the oracle sign-splits DuckDB's flooring `//`).
+    *
+    * Scale shape: conversion is a distinct (type, user) count — ONE
+    * exchange keyed on the distinct tuple, partial map-side; cohort
+    * sizes are a 1-row aggregate broadcast-bound (the q22 scalar-bind
+    * shape); everything after is |types|-bounded.
+    */
+  def abTest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), expr("user_id % 2").as("cohort"))
+    val sizes = ev.select("user_id", "cohort").distinct()
+      .agg(sum(when(col("cohort") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("cohort") === 1L, 1L).otherwise(0L)).as("n_b"))
+    val conv = ev.distinct()
+      .groupBy("event_type")
+      .agg(sum(when(col("cohort") === 0L, 1L).otherwise(0L)).as("conv_a"),
+        sum(when(col("cohort") === 1L, 1L).otherwise(0L)).as("conv_b"))
+    val dec = "decimal(38,0)"
+    conv.crossJoin(broadcast(sizes))
+      .withColumn("rate_a_bp", expr("(10000 * conv_a) div n_a"))
+      .withColumn("rate_b_bp", expr("(10000 * conv_b) div n_b"))
+      .withColumn("lift_bp", expr(
+        """case when conv_a * n_b = 0 then null
+          |else (10000 * (conv_b * n_a - conv_a * n_b)) div (conv_a * n_b) end""".stripMargin))
+      .withColumn("significant", expr(
+        s"""cast(case when
+           |    cast(10000 as $dec)
+           |      * cast(conv_a * n_b - conv_b * n_a as $dec)
+           |      * cast(conv_a * n_b - conv_b * n_a as $dec)
+           |      * cast(n_a + n_b as $dec)
+           |  >= cast(38416 as $dec) * cast(n_a as $dec) * cast(n_b as $dec)
+           |      * cast(conv_a + conv_b as $dec)
+           |      * cast(n_a + n_b - conv_a - conv_b as $dec)
+           |  then 1 else 0 end as bigint)""".stripMargin))
+      .select("event_type", "conv_a", "conv_b", "n_a", "n_b",
+        "rate_a_bp", "rate_b_bp", "lift_bp", "significant")
+      .orderBy("event_type")
+  }
+
   def dau(s: SparkSession, dir: String): DataFrame = {
     val perDay = Tables.events(s, dir)
       .select(expr("ts div 86400000000000").as("day"), col("user_id"))
@@ -482,9 +532,37 @@ object Events {
     "evt_anomaly" -> (anomaly _),
     "evt_smooth" -> (smooth _),
     "evt_rfm" -> (rfm _),
+    "evt_ab_test" -> (abTest _),
     "evt_dau" -> (dau _))
 
   val oracles: Map[String, String] = Map(
+    "evt_ab_test" ->
+      """WITH u AS (SELECT DISTINCT user_id, user_id % 2 AS cohort FROM events),
+        |sizes AS (SELECT
+        |    CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM u),
+        |c AS (SELECT DISTINCT user_id, event_type, user_id % 2 AS cohort
+        |  FROM events),
+        |conv AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, conv_a, conv_b, n_a, n_b,
+        |  (10000 * conv_a) // n_a AS rate_a_bp,
+        |  (10000 * conv_b) // n_b AS rate_b_bp,
+        |  CASE WHEN conv_a * n_b = 0 THEN NULL
+        |       WHEN conv_b * n_a - conv_a * n_b >= 0
+        |         THEN (10000 * (conv_b * n_a - conv_a * n_b)) // (conv_a * n_b)
+        |       ELSE -((10000 * (conv_a * n_b - conv_b * n_a)) // (conv_a * n_b))
+        |  END AS lift_bp,
+        |  CAST(CASE WHEN
+        |      10000::HUGEINT * (conv_a * n_b - conv_b * n_a)
+        |        * (conv_a * n_b - conv_b * n_a) * (n_a + n_b)
+        |    >= 38416::HUGEINT * n_a * n_b * (conv_a + conv_b)
+        |        * (n_a + n_b - conv_a - conv_b)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS significant
+        |FROM conv, sizes ORDER BY event_type""".stripMargin,
     "evt_rfm" ->
       """WITH p AS (SELECT user_id, epoch_us(ts) // 1000000 AS ts_s,
         |    CAST(round(value * 100) AS BIGINT) AS cents

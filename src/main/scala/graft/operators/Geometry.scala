@@ -509,7 +509,56 @@ object Geometry {
         sum("event_id").as("id_sum"))
       .orderBy("z", "tx", "ty")
 
+  /** DBSCAN core-point census (Ester et al., KDD 1996 — the primitive
+    * under every density clustering pass): per point, how many OTHER
+    * points lie within ε (integer centidegrees, exact squared-integer
+    * distance d² ≤ ε² — rank-safe, no sqrt), then the population rolled
+    * up by core verdict (≥ minPts−1 neighbors) × log₂ density bucket
+    * (`length(bin(n))` — the evt_histogram libm-free integer log₂).
+    * ε = 400 cd, minPts = 4 (sized so the synthetic lattice's rigid
+    * spacing — no pair sits closer than ~200 cd — still yields a mixed
+    * core/noise census at every SF): the ε-grid IS the contract, like
+    * geo_knn's neighborhood and LSH's bands.
+    *
+    * Scale shape: the neighbor count is a grid self-join — cell edge =
+    * ε, so every ε-ball lives in the 3×3 neighborhood; the probe side
+    * keys by its OWN cell, the candidate side map-side-explodes to its
+    * 9 neighbor cells, and the join co-locates on the cell key (hash
+    * exchanges both sides, no broadcast of a corpus-scale frame, AQE
+    * handles dense-cell skew). Candidate work is Θ(n·ρ·ε²) — the
+    * irreducible output of a density census (every true ε-pair must be
+    * counted) — NOT corpus-quadratic. The SELF-pair (always present: a
+    * point meets itself in its own cell at d² = 0) is counted and
+    * subtracted, so every point survives the aggregate with n_nbr ≥ 0
+    * and no zero-neighbor re-entry join is needed at all; the final
+    * rollup key space is 2 × ≤64 buckets.
+    */
+  def geoDbscanCore(s: SparkSession, dir: String): DataFrame = {
+    val eps = 400L
+    val pts = points(s, dir).select("event_id", "xi", "yi")
+    val left = pts
+      .withColumn("cx", expr(s"xi div $eps")).withColumn("cy", expr(s"yi div $eps"))
+    val nbr = pts
+      .select(col("xi").as("nxi"), col("yi").as("nyi"))
+      .withColumn("dx", explode(typedLit(Seq(-1, 0, 1))))
+      .withColumn("dy", explode(typedLit(Seq(-1, 0, 1))))
+      .withColumn("cx", expr(s"nxi div $eps") + col("dx"))
+      .withColumn("cy", expr(s"nyi div $eps") + col("dy"))
+      .select("nxi", "nyi", "cx", "cy")
+    left.join(nbr, Seq("cx", "cy"))
+      .filter((col("nxi") - col("xi")) * (col("nxi") - col("xi")) +
+        (col("nyi") - col("yi")) * (col("nyi") - col("yi")) <= lit(eps * eps))
+      .groupBy("event_id").agg((count(lit(1)) - 1L).as("n_nbr"))
+      .withColumn("is_core", (col("n_nbr") >= 3L).cast("bigint"))
+      .withColumn("bucket", expr(
+        "cast(case when n_nbr = 0 then 0 else length(bin(n_nbr)) end as bigint)"))
+      .groupBy("is_core", "bucket")
+      .agg(count(lit(1)).as("n_points"), sum("event_id").as("id_sum"))
+      .orderBy("is_core", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_dbscan_core" -> (geoDbscanCore _),
     "geo_tile_pyramid" -> (geoTilePyramid _),
     "geo_simplify" -> (geoSimplify _),
     "geo_knn" -> (geoKnn _),
@@ -905,6 +954,27 @@ object Geometry {
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_spikes
          |FROM tri GROUP BY user_id ORDER BY user_id""".stripMargin,
     "geo_ring_valid" -> ringValidOracleSql,
+    "geo_dbscan_core" ->
+      s"""WITH pts AS ($ptsSql),
+         |l AS (SELECT event_id, xi, yi, xi // 400 AS cx, yi // 400 AS cy FROM pts),
+         |n AS (SELECT xi AS nxi, yi AS nyi,
+         |    xi // 400 + dxy.dx AS cx, yi // 400 + dxy2.dy AS cy
+         |  FROM pts,
+         |    (SELECT unnest([-1, 0, 1]) AS dx) dxy,
+         |    (SELECT unnest([-1, 0, 1]) AS dy) dxy2),
+         |cnt AS (SELECT l.event_id, count(*) - 1 AS n_nbr
+         |  FROM l JOIN n USING (cx, cy)
+         |  WHERE (n.nxi - l.xi) * (n.nxi - l.xi)
+         |      + (n.nyi - l.yi) * (n.nyi - l.yi) <= 160000
+         |  GROUP BY 1)
+         |SELECT is_core, bucket, count(*) AS n_points,
+         |  CAST(sum(event_id) AS BIGINT) AS id_sum
+         |FROM (SELECT event_id,
+         |    CAST(CASE WHEN n_nbr >= 3 THEN 1 ELSE 0 END AS BIGINT) AS is_core,
+         |    CAST(CASE WHEN n_nbr = 0 THEN 0
+         |         ELSE length(bin(n_nbr)) END AS BIGINT) AS bucket
+         |  FROM cnt) t
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "geo_tile_pyramid" ->
       s"""WITH pts AS ($ptsSql)
          |SELECT z, (xi * (1 << z)) // 36000 AS tx, (yi * (1 << z)) // 18000 AS ty,

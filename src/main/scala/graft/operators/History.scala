@@ -171,6 +171,31 @@ object History {
       .agg(count(lit(1)).as("n"), sum("k_val").as("sum_k"),
         min("k_val").as("min_k"), max("k_val").as("max_k"))
 
+  /** Version-count DISTRIBUTION + lifespan rollup — the "how many
+    * elements have k versions" census OSM analytics runs over full
+    * history (the shape behind edit-activity studies and the version
+    * histograms in every OSM data-quality paper). Per entity: version
+    * count and lifespan (first→last edit, whole seconds — all values
+    * non-negative so floor ≡ trunc cross-engine); rolled up per version
+    * count with membership and lifespan checksums.
+    *
+    * Scale shape: count/min/max all partial-aggregate map-side into ONE
+    * entity-keyed exchange (the same key every history operator
+    * shuffles on), and the histogram exchange moves ≤ max-version-count
+    * rows — domain-bounded at any corpus size.
+    */
+  def histLifespan(s: SparkSession, dir: String): DataFrame =
+    withTsUs(Tables.events(s, dir))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_versions"),
+        expr("(max(ts_us) - min(ts_us)) div 1000000").as("lifespan_s"))
+      .groupBy("n_versions")
+      .agg(count(lit(1)).as("n_entities"), sum("user_id").as("id_sum"),
+        sum("lifespan_s").as("lifespan_sum"),
+        min("lifespan_s").as("lifespan_min"),
+        max("lifespan_s").as("lifespan_max"))
+      .orderBy("n_versions")
+
   /** Latest-version extraction — the `latest/` output partition. */
   def histLatest(s: SparkSession, dir: String): DataFrame = {
     val latest = Window.partitionBy("user_id").orderBy(desc("ts_us"), desc("event_id"))
@@ -191,9 +216,20 @@ object History {
     "hist_enrich_user" -> (histEnrichUser _),
     "hist_tags" -> (histTags _),
     "hist_latest" -> (histLatest _),
+    "hist_lifespan" -> (histLifespan _),
     "hist_tag_map" -> (histTagMap _))
 
   val oracles: Map[String, String] = Map(
+    "hist_lifespan" ->
+      """WITH per AS (SELECT user_id, count(*) AS n_versions,
+        |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS lifespan_s
+        |  FROM events GROUP BY 1)
+        |SELECT n_versions, count(*) AS n_entities,
+        |  CAST(sum(user_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(lifespan_s) AS BIGINT) AS lifespan_sum,
+        |  CAST(min(lifespan_s) AS BIGINT) AS lifespan_min,
+        |  CAST(max(lifespan_s) AS BIGINT) AS lifespan_max
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     "hist_build" ->
       """SELECT user_id AS osm_id,
         |  row_number() OVER w AS osm_version,

@@ -293,8 +293,71 @@ object Multimodal {
       .toDF("doc_id", "n_samples", "energy", "zero_cross", "peak", "mean_milli")
   }
 
+  /** Voice-activity census (the silence-trim pass an audio curation
+    * pipeline runs before transcription): the decoded sample plane cut
+    * into 256-sample frames, a frame ACTIVE when its energy clears a
+    * mean-square threshold (Σc² > 500·n — integer cross-mult, no
+    * per-frame division), then per clip: frame/silent counts, number of
+    * activity segments (active frame whose predecessor was not), and
+    * the longest silent run. Like [[mmAudio]], the oracle recomputes
+    * everything from the SOURCE bytes, so the encodeWav → decode
+    * roundtrip is inside the verified surface; the frame walk happens
+    * inside the same per-clip decode pass — no second scan, no
+    * exchange beyond the doc-grain output.
+    */
+  def mmSilence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (docId, raw) =>
+          val ns = math.min(raw.length, MaxSamples)
+          if (ns < 1) None
+          else {
+            val payload = MediaCodec.encodeWav(java.util.Arrays.copyOf(raw, ns))
+            MediaCodec.decodeWav(payload).map { r =>
+              val frame = 256
+              val nf = (r.w + frame - 1) / frame
+              var silent = 0L
+              var segs = 0L
+              var longest = 0L
+              var run = 0L
+              var prevActive = false
+              var f = 0
+              while (f < nf) {
+                val from = f * frame
+                val to = math.min(from + frame, r.w)
+                var e = 0L
+                var i = from
+                while (i < to) {
+                  val c = (r.rgb(3 * i) & 0xff) - 128
+                  e += c.toLong * c
+                  i += 1
+                }
+                val active = e > 500L * (to - from)
+                if (active) {
+                  if (!prevActive) segs += 1
+                  run = 0
+                } else {
+                  silent += 1
+                  run += 1
+                  if (run > longest) longest = run
+                }
+                prevActive = active
+                f += 1
+              }
+              (docId, nf.toLong, silent, segs, longest)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "n_frames", "n_silent", "n_segments", "longest_silence")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_audio" -> (mmAudio _),
+    "mm_silence" -> (mmSilence _),
     "mm_features" -> (mmFeatures _),
     "mm_phash" -> (mmPhash _),
     "mm_dedup" -> (mmDedup _),
@@ -322,6 +385,36 @@ object Multimodal {
         |  CAST(max(n) AS INT) AS max_bytes
         |FROM d LEFT JOIN ph ON d.doc_id = ph.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // frame census recomputed from the SOURCE bytes like mm_audio; the
+    // longest silent run is gaps-and-islands (f − row_number per activity
+    // class), segments = active frames whose predecessor was not
+    "mm_silence" ->
+      """WITH d AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+        |    least(octet_length(encode(text)), 3072) AS n FROM documents),
+        |ok AS (SELECT * FROM d WHERE n >= 1),
+        |b AS (SELECT doc_id, p, (p - 1) // 256 AS f,
+        |    CAST(('0x' || substr(hx, 2*p - 1, 2)) AS BIGINT) - 128 AS c
+        |  FROM ok, LATERAL (SELECT unnest(range(1, n + 1)) AS p) r),
+        |fr AS (SELECT doc_id, f,
+        |    CASE WHEN sum(c*c) > 500 * count(*) THEN 1 ELSE 0 END AS active
+        |  FROM b GROUP BY 1, 2),
+        |seg AS (SELECT doc_id, f, active,
+        |    lag(active) OVER (PARTITION BY doc_id ORDER BY f) AS pa FROM fr),
+        |runs AS (SELECT doc_id, active,
+        |    f - row_number() OVER (PARTITION BY doc_id, active ORDER BY f) AS grp
+        |  FROM fr),
+        |sil AS (SELECT doc_id, count(*) AS runlen FROM runs
+        |  WHERE active = 0 GROUP BY doc_id, grp),
+        |agg AS (SELECT doc_id, count(*) AS n_frames,
+        |    CAST(sum(CASE WHEN active = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
+        |    CAST(sum(CASE WHEN active = 1 AND COALESCE(pa, 0) = 0
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS n_segments
+        |  FROM seg GROUP BY 1),
+        |lng AS (SELECT doc_id, CAST(max(runlen) AS BIGINT) AS longest_silence
+        |  FROM sil GROUP BY 1)
+        |SELECT a.doc_id, n_frames, n_silent, n_segments,
+        |  COALESCE(longest_silence, 0) AS longest_silence
+        |FROM agg a LEFT JOIN lng USING (doc_id) ORDER BY a.doc_id""".stripMargin,
     // the oracle recomputes audio features from the SOURCE bytes (sample
     // i = byte i, capped at 3072) — the Spark side must reproduce them
     // through the full encodeWav → chunk-walk decode roundtrip

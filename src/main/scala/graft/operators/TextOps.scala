@@ -313,6 +313,74 @@ object TextOps {
       .withColumn("avg_p6", expr("sum_p6 div n_bigrams"))
   }
 
+  /** Trigram STUPID-BACKOFF scoring (Brants et al., EMNLP 2007 — the
+    * backoff chosen at web scale precisely because it needs no
+    * normalization pass): even docs are the TRAINING half, odd docs are
+    * scored — a held-out split, so the backoff path actually fires
+    * (self-scored corpora see every trigram and the backoff is dead
+    * code). S(w₃|w₁w₂) = c₁₂₃/c₁₂ when training saw the trigram, else
+    * 0.4·c₂₃/c₂, else 0.4²·c₃/N — in exact integer millionths (0.4 =
+    * 2/5 exact: 10⁶·c₁₂₃ div c₁₂ / 4·10⁵·c₂₃ div c₂ / 16·10⁴·c₃ div N),
+    * so every score and the per-doc backoff-level census replay
+    * bit-exact. A trigram seen in training implies its prefix bigram
+    * was seen (same for the w₂w₃ → w₂ chain), so the divisions can
+    * never hit zero by construction.
+    *
+    * Scale shape: n-gram count tables partial-aggregate map-side and
+    * broadcast onto the scored trigrams (vocabulary-bounded — the
+    * textBigramLm discipline; a web-scale LM shards them, the join
+    * keys and plan shape stay the same), N is a 1-row scalar memoized
+    * per dir; the scored side is ONE scan + map-side trigram explode,
+    * aggregated straight back to doc grain.
+    */
+  def textBackoffLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).withColumn("toks", expr(toksExpr))
+    def trigrams(df: DataFrame): DataFrame = df
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-3), i -> struct(toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3))"))
+        .as("t"))
+      .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val trainBi = train.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c123 = trigrams(train).groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("c123"))
+    val c12 = trainBi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c23 = trainBi.groupBy(col("w1").as("w2"), col("w2").as("w3"))
+      .agg(count(lit(1)).as("c23"))
+    val c2 = train.select(explode(col("toks")).as("w2"))
+      .groupBy("w2").agg(count(lit(1)).as("c2"))
+    val c3 = train.select(explode(col("toks")).as("w3"))
+      .groupBy("w3").agg(count(lit(1)).as("c3"))
+    val n: Long = scalarCache.computeIfAbsent(s"backoff:$dir",
+      _ => Array(train.agg(sum(size(col("toks"))).cast("long")).head.getLong(0)))(0)
+    trigrams(docs.filter(col("doc_id") % 2 === 1))
+      .join(broadcast(c123), Seq("w1", "w2", "w3"), "left")
+      .join(broadcast(c12), Seq("w1", "w2"), "left")
+      .join(broadcast(c23), Seq("w2", "w3"), "left")
+      .join(broadcast(c2), Seq("w2"), "left")
+      .join(broadcast(c3), Seq("w3"), "left")
+      .withColumn("lvl", expr(
+        "case when c123 is not null then 1 when c23 is not null then 2 else 3 end"))
+      .withColumn("s6", expr(
+        s"""case when c123 is not null then (1000000 * c123) div c12
+           |when c23 is not null then (400000 * c23) div c2
+           |else (160000 * coalesce(c3, 0)) div $n end""".stripMargin))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"),
+        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_l1"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_l2"),
+        sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_l3"),
+        sum("s6").as("sum_s6"))
+      .withColumn("avg_s6", expr("sum_s6 div n_tri"))
+      .orderBy("doc_id")
+  }
+
   /** CCNet head/middle/tail PARTITIONING (arXiv:1911.00359 §4.3) — the
     * step after LM scoring that splits the corpus into quality
     * terciles (head = most fluent third, kept; middle; tail = usually
@@ -853,6 +921,7 @@ object TextOps {
     "text_bpe_apply" -> (textBpeApply _),
     "text_bpe_pairs" -> (textBpePairs _),
     "text_bigram_lm" -> (textBigramLm _),
+    "text_backoff_lm" -> (textBackoffLm _),
     "text_lm_bucket" -> (textLmBucket _),
     "text_repetition" -> (textRepetition _),
     "text_langid" -> (textLangid _),
@@ -1074,6 +1143,40 @@ object TextOps {
          |SELECT doc_id, n_bigrams, sum_p6,
          |  CAST(sum_p6 // n_bigrams AS BIGINT) AS avg_p6
          |FROM scored ORDER BY doc_id""".stripMargin,
+    "text_backoff_lm" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |tri AS (SELECT doc_id, unnest(tk[1:len(tk) - 2]) AS w1,
+         |    unnest(tk[2:len(tk) - 1]) AS w2, unnest(tk[3:len(tk)]) AS w3
+         |  FROM toks WHERE len(tk) >= 3),
+         |bi AS (SELECT unnest(tk[1:len(tk) - 1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+         |  FROM toks WHERE doc_id % 2 = 0 AND len(tk) >= 2),
+         |c123 AS (SELECT w1, w2, w3, count(*) AS c123 FROM tri
+         |  WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+         |c23 AS (SELECT w1 AS w2, w2 AS w3, count(*) AS c23 FROM bi GROUP BY 1, 2),
+         |uni AS (SELECT unnest(tk) AS w FROM toks WHERE doc_id % 2 = 0),
+         |c2 AS (SELECT w AS w2, count(*) AS c2 FROM uni GROUP BY 1),
+         |c3 AS (SELECT w AS w3, count(*) AS c3 FROM uni GROUP BY 1),
+         |nn AS (SELECT CAST(sum(len(tk)) AS BIGINT) AS n FROM toks
+         |  WHERE doc_id % 2 = 0),
+         |scored AS (SELECT t.doc_id,
+         |    CASE WHEN c123 IS NOT NULL THEN 1
+         |         WHEN c23 IS NOT NULL THEN 2 ELSE 3 END AS lvl,
+         |    CASE WHEN c123 IS NOT NULL THEN (1000000 * c123) // c12
+         |         WHEN c23 IS NOT NULL THEN (400000 * c23) // c2
+         |         ELSE (160000 * COALESCE(c3, 0)) // nn.n END AS s6
+         |  FROM tri t
+         |  LEFT JOIN c123 USING (w1, w2, w3) LEFT JOIN c12 USING (w1, w2)
+         |  LEFT JOIN c23 USING (w2, w3) LEFT JOIN c2 USING (w2)
+         |  LEFT JOIN c3 USING (w3), nn
+         |  WHERE t.doc_id % 2 = 1)
+         |SELECT doc_id, count(*) AS n_tri,
+         |  CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_l1,
+         |  CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_l2,
+         |  CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_l3,
+         |  CAST(sum(s6) AS BIGINT) AS sum_s6,
+         |  CAST(sum(s6) // count(*) AS BIGINT) AS avg_s6
+         |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_lm_bucket" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |bi AS (SELECT doc_id, unnest(tk[1:len(tk) - 1]) AS w1,

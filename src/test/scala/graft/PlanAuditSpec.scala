@@ -31,8 +31,11 @@ class PlanAuditSpec extends SparkSpec {
     // q22_anti_scalar / text_lm_bucket: 1-row scalar-aggregate broadcast
     // binds (threshold / tercile cuts), not pair explosions
     // evt_rfm: four 1-row scalar binds (anchor + three tercile cut pairs)
+    // ann_hybrid: the cosine branch is the same brute-force broadcast scan
+    // evt_ab_test: the 1-row cohort-size scalar bind
     val intended = Set("ann_topk", "ann_range", "ann_mips", "ann_recall", "ann_pq",
-      "graph_pagerank", "q22_anti_scalar", "text_lm_bucket", "evt_rfm")
+      "graph_pagerank", "q22_anti_scalar", "text_lm_bucket", "evt_rfm",
+      "ann_hybrid", "evt_ab_test")
     for ((name, plan) <- plans if !intended(name))
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop join")
@@ -484,5 +487,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffleCount(lmb) <= 10, s"text_lm_bucket grew a shuffle:\n$lmb")
     assert("Exchange SinglePartition".r.findAllIn(lmb).size <= 2,
       "text_lm_bucket must single-partition only the bounded histogram")
+  }
+
+  test("batch-5 keys: fusion stays query-scale, censuses stay bounded") {
+    // ann_hybrid: both branch top-5s must prune below their exchanges —
+    // the fusion join then runs on ≤ 5·|queries| rows per side
+    val hyb = plans("ann_hybrid")
+    assert(hyb.contains("WindowGroupLimit"),
+      "ann_hybrid branch top-ks must push down as WindowGroupLimit")
+    // evt_ab_test: one distinct-tuple exchange feeds both the conversion
+    // and size aggregates; everything after is |types|-bounded
+    val ab = plans("evt_ab_test")
+    assert(shuffleCount(ab) <= 5, s"evt_ab_test grew a shuffle:\n$ab")
+    // hist_lifespan: entity rollup + bounded histogram + ordered output
+    val ls = plans("hist_lifespan")
+    assert(shuffleCount(ls) <= 3, s"hist_lifespan grew a shuffle:\n$ls")
+    // geo_dbscan_core: cell-keyed self-join (2) + per-point count (1) +
+    // bounded rollup (1) + sort (1) — the self-pair subtraction means no
+    // zero-neighbor re-entry join exists to plan
+    val db = plans("geo_dbscan_core")
+    assert(shuffleCount(db) <= 5, s"geo_dbscan_core grew a shuffle:\n$db")
+    assert(!db.contains("BroadcastNestedLoopJoin"),
+      "geo_dbscan_core neighbor join must stay a hash join on the cell key")
   }
 }
