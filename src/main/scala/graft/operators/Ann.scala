@@ -148,6 +148,34 @@ object Ann {
       .select("q_id", "n_id", "rnk", "dot_fix")
   }
 
+  /** Hard-NEGATIVE mining — the contrastive-training data op (Schroff
+    * et al. 2015's mining step; dense-retrieval trainers à la RocketQA
+    * run exactly this at corpus scale): for each probe (vec_id < 8),
+    * the top-5 nearest corpus vectors of a DIFFERENT class — the
+    * near-misses that teach the margin. Same brute-force scan shape as
+    * `ann_topk`: probes broadcast once, corpus scanned once, the label
+    * mismatch evaluates scan-side BEFORE any ranking work, per-probe
+    * top-5 prunes as WindowGroupLimit; the IVF/LSH routes accelerate it
+    * identically when the corpus outgrows the scan. Ranking by the same
+    * exact fixed-point cosine as everywhere.
+    */
+  def annHardneg(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("n2").as("qn2"), col("label").as("q_label"))
+    val base = e.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("n_id"), col("embedding").as("ne"),
+        col("n2").as("nn2"), col("label").as("n_label"))
+    base.crossJoin(broadcast(queries))
+      .filter(col("n_label") =!= col("q_label"))
+      .withColumn("cos", cosine(dotDec(col("qe"), col("ne")), col("qn2"), col("nn2")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "q_label", "n_id", "n_label", "rnk", "cos")
+  }
+
   /** HYBRID retrieval — reciprocal-rank fusion (Cormack, Clarke &
     * Büttcher, SIGIR 2009) of the corpus's two retrieval modalities:
     * the BM25 lexical top-5 ([[TextOps.textBm25]]'s query set — every
@@ -810,6 +838,7 @@ object Ann {
     "emb_outliers" -> (embOutliers _),
     "ann_topk" -> (annTopk _),
     "ann_mips" -> (annMips _),
+    "ann_hardneg" -> (annHardneg _),
     "ann_hybrid" -> (annHybrid _),
     "ann_range" -> (annRange _),
     "ann_lsh" -> (annLsh _),
@@ -1024,6 +1053,22 @@ object Ann {
          |  FROM dots)
          |SELECT q_id, n_id, rnk, dot_fix FROM ranked WHERE rnk <= 5
          |ORDER BY q_id, rnk""".stripMargin,
+    "ann_hardneg" ->
+      s"""WITH $flatSql,
+         |dots AS (SELECT q.vec_id AS q_id, q.label AS q_label,
+         |    b.vec_id AS n_id, b.label AS n_label,
+         |    sum(CAST(round(q.e * b.e * 1000000000.0) AS BIGINT)) AS dot
+         |  FROM flat q JOIN flat b ON q.i = b.i
+         |    AND q.vec_id < 8 AND b.vec_id >= 8 AND q.label <> b.label
+         |  GROUP BY 1, 2, 3, 4),
+         |scored AS (SELECT q_id, q_label, n_id, n_label,
+         |    (dot / 1e9) / (sqrt(nq.n2 / 1e9) * sqrt(nb.n2 / 1e9)) AS cos
+         |  FROM dots JOIN norm nq ON nq.vec_id = q_id JOIN norm nb ON nb.vec_id = n_id),
+         |ranked AS (SELECT q_id, q_label, n_id, n_label, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, q_label, n_id, n_label, CAST(rnk AS INT) AS rnk, cos
+         |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "ann_hybrid" ->
       s"""WITH $flatSql,
          |lex AS (SELECT query_id, doc_id, rk AS lex_rk

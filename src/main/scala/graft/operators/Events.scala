@@ -373,6 +373,30 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Longest consecutive-day activity STREAK census — the engagement
+    * metric every product warehouse computes: per user the longest run
+    * of consecutive active days, rolled up as a streak-length histogram
+    * with membership checksums. Gaps-and-islands DISTRIBUTED: the
+    * distinct (user, day) grid partial-aggregates map-side; the island
+    * key `day − row_number()` computes inside the user partition (the
+    * ONE entity-keyed exchange), and the run/max folds reuse that same
+    * partitioning — user_id ⊂ every later grouping key, so no further
+    * fact-scale exchange; the final histogram moves ≤ max-streak rows.
+    */
+  def streaks(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct()
+    days
+      .withColumn("grp", col("day") - row_number().over(
+        Window.partitionBy("user_id").orderBy("day")))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("runlen"))
+      .groupBy("user_id").agg(max("runlen").as("longest"))
+      .groupBy("longest")
+      .agg(count(lit(1)).as("n_users"), sum("user_id").as("id_sum"))
+      .orderBy("longest")
+  }
+
   def dau(s: SparkSession, dir: String): DataFrame = {
     val perDay = Tables.events(s, dir)
       .select(expr("ts div 86400000000000").as("day"), col("user_id"))
@@ -533,9 +557,22 @@ object Events {
     "evt_smooth" -> (smooth _),
     "evt_rfm" -> (rfm _),
     "evt_ab_test" -> (abTest _),
+    "evt_streaks" -> (streaks _),
     "evt_dau" -> (dau _))
 
   val oracles: Map[String, String] = Map(
+    "evt_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |runs AS (SELECT user_id,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM days),
+        |per AS (SELECT user_id, max(runlen) AS longest FROM (
+        |    SELECT user_id, grp, count(*) AS runlen FROM runs GROUP BY 1, 2) t
+        |  GROUP BY 1)
+        |SELECT longest, count(*) AS n_users,
+        |  CAST(sum(user_id) AS BIGINT) AS id_sum
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     "evt_ab_test" ->
       """WITH u AS (SELECT DISTINCT user_id, user_id % 2 AS cohort FROM events),
         |sizes AS (SELECT

@@ -536,8 +536,18 @@ object Geometry {
   def geoDbscanCore(s: SparkSession, dir: String): DataFrame = {
     val eps = 400L
     val pts = points(s, dir).select("event_id", "xi", "yi")
+    // hash-partition the probe side on its own cell key (the geo_knn
+    // layout discipline) — NOT an optional nicety here: the join's
+    // OUTPUT is Θ(n·ρε²), up to 1000× its input, and both the scan's
+    // file-partitioning and AQE size plans by INPUT bytes, so without
+    // the explicit exchange a compact source file serializes the whole
+    // candidate stream through a handful of tasks (measured at sf1: the
+    // 12 MB events file read as ONE partition → one task chewing ~1e9
+    // joined rows). At cluster scale the same exchange is simply the
+    // shuffle-join's own distribution — it is never wasted work.
     val left = pts
       .withColumn("cx", expr(s"xi div $eps")).withColumn("cy", expr(s"yi div $eps"))
+      .repartition(col("cx"), col("cy"))
     val nbr = pts
       .select(col("xi").as("nxi"), col("yi").as("nyi"))
       .withColumn("dx", explode(typedLit(Seq(-1, 0, 1))))
