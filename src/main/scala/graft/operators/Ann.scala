@@ -148,6 +148,70 @@ object Ann {
       .select("q_id", "n_id", "rnk", "dot_fix")
   }
 
+  /** MMR diversified top-5 (Carbonell & Goldstein, SIGIR 1998 — the
+    * re-rank a retrieval/RAG stack runs so five results aren't five
+    * near-duplicates): from each probe's cosine top-10 candidates,
+    * greedily select argmax λ·rel − (1−λ)·max-sim-to-selected, λ = 0.7.
+    * Relevance and pairwise sims are the exact fixed-point cosines; the
+    * λ-combination is two IEEE multiplies and a subtract on identical
+    * doubles — identical cross-engine; ties break by n_id.
+    *
+    * Scale shape: the candidate harvest is the ann_topk broadcast scan
+    * (top-10 WindowGroupLimit-pruned); after it EVERYTHING — pairwise
+    * sims (≤ 10² per probe) and the four greedy rounds — runs on
+    * query-scale frames, hint-broadcast because derived intermediates
+    * carry no stats for the planner. The greedy recurrence is MMR's
+    * textbook sequential part: it unrolls to exactly k−1 bounded plan
+    * stages, never a driver loop, and the per-probe extra work is a
+    * constant 100 sims regardless of corpus size.
+    */
+  def embMmr(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+    val probes = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("n2").as("qn2"))
+    val base = e.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("n_id"), col("embedding").as("ne"), col("n2").as("nn2"))
+    val cands = base.crossJoin(broadcast(probes))
+      .withColumn("rel", cosine(dotDec(col("qe"), col("ne")), col("qn2"), col("nn2")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("rel"), col("n_id"))))
+      .filter(col("rnk") <= 10)
+      .select("q_id", "n_id", "ne", "nn2", "rel")
+      .cache()
+    val pairs = cands.select(col("q_id").as("pq"), col("n_id").as("a"),
+        col("ne").as("ae"), col("nn2").as("an2"))
+      .join(cands.select(col("q_id").as("pq"), col("n_id").as("b"),
+        col("ne").as("be"), col("nn2").as("bn2")), Seq("pq"))
+      .filter(col("a") =!= col("b"))
+      .withColumn("sim", cosine(dotDec(col("ae"), col("be")), col("an2"), col("bn2")))
+      .select("pq", "a", "b", "sim")
+      .cache()
+    var sel = cands
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("rel"), col("n_id"))))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("n_id"), lit(1).as("mmr_rank"),
+        expr("0.7 * rel").as("score"))
+    for (r <- 2 to 5) {
+      val remaining = cands.join(broadcast(sel.select("q_id", "n_id")),
+        Seq("q_id", "n_id"), "left_anti")
+      val simsToSel = pairs.join(
+        broadcast(sel.select(col("q_id").as("sq"), col("n_id").as("sb"))),
+        col("sq") === col("pq") && col("sb") === col("b"), "left_semi")
+      val pick = remaining
+        .join(broadcast(simsToSel),
+          col("pq") === col("q_id") && col("a") === col("n_id"))
+        .groupBy("q_id", "n_id", "rel").agg(max("sim").as("msim"))
+        .withColumn("score", expr("0.7 * rel - 0.3 * msim"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("q_id").orderBy(desc("score"), col("n_id"))))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("n_id"), lit(r).as("mmr_rank"), col("score"))
+      sel = sel.unionByName(pick)
+    }
+    Dedup.releasing(sel.orderBy("q_id", "mmr_rank"), cands, pairs)
+  }
+
   /** Hard-NEGATIVE mining — the contrastive-training data op (Schroff
     * et al. 2015's mining step; dense-retrieval trainers à la RocketQA
     * run exactly this at corpus scale): for each probe (vec_id < 8),
@@ -839,6 +903,7 @@ object Ann {
     "ann_topk" -> (annTopk _),
     "ann_mips" -> (annMips _),
     "ann_hardneg" -> (annHardneg _),
+    "emb_mmr" -> (embMmr _),
     "ann_hybrid" -> (annHybrid _),
     "ann_range" -> (annRange _),
     "ann_lsh" -> (annLsh _),
@@ -851,6 +916,59 @@ object Ann {
   /** Flattened embeddings + exact decimal dot products, shared by the
     * oracle queries.
     */
+  /** DuckDB replay of emb_mmr: the greedy recurrence unrolled as four
+    * chained round CTEs (the dpLevelSql discipline) — per round, the
+    * max-sim-to-selected aggregate and the λ-scored argmax with the
+    * identical double arithmetic and (score DESC, n_id) tiebreak.
+    */
+  private lazy val mmrOracleSql: String = {
+    val rounds = (2 to 5).map { r =>
+      s"""ms$r AS (SELECT c.q_id, c.n_id, c.rel, max(p.sim) AS msim
+         |  FROM cand c
+         |  JOIN pairs p ON p.pq = c.q_id AND p.a = c.n_id
+         |  JOIN sel${r - 1} s ON s.q_id = p.pq AND s.n_id = p.b
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} x
+         |                    WHERE x.q_id = c.q_id AND x.n_id = c.n_id)
+         |  GROUP BY 1, 2, 3),
+         |pick$r AS (SELECT q_id, n_id, $r AS mmr_rank,
+         |    0.7 * rel - 0.3 * msim AS score
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY 0.7 * rel - 0.3 * msim DESC, n_id) AS rn FROM ms$r) t
+         |  WHERE rn = 1),
+         |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL
+         |  SELECT q_id, n_id, mmr_rank, score FROM pick$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $flatSql,
+       |dots AS (SELECT q.vec_id AS q_id, b.vec_id AS n_id,
+       |    sum(CAST(round(q.e * b.e * 1000000000.0) AS BIGINT)) AS dot
+       |  FROM flat q JOIN flat b ON q.i = b.i AND q.vec_id < 8 AND b.vec_id >= 8
+       |  GROUP BY 1, 2),
+       |scored AS (SELECT q_id, n_id,
+       |    (dot / 1e9) / (sqrt(nq.n2 / 1e9) * sqrt(nb.n2 / 1e9)) AS rel
+       |  FROM dots JOIN norm nq ON nq.vec_id = q_id JOIN norm nb ON nb.vec_id = n_id),
+       |cand AS MATERIALIZED (SELECT q_id, n_id, rel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY rel DESC, n_id) AS rnk FROM scored) t WHERE rnk <= 10),
+       |cids AS (SELECT DISTINCT n_id FROM cand),
+       |pdots AS (SELECT a.vec_id AS a, b.vec_id AS b,
+       |    sum(CAST(round(a.e * b.e * 1000000000.0) AS BIGINT)) AS dot
+       |  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id
+       |  JOIN cids ca ON ca.n_id = a.vec_id
+       |  JOIN cids cb ON cb.n_id = b.vec_id
+       |  GROUP BY 1, 2),
+       |pairs AS MATERIALIZED (SELECT c1.q_id AS pq, c1.n_id AS a, c2.n_id AS b,
+       |    (d.dot / 1e9) / (sqrt(n1.n2 / 1e9) * sqrt(n2.n2 / 1e9)) AS sim
+       |  FROM cand c1 JOIN cand c2 ON c2.q_id = c1.q_id AND c2.n_id <> c1.n_id
+       |  JOIN pdots d ON d.a = c1.n_id AND d.b = c2.n_id
+       |  JOIN norm n1 ON n1.vec_id = c1.n_id JOIN norm n2 ON n2.vec_id = c2.n_id),
+       |sel1 AS (SELECT q_id, n_id, 1 AS mmr_rank, 0.7 * rel AS score FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY rel DESC, n_id) AS rn FROM cand) t WHERE rn = 1),
+       |$rounds
+       |SELECT q_id, n_id, CAST(mmr_rank AS INT) AS mmr_rank, score
+       |FROM sel5 ORDER BY q_id, mmr_rank""".stripMargin
+  }
+
   private val flatSql =
     """flat AS (SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS e
       |  FROM embeddings, range(1, 65) r(i)),
@@ -1069,6 +1187,7 @@ object Ann {
          |  FROM scored)
          |SELECT q_id, q_label, n_id, n_label, CAST(rnk AS INT) AS rnk, cos
          |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "emb_mmr" -> mmrOracleSql,
     "ann_hybrid" ->
       s"""WITH $flatSql,
          |lex AS (SELECT query_id, doc_id, rk AS lex_rk

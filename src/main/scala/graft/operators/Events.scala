@@ -373,6 +373,50 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Holt LINEAR-trend smoothing + one-step forecast per event type
+    * (double exponential smoothing — the step past [[smooth]]'s EWMA a
+    * capacity planner actually wants: level AND slope): α = β = 0.3 in
+    * exact integer tenths, l₁ = 10·x₁, b₁ = 0, then
+    * l_t = (30·x_t + 7·(l+b)) div 10, b_t = (3·(l_t−l) + 7·b) div 10,
+    * dividing with TRUNCATION toward zero on both engines — the trend b
+    * goes negative on decay, and Spark's `div` and DuckDB's `//` both
+    * truncate there (verified: DuckDB `-7 // 10 = 0`), so the recurrence
+    * replays bit-exact with no floor/trunc gymnastics. One-step forecast
+    * error |10·x_t − (l+b)| accumulates per series.
+    *
+    * Scale shape — identical to evt_smooth: a linear recurrence is
+    * inherently sequential per series, so the fold runs over the
+    * BOUNDED hour-folded frame (≤ |types|·87 660 rows/decade), one
+    * `aggregate` HOF per type's sorted series; the corpus collapses
+    * map-side in the (type, hour) partial count. The oracle replays the
+    * recurrence as a linear recursive CTE.
+    */
+  def holt(s: SparkSession, dir: String): DataFrame = {
+    val lNew = "(30 * p.x + 7 * (acc.l + acc.b)) div 10"
+    val bNew = s"(3 * (($lNew) - acc.l) + 7 * acc.b) div 10"
+    val err = "abs(10 * p.x - (acc.l + acc.b))"
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("ts div 3600000000000").as("hour"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("hour"), col("x")))).as("xs"))
+      .withColumn("st", expr(
+        s"""aggregate(xs,
+           |  named_struct('l', 0L, 'b', 0L, 'serr', 0L, 'merr', 0L, 'n', 0L),
+           |  (acc, p) -> case when acc.n = 0
+           |    then named_struct('l', 10 * p.x, 'b', 0L, 'serr', 0L,
+           |                      'merr', 0L, 'n', 1L)
+           |    else named_struct('l', $lNew, 'b', $bNew,
+           |                      'serr', acc.serr + $err,
+           |                      'merr', greatest(acc.merr, $err),
+           |                      'n', acc.n + 1L) end)""".stripMargin))
+      .select(col("event_type"), col("st.n").as("n_hours"),
+        col("st.l").as("level10"), col("st.b").as("trend10"),
+        expr("st.l + st.b").as("forecast10"),
+        col("st.serr").as("sum_abs_err"), col("st.merr").as("max_abs_err"))
+      .orderBy("event_type")
+  }
+
   /** Longest consecutive-day activity STREAK census — the engagement
     * metric every product warehouse computes: per user the longest run
     * of consecutive active days, rolled up as a streak-length histogram
@@ -558,9 +602,36 @@ object Events {
     "evt_rfm" -> (rfm _),
     "evt_ab_test" -> (abTest _),
     "evt_streaks" -> (streaks _),
+    "evt_holt" -> (holt _),
     "evt_dau" -> (dau _))
 
   val oracles: Map[String, String] = Map(
+    "evt_holt" ->
+      """WITH RECURSIVE hourly AS MATERIALIZED (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |idx AS MATERIALIZED (SELECT event_type, x,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY hour) AS BIGINT) AS i
+        |  FROM hourly),
+        |rec(event_type, i, l, b, serr, merr) AS (
+        |  SELECT event_type, i, 10 * x, CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT x.event_type, x.i,
+        |    (30 * x.x + 7 * (r.l + r.b)) // 10,
+        |    (3 * ((30 * x.x + 7 * (r.l + r.b)) // 10 - r.l) + 7 * r.b) // 10,
+        |    r.serr + abs(10 * x.x - (r.l + r.b)),
+        |    greatest(r.merr, abs(10 * x.x - (r.l + r.b)))
+        |  FROM idx x JOIN rec r
+        |    ON r.event_type = x.event_type AND x.i = r.i + 1),
+        |last AS (SELECT event_type, max(i) AS n FROM idx GROUP BY 1)
+        |SELECT r.event_type, n AS n_hours, l AS level10, b AS trend10,
+        |  l + b AS forecast10, serr AS sum_abs_err, merr AS max_abs_err
+        |FROM rec r JOIN last ON last.event_type = r.event_type AND r.i = last.n
+        |ORDER BY r.event_type""".stripMargin,
     "evt_streaks" ->
       """WITH days AS (SELECT DISTINCT user_id,
         |    epoch_us(ts) // 86400000000 AS day FROM events),

@@ -34,9 +34,10 @@ class PlanAuditSpec extends SparkSpec {
     // ann_hybrid: the cosine branch is the same brute-force broadcast scan
     // evt_ab_test: the 1-row cohort-size scalar bind
     // ann_hardneg: the label-filtered variant of the same brute scan
+    // emb_mmr: candidate harvest is the same brute scan
     val intended = Set("ann_topk", "ann_range", "ann_mips", "ann_recall", "ann_pq",
       "graph_pagerank", "q22_anti_scalar", "text_lm_bucket", "evt_rfm",
-      "ann_hybrid", "evt_ab_test", "ann_hardneg")
+      "ann_hybrid", "evt_ab_test", "ann_hardneg", "emb_mmr")
     for ((name, plan) <- plans if !intended(name))
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop join")
