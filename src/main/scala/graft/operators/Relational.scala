@@ -422,7 +422,59 @@ object Relational {
       .orderBy("segment")
   }
 
+  /** Explicit GROUPING SETS — the third member of the multi-aggregation
+    * family after rollup (q10) and cube (q15), and the one report
+    * writers actually use: a HAND-PICKED set list ((status), (priority),
+    * (status, priority), ()) rather than the full lattice. Spark plans
+    * it as the same single Expand → ONE hash aggregate as cube — rows
+    * ×|sets| map-side, every set's partials in one exchange —
+    * `grouping_id()` disambiguates, so a cube that would expand 2ᵏ ways
+    * costs only the sets asked for. Null group keys label as "(all)"
+    * (the q15 discipline, so a NULL-valued key can't collide).
+    */
+  def q23GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")),
+          Seq(col("o_orderstatus"), col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"),
+        sum(cents(col("o_totalprice"))).as("sum_price"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("gid"), col("sum_price"), col("n"))
+      .orderBy("gid", "status", "priority")
+  }
+
+  /** RANGE-frame window — the moving 30-day spend per customer: for
+    * each order, the sum/count of that customer's orders in the
+    * trailing 30 days INCLUSIVE, a value-range frame (`RANGE BETWEEN
+    * 2 592 000 PRECEDING AND CURRENT ROW` over epoch seconds) — a
+    * genuinely different executor path than every ROWS frame in the
+    * suite (frame bounds move with the ORDER key's value, not the row
+    * position). Peer rows (same timestamp) share one frame in both
+    * engines by SQL semantics, so the sum is deterministic even under
+    * ties. ONE customer-keyed exchange; the frame walk is a single
+    * ordered pass per partition.
+    */
+  def q24RangeWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("ts_s")
+      .rangeBetween(-2592000L, 0L)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("ms"),
+        cents(col("o_totalprice")).as("price_c"))
+      .withColumn("ts_s", expr("ms div 1000")).drop("ms")
+      .withColumn("roll_sum_c", sum("price_c").over(w))
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_grouping_sets" -> (q23GroupingSets _),
+    "q24_range_window" -> (q24RangeWindow _),
     "q20_nested_agg" -> (q20NestedAgg _),
     "q21_sole_blame" -> (q21SoleBlame _),
     "q22_anti_scalar" -> (q22AntiScalar _),
@@ -452,6 +504,26 @@ object Relational {
   private val lBp = "CAST(round(l_discount * 100) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q23_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |  coalesce(o_orderpriority, '(all)') AS priority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price,
+        |  count(*) AS n
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |  (o_orderstatus, o_orderpriority), ())
+        |ORDER BY gid, status, priority""".stripMargin,
+    "q24_range_window" ->
+      """SELECT o_orderkey, o_custkey,
+        |  epoch_ms(o_orderdate::TIMESTAMP) // 1000 AS ts_s,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS roll_sum_c,
+        |  CAST(count(*) OVER w AS BIGINT) AS roll_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY epoch_ms(o_orderdate::TIMESTAMP) // 1000
+        |  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
     "q20_nested_agg" ->
       """WITH pairs AS MATERIALIZED (
         |  SELECT l_partkey, l_suppkey,
