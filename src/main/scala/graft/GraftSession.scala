@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Shared SparkSession config for Verify / Bench / tests.
   *
@@ -24,8 +24,31 @@ object GraftSession {
     * tables, so no persisted RDD outlives its own query on purpose.
     */
   def releaseStorage(spark: SparkSession): Unit =
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+    spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => pinnedRddIds.contains(id) }
+      .values.foreach(_.unpersist(blocking = false))
+
+  /** RDD ids exempt from [[releaseStorage]] — session-lifetime store
+    * artifacts (the per-dir graph store's checkpoints). A locally
+    * checkpointed RDD's lineage is TRUNCATED: if the sweep unpersisted
+    * it, the next query referencing the shared frame would fail with
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND rather than recompute.
+    */
+  private val pinnedRddIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** Pins every checkpointed/persisted RDD a DataFrame's plan references
+    * so the between-queries storage sweep leaves it resident. Call on
+    * eagerly-checkpointed store artifacts only.
+    */
+  def pin(df: DataFrame): DataFrame = {
+    df.queryExecution.optimizedPlan.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        pinnedRddIds.add(l.rdd.id); ()
+      case _ => ()
+    }
+    df
+  }
 
   def builder(master: String, shufflePartitions: String): SparkSession.Builder =
     SparkSession.builder()

@@ -100,6 +100,65 @@ object Graph {
     e.select(col("pa").as("node")).unionAll(e.select(col("pb")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
 
+  /** Per-dir shared graph artifacts — the production shape SURVEY §F1b
+    * names: the item graph is DERIVED ONCE from the transaction log and
+    * every analytic (components, ranks, cores, distances, similarity)
+    * runs against that one artifact, exactly like the bm25/IVF store
+    * pattern. Two artifacts matter for the iterative ops' plans:
+    *
+    *  - `coBi` / `supBi`: the symmetric directed edge view, REPARTITIONED
+    *    BY `src` before the checkpoint. `localCheckpoint` preserves the
+    *    physical `HashPartitioning` in the resulting `LogicalRDD`, so
+    *    every one of an iterative op's rounds joins against an edge
+    *    relation that is ALREADY distributed on the join key — the only
+    *    per-round exchange left is the node-scale label/rank table and
+    *    the post-partial-aggregate gather. Without this, each of
+    *    graph_cc's 8 rounds re-shuffles the full edge set: 8 edge-scale
+    *    exchanges replaced by 8 node-scale ones. This is precisely the
+    *    GraphX/Pregel discipline (partition the immutable edge relation
+    *    once, iterate moving only vertex state).
+    *
+    *  - `coOriented`: degree-oriented edges partitioned by `src`, so the
+    *    adjacency-array build (`groupBy(src)`) and the first
+    *    intersection join in [[closedTriads]] both run exchange-free.
+    *
+    * All frames are eagerly checkpointed (edge-/node-scale — orders of
+    * magnitude smaller than the corpus) and held for the session, keyed
+    * by dir; at 100 TB this is a persisted parquet graph store.
+    */
+  private case class GraphArt(co: DataFrame, sup: DataFrame,
+      coBi: DataFrame, supBi: DataFrame, coDeg: DataFrame,
+      supDeg: DataFrame, coOriented: DataFrame, tri: DataFrame)
+
+  private val artCache =
+    scala.collection.concurrent.TrieMap[String, GraphArt]()
+
+  private def art(s: SparkSession, dir: String): GraphArt =
+    artCache.getOrElseUpdate(dir, {
+      // the triad build's isect_sorted kernel, needed whichever graph
+      // query triggers the artifact first
+      graft.functions.GeoFunctions.register(s)
+      def ck(df: DataFrame) =
+        graft.GraftSession.pin(df.localCheckpoint(eager = true))
+      def bi(e: DataFrame) =
+        ck(e.select(col("pa").as("src"), col("pb").as("dst"))
+          .unionAll(e.select(col("pb"), col("pa")))
+          .repartition(col("src")))
+      val co = ck(copurchaseEdges(s, dir))
+      val sup = ck(supportEdges(s, dir))
+      val coDeg = ck(degrees(co))
+      val supDeg = ck(degrees(sup))
+      val oriented = ck(orientedEdges(co, coDeg).repartition(col("src")))
+      // The triad table materializes ONCE: both triangle consumers
+      // (graph_triangles, graph_jaccard) reference it 3× in a union —
+      // without a materialization point each branch would re-run the
+      // intersection kernel (the old plans reused the pre-intersection
+      // Exchange; the src-partitioned checkpoint removed that Exchange,
+      // so the reuse point must be explicit now).
+      val tri = ck(closedTriads(oriented))
+      GraphArt(co, sup, bi(co), bi(sup), coDeg, supDeg, oriented, tri)
+    })
+
   /** Degree-oriented edges: src = lower (deg, id) endpoint. The total
     * order makes every triangle have exactly one pivot and bounds
     * out-degree O(√m) even on power-law graphs.
@@ -138,8 +197,7 @@ object Graph {
 
   def graphTriangles(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GeoFunctions.register(s)
-    val e = copurchaseEdges(s, dir)
-    val tri = closedTriads(orientedEdges(e, degrees(e)))
+    val tri = art(s, dir).tri
     tri.select(col("src").as("node"), size(col("ws")).cast("long").as("c"))
       .unionAll(tri.select(col("dst"), size(col("ws")).cast("long")))
       .unionAll(tri.select(explode(col("ws")).as("node"), lit(1L)))
@@ -159,12 +217,12 @@ object Graph {
     * left join + coalesce keeps the recurrence total anyway.
     */
   def graphPagerank(s: SparkSession, dir: String): DataFrame = {
-    val e = copurchaseEdges(s, dir)
-    // symmetric directed view + degrees; cached because every round joins it
-    val bi = e.select(col("pa").as("src"), col("pb").as("dst"))
-      .unionAll(e.select(col("pb"), col("pa")))
-    val deg = bi.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-      .cache()
+    val a = art(s, dir)
+    // src-partitioned symmetric view + node-scale degrees, both shared
+    // per-dir checkpoints: each round's edge join is exchange-free on
+    // the edge side.
+    val bi = a.coBi
+    val deg = a.coDeg
     val nRow = deg.agg(count(lit(1)).as("nn"))
     var ranks = deg.crossJoin(broadcast(nRow))
       .select(col("node"), col("deg"),
@@ -230,17 +288,14 @@ object Graph {
     * checkpoint between rounds.
     */
   def graphCc(s: SparkSession, dir: String): DataFrame = {
-    // The edge set is MATERIALIZED once: every one of the 8 rounds joins
-    // against it, and without the checkpoint each round's lineage
-    // re-runs the (expensive) support self-join — round 8's plan would
-    // pay it 8×. This is exactly the "checkpoint between rounds" any
-    // iterative distributed graph job does; the support graph is orders
-    // of magnitude smaller than the corpus (noise floor ≥ 2 prunes
-    // ~97 % of pairs), so the artifact is cheap to hold.
-    val e = supportEdges(s, dir).localCheckpoint(eager = true)
-    val bi = e.select(col("pa").as("src"), col("pb").as("dst"))
-      .unionAll(e.select(col("pb"), col("pa")))
-    var lbl = degrees(e).select(col("node"), col("node").as("lbl"))
+    // The edge set is the shared src-partitioned checkpoint ([[art]]):
+    // each round's join against it is exchange-free on the edge side —
+    // only the node-scale label table and the post-partial-agg gather
+    // move per round. Without it each of the 8 rounds re-runs AND
+    // re-shuffles the support self-join.
+    val a = art(s, dir)
+    val bi = a.supBi
+    var lbl = a.supDeg.select(col("node"), col("node").as("lbl"))
     var round = 0
     while (round < CcRounds) {
       val m = bi.join(lbl.select(col("node").as("src"), col("lbl")), "src")
@@ -250,9 +305,8 @@ object Graph {
           least(col("lbl"), coalesce(col("ml"), col("lbl"))).as("lbl"))
       round += 1
     }
-    Dedup.releasing(
-      lbl.groupBy(col("lbl").as("comp")).agg(count(lit(1)).as("n_nodes"))
-        .orderBy(desc("n_nodes"), asc("comp")).limit(20), e)
+    lbl.groupBy(col("lbl").as("comp")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(desc("n_nodes"), asc("comp")).limit(20)
   }
 
   /** Neighborhood Jaccard similarity per co-purchase edge — the classic
@@ -273,9 +327,10 @@ object Graph {
     */
   def graphJaccard(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GeoFunctions.register(s)
-    val e = copurchaseEdges(s, dir)
-    val deg = degrees(e)
-    val tw = closedTriads(orientedEdges(e, deg))
+    val a = art(s, dir)
+    val e = a.co
+    val deg = a.coDeg
+    val tw = a.tri
       .select(col("src"), col("dst"), explode(col("ws")).as("w"))
     val credits = tw.select(least(col("src"), col("dst")).as("pa"),
         greatest(col("src"), col("dst")).as("pb"))
@@ -325,8 +380,8 @@ object Graph {
     * round runs once and the held blocks release on return.
     */
   def graphKcore(s: SparkSession, dir: String): DataFrame = {
-    var edges = supportEdges(s, dir).localCheckpoint(eager = true)
-    val held = scala.collection.mutable.ArrayBuffer[DataFrame](edges)
+    var edges = art(s, dir).sup
+    val held = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var rows: DataFrame = null
     var round = 1
     while (round <= KcoreRounds) {
@@ -367,12 +422,11 @@ object Graph {
     */
   def graphBfs(s: SparkSession, dir: String): DataFrame = {
     val Inf = 999L
-    val e = supportEdges(s, dir).localCheckpoint(eager = true)
-    val bi = e.select(col("pa").as("src"), col("pb").as("dst"))
-      .unionAll(e.select(col("pb"), col("pa")))
+    val a = art(s, dir)
+    val bi = a.supBi
     val seeds = Tables.part(s, dir).filter(col("p_size") === 50)
       .select(col("p_partkey").as("node")).withColumn("z", lit(0L))
-    var dist = degrees(e).select("node")
+    var dist = a.supDeg.select("node")
       .join(seeds, Seq("node"), "left")
       .select(col("node"), coalesce(col("z"), lit(Inf)).as("hop"))
     var round = 0
@@ -384,10 +438,9 @@ object Graph {
           least(col("hop"), coalesce(col("mh"), lit(Inf)) + 1L, lit(Inf)).as("hop"))
       round += 1
     }
-    Dedup.releasing(
-      dist.select(when(col("hop") === Inf, lit(-1L)).otherwise(col("hop")).as("hop"))
-        .groupBy("hop").agg(count(lit(1)).as("n_nodes"))
-        .orderBy("hop"), e)
+    dist.select(when(col("hop") === Inf, lit(-1L)).otherwise(col("hop")).as("hop"))
+      .groupBy("hop").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("hop")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
