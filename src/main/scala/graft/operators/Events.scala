@@ -586,7 +586,45 @@ object Events {
         sum("cents").as("sum_cents"))
       .orderBy("event_type", "bucket")
 
+  /** Incident window length (seconds) for [[intervalJoin]]. */
+  val IncidentWindowS = 600L
+
+  /** Bucketized INTERVAL JOIN — the time-range join shape that needs an
+    * explicit scale path: every `error` event opens a 10-minute incident
+    * window `[t0, t0+600)`; count, per incident, the events of ANY type
+    * falling inside it plus the distinct users touched. The naive plan
+    * for `ev.ts BETWEEN inc.t0 AND inc.t1` is a broadcast NESTED-LOOP
+    * join — every event row tested against every incident. Here both
+    * sides bucketize to bins the size of the window: an interval
+    * overlaps at most 2 bins (EXPLODEs to ≤2 rows via `sequence`), each
+    * event keeps its single bin, and the join becomes a plain hash
+    * equi-join on the bin key with the range predicate as a residual
+    * filter — shuffled rows stay O(events + 2·incidents) at any corpus
+    * size, and the candidate set per event is only the incidents
+    * sharing its bin. Matched pairs partial-aggregate map-side on the
+    * incident key. Top 25 busiest incidents, ties broken by id.
+    */
+  def intervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), tsS("ts").as("ts_s"))
+      .withColumn("bkt", expr(s"ts_s div $IncidentWindowS"))
+    val inc = Tables.events(s, dir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("inc_id"), tsS("ts").as("t0"))
+      .withColumn("t1", col("t0") + IncidentWindowS)
+      .withColumn("bkt", explode(expr(
+        s"sequence(t0 div $IncidentWindowS, (t1 - 1) div $IncidentWindowS)")))
+    ev.join(inc.hint("shuffle_hash"), "bkt")
+      .where(col("ts_s") >= col("t0") && col("ts_s") < col("t1"))
+      .groupBy("inc_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy(desc("n_events"), asc("inc_id"))
+      .limit(25)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_interval_join" -> (intervalJoin _),
     "evt_histogram" -> (histogram _),
     "evt_paths" -> (paths _),
     "evt_concurrency" -> (concurrency _),
@@ -606,6 +644,14 @@ object Events {
     "evt_dau" -> (dau _))
 
   val oracles: Map[String, String] = Map(
+    "evt_interval_join" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 1000000 AS ts_s FROM events),
+        |inc AS (SELECT event_id AS inc_id, epoch_us(ts) // 1000000 AS t0
+        |        FROM events WHERE event_type = 'error')
+        |SELECT inc_id, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM ev JOIN inc ON ev.ts_s >= inc.t0 AND ev.ts_s < inc.t0 + 600
+        |GROUP BY 1 ORDER BY n_events DESC, inc_id LIMIT 25""".stripMargin,
     "evt_holt" ->
       """WITH RECURSIVE hourly AS MATERIALIZED (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,

@@ -443,7 +443,23 @@ object Graph {
       .orderBy("hop")
   }
 
+  /** Log2-binned DEGREE DISTRIBUTION of the support graph — the
+    * power-law profile every graph pipeline inspects before choosing
+    * partitioning/skew strategy. `length(bin(deg))` = ⌊log2 deg⌋+1 in
+    * exact INTEGER arithmetic on both engines (a float `log2` flips at
+    * exact powers of two). Reads the shared node-scale degree artifact;
+    * one bounded aggregate, no corpus access.
+    */
+  def graphDegreeDist(s: SparkSession, dir: String): DataFrame =
+    art(s, dir).supDeg
+      .withColumn("bucket", expr("CAST(length(bin(deg)) AS BIGINT)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_nodes"), min("deg").as("min_deg"),
+        max("deg").as("max_deg"), sum("deg").as("sum_deg"))
+      .orderBy("bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_degree_dist" -> (graphDegreeDist _),
     "graph_kcore" -> (graphKcore _),
     "graph_bfs" -> (graphBfs _),
     "graph_triangles" -> (graphTriangles _),
@@ -505,6 +521,15 @@ object Graph {
        |  USING (node))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "graph_degree_dist" ->
+      s"""WITH $supportSql,
+         |sdeg AS (SELECT node, count(*) AS deg FROM (
+         |    SELECT pa AS node FROM e0 UNION ALL SELECT pb FROM e0)
+         |  GROUP BY 1)
+         |SELECT CAST(length(bin(deg)) AS BIGINT) AS bucket,
+         |  count(*) AS n_nodes, min(deg) AS min_deg, max(deg) AS max_deg,
+         |  CAST(sum(deg) AS BIGINT) AS sum_deg
+         |FROM sdeg GROUP BY 1 ORDER BY 1""".stripMargin,
     "graph_kcore" ->
       s"""WITH $supportSql,
          |c0 AS MATERIALIZED (SELECT pa, pb FROM e0),

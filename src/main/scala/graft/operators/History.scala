@@ -207,7 +207,30 @@ object History {
         when(col("event_type") === "error", "deleted").otherwise("latest").as("status"))
   }
 
+  /** REVERT detection — the A-B-A edit pattern (the ohsome "vandalism
+    * revert" analog): version n restores EXACTLY the tag set of version
+    * n−2 after n−1 changed it. Two stacked `lag`s over the shared
+    * entity window — the same single entity-keyed exchange every
+    * history operator reuses; revert instances surface per version row
+    * with NO self-join (a version-to-version equality join would
+    * re-shuffle the history twice). Per entity: revert count and first
+    * reverting version; top 50 by (count desc, id).
+    */
+  def histReverts(s: SparkSession, dir: String): DataFrame =
+    withTsUs(Tables.events(s, dir))
+      .withColumn("p1", lag("props", 1).over(byEntity))
+      .withColumn("p2", lag("props", 2).over(byEntity))
+      .withColumn("ver", row_number().over(byEntity))
+      .filter(col("p2").isNotNull && col("props") === col("p2") &&
+        col("props") =!= col("p1"))
+      .groupBy(col("user_id").as("osm_id"))
+      .agg(count(lit(1)).as("n_reverts"),
+        min("ver").cast("bigint").as("first_revert_ver"))
+      .orderBy(desc("n_reverts"), asc("osm_id"))
+      .limit(50)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hist_reverts" -> (histReverts _),
     "hist_build" -> (histBuild _),
     "hist_snapshot" -> (histSnapshot _),
     "hist_diff" -> (histDiff _),
@@ -220,6 +243,16 @@ object History {
     "hist_tag_map" -> (histTagMap _))
 
   val oracles: Map[String, String] = Map(
+    "hist_reverts" ->
+      """WITH v AS (SELECT user_id, props,
+        |    lag(props, 1) OVER w AS p1, lag(props, 2) OVER w AS p2,
+        |    row_number() OVER w AS ver
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT user_id AS osm_id, count(*) AS n_reverts,
+        |  CAST(min(ver) AS BIGINT) AS first_revert_ver
+        |FROM v WHERE p2 IS NOT NULL AND props = p2 AND props <> p1
+        |GROUP BY 1 ORDER BY n_reverts DESC, osm_id LIMIT 50""".stripMargin,
     "hist_lifespan" ->
       """WITH per AS (SELECT user_id, count(*) AS n_versions,
         |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS lifespan_s

@@ -472,7 +472,76 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Ordered STRING AGGREGATION — the `string_agg(x, ',' ORDER BY …)`
+    * reporting primitive (per-customer chronological order-status
+    * trail). Spark has no ordered string_agg aggregate; the portable
+    * distributed form is collect → in-kernel sort → project → join:
+    * `collect_list(struct(sort keys…, payload))` partial-aggregates
+    * map-side like any aggregate, `array_sort` orders each group's
+    * array by (date, orderkey) lexicographically IN the executor kernel
+    * (struct compare — no per-group window, no second exchange), and
+    * `transform`+`array_join` emit the CSV. Per-group state is bounded
+    * by the customer's order count — never corpus-scale — so the
+    * aggregate buffers stay small at any corpus size; ONE exchange
+    * total on the group key.
+    */
+  def q25StringAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("ms"),
+        col("o_orderkey"), col("o_orderstatus"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "struct(ms, o_orderkey, o_orderstatus))), x -> x.o_orderstatus)" +
+          ", ',')").as("status_seq"))
+      .orderBy("o_custkey")
+
+  /** GLOBAL NTILE decile profile — without the global-window trap. A
+    * literal `ntile(10) OVER (ORDER BY price)` funnels the entire
+    * corpus through ONE task (no PARTITION BY ⇒ single window
+    * partition); instead the global rank is assembled two-level, the
+    * evt_concurrency/text_pack prefix-sum discipline applied to VALUE
+    * buckets: (1) histogram the rows into fixed 100-dollar price bins
+    * (domain-bounded ⇒ the bin table is small at ANY corpus size),
+    * (2) prefix-sum the bin counts in one bounded task + broadcast
+    * back, (3) row_number WITHIN each bin (bin-partitioned window —
+    * every task sees one bin's rows), global rank = bin prefix +
+    * within-bin rank. Decile membership then replays SQL-standard
+    * ntile remainder semantics (first `n mod 10` buckets take
+    * `ceil(n/10)` rows) in exact integer arithmetic from a broadcast
+    * 1-row count. Output: per-decile count/sum/min/max of price cents.
+    */
+  def q26Ntile(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables.orders(s, dir)
+      .select(cents(col("o_totalprice")).as("pc"), col("o_orderkey").as("ok"))
+      .withColumn("bkt", expr("pc div 10000"))
+    val bc = b.groupBy("bkt").agg(count(lit(1)).as("bn"))
+    val wPre = org.apache.spark.sql.expressions.Window.orderBy("bkt")
+      .rowsBetween(Long.MinValue, -1)
+    val pre = bc.withColumn("cum", coalesce(sum("bn").over(wPre), lit(0L)))
+      .select("bkt", "cum")
+    val n = b.agg(count(lit(1)).as("n"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("bkt").orderBy("pc", "ok")
+    b.withColumn("rn", row_number().over(wIn))
+      .join(broadcast(pre), "bkt")
+      .crossJoin(broadcast(n))
+      .withColumn("rank", col("cum") + col("rn"))
+      .withColumn("decile", expr(
+        """CASE WHEN rank <= (n % 10) * ((n + 9) div 10)
+          |     THEN (rank - 1) div ((n + 9) div 10) + 1
+          |     ELSE (n % 10) + (rank - (n % 10) * ((n + 9) div 10) - 1)
+          |            div (n div 10) + 1 END""".stripMargin))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_orders"), sum("pc").as("sum_pc"),
+        min("pc").as("min_pc"), max("pc").as("max_pc"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_string_agg" -> (q25StringAgg _),
+    "q26_ntile" -> (q26Ntile _),
     "q23_grouping_sets" -> (q23GroupingSets _),
     "q24_range_window" -> (q24RangeWindow _),
     "q20_nested_agg" -> (q20NestedAgg _),
@@ -504,6 +573,18 @@ object Relational {
   private val lBp = "CAST(round(l_discount * 100) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q25_string_agg" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  string_agg(o_orderstatus, ','
+        |    ORDER BY epoch_ms(o_orderdate::TIMESTAMP), o_orderkey) AS status_seq
+        |FROM orders GROUP BY 1 ORDER BY o_custkey""".stripMargin,
+    "q26_ntile" ->
+      """WITH r AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+        |    o_orderkey AS ok FROM orders),
+        |t AS (SELECT pc, ntile(10) OVER (ORDER BY pc, ok) AS decile FROM r)
+        |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_orders,
+        |  CAST(sum(pc) AS BIGINT) AS sum_pc, min(pc) AS min_pc, max(pc) AS max_pc
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "q23_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS status,
         |  coalesce(o_orderpriority, '(all)') AS priority,
