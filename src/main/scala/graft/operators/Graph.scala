@@ -126,38 +126,50 @@ object Graph {
     * magnitude smaller than the corpus) and held for the session, keyed
     * by dir; at 100 TB this is a persisted parquet graph store.
     */
-  private case class GraphArt(co: DataFrame, sup: DataFrame,
-      coBi: DataFrame, supBi: DataFrame, coDeg: DataFrame,
-      supDeg: DataFrame, coOriented: DataFrame, tri: DataFrame)
+  /** Store pieces build LAZILY and memoize independently — a query pays
+    * only for the artifacts its own plan reads (graph_kcore never
+    * triggers the triad build; graph_triangles never materializes the
+    * support views). At sf1 the full build is ~110 s, the support-only
+    * slice ~25 s — a monolithic artifact would bill the whole store to
+    * whichever query arrives first.
+    */
+  private val pieceCache =
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
 
-  private val artCache =
-    scala.collection.concurrent.TrieMap[String, GraphArt]()
-
-  private def art(s: SparkSession, dir: String): GraphArt =
-    artCache.getOrElseUpdate(dir, {
-      // the triad build's isect_sorted kernel, needed whichever graph
-      // query triggers the artifact first
-      graft.functions.GeoFunctions.register(s)
-      def ck(df: DataFrame) =
-        graft.GraftSession.pin(df.localCheckpoint(eager = true))
-      def bi(e: DataFrame) =
-        ck(e.select(col("pa").as("src"), col("pb").as("dst"))
-          .unionAll(e.select(col("pb"), col("pa")))
-          .repartition(col("src")))
-      val co = ck(copurchaseEdges(s, dir))
-      val sup = ck(supportEdges(s, dir))
-      val coDeg = ck(degrees(co))
-      val supDeg = ck(degrees(sup))
-      val oriented = ck(orientedEdges(co, coDeg).repartition(col("src")))
-      // The triad table materializes ONCE: both triangle consumers
-      // (graph_triangles, graph_jaccard) reference it 3× in a union —
-      // without a materialization point each branch would re-run the
-      // intersection kernel (the old plans reused the pre-intersection
-      // Exchange; the src-partitioned checkpoint removed that Exchange,
-      // so the reuse point must be explicit now).
-      val tri = ck(closedTriads(oriented))
-      GraphArt(co, sup, bi(co), bi(sup), coDeg, supDeg, oriented, tri)
+  private def piece(s: SparkSession, dir: String, name: String)
+      (build: => DataFrame): DataFrame =
+    pieceCache.getOrElseUpdate((dir, name), {
+      graft.functions.GeoFunctions.register(s) // isect_sorted for the triad build
+      graft.GraftSession.pin(build.localCheckpoint(eager = true))
     })
+
+  private def biOf(e: DataFrame): DataFrame =
+    e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(e.select(col("pb"), col("pa")))
+      .repartition(col("src"))
+
+  private def coE(s: SparkSession, dir: String) =
+    piece(s, dir, "co")(copurchaseEdges(s, dir))
+  private def supE(s: SparkSession, dir: String) =
+    piece(s, dir, "sup")(supportEdges(s, dir))
+  private def coDegA(s: SparkSession, dir: String) =
+    piece(s, dir, "coDeg")(degrees(coE(s, dir)))
+  private def supDegA(s: SparkSession, dir: String) =
+    piece(s, dir, "supDeg")(degrees(supE(s, dir)))
+  private def coBiA(s: SparkSession, dir: String) =
+    piece(s, dir, "coBi")(biOf(coE(s, dir)))
+  private def supBiA(s: SparkSession, dir: String) =
+    piece(s, dir, "supBi")(biOf(supE(s, dir)))
+  private def orientedA(s: SparkSession, dir: String) =
+    piece(s, dir, "oriented")(
+      orientedEdges(coE(s, dir), coDegA(s, dir)).repartition(col("src")))
+  // The triad table materializes ONCE: both triangle consumers reference
+  // it 3× in a union — without a materialization point each branch would
+  // re-run the intersection kernel (the old plans reused the
+  // pre-intersection Exchange; the src-partitioned checkpoint removed
+  // that Exchange, so the reuse point must be explicit now).
+  private def triA(s: SparkSession, dir: String) =
+    piece(s, dir, "tri")(closedTriads(orientedA(s, dir)))
 
   /** Degree-oriented edges: src = lower (deg, id) endpoint. The total
     * order makes every triangle have exactly one pivot and bounds
@@ -197,7 +209,7 @@ object Graph {
 
   def graphTriangles(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GeoFunctions.register(s)
-    val tri = art(s, dir).tri
+    val tri = triA(s, dir)
     tri.select(col("src").as("node"), size(col("ws")).cast("long").as("c"))
       .unionAll(tri.select(col("dst"), size(col("ws")).cast("long")))
       .unionAll(tri.select(explode(col("ws")).as("node"), lit(1L)))
@@ -217,12 +229,11 @@ object Graph {
     * left join + coalesce keeps the recurrence total anyway.
     */
   def graphPagerank(s: SparkSession, dir: String): DataFrame = {
-    val a = art(s, dir)
     // src-partitioned symmetric view + node-scale degrees, both shared
     // per-dir checkpoints: each round's edge join is exchange-free on
     // the edge side.
-    val bi = a.coBi
-    val deg = a.coDeg
+    val bi = coBiA(s, dir)
+    val deg = coDegA(s, dir)
     val nRow = deg.agg(count(lit(1)).as("nn"))
     var ranks = deg.crossJoin(broadcast(nRow))
       .select(col("node"), col("deg"),
@@ -293,9 +304,8 @@ object Graph {
     // only the node-scale label table and the post-partial-agg gather
     // move per round. Without it each of the 8 rounds re-runs AND
     // re-shuffles the support self-join.
-    val a = art(s, dir)
-    val bi = a.supBi
-    var lbl = a.supDeg.select(col("node"), col("node").as("lbl"))
+    val bi = supBiA(s, dir)
+    var lbl = supDegA(s, dir).select(col("node"), col("node").as("lbl"))
     var round = 0
     while (round < CcRounds) {
       val m = bi.join(lbl.select(col("node").as("src"), col("lbl")), "src")
@@ -327,10 +337,9 @@ object Graph {
     */
   def graphJaccard(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GeoFunctions.register(s)
-    val a = art(s, dir)
-    val e = a.co
-    val deg = a.coDeg
-    val tw = a.tri
+    val e = coE(s, dir)
+    val deg = coDegA(s, dir)
+    val tw = triA(s, dir)
       .select(col("src"), col("dst"), explode(col("ws")).as("w"))
     val credits = tw.select(least(col("src"), col("dst")).as("pa"),
         greatest(col("src"), col("dst")).as("pb"))
@@ -380,7 +389,7 @@ object Graph {
     * round runs once and the held blocks release on return.
     */
   def graphKcore(s: SparkSession, dir: String): DataFrame = {
-    var edges = art(s, dir).sup
+    var edges = supE(s, dir)
     val held = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var rows: DataFrame = null
     var round = 1
@@ -422,11 +431,10 @@ object Graph {
     */
   def graphBfs(s: SparkSession, dir: String): DataFrame = {
     val Inf = 999L
-    val a = art(s, dir)
-    val bi = a.supBi
+    val bi = supBiA(s, dir)
     val seeds = Tables.part(s, dir).filter(col("p_size") === 50)
       .select(col("p_partkey").as("node")).withColumn("z", lit(0L))
-    var dist = a.supDeg.select("node")
+    var dist = supDegA(s, dir).select("node")
       .join(seeds, Seq("node"), "left")
       .select(col("node"), coalesce(col("z"), lit(Inf)).as("hop"))
     var round = 0
@@ -451,7 +459,7 @@ object Graph {
     * one bounded aggregate, no corpus access.
     */
   def graphDegreeDist(s: SparkSession, dir: String): DataFrame =
-    art(s, dir).supDeg
+    supDegA(s, dir)
       .withColumn("bucket", expr("CAST(length(bin(deg)) AS BIGINT)"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_nodes"), min("deg").as("min_deg"),
