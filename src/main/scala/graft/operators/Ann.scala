@@ -207,7 +207,15 @@ object Ann {
           Window.partitionBy("q_id").orderBy(desc("score"), col("n_id"))))
         .filter(col("rn") === 1)
         .select(col("q_id"), col("n_id"), lit(r).as("mmr_rank"), col("score"))
-      sel = sel.unionByName(pick)
+      // Truncate lineage each round: sel is referenced TWICE by the next
+      // round (anti-join + semi-join broadcasts) and grows by union, so
+      // without a materialization point the plan size doubles per round —
+      // the 4-round recurrence was paying ~18 s of pure plan/broadcast
+      // replay even at sf0.01. The checkpointed frame is ≤ 8·r rows.
+      // (NOT pinned: these are per-invocation intermediates — the final
+      // releasing() checkpoint is the only frame read after return, so
+      // the storage sweep may reclaim the round frames.)
+      sel = sel.unionByName(pick).localCheckpoint(eager = true)
     }
     Dedup.releasing(sel.orderBy("q_id", "mmr_rank"), cands, pairs)
   }
