@@ -239,6 +239,11 @@ object Graph {
       .select(col("node"), col("deg"),
         expr(s"${PrScale}L div nn").as("r"),
         expr(s"${15 * PrScale}L div (100L * nn)").as("base"))
+    // Per-round checkpoint (the graph_kcore discipline): the rank frame
+    // is referenced twice per round (contribution join + merge join), so
+    // an unmaterialized recurrence doubles the plan per round. Node-scale
+    // frames; held blocks release after the result materializes.
+    val held = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var round = 0
     while (round < PrRounds) {
       val contrib = bi
@@ -249,11 +254,15 @@ object Graph {
         .join(contrib, Seq("node"), "left")
         .withColumn("r", col("base") + expr("(85L * coalesce(sm, 0L)) div 100L"))
         .drop("sm")
+        .localCheckpoint(eager = true)
+      held += ranks
       round += 1
     }
-    ranks.orderBy(col("r").desc, col("node"))
-      .limit(20)
-      .select(col("node").as("part"), col("r").as("pr_fp"))
+    Dedup.releasing(
+      ranks.orderBy(col("r").desc, col("node"))
+        .limit(20)
+        .select(col("node").as("part"), col("r").as("pr_fp")),
+      held.toSeq: _*)
   }
 
   /** Hash-min label-propagation rounds for connected components. 8
@@ -306,6 +315,13 @@ object Graph {
     // re-shuffles the support self-join.
     val bi = supBiA(s, dir)
     var lbl = supDegA(s, dir).select(col("node"), col("node").as("lbl"))
+    // Per-round checkpoint (the graph_kcore discipline): each round
+    // references the label frame TWICE (the propagate join + the merge
+    // join), so without a materialization point the plan doubles per
+    // round — 8 rounds = 256 replicated subtrees, and the recurrence was
+    // plan-overhead-bound even at sf0.01. The checkpointed frame is
+    // node-scale; held blocks release after the result materializes.
+    val held = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var round = 0
     while (round < CcRounds) {
       val m = bi.join(lbl.select(col("node").as("src"), col("lbl")), "src")
@@ -313,10 +329,14 @@ object Graph {
       lbl = lbl.join(m, Seq("node"), "left")
         .select(col("node"),
           least(col("lbl"), coalesce(col("ml"), col("lbl"))).as("lbl"))
+        .localCheckpoint(eager = true)
+      held += lbl
       round += 1
     }
-    lbl.groupBy(col("lbl").as("comp")).agg(count(lit(1)).as("n_nodes"))
-      .orderBy(desc("n_nodes"), asc("comp")).limit(20)
+    Dedup.releasing(
+      lbl.groupBy(col("lbl").as("comp")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(desc("n_nodes"), asc("comp")).limit(20),
+      held.toSeq: _*)
   }
 
   /** Neighborhood Jaccard similarity per co-purchase edge — the classic
@@ -437,6 +457,11 @@ object Graph {
     var dist = supDegA(s, dir).select("node")
       .join(seeds, Seq("node"), "left")
       .select(col("node"), coalesce(col("z"), lit(Inf)).as("hop"))
+    // Per-round checkpoint (the graph_kcore discipline): the distance
+    // frame is referenced twice per round, so an unmaterialized
+    // recurrence doubles the plan per round. Node-scale frames; held
+    // blocks release after the result materializes.
+    val held = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var round = 0
     while (round < BfsRounds) {
       val m = bi.join(dist.select(col("node").as("src"), col("hop")), "src")
@@ -444,11 +469,15 @@ object Graph {
       dist = dist.join(m, Seq("node"), "left")
         .select(col("node"),
           least(col("hop"), coalesce(col("mh"), lit(Inf)) + 1L, lit(Inf)).as("hop"))
+        .localCheckpoint(eager = true)
+      held += dist
       round += 1
     }
-    dist.select(when(col("hop") === Inf, lit(-1L)).otherwise(col("hop")).as("hop"))
-      .groupBy("hop").agg(count(lit(1)).as("n_nodes"))
-      .orderBy("hop")
+    Dedup.releasing(
+      dist.select(when(col("hop") === Inf, lit(-1L)).otherwise(col("hop")).as("hop"))
+        .groupBy("hop").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("hop"),
+      held.toSeq: _*)
   }
 
   /** Log2-binned DEGREE DISTRIBUTION of the support graph — the
