@@ -756,6 +756,7 @@ object GeoFunctions {
     "rollfps16" -> (es => RollFps16(es(0))),
     "winnow8" -> (es => Winnow8(es(0))),
     "ahash16" -> (es => AHash16(es(0))),
+    "bhist16" -> (es => BHist16(es(0))),
     "ahash64" -> (es => AHash64(es(0))),
     "wgrams3" -> (es => WGrams3(es(0))),
     "repstats" -> (es => RepStats(es(0))),

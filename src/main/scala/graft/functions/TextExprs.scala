@@ -40,6 +40,21 @@ object TextKernels {
     h
   }
 
+  /** 16-bucket byte-value histogram (`byte div 16` — 4-bit luma
+    * quantization) over an opaque payload, one O(n) pass. Returns the
+    * raw counts; downstream summarization stays on the bounded 16-entry
+    * array, so the per-byte work never leaves the scan.
+    */
+  def bhist16(payload: Array[Byte]): Array[Long] = {
+    val counts = new Array[Long](16)
+    var q = 0
+    while (q < payload.length) {
+      counts((payload(q) & 0xff) >>> 4) += 1
+      q += 1
+    }
+    counts
+  }
+
   /** 64-bit variant of [[aHash16]] for Hamming-banded near-dup joins: 16
     * bits give only 16 band values per 4-bit band — every bucket saturates
     * past a few thousand rows — while 64 bits band into 4×16-bit keys
@@ -766,6 +781,29 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * kernel call — the whole fingerprint stays inside WholeStageCodegen,
   * one O(n) pass per document.
   */
+/** `bhist16(payload)` → ARRAY<BIGINT> of 16 byte-value bucket counts
+  * (TextKernels.bhist16) — the whole histogram stays inside
+  * WholeStageCodegen, one O(n) pass per payload.
+  */
+case class BHist16(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "bhist16"
+
+  override protected def nullSafeEval(payload: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextKernels.bhist16(payload.asInstanceOf[Array[Byte]]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, p =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextKernels.bhist16($p))")
+
+  override protected def withNewChildInternal(newChild: Expression): BHist16 =
+    copy(child = newChild)
+}
+
 case class AHash16(child: Expression) extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def prettyName: String = "ahash16"

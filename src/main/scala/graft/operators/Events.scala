@@ -65,6 +65,52 @@ object Events {
         (max(col("ts_s")) - min(col("ts_s"))).as("duration_s"))
   }
 
+  /** Market-basket LIFT over sessions — association mining with the
+    * session as the basket (the "users who did A in a session also did
+    * B" co-occurrence analysis): for each unordered event-type pair,
+    * `lift_pm = ⌊1000·S·n_ab / (n_a·n_b)⌋` where n_x counts sessions
+    * containing the type and S is the session total — lift > 1000 means
+    * positive association. All counts exact BIGINTs; the division is one
+    * positive floor `div`, so both engines rank identically.
+    *
+    * Scale shape: sessions come from the shared sessionize window (one
+    * user-keyed exchange); the distinct (session, type) frame is ≤
+    * sessions×|types|; the co-occurrence self-join is keyed by SESSION
+    * with ≤ |types|² rows emitted per session (types are enum-like — the
+    * [[Sketches.sketchKmv]] domain argument), then everything aggregates
+    * to the bounded |types|² pair frame and the |types|-row marginals
+    * broadcast onto it.
+    */
+  def lift(s: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val st = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        tsS("ts").as("ts_s"), col("event_type"))
+      .withColumn("prev_s", lag(col("ts_s"), 1).over(order))
+      .withColumn("brk",
+        when(col("prev_s").isNull || col("ts_s") - col("prev_s") > SessionGapS,
+          1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("brk")).over(run))
+      .select("user_id", "session_idx", "event_type")
+      .distinct()
+    val nSessions = st.select("user_id", "session_idx").distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val marg = st.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+    st.select(col("user_id"), col("session_idx"), col("event_type").as("a"))
+      .join(st.select(col("user_id"), col("session_idx"), col("event_type").as("b")),
+        Seq("user_id", "session_idx"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(marg.select(col("event_type").as("a"), col("n_t").as("n_a"))), "a")
+      .join(broadcast(marg.select(col("event_type").as("b"), col("n_t").as("n_b"))), "b")
+      .crossJoin(broadcast(nSessions))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("n_sessions"),
+        expr("(1000L * n_sessions * n_ab) div (n_a * n_b)").as("lift_pm"))
+      .orderBy(desc("lift_pm"), asc("a"), asc("b"))
+  }
+
   /** Ordered conversion funnel signup → view → purchase, each step
     * within 24 h of the previous one. Stage times are per-user minima,
     * so the result is order-insensitive and deterministic.
@@ -207,6 +253,40 @@ object Events {
     * streams. (At 1e10 events/hour the squares need DECIMAL(38); the
     * cross-multiplied form ports unchanged.)
     */
+  /** CHANGEPOINT detection per event type — the offline form of the
+    * CUSUM / Pettitt scan a monitoring pipeline runs to locate WHERE a
+    * rate shifted, next to [[anomaly]]'s "did it spike" rule: over the
+    * type's hourly count series (dense index i = 1..T by hour order,
+    * prefix sum S_i, total N), the split maximizing the cross-multiplied
+    * drift `dev_i = |T·S_i − N·i|` — the exact-integer form of
+    * |S_i/N − i/T|·N·T, the empirical-CDF distance a changepoint
+    * maximizes; ties break earliest. Output per type: `(n_hours,
+    * n_events, cp_idx, cp_hour, max_dev)`.
+    *
+    * Scale shape: ONE events scan partial-aggregating map-side into the
+    * ≤ |types| × hours hourly frame (the [[anomaly]] argument); the
+    * index/prefix windows and the argmax run per-type over that bounded
+    * frame — |types| partitions of ≤ 87,660 rows/decade, never the
+    * corpus. (At 1e10 events/hour T·S needs DECIMAL(38); the
+    * cross-multiplied form ports unchanged.)
+    */
+  def changepoint(s: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    val byHour = byType.orderBy("hour")
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("ts div 3600000000000").as("hour"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("i", row_number().over(byHour).cast("long"))
+      .withColumn("s", sum("x").over(byHour))
+      .withColumn("n_hours", count(lit(1)).over(byType))
+      .withColumn("n_events", sum("x").over(byType))
+      .withColumn("dev", abs(col("n_hours") * col("s") - col("n_events") * col("i")))
+      .withColumn("rn", row_number().over(byType.orderBy(desc("dev"), asc("i"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n_hours"), col("n_events"),
+        col("i").as("cp_idx"), col("hour").as("cp_hour"), col("dev").as("max_dev"))
+  }
+
   def anomaly(s: SparkSession, dir: String): DataFrame = {
     val byType = Window.partitionBy("event_type")
     Tables.events(s, dir)
@@ -629,6 +709,7 @@ object Events {
     "evt_paths" -> (paths _),
     "evt_concurrency" -> (concurrency _),
     "evt_sessionize" -> (sessionize _),
+    "evt_lift" -> (lift _),
     "evt_funnel" -> (funnel _),
     "evt_retention" -> (retention _),
     "evt_json" -> (jsonExtract _),
@@ -636,6 +717,7 @@ object Events {
     "evt_attribution" -> (attribution _),
     "evt_transitions" -> (transitions _),
     "evt_anomaly" -> (anomaly _),
+    "evt_changepoint" -> (changepoint _),
     "evt_smooth" -> (smooth _),
     "evt_rfm" -> (rfm _),
     "evt_ab_test" -> (abTest _),
@@ -827,6 +909,35 @@ object Events {
         |  CAST(max(c.n_points) AS BIGINT) AS n_points
         |FROM w JOIN c ON c.hour = w.hour
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "evt_lift" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR date_diff('second', lag(ts) OVER w, ts) > 14400
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), st AS MATERIALIZED (
+        |  SELECT DISTINCT user_id, session_idx, event_type FROM (
+        |    SELECT user_id, event_type,
+        |      sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS session_idx
+        |    FROM g)
+        |), ns AS (SELECT count(*) AS n_sessions FROM
+        |    (SELECT DISTINCT user_id, session_idx FROM st)),
+        |marg AS (SELECT event_type, count(*) AS n_t FROM st GROUP BY 1),
+        |co AS (
+        |  SELECT x.event_type AS a, y.event_type AS b, count(*) AS n_ab
+        |  FROM st x JOIN st y
+        |    ON x.user_id = y.user_id AND x.session_idx = y.session_idx
+        |   AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT a, b, n_ab, ma.n_t AS n_a, mb.n_t AS n_b,
+        |  (SELECT n_sessions FROM ns) AS n_sessions,
+        |  (1000 * (SELECT n_sessions FROM ns) * n_ab) // (ma.n_t * mb.n_t)
+        |    AS lift_pm
+        |FROM co JOIN marg ma ON ma.event_type = a
+        |JOIN marg mb ON mb.event_type = b
+        |ORDER BY lift_pm DESC, a, b""".stripMargin,
     "evt_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id,
@@ -916,6 +1027,30 @@ object Events {
         |    15 * lag(s) OVER (PARTITION BY event_type ORDER BY i),
         |    false) AS is_burst
         |FROM rec ORDER BY event_type, hour""".stripMargin,
+    "evt_changepoint" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, hour,
+        |    CAST(row_number() OVER th AS BIGINT) AS i,
+        |    CAST(sum(x) OVER th AS BIGINT) AS s,
+        |    CAST(count(*) OVER t AS BIGINT) AS n_hours,
+        |    CAST(sum(x) OVER t AS BIGINT) AS n_events
+        |  FROM hourly
+        |  WINDOW th AS (PARTITION BY event_type ORDER BY hour
+        |                ROWS UNBOUNDED PRECEDING),
+        |         t AS (PARTITION BY event_type)),
+        |d AS (
+        |  SELECT event_type, n_hours, n_events, i AS cp_idx,
+        |    CAST(hour AS BIGINT) AS cp_hour,
+        |    abs(n_hours * s - n_events * i) AS max_dev,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(n_hours * s - n_events * i) DESC, i) AS rn
+        |  FROM w)
+        |SELECT event_type, n_hours, n_events, cp_idx, cp_hour, max_dev
+        |FROM d WHERE rn = 1""".stripMargin,
     "evt_anomaly" ->
       """WITH hourly AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,

@@ -495,7 +495,69 @@ object Graph {
         max("deg").as("max_deg"), sum("deg").as("sum_deg"))
       .orderBy("bucket")
 
+  /** Local CLUSTERING-coefficient profile of the co-purchase graph
+    * (Watts & Strogatz 1998's C_v) — "how clique-like is each node's
+    * neighborhood", the community-structure diagnostic next to the
+    * degree distribution. Per node with deg ≥ 2:
+    * `lcc_pm = ⌊2000·tri(v) / (deg·(deg−1))⌋`, histogrammed into 11
+    * per-mille deciles `(bucket, n_nodes, sum_tri, sum_deg)`. Triangle
+    * counts come from the SHARED triad artifact ([[closedTriads]] — the
+    * O(√m)-bounded oriented enumeration), degrees from the shared
+    * node-scale degree table; everything after the two store reads is
+    * node-scale with one bounded aggregate. All integer — a float
+    * 2t/(d(d−1)) would flip deciles at exact boundaries.
+    */
+  def graphClustering(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val tri = triA(s, dir)
+    val cnt = tri.select(col("src").as("node"), size(col("ws")).cast("long").as("t"))
+      .unionAll(tri.select(col("dst"), size(col("ws")).cast("long")))
+      .unionAll(tri.select(explode(col("ws")).as("node"), lit(1L)))
+      .groupBy("node").agg(sum("t").as("tri"))
+    coDegA(s, dir).filter(col("deg") >= 2)
+      .join(cnt.hint("shuffle_hash"), Seq("node"), "left")
+      .na.fill(0L, Seq("tri"))
+      .withColumn("bucket",
+        expr("((2000L * tri) div (deg * (deg - 1L))) div 100L"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_nodes"), sum("tri").as("sum_tri"),
+        sum("deg").as("sum_deg"))
+      .orderBy("bucket")
+  }
+
+  /** Degree–degree MIXING MATRIX of the co-purchase graph (Newman 2002's
+    * e_jk, log2-binned) — the assortativity profile: does a hub link to
+    * hubs or to leaves? Per undirected edge, the sorted pair of endpoint
+    * degree bins `(bl, bh)` with exact-integer moments
+    * `(n_edges, Σ da·db, Σ min-deg, Σ max-deg)` — the full Pearson
+    * assortativity is a closed form over these bins, but the binned
+    * moments stay BIGINT-exact where the global 4m·Σjk − (Σj)² products
+    * overflow int64 at planet scale. One edge-scale pass: two node-keyed
+    * hash joins against the shared degree artifact, then a bounded
+    * (≤ bins²) aggregate.
+    */
+  def graphAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val deg = coDegA(s, dir)
+    coE(s, dir)
+      .join(deg.select(col("node").as("pa"), col("deg").as("da"))
+        .hint("shuffle_hash"), "pa")
+      .join(deg.select(col("node").as("pb"), col("deg").as("db"))
+        .hint("shuffle_hash"), "pb")
+      .select(
+        expr("CAST(least(length(bin(da)), length(bin(db))) AS BIGINT)").as("bl"),
+        expr("CAST(greatest(length(bin(da)), length(bin(db))) AS BIGINT)").as("bh"),
+        (col("da") * col("db")).as("jk"),
+        least(col("da"), col("db")).as("dmin"),
+        greatest(col("da"), col("db")).as("dmax"))
+      .groupBy("bl", "bh")
+      .agg(count(lit(1)).as("n_edges"), sum("jk").as("s_jk"),
+        sum("dmin").as("s_min"), sum("dmax").as("s_max"))
+      .orderBy("bl", "bh")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_clustering" -> (graphClustering _),
+    "graph_assortativity" -> (graphAssortativity _),
     "graph_degree_dist" -> (graphDegreeDist _),
     "graph_kcore" -> (graphKcore _),
     "graph_bfs" -> (graphBfs _),
@@ -513,6 +575,30 @@ object Graph {
       |bi AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM e
       |                    UNION ALL SELECT pb, pa FROM e),
       |deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM bi GROUP BY 1)""".stripMargin
+
+  /** Oracle triad CTE: the degree-oriented triangle enumeration shared by
+    * graph_triangles and graph_clustering (same orientation rule as
+    * [[orientedEdges]]/[[closedTriads]]).
+    */
+  private val triadSql =
+    s"""$edgeSql,
+       |ed AS MATERIALIZED (
+       |  SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND pa < pb)
+       |              THEN pa ELSE pb END AS src,
+       |         CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND pa < pb)
+       |              THEN pb ELSE pa END AS dst,
+       |         CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND pa < pb)
+       |              THEN db.deg ELSE da.deg END AS ddeg
+       |  FROM e JOIN deg da ON da.node = pa JOIN deg db ON db.node = pb),
+       |tri AS MATERIALIZED (
+       |  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+       |  FROM ed e1
+       |  JOIN ed e2 ON e1.src = e2.src
+       |   AND ((e1.ddeg < e2.ddeg) OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+       |  JOIN ed e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+       |corners AS (SELECT u AS node FROM tri
+       |            UNION ALL SELECT v FROM tri
+       |            UNION ALL SELECT w FROM tri)""".stripMargin
 
   private def ccRoundSql(k: Int): String =
     s"""l$k AS MATERIALIZED (
@@ -590,27 +676,33 @@ object Graph {
          |  count(*) AS n_nodes
          |FROM d$BfsRounds GROUP BY 1 ORDER BY 1""".stripMargin,
     "graph_triangles" ->
-      s"""WITH $edgeSql,
-         |ed AS MATERIALIZED (
-         |  SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND pa < pb)
-         |              THEN pa ELSE pb END AS src,
-         |         CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND pa < pb)
-         |              THEN pb ELSE pa END AS dst,
-         |         CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND pa < pb)
-         |              THEN db.deg ELSE da.deg END AS ddeg
-         |  FROM e JOIN deg da ON da.node = pa JOIN deg db ON db.node = pb),
-         |tri AS MATERIALIZED (
-         |  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
-         |  FROM ed e1
-         |  JOIN ed e2 ON e1.src = e2.src
-         |   AND ((e1.ddeg < e2.ddeg) OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
-         |  JOIN ed e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
-         |corners AS (SELECT u AS node FROM tri
-         |            UNION ALL SELECT v FROM tri
-         |            UNION ALL SELECT w FROM tri)
+      s"""WITH $triadSql
          |SELECT node AS part, count(*) AS n_tri
          |FROM corners GROUP BY 1
          |ORDER BY n_tri DESC, part LIMIT 20""".stripMargin,
+    "graph_clustering" ->
+      s"""WITH $triadSql,
+         |tc AS (SELECT node, count(*) AS tri FROM corners GROUP BY 1)
+         |SELECT ((2000 * coalesce(tc.tri, 0)) // (d.deg * (d.deg - 1))) // 100
+         |    AS bucket,
+         |  count(*) AS n_nodes,
+         |  CAST(sum(coalesce(tc.tri, 0)) AS BIGINT) AS sum_tri,
+         |  CAST(sum(d.deg) AS BIGINT) AS sum_deg
+         |FROM deg d LEFT JOIN tc ON tc.node = d.node
+         |WHERE d.deg >= 2
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "graph_assortativity" ->
+      s"""WITH $edgeSql,
+         |j AS (
+         |  SELECT least(length(bin(da.deg)), length(bin(db.deg))) AS bl,
+         |    greatest(length(bin(da.deg)), length(bin(db.deg))) AS bh,
+         |    da.deg * db.deg AS jk,
+         |    least(da.deg, db.deg) AS dmin, greatest(da.deg, db.deg) AS dmax
+         |  FROM e JOIN deg da ON da.node = pa JOIN deg db ON db.node = pb)
+         |SELECT CAST(bl AS BIGINT) AS bl, CAST(bh AS BIGINT) AS bh,
+         |  count(*) AS n_edges, CAST(sum(jk) AS BIGINT) AS s_jk,
+         |  CAST(sum(dmin) AS BIGINT) AS s_min, CAST(sum(dmax) AS BIGINT) AS s_max
+         |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "graph_cc" ->
       s"""WITH li AS MATERIALIZED (
          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -196,6 +196,30 @@ object History {
         max("lifespan_s").as("lifespan_max"))
       .orderBy("n_versions")
 
+  /** Edit-CADENCE profile — the inter-version gap distribution
+    * ([[histLifespan]]'s span statistic refined to the gaps inside it):
+    * per entity, successive-version gaps in floor-seconds via `lag` over
+    * the shared entity window, log2-binned (`length(bin(gap_s + 1))` —
+    * +1 so a same-second gap lands in bucket 1, exact integer both
+    * engines) into `(bucket, n_gaps, n_entities, gap_sum, gap_min,
+    * gap_max)` — "is this entity edited in bursts or steadily", the
+    * revision-cadence diagnostic an history pipeline reads before
+    * choosing snapshot intervals. ONE entity-keyed exchange (the shared
+    * history window), then a bounded ≤ ~40-bucket aggregate.
+    */
+  def histCadence(s: SparkSession, dir: String): DataFrame =
+    withTsUs(Tables.events(s, dir))
+      .withColumn("prev_us", lag("ts_us", 1).over(byEntity))
+      .filter(col("prev_us").isNotNull)
+      .withColumn("gap_s", expr("(ts_us - prev_us) div 1000000"))
+      .withColumn("bucket", expr("CAST(length(bin(gap_s + 1)) AS BIGINT)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_gaps"),
+        countDistinct(col("user_id")).as("n_entities"),
+        sum("gap_s").as("gap_sum"), min("gap_s").as("gap_min"),
+        max("gap_s").as("gap_max"))
+      .orderBy("bucket")
+
   /** Latest-version extraction — the `latest/` output partition. */
   def histLatest(s: SparkSession, dir: String): DataFrame = {
     val latest = Window.partitionBy("user_id").orderBy(desc("ts_us"), desc("event_id"))
@@ -240,6 +264,7 @@ object History {
     "hist_tags" -> (histTags _),
     "hist_latest" -> (histLatest _),
     "hist_lifespan" -> (histLifespan _),
+    "hist_cadence" -> (histCadence _),
     "hist_tag_map" -> (histTagMap _))
 
   val oracles: Map[String, String] = Map(
@@ -263,6 +288,19 @@ object History {
         |  CAST(min(lifespan_s) AS BIGINT) AS lifespan_min,
         |  CAST(max(lifespan_s) AS BIGINT) AS lifespan_max
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+    "hist_cadence" ->
+      """WITH gaps AS (
+        |  SELECT user_id,
+        |    (epoch_us(ts) - lag(epoch_us(ts), 1) OVER w) // 1000000 AS gap_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT CAST(length(bin(gap_s + 1)) AS BIGINT) AS bucket,
+        |  count(*) AS n_gaps, count(DISTINCT user_id) AS n_entities,
+        |  CAST(sum(gap_s) AS BIGINT) AS gap_sum,
+        |  CAST(min(gap_s) AS BIGINT) AS gap_min,
+        |  CAST(max(gap_s) AS BIGINT) AS gap_max
+        |FROM gaps WHERE gap_s IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "hist_build" ->
       """SELECT user_id AS osm_id,
         |  row_number() OVER w AS osm_version,

@@ -193,6 +193,37 @@ object Multimodal {
     * work over the hex view of the payload — codegen, no UDF, no shuffle
     * beyond the output ordering.
     */
+  /** Byte-value HISTOGRAM features per payload — the color-histogram /
+    * intensity-profile extraction an image pipeline runs per file (16
+    * buckets of `byte div 16`, the 4-bit luma quantization): per doc the
+    * bucket count vector summarized as `(n_bytes, nnz, dom_bucket,
+    * dom_n, l2_sq)` — dominant bucket ties break LOWEST via the
+    * exact-integer `min(case when c = max)` form (an `arg_max` is
+    * tie-nondeterministic across engines). Like every mm_* key the
+    * decode is the deterministic hex view of the payload bytes; a
+    * codec-equipped build swaps the byte source, not the plumbing.
+    *
+    * Scale shape: ONE `bhist16` codegen kernel call per payload (an
+    * O(n) byte pass inside WholeStageCodegen) and every summary reads
+    * the bounded 16-entry array with HOFs — ZERO shuffles, no per-byte
+    * rows ever materialize; the `array_position` of the max is the
+    * lowest dominant bucket by construction (first match).
+    */
+  def mmColorhist(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .filter(col("n_bytes") > 0)
+      .withColumn("hist", call_function("bhist16", col("payload")))
+      .select(col("doc_id"), col("n_bytes"),
+        expr("size(filter(hist, c -> c > 0))").cast("long").as("nnz"),
+        expr("array_position(hist, array_max(hist)) - 1").as("dom_bucket"),
+        expr("array_max(hist)").as("dom_n"),
+        expr("aggregate(hist, 0L, (a, c) -> a + c * c)").as("l2_sq"))
+      .orderBy("doc_id")
+  }
+
   def mmResize(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
@@ -363,7 +394,8 @@ object Multimodal {
     "mm_dedup" -> (mmDedup _),
     "mm_frames" -> (mmFrames _),
     "mm_scenes" -> (mmScenes _),
-    "mm_resize" -> (mmResize _))
+    "mm_resize" -> (mmResize _),
+    "mm_colorhist" -> (mmColorhist _))
 
   val oracles: Map[String, String] = Map(
     "mm_phash" ->
@@ -530,6 +562,20 @@ object Multimodal {
         |    CAST(mb AS VARCHAR) || ',' || CAST(lum_first AS VARCHAR) || ',' ||
         |    CAST(lum_last AS VARCHAR) || ',' || CAST(poschk AS VARCHAR) AS feat_str
         |FROM agg ORDER BY doc_id""".stripMargin,
+    "mm_colorhist" ->
+      """WITH d AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+        |            octet_length(encode(text)) AS n FROM documents),
+        |b AS (SELECT doc_id, n,
+        |    CAST(('0x' || substr(hx, 2*p - 1, 2)) AS BIGINT) // 16 AS bucket
+        |  FROM d, LATERAL (SELECT unnest(range(1, n + 1)) AS p) r),
+        |c AS (SELECT doc_id, bucket, count(*) AS c, min(n) AS nb
+        |  FROM b GROUP BY 1, 2),
+        |w AS (SELECT *, max(c) OVER (PARTITION BY doc_id) AS mx FROM c)
+        |SELECT doc_id, CAST(min(nb) AS BIGINT) AS n_bytes, count(*) AS nnz,
+        |  CAST(min(CASE WHEN c = mx THEN bucket END) AS BIGINT) AS dom_bucket,
+        |  CAST(max(mx) AS BIGINT) AS dom_n,
+        |  CAST(sum(c * c) AS BIGINT) AS l2_sq
+        |FROM w GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "mm_resize" ->
       """SELECT doc_id, CAST(n_bytes AS INT) AS n_bytes, 32 AS target,
         |  resized_hex, md5(resized_hex) AS resized_md5

@@ -71,6 +71,37 @@ object TextOps {
           lit(0.3) * least(col("avg_wlen") / 5.0, lit(1.0)))
       .select("doc_id", "n_words", "avg_wlen", "punct_ratio", "stop_ratio", "quality")
 
+  /** ZIPF rank-frequency profile of the corpus vocabulary — the
+    * power-law diagnostic a tokenizer/vocab pipeline inspects before
+    * sizing a vocabulary: token frequencies ranked (freq desc, token
+    * asc), then log2-binned by RANK into `(bucket, n_toks, sum_freq,
+    * max_freq, min_freq)` — under Zipf each doubling-of-rank bucket
+    * carries roughly equal mass, so the profile reads deviations at a
+    * glance. `length(bin(rank))` = ⌊log2 rank⌋+1 in exact integer
+    * arithmetic on both engines.
+    *
+    * Scale shape: the token explosion partial-aggregates map-side into
+    * the vocabulary-scale frequency table (one exchange); the rank
+    * window sorts the VOCAB, not the corpus — vocabulary is sublinear in
+    * corpus size (Heaps' law), and at planet scale the single-partition
+    * rank sort replaces with a two-pass range-partitioned rank, the
+    * standard distributed-ranking upgrade. The final aggregate is
+    * bounded (≤ ~40 buckets).
+    */
+  def textZipf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, dir)
+      .select(explode(expr(toksExpr)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("freq"), asc("tok"))))
+      .withColumn("bucket", expr("CAST(length(bin(rank)) AS BIGINT)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_toks"), sum("freq").as("sum_freq"),
+        max("freq").as("max_freq"), min("freq").as("min_freq"))
+      .orderBy("bucket")
+  }
+
   /** Whitespace vs BPE-ish (letter-run | digit-run | single symbol)
     * tokenization counts.
     */
@@ -927,6 +958,7 @@ object TextOps {
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
+    "text_zipf" -> (textZipf _),
     "text_hashtf" -> (textHashTf _),
     "text_pii" -> (textPii _),
     "text_rollhash" -> (textRollhash _),
@@ -1381,6 +1413,16 @@ object TextOps {
          |  CAST(sum(c * (b + 1)) AS BIGINT) AS dot_idx,
          |  CAST(sum(c * c) AS BIGINT) AS l2_sq
          |FROM tf GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "text_zipf" ->
+      s"""WITH toks AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |freq AS (SELECT tok, count(*) AS freq FROM toks GROUP BY 1),
+         |r AS (SELECT freq,
+         |    row_number() OVER (ORDER BY freq DESC, tok) AS rank
+         |  FROM freq)
+         |SELECT CAST(length(bin(rank)) AS BIGINT) AS bucket,
+         |  count(*) AS n_toks, CAST(sum(freq) AS BIGINT) AS sum_freq,
+         |  max(freq) AS max_freq, min(freq) AS min_freq
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_tokens" ->
       s"""SELECT doc_id, len($toksSql) AS ws_tokens,
          |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens,

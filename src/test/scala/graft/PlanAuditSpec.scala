@@ -35,9 +35,12 @@ class PlanAuditSpec extends SparkSpec {
     // evt_ab_test: the 1-row cohort-size scalar bind
     // ann_hardneg: the label-filtered variant of the same brute scan
     // emb_mmr: candidate harvest is the same brute scan
+    // evt_lift: the 1-row session-count scalar bind
+    // q26_ntile: the 1-row global-count scalar bind (ntile remainder)
     val intended = Set("ann_topk", "ann_range", "ann_mips", "ann_recall", "ann_pq",
       "graph_pagerank", "q22_anti_scalar", "text_lm_bucket", "evt_rfm",
-      "ann_hybrid", "evt_ab_test", "ann_hardneg", "emb_mmr")
+      "ann_hybrid", "evt_ab_test", "ann_hardneg", "emb_mmr", "evt_lift",
+      "q26_ntile")
     for ((name, plan) <- plans if !intended(name))
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop join")
