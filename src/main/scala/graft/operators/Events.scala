@@ -111,6 +111,37 @@ object Events {
       .orderBy(desc("lift_pm"), asc("a"), asc("b"))
   }
 
+  /** Exact GINI concentration of per-user activity, per event type (the
+    * inequality census a platform runs over contribution counts) — in
+    * exact integer arithmetic via the two-level VALUE-bucket rank
+    * assembly (the q26_ntile discipline applied to the Lorenz sum): a
+    * literal rank-window Gini sorts every (type, user) row through
+    * |types| window partitions, but users sharing a count x are
+    * rank-interchangeable, so the ascending-rank cross sum Σ i·xᵢ
+    * collapses per (type, x) block to `x·(m·cum + m(m+1)/2)` with m the
+    * block size and cum the users below — the window then runs over the
+    * ≤ |types|×|distinct counts| frame, never user-scale. `gini_pm =
+    * ⌊1000·(2·Σi·xᵢ − (n+1)·Σx) / (n·Σx)⌋`, non-negative by the sorted
+    * rearrangement inequality so floor ≡ trunc cross-engine.
+    */
+  def gini(s: SparkSession, dir: String): DataFrame = {
+    val byTypeX = Window.partitionBy("event_type").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("x"))
+      .groupBy("event_type", "x").agg(count(lit(1)).as("m"))
+      .withColumn("cum", coalesce(sum("m").over(byTypeX), lit(0L)))
+      .withColumn("six",
+        col("x") * (col("m") * col("cum") + expr("(m * (m + 1)) div 2")))
+      .groupBy("event_type")
+      .agg(sum("m").as("n_users"), sum(col("x") * col("m")).as("total_events"),
+        sum("six").as("s_ix"))
+      .select(col("event_type"), col("n_users"), col("total_events"),
+        expr("(1000L * (2L * s_ix - (n_users + 1L) * total_events))" +
+          " div (n_users * total_events)").as("gini_pm"))
+      .orderBy("event_type")
+  }
+
   /** Ordered conversion funnel signup → view → purchase, each step
     * within 24 h of the previous one. Stage times are per-user minima,
     * so the result is order-insensitive and deterministic.
@@ -710,6 +741,7 @@ object Events {
     "evt_concurrency" -> (concurrency _),
     "evt_sessionize" -> (sessionize _),
     "evt_lift" -> (lift _),
+    "evt_gini" -> (gini _),
     "evt_funnel" -> (funnel _),
     "evt_retention" -> (retention _),
     "evt_json" -> (jsonExtract _),
@@ -909,6 +941,24 @@ object Events {
         |  CAST(max(c.n_points) AS BIGINT) AS n_points
         |FROM w JOIN c ON c.hour = w.hour
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "evt_gini" ->
+      """WITH ux AS (SELECT event_type, user_id, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |vx AS (SELECT event_type, x, count(*) AS m FROM ux GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, x, m,
+        |    coalesce(sum(m) OVER (PARTITION BY event_type ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM vx),
+        |agg AS (
+        |  SELECT event_type, CAST(sum(m) AS BIGINT) AS n_users,
+        |    CAST(sum(x * m) AS BIGINT) AS total_events,
+        |    CAST(sum(x * (m * cum + (m * (m + 1)) // 2)) AS BIGINT) AS s_ix
+        |  FROM t GROUP BY 1)
+        |SELECT event_type, n_users, total_events,
+        |  (1000 * (2 * s_ix - (n_users + 1) * total_events))
+        |    // (n_users * total_events) AS gini_pm
+        |FROM agg ORDER BY event_type""".stripMargin,
     "evt_lift" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id, event_type,

@@ -567,7 +567,50 @@ object Geometry {
       .orderBy("is_core", "bucket")
   }
 
+  /** HOTSPOT detection on the 1° cell grid (a Getis-Ord-style focal
+    * statistic, the discrete convolution form): per occupied cell the
+    * 3×3-neighborhood point total `nb_sum` (self included, empty
+    * neighbors contribute 0) and the neighborhood density relative to
+    * the global per-position mean,
+    * `dens_pm = ⌊1000·P·nb_sum / (N·nb_cnt)⌋` with P = 360·180 grid
+    * positions and nb_cnt the cell's in-bounds neighbor-position count
+    * (edge cells have < 9) — all exact integer. Top 25 by
+    * (nb_sum desc, cx, cy).
+    *
+    * Scale shape: the corpus is touched ONCE (the cell-count partial
+    * aggregate); the 3×3 kernel is a map-side 9-way credit explode over
+    * the bounded ≤ 64 800-cell frame — convolution as explode+aggregate,
+    * never a self-join on the corpus — and N binds as a broadcast 1-row
+    * aggregate. At a finer grid the cell frame grows but stays
+    * resolution-bounded, independent of corpus size.
+    */
+  def geoHotspot(s: SparkSession, dir: String): DataFrame = {
+    val cells = points(s, dir)
+      .groupBy(expr("xi div 100").as("cx"), expr("yi div 100").as("cy"))
+      .agg(count(lit(1)).as("n"))
+    val credits = cells
+      .select(col("cx"), col("cy"), col("n"),
+        explode(expr("transform(sequence(0, 8), k -> " +
+          "struct(cx + k div 3 - 1 AS tx, cy + k % 3 - 1 AS ty))")).as("t"))
+      .select(col("t.tx").as("tx"), col("t.ty").as("ty"), col("n"))
+      .filter(col("tx") >= 0 && col("tx") <= 359 &&
+        col("ty") >= 0 && col("ty") <= 179)
+      .groupBy("tx", "ty").agg(sum("n").as("nb_sum"))
+    val nTot = cells.agg(sum("n").as("nn"))
+    cells.join(credits.hint("shuffle_hash"),
+        col("cx") === col("tx") && col("cy") === col("ty"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("nb_cnt",
+        (when(col("cx") === 0 || col("cx") === 359, 2L).otherwise(3L) *
+          when(col("cy") === 0 || col("cy") === 179, 2L).otherwise(3L)))
+      .select(col("cx"), col("cy"), col("n"), col("nb_sum"), col("nb_cnt"),
+        expr("(1000L * 64800L * nb_sum) div (nn * nb_cnt)").as("dens_pm"))
+      .orderBy(desc("nb_sum"), asc("cx"), asc("cy"))
+      .limit(25)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_hotspot" -> (geoHotspot _),
     "geo_dbscan_core" -> (geoDbscanCore _),
     "geo_tile_pyramid" -> (geoTilePyramid _),
     "geo_simplify" -> (geoSimplify _),
@@ -997,6 +1040,29 @@ object Geometry {
     "geo_poly_join" -> polyJoinOracleSql,
     "geo_geodesic" -> geodesicOracleSql,
     "geo_xzcode" -> xzOracleSql,
+    "geo_hotspot" ->
+      s"""WITH pts AS ($ptsSql),
+         |cells AS MATERIALIZED (
+         |  SELECT xi // 100 AS cx, yi // 100 AS cy, count(*) AS n
+         |  FROM pts GROUP BY 1, 2),
+         |nn AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
+         |credits AS (
+         |  SELECT cx + dx AS tx, cy + dy AS ty, n
+         |  FROM cells,
+         |    LATERAL (SELECT unnest(range(-1, 2)) AS dx) a,
+         |    LATERAL (SELECT unnest(range(-1, 2)) AS dy) b
+         |  WHERE cx + dx BETWEEN 0 AND 359 AND cy + dy BETWEEN 0 AND 179),
+         |nb AS (SELECT tx, ty, CAST(sum(n) AS BIGINT) AS nb_sum
+         |  FROM credits GROUP BY 1, 2)
+         |SELECT CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy,
+         |  c.n, nb.nb_sum,
+         |  CAST((CASE WHEN cx IN (0, 359) THEN 2 ELSE 3 END)
+         |    * (CASE WHEN cy IN (0, 179) THEN 2 ELSE 3 END) AS BIGINT) AS nb_cnt,
+         |  (1000 * 64800 * nb.nb_sum)
+         |    // ((SELECT nn FROM nn) * ((CASE WHEN cx IN (0, 359) THEN 2 ELSE 3 END)
+         |       * (CASE WHEN cy IN (0, 179) THEN 2 ELSE 3 END))) AS dens_pm
+         |FROM cells c JOIN nb ON nb.tx = c.cx AND nb.ty = c.cy
+         |ORDER BY nb_sum DESC, cx, cy LIMIT 25""".stripMargin,
     "geo_bbox" ->
       s"""WITH pts AS ($ptsSql)
          |SELECT user_id, min(lon) AS xmin, min(lat) AS ymin,
