@@ -42,6 +42,14 @@ class EntrySpec extends SparkSpec {
   test("driver contract: every oracle key has a query; all queries run at sf0.001") {
     val qs = SparkEntry.queries
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
+    // ...and the converse: every query key carries an oracle. A key whose
+    // oracle silently vanishes (dropped map entry, module fell out of the
+    // oracles ++ chain) would downgrade to the driver's weaker rows-only
+    // check without any test noticing — the same silent-shrink failure
+    // mode as the r9 key drop, on the oracle side.
+    val missing = qs.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty,
+      s"driver keys without a DuckDB oracle: ${missing.toSeq.sorted.mkString(", ")}")
     qs.foreach { case (name, fn) =>
       val n = fn(spark, sfDir).count()
       assert(n >= 0, s"$name failed")
