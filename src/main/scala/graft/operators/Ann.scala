@@ -220,6 +220,38 @@ object Ann {
     Dedup.releasing(sel.orderBy("q_id", "mmr_rank"), cands, pairs)
   }
 
+  /** BINARY-embedding retrieval — the sign-bit binarization face of the
+    * similarity scan (Charikar 2002's SRP in its cheapest basis; the
+    * "binary embeddings" mode vector stores ship for 32× compression):
+    * each 64-dim vector packs to ONE int64 of sign bits (bit i set iff
+    * x_i > 0), probes broadcast, and ranking is `bit_count(xor)` Hamming
+    * distance — top-5 per probe, ties by n_id. Exact integer end to end
+    * (the signed 64-bit pattern sums identically from distinct bit
+    * terms in both engines), so ranks can't flip cross-engine.
+    *
+    * Scale shape: signature packing is ONE scan-side HOF fold per vector
+    * (no explosion); the scan ships 8 bytes per corpus vector instead of
+    * 256 — the compression IS the operator's point at 100 TB — and the
+    * top-5 prunes as WindowGroupLimit before any exchange.
+    */
+  def annHamming(s: SparkSession, dir: String): DataFrame = {
+    val bits = expr(
+      "aggregate(transform(sequence(0, size(embedding) - 1), " +
+        "i -> IF(element_at(embedding, i + 1) > CAST(0 AS FLOAT), " +
+        "shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)")
+    val e = Tables.embeddings(s, dir).withColumn("sig", bits)
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("sig").as("qs"))
+    val base = e.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("n_id"), col("sig").as("ns"))
+    base.crossJoin(broadcast(queries))
+      .withColumn("hamming", expr("CAST(bit_count(qs ^ ns) AS BIGINT)"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(asc("hamming"), col("n_id"))))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "n_id", "rnk", "hamming")
+  }
+
   /** Hard-NEGATIVE mining — the contrastive-training data op (Schroff
     * et al. 2015's mining step; dense-retrieval trainers à la RocketQA
     * run exactly this at corpus scale): for each probe (vec_id < 8),
@@ -909,6 +941,7 @@ object Ann {
     "emb_pca2" -> (embPca2 _),
     "emb_outliers" -> (embOutliers _),
     "ann_topk" -> (annTopk _),
+    "ann_hamming" -> (annHamming _),
     "ann_mips" -> (annMips _),
     "ann_hardneg" -> (annHardneg _),
     "emb_mmr" -> (embMmr _),
@@ -1154,6 +1187,21 @@ object Ann {
          |  (dot / 1e9) / (sqrt(nq.n2 / 1e9) * sqrt(nb.n2 / 1e9)) AS cos
          |FROM dots JOIN norm nq ON nq.vec_id = q_id JOIN norm nb ON nb.vec_id = n_id
          |WHERE (dot / 1e9) / (sqrt(nq.n2 / 1e9) * sqrt(nb.n2 / 1e9)) >= 0.25""".stripMargin,
+    "ann_hamming" ->
+      s"""WITH $flatSql,
+         |sig AS (SELECT vec_id,
+         |    CAST(sum(CASE WHEN e <= 0 THEN 0
+         |             WHEN i = 64 THEN -9223372036854775807 - 1
+         |             ELSE 1::BIGINT << (i - 1) END) AS BIGINT) AS sig
+         |  FROM flat GROUP BY 1),
+         |ranked AS (
+         |  SELECT q.vec_id AS q_id, b.vec_id AS n_id,
+         |    CAST(bit_count(xor(q.sig, b.sig)) AS BIGINT) AS hamming,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY bit_count(xor(q.sig, b.sig)), b.vec_id) AS rnk
+         |  FROM sig q JOIN sig b ON q.vec_id < 8 AND b.vec_id >= 8)
+         |SELECT q_id, n_id, rnk, hamming
+         |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "ann_topk" ->
       s"""WITH $flatSql,
          |dots AS (SELECT q.vec_id AS q_id, b.vec_id AS n_id,

@@ -539,7 +539,42 @@ object Relational {
       .orderBy("decile")
   }
 
+  /** RUNNING DISTINCT-COUNT per customer — `count(DISTINCT part) OVER
+    * (ORDER BY order)` which NO engine supports directly (distinct isn't
+    * decomposable over a running frame), via the standard first-
+    * occurrence rewrite: mark each (customer, part)'s chronologically
+    * first order with `row_number() = 1`, then the running sum of
+    * first-occurrence marks over the customer's order sequence IS the
+    * cumulative distinct-part count. Output per (customer, order):
+    * in-order distinct parts, newly-seen parts, cumulative distinct.
+    *
+    * Scale shape: two keyed windows — (cust, part) for the marks,
+    * (cust) for the running sum — each ONE hash exchange on its own
+    * key; nothing quadratic, no distinct-state blowup: the rewrite is
+    * exactly how a 100 TB engine decomposes windowed COUNT DISTINCT.
+    */
+  def q27RunDistinct(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
+        col("o_orderdate").as("od"))
+    val firstW = Window.partitionBy("ck", "pk").orderBy("od", "ok")
+    val runW = Window.partitionBy("ck").orderBy("od", "ok")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.join(o, "ok")
+      .withColumn("is_new",
+        when(row_number().over(firstW) === 1, 1L).otherwise(0L))
+      .groupBy("ck", "ok", "od")
+      .agg(count(lit(1)).as("n_parts"), sum("is_new").as("n_new"))
+      .withColumn("cum_distinct", sum("n_new").over(runW))
+      .select("ck", "ok", "n_parts", "n_new", "cum_distinct")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_run_distinct" -> (q27RunDistinct _),
     "q25_string_agg" -> (q25StringAgg _),
     "q26_ntile" -> (q26Ntile _),
     "q23_grouping_sets" -> (q23GroupingSets _),
@@ -573,6 +608,22 @@ object Relational {
   private val lBp = "CAST(round(l_discount * 100) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q27_run_distinct" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |opk AS (SELECT o_custkey AS ck, li.ok, o_orderdate AS od, pk
+        |  FROM li JOIN orders o ON o.o_orderkey = li.ok),
+        |m AS (SELECT ck, ok, od,
+        |    CASE WHEN row_number() OVER (PARTITION BY ck, pk ORDER BY od, ok) = 1
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM opk),
+        |per AS (SELECT ck, ok, od, count(*) AS n_parts,
+        |    CAST(sum(is_new) AS BIGINT) AS n_new
+        |  FROM m GROUP BY 1, 2, 3)
+        |SELECT ck, ok, n_parts, n_new,
+        |  CAST(sum(n_new) OVER (PARTITION BY ck ORDER BY od, ok
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct
+        |FROM per""".stripMargin,
     "q25_string_agg" ->
       """SELECT o_custkey, count(*) AS n_orders,
         |  string_agg(o_orderstatus, ','

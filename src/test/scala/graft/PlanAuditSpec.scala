@@ -38,10 +38,12 @@ class PlanAuditSpec extends SparkSpec {
     // evt_lift: the 1-row session-count scalar bind
     // q26_ntile: the 1-row global-count scalar bind (ntile remainder)
     // geo_hotspot: the 1-row global point-count scalar bind
+    // ann_hamming: the binary-signature variant of the same brute
+    //   broadcast scan (8-byte sigs — the compression is the operator)
     val intended = Set("ann_topk", "ann_range", "ann_mips", "ann_recall", "ann_pq",
       "graph_pagerank", "q22_anti_scalar", "text_lm_bucket", "evt_rfm",
       "ann_hybrid", "evt_ab_test", "ann_hardneg", "emb_mmr", "evt_lift",
-      "q26_ntile", "geo_hotspot")
+      "q26_ntile", "geo_hotspot", "ann_hamming")
     for ((name, plan) <- plans if !intended(name))
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop join")
