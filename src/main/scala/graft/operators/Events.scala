@@ -268,6 +268,42 @@ object Events {
       .withColumn("p6", expr("(1000000 * n) div row_total"))
   }
 
+  /** TIME-TO-CONVERT census — the activation-latency distribution next
+    * to [[funnel]]'s fixed-window conversion count: per user, the gap
+    * from their FIRST `signup` to the first `purchase` at-or-after it,
+    * log₂-binned seconds (`length(bin(ttc_s + 1))`, the shared
+    * libm-free integer log₂), with never-converted signups in bucket
+    * −1 — the "how long does activation take, and who never activates"
+    * question growth teams ask that the funnel's 24 h cut cannot
+    * answer.
+    *
+    * Scale shape: ONE user-keyed exchange — the per-user first-signup
+    * instant rides a window over the same partitioning the groupBy
+    * then reuses (EnsureRequirements inserts no second shuffle), and
+    * the conditional `min` folds the purchase-after-signup test into
+    * the same pass, so there is no events self-join and no second
+    * scan; the bucket rollup lands in a ≤ ~40-row frame.
+    */
+  def ttc(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), tsS("ts").as("ts_s"))
+      .withColumn("s0",
+        min(when(col("event_type") === "signup", col("ts_s"))).over(w))
+      .filter(col("s0").isNotNull)
+      .groupBy("user_id")
+      .agg(min("s0").as("s0"),
+        min(when(col("event_type") === "purchase" && col("ts_s") >= col("s0"),
+          col("ts_s"))).as("p0"))
+      .withColumn("ttc_s", col("p0") - col("s0"))
+      .groupBy(when(col("p0").isNull, lit(-1L))
+        .otherwise(length(bin(col("ttc_s") + 1)).cast("bigint")).as("bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        min("ttc_s").as("min_s"), max("ttc_s").as("max_s"),
+        sum("ttc_s").as("sum_s"))
+      .orderBy("bucket")
+  }
+
   /** Volume-spike detection: flag (type, hour) buckets whose event count
     * sits more than two standard deviations above the type's hourly
     * mean. The z-test is evaluated WITHOUT floats by cross-multiplying
@@ -748,6 +784,7 @@ object Events {
     "evt_window" -> (tumblingWindow _),
     "evt_attribution" -> (attribution _),
     "evt_transitions" -> (transitions _),
+    "evt_ttc" -> (ttc _),
     "evt_anomaly" -> (anomaly _),
     "evt_changepoint" -> (changepoint _),
     "evt_smooth" -> (smooth _),
@@ -1116,6 +1153,25 @@ object Events {
         |   (m.n_hours * h.n_events - m.s1) * (m.n_hours * h.n_events - m.s1)
         |     > 4 * (m.n_hours * m.s2 - m.s1 * m.s1)) AS is_spike
         |FROM hourly h JOIN m ON m.event_type = h.event_type""".stripMargin,
+    "evt_ttc" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup'
+        |        THEN epoch_us(ts) // 1000000 END) AS s0
+        |  FROM events GROUP BY 1
+        |), u AS (
+        |  SELECT s.user_id, s.s0,
+        |    min(CASE WHEN e.event_type = 'purchase'
+        |          AND epoch_us(e.ts) // 1000000 >= s.s0
+        |        THEN epoch_us(e.ts) // 1000000 END) AS p0
+        |  FROM s JOIN events e ON e.user_id = s.user_id
+        |  WHERE s.s0 IS NOT NULL GROUP BY 1, 2
+        |), t AS (SELECT p0 - s0 AS ttc_s, p0 FROM u)
+        |SELECT CASE WHEN p0 IS NULL THEN -1
+        |         ELSE length(bin(ttc_s + 1)) END AS bucket,
+        |  count(*) AS n_users, min(ttc_s) AS min_s, max(ttc_s) AS max_s,
+        |  CAST(sum(ttc_s) AS BIGINT) AS sum_s
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "evt_transitions" ->
       """WITH p AS (
         |  SELECT lag(event_type) OVER w AS from_type, event_type AS to_type,

@@ -573,10 +573,57 @@ object Relational {
       .select("ck", "ok", "n_parts", "n_new", "cum_distinct")
   }
 
+  /** GAPS-AND-ISLANDS interval coalescing — merge overlapping intervals
+    * per key (the billing-period / maintenance-window / coverage-merge
+    * shape every warehouse eventually needs): per supplier, line
+    * shipments span `[shipdate, shipdate + quantity days]`; islands are
+    * maximal unions of overlapping spans. The classic rewrite: running
+    * `max(end)` over everything BEFORE the current row (ordered by
+    * start) — a span starts a new island iff its start exceeds that
+    * running max (so containment chains, not just pairwise overlap,
+    * merge correctly); island id = running sum of start flags. All
+    * arithmetic in integer days since epoch — both engines count date
+    * boundaries identically, nothing floats.
+    *
+    * Scale shape: ONE hash exchange on `l_suppkey`; both window passes
+    * and both aggregates reuse the supplier partitioning
+    * (`groupBy(suppkey, island)` is satisfied by clustering on suppkey
+    * alone, so EnsureRequirements inserts no second exchange). Per-key
+    * work is the in-partition sort — the same bound as sessionize; no
+    * self-join, no interval cross-product.
+    */
+  def q28Islands(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val epoch = to_date(lit("1970-01-01"))
+    val iv = Tables.lineitem(s, dir).select(
+      col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+      datediff(to_date(col("l_shipdate")), epoch).cast("bigint").as("d0"),
+      (datediff(to_date(col("l_shipdate")), epoch).cast("bigint")
+        + col("l_quantity").cast("bigint")).as("d1"))
+    val order = Window.partitionBy("l_suppkey")
+      .orderBy("d0", "d1", "l_orderkey", "l_linenumber")
+    iv.withColumn("prev_end",
+        max("d1").over(order.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prev_end").isNull || col("d0") > col("prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("isl",
+        sum("brk").over(order.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("l_suppkey", "isl")
+      .agg(count(lit(1)).as("n_iv"), min("d0").as("i0"), max("d1").as("i1"))
+      .groupBy("l_suppkey")
+      .agg(sum("n_iv").as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("i1") - col("i0") + 1).as("covered_days"),
+        max(col("i1") - col("i0") + 1).as("max_island_days"))
+      .orderBy("l_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_run_distinct" -> (q27RunDistinct _),
     "q25_string_agg" -> (q25StringAgg _),
     "q26_ntile" -> (q26Ntile _),
+    "q28_islands" -> (q28Islands _),
     "q23_grouping_sets" -> (q23GroupingSets _),
     "q24_range_window" -> (q24RangeWindow _),
     "q20_nested_agg" -> (q20NestedAgg _),
@@ -608,6 +655,33 @@ object Relational {
   private val lBp = "CAST(round(l_discount * 100) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q28_islands" ->
+      """WITH iv AS (SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d0,
+        |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |      + CAST(l_quantity AS BIGINT) AS d1
+        |  FROM lineitem),
+        |m AS (SELECT l_suppkey, l_orderkey, l_linenumber, d0, d1,
+        |    max(d1) OVER (PARTITION BY l_suppkey
+        |      ORDER BY d0, d1, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM iv),
+        |f AS (SELECT l_suppkey, l_orderkey, l_linenumber, d0, d1,
+        |    CASE WHEN prev_end IS NULL OR d0 > prev_end THEN 1 ELSE 0 END AS brk
+        |  FROM m),
+        |g AS (SELECT l_suppkey, d0, d1,
+        |    sum(brk) OVER (PARTITION BY l_suppkey
+        |      ORDER BY d0, d1, l_orderkey, l_linenumber
+        |      ROWS UNBOUNDED PRECEDING) AS isl
+        |  FROM f),
+        |i AS (SELECT l_suppkey, isl, count(*) AS n_iv,
+        |    min(d0) AS i0, max(d1) AS i1
+        |  FROM g GROUP BY 1, 2)
+        |SELECT l_suppkey, CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+        |  count(*) AS n_islands,
+        |  CAST(sum(i1 - i0 + 1) AS BIGINT) AS covered_days,
+        |  CAST(max(i1 - i0 + 1) AS BIGINT) AS max_island_days
+        |FROM i GROUP BY 1 ORDER BY 1""".stripMargin,
     "q27_run_distinct" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |  FROM lineitem),

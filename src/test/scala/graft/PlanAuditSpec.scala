@@ -518,4 +518,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!db.contains("BroadcastNestedLoopJoin"),
       "geo_dbscan_core neighbor join must stay a hash join on the cell key")
   }
+
+  test("round-13 keys: islands/ttc window-exchange reuse, skew_join hash-shaped") {
+    // q28_islands: the suppkey window exchange must satisfy BOTH stacked
+    // groupBys (clustering on a grouping-key subset) — only the
+    // presentation sort may add a second exchange
+    val isl = plans("q28_islands")
+    assert(shuffleCount(isl) <= 2, s"q28_islands grew a shuffle:\n$isl")
+    // evt_ttc: user window exchange reused by the per-user fold, then the
+    // bounded bucket rollup + ordered output
+    val ttc = plans("evt_ttc")
+    assert(shuffleCount(ttc) <= 3, s"evt_ttc grew a shuffle:\n$ttc")
+    // skew_join: the POINT is the shuffled hash join on (key, salt) — a
+    // planner flip to broadcast would silently un-demonstrate the salt
+    // spread (and a NLJ would be a correctness-of-shape bug)
+    val sj = plans("skew_join")
+    assert(sj.contains("ShuffledHashJoin"),
+      s"skew_join must keep the (key, salt) shuffled hash join:\n$sj")
+    assert(shuffleCount(sj) <= 4, s"skew_join grew a shuffle:\n$sj")
+  }
 }
