@@ -339,6 +339,74 @@ object Graph {
       held.toSeq: _*)
   }
 
+  /** Rounds of frequency label propagation ([[graphLpa]]). Bounded like
+    * [[CcRounds]]; LPA stabilizes in a handful of sweeps on sparse
+    * graphs (Raghavan et al. 2007 report ~5).
+    */
+  val LpaRounds = 4
+
+  /** LABEL-PROPAGATION community detection (Raghavan–Albert–Kumara
+    * 2007) over the support graph — COMMUNITY structure, which
+    * [[graphCc]]'s hash-min labels cannot see (components only say
+    * "reachable", not "densely knit"): each round every node adopts its
+    * neighbors' MOST FREQUENT label (ties → lowest label, the
+    * deterministic tiebreak both engines replay), [[LpaRounds]] sweeps.
+    * Output: top-20 communities by size with per-community intra-edge
+    * count `e_c`, degree mass `d_c`, and the EXACT-integer modularity
+    * numerator `q_num = 4m·e_c − d_c²` (Newman's Q·4m² — kept as a
+    * numerator over the constant 4m² denominator because Q itself is a
+    * ratio and a float Q diverges in the last ulp; q_num > 0 ⇔ the
+    * community beats the random-graph null model). At ~1e12 edges the
+    * products need DECIMAL(38) — the evt_anomaly convention.
+    *
+    * Scale shape: the per-round frequency vote is (dst, lbl)-keyed
+    * partial aggregation + a dst window the following dst-keyed min
+    * reuses — node-/edge-scale exchanges only, against the ONE
+    * src-partitioned edge checkpoint every iterative op shares; rounds
+    * checkpoint node-scale label frames (the [[graphCc]] discipline).
+    * The census joins are label-keyed hash joins; the 1-row edge-count
+    * scalar binds broadcast (the whitelisted NLJ shape).
+    */
+  def graphLpa(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bi = supBiA(s, dir)
+    val deg = supDegA(s, dir)
+    var lbl = deg.select(col("node"), col("node").as("lbl"))
+    val held = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var round = 0
+    while (round < LpaRounds) {
+      val cnt = bi.join(lbl.select(col("node").as("src"), col("lbl")), "src")
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+      val best = cnt
+        .withColumn("mx", max("c").over(Window.partitionBy("dst")))
+        .filter(col("c") === col("mx"))
+        .groupBy(col("dst").as("node")).agg(min("lbl").as("best"))
+      lbl = lbl.join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("best"), col("lbl")).as("lbl"))
+        .localCheckpoint(eager = true)
+      held += lbl
+      round += 1
+    }
+    val e = supE(s, dir)
+    val intra = e
+      .join(lbl.select(col("node").as("pa"), col("lbl").as("ca")), "pa")
+      .join(lbl.select(col("node").as("pb"), col("lbl").as("cb")), "pb")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("comm")).agg(count(lit(1)).as("e_c"))
+    val mass = lbl.join(deg, "node")
+      .groupBy(col("lbl").as("comm"))
+      .agg(count(lit(1)).as("n_nodes"), sum("deg").as("d_c"))
+    val m = e.agg(count(lit(1)).as("m"))
+    Dedup.releasing(
+      mass.join(intra, Seq("comm"), "left")
+        .withColumn("e_c", coalesce(col("e_c"), lit(0L)))
+        .crossJoin(broadcast(m))
+        .withColumn("q_num", expr("4 * m * e_c - d_c * d_c"))
+        .select("comm", "n_nodes", "e_c", "d_c", "q_num")
+        .orderBy(desc("n_nodes"), asc("comm")).limit(20),
+      held.toSeq: _*)
+  }
+
   /** Neighborhood Jaccard similarity per co-purchase edge — the classic
     * link-prediction / item-similarity feature: for each edge (a, b),
     * `jac_pm = ⌊1000·|N(a)∩N(b)| / |N(a)∪N(b)|⌋`, top 20 by
@@ -556,6 +624,7 @@ object Graph {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_lpa" -> (graphLpa _),
     "graph_clustering" -> (graphClustering _),
     "graph_assortativity" -> (graphAssortativity _),
     "graph_degree_dist" -> (graphDegreeDist _),
@@ -625,6 +694,16 @@ object Graph {
       |  SELECT a.pk AS pa, b.pk AS pb
       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
       |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
+  private def lpaRoundSql(k: Int): String =
+    s"""c$k AS (SELECT bi.dst, q.lbl, count(*) AS c
+       |  FROM bi JOIN p${k - 1} q ON q.node = bi.src GROUP BY 1, 2),
+       |x$k AS (SELECT dst, lbl, c, max(c) OVER (PARTITION BY dst) AS mx
+       |  FROM c$k),
+       |b$k AS (SELECT dst AS node, min(lbl) AS best
+       |  FROM x$k WHERE c = mx GROUP BY 1),
+       |p$k AS MATERIALIZED (SELECT p.node, coalesce(b.best, p.lbl) AS lbl
+       |  FROM p${k - 1} p LEFT JOIN b$k b USING (node))""".stripMargin
 
   private def kcoreRoundSql(k: Int): String =
     s"""k$k AS MATERIALIZED (
@@ -703,6 +782,31 @@ object Graph {
          |  count(*) AS n_edges, CAST(sum(jk) AS BIGINT) AS s_jk,
          |  CAST(sum(dmin) AS BIGINT) AS s_min, CAST(sum(dmax) AS BIGINT) AS s_max
          |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "graph_lpa" ->
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e AS MATERIALIZED (
+         |  SELECT a.pk AS pa, b.pk AS pb
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |bi AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM e
+         |                    UNION ALL SELECT pb, pa FROM e),
+         |deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM bi GROUP BY 1),
+         |p0 AS MATERIALIZED (SELECT node, node AS lbl FROM deg),
+         |${(1 to LpaRounds).map(lpaRoundSql).mkString(",\n")},
+         |intra AS (SELECT la.lbl AS comm, count(*) AS e_c
+         |  FROM e JOIN p$LpaRounds la ON la.node = e.pa
+         |         JOIN p$LpaRounds lb ON lb.node = e.pb
+         |  WHERE la.lbl = lb.lbl GROUP BY 1),
+         |mass AS (SELECT p.lbl AS comm, count(*) AS n_nodes,
+         |    CAST(sum(d.deg) AS BIGINT) AS d_c
+         |  FROM p$LpaRounds p JOIN deg d USING (node) GROUP BY 1),
+         |mm AS (SELECT count(*) AS m FROM e)
+         |SELECT comm, n_nodes, CAST(coalesce(e_c, 0) AS BIGINT) AS e_c, d_c,
+         |  CAST(4 * (SELECT m FROM mm) * coalesce(e_c, 0) - d_c * d_c
+         |    AS BIGINT) AS q_num
+         |FROM mass LEFT JOIN intra USING (comm)
+         |ORDER BY n_nodes DESC, comm LIMIT 20""".stripMargin,
     "graph_cc" ->
       s"""WITH li AS MATERIALIZED (
          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -178,7 +178,36 @@ object Sampling {
       .select("doc_id", "lang", "n_toks", "sum_p4", "avg_p4", "keep")
   }
 
+  /** Deterministic training-SHARD assignment audit — the balance report
+    * a pipeline writes before materializing data-loader shards: each
+    * document hashes to one of 16 shards by a content hash that is
+    * portable across engines AND runs (md5 prefix — a seed-dependent
+    * hash would re-shard the corpus on every config change, invalidating
+    * every downstream resume point), then per shard the doc/token/char
+    * totals, the doc-id range, and the per-mille token share a loader
+    * uses to detect imbalance before a 100 TB write, not after.
+    *
+    * Scale shape: the shard hash and token count are scan-side codegen;
+    * partial aggregation map-side into the 16-row shard frame (ONE
+    * bounded exchange); the share window runs over those 16 rows. The
+    * real write would be `df.write.partitionBy("shard")` fed by this
+    * same column — the audit and the layout share one plan.
+    */
+  def pipeShard(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("shard",
+        expr("CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT) % 16"))
+      .withColumn("n_toks", size(expr(TextOps.toksExpr)).cast("bigint"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("sum_toks"),
+        sum(length(col("text")).cast("bigint")).as("sum_chars"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .withColumn("tok_share_pm",
+        expr("(1000 * sum_toks) div sum(sum_toks) over ()"))
+      .orderBy("shard")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_shard" -> (pipeShard _),
     "sample_dsir" -> (sampleDsir _),
     "sample_stratified" -> (sampleStratified _),
     "sample_quota" -> (sampleQuota _),
@@ -186,6 +215,20 @@ object Sampling {
     "sample_temperature" -> (sampleTemperature _))
 
   val oracles: Map[String, String] = Map(
+    "pipe_shard" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 16 AS shard,
+        |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_toks
+        |  FROM documents),
+        |g AS (SELECT shard, count(*) AS n_docs,
+        |    CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+        |    CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |    min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |  FROM d GROUP BY 1)
+        |SELECT shard, n_docs, sum_toks, sum_chars, min_doc, max_doc,
+        |  CAST((1000 * sum_toks) // (sum(sum_toks) OVER ()) AS BIGINT)
+        |    AS tok_share_pm
+        |FROM g ORDER BY shard""".stripMargin,
     "sample_dsir" ->
       """WITH toks AS (
         |  SELECT doc_id, lang,

@@ -71,6 +71,35 @@ object TextOps {
           lit(0.3) * least(col("avg_wlen") / 5.0, lit(1.0)))
       .select("doc_id", "n_words", "avg_wlen", "punct_ratio", "stop_ratio", "quality")
 
+  /** FLESCH READABILITY in integer fixed-point — the readability band
+    * every curation recipe (C4, Gopher rules) filters on, next to
+    * [[textQuality]]'s length/punct ratios (which see neither sentences
+    * nor syllables): per document, sentence count (terminal-punctuation
+    * runs), word count (letter runs), syllable estimate (vowel-group
+    * runs — the standard dictionary-free heuristic), then Flesch
+    * reading-ease and Flesch–Kincaid grade in EXACT per-mille integers:
+    * `fre_m = 206835 − (1015·words) div sents − (84600·syll) div words`
+    * (floor div on positive operands ⇒ both engines agree bit-for-bit;
+    * a float Flesch differs in the last ulp and flips band boundaries).
+    *
+    * Scale shape: scan-only — three codegen'd regex counters and four
+    * integer divisions per row, zero exchanges; at 100 TB this is the
+    * ideal operator: embarrassingly parallel, no state.
+    */
+  def textReadability(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("n_sent", greatest(lit(1L),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("bigint")))
+      .withColumn("n_words", greatest(lit(1L),
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("bigint")))
+      .withColumn("n_syll",
+        size(regexp_extract_all(col("text"), lit("[aeiouy]+"), lit(0))).cast("bigint"))
+      .withColumn("fre_m", expr(
+        "206835 - (1015 * n_words) div n_sent - (84600 * n_syll) div n_words"))
+      .withColumn("fkg_m", expr(
+        "(390 * n_words) div n_sent + (11800 * n_syll) div n_words - 15590"))
+      .select("doc_id", "n_sent", "n_words", "n_syll", "fre_m", "fkg_m")
+
   /** ZIPF rank-frequency profile of the corpus vocabulary — the
     * power-law diagnostic a tokenizer/vocab pipeline inspects before
     * sizing a vocabulary: token frequencies ranked (freq desc, token
@@ -957,6 +986,7 @@ object TextOps {
     "text_repetition" -> (textRepetition _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
+    "text_readability" -> (textReadability _),
     "text_tokens" -> (textTokens _),
     "text_zipf" -> (textZipf _),
     "text_hashtf" -> (textHashTf _),
@@ -1389,6 +1419,19 @@ object TextOps {
          |      FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents) t0) t1
          |ORDER BY doc_id""".stripMargin
     },
+    "text_readability" ->
+      """WITH c AS (SELECT doc_id,
+        |    greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sent,
+        |    greatest(1, len(regexp_extract_all(text, '[a-z]+'))) AS n_words,
+        |    len(regexp_extract_all(text, '[aeiouy]+')) AS n_syll
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_sent AS BIGINT) AS n_sent,
+        |  CAST(n_words AS BIGINT) AS n_words, CAST(n_syll AS BIGINT) AS n_syll,
+        |  CAST(206835 - (1015 * n_words) // n_sent
+        |    - (84600 * n_syll) // n_words AS BIGINT) AS fre_m,
+        |  CAST((390 * n_words) // n_sent + (11800 * n_syll) // n_words
+        |    - 15590 AS BIGINT) AS fkg_m
+        |FROM c""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id, n_words,
          |  CAST(sum_wlen AS DOUBLE) / n_words AS avg_wlen,

@@ -43,7 +43,9 @@ class PlanAuditSpec extends SparkSpec {
     val intended = Set("ann_topk", "ann_range", "ann_mips", "ann_recall", "ann_pq",
       "graph_pagerank", "q22_anti_scalar", "text_lm_bucket", "evt_rfm",
       "ann_hybrid", "evt_ab_test", "ann_hardneg", "emb_mmr", "evt_lift",
-      "q26_ntile", "geo_hotspot", "ann_hamming")
+      "q26_ntile", "geo_hotspot", "ann_hamming",
+      // graph_lpa: the 1-row edge-count scalar bind (modularity numerator)
+      "graph_lpa")
     for ((name, plan) <- plans if !intended(name))
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop join")
