@@ -268,6 +268,34 @@ object Events {
       .withColumn("p6", expr("(1000000 * n) div row_total"))
   }
 
+  /** SEASONALITY profile — the day-of-week × hour-of-day traffic matrix
+    * (the "when is the platform busy" heatmap behind capacity planning
+    * and anomaly baselines; [[dau]] sees days, [[tumblingWindow]] sees
+    * hours — neither sees the weekly cycle): per (dow, hod) cell the
+    * event count, distinct users, exact cents sum, and per-mille share.
+    * Day-of-week by pure epoch arithmetic — `((days + 4) % 7)`,
+    * 1970-01-01 being a Thursday with Sunday = 0 — so no engine's
+    * calendar/locale conventions (Spark 1=Sunday, DuckDB 0=Sunday, ISO
+    * 1=Monday) can disagree.
+    *
+    * Scale shape: map-side partial aggregation into the FIXED 168-cell
+    * frame (the distinct-user count is the only second exchange, still
+    * keyed by the bounded cell); the share window runs over 168 rows.
+    */
+  def seasonality(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(tsS("ts").as("ts_s"), col("user_id"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      .withColumn("dow", expr("((ts_s div 86400) + 4) % 7"))
+      .withColumn("hod", expr("(ts_s % 86400) div 3600"))
+      .groupBy("dow", "hod")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        sum("cents").as("sum_cents"))
+      .withColumn("share_pm",
+        expr("(1000 * n_events) div sum(n_events) over ()"))
+      .orderBy("dow", "hod")
+
   /** TIME-TO-CONVERT census — the activation-latency distribution next
     * to [[funnel]]'s fixed-window conversion count: per user, the gap
     * from their FIRST `signup` to the first `purchase` at-or-after it,
@@ -785,6 +813,7 @@ object Events {
     "evt_attribution" -> (attribution _),
     "evt_transitions" -> (transitions _),
     "evt_ttc" -> (ttc _),
+    "evt_seasonality" -> (seasonality _),
     "evt_anomaly" -> (anomaly _),
     "evt_changepoint" -> (changepoint _),
     "evt_smooth" -> (smooth _),
@@ -1153,6 +1182,18 @@ object Events {
         |   (m.n_hours * h.n_events - m.s1) * (m.n_hours * h.n_events - m.s1)
         |     > 4 * (m.n_hours * m.s2 - m.s1 * m.s1)) AS is_spike
         |FROM hourly h JOIN m ON m.event_type = h.event_type""".stripMargin,
+    "evt_seasonality" ->
+      """WITH e AS (SELECT epoch_us(ts) // 1000000 AS ts_s, user_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |g AS (SELECT ((ts_s // 86400) + 4) % 7 AS dow,
+        |    (ts_s % 86400) // 3600 AS hod,
+        |    count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM e GROUP BY 1, 2)
+        |SELECT dow, hod, n_events, n_users, sum_cents,
+        |  CAST((1000 * n_events) // (sum(n_events) OVER ()) AS BIGINT)
+        |    AS share_pm
+        |FROM g ORDER BY dow, hod""".stripMargin,
     "evt_ttc" ->
       """WITH s AS (
         |  SELECT user_id,

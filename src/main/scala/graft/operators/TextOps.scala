@@ -100,6 +100,35 @@ object TextOps {
         "(390 * n_words) div n_sent + (11800 * n_syll) div n_words - 15590"))
       .select("doc_id", "n_sent", "n_words", "n_syll", "fre_m", "fkg_m")
 
+  /** TYPE-TOKEN RATIO — lexical diversity per document (the Gopher
+    * "fraction of unique words" gate; templated/spun content repeats a
+    * tiny vocabulary and near-random content repeats none): distinct
+    * tokens over total tokens in exact per-mille integers, plus the
+    * hapax count (tokens occurring once — the classic richness signal
+    * TTR alone misses: a doc can have high TTR with zero hapaxes only
+    * at tiny lengths). `(1000·types) div toks` — floor div on positive
+    * operands, bit-identical cross-engine.
+    *
+    * Scale shape: scan-only, zero exchanges — per-row collection
+    * expressions (distinct, group-count) over the token array; the
+    * per-doc vocabulary is bounded by doc length, never corpus-scale.
+    */
+  def textTtr(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("n_toks", greatest(lit(1L), size(col("toks")).cast("bigint")))
+      .withColumn("n_types", size(array_distinct(col("toks"))).cast("bigint"))
+      // hapax via sorted-neighbor scan — O(L log L) per doc, NOT the
+      // nested per-type filter (O(L²) — the text_repetition trap)
+      .withColumn("st", array_sort(col("toks")))
+      .withColumn("n_hapax", expr(
+        """IF(size(st) = 0, 0L, aggregate(sequence(1, size(st)), 0L, (a, i) -> a +
+          |  IF((i = 1 OR element_at(st, i) != element_at(st, i - 1)) AND
+          |     (i = size(st) OR element_at(st, i) != element_at(st, i + 1)),
+          |     1L, 0L)))""".stripMargin))
+      .withColumn("ttr_pm", expr("(1000 * n_types) div n_toks"))
+      .select("doc_id", "n_toks", "n_types", "n_hapax", "ttr_pm")
+
   /** ZIPF rank-frequency profile of the corpus vocabulary — the
     * power-law diagnostic a tokenizer/vocab pipeline inspects before
     * sizing a vocabulary: token frequencies ranked (freq desc, token
@@ -987,6 +1016,7 @@ object TextOps {
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_readability" -> (textReadability _),
+    "text_ttr" -> (textTtr _),
     "text_tokens" -> (textTokens _),
     "text_zipf" -> (textZipf _),
     "text_hashtf" -> (textHashTf _),
@@ -1419,6 +1449,20 @@ object TextOps {
          |      FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents) t0) t1
          |ORDER BY doc_id""".stripMargin
     },
+    "text_ttr" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         |c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+         |a AS (SELECT doc_id, count(*) AS n_types,
+         |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         |    CAST(sum(c) AS BIGINT) AS n_toks
+         |  FROM c GROUP BY 1)
+         |SELECT d.doc_id, greatest(1, coalesce(a.n_toks, 0)) AS n_toks,
+         |  CAST(coalesce(a.n_types, 0) AS BIGINT) AS n_types,
+         |  coalesce(a.n_hapax, 0) AS n_hapax,
+         |  CAST((1000 * coalesce(a.n_types, 0))
+         |    // greatest(1, coalesce(a.n_toks, 0)) AS BIGINT) AS ttr_pm
+         |FROM d LEFT JOIN a USING (doc_id)""".stripMargin,
     "text_readability" ->
       """WITH c AS (SELECT doc_id,
         |    greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sent,
