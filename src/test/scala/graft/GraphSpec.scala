@@ -148,6 +148,35 @@ class GraphSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("graph_lpa matches a driver-side exact replay") {
+    val e = Graph.supportEdges(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bi = e ++ e.map { case (a, b) => (b, a) }
+    val deg = bi.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    var lbl: Map[Long, Long] = deg.keys.map(n => n -> n).toMap
+    for (_ <- 1 to Graph.LpaRounds) {
+      val votes = bi.groupBy(_._2).map { case (dst, es) =>
+        val cnt = es.map(x => lbl(x._1)).groupBy(identity)
+          .map { case (l, xs) => (l, xs.size) }
+        val mx = cnt.values.max
+        dst -> cnt.collect { case (l, c) if c == mx => l }.min
+      }
+      lbl = lbl.map { case (n, l) => n -> votes.getOrElse(n, l) }
+    }
+    val m = e.length.toLong
+    val intra = e.filter { case (a, b) => lbl(a) == lbl(b) }
+      .groupBy { case (a, _) => lbl(a) }.map { case (c, es) => c -> es.length.toLong }
+    val expected = lbl.toSeq.groupBy(_._2).map { case (c, ns) =>
+      val dC = ns.map { case (n, _) => deg(n) }.sum
+      val eC = intra.getOrElse(c, 0L)
+      (c, ns.size.toLong, eC, dC, 4L * m * eC - dC * dC)
+    }.toSeq.sortBy { case (c, n, _, _, _) => (-n, c) }.take(20)
+    val got = Graph.graphLpa(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == expected)
+  }
+
   test("isectSorted equals set intersection on seeded sorted arrays") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 200) {
