@@ -330,6 +330,63 @@ object Dedup {
       grams, sigs)
   }
 
+  /** MinHash ACCURACY census — the [[Ann.annRecall]] discipline applied
+    * to the dedup index ("measure the estimator before trusting it"):
+    * for every LSH candidate pair, the 8-hash signature agreement
+    * (the [[dedupLshPairs]] Jaccard estimate) against the EXACT 3-gram
+    * Jaccard ([[dedupNgramJaccard]]'s verification), rolled into the
+    * per-agreement-level calibration curve: pair count, pooled exact
+    * Jaccard (Σinter/Σunion in exact per-mille — floor div, both
+    * engines agree), and the per-pair min/max. A well-calibrated
+    * MinHash shows pooled_j_pm ≈ 125·agree; drift tells you the
+    * shingle width or hash count is wrong BEFORE a 100 TB dedup run
+    * keeps the wrong documents. Zero-overlap candidates stay in the
+    * census (left join, inter = 0) — dropping them would hide the
+    * false-positive band entirely.
+    *
+    * Scale shape: reuses the banded candidate generation (MaxBucket-
+    * capped, never corpus-quadratic), the gram intersection is the
+    * (doc, gram) equi-join of dedup_ngram_jaccard, and the rollup frame
+    * is 9 rows (agreement 0..8).
+    */
+  def dedupMinhashAcc(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val grams = Tables.documents(s, dir)
+      .withColumn("grams", call_function("jgrams3", col("text")))
+      .select(col("doc_id"), col("grams"), size(col("grams")).as("ng"))
+      .cache()
+    val flat = grams.select(col("doc_id"), explode(col("grams")).as("g"))
+    val sigs = signatures(s, dir).cache()
+    val agreeExpr = (0 until NumHashes)
+      .map(j => when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val cand = candidates(sigs)
+    val inter = cand
+      .join(flat.toDF("doc_a", "g"), "doc_a")
+      .join(flat.toDF("doc_b", "g"), Seq("doc_b", "g"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    releasing(
+      cand
+        .join(sigs.toDF("doc_a" +: (0 until NumHashes).map(j => s"a_mh$j"): _*), "doc_a")
+        .join(sigs.toDF("doc_b" +: (0 until NumHashes).map(j => s"b_mh$j"): _*), "doc_b")
+        .select(col("doc_a"), col("doc_b"), agreeExpr.cast("bigint").as("agree"))
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .withColumn("inter", coalesce(col("inter"), lit(0L)))
+        .join(grams.select(col("doc_id").as("doc_a"), col("ng").as("na")), "doc_a")
+        .join(grams.select(col("doc_id").as("doc_b"), col("ng").as("nb")), "doc_b")
+        .withColumn("un", col("na") + col("nb") - col("inter"))
+        .withColumn("j_pm", expr("(1000 * inter) div un"))
+        .groupBy("agree")
+        .agg(count(lit(1)).as("n_pairs"), sum("inter").as("sum_inter"),
+          sum("un").as("sum_union"),
+          min("j_pm").as("min_j_pm"), max("j_pm").as("max_j_pm"))
+        .withColumn("pool_j_pm", expr("(1000 * sum_inter) div sum_union"))
+        .select("agree", "n_pairs", "sum_inter", "sum_union",
+          "pool_j_pm", "min_j_pm", "max_j_pm")
+        .orderBy("agree"),
+      grams, sigs)
+  }
+
   /** Minimum shared sampled fingerprints for a [[dedupSubstring]] pair.
     * A same-vocabulary corpus shares single 8-byte windows ("the data")
     * constantly — at sf0.01 the noise floor decays smoothly up to ~10
@@ -669,6 +726,7 @@ object Dedup {
     "dedup_decontaminate" -> (dedupDecontaminate _),
     "dedup_bloom" -> (dedupBloom _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash_acc" -> (dedupMinhashAcc _),
     "dedup_editdist" -> (dedupEditDist _))
 
   // ---- oracle SQL -----------------------------------------------------
@@ -911,6 +969,38 @@ object Dedup {
          |  len_a, len_b,
          |  lv <= kb.k AND 100 * lv <= 20 * greatest(len_a, len_b) AS is_dup
          |FROM lv, kb ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_minhash_acc" -> {
+      val agree = (0 until NumHashes)
+        .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH sigs AS MATERIALIZED ($sigSql),
+         |$candSql,
+         |grams AS MATERIALIZED (SELECT doc_id,
+         |    list_distinct(list_transform(range(0, greatest(len(toks) - 2, 1)),
+         |      i -> concat_ws(' ', toks[i + 1], toks[i + 2], toks[i + 3]))) AS gs
+         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |        FROM documents) t),
+         |flat AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c JOIN flat fa ON fa.doc_id = c.doc_a
+         |              JOIN flat fb ON fb.doc_id = c.doc_b AND fb.g = fa.g
+         |  GROUP BY 1, 2),
+         |pp AS (SELECT c.doc_a, c.doc_b, CAST($agree AS BIGINT) AS agree,
+         |    coalesce(i.inter, 0) AS inter,
+         |    len(ga.gs) + len(gb.gs) - coalesce(i.inter, 0) AS un
+         |  FROM cand c
+         |  JOIN sigs a ON a.doc_id = c.doc_a
+         |  JOIN sigs b ON b.doc_id = c.doc_b
+         |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  JOIN grams ga ON ga.doc_id = c.doc_a
+         |  JOIN grams gb ON gb.doc_id = c.doc_b)
+         |SELECT agree, count(*) AS n_pairs,
+         |  CAST(sum(inter) AS BIGINT) AS sum_inter,
+         |  CAST(sum(un) AS BIGINT) AS sum_union,
+         |  CAST((1000 * sum(inter)) // sum(un) AS BIGINT) AS pool_j_pm,
+         |  CAST(min((1000 * inter) // un) AS BIGINT) AS min_j_pm,
+         |  CAST(max((1000 * inter) // un) AS BIGINT) AS max_j_pm
+         |FROM pp GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "dedup_ngram_jaccard" ->
       s"""WITH sigs AS MATERIALIZED ($sigSql),
          |$candSql,
