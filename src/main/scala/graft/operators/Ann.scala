@@ -423,6 +423,63 @@ object Ann {
       .select("q_id", "n_id", "rnk", "cell", "cos")
   }
 
+  /** RECALL-vs-NPROBE curve — the IVF quality/cost DIAL measured, one
+    * step past [[annRecall]]'s single point: recall@3 against the brute
+    * truth at nprobe ∈ {1, 2, 4} in one key. This is the graph an
+    * operator reads before picking the production nprobe — the whole
+    * point of IVF is that this curve climbs steeply (cells probed is
+    * the unit of corpus read, so nprobe IS the cost axis). Exact
+    * per-mille recall; candidate (q, n) pairs are unique by
+    * construction (a base vector lives in exactly one cell).
+    *
+    * Scale shape: ONE base scan assigns cells map-only (inlined
+    * centroid literals, the [[annIvf]] discipline) and joins the
+    * broadcast 32-row probe set; the candidate frame is cached once and
+    * reranked per level (WindowGroupLimit pushes the top-3 partial
+    * map-side, so no level funnels the corpus through 8 reducers); the
+    * brute truth is the one whitelisted broadcast cross join, computed
+    * once and reused semi-join-side across levels.
+    */
+  def annNprobe(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+    val cents = centroidsOf(e)
+    def cs(emb: Column, n2: Column) = cellScores(cents)(emb, n2)
+    val base = e.filter(col("vec_id") >= 8)
+      .withColumn("cell",
+        -array_max(cs(col("embedding"), col("n2"))).getField("nid"))
+      .select(col("cell"), col("vec_id").as("n_id"),
+        col("embedding").as("ne"), col("n2").as("nn2"))
+    val probes = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("n2").as("qn2"),
+        posexplode(slice(reverse(sort_array(cs(col("embedding"), col("n2")))), 1, 4))
+          .as(Seq("p0", "probe")))
+      .select(col("q_id"), col("qe"), col("qn2"),
+        (col("p0") + 1).as("prk"), (-col("probe.nid")).as("cell"))
+    val cand = base.join(broadcast(probes), Seq("cell"))
+      .withColumn("cos", cosine(dotDec(col("qe"), col("ne")), col("qn2"), col("nn2")))
+      .select("q_id", "n_id", "prk", "cos")
+      .cache()
+    val brute = annTopk(s, dir).filter(col("rnk") <= 3)
+      .select(col("q_id"), col("n_id")).cache()
+    val truth = brute.agg(count(lit(1)).as("n_truth"))
+    val curve = Seq(1, 2, 4).map { p =>
+      cand.filter(col("prk") <= p)
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))))
+        .filter(col("rnk") <= 3)
+        .join(brute, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(p.toLong).as("nprobe"), col("n_hits"))
+    }.reduce(_ unionAll _)
+    Dedup.releasing(
+      curve.crossJoin(broadcast(truth))
+        .withColumn("recall_pm", expr("(1000 * n_hits) div n_truth"))
+        .select("nprobe", "n_hits", "n_truth", "recall_pm")
+        .orderBy("nprobe"),
+      cand, brute)
+  }
+
   /** One Lloyd iteration of k-means over the embedding corpus: assign
     * every base vector to its nearest-cosine centroid (same map-only
     * argmax as [[annIvf]] — no shuffle for the big side), then reduce the
@@ -934,6 +991,7 @@ object Ann {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall" -> (annRecall _),
+    "ann_nprobe" -> (annNprobe _),
     "dedup_embedding" -> (dedupEmbedding _),
     "emb_kmeans" -> (embKmeans _),
     "emb_pca" -> (embPca _),
@@ -1144,6 +1202,48 @@ object Ann {
     // the persisted-index probe serves byte-identical results to the
     // inline IVF: same codebook, same cells, same rerank
     "ann_ivf_store" -> ivfSql,
+    "ann_nprobe" -> {
+      val levels = Seq(1, 2, 4)
+      val lvlCtes = levels.map { p =>
+        s"""lvl$p AS (SELECT q_id, n_id FROM (
+           |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY cos DESC, n_id) AS rnk
+           |    FROM cscored2 WHERE crk <= $p) t WHERE rnk <= 3),
+           |hit$p AS (SELECT count(*) AS n_hits
+           |  FROM lvl$p JOIN btop USING (q_id, n_id))""".stripMargin
+      }.mkString(",\n")
+      val union = levels.map(p =>
+        s"SELECT $p AS np, n_hits FROM hit$p").mkString("\n  UNION ALL ")
+      s"""WITH $flatSql,
+         |$cellsSql,
+         |probes AS (SELECT vec_id AS q_id, c_id AS cell, crk FROM cranked
+         |  WHERE crk <= 4 AND vec_id < 8),
+         |cdots2 AS (SELECT p.q_id, ce.n_id, p.crk,
+         |    sum(CAST(round(q.e * b.e * 1000000000.0) AS BIGINT)) AS dot
+         |  FROM probes p JOIN cells ce ON ce.cell = p.cell
+         |       JOIN flat q ON q.vec_id = p.q_id
+         |       JOIN flat b ON b.vec_id = ce.n_id AND b.i = q.i
+         |  GROUP BY 1, 2, 3),
+         |cscored2 AS (SELECT q_id, n_id, crk,
+         |    (dot / 1e9) / (sqrt(nq.n2 / 1e9) * sqrt(nb.n2 / 1e9)) AS cos
+         |  FROM cdots2 JOIN norm nq ON nq.vec_id = q_id
+         |              JOIN norm nb ON nb.vec_id = n_id),
+         |bdots AS (SELECT q.vec_id AS q_id, b.vec_id AS n_id,
+         |    sum(CAST(round(q.e * b.e * 1000000000.0) AS BIGINT)) AS dot
+         |  FROM flat q JOIN flat b ON q.i = b.i AND q.vec_id < 8 AND b.vec_id >= 8
+         |  GROUP BY 1, 2),
+         |branked AS (SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY
+         |      (dot / 1e9) / (sqrt(nq.n2 / 1e9) * sqrt(nb.n2 / 1e9)) DESC, n_id) AS rnk
+         |  FROM bdots JOIN norm nq ON nq.vec_id = q_id JOIN norm nb ON nb.vec_id = n_id),
+         |btop AS MATERIALIZED (SELECT q_id, n_id FROM branked WHERE rnk <= 3),
+         |$lvlCtes
+         |SELECT CAST(np AS BIGINT) AS nprobe, n_hits,
+         |  (SELECT count(*) FROM btop) AS n_truth,
+         |  CAST((1000 * n_hits) // (SELECT count(*) FROM btop) AS BIGINT)
+         |    AS recall_pm
+         |FROM ($union) ORDER BY np""".stripMargin
+    },
     "ann_recall" ->
       s"""WITH $flatSql,
          |$cellsSql,

@@ -1003,6 +1003,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_curate" -> (pipeCurate _),
+    "pipe_report" -> (pipeReport _),
     "text_collocations" -> (textCollocations _),
     "text_bm25" -> (textBm25 _),
     "bm25_store" -> (Bm25Index.bm25Store _),
@@ -1026,6 +1027,30 @@ object TextOps {
     "text_pack" -> (textPack _),
     "text_salient" -> (textSalient _),
     "text_fingerprint" -> (textFingerprint _))
+
+  /** CURATION REPORT — the dataset-card table a training run documents
+    * (the per-language row of The Pile / LLaMA data tables): the
+    * [[pipeCurate]] per-document verdicts rolled up per predicted
+    * language into doc counts, kept counts, per-gate fail counts, word
+    * mass, and the exact per-mille keep rate. One more bounded
+    * aggregate on top of the one-scan curation plan — the report and
+    * the pipeline share every stage, so the numbers can never drift
+    * from what the filter actually did (a separately-computed report
+    * is how real dataset cards go stale).
+    */
+  def pipeReport(s: SparkSession, dir: String): DataFrame =
+    pipeCurate(s, dir)
+      .groupBy("pred_lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("ok_lang"), 1L).otherwise(0L)).as("n_lang_fail"),
+        sum(when(!col("ok_quality"), 1L).otherwise(0L)).as("n_quality_fail"),
+        sum(when(!col("ok_rep"), 1L).otherwise(0L)).as("n_rep_fail"),
+        sum(when(!col("ok_uniq"), 1L).otherwise(0L)).as("n_dup"),
+        sum(when(!col("ok_decon"), 1L).otherwise(0L)).as("n_contaminated"),
+        sum("n_words").as("sum_words"))
+      .withColumn("keep_pm", expr("(1000 * n_kept) div n_docs"))
+      .orderBy("pred_lang")
 
   private def pipeCurateSql: String = {
     val scores = Models.map { case (l, (prior, ws)) =>
@@ -1153,6 +1178,23 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "pipe_curate" -> pipeCurateSql,
+    "pipe_report" ->
+      s"""SELECT pred_lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN NOT ok_lang THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_lang_fail,
+         |  CAST(sum(CASE WHEN NOT ok_quality THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_quality_fail,
+         |  CAST(sum(CASE WHEN NOT ok_rep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_rep_fail,
+         |  CAST(sum(CASE WHEN NOT ok_uniq THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  CAST(sum(CASE WHEN NOT ok_decon THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_contaminated,
+         |  CAST(sum(n_words) AS BIGINT) AS sum_words,
+         |  CAST((1000 * sum(CASE WHEN keep THEN 1 ELSE 0 END)) // count(*)
+         |    AS BIGINT) AS keep_pm
+         |FROM ($pipeCurateSql) rep
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_bpe_train" -> bpeTrainSql,
     "text_bpe_apply" -> bpeApplySql,
     "text_collocations" ->

@@ -45,7 +45,10 @@ class PlanAuditSpec extends SparkSpec {
       "ann_hybrid", "evt_ab_test", "ann_hardneg", "emb_mmr", "evt_lift",
       "q26_ntile", "geo_hotspot", "ann_hamming",
       // graph_lpa: the 1-row edge-count scalar bind (modularity numerator)
-      "graph_lpa")
+      "graph_lpa",
+      // ann_nprobe: inherits the brute-truth broadcast crossJoin + the
+      // 1-row truth-count scalar bind
+      "ann_nprobe")
     for ((name, plan) <- plans if !intended(name))
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop join")
