@@ -114,6 +114,45 @@ object Geometry {
         (col("a2") - coalesce(lag("a2", 1).over(byUserEv), lit(0L))) / 20000.0)
       .select("event_id", "user_id", "area_deg2", "area_delta")
 
+  /** Segment ORIENTATION rose — the compass-bearing census behind
+    * street-network orientation studies (Boeing 2019, "Urban spatial
+    * order"): each consecutive segment classified into one of 8 compass
+    * octants by EXACT sign/magnitude comparisons on the integer
+    * centi-degree deltas — |dx| vs |dy| and the two signs decide the
+    * octant with zero trigonometry (an `atan2` bearing differs in the
+    * last ulp between libms and flips boundary segments); per octant
+    * the segment count, exact squared-length mass (no sqrt), and
+    * per-mille share. Zero-length steps are excluded (no bearing).
+    *
+    * Scale shape: the one shared per-entity window exchange (same
+    * partitioning as every geometry op), then map-side partials into
+    * the FIXED 8-row rose; the share window runs over 8 rows.
+    */
+  def geoOrientation(s: SparkSession, dir: String): DataFrame =
+    points(s, dir)
+      .withColumn("pxi", lag("xi", 1).over(byUserEv))
+      .withColumn("pyi", lag("yi", 1).over(byUserEv))
+      .filter(col("pxi").isNotNull)
+      .withColumn("dx", col("xi") - col("pxi"))
+      .withColumn("dy", col("yi") - col("pyi"))
+      .filter(col("dx") =!= 0 || col("dy") =!= 0)
+      .withColumn("octant", expr(
+        """CASE
+          | WHEN dx >= 0 AND dy >= 0 AND abs(dx) >= abs(dy) THEN 0L
+          | WHEN dx >= 0 AND dy >= 0 THEN 1L
+          | WHEN dx < 0 AND dy >= 0 AND abs(dy) >= abs(dx) THEN 2L
+          | WHEN dx < 0 AND dy >= 0 THEN 3L
+          | WHEN dx < 0 AND dy < 0 AND abs(dx) >= abs(dy) THEN 4L
+          | WHEN dx < 0 AND dy < 0 THEN 5L
+          | WHEN dx >= 0 AND dy < 0 AND abs(dy) >= abs(dx) THEN 6L
+          | ELSE 7L END""".stripMargin))
+      .withColumn("len2", col("dx") * col("dx") + col("dy") * col("dy"))
+      .groupBy("octant")
+      .agg(count(lit(1)).as("n_segs"), sum("len2").as("len2_sum"),
+        max("len2").as("len2_max"))
+      .withColumn("share_pm", expr("(1000 * n_segs) div sum(n_segs) over ()"))
+      .orderBy("octant")
+
   /** WKB point encoding via the custom codegen expression `wkb_point`
     * (graft.functions.WkbPoint). Integer-valued degrees keep the oracle's
     * IEEE-754 bit construction exact.
@@ -610,6 +649,7 @@ object Geometry {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_orientation" -> (geoOrientation _),
     "geo_hotspot" -> (geoHotspot _),
     "geo_dbscan_core" -> (geoDbscanCore _),
     "geo_tile_pyramid" -> (geoTilePyramid _),
@@ -960,6 +1000,28 @@ object Geometry {
   }
 
   val oracles: Map[String, String] = Map(
+    "geo_orientation" ->
+      s"""WITH pts AS ($ptsSql),
+         |seg AS (SELECT xi - lag(xi) OVER w AS dx, yi - lag(yi) OVER w AS dy
+         |  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+         |oc AS (SELECT CAST(CASE
+         |    WHEN dx >= 0 AND dy >= 0 AND abs(dx) >= abs(dy) THEN 0
+         |    WHEN dx >= 0 AND dy >= 0 THEN 1
+         |    WHEN dx < 0 AND dy >= 0 AND abs(dy) >= abs(dx) THEN 2
+         |    WHEN dx < 0 AND dy >= 0 THEN 3
+         |    WHEN dx < 0 AND dy < 0 AND abs(dx) >= abs(dy) THEN 4
+         |    WHEN dx < 0 AND dy < 0 THEN 5
+         |    WHEN dx >= 0 AND dy < 0 AND abs(dy) >= abs(dx) THEN 6
+         |    ELSE 7 END AS BIGINT) AS octant,
+         |    dx * dx + dy * dy AS len2
+         |  FROM seg WHERE dx IS NOT NULL AND (dx <> 0 OR dy <> 0)),
+         |g AS (SELECT octant, count(*) AS n_segs,
+         |    CAST(sum(len2) AS BIGINT) AS len2_sum,
+         |    CAST(max(len2) AS BIGINT) AS len2_max
+         |  FROM oc GROUP BY 1)
+         |SELECT octant, n_segs, len2_sum, len2_max,
+         |  CAST((1000 * n_segs) // (sum(n_segs) OVER ()) AS BIGINT) AS share_pm
+         |FROM g ORDER BY octant""".stripMargin,
     "geo_simplify" -> geoSimplifySql,
     "geo_knn" ->
       s"""WITH pts AS ($ptsSql),

@@ -619,11 +619,37 @@ object Relational {
       .orderBy("l_suppkey")
   }
 
+  /** UNPIVOT — the wide→long reshape (the exact inverse of
+    * [[q11Pivot]]): part's numeric attributes melt into (attribute,
+    * value) rows via Spark's NATIVE `unpivot` (the Melt logical plan —
+    * codegen'd Expand under the hood, one output row per (row, attr),
+    * never a per-attribute rescan or a UNION of N scans), then the long
+    * frame aggregates per attribute in exact integer fixed point.
+    *
+    * Scale shape: Expand emits k× rows map-side from ONE scan; the
+    * aggregate partial-aggregates into the k-row attribute frame — at
+    * any corpus size the exchange carries k rows per partition.
+    */
+  def q29Unpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        col("p_size").cast("bigint").as("size"),
+        cents(col("p_retailprice")).as("retail_c"),
+        length(col("p_name")).cast("bigint").as("name_len"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("size"), col("retail_c"), col("name_len")),
+        "attribute", "value")
+      .groupBy("attribute")
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_v"),
+        min("value").as("min_v"), max("value").as("max_v"))
+      .orderBy("attribute")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_run_distinct" -> (q27RunDistinct _),
     "q25_string_agg" -> (q25StringAgg _),
     "q26_ntile" -> (q26Ntile _),
     "q28_islands" -> (q28Islands _),
+    "q29_unpivot" -> (q29Unpivot _),
     "q23_grouping_sets" -> (q23GroupingSets _),
     "q24_range_window" -> (q24RangeWindow _),
     "q20_nested_agg" -> (q20NestedAgg _),
@@ -655,6 +681,16 @@ object Relational {
   private val lBp = "CAST(round(l_discount * 100) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q29_unpivot" ->
+      """WITH w AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS size,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS retail_c,
+        |    CAST(length(p_name) AS BIGINT) AS name_len FROM part),
+        |l AS (SELECT 'size' AS attribute, size AS value FROM w
+        |  UNION ALL SELECT 'retail_c', retail_c FROM w
+        |  UNION ALL SELECT 'name_len', name_len FROM w)
+        |SELECT attribute, count(*) AS n, CAST(sum(value) AS BIGINT) AS sum_v,
+        |  min(value) AS min_v, max(value) AS max_v
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
     "q28_islands" ->
       """WITH iv AS (SELECT l_suppkey, l_orderkey, l_linenumber,
         |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d0,

@@ -1015,6 +1015,7 @@ object TextOps {
     "text_lm_bucket" -> (textLmBucket _),
     "text_repetition" -> (textRepetition _),
     "text_langid" -> (textLangid _),
+    "text_confusion" -> (textConfusion _),
     "text_quality" -> (textQuality _),
     "text_readability" -> (textReadability _),
     "text_ttr" -> (textTtr _),
@@ -1051,6 +1052,47 @@ object TextOps {
         sum("n_words").as("sum_words"))
       .withColumn("keep_pm", expr("(1000 * n_kept) div n_docs"))
       .orderBy("pred_lang")
+
+  /** DuckDB replay of [[textLangid]]'s per-doc scores/prediction —
+    * shared by the `text_langid` oracle and `text_confusion`'s rollup.
+    */
+  private lazy val langidSql: String = {
+    val scores = Models.map { case (l, (prior, ws)) =>
+      s"$prior + coalesce(list_sum(list_transform(toks, t -> ${caseSql(ws)})), 0) AS s_$l"
+    }.mkString(",\n    ")
+    val m = s"greatest(${Models.map("s_" + _._1).mkString(", ")})"
+    val pred = "CASE " + Models.map { case (l, _) => s"WHEN s_$l = $m THEN '$l'" }
+      .mkString(" ") + " END"
+    s"""SELECT doc_id, ${Models.map(p => s"CAST(s_${p._1} AS BIGINT) AS s_${p._1}").mkString(", ")},
+       |  $pred AS pred_lang, lang AS true_lang, ($pred = lang) AS correct
+       |FROM (SELECT doc_id, lang, $scores
+       |      FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents) t0) t1
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Langid CONFUSION MATRIX — the classifier-eval face next to
+    * [[textLangid]]'s per-doc scores (a pipeline trusts its language
+    * gate only after seeing this table): per (true, predicted) cell the
+    * count, row/column masses, and exact per-mille recall (cell/row)
+    * and precision (cell/column) — diagonal cells read directly as the
+    * per-class metrics. Float rates differ in the last ulp; per-mille
+    * floor division cannot.
+    *
+    * Scale shape: the scored scan partial-aggregates map-side into the
+    * ≤|langs|² cell frame; both mass windows run over that bounded
+    * frame, never the corpus.
+    */
+  def textConfusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    textLangid(s, dir)
+      .groupBy("true_lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_n", sum("n").over(Window.partitionBy("true_lang")))
+      .withColumn("col_n", sum("n").over(Window.partitionBy("pred_lang")))
+      .withColumn("recall_pm", expr("(1000 * n) div row_n"))
+      .withColumn("precision_pm", expr("(1000 * n) div col_n"))
+      .orderBy("true_lang", "pred_lang")
+  }
 
   private def pipeCurateSql: String = {
     val scores = Models.map { case (l, (prior, ws)) =>
@@ -1478,19 +1520,19 @@ object TextOps {
          |    '$PhoneRe', '<PHONE>', 'g'),
          |    '$IdRe', '<ID>', 'g')) AS redacted_md5
          |FROM documents ORDER BY doc_id""".stripMargin,
-    "text_langid" -> {
-      val scores = Models.map { case (l, (prior, ws)) =>
-        s"$prior + coalesce(list_sum(list_transform(toks, t -> ${caseSql(ws)})), 0) AS s_$l"
-      }.mkString(",\n    ")
-      val m = s"greatest(${Models.map("s_" + _._1).mkString(", ")})"
-      val pred = "CASE " + Models.map { case (l, _) => s"WHEN s_$l = $m THEN '$l'" }
-        .mkString(" ") + " END"
-      s"""SELECT doc_id, ${Models.map(p => s"CAST(s_${p._1} AS BIGINT) AS s_${p._1}").mkString(", ")},
-         |  $pred AS pred_lang, lang AS true_lang, ($pred = lang) AS correct
-         |FROM (SELECT doc_id, lang, $scores
-         |      FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents) t0) t1
-         |ORDER BY doc_id""".stripMargin
-    },
+    "text_langid" -> langidSql,
+    "text_confusion" ->
+      s"""WITH base AS ($langidSql),
+         |g AS (SELECT true_lang, pred_lang, count(*) AS n
+         |  FROM base GROUP BY 1, 2)
+         |SELECT true_lang, pred_lang, n,
+         |  CAST(sum(n) OVER (PARTITION BY true_lang) AS BIGINT) AS row_n,
+         |  CAST(sum(n) OVER (PARTITION BY pred_lang) AS BIGINT) AS col_n,
+         |  CAST((1000 * n) // (sum(n) OVER (PARTITION BY true_lang)) AS BIGINT)
+         |    AS recall_pm,
+         |  CAST((1000 * n) // (sum(n) OVER (PARTITION BY pred_lang)) AS BIGINT)
+         |    AS precision_pm
+         |FROM g ORDER BY 1, 2""".stripMargin,
     "text_ttr" ->
       s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
