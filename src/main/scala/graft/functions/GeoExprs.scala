@@ -760,6 +760,7 @@ object GeoFunctions {
     "ahash64" -> (es => AHash64(es(0))),
     "wgrams3" -> (es => WGrams3(es(0))),
     "repstats" -> (es => RepStats(es(0))),
+    "ttrstats" -> (es => TtrStats(es(0))),
     "jgrams3" -> (es => JGrams3(es(0))),
     "langscores5" -> (es => LangScores5(es(0))),
     "bpepairs" -> (es => BpePairs(es(0))),

@@ -151,6 +151,30 @@ object TextKernels {
     Array(n.toLong, counts.size.toLong, nGrams, gramSet.size.toLong, top)
   }
 
+  /** TTR lexical-diversity counts in ONE pass:
+    * [n_tokens, n_types, n_hapax] over the non-empty space-split tokens
+    * — replaces an `array_sort` + `aggregate` HOF chain (interpreted,
+    * O(L log L) with per-element `element_at` overhead) with O(L) hash
+    * counting inside whole-stage codegen.
+    */
+  def ttrStats(text: UTF8String): Array[Long] = {
+    val parts = text.toString.split(" ", -1)
+    val counts = new java.util.HashMap[String, Long](parts.length * 2)
+    var n = 0L
+    var i = 0
+    while (i < parts.length) {
+      if (!parts(i).isEmpty) {
+        n += 1
+        counts.put(parts(i), counts.getOrDefault(parts(i), 0L) + 1L)
+      }
+      i += 1
+    }
+    var hapax = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) if (it.next() == 1L) hapax += 1
+    Array(n, counts.size.toLong, hapax)
+  }
+
   /** Distinct word-trigram array over the NON-EMPTY tokens, replicating
     * `array_distinct(transform(sequence(0, greatest(n-3, 0)), i ->
     * concat_ws(' ', get(toks,i), get(toks,i+1), get(toks,i+2))))`
@@ -880,6 +904,29 @@ case class RepStats(child: Expression) extends UnaryExpression {
         s"graft.functions.TextKernels.repStats($t))")
 
   override protected def withNewChildInternal(newChild: Expression): RepStats =
+    copy(child = newChild)
+}
+
+/** `ttrstats(text)` → [n_tokens, n_types, n_hapax]
+  * (TextKernels.ttrStats) — the lexical-diversity counts as one codegen
+  * call.
+  */
+case class TtrStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "ttrstats"
+
+  override protected def nullSafeEval(text: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextKernels.ttrStats(text.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextKernels.ttrStats($t))")
+
+  override protected def withNewChildInternal(newChild: Expression): TtrStats =
     copy(child = newChild)
 }
 

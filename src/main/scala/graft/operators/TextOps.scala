@@ -109,25 +109,22 @@ object TextOps {
     * at tiny lengths). `(1000·types) div toks` — floor div on positive
     * operands, bit-identical cross-engine.
     *
-    * Scale shape: scan-only, zero exchanges — per-row collection
-    * expressions (distinct, group-count) over the token array; the
-    * per-doc vocabulary is bounded by doc length, never corpus-scale.
+    * Scale shape: scan-only, zero exchanges — ONE `ttrstats` codegen
+    * kernel call per row (O(L) hash counting; the HOF draft it replaced
+    * ran an interpreted array_sort + aggregate fold per doc — the r10
+    * lesson: Spark HOFs never enter whole-stage codegen); the per-doc
+    * vocabulary is bounded by doc length, never corpus-scale.
     */
-  def textTtr(s: SparkSession, dir: String): DataFrame =
+  def textTtr(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
     Tables.documents(s, dir)
-      .withColumn("toks", expr(toksExpr))
-      .withColumn("n_toks", greatest(lit(1L), size(col("toks")).cast("bigint")))
-      .withColumn("n_types", size(array_distinct(col("toks"))).cast("bigint"))
-      // hapax via sorted-neighbor scan — O(L log L) per doc, NOT the
-      // nested per-type filter (O(L²) — the text_repetition trap)
-      .withColumn("st", array_sort(col("toks")))
-      .withColumn("n_hapax", expr(
-        """IF(size(st) = 0, 0L, aggregate(sequence(1, size(st)), 0L, (a, i) -> a +
-          |  IF((i = 1 OR element_at(st, i) != element_at(st, i - 1)) AND
-          |     (i = size(st) OR element_at(st, i) != element_at(st, i + 1)),
-          |     1L, 0L)))""".stripMargin))
+      .withColumn("ts", call_function("ttrstats", col("text")))
+      .withColumn("n_toks", greatest(lit(1L), expr("ts[0]")))
+      .withColumn("n_types", expr("ts[1]"))
+      .withColumn("n_hapax", expr("ts[2]"))
       .withColumn("ttr_pm", expr("(1000 * n_types) div n_toks"))
       .select("doc_id", "n_toks", "n_types", "n_hapax", "ttr_pm")
+  }
 
   /** ZIPF rank-frequency profile of the corpus vocabulary — the
     * power-law diagnostic a tokenizer/vocab pipeline inspects before

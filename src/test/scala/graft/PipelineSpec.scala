@@ -770,6 +770,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ttrstats kernel equals the HOF chain it replaced, edge cases included") {
+    import spark.implicits._
+    graft.functions.GeoFunctions.register(spark)
+    val edge = Seq("a b c d", "a b", "", "a  b c", " a b c ", "x y x y x y",
+      "solo", "a a a a", "a b c a b c a b c").toDF("text")
+    val corpus = Tables.documents(spark, sfDir).select("text")
+    for (df <- Seq(edge, corpus)) {
+      val got = df.select(call_function("ttrstats", col("text")).as("st"))
+        .collect().map(_.getSeq[Long](0).toList)
+      val want = df
+        .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+        .withColumn("st", array_sort(col("toks")))
+        .select(array(
+          size(col("toks")).cast("long"),
+          size(array_distinct(col("toks"))).cast("long"),
+          expr(
+            """IF(size(st) = 0, 0L, aggregate(sequence(1, size(st)), 0L, (a, i) -> a +
+              |  IF((i = 1 OR element_at(st, i) != element_at(st, i - 1)) AND
+              |     (i = size(st) OR element_at(st, i) != element_at(st, i + 1)),
+              |     1L, 0L)))""".stripMargin)))
+        .collect().map(_.getSeq[Long](0).toList)
+      assert(got.toSeq === want.toSeq)
+    }
+  }
+
   test("repstats kernel equals the expression chain it replaced, edge cases included") {
     import spark.implicits._
     graft.functions.GeoFunctions.register(spark)
