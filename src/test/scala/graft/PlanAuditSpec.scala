@@ -542,4 +542,29 @@ class PlanAuditSpec extends SparkSpec {
       s"skew_join must keep the (key, salt) shuffled hash join:\n$sj")
     assert(shuffleCount(sj) <= 4, s"skew_join grew a shuffle:\n$sj")
   }
+
+  test("late round-13 keys: scan-only text ops, bounded rollup frames") {
+    // text_readability / text_ttr: pure per-row expression work — zero
+    // exchanges (the coalesce-free scan IS the operator)
+    assert(shuffleCount(plans("text_readability")) === 0,
+      s"text_readability must stay scan-only:\n${plans("text_readability")}")
+    assert(shuffleCount(plans("text_ttr")) === 0,
+      s"text_ttr must stay scan-only:\n${plans("text_ttr")}")
+    // q29_unpivot: Expand (Melt) + one bounded attribute aggregate + sort
+    assert(shuffleCount(plans("q29_unpivot")) <= 2,
+      s"q29_unpivot grew a shuffle:\n${plans("q29_unpivot")}")
+    // pipe_shard: scan-side hash + ONE bounded 16-row aggregate + sort
+    assert(shuffleCount(plans("pipe_shard")) <= 2,
+      s"pipe_shard grew a shuffle:\n${plans("pipe_shard")}")
+    // evt_seasonality: 168-cell rollup; distinct-user second phase + sort
+    assert(shuffleCount(plans("evt_seasonality")) <= 3,
+      s"evt_seasonality grew a shuffle:\n${plans("evt_seasonality")}")
+    // geo_orientation: one entity window exchange + 8-row rose + sort
+    assert(shuffleCount(plans("geo_orientation")) <= 3,
+      s"geo_orientation grew a shuffle:\n${plans("geo_orientation")}")
+    // text_confusion: scored scan partials into the ≤|langs|² frame,
+    // two bounded mass windows + sort
+    assert(shuffleCount(plans("text_confusion")) <= 4,
+      s"text_confusion grew a shuffle:\n${plans("text_confusion")}")
+  }
 }
