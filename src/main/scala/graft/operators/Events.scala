@@ -764,36 +764,86 @@ object Events {
   /** Incident window length (seconds) for [[intervalJoin]]. */
   val IncidentWindowS = 600L
 
-  /** Bucketized INTERVAL JOIN — the time-range join shape that needs an
-    * explicit scale path: every `error` event opens a 10-minute incident
-    * window `[t0, t0+600)`; count, per incident, the events of ANY type
-    * falling inside it plus the distinct users touched. The naive plan
-    * for `ev.ts BETWEEN inc.t0 AND inc.t1` is a broadcast NESTED-LOOP
-    * join — every event row tested against every incident. Here both
-    * sides bucketize to bins the size of the window: an interval
-    * overlaps at most 2 bins (EXPLODEs to ≤2 rows via `sequence`), each
-    * event keeps its single bin, and the join becomes a plain hash
-    * equi-join on the bin key with the range predicate as a residual
-    * filter — shuffled rows stay O(events + 2·incidents) at any corpus
-    * size, and the candidate set per event is only the incidents
-    * sharing its bin. Matched pairs partial-aggregate map-side on the
-    * incident key. Top 25 busiest incidents, ties broken by id.
+  /** INTERVAL JOIN as a SWEEP-LINE — the time-range join with a scale
+    * path that materializes NO pairs at all: every `error` event opens a
+    * 10-minute incident window `[t0, t0+600)`; report, per incident, the
+    * events of ANY type inside it plus the exact distinct users touched.
+    *
+    * Why not a join: the r12 bucketized equi-join (bin = window size,
+    * range residual) still enumerates every (event, incident) candidate
+    * pair sharing a bin — and the pair set grows QUADRATICALLY in
+    * temporal density (10× rows in the same wall-clock span = ×100
+    * pairs; measured ×25 wall at sf1). But the per-incident aggregates
+    * never needed the pairs:
+    *
+    *   - `n_events(t0)` — an event at `ts` counts for incidents starting
+    *     at t0 ∈ [ts−599, ts], so fold events into per-second ±count
+    *     deltas in INCIDENT-START space and read the running sum at t0.
+    *   - `n_users(t0)` — exact windowed COUNT DISTINCT, which no running
+    *     sum gives directly; but per user the covered t0-set is the
+    *     UNION of per-event intervals, so merge each user's intervals
+    *     into disjoint ISLANDS (the q28 gaps-and-islands pass — one
+    *     user-keyed exchange) and each island is a clean ±1 delta.
+    *
+    * Incident probes union into the delta stream as zero-delta rows
+    * sorting AFTER same-second deltas (inclusive read), and the global
+    * running sum decomposes exactly like [[concurrency]]: within-bin
+    * windows on a 600 s bin key + a carry prefix over the TIME-bounded
+    * bin frame (52 560 rows/decade at any corpus size) broadcast-joined
+    * back. Shuffled rows stay O(events + incidents) — corpus-LINEAR at
+    * any density. Top 25 busiest incidents, ties broken by id.
     */
   def intervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val W = IncidentWindowS
     val ev = Tables.events(s, dir)
       .select(col("user_id"), tsS("ts").as("ts_s"))
-      .withColumn("bkt", expr(s"ts_s div $IncidentWindowS"))
-    val inc = Tables.events(s, dir)
+    // per-second event-count deltas in t0-space (+c at ts−599, −c at ts+1)
+    val evDeltas = ev.groupBy("ts_s").agg(count(lit(1)).as("c"))
+      .select(explode(array(
+        struct((col("ts_s") - (W - 1)).as("t"), col("c").as("de")),
+        struct((col("ts_s") + 1).as("t"), (-col("c")).as("de")))).as("b"))
+      .select(col("b.t").as("t"), col("b.de").as("de"), lit(0L).as("du"))
+    // per-user coverage islands → exact-distinct ±1 deltas
+    val wUser = Window.partitionBy("user_id").orderBy("a")
+    val islands = ev
+      .select(col("user_id"), (col("ts_s") - (W - 1)).as("a"), col("ts_s").as("b"))
+      .withColumn("maxb",
+        max("b").over(wUser.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("fresh",
+        when(col("maxb").isNull || col("a") > col("maxb"), 1L).otherwise(0L))
+      .withColumn("isl", sum("fresh").over(
+        wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "isl").agg(min("a").as("a"), max("b").as("b"))
+    val userDeltas = islands.select(explode(array(
+        struct(col("a").as("t"), lit(1L).as("du")),
+        struct((col("b") + 1).as("t"), lit(-1L).as("du")))).as("x"))
+      .select(col("x.t").as("t"), lit(0L).as("de"), col("x.du").as("du"))
+    val deltas = evDeltas.unionByName(userDeltas)
+      .groupBy("t").agg(sum("de").as("de"), sum("du").as("du"))
+      .select(col("t"), col("de"), col("du"),
+        lit(null).cast("long").as("inc_id"), lit(0).as("tag"))
+    val probes = Tables.events(s, dir)
       .filter(col("event_type") === "error")
-      .select(col("event_id").as("inc_id"), tsS("ts").as("t0"))
-      .withColumn("t1", col("t0") + IncidentWindowS)
-      .withColumn("bkt", explode(expr(
-        s"sequence(t0 div $IncidentWindowS, (t1 - 1) div $IncidentWindowS)")))
-    ev.join(inc.hint("shuffle_hash"), "bkt")
-      .where(col("ts_s") >= col("t0") && col("ts_s") < col("t1"))
-      .groupBy("inc_id")
-      .agg(count(lit(1)).as("n_events"),
-        countDistinct("user_id").as("n_users"))
+      .select(tsS("ts").as("t"), lit(0L).as("de"), lit(0L).as("du"),
+        col("event_id").as("inc_id"), lit(1).as("tag"))
+    val all = deltas.unionByName(probes)
+      .withColumn("bkt", expr(s"t div $W"))
+    val wBin = Window.partitionBy("bkt").orderBy("t", "tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // carry-in per bin: prefix over the time-bounded bin frame, broadcast
+    val wCarry = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val carry = all.groupBy("bkt")
+      .agg(sum("de").as("be"), sum("du").as("bu"))
+      .select(col("bkt"),
+        coalesce(sum("be").over(wCarry), lit(0L)).as("ce"),
+        coalesce(sum("bu").over(wCarry), lit(0L)).as("cu"))
+    all
+      .withColumn("run_e", sum("de").over(wBin))
+      .withColumn("run_u", sum("du").over(wBin))
+      .filter(col("tag") === 1)
+      .join(broadcast(carry), "bkt")
+      .select(col("inc_id"), (col("ce") + col("run_e")).as("n_events"),
+        (col("cu") + col("run_u")).as("n_users"))
       .orderBy(desc("n_events"), asc("inc_id"))
       .limit(25)
   }

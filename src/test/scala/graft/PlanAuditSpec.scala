@@ -567,4 +567,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffleCount(plans("text_confusion")) <= 4,
       s"text_confusion grew a shuffle:\n${plans("text_confusion")}")
   }
+
+  test("round-14 keys: interval join is a pair-free sweep-line") {
+    // evt_interval_join: NO event×incident pair join survives — the only
+    // join is the broadcast of the time-bounded bin-carry frame; every
+    // exchange (second fold, user islands, delta merge, bin windows,
+    // carry agg) is corpus-linear, so 10× density can never cost ×100
+    val p = plans("evt_interval_join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"evt_interval_join must never shuffle a pair join:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      "evt_interval_join must broadcast the bin-carry frame")
+    // the carry branch re-states the delta subtree in the plan TREE, but
+    // the exchanges are identical and dedupe at runtime (measured: 4
+    // executed + 2 ReusedExchange at sf0.01) — pin the tree at its
+    // current 9 so a real growth still fails
+    assert(shuffleCount(p) <= 9,
+      s"evt_interval_join grew a shuffle:\n$p")
+  }
 }
