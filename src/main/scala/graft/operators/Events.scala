@@ -332,6 +332,34 @@ object Events {
       .orderBy("bucket")
   }
 
+  /** COHORT LTV matrix — the signup-cohort × account-age grid every
+    * growth/finance team reads (cohort = the user's FIRST-event week,
+    * age = weeks since): per cell, active distinct users, events, and
+    * purchase revenue in exact cents. [[retention]] answers "did they
+    * come back"; this prices the comeback. Weeks are pure epoch
+    * arithmetic (`day div 7`) so no engine's week-of-year convention
+    * (ISO vs US) can disagree.
+    *
+    * Scale shape: ONE user-keyed exchange — the per-user first-week
+    * window — then the rollup lands in the (weeks × ages)-bounded frame
+    * (a DECADE of weekly cohorts is a 522×522 triangle at any corpus
+    * size); the distinct-user count makes the matrix agg two-phase.
+    */
+  def cohort(s: SparkSession, dir: String): DataFrame = {
+    val wUser = Window.partitionBy("user_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), tsS("ts").as("ts_s"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      .withColumn("week", expr("(ts_s div 86400) div 7"))
+      .withColumn("cohort", min("week").over(wUser))
+      .groupBy(col("cohort"), (col("week") - col("cohort")).as("age_w"))
+      .agg(countDistinct("user_id").as("n_users"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", col("cents"))
+          .otherwise(lit(0L))).as("rev_cents"))
+      .orderBy("cohort", "age_w")
+  }
+
   /** Volume-spike detection: flag (type, hour) buckets whose event count
     * sits more than two standard deviations above the type's hourly
     * mean. The z-test is evaluated WITHOUT floats by cross-multiplying
@@ -851,6 +879,7 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_interval_join" -> (intervalJoin _),
     "evt_histogram" -> (histogram _),
+    "evt_cohort" -> (cohort _),
     "evt_paths" -> (paths _),
     "evt_concurrency" -> (concurrency _),
     "evt_sessionize" -> (sessionize _),
@@ -992,6 +1021,17 @@ object Events {
         |  min(cents) AS min_cents, max(cents) AS max_cents,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM c GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+    "evt_cohort" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    (epoch_us(ts) // 1000000 // 86400) // 7 AS week,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |c AS (SELECT *, min(week) OVER (PARTITION BY user_id) AS cohort
+        |      FROM e)
+        |SELECT cohort, week - cohort AS age_w,
+        |  count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN cents
+        |           ELSE 0 END) AS BIGINT) AS rev_cents
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "evt_paths" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id, event_type,

@@ -231,6 +231,65 @@ object TextOps {
       .select("doc_id", "n_tokens", "start_off", "seq_id")
   }
 
+  /** RAG CHUNKING — split every document into fixed-size token chunks
+    * with overlap (size 64, stride 48 ⇒ 16-token overlap), the
+    * context-window preparation step between [[textTokens]] (how many
+    * tokens) and [[textPack]] (which sequence a doc lands in): per
+    * chunk its index, token span `[tok_start, tok_start+tok_len)`, and
+    * the first/last token as content anchors, so a retriever's chunk
+    * table replays bit-for-bit. Chunk count is exact integer ceiling
+    * arithmetic (`1 + (n−64+47) div 48` past one window) — no float
+    * ceil for an engine to round differently.
+    *
+    * Scale shape: scan-only — the per-doc `sequence` explode is
+    * map-side (fan-out n_tok/48 per doc, proportional to corpus bytes)
+    * and zero exchanges follow; the chunk table is written as produced.
+    */
+  def textChunk(s: SparkSession, dir: String): DataFrame = {
+    val C = 64L; val S = 48L
+    Tables.documents(s, dir)
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("bigint"))
+      .filter(col("n_tok") > 0)
+      .withColumn("n_chunks", when(col("n_tok") <= C, lit(1L))
+        .otherwise(lit(1L) + expr(s"(n_tok - $C + ${S - 1}) div $S")))
+      .withColumn("chunk_idx", explode(expr("sequence(0L, n_chunks - 1)")))
+      .withColumn("tok_start", col("chunk_idx") * S)
+      .withColumn("tok_len",
+        least(col("tok_start") + C, col("n_tok")) - col("tok_start"))
+      .select(col("doc_id"), col("chunk_idx"), col("tok_start"), col("tok_len"),
+        expr("toks[int(tok_start)]").as("first_tok"),
+        expr("toks[int(tok_start + tok_len - 1)]").as("last_tok"))
+  }
+
+  /** BAD-WORD FILTER (the C4-style blocklist gate): score every document
+    * against a broadcast term blocklist — hit count, per-mille hit rate
+    * in exact integers, and the keep/drop verdict at a 2% threshold
+    * (`50·hits ≥ n_tok`, cross-multiplied so no ratio rounds). The
+    * lexicon here is a deterministic stand-in (real deployments load
+    * thousands of terms); the MECHANISM — broadcast-scale set, one
+    * in-kernel membership filter per token, verdict folded into the
+    * same pass — is the production shape.
+    *
+    * Scale shape: scan-only, zero exchanges — the blocklist is a plan
+    * literal at this size (a 10⁴-term list would bind via a broadcast
+    * the way dedup_decontaminate's gram set does), and the per-doc
+    * `filter(toks, …)` runs map-side.
+    */
+  def textBadwords(s: SparkSession, dir: String): DataFrame = {
+    val lex = Seq("slow", "leak", "skew", "spill", "stale")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("bigint"))
+      .filter(col("n_tok") > 0)
+      .withColumn("n_hits", size(expr(
+        s"filter(toks, t -> array_contains(array(${lex.map("'" + _ + "'").mkString(",")}), t))"))
+        .cast("bigint"))
+      .select(col("doc_id"), col("n_tok"), col("n_hits"),
+        expr("(1000 * n_hits) div n_tok").as("hit_pm"),
+        (col("n_hits") * 50L >= col("n_tok")).as("flagged"))
+  }
+
   /** Top-3 SALIENT terms per document — the keyword-extraction step of a
     * corpus explorer: rank a doc's terms by (tf DESC, df ASC, term ASC),
     * i.e. tf-idf's ordering expressed purely in integers (frequent in
@@ -1023,6 +1082,8 @@ object TextOps {
     "text_rollhash" -> (textRollhash _),
     "text_winnowing" -> (textWinnowing _),
     "text_pack" -> (textPack _),
+    "text_chunk" -> (textChunk _),
+    "text_badwords" -> (textBadwords _),
     "text_salient" -> (textSalient _),
     "text_fingerprint" -> (textFingerprint _))
 
@@ -1389,6 +1450,32 @@ object TextOps {
          |      ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rk
          |  FROM tf JOIN df USING (term)) t
          |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "text_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok
+         |      FROM t WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, toks, n_tok,
+         |        CASE WHEN n_tok <= 64 THEN 1
+         |             ELSE 1 + (n_tok - 64 + 47) // 48 END AS n_chunks
+         |      FROM n)
+         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         |  CAST(i * 48 AS BIGINT) AS tok_start,
+         |  CAST(least(i * 48 + 64, n_tok) - i * 48 AS BIGINT) AS tok_len,
+         |  toks[CAST(i * 48 + 1 AS BIGINT)] AS first_tok,
+         |  toks[CAST(least(i * 48 + 64, n_tok) AS BIGINT)] AS last_tok
+         |FROM c, unnest(generate_series(0, n_chunks - 1)) AS g(i)""".stripMargin,
+    "text_badwords" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |n AS (SELECT doc_id,
+         |        CAST(len(toks) AS BIGINT) AS n_tok,
+         |        CAST(len(list_filter(toks, x -> list_contains(
+         |          ['slow','leak','skew','spill','stale'], x)))
+         |          AS BIGINT) AS n_hits
+         |      FROM t WHERE len(toks) > 0)
+         |SELECT doc_id, n_tok, n_hits,
+         |  (1000 * n_hits) // n_tok AS hit_pm,
+         |  n_hits * 50 >= n_tok AS flagged
+         |FROM n""".stripMargin,
     // the oracle replays the packing as ONE global window — correct at
     // oracle scale; the Spark side's block-and-broadcast prefix sum is the
     // distributed equivalent

@@ -584,5 +584,15 @@ class PlanAuditSpec extends SparkSpec {
     // current 9 so a real growth still fails
     assert(shuffleCount(p) <= 9,
       s"evt_interval_join grew a shuffle:\n$p")
+    // text_chunk / text_badwords: scan-only — the explode/membership
+    // filter is map-side expression work, zero exchanges
+    assert(shuffleCount(plans("text_chunk")) === 0,
+      s"text_chunk must stay scan-only:\n${plans("text_chunk")}")
+    assert(shuffleCount(plans("text_badwords")) === 0,
+      s"text_badwords must stay scan-only:\n${plans("text_badwords")}")
+    // evt_cohort: one user-keyed window; the bounded matrix rollup's
+    // distinct-user phase + presentation sort
+    assert(shuffleCount(plans("evt_cohort")) <= 4,
+      s"evt_cohort grew a shuffle:\n${plans("evt_cohort")}")
   }
 }
