@@ -332,6 +332,69 @@ object Events {
       .orderBy("bucket")
   }
 
+  /** STATIONARY DISTRIBUTION of the within-session event-type Markov
+    * chain — [[transitions]] estimates the matrix; this answers "where
+    * does the chain settle": 8 power-iteration rounds from the uniform
+    * vector, all arithmetic exact fixed-point ppm (row-normalized
+    * `p6 = 1e6·n div row_total`, each round `v' = Σ v·p6 div 1e6`) so
+    * DuckDB replays the iteration bit-for-bit as 8 chained CTEs (the
+    * dpLevelSql discipline — no float linear algebra to diverge in the
+    * last ulp).
+    *
+    * Scale shape: the ONE corpus-scale pass is the lag-walk that counts
+    * transitions (the evt_transitions shape, one user-keyed exchange
+    * into the \|types\|²-bounded matrix); every iteration is a join of
+    * \|types\|-row frames — driver-side-free, broadcast-scale, constant
+    * at any corpus size.
+    */
+  def markov(s: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val m = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), tsS("ts").as("ts_s"))
+      .withColumn("prev_type", lag("event_type", 1).over(order))
+      .withColumn("prev_s", lag(col("ts_s"), 1).over(order))
+      .filter(col("prev_type").isNotNull &&
+        col("ts_s") - col("prev_s") <= SessionGapS)
+      .groupBy(col("prev_type").as("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p6", expr(
+        "(1000000 * n) div sum(n) over (partition by from_type)"))
+      .select("from_type", "to_type", "p6")
+    val types = m.select(col("from_type").as("type")).distinct()
+    var v = types.crossJoin(broadcast(types.agg(count(lit(1)).as("k"))))
+      .select(col("type"), expr("1000000 div k").as("p"))
+    for (_ <- 1 to 8)
+      v = v.join(m, v("type") === m("from_type"))
+        .groupBy(col("to_type"))
+        .agg(sum(col("p") * col("p6")).as("num"))
+        .select(col("to_type").as("type"), expr("num div 1000000").as("p"))
+    v.select(col("type"), col("p").as("ppm")).orderBy("type")
+  }
+
+  /** LAST-OBSERVATION-CARRIED-FORWARD enrichment (forward fill): every
+    * event annotated with the user's most recent purchase amount at
+    * that instant (−1 before any purchase) — the state-propagation
+    * join a feature store runs ("value of the customer at the moment
+    * of each click") that naively plans as an events×purchases
+    * BETWEEN-join but is exactly `last(…, ignoreNulls)` over the
+    * per-user event order: ONE user-keyed exchange, corpus-scale
+    * output, zero joins.
+    */
+  def ffill(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), tsS("ts").as("ts_s"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      .withColumn("last_purchase_c", coalesce(
+        last(when(col("event_type") === "purchase", col("cents")),
+          ignoreNulls = true).over(w), lit(-1L)))
+      .select("event_id", "user_id", "event_type", "ts_s", "last_purchase_c")
+  }
+
   /** COHORT LTV matrix — the signup-cohort × account-age grid every
     * growth/finance team reads (cohort = the user's FIRST-event week,
     * age = weeks since): per cell, active distinct users, events, and
@@ -880,6 +943,8 @@ object Events {
     "evt_interval_join" -> (intervalJoin _),
     "evt_histogram" -> (histogram _),
     "evt_cohort" -> (cohort _),
+    "evt_markov" -> (markov _),
+    "evt_ffill" -> (ffill _),
     "evt_paths" -> (paths _),
     "evt_concurrency" -> (concurrency _),
     "evt_sessionize" -> (sessionize _),
@@ -1021,6 +1086,41 @@ object Events {
         |  min(cents) AS min_cents, max(cents) AS max_cents,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM c GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+    // the 8 power-iteration rounds replay as chained CTEs (the
+    // dpLevelSql discipline) — all-integer ppm arithmetic, so the
+    // replay is exact
+    "evt_markov" -> {
+      val rounds = (1 to 8).map(k =>
+        s"""v$k AS (SELECT m.to_type AS type,
+           |  CAST(sum(v.p * m.p6) // 1000000 AS BIGINT) AS p
+           |  FROM v${k - 1} v JOIN m ON m.from_type = v.type GROUP BY 1)"""
+          .stripMargin).mkString(",\n")
+      s"""WITH pr AS (
+         |  SELECT lag(event_type) OVER w AS from_type, event_type AS to_type,
+         |    epoch_us(ts) // 1000000
+         |      - lag(epoch_us(ts) // 1000000) OVER w AS gap_s
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |m AS (
+         |  SELECT from_type, to_type,
+         |    CAST((1000000 * count(*))
+         |      // sum(count(*)) OVER (PARTITION BY from_type) AS BIGINT) AS p6
+         |  FROM pr WHERE from_type IS NOT NULL AND gap_s <= 14400
+         |  GROUP BY 1, 2),
+         |t AS (SELECT DISTINCT from_type AS type FROM m),
+         |v0 AS (SELECT type,
+         |  CAST(1000000 // (SELECT count(*) FROM t) AS BIGINT) AS p FROM t),
+         |$rounds
+         |SELECT type, p AS ppm FROM v8 ORDER BY type""".stripMargin
+    },
+    "evt_ffill" ->
+      """SELECT event_id, user_id, event_type,
+        |  epoch_us(ts) // 1000000 AS ts_s,
+        |  coalesce(last_value(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)
+        |    AS last_purchase_c
+        |FROM events""".stripMargin,
     "evt_cohort" ->
       """WITH e AS (SELECT user_id, event_type,
         |    (epoch_us(ts) // 1000000 // 86400) // 7 AS week,

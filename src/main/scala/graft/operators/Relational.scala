@@ -644,7 +644,46 @@ object Relational {
         min("value").as("min_v"), max("value").as("max_v"))
       .orderBy("attribute")
 
+  /** SKYLINE (Pareto frontier) — the multi-criteria shortlist operator
+    * (Börzsönyi et al. 2001): parts no other part beats on BOTH
+    * dimensions (cheaper-or-equal price AND larger-or-equal size, with
+    * one strict). A part is dominated iff `max(size | price < p) ≥ s`
+    * OR `max(size | price ≤ p) > s` — two running maxima over the
+    * price order, so the classic nested-loop/NOT-EXISTS formulation
+    * (quadratic, and an inequality join no engine hashes) collapses to
+    * cummax. The GLOBAL price order is the usual single-task trap, so
+    * it decomposes exactly like evt_concurrency: fixed $100 price bins
+    * → per-bin max partial-aggregates map-side, carry prefix-max over
+    * the VALUE-bounded bin frame broadcasts back, and the within-bin
+    * running maxima ride one bin-keyed exchange (RANGE frames on exact
+    * cents give the strict/non-strict split). Ties on both dims don't
+    * dominate each other — both survive, per the standard definition.
+    */
+  def q30Skyline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = Tables.part(s, dir)
+      .select(col("p_partkey"), cents(col("p_retailprice")).as("price_c"),
+        col("p_size").cast("bigint").as("size"))
+      .withColumn("bin", expr("price_c div 10000"))
+    val wCarry = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    val carry = parts.groupBy("bin").agg(max("size").as("bmax"))
+      .select(col("bin"), max("bmax").over(wCarry).as("cmax"))
+    val wLt = Window.partitionBy("bin").orderBy("price_c")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wLe = Window.partitionBy("bin").orderBy("price_c")
+      .rangeBetween(Window.unboundedPreceding, 0)
+    parts.join(broadcast(carry), "bin")
+      .withColumn("m_lt", greatest(coalesce(max("size").over(wLt), lit(-1L)),
+        coalesce(col("cmax"), lit(-1L))))
+      .withColumn("m_le", greatest(coalesce(max("size").over(wLe), lit(-1L)),
+        coalesce(col("cmax"), lit(-1L))))
+      .filter(!(col("m_lt") >= col("size") || col("m_le") > col("size")))
+      .select("p_partkey", "price_c", "size")
+      .orderBy("price_c", "p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_skyline" -> (q30Skyline _),
     "q27_run_distinct" -> (q27RunDistinct _),
     "q25_string_agg" -> (q25StringAgg _),
     "q26_ntile" -> (q26Ntile _),
@@ -681,6 +720,22 @@ object Relational {
   private val lBp = "CAST(round(l_discount * 100) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    // the oracle replays the two running maxima as ONE global window —
+    // correct at oracle scale; the Spark side's bin-and-broadcast prefix
+    // max is the distributed equivalent (the text_pack precedent)
+    "q30_skyline" ->
+      """WITH p AS (SELECT p_partkey,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+        |    CAST(p_size AS BIGINT) AS size FROM part),
+        |m AS (SELECT p_partkey, price_c, size,
+        |    coalesce(max(size) OVER (ORDER BY price_c
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS m_lt,
+        |    coalesce(max(size) OVER (ORDER BY price_c
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS m_le
+        |  FROM p)
+        |SELECT p_partkey, price_c, size FROM m
+        |WHERE NOT (m_lt >= size OR m_le > size)
+        |ORDER BY price_c, p_partkey""".stripMargin,
     "q29_unpivot" ->
       """WITH w AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS size,
         |    CAST(round(p_retailprice * 100) AS BIGINT) AS retail_c,

@@ -46,6 +46,8 @@ class PlanAuditSpec extends SparkSpec {
       "q26_ntile", "geo_hotspot", "ann_hamming",
       // graph_lpa: the 1-row edge-count scalar bind (modularity numerator)
       "graph_lpa",
+      // evt_markov: the 1-row type-count scalar bind (uniform v0)
+      "evt_markov",
       // ann_nprobe: inherits the brute-truth broadcast crossJoin + the
       // 1-row truth-count scalar bind
       "ann_nprobe")
@@ -594,5 +596,24 @@ class PlanAuditSpec extends SparkSpec {
     // distinct-user phase + presentation sort
     assert(shuffleCount(plans("evt_cohort")) <= 4,
       s"evt_cohort grew a shuffle:\n${plans("evt_cohort")}")
+    // evt_ffill: exactly the one user-keyed window exchange, no join
+    assert(shuffleCount(plans("evt_ffill")) <= 1,
+      s"evt_ffill must be one keyed window:\n${plans("evt_ffill")}")
+    assert(!plans("evt_ffill").contains("Join"),
+      "evt_ffill must never join events to purchases")
+    // q30_skyline: bin-keyed cummax + broadcast carry — the dominance
+    // test must never become an inequality join
+    assert(!plans("q30_skyline").contains("Join") ||
+      plans("q30_skyline").contains("BroadcastHashJoin"),
+      s"q30_skyline must only broadcast the carry:\n${plans("q30_skyline")}")
+    assert(!plans("q30_skyline").contains("SortMergeJoin") &&
+      !plans("q30_skyline").contains("NestedLoop"),
+      "q30_skyline must not plan a dominance join")
+    assert(shuffleCount(plans("q30_skyline")) <= 5,
+      s"q30_skyline grew a shuffle:\n${plans("q30_skyline")}")
+    // evt_markov: the corpus-scale matrix pass is lag-walk-shaped; the 8
+    // iteration joins are |types|-row broadcasts, never sort-merge
+    assert(!plans("evt_markov").contains("SortMergeJoin"),
+      s"evt_markov iterations must broadcast:\n${plans("evt_markov")}")
   }
 }
