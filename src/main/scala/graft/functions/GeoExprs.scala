@@ -782,10 +782,14 @@ object GeoFunctions {
 
 /** Session extension registering graft expressions cluster-wide. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GeoFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction((new FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.GeoExprs", name),
         builder))
     }
+    // literal-width range joins rewrite to binned equi-joins instead of
+    // nested loops (see graft.plans.RangeBinJoin)
+    ext.injectOptimizerRule(_ => graft.plans.RangeBinJoin)
+  }
 }
