@@ -1057,7 +1057,51 @@ object TextOps {
         "ok_rep", "ok_uniq", "n_fp", "ok_decon", "keep", "reason")
   }
 
+  /** TRAINING MANIFEST — the end-of-pipeline artifact a pretraining run
+    * actually consumes, composed from the SAME stages the standalone
+    * keys expose: [[pipeCurate]]'s five-gate verdict selects the kept
+    * docs, each gets its shard (pipe_shard's content hash), and the
+    * kept set packs into 512-token sequences via text_pack's
+    * distributed prefix sum — one row per surviving document:
+    * `(doc_id, shard, n_tokens, start_off, seq_id)`. Because every
+    * number is derived inside one composed plan, the manifest can
+    * never disagree with the filters that produced it (recomputed
+    * manifests drifting from the filter run is how real training
+    * mixes go stale).
+    *
+    * Scale shape: the curation signals stay ONE documents scan
+    * (expression kernels); the dedup-gate window and the pack's
+    * block-prefix broadcast are the only exchanges beyond the bounded
+    * block frame — the manifest adds NO new corpus-scale shuffle on
+    * top of its ingredients.
+    */
+  def pipeManifest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GeoFunctions.register(s)
+    val kept = curateSignals(Tables.documents(s, dir), deconArtifactCol(s, dir))
+      .withColumn("keep_id", min("doc_id").over(Window.partitionBy("fp")))
+      .filter(col("doc_id") === col("keep_id") &&
+        col("ok_lang") && col("ok_quality") && col("ok_rep") && col("ok_decon"))
+      .select(col("doc_id"), col("n_words").as("n_tokens"),
+        expr("CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT) % 16")
+          .as("shard"))
+      .withColumn("block", expr("doc_id div 4096"))
+    val blockOff = kept.groupBy("block").agg(sum("n_tokens").as("btot"))
+      .withColumn("boff", coalesce(sum("btot").over(
+        Window.orderBy("block").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("block", "boff")
+    val inBlock = Window.partitionBy("block").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    kept.join(broadcast(blockOff), "block")
+      .withColumn("start_off",
+        col("boff") + coalesce(sum("n_tokens").over(inBlock), lit(0L)))
+      .withColumn("seq_id", expr("start_off div 512"))
+      .select("doc_id", "shard", "n_tokens", "start_off", "seq_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_manifest" -> (pipeManifest _),
     "pipe_curate" -> (pipeCurate _),
     "pipe_report" -> (pipeReport _),
     "text_collocations" -> (textCollocations _),
@@ -1278,6 +1322,24 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "pipe_curate" -> pipeCurateSql,
+    // manifest = curate verdicts (same CTE) → shard hash → pack prefix;
+    // the oracle replays the pack as ONE global window (text_pack
+    // precedent — the Spark side's block prefix is the distributed form)
+    "pipe_manifest" ->
+      s"""WITH kept AS (SELECT doc_id, n_words FROM ($pipeCurateSql) c
+         |  WHERE keep),
+         |d AS (SELECT k.doc_id, k.n_words AS n_tokens,
+         |    CAST(('0x' || substr(md5(doc.text), 1, 8)) AS BIGINT) % 16
+         |      AS shard
+         |  FROM kept k JOIN documents doc ON doc.doc_id = k.doc_id),
+         |p AS (SELECT doc_id, n_tokens, shard,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS start_off
+         |  FROM d)
+         |SELECT doc_id, shard, n_tokens,
+         |  CAST(start_off AS BIGINT) AS start_off,
+         |  CAST(start_off // 512 AS BIGINT) AS seq_id FROM p""".stripMargin,
     "pipe_report" ->
       s"""SELECT pred_lang, count(*) AS n_docs,
          |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,

@@ -1174,4 +1174,24 @@ class PipelineSpec extends SparkSpec {
     // pair uniqueness (band-join dedup really happened)
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length === rows.length)
   }
+
+  test("pipe_manifest: kept set equals pipe_curate's, offsets are a gapless prefix") {
+    val kept = operators.TextOps.pipeCurate(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("keep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val man = operators.TextOps.pipeManifest(spark, sfDir)
+      .orderBy("doc_id").collect()
+    assert(man.map(_.getLong(0)).toSet === kept,
+      "manifest rows must be exactly the curate-kept documents")
+    // offsets: start_off is the running sum of n_tokens in doc_id order
+    var off = 0L
+    man.foreach { r =>
+      assert(r.getLong(3) === off,
+        s"doc ${r.getLong(0)} offset ${r.getLong(3)} != expected $off")
+      assert(r.getLong(4) === off / 512, "seq_id must be start_off div 512")
+      off += r.getLong(2)
+    }
+    // shards stay in the fixed 16-way layout
+    assert(man.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 16))
+  }
 }

@@ -615,5 +615,14 @@ class PlanAuditSpec extends SparkSpec {
     // iteration joins are |types|-row broadcasts, never sort-merge
     assert(!plans("evt_markov").contains("SortMergeJoin"),
       s"evt_markov iterations must broadcast:\n${plans("evt_markov")}")
+    // pipe_manifest: curate signals stay ONE scan (deconstats kernel
+    // present); the dedup window + pack block prefix are the only
+    // corpus-scale exchanges, the block frame broadcasts back
+    assert(plans("pipe_manifest").contains("deconstats"),
+      "pipe_manifest must reuse the fused curation kernel")
+    assert(plans("pipe_manifest").contains("BroadcastExchange"),
+      "pipe_manifest must broadcast the pack block frame")
+    assert(!plans("pipe_manifest").contains("SortMergeJoin"),
+      s"pipe_manifest grew a corpus join:\n${plans("pipe_manifest")}")
   }
 }
