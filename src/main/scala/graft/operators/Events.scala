@@ -395,6 +395,48 @@ object Events {
       .select("event_id", "user_id", "event_type", "ts_s", "last_purchase_c")
   }
 
+  /** AUTOCORRELATION FUNCTION (ACF) of the per-type hourly count series
+    * at lags 1–24 — the periodicity diagnostic next to [[seasonality]]
+    * (which assumes the weekly cycle; ACF measures which cycles exist)
+    * and [[holt]] (whose trend model ACF validates). All moments are
+    * exact integers via the cross-multiplied form: with n = hours,
+    * S = Σx, `num(l) = n²Σx_t·x_{t−l} − nS(Σx_t + Σx_{t−l}) + cnt·S²`
+    * and `den = n²Σx² − nS²`, so the only float is ONE final double
+    * division (bit-identical cross-engine). Hours with zero events are
+    * unobserved rows, the [[anomaly]] sparse-series convention.
+    *
+    * Scale shape: ONE corpus-scale pass (the (type, hour) partial
+    * count); everything after runs on the TIME-bounded hourly frame —
+    * the ×24 lag explode and the self-join on (type, hour−lag) touch
+    * ≤ 24·8 760·|types| rows/year regardless of corpus size. (At 10⁹
+    * events/hour the n²Σxy products need DECIMAL(38); the
+    * cross-multiplied form ports unchanged.)
+    */
+  def acf(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("ts div 3600000000000").as("hour"))
+      .agg(count(lit(1)).as("x"))
+    val mom = hourly.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum("x").as("sx"),
+      sum(expr("x * x")).as("qx"))
+    val pairs = hourly
+      .withColumn("lag", explode(expr("sequence(1L, 24L)")))
+      .withColumn("h2", col("hour") - col("lag"))
+      .join(hourly.select(col("event_type"), col("hour").as("h2"),
+        col("x").as("y")), Seq("event_type", "h2"))
+      .groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("n_pairs"), sum(expr("x * y")).as("sxy"),
+        sum("x").as("sa"), sum("y").as("sb"))
+    pairs.join(broadcast(mom), "event_type")
+      .withColumn("num", expr(
+        "n * n * sxy - n * sx * sa - n * sx * sb + n_pairs * sx * sx"))
+      .withColumn("den", expr("n * n * qx - n * sx * sx"))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        col("num"), col("den"),
+        (col("num").cast("double") / col("den")).as("r"))
+      .orderBy("event_type", "lag")
+  }
+
   /** COHORT LTV matrix — the signup-cohort × account-age grid every
     * growth/finance team reads (cohort = the user's FIRST-event week,
     * age = weeks since): per cell, active distinct users, events, and
@@ -943,6 +985,7 @@ object Events {
     "evt_interval_join" -> (intervalJoin _),
     "evt_histogram" -> (histogram _),
     "evt_cohort" -> (cohort _),
+    "evt_acf" -> (acf _),
     "evt_markov" -> (markov _),
     "evt_ffill" -> (ffill _),
     "evt_paths" -> (paths _),
@@ -1086,6 +1129,32 @@ object Events {
         |  min(cents) AS min_cents, max(cents) AS max_cents,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM c GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+    "evt_acf" ->
+      """WITH hourly AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS hour,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |mom AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS qx
+        |  FROM hourly GROUP BY 1),
+        |pr AS (SELECT a.event_type, l.lag,
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(a.x * b.x) AS BIGINT) AS sxy,
+        |    CAST(sum(a.x) AS BIGINT) AS sa, CAST(sum(b.x) AS BIGINT) AS sb
+        |  FROM hourly a
+        |  CROSS JOIN (SELECT CAST(unnest(generate_series(1, 24)) AS BIGINT)
+        |              AS lag) l
+        |  JOIN hourly b ON b.event_type = a.event_type
+        |    AND b.hour = a.hour - l.lag
+        |  GROUP BY 1, 2)
+        |SELECT p.event_type, p.lag, p.n_pairs,
+        |  m.n * m.n * p.sxy - m.n * m.sx * p.sa - m.n * m.sx * p.sb
+        |    + p.n_pairs * m.sx * m.sx AS num,
+        |  m.n * m.n * m.qx - m.n * m.sx * m.sx AS den,
+        |  CAST(m.n * m.n * p.sxy - m.n * m.sx * p.sa - m.n * m.sx * p.sb
+        |    + p.n_pairs * m.sx * m.sx AS DOUBLE)
+        |    / (m.n * m.n * m.qx - m.n * m.sx * m.sx) AS r
+        |FROM pr p JOIN mom m ON m.event_type = p.event_type
+        |ORDER BY 1, 2""".stripMargin,
     // the 8 power-iteration rounds replay as chained CTEs (the
     // dpLevelSql discipline) — all-integer ppm arithmetic, so the
     // replay is exact

@@ -682,7 +682,76 @@ object Relational {
       .orderBy("price_c", "p_partkey")
   }
 
+  /** WEIGHTED MEDIAN per group — the robust-statistics order statistic
+    * (median price weighted by quantity) that `percentile` built-ins
+    * approximate and q12's rank-at-ceil can't weight. Definition:
+    * smallest value v with `2·cumweight(≤v) ≥ total` (the lower
+    * weighted median — exact, no interpolation, engine-portable).
+    * The global per-group value order is the usual one-task trap, so
+    * it decomposes like q26_ntile's two-level rank: duplicates collapse
+    * map-side into (group, value) weights, $1000 VALUE bins partial-agg,
+    * the carry prefix over the domain-bounded bin frame locates the ONE
+    * median bin per group, and only THAT bin's rows take a within-bin
+    * running sum — the corpus never sorts globally.
+    */
+  def q31WeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"),
+        cents(col("l_extendedprice")).as("cents"),
+        col("l_quantity").cast("bigint").as("w"))
+      .groupBy("flag", "cents").agg(sum("w").as("w"))
+      .withColumn("bin", expr("cents div 100000"))
+    val wCarry = Window.partitionBy("flag").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val medBin = li.groupBy("flag", "bin").agg(sum("w").as("bw"))
+      .withColumn("cw", coalesce(sum("bw").over(wCarry), lit(0L)))
+      .withColumn("tot", sum("bw").over(Window.partitionBy("flag")))
+      .filter(col("cw") * 2 < col("tot") &&
+        (col("cw") + col("bw")) * 2 >= col("tot"))
+      .select("flag", "bin", "cw", "tot")
+    val wIn = Window.partitionBy("flag").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.join(broadcast(medBin), Seq("flag", "bin"))
+      .withColumn("run", col("cw") + sum("w").over(wIn))
+      .filter(col("run") * 2 >= col("tot"))
+      .groupBy("flag")
+      .agg(min("cents").as("median_c"), max("tot").as("tot_w"))
+      .orderBy("flag")
+  }
+
+  /** Z-ORDER layout profile — the data-skipping clustering every lake
+    * engine offers (Delta/Iceberg `OPTIMIZE ZORDER BY`): interleave the
+    * bits of two query dimensions (size, $100 price bucket) into one
+    * sort key, bucket by `z div 64`, and report per-bucket row counts
+    * plus min/max of BOTH dimensions — the zone-map ranges a scan
+    * planner prunes against. Under doc-order layout a bucket's
+    * (size × price) box spans the whole domain; under z-order each
+    * bucket covers a tight box, so a 2-D range predicate skips most
+    * buckets — the point of the operator. The interleave is 32 exact
+    * bit terms (shift/mask/shift), identical integer arithmetic in
+    * both engines; one scan, one bounded aggregate (the z-bucket space
+    * is domain-, not corpus-, sized).
+    */
+  def q32Zorder(s: SparkSession, dir: String): DataFrame = {
+    val zExpr = (0 until 16).map(i =>
+      s"(shiftleft(shiftright(size, $i) & 1, ${2 * i}) + " +
+        s"shiftleft(shiftright(pb, $i) & 1, ${2 * i + 1}))").mkString(" + ")
+    Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_size").cast("bigint").as("size"),
+        cents(col("p_retailprice")).as("pc"))
+      .withColumn("pb", expr("pc div 10000"))
+      .withColumn("z", expr(zExpr))
+      .groupBy(expr("z div 64").as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min("size").as("min_size"), max("size").as("max_size"),
+        min("pb").as("min_pb"), max("pb").as("max_pb"))
+      .orderBy("zbucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_weighted_median" -> (q31WeightedMedian _),
+    "q32_zorder" -> (q32Zorder _),
     "q30_skyline" -> (q30Skyline _),
     "q27_run_distinct" -> (q27RunDistinct _),
     "q25_string_agg" -> (q25StringAgg _),
@@ -720,6 +789,35 @@ object Relational {
   private val lBp = "CAST(round(l_discount * 100) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    // the oracle replays the median scan as ONE global running sum —
+    // correct at oracle scale; the Spark side's bin-carry + median-bin
+    // refinement is the distributed equivalent (the q26_ntile precedent)
+    "q31_weighted_median" ->
+      """WITH g AS (SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT flag, cents,
+        |    sum(w) OVER (PARTITION BY flag ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+        |    sum(w) OVER (PARTITION BY flag) AS tot
+        |  FROM g)
+        |SELECT flag, CAST(min(cents) AS BIGINT) AS median_c,
+        |  CAST(max(tot) AS BIGINT) AS tot_w
+        |FROM r WHERE run * 2 >= tot GROUP BY flag ORDER BY flag""".stripMargin,
+    "q32_zorder" -> {
+      val zSql = (0 until 16).map(i =>
+        s"((((size >> $i) & 1) << ${2 * i}) + (((pb >> $i) & 1) << ${2 * i + 1}))")
+        .mkString(" + ")
+      s"""WITH p AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS size,
+         |    CAST(round(p_retailprice * 100) AS BIGINT) // 10000 AS pb
+         |  FROM part),
+         |z AS (SELECT p_partkey, size, pb, $zSql AS z FROM p)
+         |SELECT z // 64 AS zbucket, count(*) AS n,
+         |  min(size) AS min_size, max(size) AS max_size,
+         |  min(pb) AS min_pb, max(pb) AS max_pb
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // the oracle replays the two running maxima as ONE global window —
     // correct at oracle scale; the Spark side's bin-and-broadcast prefix
     // max is the distributed equivalent (the text_pack precedent)

@@ -624,5 +624,17 @@ class PlanAuditSpec extends SparkSpec {
       "pipe_manifest must broadcast the pack block frame")
     assert(!plans("pipe_manifest").contains("SortMergeJoin"),
       s"pipe_manifest grew a corpus join:\n${plans("pipe_manifest")}")
+    // q31_weighted_median: the only joins are the broadcast median-bin
+    // set; the corpus never sorts globally
+    assert(!plans("q31_weighted_median").contains("SortMergeJoin"),
+      s"q31_weighted_median must broadcast the median bins:\n${plans("q31_weighted_median")}")
+    // q32_zorder: one scan + one bounded aggregate + sort
+    assert(shuffleCount(plans("q32_zorder")) <= 2,
+      s"q32_zorder grew a shuffle:\n${plans("q32_zorder")}")
+    // evt_acf: one corpus-scale hourly partial; lag machinery stays on
+    // the bounded hourly frame (hash joins fine, never a nested loop
+    // beyond the whitelisted scalar binds)
+    assert(!plans("evt_acf").contains("CartesianProduct"),
+      s"evt_acf must never cross-join the corpus:\n${plans("evt_acf")}")
   }
 }
