@@ -574,35 +574,42 @@ object Geometry {
     */
   def geoDbscanCore(s: SparkSession, dir: String): DataFrame = {
     val eps = 400L
-    val pts = points(s, dir).select("event_id", "xi", "yi")
-    // hash-partition the probe side on its own cell key (the geo_knn
-    // layout discipline) — NOT an optional nicety here: the join's
-    // OUTPUT is Θ(n·ρε²), up to 1000× its input, and both the scan's
-    // file-partitioning and AQE size plans by INPUT bytes, so without
-    // the explicit exchange a compact source file serializes the whole
-    // candidate stream through a handful of tasks (measured at sf1: the
-    // 12 MB events file read as ONE partition → one task chewing ~1e9
-    // joined rows). At cluster scale the same exchange is simply the
-    // shuffle-join's own distribution — it is never wasted work.
-    val left = pts
+    // COLLAPSE DUPLICATE COORDINATES FIRST (r14): the ε-census depends
+    // only on the coordinate — co-located points share one neighbor
+    // count (S − 1 each, S = Σ multiplicities of qualifying coords,
+    // which includes their own coord once for self), and the rollup's
+    // masses are additive (n_points += m, id_sum += Σids). So the
+    // quadratic grid join runs over UNIQUE weighted coordinates — the
+    // micro-cluster trick every density engine uses — and the pair work
+    // is bounded by the coordinate DOMAIN, not the corpus: 10× denser
+    // data previously meant ×100 pairs (59 s at sf1); now the unique
+    // frame saturates and sf1 ≈ sf0.1 (+ one map-side collapse).
+    val uc = points(s, dir).groupBy("xi", "yi")
+      .agg(count(lit(1)).as("m"), sum("event_id").as("sid"))
+    // hash-partition the probe side on its cell key (the geo_knn layout
+    // discipline): the join's OUTPUT is still up to 1000× its input and
+    // AQE plans by INPUT bytes — without the exchange one task would
+    // serialize the whole candidate stream (measured pre-fix at sf1).
+    val left = uc
       .withColumn("cx", expr(s"xi div $eps")).withColumn("cy", expr(s"yi div $eps"))
       .repartition(col("cx"), col("cy"))
-    val nbr = pts
-      .select(col("xi").as("nxi"), col("yi").as("nyi"))
+    val nbr = uc
+      .select(col("xi").as("nxi"), col("yi").as("nyi"), col("m").as("nm"))
       .withColumn("dx", explode(typedLit(Seq(-1, 0, 1))))
       .withColumn("dy", explode(typedLit(Seq(-1, 0, 1))))
       .withColumn("cx", expr(s"nxi div $eps") + col("dx"))
       .withColumn("cy", expr(s"nyi div $eps") + col("dy"))
-      .select("nxi", "nyi", "cx", "cy")
+      .select("nxi", "nyi", "nm", "cx", "cy")
     left.join(nbr, Seq("cx", "cy"))
       .filter((col("nxi") - col("xi")) * (col("nxi") - col("xi")) +
         (col("nyi") - col("yi")) * (col("nyi") - col("yi")) <= lit(eps * eps))
-      .groupBy("event_id").agg((count(lit(1)) - 1L).as("n_nbr"))
+      .groupBy("xi", "yi", "m", "sid")
+      .agg((sum("nm") - 1L).as("n_nbr"))
       .withColumn("is_core", (col("n_nbr") >= 3L).cast("bigint"))
       .withColumn("bucket", expr(
         "cast(case when n_nbr = 0 then 0 else length(bin(n_nbr)) end as bigint)"))
       .groupBy("is_core", "bucket")
-      .agg(count(lit(1)).as("n_points"), sum("event_id").as("id_sum"))
+      .agg(sum("m").as("n_points"), sum("sid").as("id_sum"))
       .orderBy("is_core", "bucket")
   }
 
