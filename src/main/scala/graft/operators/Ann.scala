@@ -303,13 +303,31 @@ object Ann {
     val lex = TextOps.textBm25(s, dir)
       .select(col("query_id"), col("doc_id"), col("rk").as("lex_rk"))
     val e = withNorm(s, dir)
+    // the semantic retriever is the INDEXED route (r14): hybrid's query
+    // set scales with the corpus (every 101st id, aligned with the BM25
+    // query docs), so the former brute broadcast scan was
+    // queries×corpus — quadratic in sf (measured ×15.8 at sf1). A
+    // 16-cell IVF (centroids = vecs 8..23, same argmax/tiebreak
+    // discipline as ann_ivf) makes assignment corpus×16 — constant in
+    // sf — and each probe reranks only its nprobe=2 cells. Production
+    // hybrid search fuses indexed retrievers on BOTH sides; the exact
+    // brute scan remains ann_topk's declared baseline.
+    val cents = e.filter(col("vec_id") >= 8 && col("vec_id") < 24)
+      .select("vec_id", "embedding", "n2")
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getLong(2)))
+    def cs(emb: Column, n2: Column) = cellScores(cents)(emb, n2)
+    val base = e.filter(col("vec_id") % 101 =!= 0)
+      .withColumn("cell",
+        -array_max(cs(col("embedding"), col("n2"))).getField("nid"))
+      .select(col("cell"), col("vec_id").as("n_id"),
+        col("embedding").as("ne"), col("n2").as("nn2"))
     val probes = e.filter(col("vec_id") % 101 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-        col("n2").as("qn2"))
-    val sem = e.filter(col("vec_id") % 101 =!= 0)
-      .select(col("vec_id").as("n_id"), col("embedding").as("ne"),
-        col("n2").as("nn2"))
-      .crossJoin(broadcast(probes))
+      .withColumn("probe", explode(
+        slice(reverse(sort_array(cs(col("embedding"), col("n2")))), 1, 2)))
+      .select((-col("probe.nid")).as("cell"), col("vec_id").as("q_id"),
+        col("embedding").as("qe"), col("n2").as("qn2"))
+    val sem = base.join(broadcast(probes), Seq("cell"))
       .withColumn("cos", cosine(dotDec(col("qe"), col("ne")), col("qn2"), col("nn2")))
       .withColumn("sem_rk", row_number().over(
         Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))))
@@ -1344,14 +1362,34 @@ object Ann {
          |SELECT q_id, q_label, n_id, n_label, CAST(rnk AS INT) AS rnk, cos
          |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "emb_mmr" -> mmrOracleSql,
+    // the semantic side replays the 16-cell IVF assignment (the
+    // cellsSql discipline with the hybrid's own 8..23 codebook and the
+    // %101 corpus/query split)
     "ann_hybrid" ->
       s"""WITH $flatSql,
+         |hcdots AS (SELECT v.vec_id, c.vec_id AS c_id,
+         |    sum(CAST(round(v.e * c.e * 1000000000.0) AS BIGINT)) AS dot
+         |  FROM flat v JOIN flat c ON c.i = v.i AND c.vec_id BETWEEN 8 AND 23
+         |  GROUP BY 1, 2),
+         |hcscored AS (SELECT hcdots.vec_id AS vec_id, c_id,
+         |    (dot / 1e9) / (sqrt(nv.n2 / 1e9) * sqrt(nc.n2 / 1e9)) AS ccos
+         |  FROM hcdots JOIN norm nv ON nv.vec_id = hcdots.vec_id
+         |              JOIN norm nc ON nc.vec_id = c_id),
+         |hcranked AS (SELECT vec_id, c_id,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, c_id) AS crk
+         |  FROM hcscored),
+         |hcells AS (SELECT vec_id AS n_id, c_id AS cell FROM hcranked
+         |  WHERE crk = 1 AND vec_id % 101 <> 0),
+         |hprobes AS (SELECT vec_id AS q_id, c_id AS cell FROM hcranked
+         |  WHERE crk <= 2 AND vec_id % 101 = 0),
          |lex AS (SELECT query_id, doc_id, rk AS lex_rk
          |  FROM (${TextOps.bm25Sql})),
-         |dots AS (SELECT q.vec_id AS q_id, b.vec_id AS n_id,
+         |dots AS (SELECT p.q_id, ce.n_id,
          |    sum(CAST(round(q.e * b.e * 1000000000.0) AS BIGINT)) AS dot
-         |  FROM flat q JOIN flat b ON q.i = b.i
-         |    AND q.vec_id % 101 = 0 AND b.vec_id % 101 <> 0
+         |  FROM hprobes p JOIN hcells ce ON ce.cell = p.cell
+         |       JOIN flat q ON q.vec_id = p.q_id
+         |       JOIN flat b ON b.vec_id = ce.n_id AND b.i = q.i
          |  GROUP BY 1, 2),
          |scored AS (SELECT q_id, n_id,
          |    (dot / 1e9) / (sqrt(nq.n2 / 1e9) * sqrt(nb.n2 / 1e9)) AS cos

@@ -675,11 +675,31 @@ object TextOps {
     * `dfq` broadcast — both are query-scale, and store-read frames carry
     * no size stats to trigger the hint automatically.
     */
+  /** Static index pruning cap: per probed term, only the
+    * [[MaxPostingImpact]] highest-impact postings (tf DESC, doc_id) are
+    * scored — the standard impact-ordered truncation (Carmel et al.
+    * 2001) that bounds a term's candidate set no matter how degenerate
+    * its posting list. Without it, a stopword-frequency term (every
+    * 101st doc picks its TOP-tf terms as query terms, so the most
+    * degenerate lists are exactly the probed ones) makes candidates
+    * grow quadratically: queries ∝ corpus × posting length ∝ corpus —
+    * measured ×36 at sf1. The cap is deterministic, replayed by the
+    * oracle, and rank-filtered row_number lets Spark 4 plan it as a
+    * map-side WindowGroupLimit prune, so the exchange itself carries
+    * ≤ cap rows per term per partition.
+    */
+  private[operators] val MaxPostingImpact = 1024L
+
   private[graft] def bm25Score(post: DataFrame, qt: DataFrame,
       dfq: DataFrame, nDocs: Long, sumDl: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dec = "decimal(38,0)"
-    post.join(broadcast(qt), "term")
+    val capped = post.join(broadcast(qt.select("term").distinct()), "term")
+      .withColumn("imp_rk", row_number().over(
+        Window.partitionBy("term").orderBy(desc("tf"), asc("doc_id"))))
+      .filter(col("imp_rk") <= MaxPostingImpact)
+      .drop("imp_rk")
+    capped.join(broadcast(qt), "term")
       .join(broadcast(dfq), "term")
       .withColumn("score6", expr(
         s"(cast(1000000 as $dec) * cast(22 as $dec) * cast(tf as $dec) * cast($sumDl as $dec)" +
@@ -1402,11 +1422,17 @@ object TextOps {
          |          GROUP BY 1, 2)) WHERE qrk <= 3),
          |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post
          |  WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+         |cap AS (SELECT doc_id, dl, term, tf FROM (
+         |    SELECT p.doc_id, p.dl, p.term, p.tf,
+         |      row_number() OVER (PARTITION BY term
+         |        ORDER BY tf DESC, doc_id) AS imp_rk
+         |    FROM post p WHERE term IN (SELECT term FROM qt)) c
+         |  WHERE imp_rk <= ${MaxPostingImpact}),
          |hits AS (SELECT q.query_id, p.doc_id,
          |    CAST((1000000::HUGEINT * 22 * p.tf * sc.sl * (sc.n - d.df + 1))
          |      // ((10::HUGEINT * sc.sl * p.tf + 3::HUGEINT * sc.sl
          |          + 9::HUGEINT * p.dl * sc.n) * (d.df + 1)) AS BIGINT) AS score6
-         |  FROM post p JOIN qt q USING (term) JOIN dfq d USING (term), sc),
+         |  FROM cap p JOIN qt q USING (term) JOIN dfq d USING (term), sc),
          |agg AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
          |    CAST(sum(score6) AS BIGINT) AS score6
          |  FROM hits GROUP BY 1, 2)

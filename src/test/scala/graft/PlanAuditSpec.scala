@@ -517,11 +517,12 @@ class PlanAuditSpec extends SparkSpec {
     // hist_lifespan: entity rollup + bounded histogram + ordered output
     val ls = plans("hist_lifespan")
     assert(shuffleCount(ls) <= 3, s"hist_lifespan grew a shuffle:\n$ls")
-    // geo_dbscan_core: cell-keyed self-join (2) + per-point count (1) +
-    // bounded rollup (1) + sort (1) — the self-pair subtraction means no
-    // zero-neighbor re-entry join exists to plan
+    // geo_dbscan_core: the r14 unique-coordinate collapse adds one
+    // aggregate restated on both join branches (runtime dedupes via
+    // exchange reuse); cell-keyed self-join + per-coord count + bounded
+    // rollup + sort — no zero-neighbor re-entry join exists to plan
     val db = plans("geo_dbscan_core")
-    assert(shuffleCount(db) <= 5, s"geo_dbscan_core grew a shuffle:\n$db")
+    assert(shuffleCount(db) <= 7, s"geo_dbscan_core grew a shuffle:\n$db")
     assert(!db.contains("BroadcastNestedLoopJoin"),
       "geo_dbscan_core neighbor join must stay a hash join on the cell key")
   }
