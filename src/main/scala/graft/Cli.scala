@@ -123,6 +123,19 @@ object Cli {
         val n = verdicts.groupBy("reason").count().collect()
           .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
         println(s"[graft] curate: $n")
+      case "manifest" =>
+        // the end-of-pipeline training manifest (curate → shard → pack):
+        // one row per kept doc with its shard, token count, global
+        // token offset, and owning 512-token sequence — written
+        // partitioned by shard, the layout a trainer's data loader
+        // reads one shard at a time
+        val man = operators.TextOps.pipeManifest(spark, sfDir)
+          .localCheckpoint(true)
+        man.write.mode("overwrite").partitionBy("shard").parquet(outDir)
+        val st = man.agg(count(lit(1)), sum("n_tokens"),
+          max("seq_id")).head
+        println(s"[graft] manifest: docs=${st.getLong(0)} " +
+          s"tokens=${st.getLong(1)} sequences=${st.getLong(2) + 1}")
       case "tokenize" =>
         // BPE tokenizer training + corpus encoding over a documents
         // table: the learned merge table to outDir/merges, per-doc token

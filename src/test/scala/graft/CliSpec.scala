@@ -42,6 +42,23 @@ class CliSpec extends SparkSpec {
     assert(parts.size >= 2, s"expected multiple reasons, got $parts")
   }
 
+  test("cli manifest writes the shard-partitioned training manifest") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft-cli").toString
+    Cli.main(Array("manifest", sfDir, out))
+    val man = spark.read.parquet(out)
+    // exactly the curate-kept documents, with pack offsets attached
+    val kept = operators.TextOps.pipeCurate(spark, sfDir)
+      .filter(col("keep")).count()
+    assert(man.count() === kept)
+    assert(man.columns.toSet ===
+      Set("doc_id", "shard", "n_tokens", "start_off", "seq_id"))
+    // shard partition dirs exist for loader-side directory pruning
+    val parts = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.startsWith("shard=")).toSet
+    assert(parts.nonEmpty && parts.size <= 16)
+  }
+
   test("cli search builds the persisted index and serves the query set from it") {
     val out = java.nio.file.Files.createTempDirectory("graft-cli").toString
     Cli.main(Array("search", sfDir, out))
