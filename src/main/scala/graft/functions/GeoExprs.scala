@@ -749,6 +749,7 @@ object GeoFunctions {
     "geodesic_area_m2" -> (es => GeodesicAreaM2(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es(0))),
     "dot9" -> (es => Dot9(es(0), es(1))),
+    "lev_band" -> (es => LevBand(es(0), es(1))),
     "isect_sorted" -> (es => IsectSorted(es(0), es(1))),
     "mom9" -> (es => Mom9(es(0))),
     "minhash8" -> (es => Minhash8(es(0))),

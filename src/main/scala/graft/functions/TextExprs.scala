@@ -9,6 +9,68 @@ import java.nio.charset.StandardCharsets
 /** Text-pipeline kernels callable from generated code. */
 object TextKernels {
 
+  /** Banded Levenshtein at the NEAR-DUP BOUND — edit distance between
+    * two strings, computed only when it can be ≤ k = (20·max(la,lb))
+    * div 100 (the 20 % duplicate threshold), else −1. Two exact
+    * shortcuts make LSH-candidate verification cheap: (1) COMMON
+    * PREFIX/SUFFIX TRIM — edit distance is invariant under shared
+    * ends, and near-dup pairs (the candidates LSH surfaces) share
+    * almost everything, so the DP runs on the small differing middle;
+    * (2) the UKKONEN BAND — only the 2k+1 diagonal is filled, with an
+    * early exit when a whole row exceeds k. Cost per pair
+    * O(k·middle) instead of O(la·lb); a length gap > k returns −1
+    * with no DP at all. Works on Unicode code units (the corpus is
+    * ASCII; semantics match java-level char edit distance).
+    */
+  def levBand(sa: String, sb: String): Int = {
+    val la0 = sa.length; val lb0 = sb.length
+    val k = (20 * math.max(la0, lb0)) / 100
+    if (math.abs(la0 - lb0) > k) return -1
+    // trim common prefix/suffix (edit-distance invariant)
+    var p = 0
+    val minL = math.min(la0, lb0)
+    while (p < minL && sa.charAt(p) == sb.charAt(p)) p += 1
+    var qa = la0; var qb = lb0
+    while (qa > p && qb > p && sa.charAt(qa - 1) == sb.charAt(qb - 1)) {
+      qa -= 1; qb -= 1
+    }
+    val la = qa - p; val lb = qb - p
+    if (la == 0) return if (lb <= k) lb else -1
+    if (lb == 0) return if (la <= k) la else -1
+    // banded DP over the trimmed middle: rows = a, band of width 2k+1
+    val prev = new Array[Int](lb + 1)
+    val cur = new Array[Int](lb + 1)
+    val INF = k + 1
+    var j = 0
+    while (j <= lb) { prev(j) = if (j <= k) j else INF; j += 1 }
+    var i = 1
+    while (i <= la) {
+      val from = math.max(1, i - k)
+      val to = math.min(lb, i + k)
+      cur(0) = if (i <= k) i else INF
+      if (from > 1) cur(from - 1) = INF
+      var best = INF
+      j = from
+      val ca = sa.charAt(p + i - 1)
+      while (j <= to) {
+        val sub = prev(j - 1) + (if (ca == sb.charAt(p + j - 1)) 0 else 1)
+        val del = if (prev(j) < INF) prev(j) + 1 else INF
+        val ins = if (j > from && cur(j - 1) < INF) cur(j - 1) + 1 else INF
+        var v = if (sub < del) sub else del
+        if (ins < v) v = ins
+        if (v > INF) v = INF
+        cur(j) = v
+        if (v < best) best = v
+        j += 1
+      }
+      if (to < lb) cur(to + 1) = INF
+      if (best >= INF) return -1
+      System.arraycopy(cur, 0, prev, 0, lb + 1)
+      i += 1
+    }
+    if (prev(lb) <= k) prev(lb) else -1
+  }
+
   /** 16-bit average-hash over an opaque byte payload — the perceptual-hash
     * shape (aHash) on the byte plane: byte q belongs to window
     * w = q*16/len, and bit w sets when the window's byte mean exceeds the
@@ -737,6 +799,26 @@ case class IsectSorted(left: Expression, right: Expression) extends BinaryExpres
   * pipeline stays inside WholeStageCodegen with primitive longs (vs a
   * Decimal fold over a zipped array, ~10× slower).
   */
+/** `lev_band(a, b)` → banded Levenshtein at the pair's 20 % dup bound
+  * (−1 past it); prefix/suffix-trimmed (TextKernels.levBand). One
+  * static call inside WholeStageCodegen.
+  */
+case class LevBand(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "lev_band"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.levBand(a.toString, b.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextKernels.levBand($a.toString(), $b.toString())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LevBand =
+    copy(left = newLeft, right = newRight)
+}
+
 case class Dot9(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "dot9"

@@ -262,33 +262,29 @@ object Dedup {
     * that it only ever runs on the banded, MaxBucket-capped candidate
     * set (never corpus-quadratic, same contract as [[dedupLshPairs]]);
     * the text join is two keyed exchanges of candidate-scale rows
-    * against the corpus. The distance is BANDED the way production
-    * verifiers run it: k = 20 % of the corpus max document length (the
-    * memoized 1-row scan aggregate) bounds the DP band to O(k·len) per
-    * pair — exact within the band, −1 beyond it. Because k ≥ 20 % of
-    * every pair's own max length, a pair reported −1 is provably past
-    * its dup threshold, so `is_dup` is IDENTICAL to the unbanded
-    * verdict; only the reported distance saturates. Measured 8.3 →
-    * ~3 s at sf0.1 for the same verdicts.
+    * against the corpus. The distance runs through the `lev_band`
+    * codegen kernel (r14, TextKernels.levBand): band width = the
+    * PAIR'S OWN dup bound k = (20·max(len)) div 100 — not the corpus
+    * max, which over-banded every short pair and made sf1 pay ×32 —
+    * plus the exact common-prefix/suffix trim (edit distance is
+    * invariant under shared ends, and LSH candidates share almost
+    * everything, so the DP sees only the differing middle). A −1 is
+    * provably past the pair's dup threshold, so `is_dup ⇔ lev ≥ 0`
+    * exactly; a parity spec pins the kernel against an independent
+    * full-DP implementation.
     */
-  private val edBandCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
-
   def dedupEditDist(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
     val sigs = signatures(s, dir).cache()
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val k: Int = edBandCache.computeIfAbsent(dir, _ =>
-      Int.box((20 * docs.agg(max(length(col("text")))).head.getInt(0)) / 100))
     releasing(
       candidates(sigs)
         .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
         .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
-          levenshtein(col("ta"), col("tb"), k).as("lev"),
+          call_function("lev_band", col("ta"), col("tb")).as("lev"),
           length(col("ta")).as("len_a"), length(col("tb")).as("len_b"))
-        .withColumn("is_dup",
-          col("lev") >= 0 &&
-            lit(100) * col("lev") <= lit(20) * greatest(col("len_a"), col("len_b"))),
+        .withColumn("is_dup", col("lev") >= 0),
       sigs)
   }
 
@@ -954,10 +950,12 @@ object Dedup {
         |SELECT d.doc_id, coalesce(fp.sh, '0000000000000000') AS simhash
         |FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // the oracle computes FULL levenshtein and clamps at the pair's own
+    // dup bound — lv ≤ (20·max) div 100 ⇔ 100·lv ≤ 20·max for integer
+    // lv, so the clamp and the kernel's band agree exactly
     "dedup_editdist" ->
       s"""WITH sigs AS MATERIALIZED ($sigSql),
          |$candSql,
-         |kb AS (SELECT (20 * max(length(text))) // 100 AS k FROM documents),
          |lv AS (SELECT c.doc_a, c.doc_b,
          |    CAST(levenshtein(a.text, b.text) AS INT) AS lv,
          |    CAST(length(a.text) AS INT) AS len_a,
@@ -965,10 +963,11 @@ object Dedup {
          |  FROM cand c JOIN documents a ON a.doc_id = c.doc_a
          |    JOIN documents b ON b.doc_id = c.doc_b)
          |SELECT doc_a, doc_b,
-         |  CASE WHEN lv > kb.k THEN -1 ELSE lv END AS lev,
+         |  CASE WHEN 100 * lv > 20 * greatest(len_a, len_b) THEN -1
+         |       ELSE lv END AS lev,
          |  len_a, len_b,
-         |  lv <= kb.k AND 100 * lv <= 20 * greatest(len_a, len_b) AS is_dup
-         |FROM lv, kb ORDER BY doc_a, doc_b""".stripMargin,
+         |  100 * lv <= 20 * greatest(len_a, len_b) AS is_dup
+         |FROM lv ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_minhash_acc" -> {
       val agree = (0 until NumHashes)
         .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END").mkString(" + ")

@@ -902,23 +902,23 @@ class PipelineSpec extends SparkSpec {
           .mkString(" ")
       (a, b)
     }
-    val maxLen = pairs.flatMap(p => Seq(p._1.length, p._2.length)).max
-    val k = (20 * maxLen) / 100
+    graft.functions.GeoFunctions.register(spark)
     val got = pairs.toDF("ta", "tb")
-      .select(levenshtein(col("ta"), col("tb"), k).as("lv"),
-        length(col("ta")).as("la"), length(col("tb")).as("lb"))
-      .withColumn("is_dup",
-        col("lv") >= 0 && lit(100) * col("lv") <= lit(20) * greatest(col("la"), col("lb")))
-      .collect().map(r => (r.getInt(0), r.getBoolean(3)))
+      .select(call_function("lev_band", col("ta"), col("tb")).as("lv"))
+      .withColumn("is_dup", col("lv") >= 0)
+      .collect().map(r => (r.getInt(0), r.getBoolean(1)))
     assert(got.exists(_._2) && got.exists(!_._2),
       "the sample must exercise both verdict branches")
     pairs.zip(got).foreach { case ((a, b), (lvBanded, dupBanded)) =>
       val full = lev(a, b)
-      // exact within the band, -1 beyond it
+      val k = (20 * math.max(a.length, b.length)) / 100
+      // exact within the pair's own dup band, -1 beyond it
       assert(lvBanded === (if (full > k) -1 else full), s"'$a' vs '$b'")
       // the banded verdict equals the unbanded rule
       val dupFull = 100 * full <= 20 * math.max(a.length, b.length)
       assert(dupBanded === dupFull, s"verdict flip on '$a' vs '$b'")
+      // the kernel's trim + band path agrees with the plain JVM call too
+      assert(graft.functions.TextKernels.levBand(a, b) === lvBanded)
     }
   }
 
