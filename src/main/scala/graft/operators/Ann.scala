@@ -536,6 +536,43 @@ object Ann {
     * through K=8 reducers — with K this small, re-scanning (cheap,
     * pushdown-friendly, no wide exchange) beats the skew bomb.
     */
+  /** EMBEDDING DRIFT MONITOR — the distribution check a production
+    * pipeline runs before trusting a new ingest batch against its
+    * reference corpus: per DIMENSION, exact integer first/second
+    * moments of the reference half (vec_id below the midpoint) vs the
+    * candidate half, plus a drift verdict by cross-multiplied mean
+    * gap (`|S_a·n_b − S_b·n_a| · 20 > n_a·n_b·10⁶` ⇔ |Δmean| > 0.05 —
+    * no float threshold to flip between engines). Components quantize
+    * at 1e6 fixed point (the flatSql rounding discipline), so both
+    * engines sum identical integers in any order.
+    *
+    * Scale shape: ONE scan; the per-component explode partial-
+    * aggregates map-side into the (2 halves × 64 dims)-bounded frame —
+    * the exchange carries ≤128 rows per partition at any corpus size;
+    * the split point binds as a broadcast 1-row max aggregate.
+    */
+  def embDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val mid = e.agg(((max("vec_id") + 1L) / 2L).cast("bigint").as("mid"))
+    val moments = e.crossJoin(broadcast(mid))
+      .select(when(col("vec_id") < col("mid"), lit(0L)).otherwise(lit(1L))
+        .as("half"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("half"), col("i").cast("bigint").as("dim"),
+        expr("cast(round(v * 1000000.0) as bigint)").as("v6"))
+      .groupBy("dim")
+      .agg(
+        sum(when(col("half") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("half") === 1L, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("half") === 0L, col("v6")).otherwise(0L)).as("sum_a6"),
+        sum(when(col("half") === 1L, col("v6")).otherwise(0L)).as("sum_b6"),
+        sum(when(col("half") === 0L, col("v6") * col("v6")).otherwise(0L)).as("ssq_a6"),
+        sum(when(col("half") === 1L, col("v6") * col("v6")).otherwise(0L)).as("ssq_b6"))
+    moments
+      .withColumn("drift", abs(col("sum_a6") * col("n_b") -
+        col("sum_b6") * col("n_a")) * 20L > col("n_a") * col("n_b") * 1000000L)
+      .orderBy("dim")
+  }
+
   def embOutliers(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(s, dir)
     val cents = centroidsOf(e)
@@ -1016,6 +1053,7 @@ object Ann {
     "emb_quantize" -> (embQuantize _),
     "emb_pca2" -> (embPca2 _),
     "emb_outliers" -> (embOutliers _),
+    "emb_drift" -> (embDrift _),
     "ann_topk" -> (annTopk _),
     "ann_hamming" -> (annHamming _),
     "ann_mips" -> (annMips _),
@@ -1152,6 +1190,30 @@ object Ann {
         |  CAST(sum(err9) AS BIGINT) AS sum_err9
         |FROM qq GROUP BY 1, 2 ORDER BY vec_id""".stripMargin,
     "emb_pca2" -> embPca2Sql,
+    "emb_drift" ->
+      """WITH f AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+        |      AS v6
+        |  FROM embeddings, range(1, 65) r(i)),
+        |m AS (SELECT (max(vec_id) + 1) // 2 AS mid FROM embeddings),
+        |g AS (SELECT dim,
+        |    CAST(sum(CASE WHEN vec_id < m.mid THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN vec_id >= m.mid THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(sum(CASE WHEN vec_id < m.mid THEN v6 ELSE 0 END) AS BIGINT)
+        |      AS sum_a6,
+        |    CAST(sum(CASE WHEN vec_id >= m.mid THEN v6 ELSE 0 END) AS BIGINT)
+        |      AS sum_b6,
+        |    CAST(sum(CASE WHEN vec_id < m.mid THEN v6 * v6 ELSE 0 END)
+        |      AS BIGINT) AS ssq_a6,
+        |    CAST(sum(CASE WHEN vec_id >= m.mid THEN v6 * v6 ELSE 0 END)
+        |      AS BIGINT) AS ssq_b6
+        |  FROM f, m GROUP BY 1)
+        |SELECT dim, n_a, n_b, sum_a6, sum_b6, ssq_a6, ssq_b6,
+        |  abs(sum_a6 * n_b - sum_b6 * n_a) * 20 > n_a * n_b * 1000000
+        |    AS drift
+        |FROM g ORDER BY dim""".stripMargin,
     "emb_outliers" ->
       s"""WITH $flatSql,
          |$cellsSql,

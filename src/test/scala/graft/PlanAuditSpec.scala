@@ -48,6 +48,8 @@ class PlanAuditSpec extends SparkSpec {
       "graph_lpa",
       // evt_markov: the 1-row type-count scalar bind (uniform v0)
       "evt_markov",
+      // emb_drift: the 1-row midpoint scalar bind (the half split)
+      "emb_drift",
       // ann_nprobe: inherits the brute-truth broadcast crossJoin + the
       // 1-row truth-count scalar bind
       "ann_nprobe")
@@ -637,5 +639,9 @@ class PlanAuditSpec extends SparkSpec {
     // beyond the whitelisted scalar binds)
     assert(!plans("evt_acf").contains("CartesianProduct"),
       s"evt_acf must never cross-join the corpus:\n${plans("evt_acf")}")
+    // emb_drift: one scan + the bounded 64-dim aggregate + sort; the
+    // midpoint bind adds its own 1-row single-partition aggregate
+    assert(shuffleCount(plans("emb_drift")) <= 3,
+      s"emb_drift grew a shuffle:\n${plans("emb_drift")}")
   }
 }
