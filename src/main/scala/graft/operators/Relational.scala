@@ -749,7 +749,35 @@ object Relational {
       .orderBy("zbucket")
   }
 
+  /** MODE per group (the SQL:2023 `MODE()` ordered-set aggregate Spark
+    * lacks): the most frequent order priority per 30-day epoch period,
+    * ties to the lexicographically smallest value — decomposed the way
+    * a distributed engine must: a (group, value) partial count collapses
+    * the corpus map-side, then the argmax is a WindowGroupLimit-pruned
+    * rank over the GROUPED frame (domain-bounded: periods × 5
+    * priorities), never a sort of raw rows; the share window rides the
+    * same period partitioning. Epoch periods (`days div 30`), not
+    * calendar months, so no engine's month arithmetic can disagree.
+    */
+  def q33Mode(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.orders(s, dir)
+      .select(expr(
+        "unix_millis(cast(o_orderdate as timestamp)) div 86400000 div 30")
+        .as("period"), col("o_orderpriority").as("prio"))
+      .groupBy("period", "prio").agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("n_total", sum("cnt").over(Window.partitionBy("period")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("period").orderBy(desc("cnt"), asc("prio"))))
+      .filter(col("rk") === 1)
+      .select(col("period"), col("prio").as("mode_prio"), col("cnt"),
+        col("n_total"), expr("(1000 * cnt) div n_total").as("share_pm"))
+      .orderBy("period")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_mode" -> (q33Mode _),
     "q31_weighted_median" -> (q31WeightedMedian _),
     "q32_zorder" -> (q32Zorder _),
     "q30_skyline" -> (q30Skyline _),
@@ -789,6 +817,17 @@ object Relational {
   private val lBp = "CAST(round(l_discount * 100) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q33_mode" ->
+      """WITH c AS (SELECT epoch_ms(o_orderdate) // 86400000 // 30 AS period,
+        |    o_orderpriority AS prio, count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY period
+        |      ORDER BY cnt DESC, prio) AS rk,
+        |    sum(cnt) OVER (PARTITION BY period) AS n_total FROM c)
+        |SELECT period, prio AS mode_prio, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(n_total AS BIGINT) AS n_total,
+        |  CAST((1000 * cnt) // n_total AS BIGINT) AS share_pm
+        |FROM r WHERE rk = 1 ORDER BY period""".stripMargin,
     // the oracle replays the median scan as ONE global running sum —
     // correct at oracle scale; the Spark side's bin-carry + median-bin
     // refinement is the distributed equivalent (the q26_ntile precedent)

@@ -643,5 +643,11 @@ class PlanAuditSpec extends SparkSpec {
     // midpoint bind adds its own 1-row single-partition aggregate
     assert(shuffleCount(plans("emb_drift")) <= 3,
       s"emb_drift grew a shuffle:\n${plans("emb_drift")}")
+    // q33_mode: partial count exchange + the bounded period windows +
+    // sort; the rank cutoff must prune map-side
+    assert(plans("q33_mode").contains("WindowGroupLimit"),
+      "q33_mode's argmax must push down as WindowGroupLimit")
+    assert(shuffleCount(plans("q33_mode")) <= 3,
+      s"q33_mode grew a shuffle:\n${plans("q33_mode")}")
   }
 }
