@@ -312,4 +312,55 @@ class EventsSpec extends SparkSpec {
         s"priority subtotal $pr")
     }
   }
+
+  test("interval-join sweep-line equals the brute pair join on the real table") {
+    import org.apache.spark.sql.functions._
+    // independent path: the r13 bucketized pair join, recomputed in-test
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 1000000000").as("ts_s"))
+    val inc = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("inc_id"), expr("ts div 1000000000").as("t0"))
+    val brute = ev.crossJoin(inc)
+      .where(col("ts_s") >= col("t0") && col("ts_s") < col("t0") + 600L)
+      .groupBy("inc_id")
+      .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"))
+      .orderBy(desc("n_events"), asc("inc_id")).limit(25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val sweep = operators.Events.intervalJoin(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(sweep === brute, "sweep-line must equal the pair join row for row")
+  }
+
+  test("markov: stationary mass is conserved up to floor loss, rows = from-types") {
+    val rows = operators.Events.markov(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.forall(_._2 >= 0L))
+    val mass = rows.map(_._2).sum
+    // each of the 8 rounds floors once per (to_type) plus the row-norm
+    // and uniform-init floors — mass can only leak DOWN, boundedly
+    assert(mass <= 1000000L, s"mass grew: $mass")
+    assert(mass >= 1000000L - 9L * rows.length * 1000L, s"mass collapsed: $mass")
+  }
+
+  test("ffill: -1 before any purchase, carries the latest purchase after") {
+    import org.apache.spark.sql.functions._
+    val got = operators.Events.ffill(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    // independent single-pass replay in the window's own (ts, id) order
+    val byId = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4)))
+      .sortBy(t => (t._1, t._2, t._3))
+    var lastUser = -1L; var lastPurchase = -1L
+    byId.foreach { case (u, _, id, tpe, cents) =>
+      if (u != lastUser) { lastUser = u; lastPurchase = -1L }
+      if (tpe == "purchase") lastPurchase = cents
+      assert(got(id) === lastPurchase, s"event $id (user $u)")
+    }
+    assert(got.size === byId.length)
+  }
 }
