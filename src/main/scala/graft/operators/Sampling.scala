@@ -206,7 +206,53 @@ object Sampling {
         expr("(1000 * sum_toks) div sum(sum_toks) over ()"))
       .orderBy("shard")
 
+  /** DATA-QUALITY AUDIT (the Deequ / Great-Expectations check suite a
+    * pipeline runs before training on a new drop): one long-format
+    * report row per constraint over the fact table — row count, PK
+    * null count, composite-PK duplicate count, referential ORPHANS
+    * (line items whose order key has no order — an anti-join, the one
+    * corpus-scale check a single pass can't fold), domain violations
+    * (negative quantity, discount outside [0,1] in exact cents,
+    * return-flag outside its enum), and value ranges. A report that
+    * rides the same engine as the pipeline can gate ingest
+    * transactionally; a sidecar checker drifts.
+    *
+    * Scale shape: ONE scan computes every per-row constraint as
+    * conditional aggregates (map-side partials into a 1-row frame;
+    * the composite-PK distinct is the only two-phase part); the orphan
+    * check is a key-projected anti-join; the 1×1 bind and the 9-row
+    * stack are free.
+    */
+  def pipeValidate(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val base = li.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("null_orderkey"),
+      (count(lit(1)) -
+        countDistinct(col("l_orderkey"), col("l_linenumber"))).as("dup_pk"),
+      sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("neg_quantity"),
+      sum(when(round(col("l_discount") * 100).cast("bigint").between(0L, 100L),
+        0L).otherwise(1L)).as("discount_oob"),
+      sum(when(col("l_returnflag").isin("A", "N", "R"), 0L).otherwise(1L))
+        .as("bad_returnflag"),
+      min(col("l_quantity").cast("bigint")).as("min_qty"),
+      max(col("l_quantity").cast("bigint")).as("max_qty"))
+    val orphans = li.select(col("l_orderkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_orderkey"))
+    base.crossJoin(orphans)
+      .select(expr("stack(9, " +
+        "'n_rows', n_rows, 'null_orderkey', null_orderkey, " +
+        "'dup_pk', dup_pk, 'orphan_orderkey', orphan_orderkey, " +
+        "'neg_quantity', neg_quantity, 'discount_oob', discount_oob, " +
+        "'bad_returnflag', bad_returnflag, 'min_qty', min_qty, " +
+        "'max_qty', max_qty) as (metric, value)"))
+      .orderBy("metric")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_validate" -> (pipeValidate _),
     "pipe_shard" -> (pipeShard _),
     "sample_dsir" -> (sampleDsir _),
     "sample_stratified" -> (sampleStratified _),
@@ -215,6 +261,36 @@ object Sampling {
     "sample_temperature" -> (sampleTemperature _))
 
   val oracles: Map[String, String] = Map(
+    "pipe_validate" ->
+      """WITH b AS (SELECT
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS null_orderkey,
+        |    CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+        |      AS BIGINT) AS dup_pk,
+        |    CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS neg_quantity,
+        |    CAST(sum(CASE WHEN CAST(round(l_discount * 100) AS BIGINT)
+        |      BETWEEN 0 AND 100 THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS discount_oob,
+        |    CAST(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0
+        |      ELSE 1 END) AS BIGINT) AS bad_returnflag,
+        |    CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty,
+        |    CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty
+        |  FROM lineitem),
+        |o AS (SELECT CAST(count(*) AS BIGINT) AS orphan_orderkey
+        |  FROM lineitem l WHERE NOT EXISTS (
+        |    SELECT 1 FROM orders x WHERE x.o_orderkey = l.l_orderkey))
+        |SELECT 'n_rows' AS metric, n_rows AS value FROM b
+        |UNION ALL SELECT 'null_orderkey', null_orderkey FROM b
+        |UNION ALL SELECT 'dup_pk', dup_pk FROM b
+        |UNION ALL SELECT 'orphan_orderkey', orphan_orderkey FROM o
+        |UNION ALL SELECT 'neg_quantity', neg_quantity FROM b
+        |UNION ALL SELECT 'discount_oob', discount_oob FROM b
+        |UNION ALL SELECT 'bad_returnflag', bad_returnflag FROM b
+        |UNION ALL SELECT 'min_qty', min_qty FROM b
+        |UNION ALL SELECT 'max_qty', max_qty FROM b
+        |ORDER BY metric""".stripMargin,
     "pipe_shard" ->
       """WITH d AS (SELECT doc_id, text,
         |    CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 16 AS shard,

@@ -50,6 +50,8 @@ class PlanAuditSpec extends SparkSpec {
       "evt_markov",
       // emb_drift: the 1-row midpoint scalar bind (the half split)
       "emb_drift",
+      // pipe_validate: the 1x1 metrics-x-orphans bind
+      "pipe_validate",
       // ann_nprobe: inherits the brute-truth broadcast crossJoin + the
       // 1-row truth-count scalar bind
       "ann_nprobe")
@@ -649,5 +651,10 @@ class PlanAuditSpec extends SparkSpec {
       "q33_mode's argmax must push down as WindowGroupLimit")
     assert(shuffleCount(plans("q33_mode")) <= 3,
       s"q33_mode grew a shuffle:\n${plans("q33_mode")}")
+    // pipe_validate: every per-row constraint folds into the one-scan
+    // aggregate; the orphan anti-join must stay a hash join
+    assert(!plans("pipe_validate").contains("SortMergeJoin") ||
+      plans("pipe_validate").contains("LeftAnti"),
+      s"pipe_validate orphan check must stay an anti-join:\n${plans("pipe_validate")}")
   }
 }
