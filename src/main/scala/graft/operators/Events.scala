@@ -437,6 +437,49 @@ object Events {
       .orderBy("event_type", "lag")
   }
 
+  /** MULTI-TOUCH (U-shaped 40/20/40) ATTRIBUTION — the position-based
+    * credit model next to [[attribution]]'s last-touch: each purchase
+    * credits its user's clicks in the 24 h lookback — 40 % to the
+    * first, 40 % to the last, 20 % split across the middles (n=1 →
+    * 1000 ‰ to the single click; n=2 → 500/500; middles get
+    * `200 div (n−2)` ‰ each, the floor convention, so every credit is
+    * an exact integer both engines agree on; no clicks → 0 ‰ rows).
+    *
+    * Scale shape: the naive plan is a purchases×clicks self-join
+    * (quadratic per bot user); here every lookback statistic —
+    * conditional click count, first/last click instant — is a RANGE
+    * frame `[−86 399 s, −1 s]` over the per-user event order, so the
+    * whole operator is ONE user-keyed window exchange, zero joins,
+    * purchase-scale output.
+    */
+  def multitouch(s: SparkSession, dir: String): DataFrame = {
+    val look = Window.partitionBy("user_id").orderBy("ts_s")
+      .rangeBetween(-86399L, -1L)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        tsS("ts").as("ts_s"))
+      .withColumn("n_clicks24",
+        count(when(col("event_type") === "click", 1)).over(look))
+      .withColumn("first_s", coalesce(
+        min(when(col("event_type") === "click", col("ts_s"))).over(look),
+        lit(-1L)))
+      .withColumn("last_s", coalesce(
+        max(when(col("event_type") === "click", col("ts_s"))).over(look),
+        lit(-1L)))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_s"),
+        col("n_clicks24"), col("first_s"), col("last_s"),
+        when(col("n_clicks24") === 0L, 0L)
+          .when(col("n_clicks24") === 1L, 1000L)
+          .when(col("n_clicks24") === 2L, 500L)
+          .otherwise(400L).as("first_pm"),
+        when(col("n_clicks24") <= 1L, 0L)
+          .when(col("n_clicks24") === 2L, 500L)
+          .otherwise(400L).as("last_pm"),
+        when(col("n_clicks24") <= 2L, 0L)
+          .otherwise(expr("200 div (n_clicks24 - 2)")).as("mid_each_pm"))
+  }
+
   /** COHORT LTV matrix — the signup-cohort × account-age grid every
     * growth/finance team reads (cohort = the user's FIRST-event week,
     * age = weeks since): per cell, active distinct users, events, and
@@ -985,6 +1028,7 @@ object Events {
     "evt_interval_join" -> (intervalJoin _),
     "evt_histogram" -> (histogram _),
     "evt_cohort" -> (cohort _),
+    "evt_multitouch" -> (multitouch _),
     "evt_acf" -> (acf _),
     "evt_markov" -> (markov _),
     "evt_ffill" -> (ffill _),
@@ -1129,6 +1173,31 @@ object Events {
         |  min(cents) AS min_cents, max(cents) AS max_cents,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM c GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+    "evt_multitouch" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) // 1000000 AS ts_s FROM events),
+        |w AS (SELECT event_id, user_id, event_type, ts_s,
+        |    CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+        |      OVER lk AS BIGINT) AS n_clicks24,
+        |    coalesce(min(CASE WHEN event_type = 'click' THEN ts_s END)
+        |      OVER lk, -1) AS first_s,
+        |    coalesce(max(CASE WHEN event_type = 'click' THEN ts_s END)
+        |      OVER lk, -1) AS last_s
+        |  FROM e WINDOW lk AS (PARTITION BY user_id ORDER BY ts_s
+        |    RANGE BETWEEN 86399 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, ts_s, n_clicks24,
+        |  CAST(first_s AS BIGINT) AS first_s,
+        |  CAST(last_s AS BIGINT) AS last_s,
+        |  CAST(CASE WHEN n_clicks24 = 0 THEN 0
+        |       WHEN n_clicks24 = 1 THEN 1000
+        |       WHEN n_clicks24 = 2 THEN 500 ELSE 400 END AS BIGINT)
+        |    AS first_pm,
+        |  CAST(CASE WHEN n_clicks24 <= 1 THEN 0
+        |       WHEN n_clicks24 = 2 THEN 500 ELSE 400 END AS BIGINT)
+        |    AS last_pm,
+        |  CAST(CASE WHEN n_clicks24 <= 2 THEN 0
+        |       ELSE 200 // (n_clicks24 - 2) END AS BIGINT) AS mid_each_pm
+        |FROM w WHERE event_type = 'purchase'""".stripMargin,
     "evt_acf" ->
       """WITH hourly AS (SELECT event_type,
         |    epoch_us(ts) // 3600000000 AS hour,

@@ -651,6 +651,11 @@ class PlanAuditSpec extends SparkSpec {
       "q33_mode's argmax must push down as WindowGroupLimit")
     assert(shuffleCount(plans("q33_mode")) <= 3,
       s"q33_mode grew a shuffle:\n${plans("q33_mode")}")
+    // evt_multitouch: one user-keyed range window, never a self-join
+    assert(shuffleCount(plans("evt_multitouch")) <= 1,
+      s"evt_multitouch must be one keyed window:\n${plans("evt_multitouch")}")
+    assert(!plans("evt_multitouch").contains("Join"),
+      "evt_multitouch must never join purchases to clicks")
     // pipe_validate: every per-row constraint folds into the one-scan
     // aggregate; the orphan anti-join must stay a hash join
     assert(!plans("pipe_validate").contains("SortMergeJoin") ||
