@@ -768,6 +768,70 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Kaplan–Meier SURVIVAL curve of session duration with
+    * right-censoring — the duration statistic a product team reports
+    * when plain averages lie because the corpus EDGE truncates the long
+    * sessions (next to [[retention]]'s fixed cohort grid): the unit is a
+    * session (the shared [[sessionize]] gap rule), t = duration in whole
+    * minutes; sessions still open at the data edge (last event within
+    * one session gap of the corpus max) are CENSORED — their duration is
+    * a lower bound — everyone else's duration is fully observed. The KM
+    * estimator multiplies per observed time: S(t) = Π_{t'≤t, d>0}
+    * (n_{t'} − d_{t'}) / n_{t'} with risk set n_t = |{sessions with
+    * duration ≥ t}| — kept EXACT in integer per-mille by the per-step
+    * recurrence s ← (s·(n−d)) div n (all terms non-negative, so floor ≡
+    * trunc and DuckDB replays it as a linear recursive CTE, the
+    * evt_holt discipline).
+    *
+    * Scale shape: sessions come from the ONE user-keyed sessionize
+    * exchange; everything after lives on the duration frame, bounded by
+    * the session-length domain in minutes (the evt_concurrency
+    * bounded-global argument covers the reverse risk cumsum and the
+    * single-row KM fold).
+    */
+  def survival(s: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), tsS("ts").as("ts_s"))
+      .withColumn("prev_s", lag(col("ts_s"), 1).over(order))
+      .withColumn("brk",
+        when(col("prev_s").isNull || col("ts_s") - col("prev_s") > SessionGapS,
+          1L).otherwise(0L))
+      .withColumn("si", sum(col("brk")).over(run))
+      .groupBy("user_id", "si")
+      .agg(min("ts_s").as("t0"), max("ts_s").as("t1"))
+    val end = sess.agg(max("t1").as("dend"))
+    val frame = sess.crossJoin(broadcast(end))
+      .select(expr("(t1 - t0) div 60").as("t"),
+        when(col("t1") <= col("dend") - SessionGapS, 1L).otherwise(0L)
+          .as("churn"))
+      .groupBy("t")
+      .agg(sum("churn").as("d"), sum(expr("1 - churn")).as("c"))
+    // reverse cumulative risk set over the day-bounded lifetime frame
+    val rev = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val step = "case when p.d > 0 then (acc.s * (p.n_risk - p.d)) div p.n_risk " +
+      "else acc.s end"
+    frame
+      .withColumn("n_risk", sum(col("d") + col("c")).over(rev))
+      .agg(array_sort(collect_list(struct(
+        col("t"), col("d"), col("c"), col("n_risk")))).as("xs"))
+      .select(explode(expr(
+        s"""aggregate(xs,
+           |  named_struct('s', 1000L, 'out',
+           |    cast(array() as array<struct<t: bigint, n_risk: bigint,
+           |      d_ended: bigint, c_censored: bigint, surv_pm: bigint>>)),
+           |  (acc, p) -> named_struct('s', $step,
+           |    'out', acc.out || array(named_struct('t', p.t,
+           |      'n_risk', p.n_risk, 'd_ended', p.d, 'c_censored', p.c,
+           |      'surv_pm', $step))),
+           |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("r.t"), col("r.n_risk"), col("r.d_ended"),
+        col("r.c_censored"), col("r.surv_pm"))
+      .orderBy("t")
+  }
+
   /** Longest consecutive-day activity STREAK census — the engagement
     * metric every product warehouse computes: per user the longest run
     * of consecutive active days, rolled up as a streak-length histogram
@@ -1051,6 +1115,7 @@ object Events {
     "evt_rfm" -> (rfm _),
     "evt_ab_test" -> (abTest _),
     "evt_streaks" -> (streaks _),
+    "evt_survival" -> (survival _),
     "evt_holt" -> (holt _),
     "evt_dau" -> (dau _))
 
@@ -1089,6 +1154,42 @@ object Events {
         |  l + b AS forecast10, serr AS sum_abs_err, merr AS max_abs_err
         |FROM rec r JOIN last ON last.event_type = r.event_type AND r.i = last.n
         |ORDER BY r.event_type""".stripMargin,
+    "evt_survival" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR date_diff('second', lag(ts) OVER w, ts) > 14400
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sx AS (SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS si
+        |  FROM g),
+        |sess AS MATERIALIZED (SELECT user_id, si,
+        |    min(epoch_us(ts) // 1000000) AS t0,
+        |    max(epoch_us(ts) // 1000000) AS t1
+        |  FROM sx GROUP BY 1, 2),
+        |e AS (SELECT max(t1) AS dend FROM sess),
+        |f AS (SELECT (t1 - t0) // 60 AS t,
+        |    CAST(sum(CASE WHEN t1 <= dend - 14400 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN t1 <= dend - 14400 THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |  FROM sess, e GROUP BY 1),
+        |r AS MATERIALIZED (SELECT t, d, c,
+        |    CAST(sum(d + c) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk,
+        |    CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i
+        |  FROM f),
+        |rec(i, t, n_risk, d, c, s) AS (
+        |  SELECT i, t, n_risk, d, c,
+        |    CASE WHEN d > 0 THEN (1000 * (n_risk - d)) // n_risk
+        |         ELSE CAST(1000 AS BIGINT) END
+        |  FROM r WHERE i = 1
+        |  UNION ALL
+        |  SELECT r.i, r.t, r.n_risk, r.d, r.c,
+        |    CASE WHEN r.d > 0 THEN (rec.s * (r.n_risk - r.d)) // r.n_risk
+        |         ELSE rec.s END
+        |  FROM r JOIN rec ON r.i = rec.i + 1)
+        |SELECT t, n_risk, d AS d_ended, c AS c_censored, s AS surv_pm
+        |FROM rec ORDER BY t""".stripMargin,
     "evt_streaks" ->
       """WITH days AS (SELECT DISTINCT user_id,
         |    epoch_us(ts) // 86400000000 AS day FROM events),

@@ -16,6 +16,13 @@ case class MMInput(doc_id: Long, fmt: String, payload: Array[Byte])
 case class MMFeature(doc_id: Long, fmt: String, n_bytes: Int,
     magic_hex: String, feat_str: String)
 
+/** Per-image sharpness record: Laplacian response moments over the decoded
+  * luminance plane (interior pixels only), exact-integer variance
+  * numerator, and the blur verdict. All integers — engine-portable.
+  */
+case class MMBlur(doc_id: Long, fmt: String, h: Int, n_interior: Long,
+    lap_sum: Long, var_flr: Long, blurry: Boolean)
+
 /** Multimodal plumbing: image/audio/video as opaque `binary` columns with
   * typed metadata, decoded per-partition into feature vectors.
   *
@@ -118,6 +125,71 @@ object Multimodal {
               (if (fmt == "ppm") MediaCodec.decodePpm(payload)
                else MediaCodec.decodeBmp(payload)).map(features(in, payload, _))
             }
+        }
+      }
+    }.toDF()
+  }
+
+  /** Variance-of-Laplacian SHARPNESS gate (Pech-Pacheco et al. 2000 — the
+    * standard blur detector an image-training-data pipeline runs before
+    * keeping a crawl image): per decoded image, the 4-neighbor Laplacian
+    * response `4·lum(x,y) − lum(x±1,y) − lum(x,y±1)` over every INTERIOR
+    * pixel of the luminance plane, its variance kept exact as the integer
+    * numerator n·Σl² − (Σl)², and the verdict `blurry ⇔ floor-variance <
+    * 7500` (low response variance = no edges = blur/flat; the threshold
+    * sits at the corpus median so BOTH verdicts are populated). Decode is the
+    * REAL [[MediaCodec]] path shared with [[mmFeatures]] — the oracle
+    * recomputes every neighbor's luminance from the source bytes, so a
+    * flipped BMP row order or swapped channel shifts the Laplacian and
+    * fails the compare.
+    *
+    * Scale shape: decode + convolution are per-row map work inside the
+    * one `mapPartitions` decode batch (the codec exception to the
+    * no-imperative rule); no shuffle at all until the driver's output
+    * coalesce — a 100 TB image corpus runs this as a pure scan.
+    */
+  def mmBlur(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val inputs = Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 < 2) // images only: ppm / bmp
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, "ppm").otherwise("bmp").as("fmt"),
+        encode(col("text"), "utf-8").as("payload"))
+      .as[MMInput]
+    inputs.mapPartitions { batch =>
+      batch.flatMap { in =>
+        val h = math.min(in.payload.length / (ImgW * 3), MaxRows)
+        if (h < 3) None // no interior row to convolve — drop like undecodable
+        else {
+          val rgb = java.util.Arrays.copyOf(in.payload, h * ImgW * 3)
+          val payload =
+            if (in.fmt == "ppm") MediaCodec.encodePpm(ImgW, h, rgb)
+            else MediaCodec.encodeBmp(ImgW, h, rgb)
+          (if (in.fmt == "ppm") MediaCodec.decodePpm(payload)
+           else MediaCodec.decodeBmp(payload)).map { r =>
+            def lum(i: Int): Long = {
+              val rr = r.rgb(3 * i) & 0xff
+              val gg = r.rgb(3 * i + 1) & 0xff
+              val bb = r.rgb(3 * i + 2) & 0xff
+              (299L * rr + 587L * gg + 114L * bb) / 1000L
+            }
+            var n = 0L; var sl = 0L; var ssq = 0L
+            var y = 1
+            while (y < r.h - 1) {
+              var x = 1
+              while (x < r.w - 1) {
+                val i = y * r.w + x
+                val lap = 4L * lum(i) - lum(i - 1) - lum(i + 1) -
+                  lum(i - r.w) - lum(i + r.w)
+                n += 1; sl += lap; ssq += lap * lap
+                x += 1
+              }
+              y += 1
+            }
+            val varNum = n * ssq - sl * sl
+            val varFlr = varNum / (n * n)
+            MMBlur(in.doc_id, in.fmt, r.h, n, sl, varFlr, varFlr < 7500L)
+          }
         }
       }
     }.toDF()
@@ -391,6 +463,7 @@ object Multimodal {
     "mm_silence" -> (mmSilence _),
     "mm_features" -> (mmFeatures _),
     "mm_phash" -> (mmPhash _),
+    "mm_blur" -> (mmBlur _),
     "mm_dedup" -> (mmDedup _),
     "mm_frames" -> (mmFrames _),
     "mm_scenes" -> (mmScenes _),
@@ -398,6 +471,38 @@ object Multimodal {
     "mm_colorhist" -> (mmColorhist _))
 
   val oracles: Map[String, String] = Map(
+    "mm_blur" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+        |    lower(hex(encode(text))) AS hx,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents WHERE doc_id % 3 < 2),
+        |ok AS (SELECT doc_id, fmt, hx, least(nb // 48, 64) AS h
+        |  FROM d WHERE nb // 48 >= 3),
+        |px AS (SELECT doc_id, fmt, h, i,
+        |    (299 * CAST(('0x' || substr(hx, 6*i + 1, 2)) AS BIGINT)
+        |     + 587 * CAST(('0x' || substr(hx, 6*i + 3, 2)) AS BIGINT)
+        |     + 114 * CAST(('0x' || substr(hx, 6*i + 5, 2)) AS BIGINT)) // 1000
+        |      AS lum
+        |  FROM ok, LATERAL (SELECT unnest(range(0, CAST(16 * h AS BIGINT))) AS i) rr),
+        |lap AS (SELECT doc_id, fmt, h, i,
+        |    4 * lum - lag(lum, 1) OVER win - lead(lum, 1) OVER win
+        |            - lag(lum, 16) OVER win - lead(lum, 16) OVER win AS lap
+        |  FROM px WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+        |ins AS (SELECT * FROM lap
+        |  WHERE i % 16 BETWEEN 1 AND 14 AND i // 16 BETWEEN 1 AND h - 2),
+        |agg AS (SELECT doc_id, any_value(fmt) AS fmt,
+        |    CAST(any_value(h) AS INT) AS h,
+        |    CAST(count(*) AS BIGINT) AS n_interior,
+        |    CAST(sum(lap) AS BIGINT) AS lap_sum,
+        |    CAST(sum(lap * lap) AS BIGINT) AS ssq
+        |  FROM ins GROUP BY doc_id)
+        |SELECT doc_id, fmt, h, n_interior, lap_sum,
+        |  CAST((n_interior * ssq - lap_sum * lap_sum)
+        |    // (n_interior * n_interior) AS BIGINT) AS var_flr,
+        |  (n_interior * ssq - lap_sum * lap_sum)
+        |    // (n_interior * n_interior) < 7500 AS blurry
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "mm_phash" ->
       """WITH d AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
         |            octet_length(encode(text)) AS n FROM documents),

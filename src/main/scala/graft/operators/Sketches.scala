@@ -329,7 +329,78 @@ object Sketches {
       .select("ta", "tb", "m", "kmv_est", "exact_n", "n_types_dropped")
   }
 
+  /** AMS tug-of-war estimators: 32, read as 8 groups of 4 — the paper's
+    * MEDIAN-OF-MEANS layout. The median of RAW squares is NOT an option:
+    * Z² is χ²₁-distributed, whose median is 0.455·σ², so a raw median
+    * under-reports F₂ by half (first cut measured exactly that); means
+    * of 4 unbias each group, the median across groups tames outliers.
+    */
+  private val AmsK = 32
+  private val AmsGroups = 8
+
+  /** Even hex digits — an md5 hex char is one of these iff its low bit
+    * is 0; the per-char test is the engine-portable sign bit.
+    */
+  private val HexEven = Seq("0", "2", "4", "6", "8", "a", "c", "e")
+
+  /** ±1 sign for estimator j: the parity of the j-th hex char of ONE md5
+    * of the user id — 32 high-quality independent bits from a single
+    * digest per row. AMS needs 4-wise independent signs, and the modular
+    * h64 family is NOT: an affine per-j tweak after the fold only flips
+    * parity deterministically (all 32 estimators collapse to ±one
+    * value), and even a per-j pre-shift leaves the parities so balanced
+    * that they anti-correlate against near-uniform counts (measured 93 %
+    * and 85-95 % low respectively). md5, like the dedup family uses, has
+    * no such structure — identical hex output in both engines, so every
+    * sign replays.
+    */
+  private def amsSign(j: Int, h: Column): Column =
+    when(substring(h, j + 1, 1).isin(HexEven: _*), 1L).otherwise(-1L)
+
+  /** AMS F₂ sketch (Alon–Matias–Szegedy 1996): the second frequency
+    * moment F₂ = Σ_u c_u² of per-user event counts, per event type —
+    * which is exactly the SELF-JOIN SIZE on user_id, the number the
+    * optimizer wants BEFORE running the join. Each of 16 tug-of-war
+    * estimators keeps ONE integer Z_j = Σ_events sign_j(user_id); E[Z²]
+    * = F₂, and the median of the 16 squares is the estimate. The exact
+    * F₂ rides along (one distinct-tuple exchange) so the key measures
+    * its own sketch, like `ann_recall` does for the IVF index.
+    *
+    * Scale shape: the sketch side is ONE scan with 16 sum aggregates —
+    * map-side partials into a |types|×16-integer state, constant-size
+    * reduce, and Z vectors merge by ADDITION across partitions/days/
+    * clusters (the same mergeability argument as the HLL registers; an
+    * exact F₂ at 100 TB pays a (type, user) exchange every refresh).
+    * Median of 16 = mean of order stats 8 and 9 of the sorted squares,
+    * computed in-row on the 16-element array.
+    */
+  def sketchAms(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        md5(col("user_id").cast("string")).as("hh"))
+    val aggs = count(lit(1)).as("n_events") +:
+      (0 until AmsK).map(j => sum(amsSign(j, col("hh"))).as(s"z$j"))
+    val groupMean = (g: Int) => expr(
+      (0 until 4).map(r => s"z${4 * g + r} * z${4 * g + r}")
+        .mkString("(", " + ", ") div 4"))
+    val est = ev.groupBy("event_type")
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("ests", array_sort(array(
+        (0 until AmsGroups).map(groupMean): _*)))
+      .withColumn("f2_est", expr("(ests[3] + ests[4]) div 2"))
+    val exact = ev.groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("cu"))
+      .groupBy("event_type")
+      .agg(sum(col("cu") * col("cu")).as("f2_exact"))
+    est.join(exact, "event_type")
+      .withColumn("err_pm",
+        expr("(1000 * abs(f2_est - f2_exact)) div f2_exact"))
+      .select("event_type", "n_events", "f2_exact", "f2_est", "err_pm")
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_ams" -> (sketchAms _),
     "sketch_kmv" -> (sketchKmv _),
     "sketch_hll" -> (sketchHll _),
     "sketch_hll_store" -> (sketchHllStore _),
@@ -338,7 +409,29 @@ object Sketches {
 
   private val hSql = s"((user_id % $FoldP) * $KnuthA + $HashB) % $HashP"
 
+  private val amsZSql = (0 until AmsK).map(j =>
+    s"CAST(sum(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), ${j + 1}, 1) " +
+      "IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END) " +
+      s"AS BIGINT) AS z$j").mkString(", ")
+
   val oracles: Map[String, String] = Map(
+    "sketch_ams" ->
+      s"""WITH z AS (SELECT event_type, count(*) AS n_events, $amsZSql
+         |  FROM events GROUP BY 1),
+         |est AS (SELECT event_type, n_events,
+         |    list_sort([${(0 until AmsGroups).map(g =>
+             (0 until 4).map(r => s"z${4 * g + r} * z${4 * g + r}")
+               .mkString("(", " + ", ") // 4")).mkString(", ")}]) AS l
+         |  FROM z),
+         |ex AS (SELECT event_type, CAST(sum(cu * cu) AS BIGINT) AS f2_exact
+         |  FROM (SELECT event_type, user_id, count(*) AS cu
+         |        FROM events GROUP BY 1, 2) t GROUP BY 1)
+         |SELECT est.event_type, n_events, f2_exact,
+         |  CAST((l[4] + l[5]) // 2 AS BIGINT) AS f2_est,
+         |  CAST((1000 * abs((l[4] + l[5]) // 2 - f2_exact)) // f2_exact AS BIGINT)
+         |    AS err_pm
+         |FROM est JOIN ex ON ex.event_type = est.event_type
+         |ORDER BY 1""".stripMargin,
     "sketch_kmv" ->
       s"""WITH hs AS MATERIALIZED (SELECT DISTINCT event_type,
          |    ((($hSql) % $FoldP) * 2654435789 + 97) % $HashP AS h FROM events),

@@ -157,6 +157,47 @@ object TextOps {
       .orderBy("bucket")
   }
 
+  /** χ² term KEYNESS between corpus slices (corpus-linguistics keyword
+    * extraction; the domain-shift detector a curation pipeline runs when
+    * a new source lands): the `lang = 'en'` slice vs the rest, per term
+    * the 2×2 contingency χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) scaled to
+    * exact integer PPM — the whole statistic cross-multiplies into
+    * DECIMAL(38,0) (the evt_ab_test headroom contract: token counts to
+    * ~10¹² keep N·(ad−bc)² under 38 digits after the single `div`), so
+    * both engines rank the identical keyword list. G²/log-likelihood
+    * keyness needs transcendental logs; χ² is the rational member of the
+    * family, which is why it is the one an engine-portable pipeline
+    * ships.
+    *
+    * Scale shape: ONE documents scan exploding tokens with a slice flag,
+    * partial counts collapse map-side into the vocabulary-bounded term
+    * frame (Heaps' law — sublinear in corpus); totals ride a window over
+    * that tiny frame, never a fact rescan.
+    */
+  def textKeyness(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    Tables.documents(s, dir)
+      .select(when(col("lang") === "en", 1L).otherwise(0L).as("is_en"),
+        explode(expr(toksExpr)).as("term"))
+      .groupBy("term")
+      .agg(sum(col("is_en")).as("n_en"),
+        sum(lit(1L) - col("is_en")).as("n_rest"))
+      .withColumn("na", expr("sum(n_en) over ()"))
+      .withColumn("nb", expr("sum(n_rest) over ()"))
+      .withColumn("chi2_ppm", expr(
+        s"""(cast(1000000 as $dec) * cast(na + nb as $dec)
+           |  * cast(n_en * (nb - n_rest) - n_rest * (na - n_en) as $dec)
+           |  * cast(n_en * (nb - n_rest) - n_rest * (na - n_en) as $dec))
+           |div (cast(n_en + n_rest as $dec)
+           |  * cast(na + nb - n_en - n_rest as $dec)
+           |  * cast(na as $dec) * cast(nb as $dec))""".stripMargin))
+      .withColumn("overused",
+        when(col("n_en") * col("nb") > col("n_rest") * col("na"), lit("en"))
+          .otherwise(lit("rest")))
+      .select("term", "n_en", "n_rest", "chi2_ppm", "overused")
+      .orderBy(desc("chi2_ppm"), asc("term"))
+  }
+
   /** Whitespace vs BPE-ish (letter-run | digit-run | single symbol)
     * tokenization counts.
     */
@@ -1141,6 +1182,7 @@ object TextOps {
     "text_ttr" -> (textTtr _),
     "text_tokens" -> (textTokens _),
     "text_zipf" -> (textZipf _),
+    "text_keyness" -> (textKeyness _),
     "text_hashtf" -> (textHashTf _),
     "text_pii" -> (textPii _),
     "text_rollhash" -> (textRollhash _),
@@ -1756,6 +1798,23 @@ object TextOps {
          |  CAST(sum(c * (b + 1)) AS BIGINT) AS dot_idx,
          |  CAST(sum(c * c) AS BIGINT) AS l2_sq
          |FROM tf GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "text_keyness" ->
+      s"""WITH toks AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+         |    unnest($toksSql) AS term FROM documents),
+         |cnt AS (SELECT term, CAST(sum(is_en) AS BIGINT) AS n_en,
+         |    CAST(sum(1 - is_en) AS BIGINT) AS n_rest
+         |  FROM toks GROUP BY 1),
+         |t AS (SELECT *, CAST(sum(n_en) OVER () AS BIGINT) AS na,
+         |    CAST(sum(n_rest) OVER () AS BIGINT) AS nb FROM cnt)
+         |SELECT term, n_en, n_rest,
+         |  CAST((CAST(1000000 AS HUGEINT) * CAST(na + nb AS HUGEINT)
+         |    * CAST(n_en * (nb - n_rest) - n_rest * (na - n_en) AS HUGEINT)
+         |    * CAST(n_en * (nb - n_rest) - n_rest * (na - n_en) AS HUGEINT))
+         |   // (CAST(n_en + n_rest AS HUGEINT)
+         |    * CAST(na + nb - n_en - n_rest AS HUGEINT)
+         |    * CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)) AS BIGINT) AS chi2_ppm,
+         |  CASE WHEN n_en * nb > n_rest * na THEN 'en' ELSE 'rest' END AS overused
+         |FROM t ORDER BY chi2_ppm DESC, term""".stripMargin,
     "text_zipf" ->
       s"""WITH toks AS (SELECT unnest($toksSql) AS tok FROM documents),
          |freq AS (SELECT tok, count(*) AS freq FROM toks GROUP BY 1),

@@ -363,4 +363,48 @@ class EventsSpec extends SparkSpec {
     }
     assert(got.size === byId.length)
   }
+
+  test("evt_survival: KM curve replays a driver-side fold over gap sessions") {
+    val rows = Events.survival(spark, sfDir).collect()
+    // independent sessions: walk each user's sorted seconds with the gap rule
+    val byUser = events.select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), Math.floorDiv(r.getLong(1), 1000000000L)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val sessions = byUser.values.flatMap { ts =>
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var t0 = ts.head; var t1 = ts.head
+      ts.tail.foreach { t =>
+        if (t - t1 > 14400L) { out += ((t0, t1)); t0 = t }
+        t1 = t
+      }
+      out += ((t0, t1))
+      out
+    }.toSeq
+    val dend = sessions.map(_._2).max
+    val frame = sessions
+      .map { case (t0, t1) => ((t1 - t0) / 60, t1 <= dend - 14400L) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (t, xs) =>
+        (t, xs.count(_._2).toLong, xs.count(!_._2).toLong)
+      }
+    // reverse-cumulative risk, then the per-mille product recurrence
+    var risk = frame.map { case (_, d, c) => d + c }.sum
+    var s = 1000L
+    val expected = frame.map { case (t, d, c) =>
+      if (d > 0) s = s * (risk - d) / risk
+      val row = (t, risk, d, c, s)
+      risk -= d + c
+      row
+    }
+    assert(rows.length === expected.length)
+    rows.sortBy(_.getAs[Long]("t")).zip(expected).foreach { case (r, e) =>
+      assert((r.getAs[Long]("t"), r.getAs[Long]("n_risk"),
+        r.getAs[Long]("d_ended"), r.getAs[Long]("c_censored"),
+        r.getAs[Long]("surv_pm")) === e)
+    }
+    // the curve is a survival function: non-increasing from ≤1000
+    val sv = rows.sortBy(_.getAs[Long]("t")).map(_.getAs[Long]("surv_pm"))
+    assert(sv.head <= 1000L && sv.sliding(2).forall(w =>
+      w.length < 2 || w(0) >= w(1)))
+  }
 }

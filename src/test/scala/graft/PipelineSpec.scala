@@ -1194,4 +1194,103 @@ class PipelineSpec extends SparkSpec {
     // shards stay in the fixed 16-way layout
     assert(man.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 16))
   }
+
+  test("sketch_ams: md5 signs, median-of-means and exact F2 replay driver-side") {
+    val rows = graft.operators.Sketches.sketchAms(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sfDir).select("event_type", "user_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val even = "02468ace".toSet
+    val byType = ev.groupBy(_._1)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val us = byType(t).map(_._2)
+      val exact = us.groupBy(identity).values
+        .map(v => v.size.toLong * v.size).sum
+      assert(r.getAs[Long]("f2_exact") === exact, s"$t exact F2")
+      assert(r.getAs[Long]("n_events") === us.length.toLong)
+      val zs = (0 until 32).map { j =>
+        us.map(u => if (even(md5hex(u.toString)(j))) 1L else -1L).sum
+      }
+      val means = (0 until 8)
+        .map(g => (0 until 4).map(k => { val z = zs(4 * g + k); z * z }).sum / 4)
+        .sorted
+      val est = (means(3) + means(4)) / 2
+      assert(r.getAs[Long]("f2_est") === est, s"$t median-of-means")
+      assert(r.getAs[Long]("err_pm") ===
+        1000L * math.abs(est - exact) / exact)
+    }
+  }
+
+  test("text_keyness: chi-square replays in BigInt; counts partition the token stream") {
+    val rows = TextOps.textKeyness(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir).select("lang", "text").collect()
+    val counts = scala.collection.mutable.Map[String, (Long, Long)]()
+    docs.foreach { d =>
+      val isEn = d.getString(0) == "en"
+      d.getString(1).split(" ").filter(_.nonEmpty).foreach { w =>
+        val (a, b) = counts.getOrElse(w, (0L, 0L))
+        counts(w) = if (isEn) (a + 1, b) else (a, b + 1)
+      }
+    }
+    val na = counts.values.map(_._1).sum
+    val nb = counts.values.map(_._2).sum
+    assert(rows.map(_.getAs[Long]("n_en")).sum === na)
+    assert(rows.map(_.getAs[Long]("n_rest")).sum === nb)
+    assert(rows.length === counts.size)
+    rows.foreach { r =>
+      val (a, b) = counts(r.getAs[String]("term"))
+      assert(r.getAs[Long]("n_en") === a)
+      assert(r.getAs[Long]("n_rest") === b)
+      val (c, d) = (na - a, nb - b)
+      val num = BigInt(1000000) * BigInt(na + nb) *
+        BigInt(a * d - b * c).pow(2)
+      val den = BigInt(a + b) * BigInt(c + d) * BigInt(na) * BigInt(nb)
+      assert(BigInt(r.getAs[Long]("chi2_ppm")) === num / den,
+        s"chi2 for ${r.getAs[String]("term")}")
+      assert(r.getAs[String]("overused") ===
+        (if (a * nb > b * na) "en" else "rest"))
+    }
+  }
+
+  test("mm_blur: Laplacian variance replays from raw bytes; drop rule exact") {
+    val rows = Multimodal.mmBlur(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+    var expected = 0
+    docs.foreach { d =>
+      val id = d.getLong(0)
+      if (id % 3 < 2) {
+        val bytes = d.getString(1).getBytes("UTF-8")
+        val h = math.min(bytes.length / 48, 64)
+        if (h < 3) assert(!rows.contains(id), s"doc $id should be dropped")
+        else {
+          expected += 1
+          val r = rows(id)
+          def lum(i: Int): Long = {
+            val rr = bytes(3 * i) & 0xff; val gg = bytes(3 * i + 1) & 0xff
+            val bb = bytes(3 * i + 2) & 0xff
+            (299L * rr + 587L * gg + 114L * bb) / 1000L
+          }
+          var n = 0L; var sl = 0L; var ssq = 0L
+          for (y <- 1 until h - 1; x <- 1 until 15) {
+            val i = y * 16 + x
+            val lap = 4 * lum(i) - lum(i - 1) - lum(i + 1) -
+              lum(i - 16) - lum(i + 16)
+            n += 1; sl += lap; ssq += lap * lap
+          }
+          val varFlr = (n * ssq - sl * sl) / (n * n)
+          assert(r.getAs[Int]("h") === h)
+          assert(r.getAs[Long]("n_interior") === n)
+          assert(r.getAs[Long]("lap_sum") === sl)
+          assert(r.getAs[Long]("var_flr") === varFlr)
+          assert(r.getAs[Boolean]("blurry") === (varFlr < 7500L))
+        }
+      } else assert(!rows.contains(id), s"wav doc $id must not appear")
+    }
+    assert(rows.size === expected)
+  }
 }
