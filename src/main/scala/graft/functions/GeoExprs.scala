@@ -755,6 +755,7 @@ object GeoFunctions {
     "minhash8" -> (es => Minhash8(es(0))),
     "rollhash8" -> (es => RollHash8(es(0))),
     "rollfps16" -> (es => RollFps16(es(0))),
+    "cdccuts" -> (es => CdcCuts(es(0))),
     "winnow8" -> (es => Winnow8(es(0))),
     "ahash16" -> (es => AHash16(es(0))),
     "bhist16" -> (es => BHist16(es(0))),

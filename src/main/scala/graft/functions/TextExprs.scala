@@ -494,6 +494,46 @@ object TextKernels {
     p
   }
 
+  /** CDC cut mask: a cut fires when the 8-byte window hash ≡ 0 (mod 64)
+    * — expected chunk ≈ 64 bytes. Shared by [[cdcCuts]] and the
+    * `dedup_cdc` oracle.
+    */
+  val CdcMask = 64L
+
+  /** Content-defined chunk CUT POSITIONS (Karp–Rabin gear, the
+    * rsync/LBFS/FastCDC primitive): byte offsets where a new chunk
+    * starts — the byte AFTER any 8-byte window whose rolling hash ≡ 0
+    * (mod [[CdcMask]]). Cut placement depends only on local CONTENT, so
+    * an insertion resynchronizes after one window instead of shifting
+    * every later boundary (the property fixed-stride passage hashing
+    * lacks). Pure cut rule, no min/max chunk bound — FastCDC's bounds
+    * are a latency refinement, not part of the portable core. One O(n)
+    * pass per document; cuts strictly inside (0, n) so no empty chunk
+    * exists at either end.
+    */
+  def cdcCuts(text: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    if (n >= RollWindow) {
+      var h = 0L
+      var i = 0
+      while (i < RollWindow) { h = (h * 257L + (bytes(i) & 0xffL)) % RollMod; i += 1 }
+      if (h % CdcMask == 0L && RollWindow < n) out += RollWindow.toLong
+      val outPow = RollPow(RollWindow - 1)
+      var w = 1
+      val last = n - RollWindow
+      while (w <= last) {
+        h = ((h - (bytes(w - 1) & 0xffL) * outPow) % RollMod + RollMod) % RollMod
+        h = (h * 257L + (bytes(w + RollWindow - 1) & 0xffL)) % RollMod
+        val c = w + RollWindow
+        if (h % CdcMask == 0L && c < n) out += c.toLong
+        w += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** Karp–Rabin rolling fingerprint over the UTF-8 bytes of `text`:
     * hash every 8-byte window in one O(n) pass (subtract the outgoing
     * byte's 257^7 term, multiply, add the incoming byte), track the
@@ -1235,6 +1275,26 @@ case class RollFps16(child: Expression) extends UnaryExpression {
       s"graft.functions.TextKernels.rollFps($t)")
 
   override protected def withNewChildInternal(newChild: Expression): RollFps16 =
+    copy(child = newChild)
+}
+
+/** `cdccuts(text)` → ascending chunk-start byte offsets
+  * (TextKernels.cdcCuts) — the content-defined-chunking cut set, one
+  * codegen kernel call per document.
+  */
+case class CdcCuts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)
+  override def prettyName: String = "cdccuts"
+
+  override protected def nullSafeEval(text: Any): Any =
+    TextKernels.cdcCuts(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.TextKernels.cdcCuts($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcCuts =
     copy(child = newChild)
 }
 

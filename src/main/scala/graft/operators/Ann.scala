@@ -441,6 +441,51 @@ object Ann {
       .select("q_id", "n_id", "rnk", "cell", "cos")
   }
 
+  /** FILTERED vector search — attribute-constrained ANN ("top-k among
+    * vectors WHERE label = X"), the operation every production vector
+    * store now exposes and the naive composition gets wrong: filtering
+    * AFTER a plain top-k probe returns < k results whenever the
+    * predicate is selective. This is the PRE-FILTER design point: the
+    * label predicate applies as the probe joins the cell scan, and the
+    * probe OVERSEARCHES at nprobe = 4 (vs [[annIvf]]'s 2) because a
+    * 1/|labels| filter thins every cell by that factor — the filtered
+    * recall/cost trade every vector-store paper documents. Target label
+    * = the query's own (nearest same-class neighbors — the
+    * kNN-classifier / hard-positive mining shape); `n_cand` reports the
+    * surviving candidate count so the oversearch margin is measured,
+    * not assumed.
+    *
+    * Scale shape: identical to [[annIvf]] — map-only cell assignment
+    * with inlined centroid literals, broadcast 8-query probe set, the
+    * label filter rides the probe join (no extra exchange), top-3 via
+    * WindowGroupLimit on the candidate frame.
+    */
+  def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+    val cents = centroidsOf(e)
+    def cs(emb: Column, n2: Column) = cellScores(cents)(emb, n2)
+    val base = e.filter(col("vec_id") >= 8)
+      .withColumn("cell",
+        -array_max(cs(col("embedding"), col("n2"))).getField("nid"))
+      .select(col("cell"), col("label"), col("vec_id").as("n_id"),
+        col("embedding").as("ne"), col("n2").as("nn2"))
+    val probes = e.filter(col("vec_id") < 8)
+      .withColumn("probe", explode(
+        slice(reverse(sort_array(cs(col("embedding"), col("n2")))), 1, 4)))
+      .select((-col("probe.nid")).as("cell"), col("label").as("q_label"),
+        col("vec_id").as("q_id"), col("embedding").as("qe"), col("n2").as("qn2"))
+    base.join(broadcast(probes), Seq("cell"))
+      .filter(col("label") === col("q_label"))
+      .withColumn("cos",
+        cosine(dotDec(col("qe"), col("ne")), col("qn2"), col("nn2")))
+      .withColumn("n_cand", count(lit(1)).over(Window.partitionBy("q_id")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))))
+      .filter(col("rnk") <= 3)
+      .select("q_id", "label", "n_id", "rnk", "cell", "cos", "n_cand")
+      .orderBy("q_id", "rnk")
+  }
+
   /** RECALL-vs-NPROBE curve — the IVF quality/cost DIAL measured, one
     * step past [[annRecall]]'s single point: recall@3 against the brute
     * truth at nprobe ∈ {1, 2, 4} in one key. This is the graph an
@@ -1047,6 +1092,7 @@ object Ann {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall" -> (annRecall _),
     "ann_nprobe" -> (annNprobe _),
+    "ann_filtered" -> (annFiltered _),
     "dedup_embedding" -> (dedupEmbedding _),
     "emb_kmeans" -> (embKmeans _),
     "emb_pca" -> (embPca _),
@@ -1279,6 +1325,29 @@ object Ann {
          |SELECT q_id, n_id, rnk, bucket, cos FROM ranked WHERE rnk <= 3
          |ORDER BY q_id, rnk""".stripMargin,
     "ann_ivf" -> ivfSql,
+    "ann_filtered" ->
+      s"""WITH $flatSql,
+         |$cellsSql,
+         |probes AS (SELECT vec_id AS q_id, c_id AS cell FROM cranked
+         |  WHERE crk <= 4 AND vec_id < 8),
+         |dots AS (SELECT p.q_id, ce.n_id, ce.cell, any_value(q.label) AS label,
+         |    sum(CAST(round(q.e * b.e * 1000000000.0) AS BIGINT)) AS dot
+         |  FROM probes p JOIN cells ce ON ce.cell = p.cell
+         |       JOIN flat q ON q.vec_id = p.q_id
+         |       JOIN flat b ON b.vec_id = ce.n_id AND b.i = q.i
+         |         AND b.label = q.label
+         |  GROUP BY 1, 2, 3),
+         |scored AS (SELECT q_id, n_id, cell, label,
+         |    (dot / 1e9) / (sqrt(nq.n2 / 1e9) * sqrt(nb.n2 / 1e9)) AS cos
+         |  FROM dots JOIN norm nq ON nq.vec_id = q_id
+         |            JOIN norm nb ON nb.vec_id = n_id),
+         |ranked AS (SELECT q_id, n_id, cell, label, cos,
+         |    CAST(count(*) OVER (PARTITION BY q_id) AS BIGINT) AS n_cand,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, label, n_id, rnk, CAST(cell AS BIGINT) AS cell, cos, n_cand
+         |FROM ranked WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin,
     // the persisted-index probe serves byte-identical results to the
     // inline IVF: same codebook, same cells, same rerank
     "ann_ivf_store" -> ivfSql,

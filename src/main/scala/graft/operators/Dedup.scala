@@ -228,6 +228,52 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Content-defined-chunking dedup (the rsync/LBFS/FastCDC primitive —
+    * the chunk-store dedup a blob/dataset store runs, and the shift-robust
+    * upgrade over [[dedupPassage]]'s fixed-stride passages): chunk
+    * boundaries fall where the 8-byte Karp–Rabin window hash ≡ 0 (mod 64)
+    * (ONE `cdccuts` codegen kernel call per document — expected ~64-byte
+    * chunks), so an insertion RESYNCHRONIZES after one window instead of
+    * shifting every later boundary. Chunks dedup corpus-wide by content
+    * md5 with the first occurrence (min (doc_id, off)) canonical; output =
+    * per-doc chunk/byte totals, duplicated chunk/byte counts and the
+    * dedup ratio in per-mille — the storage-savings number a chunk store
+    * quotes.
+    *
+    * Scale shape: cut detection is scan-side codegen; the chunk explode
+    * carries (doc, off, len, md5) only — text never leaves the map side;
+    * the canonical-occurrence aggregate and the join back share the ONE
+    * chunk-hash-keyed exchange (same partitioning both sides), then the
+    * per-doc rollup is a second, doc-keyed exchange — the dedup_passage
+    * budget exactly.
+    */
+  def dedupCdc(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val chunks = Tables.documents(s, dir)
+      .withColumn("bounds", concat(
+        array(lit(0L)),
+        call_function("cdccuts", col("text")),
+        array(length(col("text")).cast("long"))))
+      .select(col("doc_id"), col("text"), explode(expr(
+        """transform(sequence(0, size(bounds) - 2),
+          |  k -> struct(bounds[k] as off, bounds[k + 1] - bounds[k] as len))"""
+          .stripMargin)).as("c"))
+      .select(col("doc_id"), col("c.off").as("off"), col("c.len").as("len"),
+        md5(expr("substring(text, cast(off + 1 as int), cast(len as int))"))
+          .as("h"))
+    val canon = chunks.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("off"))).as("first"))
+    chunks.join(canon, "h")
+      .withColumn("dup", col("doc_id") =!= col("first.doc_id") ||
+        col("off") =!= col("first.off"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("len").as("n_bytes"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("dup"), col("len")).otherwise(0L)).as("dup_bytes"))
+      .withColumn("dup_pm", expr("(1000 * dup_bytes) div n_bytes"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash signatures (k=8, md5 over 5-char shingles). */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     signatures(s, dir)
@@ -713,6 +759,7 @@ object Dedup {
     "dedup_exact" -> (dedupExact _),
     "dedup_soft" -> (dedupSoft _),
     "dedup_passage" -> (dedupPassage _),
+    "dedup_cdc" -> (dedupCdc _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_lsh_pairs" -> (dedupLshPairs _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -825,6 +872,46 @@ object Dedup {
     // the generate_subscripts/unnest pair expands in lockstep, so word i
     // keeps its 1-based position; passage idx = (i-1) div W, first
     // occurrence per md5 in (doc_id, pidx) order
+    "dedup_cdc" -> {
+      import graft.functions.TextKernels.{CdcMask, RollMod, RollPow, RollWindow}
+      val powCase = (0 until RollWindow)
+        .map(k => s"WHEN $k THEN ${RollPow(RollWindow - 1 - k)}")
+        .mkString(" ")
+      s"""WITH d AS (SELECT doc_id, text, lower(hex(encode(text))) AS hx,
+         |      octet_length(encode(text)) AS nb FROM documents),
+         |bytes AS (SELECT doc_id, p,
+         |      CAST(('0x' || substr(hx, 2*p - 1, 2)) AS BIGINT) AS bv
+         |    FROM d, LATERAL (SELECT unnest(range(1, nb + 1)) AS p) r),
+         |win AS (SELECT doc_id, i FROM d,
+         |    LATERAL (SELECT unnest(range(1, greatest(nb - ${RollWindow - 1}, 0) + 1)) AS i) rr),
+         |h AS (SELECT w.doc_id, w.i,
+         |      CAST(sum(b.bv * CASE CAST(b.p - w.i AS INT) $powCase END)
+         |        % $RollMod AS BIGINT) AS hv
+         |    FROM win w JOIN bytes b
+         |      ON b.doc_id = w.doc_id AND b.p >= w.i AND b.p < w.i + $RollWindow
+         |    GROUP BY 1, 2),
+         |cuts AS (SELECT h.doc_id, i + $RollWindow AS s
+         |    FROM h JOIN d ON d.doc_id = h.doc_id
+         |    WHERE hv % $CdcMask = 0 AND i + $RollWindow <= d.nb),
+         |starts AS (SELECT doc_id, 1 AS s FROM d
+         |    UNION ALL SELECT doc_id, s FROM cuts),
+         |spans AS (SELECT doc_id, s,
+         |      lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt FROM starts),
+         |chunks AS (SELECT sp.doc_id, sp.s,
+         |      coalesce(sp.nxt, d.nb + 1) - sp.s AS len,
+         |      md5(substr(d.text, CAST(sp.s AS INT),
+         |        CAST(coalesce(sp.nxt, d.nb + 1) - sp.s AS INT))) AS h
+         |    FROM spans sp JOIN d ON d.doc_id = sp.doc_id),
+         |mk AS (SELECT doc_id, len,
+         |      CASE WHEN row_number() OVER (PARTITION BY h ORDER BY doc_id, s) > 1
+         |        THEN 1 ELSE 0 END AS dup
+         |    FROM chunks)
+         |SELECT doc_id, count(*) AS n_chunks, CAST(sum(len) AS BIGINT) AS n_bytes,
+         |  CAST(sum(dup) AS BIGINT) AS dup_chunks,
+         |  CAST(sum(dup * len) AS BIGINT) AS dup_bytes,
+         |  CAST((1000 * sum(dup * len)) // sum(len) AS BIGINT) AS dup_pm
+         |FROM mk GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
     "dedup_passage" ->
       s"""WITH wds AS (
          |  SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w

@@ -1195,6 +1195,66 @@ class PipelineSpec extends SparkSpec {
     assert(man.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 16))
   }
 
+  test("dedup_cdc: cuts replay a direct rolling hash; an insertion resynchronizes") {
+    import graft.functions.TextKernels
+    def cuts(s: String): Seq[Long] = {
+      val r = TextKernels.cdcCuts(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      (0 until r.numElements()).map(r.getLong)
+    }
+    def directCuts(s: String): Seq[Long] = {
+      val b = s.getBytes("UTF-8")
+      (0 to b.length - 8).flatMap { i =>
+        var h = 0L
+        (i until i + 8).foreach(k => h = (h * 257L + (b(k) & 0xffL)) % 1000000007L)
+        if (h % 64L == 0L && i + 8 < b.length) Some((i + 8).toLong) else None
+      }
+    }
+    def chunks(s: String): Seq[String] = {
+      val bs = 0L +: cuts(s) :+ s.length.toLong
+      bs.sliding(2).map { w => s.substring(w(0).toInt, w(1).toInt) }.toSeq
+    }
+    val docs = Tables.documents(spark, sfDir).select("text")
+      .limit(50).collect().map(_.getString(0))
+    docs.foreach { t => assert(cuts(t) === directCuts(t), "kernel vs direct") }
+    // shift-robustness: a mid-document insertion leaves the chunk multiset
+    // mostly intact (fixed-stride passage hashing would shift every
+    // later boundary); only chunks overlapping the edit window change
+    val long = docs.filter(_.length > 300)
+    assert(long.nonEmpty)
+    long.take(10).foreach { t =>
+      val edited = t.substring(0, t.length / 2) + "X" + t.substring(t.length / 2)
+      val a = chunks(t).groupBy(identity).view.mapValues(_.size).toMap
+      val bch = chunks(edited).groupBy(identity).view.mapValues(_.size).toMap
+      val shared =
+        a.iterator.map { case (k, c) => math.min(c, bch.getOrElse(k, 0)) }.sum
+      assert(shared >= a.values.sum - math.max(3, a.values.sum / 4),
+        s"insertion should resynchronize: ${a.values.sum} chunks, $shared shared")
+    }
+  }
+
+  test("ann_filtered: label predicate holds, ranks dense, oversearch measured") {
+    val rows = Ann.annFiltered(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val labels = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val q = r.getAs[Long]("q_id"); val n = r.getAs[Long]("n_id")
+      assert(labels(q) === r.getAs[Int]("label"), "query label")
+      assert(labels(n) === r.getAs[Int]("label"), "candidate label filtered")
+      assert(n >= 8L, "base side only")
+    }
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rnk")).sorted === (1 to rs.length).toArray)
+      // the top-3 never exceeds the measured candidate pool
+      assert(rs.length <= rs.head.getAs[Long]("n_cand"))
+      // cosine non-increasing in rank
+      val byRnk = rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("cos"))
+      assert(byRnk.sliding(2).forall(w => w.length < 2 || w(0) >= w(1) - 1e-12))
+    }
+  }
+
   test("sketch_ams: md5 signs, median-of-means and exact F2 replay driver-side") {
     val rows = graft.operators.Sketches.sketchAms(spark, sfDir).collect()
     assert(rows.nonEmpty)
