@@ -483,7 +483,6 @@ object Ann {
         Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))))
       .filter(col("rnk") <= 3)
       .select("q_id", "label", "n_id", "rnk", "cell", "cos", "n_cand")
-      .orderBy("q_id", "rnk")
   }
 
   /** RECALL-vs-NPROBE curve — the IVF quality/cost DIAL measured, one

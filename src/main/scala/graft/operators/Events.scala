@@ -790,6 +790,7 @@ object Events {
     * single-row KM fold).
     */
   def survival(s: SparkSession, dir: String): DataFrame = {
+    import Dedup.releasing
     val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val sess = Tables.events(s, dir)
@@ -801,6 +802,9 @@ object Events {
       .withColumn("si", sum(col("brk")).over(run))
       .groupBy("user_id", "si")
       .agg(min("ts_s").as("t0"), max("ts_s").as("t1"))
+      // referenced twice (censor anchor + duration frame): materialize the
+      // one user-keyed session pass instead of running it per reference
+      .cache()
     val end = sess.agg(max("t1").as("dend"))
     val frame = sess.crossJoin(broadcast(end))
       .select(expr("(t1 - t0) div 60").as("t"),
@@ -813,7 +817,7 @@ object Events {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val step = "case when p.d > 0 then (acc.s * (p.n_risk - p.d)) div p.n_risk " +
       "else acc.s end"
-    frame
+    releasing(frame
       .withColumn("n_risk", sum(col("d") + col("c")).over(rev))
       .agg(array_sort(collect_list(struct(
         col("t"), col("d"), col("c"), col("n_risk")))).as("xs"))
@@ -828,8 +832,8 @@ object Events {
            |      'surv_pm', $step))),
            |  acc -> acc.out)""".stripMargin)).as("r"))
       .select(col("r.t"), col("r.n_risk"), col("r.d_ended"),
-        col("r.c_censored"), col("r.surv_pm"))
-      .orderBy("t")
+        col("r.c_censored"), col("r.surv_pm")),
+      sess)
   }
 
   /** Longest consecutive-day activity STREAK census — the engagement

@@ -54,7 +54,9 @@ class PlanAuditSpec extends SparkSpec {
       "pipe_validate",
       // ann_nprobe: inherits the brute-truth broadcast crossJoin + the
       // 1-row truth-count scalar bind
-      "ann_nprobe")
+      "ann_nprobe",
+      // evt_survival: the 1-row corpus-end scalar bind (censor anchor)
+      "evt_survival")
     for ((name, plan) <- plans if !intended(name))
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop join")
@@ -661,5 +663,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plans("pipe_validate").contains("SortMergeJoin") ||
       plans("pipe_validate").contains("LeftAnti"),
       s"pipe_validate orphan check must stay an anti-join:\n${plans("pipe_validate")}")
+  }
+
+  test("round-12f keys: blur scan-only, cdc two keyed exchanges, filtered broadcast") {
+    // mm_blur: decode + convolution are map work — nothing shuffles
+    assert(shuffleCount(plans("mm_blur")) === 0,
+      s"mm_blur must stay scan-only:\n${plans("mm_blur")}")
+    // dedup_cdc: chunk-hash dedup + doc rollup — the dedup_passage budget;
+    // the canonical aggregate and the join back share the h-keyed exchange
+    assert(shuffleCount(plans("dedup_cdc")) <= 3,
+      s"dedup_cdc must keep the dedup_passage exchange budget:\n${plans("dedup_cdc")}")
+    assert(!plans("dedup_cdc").contains("BroadcastNestedLoopJoin"),
+      "dedup_cdc chunks join per content hash, never all-pairs")
+    // ann_filtered: broadcast probes; base side map-only until the rank
+    // window; the n_cand window reuses the q_id partitioning
+    assert(plans("ann_filtered").contains("BroadcastExchange"),
+      "ann_filtered must broadcast the probe set")
+    assert(shuffleCount(plans("ann_filtered")) <= 1,
+      s"ann_filtered base side must not shuffle before the rank window:\n${plans("ann_filtered")}")
+    // sketch_ams: sketch side is one partial-agg exchange into the
+    // |types|x32 state; the exact control pays its distinct-tuple exchange
+    assert(shuffleCount(plans("sketch_ams")) <= 4,
+      s"sketch_ams must stay two aggregates + a bounded join:\n${plans("sketch_ams")}")
+    // text_keyness: token explode partial-aggregates into the vocab frame;
+    // the totals window rides that tiny frame
+    assert(shuffleCount(plans("text_keyness")) <= 3,
+      s"text_keyness must aggregate map-side into the vocab frame:\n${plans("text_keyness")}")
+    // evt_survival: sessionize user exchange, duration-frame aggregate,
+    // then bounded-domain global passes only
+    assert(shuffleCount(plans("evt_survival")) <= 4,
+      s"evt_survival must stay on the bounded duration frame:\n${plans("evt_survival")}")
   }
 }
