@@ -35,6 +35,36 @@ object Temporal {
       .select("user_id", "click_id", "click_us", "p_id", "p_cents", "p_us")
   }
 
+  /** Tolerance for the nearest as-of match: 6 hours in µs. */
+  val NearTolUs = 21600000000L
+
+  /** NEAREST-tolerance as-of join ([[AsofJoin.asofNearest]] under the
+    * oracle): each click matches its nearest purchase in EITHER
+    * direction, ties to the earlier row, and matches farther than 6 h
+    * are dropped — pandas `merge_asof(direction='nearest', tolerance=…)`
+    * semantics, the lookup `q13_asof`'s "latest before" gets wrong
+    * whenever a fresher later reference exists. One union + one keyed
+    * window sort computes both direction carries (two frames, same
+    * exchange); the oracle composes DuckDB's two directional ASOF joins
+    * with the same tie/tolerance rule.
+    */
+  def q34AsofNear(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("cents", round(col("value") * 100).cast("bigint"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_us").as("click_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("p_ts"),
+        col("event_id").as("p_id"), col("cents").as("p_cents"),
+        col("ts_us").as("p_us"))
+    AsofJoin.asofNearest(clicks, purchases, "user_id", "click_us", "p_ts",
+      Seq("p_id", "p_cents", "p_us"), NearTolUs)
+      .select("user_id", "click_id", "click_us", "p_id", "p_cents", "p_us",
+        "delta_us")
+  }
+
   /** Minor-version numbering under the oracle: way versions and member
     * node edits are derived deterministically from the events table
     * (clicks = a way's major versions, views = node edits, refs =
@@ -65,6 +95,7 @@ object Temporal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_asof" -> (q13Asof _),
+    "q34_asof_near" -> (q34AsofNear _),
     "minor_versions" -> (minorVersions _))
 
   val oracles: Map[String, String] = Map(
@@ -79,6 +110,40 @@ object Temporal {
         |FROM c ASOF LEFT JOIN p
         |  ON c.user_id = p.user_id AND p.p_us <= c.click_us
         |ORDER BY click_id""".stripMargin,
+    "q34_asof_near" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+         |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         |c AS (SELECT user_id, event_id AS click_id, ts_us AS click_us
+         |      FROM e WHERE event_type = 'click'),
+         |p AS (SELECT user_id, event_id AS p_id, cents AS p_cents, ts_us AS p_us
+         |      FROM e WHERE event_type = 'purchase'),
+         |prev AS (SELECT c.user_id, c.click_id, c.click_us,
+         |    p.p_id AS b_id, p.p_cents AS b_cents, p.p_us AS b_us
+         |  FROM c ASOF LEFT JOIN p
+         |    ON c.user_id = p.user_id AND p.p_us <= c.click_us),
+         |nxt AS (SELECT c.click_id, p.p_id AS n_id, p.p_cents AS n_cents,
+         |    p.p_us AS n_us
+         |  FROM c ASOF LEFT JOIN p
+         |    ON c.user_id = p.user_id AND p.p_us > c.click_us),
+         |j AS (SELECT prev.*, n_id, n_cents, n_us
+         |  FROM prev JOIN nxt USING (click_id)),
+         |pick AS (SELECT user_id, click_id, click_us,
+         |    CASE WHEN b_us IS NOT NULL
+         |           AND (n_us IS NULL OR click_us - b_us <= n_us - click_us)
+         |         THEN 0 WHEN n_us IS NOT NULL THEN 1 END AS side,
+         |    b_id, b_cents, b_us, n_id, n_cents, n_us FROM j),
+         |sel AS (SELECT user_id, click_id, click_us,
+         |    CASE side WHEN 0 THEN b_id WHEN 1 THEN n_id END AS p_id,
+         |    CASE side WHEN 0 THEN b_cents WHEN 1 THEN n_cents END AS p_cents,
+         |    CASE side WHEN 0 THEN b_us WHEN 1 THEN n_us END AS p_us
+         |  FROM pick)
+         |SELECT user_id, click_id, click_us,
+         |  CASE WHEN abs(click_us - p_us) <= $NearTolUs THEN p_id END AS p_id,
+         |  CASE WHEN abs(click_us - p_us) <= $NearTolUs THEN p_cents END AS p_cents,
+         |  CASE WHEN abs(click_us - p_us) <= $NearTolUs THEN p_us END AS p_us,
+         |  CASE WHEN abs(click_us - p_us) <= $NearTolUs
+         |       THEN abs(click_us - p_us) END AS delta_us
+         |FROM sel ORDER BY click_id""".stripMargin,
     "minor_versions" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
         |ways AS (

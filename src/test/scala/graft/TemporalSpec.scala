@@ -41,6 +41,37 @@ class TemporalSpec extends SparkSpec {
     assert(out.head.getAs[Long]("size") === 7L)
   }
 
+  test("asofNearest: nearest either direction, earlier on ties, tolerance drops") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, "a"), (1L, 200L, "b"), (1L, 1000L, "c"),
+      (2L, 50L, "d")).toDF("key", "ts", "tag")
+    val r = Seq((1L, 90L, "p90"), (1L, 210L, "p210"), (1L, 190L, "p190"))
+      .toDF("key", "qts", "v")
+    val out = AsofJoin.asofNearest(l, r, "key", "ts", "qts", Seq("v"), 50L)
+      .collect().map(row => row.getAs[String]("tag") ->
+        (Option(row.getAs[String]("v")), Option(row.getAs[Any]("delta_us"))))
+      .toMap
+    // a: prev 90 (d=10) beats next 190 (d=90)
+    assert(out("a") === ((Some("p90"), Some(10L))))
+    // b: prev 190 (d=10) TIES next 210 (d=10) → earlier wins
+    assert(out("b") === ((Some("p190"), Some(10L))))
+    // c: nearest is 210 at d=790 > tolerance 50 → dropped
+    assert(out("c") === ((None, None)))
+    // d: key 2 has no reference rows at all
+    assert(out("d") === ((None, None)))
+    // forward-only match within tolerance: the case plain asof gets wrong
+    val fwd = AsofJoin.asofNearest(
+      Seq((1L, 80L, "x")).toDF("key", "ts", "tag"),
+      r, "key", "ts", "qts", Seq("v"), 50L).collect()
+    assert(fwd.head.getAs[String]("v") === "p90")
+    val onlyAfter = AsofJoin.asofNearest(
+      Seq((1L, 60L, "y")).toDF("key", "ts", "tag"),
+      Seq((1L, 90L, "p90")).toDF("key", "qts", "v"),
+      "key", "ts", "qts", Seq("v"), 50L).collect()
+    assert(onlyAfter.head.getAs[String]("v") === "p90",
+      "a later-only reference within tolerance must match")
+  }
+
   test("q13_asof: one row per click, purchases at-or-before, user-consistent") {
     val clicks = operators.Temporal.q13Asof(spark, sfDir).collect()
     val nClicks = graft.Tables.events(spark, sfDir)
