@@ -776,7 +776,89 @@ object Relational {
       .orderBy("period")
   }
 
+  /** MEDIAN ABSOLUTE DEVIATION per return flag — the robust dispersion
+    * statistic an outlier-tolerant data audit uses where stddev is
+    * dominated by its tails. Both order statistics (the median and the
+    * median of |x − med|) use q31's two-level decomposition: collapse
+    * rows to a (flag, cents) VALUE HISTOGRAM first (corpus-scale rows →
+    * domain-scale rows, map-side partial agg), locate the median's
+    * $1000 bin from the bounded bin frame, and run the ordered
+    * cumulative window only inside that one bin — the per-flag ordered
+    * window never sees more than one bin's distinct values, so no
+    * single-partition corpus-scale sort exists at any scale. The second
+    * pass re-histograms |cents − med| (a broadcast 3-row join, pure
+    * map) and repeats the same ladder. Median convention in both
+    * passes and both engines: smallest value with 2·cum ≥ n.
+    */
+  def q35Mad(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def lowerMedian(hist: DataFrame, v: String): DataFrame = {
+      val binned = hist.withColumn("bin", expr(s"$v div 100000"))
+      val wCarry = Window.partitionBy("flag").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val medBin = binned.groupBy("flag", "bin").agg(sum("n").as("bw"))
+        .withColumn("cw", coalesce(sum("bw").over(wCarry), lit(0L)))
+        .withColumn("tot", sum("bw").over(Window.partitionBy("flag")))
+        .filter(col("cw") * 2 < col("tot") &&
+          (col("cw") + col("bw")) * 2 >= col("tot"))
+        .select("flag", "bin", "cw", "tot")
+      val wIn = Window.partitionBy("flag").orderBy(v)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      binned.join(broadcast(medBin), Seq("flag", "bin"))
+        .withColumn("run", col("cw") + sum("n").over(wIn))
+        .filter(col("run") * 2 >= col("tot"))
+        .groupBy("flag")
+        .agg(min(v).as(s"med_$v"), max("tot").as("tot"))
+    }
+    // the value histogram is consumed by both order-statistic passes —
+    // cache it so the corpus scan runs once, not twice
+    val hist = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"),
+        cents(col("l_extendedprice")).as("cents"))
+      .groupBy("flag", "cents").agg(count(lit(1)).as("n"))
+      .cache()
+    val med = lowerMedian(hist, "cents")
+      .select(col("flag"), col("med_cents"), col("tot").as("n_rows"))
+    val devHist = hist.join(broadcast(med), "flag")
+      .withColumn("dev", abs(col("cents") - col("med_cents")))
+      .groupBy("flag", "dev").agg(sum("n").as("n"))
+    Dedup.releasing(
+      med.join(broadcast(lowerMedian(devHist, "dev")
+          .select(col("flag"), col("med_dev").as("mad_cents"))), "flag")
+        .select("flag", "n_rows", "med_cents", "mad_cents")
+        .orderBy("flag"),
+      hist)
+  }
+
+  /** BENFORD first-significant-digit audit over order totals — the
+    * fraud / synthetic-data screen a warehouse runs on money columns.
+    * Digit extraction is string-prefix on the exact cents value
+    * (portable — no log10 float anywhere); the observed per-mille share
+    * compares against Benford's expected table bound as a 9-row literal
+    * relation. One fact scan folding map-side into a 9-row frame; the
+    * expected-share join and the share window are free at any corpus
+    * size.
+    */
+  def q36Benford(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exp = Seq((1L, 301L), (2L, 176L), (3L, 125L), (4L, 97L), (5L, 79L),
+      (6L, 67L), (7L, 58L), (8L, 51L), (9L, 46L))
+      .toDF("digit", "exp_pm")
+    Tables.orders(s, dir)
+      .select(substring(cents(col("o_totalprice")).cast("string"), 1, 1)
+        .cast("bigint").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .withColumn("obs_pm",
+        expr("(1000 * n) div sum(n) over ()"))
+      .join(broadcast(exp), "digit")
+      .withColumn("dev_pm", abs(col("obs_pm") - col("exp_pm")))
+      .select("digit", "n", "obs_pm", "exp_pm", "dev_pm")
+      .orderBy("digit")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_mad" -> (q35Mad _),
+    "q36_benford" -> (q36Benford _),
     "q33_mode" -> (q33Mode _),
     "q31_weighted_median" -> (q31WeightedMedian _),
     "q32_zorder" -> (q32Zorder _),
@@ -817,6 +899,42 @@ object Relational {
   private val lBp = "CAST(round(l_discount * 100) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q35_mad" ->
+      """WITH h AS (SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT flag, CAST(sum(n) AS BIGINT) AS n_rows FROM h GROUP BY 1),
+        |r1 AS (SELECT flag, cents,
+        |    sum(n) OVER (PARTITION BY flag ORDER BY cents) AS cum FROM h),
+        |med AS (SELECT r1.flag, min(cents) AS med_cents
+        |  FROM r1 JOIN t ON t.flag = r1.flag
+        |  WHERE cum * 2 >= n_rows GROUP BY 1),
+        |d AS (SELECT h.flag, abs(cents - med_cents) AS dev,
+        |    CAST(sum(n) AS BIGINT) AS n
+        |  FROM h JOIN med ON med.flag = h.flag GROUP BY 1, 2),
+        |r2 AS (SELECT flag, dev,
+        |    sum(n) OVER (PARTITION BY flag ORDER BY dev) AS cum FROM d),
+        |mad AS (SELECT r2.flag, min(dev) AS mad_cents
+        |  FROM r2 JOIN t ON t.flag = r2.flag
+        |  WHERE cum * 2 >= n_rows GROUP BY 1)
+        |SELECT t.flag, n_rows, med_cents, mad_cents
+        |FROM t JOIN med ON med.flag = t.flag JOIN mad ON mad.flag = t.flag
+        |ORDER BY t.flag""".stripMargin,
+    "q36_benford" ->
+      """WITH c AS (SELECT CAST(substr(CAST(
+        |      CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+        |      AS BIGINT) AS digit
+        |  FROM orders),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1),
+        |o AS (SELECT digit, n,
+        |    CAST((1000 * n) // (sum(n) OVER ()) AS BIGINT) AS obs_pm FROM g),
+        |e(digit, exp_pm) AS (VALUES (1, CAST(301 AS BIGINT)), (2, 176),
+        |    (3, 125), (4, 97), (5, 79), (6, 67), (7, 58), (8, 51), (9, 46))
+        |SELECT o.digit, n, obs_pm, CAST(e.exp_pm AS BIGINT) AS exp_pm,
+        |  abs(obs_pm - e.exp_pm) AS dev_pm
+        |FROM o JOIN e ON e.digit = o.digit
+        |ORDER BY o.digit""".stripMargin,
     "q33_mode" ->
       """WITH c AS (SELECT epoch_ms(o_orderdate) // 86400000 // 30 AS period,
         |    o_orderpriority AS prio, count(*) AS cnt

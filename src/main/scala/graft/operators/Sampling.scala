@@ -251,7 +251,40 @@ object Sampling {
       .orderBy("metric")
   }
 
+  /** LEAKAGE-SAFE train/valid/test split — the evaluation-hygiene
+    * primitive every ML pipeline needs: the split is a pure function of
+    * the GROUP key (user), not the row, so all of a user's events land
+    * in exactly one split and no user's behavior can leak from train
+    * into eval (row-level splits leak whenever a group spans splits).
+    * Assignment is the salted-md5 bucket (80/10/10), reproducible
+    * across runs, engines, and partitionings. The report is the
+    * balance audit a pipeline checks before materializing: per split
+    * the user count, event count, exact value cents, and per-mille
+    * event share.
+    *
+    * Scale shape: the split column is scan-side codegen; one
+    * aggregation exchange keyed by (split, user) for the exact
+    * distinct-user count (two-phase, map-side partial), then the
+    * 3-row frame; the share window is free. No row ever joins
+    * anything.
+    */
+  def sampleHoldout(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("b", conv(substring(
+        md5(concat(lit("split|"), col("user_id").cast("string"))), 1, 6),
+        16, 10).cast("bigint") % 100)
+      .withColumn("split",
+        when(col("b") < 80, "train").when(col("b") < 90, "valid")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(countDistinct("user_id").as("n_users"),
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("bigint")).as("sum_val_cents"))
+      .withColumn("share_pm", expr("(1000 * n_events) div sum(n_events) over ()"))
+      .orderBy("split")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_holdout" -> (sampleHoldout _),
     "pipe_validate" -> (pipeValidate _),
     "pipe_shard" -> (pipeShard _),
     "sample_dsir" -> (sampleDsir _),
@@ -261,6 +294,22 @@ object Sampling {
     "sample_temperature" -> (sampleTemperature _))
 
   val oracles: Map[String, String] = Map(
+    "sample_holdout" ->
+      """WITH b AS (SELECT user_id, value,
+        |    CAST(('0x' || substr(md5('split|' || CAST(user_id AS VARCHAR)), 1, 6))
+        |      AS BIGINT) % 100 AS bk
+        |  FROM events),
+        |g AS (SELECT CASE WHEN bk < 80 THEN 'train'
+        |             WHEN bk < 90 THEN 'valid' ELSE 'test' END AS split,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_val_cents
+        |  FROM b GROUP BY 1)
+        |SELECT split, n_users, n_events, sum_val_cents,
+        |  CAST((1000 * n_events) // (sum(n_events) OVER ()) AS BIGINT)
+        |    AS share_pm
+        |FROM g ORDER BY split""".stripMargin,
     "pipe_validate" ->
       """WITH b AS (SELECT
         |    CAST(count(*) AS BIGINT) AS n_rows,

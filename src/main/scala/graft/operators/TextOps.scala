@@ -1161,7 +1161,58 @@ object TextOps {
       .select("doc_id", "shard", "n_tokens", "start_off", "seq_id")
   }
 
+  /** DATA-BUDGET MIXTURE PLANNER — the per-source planning table a
+    * pretraining run derives before sampling (the LLaMA/DoReMi-shape
+    * "recipe" step): over the CURATED kept set (same five gates as
+    * [[pipeCurate]], composed into this plan so the recipe can never
+    * disagree with the filters), each source reports its kept
+    * docs/tokens, its target share of the training budget (parts of
+    * 200, [[Sampling.sampleMixture]]'s head/mid/tail scheme; budget =
+    * half the kept corpus), and the three numbers the sampler needs:
+    * `rate_ppm` (down-sampling rate when the source oversupplies its
+    * slot), `epochs_x100` (repeat factor when it undersupplies — the
+    * "how many passes over this source" number), and `deficit_toks`
+    * (tokens short in a single epoch). All integer: the rate is a
+    * DECIMAL(38,0) cross-multiplied floor (exact at 100 TB token
+    * counts where `need·1e6` brushes BIGINT range), the epoch count an
+    * integer ceiling — no float share can round differently across
+    * engines.
+    *
+    * Scale shape: curation signals ride the ONE documents scan
+    * (expression kernels); the dedup-gate window is the only
+    * corpus-scale exchange; the per-source aggregate folds map-side
+    * into a source-domain frame where the share window and arithmetic
+    * are free.
+    */
+  def pipeMix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GeoFunctions.register(s)
+    val kept = curateSignals(Tables.documents(s, dir), deconArtifactCol(s, dir))
+      .withColumn("keep_id", min("doc_id").over(Window.partitionBy("fp")))
+      .filter(col("doc_id") === col("keep_id") &&
+        col("ok_lang") && col("ok_quality") && col("ok_rep") && col("ok_decon"))
+      .select(col("source"), col("n_words"))
+    val part = when(col("source").isin("src0", "src1", "src2", "src3"), lit(30L))
+      .when(col("source").isin("src4", "src5", "src6", "src7", "src8", "src9"),
+        lit(10L))
+      .otherwise(lit(2L))
+    kept.groupBy("source")
+      .agg(count(lit(1)).as("kept_docs"), sum("n_words").as("kept_toks"))
+      .withColumn("part", part)
+      .withColumn("need_toks",
+        expr("(((sum(kept_toks) over ()) div 2) * part) div 200"))
+      .withColumn("rate_ppm", least(lit(1000000L),
+        expr("CAST((CAST(need_toks AS DECIMAL(38,0)) * 1000000) div kept_toks AS BIGINT)")))
+      .withColumn("epochs_x100",
+        expr("(100 * need_toks + kept_toks - 1) div kept_toks"))
+      .withColumn("deficit_toks", greatest(lit(0L), col("need_toks") - col("kept_toks")))
+      .select("source", "kept_docs", "kept_toks", "part", "need_toks",
+        "rate_ppm", "epochs_x100", "deficit_toks")
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_mix" -> (pipeMix _),
     "pipe_manifest" -> (pipeManifest _),
     "pipe_curate" -> (pipeCurate _),
     "pipe_report" -> (pipeReport _),
@@ -1384,6 +1435,32 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "pipe_curate" -> pipeCurateSql,
+    // mix = the same curate verdict CTE → per-source kept totals →
+    // exact-integer budget arithmetic (HUGEINT replays the DECIMAL(38,0)
+    // cross-multiplication)
+    "pipe_mix" ->
+      s"""WITH kc AS (SELECT doc_id, n_words FROM ($pipeCurateSql) c
+         |  WHERE keep),
+         |j AS (SELECT d.source, k.n_words
+         |  FROM kc k JOIN documents d ON d.doc_id = k.doc_id),
+         |g AS (SELECT source, CAST(count(*) AS BIGINT) AS kept_docs,
+         |    CAST(sum(n_words) AS BIGINT) AS kept_toks FROM j GROUP BY 1),
+         |p AS (SELECT source, kept_docs, kept_toks,
+         |    CAST(CASE WHEN source IN ('src0','src1','src2','src3') THEN 30
+         |         WHEN source IN ('src4','src5','src6','src7','src8','src9')
+         |           THEN 10 ELSE 2 END AS BIGINT) AS part,
+         |    CAST(sum(kept_toks) OVER () AS BIGINT) AS total_toks FROM g),
+         |q AS (SELECT source, kept_docs, kept_toks, part,
+         |    CAST(((total_toks // 2) * part) // 200 AS BIGINT) AS need_toks
+         |  FROM p)
+         |SELECT source, kept_docs, kept_toks, part, need_toks,
+         |  CAST(least(1000000,
+         |    (CAST(need_toks AS HUGEINT) * 1000000) // kept_toks) AS BIGINT)
+         |    AS rate_ppm,
+         |  CAST((100 * need_toks + kept_toks - 1) // kept_toks AS BIGINT)
+         |    AS epochs_x100,
+         |  CAST(greatest(0, need_toks - kept_toks) AS BIGINT) AS deficit_toks
+         |FROM q ORDER BY source""".stripMargin,
     // manifest = curate verdicts (same CTE) → shard hash → pack prefix;
     // the oracle replays the pack as ONE global window (text_pack
     // precedent — the Spark side's block prefix is the distributed form)

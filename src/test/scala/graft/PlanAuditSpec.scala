@@ -694,4 +694,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffleCount(plans("evt_survival")) <= 4,
       s"evt_survival must stay on the bounded duration frame:\n${plans("evt_survival")}")
   }
+
+  test("round-12g keys: benford/holdout/mix bounded frames; mad checkpoint-collapsed") {
+    // q36_benford: one fact scan folding map-side into the 9-digit frame;
+    // the share window rides that frame
+    assert(shuffleCount(plans("q36_benford")) <= 2,
+      s"q36_benford must fold map-side into the digit frame:\n${plans("q36_benford")}")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(plans("q36_benford")).size === 1,
+      "q36_benford reads orders exactly once")
+    // sample_holdout: two-phase distinct-user agg + the 3-row share window
+    assert(shuffleCount(plans("sample_holdout")) <= 3,
+      s"sample_holdout must stay two-phase + the split frame:\n${plans("sample_holdout")}")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(plans("sample_holdout")).size === 1,
+      "sample_holdout reads events exactly once")
+    // pipe_mix: the curate fp-window exchange + the source-frame aggregate
+    // + its share window — no new corpus-scale shuffle beyond pipe_curate's
+    assert(shuffleCount(plans("pipe_mix")) <= 3,
+      s"pipe_mix adds no corpus-scale shuffle over its curate input:\n${plans("pipe_mix")}")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(plans("pipe_mix")).size === 1,
+      "pipe_mix rides pipe_curate's ONE documents scan")
+    // q35_mad: both order-statistic passes consume the cached value
+    // histogram; the eager checkpoint collapses the audited plan — assert
+    // exactly that, so a refactor that drops the histogram reuse (and
+    // re-scans the corpus) resurfaces as a visible parquet scan here
+    assert(!plans("q35_mad").contains("Scan parquet"),
+      "q35_mad must serve both passes from the checkpointed histogram")
+  }
 }
