@@ -792,7 +792,12 @@ object Relational {
     */
   def q35Mad(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def lowerMedian(hist: DataFrame, v: String): DataFrame = {
+    import s.implicits._
+    // one two-level order-statistic pass over a value histogram; the
+    // 1-row-per-group result is collected (a driver-scale constant, the
+    // k-means-centroid precedent) so the two sequential passes cost one
+    // Spark job each instead of a chain of broadcast-subplan jobs
+    def lowerMedian(hist: DataFrame, v: String): Array[(String, Long, Long)] = {
       val binned = hist.withColumn("bin", expr(s"$v div 100000"))
       val wCarry = Window.partitionBy("flag").orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -807,8 +812,8 @@ object Relational {
       binned.join(broadcast(medBin), Seq("flag", "bin"))
         .withColumn("run", col("cw") + sum("n").over(wIn))
         .filter(col("run") * 2 >= col("tot"))
-        .groupBy("flag")
-        .agg(min(v).as(s"med_$v"), max("tot").as("tot"))
+        .groupBy("flag").agg(min(v).as("med"), max("tot").as("tot"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     }
     // the value histogram is consumed by both order-statistic passes —
     // cache it so the corpus scan runs once, not twice
@@ -818,16 +823,15 @@ object Relational {
       .groupBy("flag", "cents").agg(count(lit(1)).as("n"))
       .cache()
     val med = lowerMedian(hist, "cents")
-      .select(col("flag"), col("med_cents"), col("tot").as("n_rows"))
-    val devHist = hist.join(broadcast(med), "flag")
+    val medDf = broadcast(med.toSeq.toDF("flag", "med_cents", "n_rows"))
+    val devHist = hist.join(medDf, "flag")
       .withColumn("dev", abs(col("cents") - col("med_cents")))
       .groupBy("flag", "dev").agg(sum("n").as("n"))
-    Dedup.releasing(
-      med.join(broadcast(lowerMedian(devHist, "dev")
-          .select(col("flag"), col("med_dev").as("mad_cents"))), "flag")
-        .select("flag", "n_rows", "med_cents", "mad_cents")
-        .orderBy("flag"),
-      hist)
+    val mad = lowerMedian(devHist, "dev").map(t => (t._1, t._2))
+    hist.unpersist(blocking = false)
+    medDf.join(broadcast(mad.toSeq.toDF("flag", "mad_cents")), "flag")
+      .select("flag", "n_rows", "med_cents", "mad_cents")
+      .orderBy("flag")
   }
 
   /** BENFORD first-significant-digit audit over order totals — the

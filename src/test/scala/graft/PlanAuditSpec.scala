@@ -714,10 +714,10 @@ class PlanAuditSpec extends SparkSpec {
     assert("""\(\d+\) Scan parquet""".r.findAllIn(plans("pipe_mix")).size === 1,
       "pipe_mix rides pipe_curate's ONE documents scan")
     // q35_mad: both order-statistic passes consume the cached value
-    // histogram; the eager checkpoint collapses the audited plan — assert
-    // exactly that, so a refactor that drops the histogram reuse (and
-    // re-scans the corpus) resurfaces as a visible parquet scan here
+    // histogram and each collects a 1-row-per-group constant — the final
+    // plan is a local-relation join; a refactor that drags the corpus
+    // into the returned plan resurfaces as a parquet scan here
     assert(!plans("q35_mad").contains("Scan parquet"),
-      "q35_mad must serve both passes from the checkpointed histogram")
+      "q35_mad must serve both passes from the cached histogram")
   }
 }
