@@ -441,6 +441,34 @@ object Ann {
       .select("q_id", "n_id", "rnk", "cell", "cos")
   }
 
+  /** IVF INDEX BALANCE AUDIT — the cell-occupancy report an operator
+    * reads before trusting the index's probe cost model: per cell the
+    * vector count, per-mille share, total fixed-point energy (Σ n2 — a
+    * drift/scale signal across re-trainings), and a hot-cell flag at 2×
+    * the uniform share. A skewed cell map means nprobe queries landing
+    * in the hot cell pay an unbudgeted scan — the measured form of the
+    * imbalance every IVF paper warns about (and the reason `geo_knn`
+    * needed its density-adaptive ladder at sf1).
+    *
+    * Scale shape: identical to [[annIvf]]'s base side — cell assignment
+    * is pure map work against inlined centroid literals, one aggregate
+    * collapses the corpus into the K-row cell frame, the share window
+    * rides that frame. No join touches the fact side.
+    */
+  def annCellStats(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+    val cents = centroidsOf(e)
+    e.filter(col("vec_id") >= 8)
+      .withColumn("cell", -array_max(
+        cellScores(cents)(col("embedding"), col("n2"))).getField("nid"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"), sum("n2").as("sum_n2"))
+      .withColumn("share_pm", expr("(1000 * n_vecs) div sum(n_vecs) over ()"))
+      .withColumn("hot", col("share_pm") >= 250)
+      .select("cell", "n_vecs", "share_pm", "sum_n2", "hot")
+      .orderBy("cell")
+  }
+
   /** FILTERED vector search — attribute-constrained ANN ("top-k among
     * vectors WHERE label = X"), the operation every production vector
     * store now exposes and the naive composition gets wrong: filtering
@@ -1108,6 +1136,7 @@ object Ann {
     "ann_range" -> (annRange _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
+    "ann_cell_stats" -> (annCellStats _),
     "ann_pq" -> (annPq _),
     "ann_ivfpq" -> (annIvfPq _),
     "dedup_semantic" -> (dedupSemantic _),
@@ -1324,6 +1353,18 @@ object Ann {
          |SELECT q_id, n_id, rnk, bucket, cos FROM ranked WHERE rnk <= 3
          |ORDER BY q_id, rnk""".stripMargin,
     "ann_ivf" -> ivfSql,
+    "ann_cell_stats" ->
+      s"""WITH $flatSql,
+         |$cellsSql,
+         |g AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+         |    CAST(sum(n.n2) AS BIGINT) AS sum_n2
+         |  FROM cells JOIN norm n ON n.vec_id = cells.n_id GROUP BY 1)
+         |SELECT CAST(cell AS BIGINT) AS cell, n_vecs,
+         |  CAST((1000 * n_vecs) // (sum(n_vecs) OVER ()) AS BIGINT)
+         |    AS share_pm,
+         |  sum_n2,
+         |  (1000 * n_vecs) // (sum(n_vecs) OVER ()) >= 250 AS hot
+         |FROM g ORDER BY cell""".stripMargin,
     "ann_filtered" ->
       s"""WITH $flatSql,
          |$cellsSql,

@@ -754,7 +754,56 @@ object Dedup {
     labels
   }
 
+  /** LSH INDEX HEALTH AUDIT — the bucket-size report an operator reads
+    * before trusting (or re-parameterizing) the dedup index: per band,
+    * the bucket count, row mass, largest bucket, singleton buckets
+    * (hash space too fine → no candidates), buckets over [[MaxBucket]]
+    * and the per-mille row mass the cap drops (hash space too coarse →
+    * candidate generation quadratic without the cap). This is how
+    * "did the banding scheme fit this corpus?" gets measured rather
+    * than assumed — the r10 dedup_bloom saturation was exactly this
+    * defect class, caught late because nothing reported fill rates.
+    *
+    * Scale shape: signature kernel + band explode are scan-side; one
+    * (band, bkey) aggregate collapses the corpus into bucket rows
+    * (map-side partials), one bounded per-band aggregate on top; the
+    * share window rides the |bands|-row frame.
+    */
+  def dedupBucketStats(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val para = s.sparkContext.defaultParallelism
+    val balanced =
+      if (docs.rdd.getNumPartitions < para) docs.repartition(para) else docs
+    // the generator expression holds exactly ONE minhash8 node (a single
+    // `mharr` reference inside the transform) — the per-band column form
+    // ([[bandRows]]'s array-of-structs) carries 8 separate kernel nodes,
+    // and generator-input projections get NO codegen subexpression
+    // elimination, so each reference re-ran the kernel: measured 25× on
+    // this aggregate (14 s → 0.6 s at sf0.1)
+    balanced
+      .withColumn("mharr", call_function("minhash8", col("text")))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, " + (Bands - 1) + "), b -> " +
+          "md5(concat_ws('|', slice(mharr, b*4+1, 4))))"))
+        .as(Seq("band", "bkey")))
+      .groupBy("band", "bkey").agg(count(lit(1)).as("sz"))
+      .groupBy("band").agg(
+        count(lit(1)).as("n_buckets"),
+        sum("sz").as("n_rows"),
+        max("sz").as("max_bucket"),
+        sum(when(col("sz") === 1, 1L).otherwise(0L)).as("n_singleton"),
+        sum(when(col("sz") > MaxBucket, 1L).otherwise(0L)).as("n_capped_buckets"),
+        sum(when(col("sz") > MaxBucket, col("sz")).otherwise(0L)).as("capped_rows"))
+      .withColumn("capped_pm",
+        expr("(1000 * capped_rows) div sum(n_rows) over ()"))
+      .select("band", "n_buckets", "n_rows", "max_bucket", "n_singleton",
+        "n_capped_buckets", "capped_pm")
+      .orderBy("band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_bucket_stats" -> (dedupBucketStats _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_exact" -> (dedupExact _),
     "dedup_soft" -> (dedupSoft _),
@@ -978,6 +1027,27 @@ object Dedup {
          |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     "dedup_minhash" -> s"$sigSql ORDER BY doc_id",
+    "dedup_bucket_stats" -> {
+      val bandSelects = (0 until Bands).map { b =>
+        val parts = (0 until 4).map(r => s"mh${4 * b + r}").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($parts) AS bkey FROM sigs"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH sigs AS MATERIALIZED ($sigSql),
+         |br AS (
+         |  $bandSelects),
+         |g AS (SELECT band, bkey, CAST(count(*) AS BIGINT) AS sz
+         |  FROM br GROUP BY 1, 2)
+         |SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(sum(sz) AS BIGINT) AS n_rows,
+         |  CAST(max(sz) AS BIGINT) AS max_bucket,
+         |  CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_singleton,
+         |  CAST(sum(CASE WHEN sz > $MaxBucket THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_capped_buckets,
+         |  CAST((1000 * sum(CASE WHEN sz > $MaxBucket THEN sz ELSE 0 END))
+         |    // (sum(sum(sz)) OVER ()) AS BIGINT) AS capped_pm
+         |FROM g GROUP BY band ORDER BY band""".stripMargin
+    },
     "dedup_incremental" -> incrementalSql,
     // the persisted-index probe (LshIndex) must reproduce the in-query
     // incremental computation exactly: same candidates, same cap, same

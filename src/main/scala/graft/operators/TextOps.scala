@@ -1211,7 +1211,38 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** SEQUENCE-LENGTH PROFILE — the token-length histogram a trainer
+    * checks against its packing length before materializing shards
+    * (a corpus of 30-token docs packed at 512 wastes most positions on
+    * cross-doc attention boundaries; a 512+ tail means truncation):
+    * per language, doubling length buckets with doc/token mass and the
+    * per-mille doc share within the language. Bucket labels carry an
+    * ordering prefix so lexicographic == numeric order in both engines.
+    *
+    * Scale shape: ONE documents scan, bucket CASE is scan-side codegen,
+    * map-side partials into the (lang × 7) frame, the share window
+    * rides that frame.
+    */
+  def textLenProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("n_words", size(expr(toksExpr)).cast("bigint"))
+      .withColumn("bucket",
+        when(col("n_words") < 16, "a_lt16")
+          .when(col("n_words") < 32, "b_16_31")
+          .when(col("n_words") < 64, "c_32_63")
+          .when(col("n_words") < 128, "d_64_127")
+          .when(col("n_words") < 256, "e_128_255")
+          .when(col("n_words") < 512, "f_256_511")
+          .otherwise("g_512p"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("sum_toks"))
+      .withColumn("share_pm",
+        expr("(1000 * n_docs) div sum(n_docs) over (partition by lang)"))
+      // no output sort: the driver's compare sorts rows, and a
+      // presentational orderBy would cost a range exchange
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_len_profile" -> (textLenProfile _),
     "pipe_mix" -> (pipeMix _),
     "pipe_manifest" -> (pipeManifest _),
     "pipe_curate" -> (pipeCurate _),
@@ -1435,6 +1466,24 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "pipe_curate" -> pipeCurateSql,
+    "text_len_profile" ->
+      s"""WITH d AS (SELECT lang,
+         |    CAST(len($toksSql) AS BIGINT) AS n_words FROM documents),
+         |b AS (SELECT lang,
+         |    CASE WHEN n_words < 16 THEN 'a_lt16'
+         |         WHEN n_words < 32 THEN 'b_16_31'
+         |         WHEN n_words < 64 THEN 'c_32_63'
+         |         WHEN n_words < 128 THEN 'd_64_127'
+         |         WHEN n_words < 256 THEN 'e_128_255'
+         |         WHEN n_words < 512 THEN 'f_256_511'
+         |         ELSE 'g_512p' END AS bucket,
+         |    n_words FROM d),
+         |g AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_words) AS BIGINT) AS sum_toks FROM b GROUP BY 1, 2)
+         |SELECT lang, bucket, n_docs, sum_toks,
+         |  CAST((1000 * n_docs) // (sum(n_docs) OVER (PARTITION BY lang))
+         |    AS BIGINT) AS share_pm
+         |FROM g ORDER BY lang, bucket""".stripMargin,
     // mix = the same curate verdict CTE → per-source kept totals →
     // exact-integer budget arithmetic (HUGEINT replays the DECIMAL(38,0)
     // cross-multiplication)

@@ -77,4 +77,40 @@ class AuditOpsSpec extends SparkSpec {
     // Σ floor-rounded needs never exceeds the budget (parts sum to 200)
     assert(rows.map(_.getLong(4)).sum <= budget)
   }
+
+  test("dedup_bucket_stats: every doc contributes exactly one row per band") {
+    val docs = Tables.documents(spark, sfDir).count()
+    val rows = operators.Dedup.dedupBucketStats(spark, sfDir).collect()
+    assert(rows.length === operators.Dedup.Bands)
+    for (r <- rows) {
+      assert(r.getLong(2) === docs, s"band ${r.getInt(0)} row mass must equal doc count")
+      assert(r.getLong(1) <= docs && r.getLong(1) >= 1, "bucket count bounded by rows")
+      assert(r.getLong(3) >= 1, "max bucket at least 1")
+      assert(r.getLong(4) <= r.getLong(1), "singletons are buckets")
+    }
+  }
+
+  test("ann_cell_stats: cells partition the base vectors; shares sum to ~1000") {
+    val base = Tables.embeddings(spark, sfDir).filter(col("vec_id") >= 8).count()
+    val rows = operators.Ann.annCellStats(spark, sfDir).collect()
+    assert(rows.map(_.getLong(1)).sum === base, "cells must partition the base set")
+    assert(rows.forall(r => r.getLong(0) >= 8 && r.getLong(0) <= 15), "cells are centroid ids")
+    val shares = rows.map(_.getLong(2)).sum
+    assert(shares <= 1000 && shares >= 1000 - rows.length, "floor-share accounting")
+    assert(rows.forall(r => r.getBoolean(4) === (r.getLong(2) >= 250)))
+  }
+
+  test("text_len_profile: buckets partition the corpus; masses add up") {
+    val docs = Tables.documents(spark, sfDir)
+    val rows = operators.TextOps.textLenProfile(spark, sfDir).collect()
+    assert(rows.map(_.getLong(2)).sum === docs.count())
+    val toks = docs.select(sum(size(expr(
+      "filter(split(text, ' '), t -> t <> '')")).cast("bigint"))).head.getLong(0)
+    assert(rows.map(_.getLong(3)).sum === toks, "token mass conserved across buckets")
+    // per-lang floor shares sum to ≤1000 with bounded slack
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val s = rs.map(_.getLong(4)).sum
+      assert(s <= 1000 && s >= 1000 - rs.length, s"$lang share accounting")
+    }
+  }
 }

@@ -720,4 +720,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plans("q35_mad").contains("Scan parquet"),
       "q35_mad must serve both passes from the cached histogram")
   }
+
+  test("round-12h audit keys stay scan-shaped with bounded frames") {
+    // dedup_bucket_stats: signature kernel + band explode scan-side, one
+    // (band,bkey) aggregate, one per-band aggregate, the share window on
+    // the |bands| frame (+1 for the signature rebalance repartition)
+    assert(shuffleCount(plans("dedup_bucket_stats")) <= 4,
+      s"dedup_bucket_stats must collapse map-side:\n${plans("dedup_bucket_stats")}")
+    // ann_cell_stats: map-only cell assignment (inlined centroid
+    // literals), ONE aggregate into the K-row frame + its share window
+    assert(shuffleCount(plans("ann_cell_stats")) <= 2,
+      s"ann_cell_stats must stay map-only before the K-row frame:\n${plans("ann_cell_stats")}")
+    assert(!plans("ann_cell_stats").contains("BroadcastNestedLoopJoin") &&
+      !plans("ann_cell_stats").contains("SortMergeJoin"),
+      "ann_cell_stats joins nothing on the fact side")
+    // text_len_profile: one scan, map-side partials into the lang×7 frame
+    assert(shuffleCount(plans("text_len_profile")) <= 2,
+      s"text_len_profile must fold map-side:\n${plans("text_len_profile")}")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(plans("text_len_profile")).size === 1,
+      "text_len_profile reads documents exactly once")
+  }
 }
