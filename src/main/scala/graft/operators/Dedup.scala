@@ -802,7 +802,30 @@ object Dedup {
       .orderBy("band")
   }
 
+  /** DEDUP HEADLINE REPORT — the dataset-card numbers every corpus drop
+    * quotes (The Pile / RefinedWeb tables): total docs, distinct texts,
+    * duplicate doc count and per-mille rate, the largest exact-dup
+    * cluster, how many clusters have ≥2 members, and the total row mass
+    * inside dup clusters. One number a reviewer can sanity-check against
+    * the dedup keys' row-level output.
+    *
+    * Scale shape: ONE scan, (hash) partial-aggregate map-side into the
+    * distinct-text frame, then a second partial-aggregate into ONE row —
+    * both map-side combinable, no window, no join.
+    */
+  def textDedupReport(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("sz"))
+      .agg(sum("sz").as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        (sum("sz") - count(lit(1))).as("n_dup_docs"),
+        max("sz").as("max_cluster"),
+        sum(when(col("sz") >= 2, 1L).otherwise(0L)).as("n_clusters_ge2"),
+        sum(when(col("sz") >= 2, col("sz")).otherwise(0L)).as("dup_mass"))
+      .withColumn("dup_pm", expr("(1000 * n_dup_docs) div n_docs"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_dedup_report" -> (textDedupReport _),
     "dedup_bucket_stats" -> (dedupBucketStats _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_exact" -> (dedupExact _),
@@ -1027,6 +1050,19 @@ object Dedup {
          |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     "dedup_minhash" -> s"$sigSql ORDER BY doc_id",
+    "text_dedup_report" ->
+      """WITH g AS (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS sz
+        |  FROM documents GROUP BY 1)
+        |SELECT CAST(sum(sz) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(sz) - count(*) AS BIGINT) AS n_dup_docs,
+        |  CAST(max(sz) AS BIGINT) AS max_cluster,
+        |  CAST(sum(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clusters_ge2,
+        |  CAST(sum(CASE WHEN sz >= 2 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS dup_mass,
+        |  CAST((1000 * (sum(sz) - count(*))) // sum(sz) AS BIGINT) AS dup_pm
+        |FROM g""".stripMargin,
     "dedup_bucket_stats" -> {
       val bandSelects = (0 until Bands).map { b =>
         val parts = (0 until 4).map(r => s"mh${4 * b + r}").mkString(" || '|' || ")

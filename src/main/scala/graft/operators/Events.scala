@@ -1092,7 +1092,34 @@ object Events {
       .limit(25)
   }
 
+  /** SEMI-STRUCTURED SCHEMA-DRIFT MONITOR — the JSON property-key census
+    * a warehouse runs over an event stream's freeform `props` column:
+    * per (event_type, key) the presence count and per-mille presence
+    * rate against the type's event total. A producer silently adding,
+    * renaming, or dropping a property shows up as a new/vanished row or
+    * a presence-rate step — BEFORE a downstream extraction (evt_json's
+    * typed pulls) starts returning nulls. The key set is
+    * domain-bounded (property vocabularies are small), so the census
+    * frame stays tiny at any corpus size.
+    *
+    * Scale shape: ONE events scan; `json_object_keys` + explode are
+    * scan-side; map-side partials into the (type × key) frame; the
+    * type totals aggregate on the same scan's other branch is
+    * domain-scale and broadcast back.
+    */
+  def schemaAudit(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val totals = ev.groupBy("event_type").agg(count(lit(1)).as("n_events"))
+    ev.select(col("event_type"),
+        explode(expr("json_object_keys(props)")).as("key"))
+      .groupBy("event_type", "key").agg(count(lit(1)).as("n_present"))
+      .join(broadcast(totals), "event_type")
+      .withColumn("present_pm", expr("(1000 * n_present) div n_events"))
+      .select("event_type", "key", "n_present", "n_events", "present_pm")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_schema_audit" -> (schemaAudit _),
     "evt_interval_join" -> (intervalJoin _),
     "evt_histogram" -> (histogram _),
     "evt_cohort" -> (cohort _),
@@ -1124,6 +1151,17 @@ object Events {
     "evt_dau" -> (dau _))
 
   val oracles: Map[String, String] = Map(
+    "evt_schema_audit" ->
+      """WITH k AS (SELECT event_type, unnest(json_keys(props)) AS key
+        |  FROM events),
+        |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT event_type, key, CAST(count(*) AS BIGINT) AS n_present
+        |  FROM k GROUP BY 1, 2)
+        |SELECT g.event_type, g.key, n_present, t.n_events,
+        |  CAST((1000 * n_present) // t.n_events AS BIGINT) AS present_pm
+        |FROM g JOIN t ON t.event_type = g.event_type
+        |ORDER BY g.event_type, g.key""".stripMargin,
     "evt_interval_join" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) // 1000000 AS ts_s FROM events),
         |inc AS (SELECT event_id AS inc_id, epoch_us(ts) // 1000000 AS t0

@@ -100,6 +100,29 @@ class AuditOpsSpec extends SparkSpec {
     assert(rows.forall(r => r.getBoolean(4) === (r.getLong(2) >= 250)))
   }
 
+  test("text_dedup_report: identities hold against independent distinct counts") {
+    val docs = Tables.documents(spark, sfDir)
+    val r = operators.Dedup.textDedupReport(spark, sfDir).collect().head
+    assert(r.getLong(0) === docs.count(), "n_docs")
+    assert(r.getLong(1) === docs.select(md5(col("text"))).distinct().count(), "n_distinct")
+    assert(r.getLong(2) === r.getLong(0) - r.getLong(1), "n_dup_docs identity")
+    assert(r.getLong(5) >= 2 * r.getLong(4), "dup_mass covers every ≥2 cluster twice over")
+    assert(r.getLong(6) === 1000 * r.getLong(2) / r.getLong(0), "dup_pm floor arithmetic")
+  }
+
+  test("evt_schema_audit: presence bounded by the type totals it reports") {
+    val ev = Tables.events(spark, sfDir)
+    val totals = ev.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = operators.Events.schemaAudit(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getLong(3) === totals(r.getString(0)), "n_events matches the raw count")
+      assert(r.getLong(2) <= r.getLong(3), "a key cannot be present more often than events exist")
+      assert(r.getLong(4) === 1000 * r.getLong(2) / r.getLong(3))
+    }
+  }
+
   test("text_len_profile: buckets partition the corpus; masses add up") {
     val docs = Tables.documents(spark, sfDir)
     val rows = operators.TextOps.textLenProfile(spark, sfDir).collect()

@@ -739,5 +739,18 @@ class PlanAuditSpec extends SparkSpec {
       s"text_len_profile must fold map-side:\n${plans("text_len_profile")}")
     assert("""\(\d+\) Scan parquet""".r.findAllIn(plans("text_len_profile")).size === 1,
       "text_len_profile reads documents exactly once")
+    // text_dedup_report: two stacked map-side-combinable aggregates,
+    // no window, no join
+    assert(shuffleCount(plans("text_dedup_report")) <= 2,
+      s"text_dedup_report is two stacked aggregates:\n${plans("text_dedup_report")}")
+    assert(!plans("text_dedup_report").contains("Window") &&
+      !plans("text_dedup_report").contains("Join"),
+      "text_dedup_report needs no window or join")
+    // evt_schema_audit: key census partial-aggregates map-side; the
+    // 5-row type totals broadcast back
+    assert(shuffleCount(plans("evt_schema_audit")) <= 3,
+      s"evt_schema_audit must fold map-side into the key census:\n${plans("evt_schema_audit")}")
+    assert(plans("evt_schema_audit").contains("BroadcastExchange"),
+      "evt_schema_audit broadcasts the type totals")
   }
 }
