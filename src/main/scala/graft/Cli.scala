@@ -27,6 +27,9 @@ import org.apache.spark.sql.functions._
   *                                             # re-close open changesets from
   *                                             # a re-fetched changeset file
   *                                             # (unclosed-changeset loop)
+  * graft.Cli audit  <sfDir> <outDir>           # pipeline-health audit pack:
+  *                                             # dedup/bucket/cell/length/
+  *                                             # schema/freshness/grid reports
   * graft.Cli curate <sfDir> <outDir>           # pretraining curation run:
   *                                             # per-doc verdicts (partitioned
   *                                             # by drop reason) + kept corpus
@@ -108,6 +111,26 @@ object Cli {
       case "replication" =>
         Replication.replMerge(spark, sfDir)
           .write.mode("overwrite").parquet(outDir)
+      case "audit" =>
+        // the pipeline-health audit pack: every round-12 audit report
+        // (dedup headline, LSH bucket fill, IVF cell balance, sequence
+        // lengths, JSON schema census, freshness, spatial grid
+        // occupancy) written as one parquet dir each — the pre-flight
+        // a pipeline runs on a new data drop before committing compute
+        val audits: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+          "dedup_report" -> operators.Dedup.textDedupReport(spark, sfDir),
+          "bucket_stats" -> operators.Dedup.dedupBucketStats(spark, sfDir),
+          "cell_stats" -> operators.Ann.annCellStats(spark, sfDir),
+          "len_profile" -> operators.TextOps.textLenProfile(spark, sfDir),
+          "schema_audit" -> operators.Events.schemaAudit(spark, sfDir),
+          "freshness" -> operators.Events.freshness(spark, sfDir),
+          "grid_audit" -> operators.Geometry.geoGridAudit(spark, sfDir))
+        audits.foreach { case (name, df) =>
+          df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        }
+        val dup = operators.Dedup.textDedupReport(spark, sfDir).head
+        println(s"[graft] audit: reports=${audits.size} " +
+          s"docs=${dup.getLong(0)} dup_pm=${dup.getLong(6)}")
       case "curate" =>
         // the pretraining-curation pipeline over a documents table:
         // verdicts to outDir/verdicts, the kept corpus (original text

@@ -1118,7 +1118,40 @@ object Events {
       .select("event_type", "key", "n_present", "n_events", "present_pm")
   }
 
+  /** DATA FRESHNESS AUDIT — the staleness report an ingest SLO reads per
+    * event type: event count, first/last seen (epoch µs), staleness
+    * behind the corpus watermark, event count on the corpus' last
+    * calendar day, and distinct active days. A producer that quietly
+    * stopped emitting shows as a staleness step and a zero last-day
+    * count — the check a warehouse runs before declaring a drop
+    * complete.
+    *
+    * Scale shape: ONE events scan pre-aggregates into the (type × day)
+    * domain frame map-side; the corpus watermark is a window over that
+    * bounded frame (never a 1-row scalar bind onto the fact table); the
+    * per-type rollup and its windows stay domain-scale.
+    */
+  def freshness(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.events(s, dir)
+      .withColumn("us", expr("ts div 1000"))
+      .withColumn("day", expr("(ts div 1000) div 86400000000"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"), min("us").as("f_us"), max("us").as("l_us"))
+      .withColumn("max_day", max("day").over(Window.partitionBy()))
+      .groupBy("event_type")
+      .agg(sum("n").as("n_events"),
+        min("f_us").as("first_us"),
+        max("l_us").as("last_us"),
+        (max(col("max_day")) * 86400000000L + 86400000000L - 1L -
+          max("l_us")).as("stale_us"),
+        sum(when(col("day") === col("max_day"), col("n")).otherwise(0L))
+          .as("n_last_day"),
+        countDistinct("day").as("active_days"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_freshness" -> (freshness _),
     "evt_schema_audit" -> (schemaAudit _),
     "evt_interval_join" -> (intervalJoin _),
     "evt_histogram" -> (histogram _),
@@ -1151,6 +1184,23 @@ object Events {
     "evt_dau" -> (dau _))
 
   val oracles: Map[String, String] = Map(
+    "evt_freshness" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(min(epoch_us(ts)) AS BIGINT) AS f_us,
+        |    CAST(max(epoch_us(ts)) AS BIGINT) AS l_us
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, day, n, f_us, l_us,
+        |    max(day) OVER () AS max_day FROM d)
+        |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(min(f_us) AS BIGINT) AS first_us,
+        |  CAST(max(l_us) AS BIGINT) AS last_us,
+        |  CAST(max(max_day) * 86400000000 + 86400000000 - 1 - max(l_us)
+        |    AS BIGINT) AS stale_us,
+        |  CAST(sum(CASE WHEN day = max_day THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_last_day,
+        |  CAST(count(DISTINCT day) AS BIGINT) AS active_days
+        |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
     "evt_schema_audit" ->
       """WITH k AS (SELECT event_type, unnest(json_keys(props)) AS key
         |  FROM events),

@@ -655,7 +655,38 @@ object Geometry {
       .limit(25)
   }
 
+  /** SPATIAL GRID OCCUPANCY AUDIT — the index-health report that prices
+    * a grid join before running it (the lesson `geo_knn`'s ×99 sf1 trap
+    * taught: occupancy drives probe cost, and nothing reported it):
+    * points bin into 1° cells (domain-bounded: 360×180), cells roll into
+    * doubling occupancy bands, and the report shows per band the cell
+    * count, point mass, densest cell, and per-mille shares — a skewed
+    * tail band says "this grid needs the density-adaptive ladder" BEFORE
+    * a cluster burns a day discovering it.
+    *
+    * Scale shape: the cell id is scan-side integer arithmetic; ONE
+    * aggregate collapses the corpus into the ≤64800-cell domain frame
+    * (map-side partials); the band rollup and its share windows ride
+    * domain-scale frames. No joins.
+    */
+  def geoGridAudit(s: SparkSession, dir: String): DataFrame =
+    points(s, dir)
+      .withColumn("cell", expr("(yi div 100) * 360 + (xi div 100)"))
+      .groupBy("cell").agg(count(lit(1)).as("np"))
+      .withColumn("bucket",
+        when(col("np") === 1, "a_1").when(col("np") <= 3, "b_2_3")
+          .when(col("np") <= 7, "c_4_7").when(col("np") <= 15, "d_8_15")
+          .otherwise("e_16p"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_cells"), sum("np").as("n_points"),
+        max("np").as("max_in_bucket"))
+      .withColumn("cell_share_pm",
+        expr("(1000 * n_cells) div sum(n_cells) over ()"))
+      .withColumn("point_share_pm",
+        expr("(1000 * n_points) div sum(n_points) over ()"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_grid_audit" -> (geoGridAudit _),
     "geo_orientation" -> (geoOrientation _),
     "geo_hotspot" -> (geoHotspot _),
     "geo_dbscan_core" -> (geoDbscanCore _),
@@ -1007,6 +1038,23 @@ object Geometry {
   }
 
   val oracles: Map[String, String] = Map(
+    "geo_grid_audit" ->
+      s"""WITH p AS ($ptsSql),
+         |c AS (SELECT (yi // 100) * 360 + (xi // 100) AS cell,
+         |    CAST(count(*) AS BIGINT) AS np FROM p GROUP BY 1),
+         |b AS (SELECT CASE WHEN np = 1 THEN 'a_1' WHEN np <= 3 THEN 'b_2_3'
+         |         WHEN np <= 7 THEN 'c_4_7' WHEN np <= 15 THEN 'd_8_15'
+         |         ELSE 'e_16p' END AS bucket, np FROM c),
+         |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_cells,
+         |    CAST(sum(np) AS BIGINT) AS n_points,
+         |    CAST(max(np) AS BIGINT) AS max_in_bucket
+         |  FROM b GROUP BY 1)
+         |SELECT bucket, n_cells, n_points, max_in_bucket,
+         |  CAST((1000 * n_cells) // (sum(n_cells) OVER ()) AS BIGINT)
+         |    AS cell_share_pm,
+         |  CAST((1000 * n_points) // (sum(n_points) OVER ()) AS BIGINT)
+         |    AS point_share_pm
+         |FROM g ORDER BY bucket""".stripMargin,
     "geo_orientation" ->
       s"""WITH pts AS ($ptsSql),
          |seg AS (SELECT xi - lag(xi) OVER w AS dx, yi - lag(yi) OVER w AS dy

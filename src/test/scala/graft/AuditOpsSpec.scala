@@ -123,6 +123,31 @@ class AuditOpsSpec extends SparkSpec {
     }
   }
 
+  test("geo_grid_audit: bands partition the occupied cells and the point mass") {
+    val n = Tables.events(spark, sfDir).count()
+    val rows = operators.Geometry.geoGridAudit(spark, sfDir).collect()
+    assert(rows.map(_.getLong(2)).sum === n, "point mass conserved across bands")
+    assert(rows.forall(r => r.getLong(1) <= r.getLong(2)), "cells ≤ points per band")
+    assert(rows.forall(r => r.getLong(3) >= 1))
+  }
+
+  test("evt_freshness: totals, watermark, and last-day counts agree with raw scans") {
+    val ev = Tables.events(spark, sfDir).withColumn("us", expr("ts div 1000"))
+    val maxUs = ev.agg(max("us")).head.getLong(0)
+    val maxDay = maxUs / 86400000000L
+    val rows = operators.Events.freshness(spark, sfDir).collect()
+    assert(rows.map(_.getLong(1)).sum === ev.count())
+    for (r <- rows) {
+      val t = r.getString(0)
+      assert(r.getLong(3) <= maxUs, "no type is fresher than the corpus watermark")
+      assert(r.getLong(4) === maxDay * 86400000000L + 86400000000L - 1 - r.getLong(3),
+        s"$t staleness identity")
+      val lastDay = ev.filter(col("event_type") === t &&
+        expr("us div 86400000000") === maxDay).count()
+      assert(r.getLong(5) === lastDay, s"$t last-day count")
+    }
+  }
+
   test("text_len_profile: buckets partition the corpus; masses add up") {
     val docs = Tables.documents(spark, sfDir)
     val rows = operators.TextOps.textLenProfile(spark, sfDir).collect()

@@ -42,6 +42,20 @@ class CliSpec extends SparkSpec {
     assert(parts.size >= 2, s"expected multiple reasons, got $parts")
   }
 
+  test("cli audit writes the seven pipeline-health reports") {
+    val out = java.nio.file.Files.createTempDirectory("graft-cli").toString
+    Cli.main(Array("audit", sfDir, out))
+    val names = Seq("dedup_report", "bucket_stats", "cell_stats",
+      "len_profile", "schema_audit", "freshness", "grid_audit")
+    for (n <- names) {
+      val df = spark.read.parquet(s"$out/$n")
+      assert(df.count() >= 1, s"audit report $n must be non-empty")
+    }
+    // the headline report agrees with the operator it wraps
+    val rep = spark.read.parquet(s"$out/dedup_report").head
+    assert(rep.getLong(0) === Tables.documents(spark, sfDir).count())
+  }
+
   test("cli manifest writes the shard-partitioned training manifest") {
     import org.apache.spark.sql.functions.col
     val out = java.nio.file.Files.createTempDirectory("graft-cli").toString

@@ -752,5 +752,19 @@ class PlanAuditSpec extends SparkSpec {
       s"evt_schema_audit must fold map-side into the key census:\n${plans("evt_schema_audit")}")
     assert(plans("evt_schema_audit").contains("BroadcastExchange"),
       "evt_schema_audit broadcasts the type totals")
+    // geo_grid_audit: scan-side cell id → domain-frame aggregate → band
+    // rollup + two share windows on the band frame; no joins
+    assert(shuffleCount(plans("geo_grid_audit")) <= 3,
+      s"geo_grid_audit must stay domain-framed:\n${plans("geo_grid_audit")}")
+    assert(!plans("geo_grid_audit").contains("Join"),
+      "geo_grid_audit needs no join")
+    // evt_freshness: one scan into the (type×day) frame; the watermark is
+    // a window over that bounded frame, never a scalar bind on the facts
+    assert(shuffleCount(plans("evt_freshness")) <= 4,
+      s"evt_freshness must pre-aggregate into the day frame:\n${plans("evt_freshness")}")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(plans("evt_freshness")).size === 1,
+      "evt_freshness reads events exactly once")
+    assert(!plans("evt_freshness").contains("BroadcastNestedLoopJoin"),
+      "the watermark must not become a scalar bind")
   }
 }
