@@ -1150,7 +1150,47 @@ object Events {
         countDistinct("day").as("active_days"))
   }
 
+  /** GROWTH ACCOUNTING — the weekly user-lifecycle ledger (the classic
+    * new / retained / resurrected / churned decomposition every growth
+    * team reads): a user's week is `new` on first appearance, `retained`
+    * when also active the prior week, `resurrected` after a gap; churn
+    * is NOT computed by scanning forward — it falls out of the weekly
+    * frame by identity, `churned(w) = active(w−1) − retained(w)` (users
+    * active last week who didn't return), so no per-user lookahead and
+    * no corpus-end edge case.
+    *
+    * Scale shape: one (user, week) distinct collapse (map-side
+    * partials), one user-keyed lag window over each user's bounded week
+    * list, one aggregate into the weekly domain frame where the churn
+    * identity is a lag on ≤ hundreds of rows.
+    */
+  def lifecycle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uw = Tables.events(s, dir)
+      .select(col("user_id"), expr("(ts div 1000) div 604800000000").as("week"))
+      .distinct()
+      .withColumn("prev", lag("week", 1).over(
+        Window.partitionBy("user_id").orderBy("week")))
+      .withColumn("state",
+        when(col("prev").isNull, "new")
+          .when(col("week") - col("prev") === 1, "retained")
+          .otherwise("resurrected"))
+    val weekly = uw.groupBy("week").agg(
+      count(lit(1)).as("n_active"),
+      sum(when(col("state") === "new", 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("state") === "retained", 1L).otherwise(0L)).as("n_retained"),
+      sum(when(col("state") === "resurrected", 1L).otherwise(0L))
+        .as("n_resurrected"))
+    weekly
+      .withColumn("n_churned",
+        coalesce(lag("n_active", 1).over(Window.orderBy("week")), lit(0L)) -
+          col("n_retained"))
+      .select("week", "n_active", "n_new", "n_retained", "n_resurrected",
+        "n_churned")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_lifecycle" -> (lifecycle _),
     "evt_freshness" -> (freshness _),
     "evt_schema_audit" -> (schemaAudit _),
     "evt_interval_join" -> (intervalJoin _),
@@ -1184,6 +1224,29 @@ object Events {
     "evt_dau" -> (dau _))
 
   val oracles: Map[String, String] = Map(
+    "evt_lifecycle" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 604800000000 AS week FROM events),
+        |c AS (SELECT user_id, week,
+        |    lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev
+        |  FROM uw),
+        |s AS (SELECT week,
+        |    CASE WHEN prev IS NULL THEN 'new'
+        |         WHEN week - prev = 1 THEN 'retained'
+        |         ELSE 'resurrected' END AS state
+        |  FROM c),
+        |w AS (SELECT week, CAST(count(*) AS BIGINT) AS n_active,
+        |    CAST(sum(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new,
+        |    CAST(sum(CASE WHEN state = 'retained' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_resurrected
+        |  FROM s GROUP BY 1)
+        |SELECT week, n_active, n_new, n_retained, n_resurrected,
+        |  CAST(coalesce(lag(n_active) OVER (ORDER BY week), 0) - n_retained
+        |    AS BIGINT) AS n_churned
+        |FROM w ORDER BY week""".stripMargin,
     "evt_freshness" ->
       """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |    CAST(count(*) AS BIGINT) AS n,

@@ -1241,7 +1241,40 @@ object TextOps {
       // no output sort: the driver's compare sorts rows, and a
       // presentational orderBy would cost a range exchange
 
+  /** CORPUS NOVELTY SCORE — per document, the fraction of its distinct
+    * word trigrams appearing for the FIRST time in doc-id order (the
+    * memorization/novelty curve a data team plots to see where a crawl
+    * stops contributing new content and starts repeating itself —
+    * boilerplate-heavy tails score near zero). Gram sets come from the
+    * one-pass `wgrams3` kernel; "first" is min(doc_id) per gram, so the
+    * score is deterministic and replayable.
+    *
+    * Scale shape: gram explode partial-aggregates into the gram-keyed
+    * first-seen table; the credit join back rides the SAME gram hash
+    * partitioning (no extra exchange); the per-doc rollup is the one
+    * doc-keyed exchange. The CCNet-dedup join discipline — keyed
+    * equi-joins only, nothing quadratic.
+    */
+  def textNovelty(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val e = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(call_function("wgrams3", col("text"))).as("g"))
+    val first = e.groupBy("g").agg(min("doc_id").as("first_doc"))
+    val p = e.join(first, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    Tables.documents(s, dir).select("doc_id")
+      .join(p, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_grams", "n_novel"))
+      .withColumn("novelty_pm", expr(
+        "CASE WHEN n_grams = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (1000 * n_novel) div n_grams END"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_novelty" -> (textNovelty _),
     "text_len_profile" -> (textLenProfile _),
     "pipe_mix" -> (pipeMix _),
     "pipe_manifest" -> (pipeManifest _),
@@ -1466,6 +1499,29 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "pipe_curate" -> pipeCurateSql,
+    // novelty: the dg gram CTE is the wgrams3 parity form (split WITHOUT
+    // empty-filtering — the kernel's documented quirk, same as the
+    // decontamination oracles)
+    "text_novelty" ->
+      """WITH dg AS MATERIALIZED (SELECT doc_id,
+        |    CASE WHEN len(w) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(w) - 1),
+        |                    i -> array_to_string(w[i:i+2], ' ')))
+        |    ELSE [] END AS gs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |e AS MATERIALIZED (SELECT doc_id, unnest(gs) AS g FROM dg),
+        |f AS (SELECT g, min(doc_id) AS first_doc FROM e GROUP BY 1),
+        |p AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_novel
+        |  FROM e JOIN f USING (g) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(p.n_grams, 0) AS n_grams,
+        |  coalesce(p.n_novel, 0) AS n_novel,
+        |  CASE WHEN coalesce(p.n_grams, 0) = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST((1000 * p.n_novel) // p.n_grams AS BIGINT)
+        |  END AS novelty_pm
+        |FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "text_len_profile" ->
       s"""WITH d AS (SELECT lang,
          |    CAST(len($toksSql) AS BIGINT) AS n_words FROM documents),

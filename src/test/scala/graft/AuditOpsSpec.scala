@@ -148,6 +148,41 @@ class AuditOpsSpec extends SparkSpec {
     }
   }
 
+  test("evt_lifecycle: growth-accounting identities hold") {
+    val rows = operators.Events.lifecycle(spark, sfDir).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    // states partition the active set each week
+    for (r <- rows)
+      assert(r.getLong(1) === r.getLong(2) + r.getLong(3) + r.getLong(4),
+        s"week ${r.getLong(0)}: active = new + retained + resurrected")
+    // first week is all-new, churn identity vs the prior week's actives
+    assert(rows.head.getLong(2) === rows.head.getLong(1))
+    for (Array(a, b) <- rows.sliding(2))
+      assert(b.getLong(5) === a.getLong(1) - b.getLong(3),
+        "churned(w) = active(w-1) - retained(w)")
+    // total 'new' across weeks = distinct users ever seen
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum === users)
+  }
+
+  test("text_novelty: first doc is fully novel; credits sum to the gram vocabulary") {
+    val rows = operators.TextOps.textNovelty(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val first = rows.minBy(_._1)
+    if (first._2 > 0)
+      assert(first._4 === 1000L, "the lowest doc_id's grams are all first-seen")
+    for ((id, g, nv, pm) <- rows) {
+      assert(nv <= g, s"doc $id: novel ≤ grams")
+      assert(pm === (if (g == 0) 0L else 1000L * nv / g))
+    }
+    // Σ novel credits = |distinct grams in the corpus| (each gram first-seen once)
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(call_function("wgrams3", col("text"))).as("g"))
+      .distinct().count()
+    assert(rows.map(_._3).sum === vocab)
+  }
+
   test("text_len_profile: buckets partition the corpus; masses add up") {
     val docs = Tables.documents(spark, sfDir)
     val rows = operators.TextOps.textLenProfile(spark, sfDir).collect()

@@ -766,5 +766,19 @@ class PlanAuditSpec extends SparkSpec {
       "evt_freshness reads events exactly once")
     assert(!plans("evt_freshness").contains("BroadcastNestedLoopJoin"),
       "the watermark must not become a scalar bind")
+    // evt_lifecycle: (user,week) distinct collapse + user lag window +
+    // weekly frame (the churn identity lags the bounded frame, the one
+    // empty-partition window)
+    assert(shuffleCount(plans("evt_lifecycle")) <= 4,
+      s"evt_lifecycle must stay on the weekly frame:\n${plans("evt_lifecycle")}")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(plans("evt_lifecycle")).size === 1,
+      "evt_lifecycle reads events exactly once")
+    // text_novelty: gram-keyed first-seen aggregate + credit join on the
+    // SAME gram partitioning + one doc rollup — keyed equi-joins only
+    assert(!plans("text_novelty").contains("BroadcastNestedLoopJoin") &&
+      !plans("text_novelty").contains("CartesianProduct"),
+      "text_novelty must stay keyed")
+    assert(shuffleCount(plans("text_novelty")) <= 5,
+      s"text_novelty exchange budget:\n${plans("text_novelty")}")
   }
 }
