@@ -685,7 +685,41 @@ object Geometry {
       .withColumn("point_share_pm",
         expr("(1000 * n_points) div sum(n_points) over ()"))
 
+  /** ANTIMERIDIAN EXTENT AUDIT — the classic bbox defect every geo
+    * engine eventually ships: an entity spanning ±180° gets a naive
+    * lon-min/max box covering nearly the whole planet. Per entity this
+    * reports the naive span AND the true minimal covering arc — 360°
+    * minus the largest circular gap between its sorted distinct
+    * longitudes — plus the `wraps` flag (naive span > 180° but true
+    * arc ≤ 180°): exactly the rows whose bbox a wrap-naive spatial
+    * index inflates. All arithmetic in exact centidegrees (the
+    * point-grid's native integer), no float wraparound anywhere.
+    *
+    * Scale shape: one entity-keyed exchange collects each entity's
+    * bounded distinct-longitude list (the way-assembly shape); the
+    * gap scan is per-entity array work on domain-bounded arrays
+    * (≤36000 distinct centidegrees by construction).
+    */
+  def geoAntimeridian(s: SparkSession, dir: String): DataFrame =
+    points(s, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("npts"),
+        array_sort(collect_set(col("xi"))).as("ls"))
+      .withColumn("n_lons", size(col("ls")).cast("bigint"))
+      .withColumn("span_raw_cd",
+        (element_at(col("ls"), -1) - element_at(col("ls"), 1)).cast("bigint"))
+      .withColumn("gmax", when(col("n_lons") === 1, lit(36000L)).otherwise(
+        greatest(
+          expr("CAST(array_max(zip_with(slice(ls, 2, size(ls) - 1), " +
+            "slice(ls, 1, size(ls) - 1), (a, b) -> a - b)) AS BIGINT)"),
+          lit(36000L) - col("span_raw_cd"))))
+      .withColumn("arc_cd", lit(36000L) - col("gmax"))
+      .withColumn("wraps",
+        col("span_raw_cd") > 18000L && col("arc_cd") <= 18000L)
+      .select("user_id", "npts", "n_lons", "span_raw_cd", "arc_cd", "wraps")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_antimeridian" -> (geoAntimeridian _),
     "geo_grid_audit" -> (geoGridAudit _),
     "geo_orientation" -> (geoOrientation _),
     "geo_hotspot" -> (geoHotspot _),
@@ -1038,6 +1072,24 @@ object Geometry {
   }
 
   val oracles: Map[String, String] = Map(
+    "geo_antimeridian" ->
+      s"""WITH p AS ($ptsSql),
+         |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS npts,
+         |    list_sort(list_distinct(list(xi))) AS ls
+         |  FROM p GROUP BY 1),
+         |c AS (SELECT user_id, npts,
+         |    CAST(len(ls) AS BIGINT) AS n_lons,
+         |    CAST(ls[-1] - ls[1] AS BIGINT) AS span_raw_cd,
+         |    CASE WHEN len(ls) = 1 THEN CAST(36000 AS BIGINT)
+         |         ELSE greatest(
+         |           CAST(list_max(list_transform(range(2, len(ls) + 1),
+         |             i -> ls[i] - ls[i - 1])) AS BIGINT),
+         |           36000 - CAST(ls[-1] - ls[1] AS BIGINT)) END AS gmax
+         |  FROM g)
+         |SELECT user_id, npts, n_lons, span_raw_cd,
+         |  CAST(36000 - gmax AS BIGINT) AS arc_cd,
+         |  span_raw_cd > 18000 AND 36000 - gmax <= 18000 AS wraps
+         |FROM c ORDER BY user_id""".stripMargin,
     "geo_grid_audit" ->
       s"""WITH p AS ($ptsSql),
          |c AS (SELECT (yi // 100) * 360 + (xi // 100) AS cell,

@@ -183,6 +183,28 @@ class AuditOpsSpec extends SparkSpec {
     assert(rows.map(_._3).sum === vocab)
   }
 
+  test("geo_antimeridian: arc equals a driver-side circular-gap recompute") {
+    val pts = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "(event_id * 7919) % 36000 AS xi")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted.toArray).toMap
+    val rows = operators.Geometry.geoAntimeridian(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val ls = pts(r.getLong(0))
+      val gmax =
+        if (ls.length == 1) 36000L
+        else math.max(
+          ls.sliding(2).map(p => p(1) - p(0)).max,
+          36000L - (ls.last - ls.head))
+      assert(r.getLong(2) === ls.length.toLong, "n_lons")
+      assert(r.getLong(3) === ls.last - ls.head, "naive span")
+      assert(r.getLong(4) === 36000L - gmax, "true covering arc")
+      assert(r.getBoolean(5) === (r.getLong(3) > 18000L && r.getLong(4) <= 18000L))
+      assert(r.getLong(4) <= 36000L && r.getLong(4) >= 0L)
+    }
+  }
+
   test("text_len_profile: buckets partition the corpus; masses add up") {
     val docs = Tables.documents(spark, sfDir)
     val rows = operators.TextOps.textLenProfile(spark, sfDir).collect()

@@ -780,5 +780,11 @@ class PlanAuditSpec extends SparkSpec {
       "text_novelty must stay keyed")
     assert(shuffleCount(plans("text_novelty")) <= 5,
       s"text_novelty exchange budget:\n${plans("text_novelty")}")
+    // geo_antimeridian: one entity-keyed exchange (the way-assembly
+    // shape); the gap scan is in-row array work
+    assert(shuffleCount(plans("geo_antimeridian")) <= 2,
+      s"geo_antimeridian is one entity collapse:\n${plans("geo_antimeridian")}")
+    assert(!plans("geo_antimeridian").contains("Join"),
+      "geo_antimeridian needs no join")
   }
 }
