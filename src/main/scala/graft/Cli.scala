@@ -128,7 +128,9 @@ object Cli {
         audits.foreach { case (name, df) =>
           df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         }
-        val dup = operators.Dedup.textDedupReport(spark, sfDir).head
+        // summary comes from the parquet just written — not a second
+        // full-corpus recompute of the report aggregate
+        val dup = spark.read.parquet(s"$outDir/dedup_report").head
         println(s"[graft] audit: reports=${audits.size} " +
           s"docs=${dup.getLong(0)} dup_pm=${dup.getLong(6)}")
       case "curate" =>

@@ -61,6 +61,34 @@ object Geo {
     sb.toString
   }
 
+  /** Hex WKB (little-endian) polygon of a changeset bounding box, or null
+    * under the reference's extent guard: any missing (NaN) corner → no
+    * geometry (osm-changesets OSMChangesets.java:75-87 getBBOXasWKT —
+    * null/NaN → null; vertex order min_lon min_lat → max_lon min_lat →
+    * max_lon max_lat → min_lon max_lat → close). Null INPUTS are handled
+    * by the expression layer; NaN is data (the XML attr was absent), so
+    * the guard lives in the kernel where codegen can reach it.
+    */
+  def wkbBoxHex(minLon: Double, minLat: Double, maxLon: Double,
+      maxLat: Double): UTF8String = {
+    if (java.lang.Double.isNaN(minLon) || java.lang.Double.isNaN(minLat) ||
+      java.lang.Double.isNaN(maxLon) || java.lang.Double.isNaN(maxLat)) return null
+    val sb = new java.lang.StringBuilder(178)
+    sb.append("010300000001000000") // LE + polygon + 1 ring
+    appendLeHexInt(sb, 5)
+    appendLeHex(sb, java.lang.Double.doubleToLongBits(minLon))
+    appendLeHex(sb, java.lang.Double.doubleToLongBits(minLat))
+    appendLeHex(sb, java.lang.Double.doubleToLongBits(maxLon))
+    appendLeHex(sb, java.lang.Double.doubleToLongBits(minLat))
+    appendLeHex(sb, java.lang.Double.doubleToLongBits(maxLon))
+    appendLeHex(sb, java.lang.Double.doubleToLongBits(maxLat))
+    appendLeHex(sb, java.lang.Double.doubleToLongBits(minLon))
+    appendLeHex(sb, java.lang.Double.doubleToLongBits(maxLat))
+    appendLeHex(sb, java.lang.Double.doubleToLongBits(minLon))
+    appendLeHex(sb, java.lang.Double.doubleToLongBits(minLat))
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Hex WKB (little-endian) polygon from ring coordinate arrays. */
   def wkbPolygonHex(rings: Seq[(Array[Double], Array[Double])]): String = {
     val sb = new java.lang.StringBuilder(18 + rings.map(32 * _._1.length + 8).sum)
@@ -525,6 +553,31 @@ case class XZCodeExpr(first: Expression, second: Expression,
     copy(first = a, second = b, third = c, fourth = d)
 }
 
+/** `wkb_box(min_lon, min_lat, max_lon, max_lat)` → hex WKB polygon of the
+  * bbox, null when any corner is null OR NaN (the reference's changeset
+  * extent guard, OSMChangesets.java:75-87).
+  */
+case class WkbBox(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "wkb_box"
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    Geo.wkbBoxHex(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"""${ev.value} = graft.functions.Geo.wkbBoxHex($a, $b, $c, $d);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression): WkbBox =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
 /** `ring_self_intersects(xs, ys)` → whether the OPEN ring has a repeated
   * vertex or two non-adjacent edges sharing a point (true for n < 3).
   */
@@ -737,6 +790,7 @@ object GeoFunctions {
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "wkb_point" -> (es => WkbPoint(es(0), es(1))),
     "wkb_line" -> (es => WkbLine(es(0), es(1))),
+    "wkb_box" -> (es => WkbBox(es(0), es(1), es(2), es(3))),
     "xz_code" -> (es => XZCodeExpr(es(0), es(1), es(2), es(3))),
     "xz_code_i" -> (es => XZCodeIntExpr(es(0), es(1), es(2), es(3))),
     "xz_level" -> (es => XZLevelExpr(es(0), es(1), es(2), es(3))),

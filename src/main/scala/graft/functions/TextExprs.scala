@@ -37,6 +37,82 @@ object TextKernels {
     val la = qa - p; val lb = qb - p
     if (la == 0) return if (lb <= k) lb else -1
     if (lb == 0) return if (la <= k) la else -1
+    // ASCII middles (the corpus) take the bit-parallel path: 64 DP cells
+    // per word op vs one per char op in the banded DP — the shorter middle
+    // is the pattern so the block count is minimal. Non-ASCII falls back
+    // to the banded DP (identical result, spec-pinned).
+    var ascii = true
+    var t = p
+    while (ascii && t < qa) { if (sa.charAt(t) >= 128) ascii = false; t += 1 }
+    t = p
+    while (ascii && t < qb) { if (sb.charAt(t) >= 128) ascii = false; t += 1 }
+    if (ascii) {
+      if (la <= lb) levMyersAscii(sa, p, la, sb, p, lb, k)
+      else levMyersAscii(sb, p, lb, sa, p, la, k)
+    } else levBandDp(sa, sb, p, la, lb, k)
+  }
+
+  /** Myers' bit-parallel edit distance (Myers 1999 bit-vector algorithm;
+    * multi-word block chaining per Hyyrö 2003 / the edlib formulation) at
+    * the same near-dup bound as [[levBand]]: exact distance when ≤ k, −1
+    * past it. Pattern `a` (the SHORTER middle, offset `ap`, length m) is
+    * encoded once into per-block match masks; each text column then costs
+    * ⌈m/64⌉ word ops — 64 DP cells per op. Early exit when even a
+    * match-only tail cannot bring the bottom-row score back within k.
+    * ASCII only (dense 128-entry Peq table); callers pre-check.
+    */
+  private def levMyersAscii(a: String, ap: Int, m: Int,
+      b: String, bp: Int, n: Int, k: Int): Int = {
+    val nb = (m + 63) >>> 6
+    val peq = new Array[Long](128 * nb)
+    var i = 0
+    while (i < m) {
+      peq(a.charAt(ap + i) * nb + (i >>> 6)) |= 1L << (i & 63)
+      i += 1
+    }
+    val vp = new Array[Long](nb)
+    val vn = new Array[Long](nb)
+    java.util.Arrays.fill(vp, -1L)
+    val lastMask = 1L << ((m - 1) & 63)
+    var score = m
+    var j = 0
+    while (j < n) {
+      val c = b.charAt(bp + j)
+      var hin = 1 // row-0 boundary: D[0][j] − D[0][j−1] = +1
+      var r = 0
+      while (r < nb) {
+        val eq0 = peq(c * nb + r)
+        val pv = vp(r); val mv = vn(r)
+        val xv = eq0 | mv
+        val eq = if (hin < 0) eq0 | 1L else eq0
+        val xh = (((eq & pv) + pv) ^ pv) | eq
+        var ph = mv | ~(xh | pv)
+        var mh = pv & xh
+        // delta leaving the block: top bit chains into the next block;
+        // the LAST block reads the pattern's true bottom row instead
+        val mask = if (r == nb - 1) lastMask else Long.MinValue
+        val hout = if ((ph & mask) != 0L) 1 else if ((mh & mask) != 0L) -1 else 0
+        ph = (ph << 1) | (if (hin > 0) 1L else 0L)
+        mh = (mh << 1) | (if (hin < 0) 1L else 0L)
+        vp(r) = mh | ~(xv | ph)
+        vn(r) = ph & xv
+        hin = hout
+        r += 1
+      }
+      score += hin
+      j += 1
+      // remaining columns can each lower the bottom-row score by ≤ 1
+      if (score - (n - j) > k) return -1
+    }
+    if (score <= k) score else -1
+  }
+
+  /** The banded-DP fallback (Ukkonen 2k+1 band over the trimmed middle) —
+    * kept for non-ASCII middles and as the bit-parallel path's independent
+    * twin in the parity spec.
+    */
+  private[functions] def levBandDp(sa: String, sb: String, p: Int,
+      la: Int, lb: Int, k: Int): Int = {
     // banded DP over the trimmed middle: rows = a, band of width 2k+1
     val prev = new Array[Int](lb + 1)
     val cur = new Array[Int](lb + 1)

@@ -49,10 +49,12 @@ object ChangesetCatchup {
         val seq = bc.value(new org.apache.hadoop.fs.Path(path).toUri.getPath)
         OsmXml.parseChangesets(content).map(r =>
           (seq, r.id, r.created_at, r.closed_at, r.open, r.uid, r.user,
-            r.num_changes, r.tags))
+            r.num_changes, r.comments_count, r.min_lon, r.min_lat,
+            r.max_lon, r.max_lat, r.tags))
       }
     spark.createDataFrame(rdd).toDF("seq", "id", "created_at", "closed_at",
-      "open", "uid", "user", "num_changes", "tags")
+      "open", "uid", "user", "num_changes", "comments_count",
+      "min_lon", "min_lat", "max_lon", "max_lat", "tags")
   }
 
   /** Sequence number encoded in a diff file path — digits of the final
@@ -82,7 +84,8 @@ object ChangesetCatchup {
     */
   private[graft] def foldBatch(parsed: DataFrame): DataFrame = {
     val cols = Seq("created_at", "closed_at", "open", "uid", "user",
-      "num_changes", "tags", "seq")
+      "num_changes", "comments_count", "min_lon", "min_lat", "max_lon",
+      "max_lat", "tags", "seq")
     parsed.groupBy("id")
       .agg(max_by(struct(cols.map(col): _*), col("seq")).as("r"))
       .select(col("id") +: cols.map(c => col(s"r.$c")): _*)

@@ -75,6 +75,48 @@ object Changesets {
       .select(col("doc_id"), col("hashtags"))
   }
 
+  /** Changeset bounding boxes + the `geom geometry(polygon, 4326)` column
+    * (docs/CLI.md changesets schema; OSMChangesets.java:75-87): per session
+    * window, the extent of its LOCATED edits (only click/view/purchase
+    * events carry a coordinate here — deterministic integer degrees from
+    * the event id, same derivation as `geo_wkb`), the reference's
+    * missing-extent guard (a changeset with no located edit has NULL
+    * corners and a NULL geom — the empty-changeset case the reference
+    * guards with null/NaN), the synthesized discussion count
+    * (comments_count, Changeset.java:17 — stood in by the session's
+    * `error` events), and the "touched region X" predicate `in_q`: bbox
+    * intersects the literal query box [-20,60]×[0,45] (null extent →
+    * false, matching a spatial index that never returns geometry-less
+    * rows).
+    *
+    * Scale: the same single user-keyed window shuffle every changeset key
+    * rides; bbox corners fold map-side (min/max partials), the WKB encode
+    * is a codegen kernel on the session-scale aggregate, and the box
+    * predicate is scan-side on that aggregate — nothing corpus-scale
+    * happens after the one shuffle.
+    */
+  def csBbox(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    val locatable = col("event_type").isin("click", "view", "purchase")
+    sessionized(s, dir)
+      .withColumn("lon", when(locatable, col("event_id") * 31 % 360 - 180))
+      .withColumn("lat", when(locatable, col("event_id") * 17 % 180 - 90))
+      .groupBy("user_id", "cs_seq")
+      .agg(
+        min("lon").cast("double").as("min_lon"),
+        min("lat").cast("double").as("min_lat"),
+        max("lon").cast("double").as("max_lon"),
+        max("lat").cast("double").as("max_lat"),
+        count(lit(1)).as("num_changes"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("comments_count"))
+      .withColumn("geom", call_function("wkb_box",
+        col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat")))
+      .withColumn("in_q", coalesce(
+        col("min_lon") <= 60 && col("max_lon") >= -20 &&
+          col("min_lat") <= 45 && col("max_lat") >= 0, lit(false)))
+  }
+
   /** Contribution ← changeset enrichment join (the `--changeset-db` join,
     * docs/CLI.md): each edit gets its changeset struct fields.
     */
@@ -106,12 +148,26 @@ object Changesets {
     *                    closed_at, uid, user, num_changes, tags)
     */
   def enrichWithChangesetDb(contribs: DataFrame, changesetDb: DataFrame): DataFrame = {
+    graft.functions.GeoFunctions.register(contribs.sparkSession)
     val hashtagPattern = "#[^\\u2000-\\u206F\\u2E00-\\u2E7F\\v\\h\\\\'!\"#$%()*,./:;<=>?@\\[\\]^`{|}~]+"
-    val cs = changesetDb.select(
+    // bbox extent → the docs/CLI.md `geom geometry(polygon, 4326)` column
+    // (hex WKB; null under the reference's missing/NaN-corner guard) —
+    // tolerated absent for changeset frames predating the extent columns
+    val hasBbox = changesetDb.columns.contains("min_lon")
+    val geomCols =
+      if (hasBbox) Seq(
+        call_function("wkb_box", col("min_lon"), col("min_lat"),
+          col("max_lon"), col("max_lat")).as("cs_geom"))
+      else Seq(lit(null).cast("string").as("cs_geom"))
+    val commentCols =
+      if (changesetDb.columns.contains("comments_count"))
+        Seq(col("comments_count").as("cs_comments_count"))
+      else Seq(lit(0L).as("cs_comments_count"))
+    val cs = changesetDb.select(Seq(
       col("id").as("changeset"),
       col("created_at").as("cs_created_at"),
       col("closed_at").as("cs_closed_at"),
-      col("num_changes").as("cs_num_changes"),
+      col("num_changes").as("cs_num_changes")) ++ commentCols ++ geomCols ++ Seq(
       element_at(col("tags"), "created_by").as("cs_editor"),
       array_join(array_sort(array_distinct(
         filter(transform(
@@ -119,7 +175,7 @@ object Changesets {
             regexp_replace(coalesce(element_at(col("tags"), "comment"), lit("")), "http\\S*", ""),
             lit(hashtagPattern), lit(0)),
           t => substring(t, 2, 1000000)),
-          t => length(t) >= 2 && !t.rlike("^[0-9]+$")))), ",").as("cs_hashtags"))
+          t => length(t) >= 2 && !t.rlike("^[0-9]+$")))), ",").as("cs_hashtags")): _*)
     contribs.join(broadcast(cs), Seq("changeset"), "left")
   }
 
@@ -146,7 +202,12 @@ object Changesets {
     def changesets(ev: DataFrame): DataFrame =
       sessionize(ev).groupBy("user_id", "cs_seq")
         .agg(min("ts_us").as("created_at"), max("ts_us").as("closed_at"),
-          count(lit(1)).as("num_changes"))
+          count(lit(1)).as("num_changes"),
+          // the discussion count (Changeset.java:17), stood in by the
+          // session's `error` events — ingested with the row, exposed in
+          // the enrichment struct like num_changes
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("comments_count"))
     val cut = Replication.CutUs
     ChangesetStore.upsert(s, store, changesets(e.filter(col("ts_us") <= cut)),
       Seq("user_id", "cs_seq"))
@@ -158,17 +219,20 @@ object Changesets {
       col("user_id"), col("cs_seq"),
       col("created_at").as("cs_created_at"),
       col("closed_at").as("cs_closed_at"),
-      col("num_changes").as("cs_num_changes"))
+      col("num_changes").as("cs_num_changes"),
+      col("comments_count").as("cs_comments_count"))
     sessionized(s, dir)
       .join(broadcast(cs), Seq("user_id", "cs_seq"))
       .select(col("event_id"), col("user_id"), col("cs_seq"),
-        col("cs_created_at"), col("cs_closed_at"), col("cs_num_changes"))
+        col("cs_created_at"), col("cs_closed_at"), col("cs_num_changes"),
+        col("cs_comments_count"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cs_build" -> (csBuild _),
     "cs_hashtags" -> (csHashtags _),
     "cs_enrich" -> (csEnrich _),
+    "cs_bbox" -> (csBbox _),
     "cs_db_enrich" -> (csDbEnrich _))
 
   private val sessionSql =
@@ -179,6 +243,49 @@ object Changesets {
       |      FROM (SELECT *, epoch_us(ts) AS ts_us,
       |              lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
       |            FROM events) a) b""".stripMargin
+
+  /** DuckDB replay of cs_bbox: the same session windows, integer-degree
+    * derivation, and bit-exact IEEE-754 LE hex construction as the
+    * `geo_wkb` oracle (Geometry.bitsDef/leBitsSql), with the reference's
+    * missing-extent guard as an explicit NULL case.
+    */
+  private val csBboxOracle: String = {
+    import Geometry.{bitsDef, leBitsSql}
+    val corner = Seq("lo" -> "min_lon_i", "la" -> "min_lat_i",
+      "ho" -> "max_lon_i", "ha" -> "max_lat_i")
+    val bitCols = corner.map { case (o, c) => bitsDef(c, o) }.mkString(",\n  ")
+    def pt(x: String, y: String) = s"${leBitsSql(s"${x}_c", x)} || ${leBitsSql(s"${y}_c", y)}"
+    s"""WITH s AS ($sessionSql),
+       |loc AS (SELECT user_id, cs_seq, event_type,
+       |    CASE WHEN event_type IN ('click','view','purchase')
+       |      THEN (event_id * 31) % 360 - 180 END AS lon,
+       |    CASE WHEN event_type IN ('click','view','purchase')
+       |      THEN (event_id * 17) % 180 - 90 END AS lat
+       |  FROM s),
+       |b AS (SELECT user_id, cs_seq,
+       |    min(lon) AS min_lon_i, min(lat) AS min_lat_i,
+       |    max(lon) AS max_lon_i, max(lat) AS max_lat_i,
+       |    count(*) AS num_changes,
+       |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS comments_count
+       |  FROM loc GROUP BY 1, 2),
+       |bits AS (SELECT *,
+       |  min_lon_i AS lo_c, min_lat_i AS la_c, max_lon_i AS ho_c, max_lat_i AS ha_c,
+       |  $bitCols
+       |  FROM b)
+       |SELECT user_id, cs_seq,
+       |  CAST(min_lon_i AS DOUBLE) AS min_lon, CAST(min_lat_i AS DOUBLE) AS min_lat,
+       |  CAST(max_lon_i AS DOUBLE) AS max_lon, CAST(max_lat_i AS DOUBLE) AS max_lat,
+       |  num_changes, comments_count,
+       |  CASE WHEN min_lon_i IS NULL THEN NULL ELSE
+       |    '010300000001000000' || '05000000' ||
+       |    ${pt("lo", "la")} || ${pt("ho", "la")} || ${pt("ho", "ha")} ||
+       |    ${pt("lo", "ha")} || ${pt("lo", "la")}
+       |  END AS geom,
+       |  coalesce(min_lon_i <= 60 AND max_lon_i >= -20
+       |    AND min_lat_i <= 45 AND max_lat_i >= 0, false) AS in_q
+       |FROM bits ORDER BY user_id, cs_seq""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "cs_build" ->
@@ -200,13 +307,17 @@ object Changesets {
         |      t -> length(t) >= 2 AND NOT regexp_full_match(t, '[0-9]+')))), ','), '') AS hashtags
         |FROM documents ORDER BY doc_id""".stripMargin,
     "cs_db_enrich" ->
-      s"""SELECT event_id, b.user_id, b.cs_seq, cs_created_at, cs_closed_at, cs_num_changes
+      s"""SELECT event_id, b.user_id, b.cs_seq, cs_created_at, cs_closed_at, cs_num_changes,
+         |  cs_comments_count
          |FROM ($sessionSql) b
          |JOIN (SELECT user_id, cs_seq, min(ts_us) AS cs_created_at,
-         |        max(ts_us) AS cs_closed_at, count(*) AS cs_num_changes
+         |        max(ts_us) AS cs_closed_at, count(*) AS cs_num_changes,
+         |        CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS cs_comments_count
          |      FROM ($sessionSql) GROUP BY 1, 2) c
          |  ON b.user_id = c.user_id AND b.cs_seq = c.cs_seq
          |ORDER BY event_id""".stripMargin,
+    "cs_bbox" -> csBboxOracle,
     "cs_enrich" ->
       s"""SELECT event_id, b.user_id, b.cs_seq, created_at, closed_at, num_changes,
          |  'editor/' || (b.user_id % 7) AS editor

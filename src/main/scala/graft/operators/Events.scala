@@ -1110,7 +1110,12 @@ object Events {
   def schemaAudit(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val totals = ev.groupBy("event_type").agg(count(lit(1)).as("n_events"))
-    ev.select(col("event_type"),
+    // malformed/non-object props are EXPLICITLY excluded on both engines:
+    // Spark's json_object_keys yields null there (explode would silently
+    // drop the row) while DuckDB's json_keys raises — the shared filter
+    // pins one semantics so a dirty corpus cannot desync the oracle
+    ev.filter(expr("json_object_keys(props) IS NOT NULL"))
+      .select(col("event_type"),
         explode(expr("json_object_keys(props)")).as("key"))
       .groupBy("event_type", "key").agg(count(lit(1)).as("n_present"))
       .join(broadcast(totals), "event_type")
@@ -1158,6 +1163,14 @@ object Events {
     * frame by identity, `churned(w) = active(w−1) − retained(w)` (users
     * active last week who didn't return), so no per-user lookahead and
     * no corpus-end edge case.
+    *
+    * CAVEAT — observed weeks only: the lag runs over weeks that HAVE
+    * activity, so a calendar week with zero active users produces no
+    * ledger row and its churn is attributed to the next observed week
+    * (`active(w−1)` means the previous OBSERVED week). Corpora with
+    * contiguous weekly activity (this table) are unaffected; densify
+    * the weekly frame first if gapped calendars must each carry their
+    * own churn row.
     *
     * Scale shape: one (user, week) distinct collapse (map-side
     * partials), one user-keyed lag window over each user's bounded week
@@ -1266,7 +1279,8 @@ object Events {
         |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
     "evt_schema_audit" ->
       """WITH k AS (SELECT event_type, unnest(json_keys(props)) AS key
-        |  FROM events),
+        |  FROM events
+        |  WHERE json_valid(props) AND json_type(props) = 'OBJECT'),
         |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
         |  FROM events GROUP BY 1),
         |g AS (SELECT event_type, key, CAST(count(*) AS BIGINT) AS n_present

@@ -97,14 +97,36 @@ object OsmXml {
     out.toSeq
   }
 
+  /** One ingested changeset. The spatial extent (`min_lon`…`max_lat`) and
+    * `comments_count` mirror the reference's changeset record
+    * (osm-changesets Changeset.java:6-18): the bbox attrs are OPTIONAL in
+    * the XML (an empty changeset has no extent) and surface as nulls, the
+    * comment count defaults to 0.
+    */
   case class ChangesetRow(id: Long, created_at: String, closed_at: String,
       open: Boolean, uid: Long, user: String, num_changes: Long,
-      tags: Map[String, String])
+      comments_count: Long, min_lon: Option[Double], min_lat: Option[Double],
+      max_lon: Option[Double], max_lat: Option[Double],
+      tags: Map[String, String]) {
+
+    /** The reference's bbox WKT (OSMChangesets.java:75-87 getBBOXasWKT):
+      * null when any corner is missing or NaN, else the SRID-prefixed
+      * closed ring at `%f` precision — the `geom geometry(polygon, 4326)`
+      * column of the changesets DB schema (docs/CLI.md).
+      */
+    def bboxWkt: Option[String] =
+      for {
+        a <- min_lon; b <- min_lat; c <- max_lon; d <- max_lat
+        if !a.isNaN && !b.isNaN && !c.isNaN && !d.isNaN
+      } yield String.format(java.util.Locale.ROOT,
+        "SRID=4326;POLYGON((%f %f, %f %f, %f %f, %f %f, %f %f))",
+        a, b, c, b, c, d, a, d, a, b)
+  }
 
   /** Parse changeset XML (`<osm><changeset …><tag/></changeset></osm>`) —
     * the osm-changesets ingest format (id, lifecycle timestamps, user,
-    * num_changes, tags incl. `comment`/`created_by` for hashtag/editor
-    * extraction downstream).
+    * num_changes, comments_count, the optional bbox extent, tags incl.
+    * `comment`/`created_by` for hashtag/editor extraction downstream).
     */
   def parseChangesets(xml: String): Seq[ChangesetRow] = {
     val factory = XMLInputFactory.newInstance()
@@ -137,6 +159,11 @@ object OsmXml {
                 attr("uid").map(_.toLong).getOrElse(0L),
                 attr("user").getOrElse(""),
                 attr("num_changes").map(_.toLong).getOrElse(0L),
+                attr("comments_count").map(_.toLong).getOrElse(0L),
+                attr("min_lon").map(_.toDouble),
+                attr("min_lat").map(_.toDouble),
+                attr("max_lon").map(_.toDouble),
+                attr("max_lat").map(_.toDouble),
                 Map.empty)
             case "tag" =>
               if (row != null) for (k <- attr("k"); v <- attr("v")) tags += k -> v

@@ -11,7 +11,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 final case class CsDiffRow(seq: Long, id: Long, created_at: String,
   closed_at: String, open: Boolean, uid: Long, user: String,
-  num_changes: Long, tags: Map[String, String])
+  num_changes: Long, comments_count: Long, min_lon: Option[Double],
+  min_lat: Option[Double], max_lon: Option[Double], max_lat: Option[Double],
+  tags: Map[String, String])
 
 /** Continuous changeset replication — the streaming face of
   * [[graft.operators.ChangesetCatchup]]: a watched replication directory
@@ -54,7 +56,8 @@ object ChangesetStream {
       ChangesetCatchup.sequenceOf(path) match {
         case Some(seq) => OsmXml.parseChangesets(xml).map(r =>
           CsDiffRow(seq, r.id, r.created_at, r.closed_at, r.open, r.uid,
-            r.user, r.num_changes, r.tags))
+            r.user, r.num_changes, r.comments_count, r.min_lon, r.min_lat,
+            r.max_lon, r.max_lat, r.tags))
         case None => Seq.empty
       }
     }

@@ -123,6 +123,7 @@ class ChangesetStoreSpec extends SparkSpec {
       .select("event_id", "user_id", "cs_seq", "created_at", "closed_at", "num_changes")
     assert(out.count() === expected.count())
     val diff = out
+      .drop("cs_comments_count")
       .withColumnRenamed("cs_created_at", "created_at")
       .withColumnRenamed("cs_closed_at", "closed_at")
       .withColumnRenamed("cs_num_changes", "num_changes")

@@ -920,6 +920,34 @@ class PipelineSpec extends SparkSpec {
       // the kernel's trim + band path agrees with the plain JVM call too
       assert(graft.functions.TextKernels.levBand(a, b) === lvBanded)
     }
+
+    // multi-block Myers (middle > 64 chars, up to 5 blocks) against the
+    // same independent full DP — the bit-parallel block chaining must be
+    // exact across word boundaries, not just in the single-word case
+    val alpha = "abcdefgh"
+    def longDoc(len: Int) = (0 until len).map(i =>
+      alpha(rnd.nextInt(alpha.length))).mkString
+    val longPairs = Seq.fill(60) {
+      val a = longDoc(80 + rnd.nextInt(240))
+      val b =
+        if (rnd.nextInt(3) == 0) longDoc(80 + rnd.nextInt(240))
+        else a.map(c => if (rnd.nextInt(12) == 0) alpha(rnd.nextInt(alpha.length)) else c)
+          .mkString
+      (a, b)
+    }
+    longPairs.foreach { case (a, b) =>
+      val full = lev(a, b)
+      val k = (20 * math.max(a.length, b.length)) / 100
+      assert(graft.functions.TextKernels.levBand(a, b) ===
+        (if (full > k) -1 else full), s"multi-block mismatch len=(${a.length},${b.length})")
+    }
+
+    // non-ASCII middles take the banded-DP fallback — same contract
+    val (na, nb) = ("der straße lauf", "der strasse lauf")
+    val fullNa = lev(na, nb)
+    val kNa = (20 * math.max(na.length, nb.length)) / 100
+    assert(graft.functions.TextKernels.levBand(na, nb) ===
+      (if (fullNa > kNa) -1 else fullNa))
   }
 
   test("mom9 kernel equals the HOF upper-triangle chain; diagonal sums to dot9") {

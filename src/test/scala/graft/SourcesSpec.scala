@@ -324,7 +324,8 @@ class SourcesSpec extends SparkSpec {
       """<?xml version="1.0"?>
         |<osm>
         | <changeset id="101" created_at="2024-01-01T00:00:00Z" closed_at="2024-01-01T00:30:00Z"
-        |            open="false" user="alice" uid="5" num_changes="12">
+        |            open="false" user="alice" uid="5" num_changes="12" comments_count="3"
+        |            min_lon="8.5" min_lat="49.25" max_lon="8.75" max_lat="49.5">
         |  <tag k="comment" v="fix roads #mapathon"/>
         |  <tag k="created_by" v="iD 2.27"/>
         | </changeset>
@@ -335,12 +336,52 @@ class SourcesSpec extends SparkSpec {
     assert(rows.head.tags("comment") === "fix roads #mapathon")
     assert(rows.head.num_changes === 12L)
     assert(!rows.head.open && rows(1).open)
+    // the reference changeset record's extent + discussion count
+    // (Changeset.java:6-18): present attrs parse, absent ones are null
+    assert(rows.head.comments_count === 3L)
+    assert(rows.head.min_lon === Some(8.5) && rows.head.max_lat === Some(49.5))
+    assert(rows(1).comments_count === 0L)
+    assert(rows(1).min_lon.isEmpty && rows(1).max_lat.isEmpty)
 
     val tmp = java.nio.file.Files.createTempDirectory("graft-cs")
     java.nio.file.Files.writeString(tmp.resolve("c.xml"), xml)
     val df = OsmXml.readChangesets(spark, tmp.toString + "/*.xml")
     assert(df.count() === 2)
     assert(df.filter(col("open")).count() === 1)
+    assert(df.filter(col("min_lon").isNotNull).count() === 1)
+  }
+
+  test("changeset bbox WKT + wkb_box: the reference's missing/NaN guard") {
+    import graft.sources.OsmXml.ChangesetRow
+    def row(lo: Option[Double], la: Option[Double], ho: Option[Double],
+        ha: Option[Double]) =
+      ChangesetRow(1L, "", "", open = false, 0L, "", 0L, 0L, lo, la, ho, ha, Map.empty)
+    // OSMChangesets.java:75-87: null or NaN corner → null geometry
+    assert(row(None, None, None, None).bboxWkt.isEmpty)
+    assert(row(Some(1.0), Some(2.0), Some(Double.NaN), Some(4.0)).bboxWkt.isEmpty)
+    val wkt = row(Some(8.5), Some(49.25), Some(8.75), Some(49.5)).bboxWkt.get
+    assert(wkt === "SRID=4326;POLYGON((8.500000 49.250000, 8.750000 49.250000, " +
+      "8.750000 49.500000, 8.500000 49.500000, 8.500000 49.250000))")
+
+    // wkb_box hex kernel: same guard; ring matches wkbPolygonHex byte-wise
+    assert(graft.functions.Geo.wkbBoxHex(1.0, 2.0, Double.NaN, 4.0) === null)
+    val hex = graft.functions.Geo.wkbBoxHex(8.5, 49.25, 8.75, 49.5).toString
+    val expected = graft.functions.Geo.wkbPolygonHex(Seq((
+      Array(8.5, 8.75, 8.75, 8.5, 8.5), Array(49.25, 49.25, 49.5, 49.5, 49.25))))
+    assert(hex === expected)
+
+    // the Catalyst expression: null inputs AND NaN inputs both → null
+    graft.functions.GeoFunctions.register(spark)
+    import spark.implicits._
+    val out = Seq(
+      (Some(8.5), Some(49.25), Some(8.75), Some(49.5)),
+      (Some(8.5), Some(49.25), Some(Double.NaN), Some(49.5)),
+      (None: Option[Double], None: Option[Double], None: Option[Double], None: Option[Double]))
+      .toDF("a", "b", "c", "d")
+      .select(call_function("wkb_box", col("a"), col("b"), col("c"), col("d")).as("g"))
+      .collect()
+    assert(out(0).getString(0) === expected)
+    assert(out(1).isNullAt(0) && out(2).isNullAt(0))
   }
 
   test("withGeometries: point WKB for nodes, as-of linestring WKB for ways") {
