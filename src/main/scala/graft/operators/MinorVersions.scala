@@ -83,21 +83,63 @@ object MinorVersions {
       wayTimeline.select(col("way_id").as("node_id"), col("ts")))
       .withColumnRenamed("way_id", "rel_id")
 
-  /** @param wayVersions (way_id, osm_version, valid_from, refs) — major versions
+  /** The member-edit ∈ version-interval join runs BINNED: joining exploded
+    * refs to node edits on `node_id` alone multiplies every edit of a node
+    * by EVERY version interval of every way containing it before the
+    * interval filter sees a row (1.19 B intermediate rows for an 83 M
+    * output at sf1 — ×14 wasted). Adding a coarse time-bin to the join key
+    * keeps only same-epoch pairs: each interval explodes into the bins it
+    * overlaps, each edit into exactly one, and the exact open-interval
+    * filter (unchanged) trims the ≈output-sized remainder — same rows,
+    * order-of-magnitude less join traffic. Bin width self-tunes to the
+    * mean version-interval length (span · ways / versions), so a typical
+    * interval spans O(1) bins and the per-interval explosion stays
+    * constant-factor at any scale; the two 1-row sizing aggregates are
+    * driver-scale.
+    *
+    * @param wayVersions (way_id, osm_version, valid_from, refs) — major versions
     * @param nodeEdits   (node_id, ts) — member-node change events
     */
   def compute(wayVersions: DataFrame, nodeEdits: DataFrame): DataFrame = {
     val byWay = Window.partitionBy("way_id").orderBy("osm_version")
     val vers = wayVersions
       .withColumn("valid_to", lead("valid_from", 1).over(byWay))
-    val memberEdits = vers
-      .select(col("way_id"), col("osm_version"), col("valid_from"),
-        col("valid_to"), explode(col("refs")).as("node_id"))
-      .join(nodeEdits, Seq("node_id"))
-      .filter(col("ts") > col("valid_from") &&
-        (col("valid_to").isNull || col("ts") < col("valid_to")))
-      .select(col("way_id"), col("osm_version"), col("ts"),
-        lit("MINOR_GEOMETRY").as("trigger"))
+      // the timeline is re-consumed by the sizing aggregate, the member
+      // explosion, and the major rows — pin it once
+      .localCheckpoint(true)
+    val mm = nodeEdits.agg(min("ts"), max("ts")).collect().head
+    val memberEdits =
+      if (mm.isNullAt(0)) vers.limit(0)
+        .select(col("way_id"), col("osm_version"),
+          col("valid_from").as("ts"), lit("MINOR_GEOMETRY").as("trigger"))
+      else {
+        val lo = mm.get(0).asInstanceOf[Number].longValue
+        val hi = mm.get(1).asInstanceOf[Number].longValue
+        val sz = vers.agg(count(lit(1)), countDistinct("way_id")).collect().head
+        val (nVers, nWays) = (sz.getLong(0), sz.getLong(1) max 1L)
+        // ≈4 bins per mean interval, bounded: at least 16 (tiny frames),
+        // at most 4096 (join-key cardinality stays shuffle-friendly)
+        val nBins = (4L * nVers / nWays).max(16L).min(4096L)
+        val w = ((hi - lo) / nBins + 1L).max(1L)
+        val binMax = (hi - lo) / w
+        val binned = vers
+          .select(col("way_id"), col("osm_version"), col("valid_from"),
+            col("valid_to"), explode(col("refs")).as("node_id"))
+          // clamp into [0, binMax]: intervals outside the edit span keep a
+          // degenerate ascending range and the exact filter drops them
+          .withColumn("b0", least(greatest(
+            expr(s"(valid_from - ${lo}L) div ${w}L"), lit(0L)), lit(binMax)))
+          .withColumn("b1", when(col("valid_to").isNull, lit(binMax))
+            .otherwise(least(greatest(
+              expr(s"(valid_to - ${lo}L) div ${w}L"), col("b0")), lit(binMax))))
+          .withColumn("bin", explode(sequence(col("b0"), col("b1"))))
+        nodeEdits.withColumn("bin", expr(s"(ts - ${lo}L) div ${w}L"))
+          .join(binned, Seq("node_id", "bin"))
+          .filter(col("ts") > col("valid_from") &&
+            (col("valid_to").isNull || col("ts") < col("valid_to")))
+          .select(col("way_id"), col("osm_version"), col("ts"),
+            lit("MINOR_GEOMETRY").as("trigger"))
+      }
     val major = vers.select(col("way_id"), col("osm_version"),
       col("valid_from").as("ts"), lit("MAJOR").as("trigger"))
     major.unionByName(memberEdits)
