@@ -61,6 +61,38 @@ object Geo {
     sb.toString
   }
 
+  /** 8-character geohash (40 bits, base-32) of a lon/lat point — the
+    * public geohash algorithm: alternate lon/lat bisection starting with
+    * lon, `>= mid` takes the upper half. Every bisection midpoint is an
+    * exact dyadic multiple of 360/2^i (odd mantissa 45), so the decisions
+    * are exact double comparisons and the hash is bit-deterministic; for
+    * integer-degree inputs the bit string equals the closed form
+    * `floor((lon+180)·2^20/360)` / `floor((lat+90)·2^20/180)` interleaved,
+    * which is what the SQL oracle replays in BIGINT.
+    */
+  def geohash8(lon: Double, lat: Double): UTF8String = {
+    val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    var lonLo = -180.0; var lonHi = 180.0
+    var latLo = -90.0; var latHi = 90.0
+    val sb = new java.lang.StringBuilder(8)
+    var ch = 0
+    var i = 0
+    while (i < 40) {
+      if ((i & 1) == 0) {
+        val mid = (lonLo + lonHi) / 2
+        if (lon >= mid) { ch = (ch << 1) | 1; lonLo = mid }
+        else { ch = ch << 1; lonHi = mid }
+      } else {
+        val mid = (latLo + latHi) / 2
+        if (lat >= mid) { ch = (ch << 1) | 1; latLo = mid }
+        else { ch = ch << 1; latHi = mid }
+      }
+      i += 1
+      if (i % 5 == 0) { sb.append(alphabet.charAt(ch)); ch = 0 }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Hex WKB (little-endian) polygon of a changeset bounding box, or null
     * under the reference's extent guard: any missing (NaN) corner → no
     * geometry (osm-changesets OSMChangesets.java:75-87 getBBOXasWKT —
@@ -553,6 +585,23 @@ case class XZCodeExpr(first: Expression, second: Expression,
     copy(first = a, second = b, third = c, fourth = d)
 }
 
+/** `geohash8(lon, lat)` → 8-character base-32 geohash. */
+case class GeoHash8(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "geohash8"
+
+  override protected def nullSafeEval(lon: Any, lat: Any): Any =
+    Geo.geohash8(lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat) => s"graft.functions.Geo.geohash8($lon, $lat)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GeoHash8 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `wkb_box(min_lon, min_lat, max_lon, max_lat)` → hex WKB polygon of the
   * bbox, null when any corner is null OR NaN (the reference's changeset
   * extent guard, OSMChangesets.java:75-87).
@@ -791,6 +840,7 @@ object GeoFunctions {
     "wkb_point" -> (es => WkbPoint(es(0), es(1))),
     "wkb_line" -> (es => WkbLine(es(0), es(1))),
     "wkb_box" -> (es => WkbBox(es(0), es(1), es(2), es(3))),
+    "geohash8" -> (es => GeoHash8(es(0), es(1))),
     "xz_code" -> (es => XZCodeExpr(es(0), es(1), es(2), es(3))),
     "xz_code_i" -> (es => XZCodeIntExpr(es(0), es(1), es(2), es(3))),
     "xz_level" -> (es => XZLevelExpr(es(0), es(1), es(2), es(3))),

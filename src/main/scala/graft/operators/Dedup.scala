@@ -162,6 +162,66 @@ object Dedup {
       sigs)
   }
 
+  /** RFC-3986-style URL canonicalization — the normalizer every web-crawl
+    * dedup runs BEFORE content hashing (a page fetched as
+    * `HTTPS://WWW.Site.com:443/a/?utm_source=x#frag` and
+    * `https://site.com/a` is one document). Rules, in order: drop the
+    * fragment; lowercase scheme://host:port (the case-insensitive parts —
+    * the path stays untouched); strip a leading `www.`; strip default
+    * ports (`https :443`, `http :80`); drop tracking query params
+    * (`utm_*`, `fbclid`, `gclid`), sort the survivors byte-wise and
+    * reattach; strip one trailing slash off a non-root path. Pure column
+    * expressions — codegen end to end, scan-side at any scale.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    val auth = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val lowered = concat(lower(auth),
+      noFrag.substr(length(auth) + 1, length(noFrag)))
+    val noWww = regexp_replace(lowered, "^(https?://)www\\.", "$1")
+    val noPort = regexp_replace(
+      regexp_replace(noWww, "^(https://[^/?#]*):443", "$1"),
+      "^(http://[^/?#]*):80", "$1")
+    val q = regexp_extract(noPort, "\\?(.*)", 1)
+    val keep = array_join(array_sort(filter(split(q, "&"), p =>
+      p =!= "" && !p.startsWith("utm_") &&
+        !p.startsWith("fbclid=") && !p.startsWith("gclid="))), "&")
+    val base = regexp_replace(substring_index(noPort, "?", 1), "([^/])/$", "$1")
+    concat(base, when(keep === "", lit("")).otherwise(concat(lit("?"), keep)))
+  }
+
+  /** URL dedup (`dedup_url`): canonicalize, group, report each canonical
+    * URL's multiplicity and keeper — the crawl-frontier dedup that runs
+    * BEFORE any content is fetched twice. URLs are synthesized
+    * deterministically from doc ids across five real-world variant shapes
+    * (case-mangled host, explicit default port, fragment, tracking
+    * params, unsorted params + trailing slash) so every canonicalization
+    * rule is load-bearing for the groups to form. Scale: scan-side canon
+    * + one hash aggregate — the dedup_exact shape on the URL column.
+    */
+  def dedupUrl(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("core", col("doc_id") % 200)
+      .withColumn("url",
+        when(col("doc_id") % 5 === 0, concat(lit("https://WWW.Site"),
+          col("core"), lit(".example.com/docs/page"), col("core"),
+          lit("/?utm_source=feed")))
+        .when(col("doc_id") % 5 === 1, concat(lit("HTTPS://Site"),
+          col("core"), lit(".EXAMPLE.COM:443/docs/page"), col("core")))
+        .when(col("doc_id") % 5 === 2, concat(lit("https://site"),
+          col("core"), lit(".example.com/docs/page"), col("core"),
+          lit("#section-2")))
+        .when(col("doc_id") % 5 === 3, concat(lit("https://site"),
+          col("core"), lit(".example.com:443/docs/page"), col("core"),
+          lit("/?utm_campaign=x&utm_medium=y")))
+        .otherwise(concat(lit("https://www.site"),
+          col("core"), lit(".example.com/docs/page"), col("core"),
+          lit("?b=2&a=1&utm_content=z"))))
+    d.withColumn("canon_url", canonicalizeUrl(col("url")))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+  }
+
   /** Exact dedup: content-hash groupBy, keep the lowest doc_id. */
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -829,6 +889,7 @@ object Dedup {
     "dedup_bucket_stats" -> (dedupBucketStats _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_url" -> (dedupUrl _),
     "dedup_soft" -> (dedupSoft _),
     "dedup_passage" -> (dedupPassage _),
     "dedup_cdc" -> (dedupCdc _),
@@ -936,6 +997,40 @@ object Dedup {
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    // DuckDB replay of canonicalizeUrl: same rule chain, same order —
+    // fragment, authority lowercase, www, default ports, tracking-param
+    // filter + byte-wise sort, trailing slash
+    "dedup_url" ->
+      """WITH d AS (SELECT doc_id, doc_id % 200 AS core,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN 'https://WWW.Site' || (doc_id % 200) || '.example.com/docs/page' || (doc_id % 200) || '/?utm_source=feed'
+        |      WHEN 1 THEN 'HTTPS://Site' || (doc_id % 200) || '.EXAMPLE.COM:443/docs/page' || (doc_id % 200)
+        |      WHEN 2 THEN 'https://site' || (doc_id % 200) || '.example.com/docs/page' || (doc_id % 200) || '#section-2'
+        |      WHEN 3 THEN 'https://site' || (doc_id % 200) || '.example.com:443/docs/page' || (doc_id % 200) || '/?utm_campaign=x&utm_medium=y'
+        |      ELSE 'https://www.site' || (doc_id % 200) || '.example.com/docs/page' || (doc_id % 200) || '?b=2&a=1&utm_content=z'
+        |    END AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u FROM d),
+        |s2 AS (SELECT doc_id,
+        |    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0))
+        |      || substr(u, length(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) + 1) AS u
+        |  FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(u, '^(https?://)www\.', '\1') AS u FROM s2),
+        |s4 AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(u, '^(https://[^/?#]*):443', '\1'),
+        |                   '^(http://[^/?#]*):80', '\1') AS u
+        |  FROM s3),
+        |s5 AS (SELECT doc_id,
+        |    regexp_replace(split_part(u, '?', 1), '([^/])/$', '\1') AS base,
+        |    -- array_to_string([]) is NULL in DuckDB (Spark array_join
+        |    -- gives ''): coalesce keeps the no-params case a real ''
+        |    coalesce(array_to_string(list_sort(list_filter(string_split(regexp_extract(u, '\?(.*)', 1), '&'),
+        |      p -> p <> '' AND NOT starts_with(p, 'utm_')
+        |        AND NOT starts_with(p, 'fbclid=') AND NOT starts_with(p, 'gclid='))), '&'), '') AS keep
+        |  FROM s4)
+        |SELECT base || CASE WHEN keep = '' THEN '' ELSE '?' || keep END AS canon_url,
+        |  count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM s5 GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_soft" ->
       """SELECT doc_id,
         |  count(*) OVER (PARTITION BY md5(text)) AS n_copies,

@@ -166,6 +166,32 @@ object Geometry {
       .withColumn("wkb", call_function("wkb_point", col("lon_d"), col("lat_d")))
   }
 
+  /** GEOHASH SPATIAL BINNING (`geo_geohash`): the base-32 geohash of each
+    * point via the `geohash8` codegen kernel (public algorithm — exact
+    * dyadic bisection, see Geo.geohash8), aggregated into precision-4
+    * cells: point count, exact distinct users, the cell's lexicographic
+    * min full-precision hash. The standard heatmap/prefix-join layout —
+    * a geohash prefix IS a spatial bucket, so co-located points share a
+    * shuffle key at any precision without geometry math.
+    *
+    * Scale: kernel is scan-side codegen; the cell aggregate folds
+    * map-side; distinct users ride the same cell-keyed exchange. Integer
+    * degrees keep the oracle's closed-form BIGINT quantization
+    * bit-identical to the kernel's bisection.
+    */
+  def geoGeohash(s: SparkSession, dir: String): DataFrame = {
+    GeoFunctions.register(s)
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        ((col("event_id") * 31) % 360 - 180).cast("double").as("lon"),
+        ((col("event_id") * 17) % 180 - 90).cast("double").as("lat"))
+      .withColumn("gh", call_function("geohash8", col("lon"), col("lat")))
+      .groupBy(substring(col("gh"), 1, 4).as("cell"))
+      .agg(count(lit(1)).as("n_points"),
+        countDistinct("user_id").as("n_users"),
+        min("gh").as("min_gh"))
+  }
+
   /** XZ-ordering curve (level, code) of each entity bbox — custom codegen
     * expressions; rows-only driver check (log2/pow semantics are not
     * portable SQL), ScalaTest covers the kernel.
@@ -737,8 +763,37 @@ object Geometry {
     "geo_length" -> (geoLength _),
     "geo_area" -> (geoArea _),
     "geo_wkb" -> (geoWkb _),
+    "geo_geohash" -> (geoGeohash _),
     "geo_xzcode" -> (geoXzcode _),
     "geo_country_join" -> (geoCountryJoin _))
+
+  /** DuckDB replay of geo_geohash: for integer-degree inputs the kernel's
+    * bisection equals the closed-form quantization
+    * x = ((lon+180)·2^20) // 360, y = ((lat+90)·2^20) // 180 (midpoint
+    * ties resolve upward in both), so the oracle interleaves the 40 bits
+    * and base-32-encodes them with plain BIGINT arithmetic.
+    */
+  private val geohashOracleSql: String = {
+    val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    def bit(i: Int): String =
+      if (i % 2 == 0) s"((x // ${1L << (19 - i / 2)}) % 2)"
+      else s"((y // ${1L << (19 - (i - 1) / 2)}) % 2)"
+    val chars = (0 until 8).map { j =>
+      val v = (0 until 5).map(b => s"${bit(5 * j + b)} * ${1 << (4 - b)}")
+        .mkString(" + ")
+      s"substr('$alpha', CAST($v AS INT) + 1, 1)"
+    }.mkString("\n|    || ")
+    s"""WITH pts AS (SELECT event_id, user_id,
+       |    (event_id * 31) % 360 - 180 AS lon, (event_id * 17) % 180 - 90 AS lat
+       |  FROM events),
+       |q AS (SELECT event_id, user_id,
+       |    ((lon + 180) * 1048576) // 360 AS x, ((lat + 90) * 1048576) // 180 AS y
+       |  FROM pts),
+       |g AS (SELECT event_id, user_id, $chars AS gh FROM q)
+       |SELECT substr(gh, 1, 4) AS cell, count(*) AS n_points,
+       |  count(DISTINCT user_id) AS n_users, min(gh) AS min_gh
+       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
 
   /** DuckDB replay of the XZ curve: the enlarged-element length from
@@ -1270,6 +1325,7 @@ object Geometry {
          |SELECT event_id, user_id, a2 / 20000.0 AS area_deg2,
          |       (a2 - coalesce(lag(a2) OVER (PARTITION BY user_id ORDER BY event_id), 0)) / 20000.0 AS area_delta
          |FROM areas ORDER BY event_id""".stripMargin,
+    "geo_geohash" -> geohashOracleSql,
     "geo_wkb" ->
       s"""WITH pts AS (SELECT event_id,
          |    (event_id * 31) % 360 - 180 AS lx, (event_id * 17) % 180 - 90 AS ly

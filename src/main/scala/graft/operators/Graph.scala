@@ -228,6 +228,51 @@ object Graph {
     * Nodes with no in-edges can't occur (the graph is symmetric), but the
     * left join + coalesce keeps the recurrence total anyway.
     */
+  /** PERSONALIZED PageRank from a deterministic seed set (nodes ≡ 0
+    * mod 97): the same 5-round exact-integer recurrence as
+    * [[graphPagerank]], but ALL teleport mass returns to the seeds —
+    * `r0 = S div |seeds|` on seeds / 0 elsewhere,
+    * `r' = seed·(15·S) div (100·|seeds|) + (85 · Σ share) div 100`.
+    * The result ranks the graph by proximity to the seed set — the
+    * similar-items / recommendation query a co-purchase graph exists
+    * for, which global PageRank (uniform teleport) cannot answer.
+    * Identical plan shape: per-round one edge-side exchange-free join
+    * against the pinned src-partitioned view + one node-keyed merge;
+    * seed membership is a scan-side predicate, never a join.
+    */
+  def graphPpr(s: SparkSession, dir: String): DataFrame = {
+    val bi = coBiA(s, dir)
+    val deg = coDegA(s, dir)
+    val nsRow = deg.filter(col("node") % 97 === 0)
+      .agg(count(lit(1)).as("ns"))
+    var ranks = deg.crossJoin(broadcast(nsRow))
+      .select(col("node"), col("deg"),
+        when(col("node") % 97 === 0, expr(s"${PrScale}L div ns"))
+          .otherwise(0L).as("r"),
+        when(col("node") % 97 === 0, expr(s"${15 * PrScale}L div (100L * ns)"))
+          .otherwise(0L).as("base"))
+    val held = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var round = 0
+    while (round < PrRounds) {
+      val contrib = bi
+        .join(ranks.select(col("node").as("src"),
+          expr("r div deg").as("share")), "src")
+        .groupBy(col("dst").as("node")).agg(sum("share").as("sm"))
+      ranks = ranks.drop("r")
+        .join(contrib, Seq("node"), "left")
+        .withColumn("r", col("base") + expr("(85L * coalesce(sm, 0L)) div 100L"))
+        .drop("sm")
+        .localCheckpoint(eager = true)
+      held += ranks
+      round += 1
+    }
+    Dedup.releasing(
+      ranks.orderBy(col("r").desc, col("node"))
+        .limit(20)
+        .select(col("node").as("part"), col("r").as("ppr_fp")),
+      held.toSeq: _*)
+  }
+
   def graphPagerank(s: SparkSession, dir: String): DataFrame = {
     // src-partitioned symmetric view + node-scale degrees, both shared
     // per-dir checkpoints: each round's edge join is exchange-free on
@@ -632,6 +677,7 @@ object Graph {
     "graph_bfs" -> (graphBfs _),
     "graph_triangles" -> (graphTriangles _),
     "graph_pagerank" -> (graphPagerank _),
+    "graph_ppr" -> (graphPpr _),
     "graph_cc" -> (graphCc _),
     "graph_jaccard" -> (graphJaccard _))
 
@@ -685,6 +731,21 @@ object Graph {
        |  FROM deg d LEFT JOIN (
        |    SELECT bi.dst AS node, sum(p.r // p.deg) AS sm
        |    FROM bi JOIN r${k - 1} p ON p.node = bi.src GROUP BY 1) s
+       |  USING (node))""".stripMargin
+
+  /** Personalized-PageRank oracle round: teleport mass returns only to
+    * the mod-97 seed set (mirrors [[graphPpr]]'s recurrence exactly).
+    */
+  private def pprRoundSql(k: Int): String =
+    s"""p$k AS MATERIALIZED (
+       |  SELECT d.node, d.deg,
+       |    CAST(CASE WHEN d.node % 97 = 0
+       |           THEN (15 * ${PrScale}::BIGINT) // (100 * (SELECT n FROM ns))
+       |           ELSE 0 END
+       |      + (85 * coalesce(s.sm, 0)) // 100 AS BIGINT) AS r
+       |  FROM deg d LEFT JOIN (
+       |    SELECT bi.dst AS node, sum(p.r // p.deg) AS sm
+       |    FROM bi JOIN p${k - 1} p ON p.node = bi.src GROUP BY 1) s
        |  USING (node))""".stripMargin
 
   /** Shared oracle CTE prefix: the SUPPORT-≥2 graph (mirrors graph_cc's). */
@@ -837,6 +898,18 @@ object Graph {
          |FROM e LEFT JOIN common c ON c.pa = e.pa AND c.pb = e.pb
          |JOIN deg da ON da.node = e.pa JOIN deg db ON db.node = e.pb
          |ORDER BY jac_pm DESC, e.pa, e.pb LIMIT 20""".stripMargin,
+    "graph_ppr" ->
+      s"""WITH $edgeSql,
+         |ns AS (SELECT count(*) AS n FROM deg WHERE node % 97 = 0),
+         |p0 AS MATERIALIZED (
+         |  SELECT node, deg,
+         |    CAST(CASE WHEN node % 97 = 0
+         |           THEN ${PrScale}::BIGINT // (SELECT n FROM ns)
+         |           ELSE 0 END AS BIGINT) AS r
+         |  FROM deg),
+         |${(1 to PrRounds).map(pprRoundSql).mkString(",\n")}
+         |SELECT node AS part, r AS ppr_fp FROM p$PrRounds
+         |ORDER BY ppr_fp DESC, part LIMIT 20""".stripMargin,
     "graph_pagerank" ->
       s"""WITH $edgeSql,
          |nn AS (SELECT count(*) AS n FROM deg),

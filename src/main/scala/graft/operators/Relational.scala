@@ -860,7 +860,45 @@ object Relational {
       .orderBy("digit")
   }
 
+  /** RECURSIVE HIERARCHY ROLLUP (`q37_bom`) — the bill-of-materials query
+    * Spark has no WITH RECURSIVE for: over the derived part forest
+    * (parent = key div 10, roots < 10), every part's subtree descendant
+    * count, rolled-up cost in exact cents, and depth. Spark-first
+    * recursion = POINTER-DOUBLING transitive closure: 3 rounds of
+    * closure-with-itself self-joins reach depth 2^3 = 8 (part keys stay
+    * < 10^8 at any published TPC-H scale, so the bound is data-complete),
+    * turning an O(depth)-round sequential recursion into O(log depth)
+    * node-scale joins — the distributed recursion shape. Tree paths are
+    * unique, so the per-round distinct dedups split points exactly. The
+    * DuckDB oracle runs the REAL `WITH RECURSIVE`, pinning the closure to
+    * genuine recursion semantics.
+    */
+  def q37Bom(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(s, dir)
+      .select(col("p_partkey").as("pk"), cents(col("p_retailprice")).as("pc"))
+    // self pairs (dist 0) + parent edges (dist 1)
+    val self = part.select(col("pk").as("d"), col("pk").as("a"),
+      lit(0L).as("dist"))
+    var clo = part.filter(col("pk") >= 10)
+      .select(col("pk").as("d"), expr("pk div 10").as("a"), lit(1L).as("dist"))
+    var round = 0
+    while (round < 3) {
+      val hop = clo.as("x")
+        .join(clo.as("y"), col("x.a") === col("y.d"))
+        .select(col("x.d").as("d"), col("y.a").as("a"),
+          (col("x.dist") + col("y.dist")).as("dist"))
+      clo = clo.unionByName(hop).distinct().localCheckpoint(true)
+      round += 1
+    }
+    self.unionByName(clo)
+      .join(part.withColumnRenamed("pk", "d"), "d")
+      .groupBy(col("a").as("part"))
+      .agg(count(lit(1)).as("n_desc"), sum("pc").as("subtree_cents"),
+        max("dist").as("max_depth"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_bom" -> (q37Bom _),
     "q35_mad" -> (q35Mad _),
     "q36_benford" -> (q36Benford _),
     "q33_mode" -> (q33Mode _),
@@ -925,6 +963,17 @@ object Relational {
         |SELECT t.flag, n_rows, med_cents, mad_cents
         |FROM t JOIN med ON med.flag = t.flag JOIN mad ON mad.flag = t.flag
         |ORDER BY t.flag""".stripMargin,
+    "q37_bom" ->
+      """WITH RECURSIVE anc AS (
+        |  SELECT p_partkey AS d, p_partkey AS a, CAST(0 AS BIGINT) AS dist
+        |  FROM part
+        |  UNION ALL
+        |  SELECT d, a // 10, dist + 1 FROM anc WHERE a >= 10)
+        |SELECT a AS part, count(*) AS n_desc,
+        |  CAST(sum(p.pc) AS BIGINT) AS subtree_cents, max(dist) AS max_depth
+        |FROM anc JOIN (SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS pc
+        |               FROM part) p ON p.p_partkey = anc.d
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q36_benford" ->
       """WITH c AS (SELECT CAST(substr(CAST(
         |      CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
