@@ -935,6 +935,53 @@ object Ann {
       .select("q_id", "n_id", "rnk", "code0", "code1", "adc")
   }
 
+  /** TWO-STAGE RETRIEVAL (`ann_rerank`) — the production search shape:
+    * a cheap approximate FIRST stage (PQ/ADC over 2-byte codes) shortlists
+    * R=10 candidates per query, and an exact SECOND stage re-scores ONLY
+    * the shortlist with full-precision cosine and keeps the top 3. This
+    * is the recall-repair composition every vector store ships (ADC ranks
+    * are distorted by quantization; exact rerank of a small shortlist
+    * restores them at negligible cost) — and the measurable difference
+    * from [[annPq]] is precisely the rows where the exact rank disagrees
+    * with the ADC rank.
+    *
+    * Scale shape: stage 1 is [[annPq]]'s map-only encode + broadcast-LUT
+    * scoring with a WindowGroupLimit top-10; stage 2 fetches true
+    * embeddings ONLY for shortlist rows — the corpus scan joins a
+    * BROADCAST shortlist (|q|·R rows), so full vectors for the 100 TB
+    * base side move only for candidates.
+    */
+  def annRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+    val withDists = pqWithDists(pqCodebookOf(e)) _
+    val enc = withDists(e.filter(col("vec_id") >= 8))
+      .withColumn("code0", pqArgmin(0)).withColumn("code1", pqArgmin(1))
+      .select(col("vec_id").as("n_id"), col("code0"), col("code1"))
+    val lut = withDists(e.filter(col("vec_id") < 8))
+      .select(col("vec_id").as("q_id"),
+        array((0 until 4).map(k => col(s"d0$k")): _*).as("lut0"),
+        array((0 until 4).map(k => col(s"d1$k")): _*).as("lut1"))
+    val shortlist = enc.crossJoin(broadcast(lut))
+      .withColumn("adc", element_at(col("lut0"), col("code0") + 1)
+        + element_at(col("lut1"), col("code1") + 1))
+      .withColumn("rnk_pq", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adc"), col("n_id"))))
+      .filter(col("rnk_pq") <= 10)
+      .select("q_id", "n_id", "rnk_pq")
+    val base = e.select(col("vec_id").as("n_id"),
+      col("embedding").as("ne"), col("n2").as("nn2"))
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"),
+        col("embedding").as("qe"), col("n2").as("qn2"))
+    base.join(broadcast(shortlist), "n_id")
+      .join(broadcast(queries), "q_id")
+      .withColumn("cos", cosine(dotDec(col("qe"), col("ne")), col("qn2"), col("nn2")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))))
+      .filter(col("rnk") <= 3)
+      .select("q_id", "n_id", "rnk_pq", "rnk", "cos")
+  }
+
   /** IVF-PQ (IVFADC without residual encoding): the coarse IVF quantizer
     * prunes candidates to the query's nprobe=2 nearest cells, and ranking
     * inside the probed cells runs on PQ codes via ADC — the classic
@@ -1138,6 +1185,7 @@ object Ann {
     "ann_ivf" -> (annIvf _),
     "ann_cell_stats" -> (annCellStats _),
     "ann_pq" -> (annPq _),
+    "ann_rerank" -> (annRerank _),
     "ann_ivfpq" -> (annIvfPq _),
     "dedup_semantic" -> (dedupSemantic _),
     "ann_ivf_store" -> (IvfIndex.annIvfStore _))
@@ -1585,6 +1633,44 @@ object Ann {
          |    PARTITION BY query_id ORDER BY rrf6 DESC, doc_id) AS frank
          |  FROM fused) f
          |WHERE frank <= 5 ORDER BY query_id, frank""".stripMargin,
+    "ann_rerank" ->
+      s"""WITH $flatSql,
+         |sub AS (SELECT vec_id, CASE WHEN i <= 32 THEN 0 ELSE 1 END AS m,
+         |    CASE WHEN i <= 32 THEN i ELSE i - 32 END AS j, e FROM flat),
+         |cw AS (SELECT CAST(vec_id - 8 AS INT) AS k, m, j, e FROM sub
+         |  WHERE vec_id BETWEEN 8 AND 11),
+         |d AS (SELECT s.vec_id, s.m, c.k,
+         |    sum(CAST(round(s.e * s.e * 1000000000.0) AS BIGINT)
+         |      + CAST(round(c.e * c.e * 1000000000.0) AS BIGINT)
+         |      - 2 * CAST(round(s.e * c.e * 1000000000.0) AS BIGINT)) AS l2fix
+         |  FROM sub s JOIN cw c ON c.m = s.m AND c.j = s.j
+         |  GROUP BY 1, 2, 3),
+         |codes AS (SELECT vec_id, m, k FROM (
+         |    SELECT vec_id, m, k,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY l2fix, k) AS rk
+         |    FROM d WHERE vec_id >= 8) WHERE rk = 1),
+         |adc AS (SELECT dq.vec_id AS q_id, c.vec_id AS n_id,
+         |    CAST(sum(dq.l2fix) AS BIGINT) AS adc
+         |  FROM codes c JOIN d dq ON dq.m = c.m AND dq.k = c.k
+         |  WHERE dq.vec_id < 8 GROUP BY 1, 2),
+         |short AS (SELECT q_id, n_id, rnk_pq FROM (
+         |    SELECT q_id, n_id,
+         |      CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS INT) AS rnk_pq
+         |    FROM adc) WHERE rnk_pq <= 10),
+         |dots AS (SELECT s.q_id, s.n_id, s.rnk_pq,
+         |    sum(CAST(round(q.e * b.e * 1000000000.0) AS BIGINT)) AS dot
+         |  FROM short s JOIN flat q ON q.vec_id = s.q_id
+         |       JOIN flat b ON b.vec_id = s.n_id AND b.i = q.i
+         |  GROUP BY 1, 2, 3),
+         |scored AS (SELECT q_id, n_id, rnk_pq,
+         |    (dot / 1e9) / (sqrt(nq.n2 / 1e9) * sqrt(nb.n2 / 1e9)) AS cos
+         |  FROM dots JOIN norm nq ON nq.vec_id = q_id
+         |            JOIN norm nb ON nb.vec_id = n_id),
+         |r2 AS (SELECT q_id, n_id, rnk_pq, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, n_id, rnk_pq, CAST(rnk AS INT) AS rnk, cos
+         |FROM r2 WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
     "ann_pq" ->
       s"""WITH $flatSql,
          |sub AS (SELECT vec_id, CASE WHEN i <= 32 THEN 0 ELSE 1 END AS m,

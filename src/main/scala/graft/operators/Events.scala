@@ -768,6 +768,37 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** ROLLING REGRESSION TREND (`evt_trend`): per event type and hour, the
+    * ordinary-least-squares slope of the hourly event count over the
+    * trailing 24 OBSERVED hours — the trend detector a capacity planner
+    * reads next to [[holt]]'s recurrence (OLS over a window is
+    * stateless: no recurrence, so it parallelizes as plain window
+    * aggregates). Exact integer ppm: slope_ppm = 10⁶·(nΣxy − ΣxΣy) div
+    * (nΣx² − (Σx)²) with x = epoch hour, y = count — every moment is a
+    * BIGINT window sum, the division truncates toward zero on both
+    * engines, and a degenerate window (n = 1) yields null.
+    *
+    * Scale shape: the corpus collapses map-side into the bounded
+    * (type × hour) frame; five window sums ride ONE type-keyed sort.
+    */
+  def trend(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(-23, 0)
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("ts div 3600000000000").as("hour"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum("hour").over(w))
+      .withColumn("sy", sum("y").over(w))
+      .withColumn("sxy", sum(expr("hour * y")).over(w))
+      .withColumn("sxx", sum(expr("hour * hour")).over(w))
+      .withColumn("slope_ppm", expr(
+        """case when n * sxx - sx * sx = 0 then null
+          |else (1000000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)
+          |end""".stripMargin))
+      .select("event_type", "hour", "y", "n", "slope_ppm")
+  }
+
   /** Kaplan–Meier SURVIVAL curve of session duration with
     * right-censoring — the duration statistic a product team reports
     * when plain averages lie because the corpus EDGE truncates the long
@@ -1234,6 +1265,7 @@ object Events {
     "evt_streaks" -> (streaks _),
     "evt_survival" -> (survival _),
     "evt_holt" -> (holt _),
+    "evt_trend" -> (trend _),
     "evt_dau" -> (dau _))
 
   val oracles: Map[String, String] = Map(
@@ -1297,6 +1329,23 @@ object Events {
         |  count(DISTINCT user_id) AS n_users
         |FROM ev JOIN inc ON ev.ts_s >= inc.t0 AND ev.ts_s < inc.t0 + 600
         |GROUP BY 1 ORDER BY n_events DESC, inc_id LIMIT 25""".stripMargin,
+    "evt_trend" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, hour, y,
+        |    CAST(count(*) OVER win AS BIGINT) AS n,
+        |    CAST(sum(hour) OVER win AS BIGINT) AS sx,
+        |    CAST(sum(y) OVER win AS BIGINT) AS sy,
+        |    CAST(sum(hour * y) OVER win AS BIGINT) AS sxy,
+        |    CAST(sum(hour * hour) OVER win AS BIGINT) AS sxx
+        |  FROM h WINDOW win AS (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, hour, y, n,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |       ELSE CAST((1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) AS BIGINT)
+        |  END AS slope_ppm
+        |FROM w ORDER BY event_type, hour""".stripMargin,
     "evt_holt" ->
       """WITH RECURSIVE hourly AS MATERIALIZED (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,

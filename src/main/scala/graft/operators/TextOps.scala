@@ -499,6 +499,45 @@ object TextOps {
       .withColumn("avg_p6", expr("sum_p6 div n_bigrams"))
   }
 
+  /** Interpolated KNESER-NEY bigram model (`text_kn_lm`) — the smoothing
+    * real LM toolkits default to, and the one whose distinctive statistic
+    * (CONTINUATION counts: in how many distinct contexts does a word
+    * appear, not how often) plain add-k/backoff models miss. Per bigram
+    * type, with absolute discount D = 3/4 exact:
+    * P_KN(w2|w1) = (c(w1w2) − D)/c(w1)
+    *             + D·N1+(w1,·)/c(w1) · N1+(·,w2)/N1+(·,·)
+    * kept in integer ppm as (10⁶·(4c₂−3)) div (4c₁) +
+    * (3·10⁶·n1p·ncont) div (4c₁·ntot) — two floored terms, identical on
+    * both engines.
+    *
+    * Scale shape: ONE bigram-type aggregate (vocabulary²-bounded) feeds
+    * everything — context totals/successor counts, predecessor
+    * continuation counts, and the global type count — so the corpus is
+    * scanned once and all model tables broadcast.
+    */
+  def textKnLm(s: SparkSession, dir: String): DataFrame = {
+    val bi = Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val types = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true) // vocab²-bounded; consumed four ways below
+    val c1 = types.groupBy("w1")
+      .agg(sum("c2").as("c1"), count(lit(1)).as("n1p"))
+    val cont = types.groupBy("w2").agg(count(lit(1)).as("ncont"))
+    val ntotRow = types.agg(count(lit(1)).as("ntot"))
+    graft.operators.Dedup.releasing(
+      types.join(broadcast(c1), "w1").join(broadcast(cont), "w2")
+        .crossJoin(broadcast(ntotRow))
+        .withColumn("p_kn_ppm", expr(
+          "(1000000 * (4 * c2 - 3)) div (4 * c1) + (3000000 * n1p * ncont) div (4 * c1 * ntot)"))
+        .select("w1", "w2", "c2", "c1", "n1p", "ncont", "p_kn_ppm"),
+      types)
+  }
+
   /** Trigram STUPID-BACKOFF scoring (Brants et al., EMNLP 2007 — the
     * backoff chosen at web scale precisely because it needs no
     * normalization pass): even docs are the TRAINING half, odd docs are
@@ -1287,6 +1326,7 @@ object TextOps {
     "text_bpe_apply" -> (textBpeApply _),
     "text_bpe_pairs" -> (textBpePairs _),
     "text_bigram_lm" -> (textBigramLm _),
+    "text_kn_lm" -> (textKnLm _),
     "text_backoff_lm" -> (textBackoffLm _),
     "text_lm_bucket" -> (textLmBucket _),
     "text_repetition" -> (textRepetition _),
@@ -1675,6 +1715,22 @@ object TextOps {
          |SELECT CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rnk,
          |  pair, n
          |FROM counts ORDER BY n DESC, pair LIMIT 10""".stripMargin,
+    "text_kn_lm" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |bi AS (SELECT unnest(tk[1:len(tk) - 1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+         |  FROM toks WHERE len(tk) >= 2),
+         |t AS MATERIALIZED (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+         |  FROM bi GROUP BY 1, 2),
+         |cx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+         |    CAST(count(*) AS BIGINT) AS n1p FROM t GROUP BY 1),
+         |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS ncont FROM t GROUP BY 1),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM t)
+         |SELECT w1, w2, c2, c1, n1p, ncont,
+         |  CAST((1000000 * (4 * c2 - 3)) // (4 * c1)
+         |    + (3000000 * n1p * ncont) // (4 * c1 * (SELECT ntot FROM nt)) AS BIGINT)
+         |    AS p_kn_ppm
+         |FROM t JOIN cx USING (w1) JOIN cont USING (w2)
+         |ORDER BY w1, w2""".stripMargin,
     "text_bigram_lm" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |bi AS (SELECT doc_id, unnest(tk[1:len(tk) - 1]) AS w1,

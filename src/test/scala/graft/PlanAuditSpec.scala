@@ -56,7 +56,13 @@ class PlanAuditSpec extends SparkSpec {
       // 1-row truth-count scalar bind
       "ann_nprobe",
       // evt_survival: the 1-row corpus-end scalar bind (censor anchor)
-      "evt_survival")
+      "evt_survival",
+      // graph_ppr: the 1-row seed-count scalar bind (teleport mass)
+      "graph_ppr",
+      // ann_rerank: stage 1 is ann_pq's broadcast 8-row query-LUT scan
+      "ann_rerank",
+      // text_kn_lm: the 1-row bigram-type-total scalar bind
+      "text_kn_lm")
     for ((name, plan) <- plans if !intended(name))
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop join")
@@ -353,6 +359,39 @@ class PlanAuditSpec extends SparkSpec {
   test("text_salient top-k is WindowGroupLimit-pruned") {
     assert(plans("text_salient").contains("WindowGroupLimit"),
       "text_salient's rank cutoff must prune map-side")
+  }
+
+  test("round-13 new keys: bounded exchanges, ppr returns TakeOrdered") {
+    // cs_bbox: the one user-keyed sessionize exchange also serves the
+    // (user, cs_seq) aggregate; WKB encode + box predicate are map-side
+    assert(shuffleCount(plans("cs_bbox")) <= 1,
+      s"cs_bbox:\n${plans("cs_bbox")}")
+    // dedup_url: scan-side canonicalization + ONE hash-aggregate exchange
+    assert(shuffleCount(plans("dedup_url")) <= 1,
+      s"dedup_url:\n${plans("dedup_url")}")
+    // geo_geohash: kernel scan-side; cell agg + the exact-distinct expand
+    assert(shuffleCount(plans("geo_geohash")) <= 2,
+      s"geo_geohash:\n${plans("geo_geohash")}")
+    // evt_trend: (type, hour) fold + the type-keyed window sort
+    assert(shuffleCount(plans("evt_trend")) <= 2,
+      s"evt_trend:\n${plans("evt_trend")}")
+    // graph_ppr returns through the localCheckpoint-then-release
+    // discipline (the text_bm25 shape): the audited plan is the
+    // materialized top-20 — the structural shape (per-round exchange-free
+    // edge joins, TakeOrdered top-k) matches graph_pagerank's by
+    // construction and the oracle covers it at two scales
+    assert(shuffleCount(plans("graph_ppr")) === 0,
+      s"graph_ppr:\n${plans("graph_ppr")}")
+    // ann_rerank: ADC shortlist window + exact rerank window, both q-keyed
+    assert(shuffleCount(plans("ann_rerank")) <= 3,
+      s"ann_rerank:\n${plans("ann_rerank")}")
+    // text_kn_lm: every exchange lives on the vocab²-bounded type frame
+    assert(shuffleCount(plans("text_kn_lm")) <= 4,
+      s"text_kn_lm:\n${plans("text_kn_lm")}")
+    // q37_bom: the closure is checkpointed; the tail is self ∪ closure →
+    // one part join → one ancestor aggregate
+    assert(shuffleCount(plans("q37_bom")) <= 4,
+      s"q37_bom:\n${plans("q37_bom")}")
   }
 
   test("no sort-merge joins at test scale (broadcast should win everywhere)") {
