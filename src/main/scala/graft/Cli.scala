@@ -103,7 +103,13 @@ object Cli {
         // `changesets --bz2 --changeset-db` flow); a table dir runs the
         // sessionized build
         if (sfDir.endsWith(".osm") || sfDir.endsWith(".bz2") || sfDir.endsWith(".xml")) {
+          graft.functions.GeoFunctions.register(spark)
+          // the changesets-DB `geom geometry(polygon, 4326)` column of
+          // docs/CLI.md: the bbox polygon as hex WKB, null under the
+          // reference's missing/NaN-corner guard (OSMChangesets.java:75-87)
           val rows = graft.sources.OsmXml.readChangesetDump(spark, sfDir)
+            .withColumn("geom", call_function("wkb_box",
+              col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat")))
           graft.sources.ChangesetStore.upsert(spark, outDir, rows, Seq("id"))
         } else
           Changesets.csBuild(spark, sfDir)

@@ -122,7 +122,8 @@ class CliSpec extends SparkSpec {
     val dump = tmp.resolve("changesets.osm")
     java.nio.file.Files.writeString(dump,
       """<?xml version="1.0"?><osm>
-        | <changeset id="1" created_at="2024-01-01T00:00:00Z" open="false" user="a" uid="1" num_changes="3"/>
+        | <changeset id="1" created_at="2024-01-01T00:00:00Z" open="false" user="a" uid="1" num_changes="3"
+        |            comments_count="2" min_lon="8.5" min_lat="49.25" max_lon="8.75" max_lat="49.5"/>
         | <changeset id="2" created_at="2024-01-02T00:00:00Z" open="true" user="b" uid="2" num_changes="1"/>
         |</osm>""".stripMargin)
     val store = java.nio.file.Files.createTempDirectory("graft-cli-csdb").toString
@@ -130,6 +131,13 @@ class CliSpec extends SparkSpec {
     val back = graft.sources.ChangesetStore.read(spark, store)
     assert(back.count() === 2)
     assert(back.columns.contains("tags"))
+    // the docs/CLI.md geom column: WKB polygon for an extent-carrying
+    // changeset, null under the missing-extent guard
+    val byId = back.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId(1L).getAs[String]("geom") ===
+      graft.functions.Geo.wkbBoxHex(8.5, 49.25, 8.75, 49.5).toString)
+    assert(byId(1L).getAs[Long]("comments_count") === 2L)
+    assert(byId(2L).getAs[String]("geom") == null)
   }
 
   test("cli replication-catchup applies pending diffs and resumes from state") {
