@@ -95,8 +95,11 @@ object Changesets {
     * predicate is scan-side on that aggregate — nothing corpus-scale
     * happens after the one shuffle.
     */
-  def csBbox(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GeoFunctions.register(s)
+  /** Per-session changeset frame with the located-edit extent (integer
+    * degrees as doubles; null corners when no located edit) — shared by
+    * [[csBbox]] and [[csRegionJoin]].
+    */
+  private def sessionBbox(s: SparkSession, dir: String): DataFrame = {
     val locatable = col("event_type").isin("click", "view", "purchase")
     sessionized(s, dir)
       .withColumn("lon", when(locatable, col("event_id") * 31 % 360 - 180))
@@ -110,11 +113,58 @@ object Changesets {
         count(lit(1)).as("num_changes"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L))
           .as("comments_count"))
+  }
+
+  def csBbox(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    sessionBbox(s, dir)
       .withColumn("geom", call_function("wkb_box",
         col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat")))
       .withColumn("in_q", coalesce(
         col("min_lon") <= 60 && col("max_lon") >= -20 &&
           col("min_lat") <= 45 && col("max_lat") >= 0, lit(false)))
+  }
+
+  /** "Changesets that touched region X" as a JOIN (`cs_region_join`) —
+    * the query the reference's changesets-DB `geom` column exists for,
+    * against a region TABLE (nation-derived 72°×36° boxes, the
+    * `geo_country_join` grid): per region, the count of intersecting
+    * changesets and their total edit volume. Geometry-less changesets
+    * never match (the reference's spatial index semantics).
+    *
+    * Scale shape: the region grid is REGULAR, so box-overlap becomes an
+    * EQUI-join — each changeset bbox explodes into the grid cells its
+    * extent can overlap (≤ the few cells it spans; whole-world boxes cap
+    * at the 25-cell grid), regions key by their own (gx, gy), and the
+    * exact overlap predicate rides the join as a residual. No
+    * nested-loop join, no per-pair geometry: the fact side shuffles on
+    * the grid key it would already be bucketed by in a spatial layout.
+    */
+  def csRegionJoin(s: SparkSession, dir: String): DataFrame = {
+    val boxes = Tables.nation(s, dir).select(
+      col("n_name").as("country"),
+      (col("n_nationkey") % 5).cast("long").as("gx"),
+      (col("n_nationkey") / 5).cast("long").as("gy"),
+      ((col("n_nationkey") % 5) * 72 - 180).cast("double").as("r_lon_min"),
+      (expr("(n_nationkey div 5) * 36 - 90")).cast("double").as("r_lat_min"))
+    val cs = sessionBbox(s, dir)
+      // overlapping cells: gx ≥ ceil((min+180)/72)−1, gx ≤ (max+180) div 72
+      // (corners are integer-valued, so div is exact floor on the
+      // non-negative shifted degrees); the exact predicate below keeps
+      // boundary semantics regardless of the conservative range
+      .withColumn("gx", explode(expr(
+        "sequence(greatest(0L, (cast(min_lon as long) + 251) div 72 - 1)," +
+          " least(4L, (cast(max_lon as long) + 180) div 72))")))
+      .withColumn("gy", explode(expr(
+        "sequence(greatest(0L, (cast(min_lat as long) + 125) div 36 - 1)," +
+          " least(4L, (cast(max_lat as long) + 90) div 36))")))
+    cs.join(broadcast(boxes), Seq("gx", "gy"))
+      .filter(col("min_lon") <= col("r_lon_min") + 72 &&
+        col("max_lon") >= col("r_lon_min") &&
+        col("min_lat") <= col("r_lat_min") + 36 &&
+        col("max_lat") >= col("r_lat_min"))
+      .groupBy("country")
+      .agg(count(lit(1)).as("n_changesets"), sum("num_changes").as("n_edits"))
   }
 
   /** Contribution ← changeset enrichment join (the `--changeset-db` join,
@@ -233,6 +283,7 @@ object Changesets {
     "cs_hashtags" -> (csHashtags _),
     "cs_enrich" -> (csEnrich _),
     "cs_bbox" -> (csBbox _),
+    "cs_region_join" -> (csRegionJoin _),
     "cs_db_enrich" -> (csDbEnrich _))
 
   private val sessionSql =
@@ -318,6 +369,29 @@ object Changesets {
          |  ON b.user_id = c.user_id AND b.cs_seq = c.cs_seq
          |ORDER BY event_id""".stripMargin,
     "cs_bbox" -> csBboxOracle,
+    "cs_region_join" ->
+      s"""WITH s AS ($sessionSql),
+         |loc AS (SELECT user_id, cs_seq,
+         |    CASE WHEN event_type IN ('click','view','purchase')
+         |      THEN (event_id * 31) % 360 - 180 END AS lon,
+         |    CASE WHEN event_type IN ('click','view','purchase')
+         |      THEN (event_id * 17) % 180 - 90 END AS lat
+         |  FROM s),
+         |b AS (SELECT user_id, cs_seq,
+         |    min(lon) AS min_lon, min(lat) AS min_lat,
+         |    max(lon) AS max_lon, max(lat) AS max_lat,
+         |    count(*) AS num_changes
+         |  FROM loc GROUP BY 1, 2),
+         |r AS (SELECT n_name AS country,
+         |    CAST((n_nationkey % 5) * 72 - 180 AS BIGINT) AS r_lon_min,
+         |    CAST((n_nationkey // 5) * 36 - 90 AS BIGINT) AS r_lat_min
+         |  FROM nation)
+         |SELECT country, count(*) AS n_changesets,
+         |  CAST(sum(num_changes) AS BIGINT) AS n_edits
+         |FROM b JOIN r
+         |  ON b.min_lon <= r.r_lon_min + 72 AND b.max_lon >= r.r_lon_min
+         | AND b.min_lat <= r.r_lat_min + 36 AND b.max_lat >= r.r_lat_min
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "cs_enrich" ->
       s"""SELECT event_id, b.user_id, b.cs_seq, created_at, closed_at, num_changes,
          |  'editor/' || (b.user_id % 7) AS editor
