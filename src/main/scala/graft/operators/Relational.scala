@@ -897,7 +897,44 @@ object Relational {
         max("dist").as("max_depth"))
   }
 
+  /** MARKET-BASKET ASSOCIATION RULES (`q38_assoc`) — the support /
+    * confidence / lift mining classic over order baskets: directed rules
+    * a→b for every co-purchased pair with support ≥ 2, confidence =
+    * c(ab)/n(a) in exact per-mille, lift = c(ab)·N / (n(a)·n(b)) in exact
+    * ppm, top 20 by (lift, antecedent, consequent). Next to the
+    * co-purchase GRAPH family this is the RULE view — direction matters
+    * (conf(a→b) ≠ conf(b→a)), which the symmetric edge list cannot say.
+    *
+    * Scale shape: baskets bound the per-order pair fan-out (TPC-H ≤ 7
+    * lines), so pairs are O(rows); item supports broadcast; the basket
+    * total is a broadcast 1-row aggregate (scalar bind, not a pair
+    * explosion); top-20 is TakeOrdered.
+    */
+  def q38Assoc(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val nRow = li.select("ok").distinct().agg(count(lit(1)).as("n_orders"))
+    val itemN = li.groupBy("pk").agg(count(lit(1)).as("np"))
+    val pairs = li.as("a").join(li.as("b").hint("shuffle_hash"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 2)
+    val rules = pairs.select(col("pa").as("ante"), col("pb").as("cons"), col("cab"))
+      .unionByName(pairs.select(col("pb").as("ante"), col("pa").as("cons"), col("cab")))
+    rules
+      .join(broadcast(itemN.toDF("ante", "na")), "ante")
+      .join(broadcast(itemN.toDF("cons", "nc")), "cons")
+      .crossJoin(broadcast(nRow))
+      .withColumn("conf_pm", expr("(1000 * cab) div na"))
+      .withColumn("lift_ppm", expr("(1000000 * cab * n_orders) div (na * nc)"))
+      .orderBy(desc("lift_ppm"), asc("ante"), asc("cons")).limit(20)
+      .select("ante", "cons", "cab", "na", "nc", "conf_pm", "lift_ppm")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_assoc" -> (q38Assoc _),
     "q37_bom" -> (q37Bom _),
     "q35_mad" -> (q35Mad _),
     "q36_benford" -> (q36Benford _),
@@ -963,6 +1000,22 @@ object Relational {
         |SELECT t.flag, n_rows, med_cents, mad_cents
         |FROM t JOIN med ON med.flag = t.flag JOIN mad ON mad.flag = t.flag
         |ORDER BY t.flag""".stripMargin,
+    "q38_assoc" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |n AS (SELECT count(DISTINCT ok) AS n_orders FROM li),
+        |itemn AS (SELECT pk, CAST(count(*) AS BIGINT) AS np FROM li GROUP BY 1),
+        |pairs AS (SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS cab
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |rules AS (SELECT pa AS ante, pb AS cons, cab FROM pairs
+        |          UNION ALL SELECT pb, pa, cab FROM pairs)
+        |SELECT ante, cons, cab, na, nc,
+        |  CAST((1000 * cab) // na AS BIGINT) AS conf_pm,
+        |  CAST((1000000 * cab * (SELECT n_orders FROM n)) // (na * nc) AS BIGINT) AS lift_ppm
+        |FROM rules
+        |  JOIN (SELECT pk AS ante, np AS na FROM itemn) USING (ante)
+        |  JOIN (SELECT pk AS cons, np AS nc FROM itemn) USING (cons)
+        |ORDER BY lift_ppm DESC, ante, cons LIMIT 20""".stripMargin,
     "q37_bom" ->
       """WITH RECURSIVE anc AS (
         |  SELECT p_partkey AS d, p_partkey AS a, CAST(0 AS BIGINT) AS dist

@@ -62,7 +62,9 @@ class PlanAuditSpec extends SparkSpec {
       // ann_rerank: stage 1 is ann_pq's broadcast 8-row query-LUT scan
       "ann_rerank",
       // text_kn_lm: the 1-row bigram-type-total scalar bind
-      "text_kn_lm")
+      "text_kn_lm",
+      // q38_assoc: the 1-row basket-total scalar bind
+      "q38_assoc")
     for ((name, plan) <- plans if !intended(name))
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop join")
