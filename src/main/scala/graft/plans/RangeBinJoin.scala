@@ -25,6 +25,13 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * (a null endpoint nulls the bin → the equi key never matches, just as
   * the range predicate never held).
   *
+  * TWO independent literal-width ranges (the 2D bbox-overlap / spatial
+  * grid join) compose into one COMPOSITE bin key: the point side gets a
+  * bin per dimension, the interval side one ≤2-row explode per
+  * dimension (≤4 rows for 2D), and selectivity multiplies across
+  * dimensions — the hand-written `cs_region_join` grid decomposition,
+  * fired automatically.
+  *
   * This is the rewrite every warehouse does for bounded range joins
   * (e.g. the Databricks range-join optimization, there driven by a
   * hint); here the literal width makes it safe to fire automatically.
@@ -59,27 +66,30 @@ object RangeBinJoin extends Rule[LogicalPlan] with PredicateHelper {
   private def asLong(e: Expression): Expression =
     if (e.dataType == LongType) e else Cast(e, LongType)
 
-  /** Extract (point, lo, width) from the conjuncts if they contain the
-    * half-open literal-width range shape.
+  /** Extract every (point, lo, width) triple whose conjuncts form the
+    * half-open literal-width range shape — one per independent dimension
+    * (the 2D bbox-overlap join contributes two).
     */
-  private def extractRange(conjuncts: Seq[Expression])
-      : Option[(Expression, Expression, Long)] = {
+  private def extractRanges(conjuncts: Seq[Expression])
+      : Seq[(Expression, Expression, Long)] = {
     val lowers = conjuncts.collect {
       case GreaterThanOrEqual(a, b) => (a, b)
       case LessThanOrEqual(b, a) => (a, b)
     }
-    val uppers = conjuncts.collect {
-      case LessThan(a, PlusLit(b, w)) => (a, b, w)
-      case GreaterThan(PlusLit(b, w), a) => (a, b, w)
-      case LessThanOrEqual(a, PlusLit(b, w)) => (a, b, w + 1)
-      case GreaterThanOrEqual(PlusLit(b, w), a) => (a, b, w + 1)
-    }
-    (for {
+    val all = for {
       (a, b) <- lowers
-      (a2, b2, w) <- uppers
+      (a2, b2, w) <- conjuncts.collect {
+        case LessThan(a, PlusLit(b, w)) => (a, b, w)
+        case GreaterThan(PlusLit(b, w), a) => (a, b, w)
+        case LessThanOrEqual(a, PlusLit(b, w)) => (a, b, w + 1)
+        case GreaterThanOrEqual(PlusLit(b, w), a) => (a, b, w + 1)
+      }
       if w > 0 && a.semanticEquals(a2) && b.semanticEquals(b2) &&
         integral(a) && integral(b) && a.deterministic && b.deterministic
-    } yield (a, b, w)).headOption
+    } yield (a, b, w)
+    // one range per (point, start) pair; a repeated pair adds no key
+    all.groupBy { case (a, b, _) => (a.canonicalized, b.canonicalized) }
+      .map(_._2.head).toSeq
   }
 
   private def evaluable(e: Expression, p: LogicalPlan): Boolean =
@@ -99,34 +109,48 @@ object RangeBinJoin extends Rule[LogicalPlan] with PredicateHelper {
               (evaluable(l, right) && evaluable(r, left))
           case _ => false
         }
-        val range = if (hasEqui) None else extractRange(conjuncts)
-        range.flatMap { case (a, b, w) =>
-          // orient: which side holds the point, which the interval start
-          val oriented =
-            if (evaluable(a, left) && evaluable(b, right)) Some((left, right, false))
-            else if (evaluable(a, right) && evaluable(b, left)) Some((right, left, true))
-            else None
-          oriented.map { case (pointPlan, intervalPlan, swapped) =>
+        val ranges = if (hasEqui) Nil else extractRanges(conjuncts)
+        // orient: which side holds the points, which the interval starts;
+        // up to TWO consistently-oriented dimensions become the composite
+        // bin key (the 2D bbox-overlap case) — each extra dimension costs
+        // a ≤2-row interval explode and multiplies key selectivity
+        val dimsL = ranges.filter { case (a, b, _) =>
+          evaluable(a, left) && evaluable(b, right) }
+        val dimsR = ranges.filter { case (a, b, _) =>
+          evaluable(a, right) && evaluable(b, left) }
+        val (dims, pointPlan, intervalPlan, swapped) =
+          if (dimsL.size >= dimsR.size) (dimsL.take(2), left, right, false)
+          else (dimsR.take(2), right, left, true)
+        if (dims.isEmpty) j
+        else {
+          val pBins = dims.zipWithIndex.map { case ((a, _, w), i) =>
+            Alias(IntegralDivide(asLong(a), Literal(w)), s"__graft_bin_p$i")()
+          }
+          val pointProj = Project(pointPlan.output ++ pBins, pointPlan)
+          // chained Generates: one ≤2-row explode per dimension
+          var genNode: LogicalPlan = intervalPlan
+          val binAttrs = dims.zipWithIndex.map { case ((_, b, w), i) =>
             val wLit = Literal(w)
-            val pBin = Alias(IntegralDivide(asLong(a), wLit), "__graft_bin_p")()
-            val pointProj = Project(pointPlan.output :+ pBin, pointPlan)
             val lo = IntegralDivide(asLong(b), wLit)
             val hi = IntegralDivide(Add(asLong(b), Literal(w - 1)), wLit)
-            val binAttr = AttributeReference("__graft_bin_i", LongType)()
+            val binAttr = AttributeReference(s"__graft_bin_i$i", LongType)()
             // timeZoneId explicit: ResolveTimeZone ran at analysis, so a
             // rule-built TimeZoneAwareExpression must fill it itself
-            val genNode = Generate(
+            genNode = Generate(
               Explode(Sequence(lo, hi, None, Some(conf.sessionLocalTimeZone))),
               unrequiredChildIndex = Nil, outer = false, qualifier = None,
-              generatorOutput = Seq(binAttr), child = intervalPlan)
-            val eq = EqualTo(pBin.toAttribute, binAttr)
-            val (nl, nr) =
-              if (swapped) (genNode: LogicalPlan, pointProj: LogicalPlan)
-              else (pointProj: LogicalPlan, genNode: LogicalPlan)
-            Project(j.output,
-              Join(nl, nr, Inner, Some(And(eq, cond)), JoinHint.NONE))
+              generatorOutput = Seq(binAttr), child = genNode)
+            binAttr
           }
-        }.getOrElse(j)
+          val eq = pBins.zip(binAttrs)
+            .map { case (p, i) => EqualTo(p.toAttribute, i): Expression }
+            .reduce(And)
+          val (nl, nr) =
+            if (swapped) (genNode, pointProj: LogicalPlan)
+            else (pointProj: LogicalPlan, genNode)
+          Project(j.output,
+            Join(nl, nr, Inner, Some(And(eq, cond)), JoinHint.NONE))
+        }
     }
   }
 }

@@ -66,6 +66,35 @@ class RangeBinJoinSpec extends SparkSpec {
       .contains("__graft_bin"))
   }
 
+  test("2D bbox-overlap join composes a composite bin key (both dims bbinned)") {
+    val pts = Seq(
+      (1L, 100L, 50L), (2L, 650L, 80L), (3L, 100L, 400L),
+      (4L, 1199L, 359L), (5L, 0L, 0L)).toDF("p_id", "x", "y")
+    val cells = Seq(
+      (10L, 0L, 0L), (11L, 600L, 0L), (12L, 0L, 360L), (13L, 600L, 360L))
+      .toDF("c_id", "cx", "cy")
+    val box = pts.join(cells,
+      col("x") >= col("cx") && col("x") < col("cx") + 600L &&
+        col("y") >= col("cy") && col("y") < col("cy") + 360L)
+    val opt = box.queryExecution.optimizedPlan.toString
+    assert(opt.contains("__graft_bin_p0") && opt.contains("__graft_bin_p1"),
+      s"both dimensions must bin:\n$opt")
+    val phys = box.queryExecution.sparkPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin") &&
+      !phys.contains("CartesianProduct"),
+      s"2D box join still a nested loop:\n$phys")
+    val got = box.select("p_id", "c_id").as[(Long, Long)].collect().toSeq.sorted
+    // hand check: (1:100,50)→10; (2:650,80)→11; (3:100,400)→12;
+    // (4:1199,359)→11; (5:0,0)→10
+    assert(got == Seq((1L, 10L), (2L, 11L), (3L, 12L), (4L, 11L), (5L, 10L)))
+    spark.conf.set("spark.graft.rangeBinJoin.enabled", "false")
+    try {
+      val naive = box.select("p_id", "c_id").as[(Long, Long)]
+        .collect().toSeq.sorted
+      assert(naive == got, "rewritten 2D results must equal the naive join")
+    } finally spark.conf.set("spark.graft.rangeBinJoin.enabled", "true")
+  }
+
   test("fires with sides flipped (interval table on the left)") {
     val flipped = intervals.join(points,
       col("x") >= col("lo") && col("x") < col("lo") + 600L)
