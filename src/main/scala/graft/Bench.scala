@@ -38,7 +38,10 @@ object Bench {
     // before the first timed query; if it never settles, proceed and let
     // loadavg_before testify.
     val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "2.5").toDouble
-    val loadWaitS = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT", "900").toInt
+    // bounded at 5 min: the gate must never eat a meaningful share of the
+    // driver's bench budget — if the box stays busy, run and let
+    // loadavg_before testify
+    val loadWaitS = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT", "300").toInt
     val gateT0 = System.nanoTime()
     while (load1() > loadGate && (System.nanoTime() - gateT0) / 1e9 < loadWaitS) {
       System.err.println(s"[bench] loadavg ${load1()} > $loadGate — waiting for quiet")

@@ -28,7 +28,8 @@ class ChangesetCatchupSpec extends SparkSpec {
       |  <tag k="created_by" v="JOSM"/>
       | </changeset>""".stripMargin)
   private val diff3 = diff(
-    """ <changeset id="100" created_at="2024-01-21T00:00:00Z" closed_at="2024-01-21T00:02:00Z" open="false" uid="9" user="bob" num_changes="7">
+    """ <changeset id="100" created_at="2024-01-21T00:00:00Z" closed_at="2024-01-21T00:02:00Z" open="false" uid="9" user="bob" num_changes="7"
+      |            comments_count="4" min_lon="13.1" min_lat="52.3" max_lon="13.6" max_lat="52.7">
       |  <tag k="created_by" v="iD"/><tag k="comment" v="add #roads in #berlin"/>
       | </changeset>
       | <changeset id="300" created_at="2024-01-21T00:02:30Z" closed_at="" open="true" uid="5" user="amy" num_changes="0"/>""".stripMargin)
@@ -60,6 +61,14 @@ class ChangesetCatchupSpec extends SparkSpec {
       (100L, "2024-01-21T00:02:00Z", false, 7L),
       (200L, "2024-01-21T00:01:40Z", false, 3L),
       (300L, "", true, 0L)))
+    // the bbox extent + comments_count parsed from diff 3 carry through
+    // the batch fold and the store schema; extent-less rows stay null
+    val byId = ChangesetStore.readAuto(spark, store).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId(100L).getAs[Double]("min_lon") === 13.1)
+    assert(byId(100L).getAs[Double]("max_lat") === 52.7)
+    assert(byId(100L).getAs[Long]("comments_count") === 4L)
+    assert(byId(300L).isNullAt(byId(300L).fieldIndex("min_lon")))
   }
 
   test("within-batch fold: one upsert batch still resolves to the last diff's row") {
