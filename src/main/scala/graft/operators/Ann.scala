@@ -661,6 +661,49 @@ object Ann {
           .as("is_outlier"))
   }
 
+  /** Per-DIMENSION standardization profile (`emb_stats`) — the μ/σ table
+    * a feature-normalization stage freezes before training, plus the 4σ
+    * tail census that flags dead or saturated dimensions. All exact
+    * integers: x6 = round(x·1e6); variance via the cross-multiplied
+    * moment identity n·Σx² − (Σx)² in DECIMAL(38,0) (never a float
+    * mean); σ by EXACT integer sqrt — floor(sqrt(double)) then a ±1
+    * correction against the integer square, portable because the double
+    * estimate is within 1 of the true root for any BIGINT input.
+    *
+    * Scale shape: one posexplode scan partial-aggregates into the d-row
+    * moment frame; the frame broadcasts back onto a rescan for the tail
+    * census — the emb_quantize discipline, corpus never shuffles.
+    */
+  def embStats(s: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "e")))
+      .select(col("dim").cast("bigint").as("dim"),
+        expr("cast(round(cast(e as double) * 1e6) as bigint)").as("x6"))
+    val stats = ex.groupBy("dim").agg(
+        count(lit(1)).as("n"),
+        sum("x6").as("sx"),
+        sum(expr("cast(x6 as decimal(38,0)) * cast(x6 as decimal(38,0))"))
+          .as("sxx"))
+      .withColumn("mean6", expr("sx div n"))
+      .withColumn("varr", expr(
+        """cast((cast(n as decimal(38,0)) * sxx
+          |  - cast(sx as decimal(38,0)) * cast(sx as decimal(38,0)))
+          |  / (cast(n as decimal(38,0)) * cast(n as decimal(38,0))) as bigint)"""
+          .stripMargin))
+      .withColumn("s0", expr("cast(floor(sqrt(cast(varr as double))) as bigint)"))
+      .withColumn("sigma6", expr(
+        """s0 + (case when (s0 + 1) * (s0 + 1) <= varr then 1 else 0 end)
+          |   - (case when s0 * s0 > varr then 1 else 0 end)""".stripMargin))
+      .select("dim", "n", "mean6", "sigma6")
+    ex.join(broadcast(stats), "dim")
+      .groupBy("dim")
+      .agg(max("n").as("n"), max("mean6").as("mean6"),
+        max("sigma6").as("sigma6"),
+        sum(when(abs(col("x6") - col("mean6")) > lit(4L) * col("sigma6"), 1L)
+          .otherwise(0L)).as("n_out4"))
+      .orderBy("dim")
+  }
+
   /** Scalar int8 quantization of the embedding corpus (the compression
     * pass a vector store runs before sharding — FAISS's SQ8 layout):
     * per-DIMENSION min/max over the corpus define a 255-step grid,
@@ -1173,6 +1216,7 @@ object Ann {
     "emb_quantize" -> (embQuantize _),
     "emb_pca2" -> (embPca2 _),
     "emb_outliers" -> (embOutliers _),
+    "emb_stats" -> (embStats _),
     "emb_drift" -> (embDrift _),
     "ann_topk" -> (annTopk _),
     "ann_hamming" -> (annHamming _),
@@ -1351,6 +1395,29 @@ object Ann {
          |  10 * s.cell_n * a.cos6 < 9 * s.sum6 AS is_outlier
          |FROM asg a JOIN stats s ON s.cell = a.cell
          |ORDER BY a.vec_id""".stripMargin,
+    "emb_stats" ->
+      """WITH ex AS (SELECT CAST(t.i AS BIGINT) AS dim,
+        |    CAST(round(CAST(embedding[t.i + 1] AS DOUBLE) * 1e6) AS BIGINT) AS x6
+        |  FROM embeddings CROSS JOIN range(0, 64) t(i)),
+        |b AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x6) AS BIGINT) AS sx,
+        |    sum(CAST(x6 AS HUGEINT) * CAST(x6 AS HUGEINT)) AS sxx
+        |  FROM ex GROUP BY 1),
+        |v AS (SELECT dim, n, sx // n AS mean6,
+        |    CAST((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT))
+        |         // (CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS BIGINT) AS varr
+        |  FROM b),
+        |s AS (SELECT dim, n, mean6, varr,
+        |    CAST(floor(sqrt(CAST(varr AS DOUBLE))) AS BIGINT) AS s0 FROM v),
+        |g AS (SELECT dim, n, mean6,
+        |    s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= varr THEN 1 ELSE 0 END)
+        |       - (CASE WHEN s0 * s0 > varr THEN 1 ELSE 0 END) AS sigma6
+        |  FROM s)
+        |SELECT g.dim, g.n, g.mean6, g.sigma6,
+        |  CAST(sum(CASE WHEN abs(x6 - mean6) > 4 * sigma6 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_out4
+        |FROM g JOIN ex ON ex.dim = g.dim
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
     "emb_kmeans" ->
       s"""WITH $flatSql,
          |$cellsSql
