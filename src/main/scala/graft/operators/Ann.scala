@@ -327,7 +327,12 @@ object Ann {
         slice(reverse(sort_array(cs(col("embedding"), col("n2")))), 1, 2)))
       .select((-col("probe.nid")).as("cell"), col("vec_id").as("q_id"),
         col("embedding").as("qe"), col("n2").as("qn2"))
-    val sem = base.join(broadcast(probes), Seq("cell"))
+    // no static broadcast hint on the probe frame (r14): probes are
+    // every-101st-doc — corpus-proportional — so a pinned broadcast()
+    // would ship a corpus fraction through the driver at 100×. AQE
+    // sizes the runtime exchange and still picks a broadcast join at
+    // scales where the probe set fits (PlanAuditSpec pins that).
+    val sem = base.join(probes, Seq("cell"))
       .withColumn("cos", cosine(dotDec(col("qe"), col("ne")), col("qn2"), col("nn2")))
       .withColumn("sem_rk", row_number().over(
         Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))))

@@ -112,7 +112,7 @@ object Bm25Index {
         lit(0).as("dl"), lit(0L).as("tf"))
     val post = ChangesetStore.readBucketsFor(spark, indexDir, terms,
         keys = Seq("term", "doc_id"), numBuckets, bucketBy = Seq("term"))
-      .map(_.join(broadcast(terms), Seq("term"), "left_semi"))
+      .map(_.join(terms, Seq("term"), "left_semi"))
       .getOrElse(empty)
     val dfq = post.groupBy("term").agg(count(lit(1)).as("df"))
     val (nd, sl) = stats(indexDir)

@@ -751,9 +751,14 @@ object TextOps {
   }
 
   /** The integer BM25 scoring + per-query top-5 over already-matched
-    * frames (see [[textBm25]] for the formula derivation). `qt` and
-    * `dfq` broadcast — both are query-scale, and store-read frames carry
-    * no size stats to trigger the hint automatically.
+    * frames (see [[textBm25]] for the formula derivation). The `qt` /
+    * `dfq` joins carry NO static broadcast hint (r14): the query frame
+    * is corpus-proportional by the benchmark's own construction (every
+    * 101st doc contributes queries), so a pinned `broadcast()` would
+    * materialize a corpus fraction on the driver at 100× — exactly the
+    * trap [[Relational.q18Having]]'s doc warns about. AQE sizes the
+    * runtime exchanges and picks the broadcast side itself at scales
+    * where it fits (PlanAuditSpec pins the adaptive final plan).
     */
   /** Static index pruning cap: per probed term, only the
     * [[MaxPostingImpact]] highest-impact postings (tf DESC, doc_id) are
@@ -774,13 +779,13 @@ object TextOps {
       dfq: DataFrame, nDocs: Long, sumDl: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dec = "decimal(38,0)"
-    val capped = post.join(broadcast(qt.select("term").distinct()), "term")
+    val capped = post.join(qt.select("term").distinct(), "term")
       .withColumn("imp_rk", row_number().over(
         Window.partitionBy("term").orderBy(desc("tf"), asc("doc_id"))))
       .filter(col("imp_rk") <= MaxPostingImpact)
       .drop("imp_rk")
-    capped.join(broadcast(qt), "term")
-      .join(broadcast(dfq), "term")
+    capped.join(qt, "term")
+      .join(dfq, "term")
       .withColumn("score6", expr(
         s"(cast(1000000 as $dec) * cast(22 as $dec) * cast(tf as $dec) * cast($sumDl as $dec)" +
           s" * cast($nDocs - df + 1 as $dec)) div " +
@@ -811,7 +816,7 @@ object TextOps {
     // cache-then-release discipline as Dedup's signature frame)
     val post = bm25Postings(corpus).cache()
     val qt = bm25QueryTerms(docs)
-    val dfq = post.join(broadcast(qt.select("term").distinct()), "term")
+    val dfq = post.join(qt.select("term").distinct(), "term")
       .groupBy("term").agg(count(lit(1)).as("df"))
     Dedup.releasing(bm25Score(post, qt, dfq, nDocs, sumDl), post)
   }

@@ -574,6 +574,23 @@ class PlanAuditSpec extends SparkSpec {
       "geo_dbscan_core neighbor join must stay a hash join on the cell key")
   }
 
+  test("r14: no static broadcast hint on corpus-proportional query frames") {
+    // ann_hybrid's probe set and bm25Score's qt/dfq are every-101st-doc
+    // frames — corpus-proportional BY CONSTRUCTION — so a pinned
+    // broadcast() would ship a corpus fraction through the driver at
+    // 100×. The r14 fix drops the hints and lets AQE size the runtime
+    // exchanges (it still picks broadcast where the frame fits, which
+    // the blanket no-SMJ test above confirms at test scale). This pin
+    // keeps the hints out: the analyzed logical plan must carry ZERO
+    // ResolvedHint nodes for these keys.
+    for (k <- Seq("ann_hybrid", "text_bm25", "bm25_store")) {
+      val analyzed = SparkEntry.queries(k)(spark, sfDir)
+        .queryExecution.analyzed.treeString
+      assert(!analyzed.contains("ResolvedHint"),
+        s"$k reintroduced a static broadcast hint:\n$analyzed")
+    }
+  }
+
   test("round-13 keys: islands/ttc window-exchange reuse, skew_join hash-shaped") {
     // q28_islands: the suppkey window exchange must satisfy BOTH stacked
     // groupBys (clustering on a grouping-key subset) — only the
