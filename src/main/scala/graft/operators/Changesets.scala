@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -54,21 +54,48 @@ object Changesets {
         // output columns do not — round-1 gate failure)
         sum(round(col("value") * 100).cast("bigint")).as("sum_value"))
 
-  /** Hashtag extraction — reference semantics (ChangesetHashtags.java:20-34).
-    * The comment field is synthesized deterministically from `documents`
-    * (URL prefix + '#'-marked words) so the URL-strip and filter rules are
-    * exercised; inputs are ASCII so the Java and RE2 hashtag patterns agree.
+  /** Reference hashtag pattern (ChangesetHashtags.java:19) — the regex IS
+    * the spec, shared verbatim; on ASCII input the Java and RE2 (oracle)
+    * variants agree.
+    */
+  private[operators] val HashtagPattern =
+    "#[^\\u2000-\\u206F\\u2E00-\\u2E7F\\v\\h\\\\'!\"#$%()*,./:;<=>?@\\[\\]^`{|}~]+"
+
+  /** Raw `#tag` matches of ONE changeset-tag field, with the iD-editor
+    * URL strip applied per field BEFORE extraction (ChangesetHashtags
+    * .java:26-29 maps each field through replaceAll separately — a URL at
+    * one field's edge must never swallow the other field's text). A null
+    * field yields an empty list, matching the reference's nonNull filter.
+    */
+  private def hashtagMatches(field: Column): Column =
+    regexp_extract_all(
+      regexp_replace(coalesce(field, lit("")), "http\\S*", ""),
+      lit(HashtagPattern), lit(0))
+
+  /** Hashtag extraction — reference semantics (ChangesetHashtags.java:20-34):
+    * tags come from BOTH the dedicated `hashtags` changeset tag AND the
+    * free-text `comment` tag (ChangesetHashtags.java:22
+    * `Stream.of("hashtags", "comment")`), each URL-stripped separately,
+    * with the union distinct-sorted. Both fields are synthesized
+    * deterministically from `documents` — the comment from '#'-marked
+    * text words behind a URL prefix, and (for every third doc) a
+    * `hashtags` tag carrying a campaign tag, an all-digits tag (must be
+    * filtered) and a tag that ALSO appears in the comment (must fold in
+    * the distinct) — so the dual-source rule, the per-field URL strip and
+    * every filter rule are load-bearing; inputs are ASCII so the Java and
+    * RE2 hashtag patterns agree.
     */
   def csHashtags(s: SparkSession, dir: String): DataFrame = {
-    // Reference pattern (Java regex); on ASCII input it equals the RE2
-    // variant used in the oracle.
-    val hashtagPattern = "#[^\\u2000-\\u206F\\u2E00-\\u2E7F\\v\\h\\\\'!\"#$%()*,./:;<=>?@\\[\\]^`{|}~]+"
     Tables.documents(s, dir)
       .withColumn("comment",
-        concat(lit("see http://example.org/x#frag "),
+        concat(lit("see http://example.org/x#frag #missingmaps "),
           regexp_replace(col("text"), " (s)", " #$1")))
-      .withColumn("no_urls", regexp_replace(col("comment"), "http\\S*", ""))
-      .withColumn("raw_tags", regexp_extract_all(col("no_urls"), lit(hashtagPattern), lit(0)))
+      .withColumn("ht_field",
+        when(col("doc_id") % 3 === 0,
+          concat(lit("#campaign"), col("doc_id") % 7,
+            lit(" #12345 #missingmaps see http://osm.org/c#x"))))
+      .withColumn("raw_tags",
+        concat(hashtagMatches(col("ht_field")), hashtagMatches(col("comment"))))
       .withColumn("hashtags", array_join(array_sort(array_distinct(
         filter(transform(col("raw_tags"), t => substring(t, 2, 1000000)),
           t => length(t) >= 2 && !t.rlike("^[0-9]+$")))), ","))
@@ -189,9 +216,11 @@ object Changesets {
     * table parsed from XML (OsmXml.readChangesets) broadcasts onto the
     * contribution stream keyed by changeset id, attaching editor
     * (`created_by` tag), hashtags (ChangesetHashtags.java:20-34 rules over
-    * the `comment` tag), lifecycle timestamps and num_changes. The fact
-    * side never shuffles — changeset dims are small relative to
-    * contributions at any scale.
+    * BOTH the dedicated `hashtags` tag AND the `comment` tag —
+    * ChangesetHashtags.java:22 `Stream.of("hashtags", "comment")`; URL
+    * stripping is per-field, the union is distinct-sorted), lifecycle
+    * timestamps and num_changes. The fact side never shuffles — changeset
+    * dims are small relative to contributions at any scale.
     *
     * @param contribs    any frame with a `changeset` column
     * @param changesetDb OsmXml.readChangesets output (id, created_at,
@@ -199,7 +228,6 @@ object Changesets {
     */
   def enrichWithChangesetDb(contribs: DataFrame, changesetDb: DataFrame): DataFrame = {
     graft.functions.GeoFunctions.register(contribs.sparkSession)
-    val hashtagPattern = "#[^\\u2000-\\u206F\\u2E00-\\u2E7F\\v\\h\\\\'!\"#$%()*,./:;<=>?@\\[\\]^`{|}~]+"
     // bbox extent → the docs/CLI.md `geom geometry(polygon, 4326)` column
     // (hex WKB; null under the reference's missing/NaN-corner guard) —
     // tolerated absent for changeset frames predating the extent columns
@@ -221,9 +249,9 @@ object Changesets {
       element_at(col("tags"), "created_by").as("cs_editor"),
       array_join(array_sort(array_distinct(
         filter(transform(
-          regexp_extract_all(
-            regexp_replace(coalesce(element_at(col("tags"), "comment"), lit("")), "http\\S*", ""),
-            lit(hashtagPattern), lit(0)),
+          concat(
+            hashtagMatches(element_at(col("tags"), "hashtags")),
+            hashtagMatches(element_at(col("tags"), "comment"))),
           t => substring(t, 2, 1000000)),
           t => length(t) >= 2 && !t.rlike("^[0-9]+$")))), ",").as("cs_hashtags")): _*)
     contribs.join(broadcast(cs), Seq("changeset"), "left")
@@ -346,17 +374,26 @@ object Changesets {
          |FROM ($sessionSql)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "cs_hashtags" ->
-      """SELECT doc_id, coalesce(array_to_string(list_sort(list_distinct(
+      """WITH f AS (SELECT doc_id,
+        |    'see http://example.org/x#frag #missingmaps '
+        |      || regexp_replace(text, ' (s)', ' #\1', 'g') AS comment,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      '#campaign' || (doc_id % 7)
+        |        || ' #12345 #missingmaps see http://osm.org/c#x' END AS ht_field
+        |  FROM documents)
+        |SELECT doc_id, coalesce(array_to_string(list_sort(list_distinct(
         |    list_filter(
         |      list_transform(
-        |        regexp_extract_all(
-        |          regexp_replace(
-        |            'see http://example.org/x#frag ' || regexp_replace(text, ' (s)', ' #\1', 'g'),
-        |            'http\S*', '', 'g'),
-        |          '#[^\s''!"#$%()*,./:;<=>?@\[\]^`{|}~\\]+'),
+        |        list_concat(
+        |          regexp_extract_all(
+        |            regexp_replace(coalesce(ht_field, ''), 'http\S*', '', 'g'),
+        |            '#[^\s''!"#$%()*,./:;<=>?@\[\]^`{|}~\\]+'),
+        |          regexp_extract_all(
+        |            regexp_replace(comment, 'http\S*', '', 'g'),
+        |            '#[^\s''!"#$%()*,./:;<=>?@\[\]^`{|}~\\]+')),
         |        t -> t[2:]),
         |      t -> length(t) >= 2 AND NOT regexp_full_match(t, '[0-9]+')))), ','), '') AS hashtags
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM f ORDER BY doc_id""".stripMargin,
     "cs_db_enrich" ->
       s"""SELECT event_id, b.user_id, b.cs_seq, cs_created_at, cs_closed_at, cs_num_changes,
          |  cs_comments_count

@@ -31,6 +31,7 @@ class ChangesetCatchupSpec extends SparkSpec {
     """ <changeset id="100" created_at="2024-01-21T00:00:00Z" closed_at="2024-01-21T00:02:00Z" open="false" uid="9" user="bob" num_changes="7"
       |            comments_count="4" min_lon="13.1" min_lat="52.3" max_lon="13.6" max_lat="52.7">
       |  <tag k="created_by" v="iD"/><tag k="comment" v="add #roads in #berlin"/>
+      |  <tag k="hashtags" v="#hotosm-x #roads"/>
       | </changeset>
       | <changeset id="300" created_at="2024-01-21T00:02:30Z" closed_at="" open="true" uid="5" user="amy" num_changes="0"/>""".stripMargin)
 
@@ -176,9 +177,11 @@ class ChangesetCatchupSpec extends SparkSpec {
       .orderBy("event_id")
       .select("event_id", "cs_editor", "cs_num_changes", "cs_hashtags")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
-    // a continuously-updated deployment must serve the POST-closure struct
+    // a continuously-updated deployment must serve the POST-closure struct;
+    // hashtags union the dedicated `hashtags` tag with the comment
+    // (hotosm-x only in the former, roads in both — distinct folds it)
     assert(enriched.toSeq === Seq(
-      (1L, "iD", 7L, "berlin,roads"),
+      (1L, "iD", 7L, "berlin,hotosm-x,roads"),
       (2L, "JOSM", 3L, "")))
   }
 }

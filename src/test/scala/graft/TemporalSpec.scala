@@ -178,13 +178,19 @@ class TemporalSpec extends SparkSpec {
       .toDF("osm_id", "changeset")
     val csDb = Seq(
       (101L, "2024-01-01T00:00:00Z", "2024-01-01T00:30:00Z", 12L,
-        Map("comment" -> "fix roads #mapathon see http://x.org/#frag", "created_by" -> "iD 2.27")),
+        // the dedicated `hashtags` tag AND the comment BOTH contribute
+        // (ChangesetHashtags.java:22): hotosm-1 only in hashtags,
+        // mapathon in both (distinct folds it), 99 filtered (digits),
+        // and the URL strip applies per field
+        Map("hashtags" -> "#hotosm-1 #mapathon #99 http://h.org/#z",
+          "comment" -> "fix roads #mapathon see http://x.org/#frag",
+          "created_by" -> "iD 2.27")),
       (102L, "2024-01-02T00:00:00Z", "", 1L, Map[String, String]()))
       .toDF("id", "created_at", "closed_at", "num_changes", "tags")
     val out = Changesets.enrichWithChangesetDb(contribs, csDb)
       .orderBy("osm_id").collect()
     assert(out(0).getAs[String]("cs_editor") === "iD 2.27")
-    assert(out(0).getAs[String]("cs_hashtags") === "mapathon")
+    assert(out(0).getAs[String]("cs_hashtags") === "hotosm-1,mapathon")
     assert(out(0).getAs[Long]("cs_num_changes") === 12L)
     assert(out(1).getAs[String]("cs_editor") === null) // no created_by tag
     assert(out(1).getAs[String]("cs_hashtags") === "")
