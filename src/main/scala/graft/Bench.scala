@@ -6,6 +6,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // campaign mode: shared graph artifacts go to a reliable checkpoint
+    // dir — a 233-key run must never evict one mid-key (r13's in-campaign
+    // graph_jaccard ×5) — see GraftSession.enableReliableArtifacts
+    GraftSession.enableReliableArtifacts(spark)
     // warmup: JIT/codegen paths + parquet footers + page cache, so the
     // first measured query doesn't absorb JVM startup. Guarded: a warmup
     // failure must degrade to a cold first query, never kill the bench

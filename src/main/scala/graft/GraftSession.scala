@@ -50,6 +50,23 @@ object GraftSession {
     df
   }
 
+  /** Campaign-mode artifact durability (r14): point the shared graph
+    * artifacts (operators.Graph `piece` cache) at a RELIABLE checkpoint
+    * directory so a long multi-query run can never evict one mid-key and
+    * recompute its lineage (the in-campaign graph_jaccard ×5 blowup), and
+    * so the artifacts would survive executor loss on a real cluster.
+    * `SPARK_GRAFT_CKPT_DIR` overrides the location; `off` keeps the
+    * localCheckpoint mode (the isolated-query default where the blocks
+    * can't be evicted between build and use).
+    */
+  def enableReliableArtifacts(spark: SparkSession): Unit =
+    sys.env.getOrElse("SPARK_GRAFT_CKPT_DIR", "") match {
+      case "off" => ()
+      case "" => spark.conf.set("spark.graft.checkpointDir",
+        graft.operators.Scratch.scratch("graft-ckpt").toString)
+      case dir => spark.conf.set("spark.graft.checkpointDir", dir)
+    }
+
   def builder(master: String, shufflePartitions: String): SparkSession.Builder =
     SparkSession.builder()
       .master(master)

@@ -9,6 +9,9 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same campaign-mode reliable artifacts as Bench: the 233-query dump
+    // exercises the exact durability path the bench times
+    GraftSession.enableReliableArtifacts(spark)
     new java.io.File(outDir).mkdirs()
     // Dev-only: SPARK_GRAFT_ONLY=q1_agg,contrib_full restricts the dump to a
     // comma-separated subset (the driver never sets it — full run).

@@ -136,12 +136,46 @@ object Graph {
   private val pieceCache =
     scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
 
+  /** Artifact durability (r14): when `spark.graft.checkpointDir` is set,
+    * shared artifacts use RELIABLE `Dataset.checkpoint` instead of
+    * `localCheckpoint`. localCheckpoint blocks live in executor memory:
+    * they die with their executor on a real cluster, and under
+    * block-manager pressure they evict and force a mid-key lineage
+    * recompute (the in-campaign graph_jaccard ×5 blowup). A reliable
+    * checkpoint writes the materialized partitions once to the
+    * configured directory and every later read streams from those files
+    * — survives cache purges, storage sweeps and executor loss.
+    * `Dataset.checkpoint` preserves the physical HashPartitioning in the
+    * resulting LogicalRDD exactly like localCheckpoint, so the iterative
+    * ops' exchange-free round joins are unchanged. The frame is persisted
+    * across the two materialization jobs (count + checkpoint write) so
+    * the artifact builds once, then released.
+    */
+  private def durable(s: SparkSession, build: => DataFrame): DataFrame = {
+    val ckpt = s.conf.get("spark.graft.checkpointDir", "")
+    if (ckpt.isEmpty) graft.GraftSession.pin(build.localCheckpoint(eager = true))
+    else {
+      if (s.sparkContext.getCheckpointDir.isEmpty)
+        s.sparkContext.setCheckpointDir(ckpt)
+      val staged = build.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try staged.checkpoint(eager = true)
+      finally { staged.unpersist(blocking = false); () }
+    }
+  }
+
   private def piece(s: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame =
     pieceCache.getOrElseUpdate((dir, name), {
       graft.functions.GeoFunctions.register(s) // isect_sorted for the triad build
-      graft.GraftSession.pin(build.localCheckpoint(eager = true))
+      durable(s, build)
     })
+
+  /** Test hook: forget one directory's cached artifacts so the next
+    * graph query rebuilds them under the current durability mode.
+    */
+  private[graft] def resetPieces(dir: String): Unit =
+    pieceCache.keys.filter(_._1 == dir).foreach(pieceCache.remove)
 
   private def biOf(e: DataFrame): DataFrame =
     e.select(col("pa").as("src"), col("pb").as("dst"))

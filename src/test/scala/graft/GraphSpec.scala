@@ -177,6 +177,33 @@ class GraphSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("reliable-checkpoint artifacts survive a simulated cache purge") {
+    // the r14 durability option: with spark.graft.checkpointDir set, the
+    // shared graph artifacts are RELIABLY checkpointed — after a full
+    // cache purge (every cached plan dropped AND every persistent RDD
+    // unpersisted, the eviction that forced r13's in-campaign
+    // graph_jaccard lineage recompute, and the analog of losing an
+    // executor's localCheckpoint blocks on a real cluster) a query over
+    // the same artifacts must still answer, bit-identically, from the
+    // checkpoint files
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-spec")
+    try {
+      Graph.resetPieces(sfDir)
+      spark.conf.set("spark.graft.checkpointDir", ckpt.toString)
+      val a = Graph.graphJaccard(spark, sfDir).collect().toSeq
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      val b = Graph.graphJaccard(spark, sfDir).collect().toSeq
+      assert(a === b)
+      assert(a.nonEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+      // later suites rebuild under the default localCheckpoint mode
+      Graph.resetPieces(sfDir)
+    }
+  }
+
   test("isectSorted equals set intersection on seeded sorted arrays") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 200) {
