@@ -126,6 +126,14 @@ object Contributions {
        |   + 1000000000000000000000)
        |  // 2000000000000000000000 AS BIGINT) END""".stripMargin
 
+  /** Flagship contribution assembly at full reference row width
+    * (contrib.avsc). Deliberately excluded from the schema: `build_time`
+    * — the avsc field is a wall-clock stamp of the pipeline run itself,
+    * non-deterministic by design and therefore incompatible with the
+    * bit-exact oracle contract (two runs of the reference disagree on it
+    * too). Every other avsc column has a synthesized analog here,
+    * including the r14 `refs_count`/`members_count` pair.
+    */
   def contribFull(s: SparkSession, dir: String): DataFrame = {
     GeoFunctions.register(s)
     val byEntity = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
@@ -246,7 +254,16 @@ object Contributions {
         col("xz_code"),
         col("centroid_x"), col("centroid_y"),
         col("length_mm"), col("step_mm").as("length_delta_mm"),
-        col("area_m2"), col("area_delta_m2"))
+        col("area_m2"), col("area_delta_m2"),
+        // contrib.avsc:290/308 schema width (r14): refs_count = node
+        // references of the evolving way geometry — in the synthetic
+        // model the version-v geometry is the v-point prefix, and a
+        // version-1 contribution is a Point (avsc: "Always 0 for types
+        // node"); members_count stays the avsc default 0 (the synthetic
+        // corpus has no relation analog)
+        when(col("osm_version") === 1, lit(0))
+          .otherwise(col("osm_version")).cast("int").as("refs_count"),
+        lit(0).as("members_count"))
   }
 
   /** Contribution derivation over REAL OSM entities (the osmpbf reader's
@@ -293,7 +310,16 @@ object Contributions {
       .select(col("osm_type"), col("id").as("osm_id"), col("version").as("osm_version"),
         col("valid_from"), col("valid_to"), col("contrib_type"), col("status"),
         col("changeset"), col("uid"), col("user"), col("tags"),
-        col("lat"), col("lon"), col("refs"), col("members"), col("xz_code"))
+        col("lat"), col("lon"), col("refs"), col("members"),
+        // contrib.avsc:290/308: refs_count counts node references (ways
+        // only — "Always 0 for types node, relation"), members_count
+        // counts relation members ("Always 0 for node, way"); both
+        // default 0, never null
+        when(col("osm_type") === "way" && col("refs").isNotNull,
+          size(col("refs"))).otherwise(0).as("refs_count"),
+        when(col("osm_type") === "relation" && col("members").isNotNull,
+          size(col("members"))).otherwise(0).as("members_count"),
+        col("xz_code"))
   }
 
   /** Geometry assembly for REAL contributions (the reference's
@@ -626,7 +652,9 @@ object Contributions {
        |  v.clon_sum / v.osm_version AS centroid_x,
        |  v.clat_sum / v.osm_version AS centroid_y,
        |  v.length_mm, v.step_mm AS length_delta_mm,
-       |  v.area_m2, v.area_delta_m2
+       |  v.area_m2, v.area_delta_m2,
+       |  CAST(CASE WHEN v.osm_version = 1 THEN 0 ELSE v.osm_version END AS INT) AS refs_count,
+       |  CAST(0 AS INT) AS members_count
        |FROM geo4 v
        |JOIN wkbs w ON w.event_id = v.event_id
        |JOIN xz ON xz.event_id = v.event_id

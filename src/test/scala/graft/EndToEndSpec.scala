@@ -158,6 +158,32 @@ class EndToEndSpec extends SparkSpec {
       (12L, 2, "DELETION", "deleted")))
     // point contributions carry a spatial sort code
     assert(contribs.filter(col("xz_code").isNotNull).count() === 5)
+    // contrib.avsc:290/308 width: the count columns exist and are the
+    // non-null default 0 for node contributions
+    assert(contribs.filter(col("refs_count") =!= 0 ||
+      col("members_count") =!= 0).count() === 0)
+
+    // the avsc per-type count rule over way/relation entities: refs_count
+    // counts a way's node refs (0 for node/relation), members_count a
+    // relation's members (0 for node/way) — null arrays stay 0, not null
+    {
+      import org.apache.spark.sql.Row
+      import graft.sources.OsmPbf
+      val rows = Seq(
+        Row("way", 50L, 1, 1000L, 7L, 1, "u", true, null, null,
+          Map.empty[String, String], Seq(1L, 2L, 3L), null),
+        Row("relation", 60L, 1, 1000L, 7L, 1, "u", true, null, null,
+          Map.empty[String, String], null,
+          Seq(Row("way", 50L, "outer"), Row("node", 1L, ""))),
+        Row("node", 70L, 1, 1000L, 7L, 1, "u", true, 1.0, 2.0,
+          Map.empty[String, String], null, null))
+      val ents = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows), OsmPbf.schema)
+      val counts = graft.operators.Contributions.fromEntities(ents)
+        .select("osm_type", "refs_count", "members_count")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+      assert(counts === Set(("way", 3, 0), ("relation", 0, 2), ("node", 0, 0)))
+    }
 
     // partitioned sink + partition-pruned read-back, via the CLI flow
     val out = java.nio.file.Files.createTempDirectory("graft-e2e").toString
