@@ -85,7 +85,12 @@ object Bench {
     // external contention hit most reps (a genuine plan cost reproduces
     // across reps and keeps the spread tight). Those queries get ONE more
     // measurement and keep the better median: bounded extra work, and a
-    // genuinely-slow query re-measures to the same number.
+    // genuinely-slow query re-measures to the same number. The pass is
+    // methodology, so the JSON records it: every re-measured query lands
+    // in "remeasured" with BOTH medians — a cross-round comparison can
+    // reconstruct the single-pass number instead of silently comparing a
+    // best-of-two against older single-pass records (r13 ADVICE).
+    val remeasured = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val results = firstPass.map { case (name, (med, mn)) =>
       val noisy = med > 0 && med > mn * 1.25 + 0.1
       if (!noisy) name -> med
@@ -93,16 +98,19 @@ object Bench {
         val (med2, _) = measure(name, bench(name))
         if (med2 > 0 && med2 < med) {
           System.err.println(f"[bench] $name re-measured: $med%.3f -> $med2%.3f s")
+          remeasured(name) = (med, med2)
           name -> med2
         } else name -> med
       }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val rq = remeasured.map { case (k, (m1, m2)) =>
+      s"\"" + k + s"\":[$m1,$m2]" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(math.abs).sum else 0.0
     val nFailed = results.values.count(_ < 0)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir","reps":$reps,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir","reps":$reps,"remeasured":$rq,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}"}"""
     // The full per-query line goes to the FILE; stdout gets it too for
     // humans, but the line the driver must parse is the COMPACT one below:
     // the driver keeps only a 2000-char stdout tail, and at 73 keys the

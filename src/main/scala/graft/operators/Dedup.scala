@@ -170,8 +170,12 @@ object Dedup {
     * the path stays untouched); strip a leading `www.`; strip default
     * ports (`https :443`, `http :80`); drop tracking query params
     * (`utm_*`, `fbclid`, `gclid`), sort the survivors byte-wise and
-    * reattach; strip one trailing slash off a non-root path. Pure column
-    * expressions — codegen end to end, scan-side at any scale.
+    * reattach; strip one trailing slash whenever the preceding character
+    * is not itself a slash — NOTE this includes the authority-root case
+    * (`https://host/` → `https://host`, since `t` precedes the slash);
+    * only a `//`-terminated path keeps its final slash. The DuckDB oracle
+    * replays the identical regex, so the rule is engine-symmetric. Pure
+    * column expressions — codegen end to end, scan-side at any scale.
     */
   def canonicalizeUrl(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*", "")

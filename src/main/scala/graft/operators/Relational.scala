@@ -928,7 +928,15 @@ object Relational {
       .join(broadcast(itemN.toDF("cons", "nc")), "cons")
       .crossJoin(broadcast(nRow))
       .withColumn("conf_pm", expr("(1000 * cab) div na"))
-      .withColumn("lift_ppm", expr("(1000000 * cab * n_orders) div (na * nc)"))
+      // DECIMAL(38,0) numerator/denominator (r14): 10⁶·cab·N overflows
+      // BIGINT once cab·N > ~9.2·10¹²  — a few-billion-order corpus with
+      // popular pairs gets there, where Spark (non-ANSI) would wrap
+      // silently while DuckDB raises. IntegralDivide still emits BIGINT,
+      // so the output schema and every in-range value are unchanged (the
+      // emb_stats discipline); the quotient itself is ≤ 10⁶·N, in range.
+      .withColumn("lift_ppm", expr(
+        "(cast(1000000 as decimal(38,0)) * cab * n_orders)" +
+          " div (cast(na as decimal(38,0)) * nc)"))
       .orderBy(desc("lift_ppm"), asc("ante"), asc("cons")).limit(20)
       .select("ante", "cons", "cab", "na", "nc", "conf_pm", "lift_ppm")
   }
@@ -1011,7 +1019,8 @@ object Relational {
         |          UNION ALL SELECT pb, pa, cab FROM pairs)
         |SELECT ante, cons, cab, na, nc,
         |  CAST((1000 * cab) // na AS BIGINT) AS conf_pm,
-        |  CAST((1000000 * cab * (SELECT n_orders FROM n)) // (na * nc) AS BIGINT) AS lift_ppm
+        |  CAST((CAST(1000000 AS HUGEINT) * cab * (SELECT n_orders FROM n))
+        |    // (CAST(na AS HUGEINT) * nc) AS BIGINT) AS lift_ppm
         |FROM rules
         |  JOIN (SELECT pk AS ante, np AS na FROM itemn) USING (ante)
         |  JOIN (SELECT pk AS cons, np AS nc FROM itemn) USING (cons)

@@ -532,8 +532,17 @@ object TextOps {
     graft.operators.Dedup.releasing(
       types.join(broadcast(c1), "w1").join(broadcast(cont), "w2")
         .crossJoin(broadcast(ntotRow))
+        // continuation term in DECIMAL(38,0) (r14): 3·10⁶·n1p·ncont can
+        // exceed BIGINT once the continuation tables reach ~10⁶ distinct
+        // types each (web-scale vocabularies do); Spark would wrap
+        // silently in non-ANSI mode while DuckDB raises. IntegralDivide
+        // keeps the BIGINT output type and every in-range value; the
+        // oracle mirrors with HUGEINT. The discount term stays integer:
+        // 4·10⁶·c2 needs c2 > 2.3·10¹² tokens of ONE bigram to overflow.
         .withColumn("p_kn_ppm", expr(
-          "(1000000 * (4 * c2 - 3)) div (4 * c1) + (3000000 * n1p * ncont) div (4 * c1 * ntot)"))
+          "(1000000 * (4 * c2 - 3)) div (4 * c1)" +
+            " + (cast(3000000 as decimal(38,0)) * n1p * ncont)" +
+            " div (cast(4 as decimal(38,0)) * c1 * ntot)"))
         .select("w1", "w2", "c2", "c1", "n1p", "ncont", "p_kn_ppm"),
       types)
   }
@@ -1732,7 +1741,8 @@ object TextOps {
          |nt AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM t)
          |SELECT w1, w2, c2, c1, n1p, ncont,
          |  CAST((1000000 * (4 * c2 - 3)) // (4 * c1)
-         |    + (3000000 * n1p * ncont) // (4 * c1 * (SELECT ntot FROM nt)) AS BIGINT)
+         |    + (CAST(3000000 AS HUGEINT) * n1p * ncont)
+         |      // (CAST(4 AS HUGEINT) * c1 * (SELECT ntot FROM nt)) AS BIGINT)
          |    AS p_kn_ppm
          |FROM t JOIN cx USING (w1) JOIN cont USING (w2)
          |ORDER BY w1, w2""".stripMargin,

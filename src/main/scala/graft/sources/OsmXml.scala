@@ -100,8 +100,16 @@ object OsmXml {
   /** One ingested changeset. The spatial extent (`min_lon`…`max_lat`) and
     * `comments_count` mirror the reference's changeset record
     * (osm-changesets Changeset.java:6-18): the bbox attrs are OPTIONAL in
-    * the XML (an empty changeset has no extent) and surface as nulls, the
-    * comment count defaults to 0.
+    * the XML (an empty changeset has no extent) and surface as nulls.
+    *
+    * DELIBERATE DEVIATION: an absent `num_changes` or `comments_count`
+    * attribute parses to 0 here, where the reference initializes both to
+    * the -1 "absent" sentinel (ChangesetXmlReader.java:54-55) — so an
+    * attr-less changeset is indistinguishable from one with zero
+    * comments. 0 is this repo's uniform missing-count convention (both
+    * columns, every ingest path, and the aggregation/oracle contract
+    * treats the counts as non-negative); callers that need the
+    * absent-vs-zero distinction should test the raw XML attrs instead.
     */
   case class ChangesetRow(id: Long, created_at: String, closed_at: String,
       open: Boolean, uid: Long, user: String, num_changes: Long,

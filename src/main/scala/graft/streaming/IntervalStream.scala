@@ -62,6 +62,16 @@ case class IncidentOut(inc_id: Long, t0_s: Long, n_events: Long,
   * buckets near the watermark, regardless of stream length. Replay
   * safety: at-least-once redelivery dedups by event/incident id at flush
   * (an id can reach the same bucket group only once per logical event).
+  *
+  * LATE DATA: the watermark delay defaults to 0 seconds — the
+  * drained-equals-batch contract, where each micro-batch is
+  * time-ordered relative to the next. Under that default any event
+  * arriving in a LATER micro-batch than one carrying a higher event
+  * time is dropped by the watermark and its incident undercounts. A
+  * production deployment with cross-batch disorder should pass a
+  * `delay` ("10 minutes") sized to its source's lateness bound; the
+  * state/timeout machinery is delay-agnostic (buckets just close
+  * later).
   */
 object IntervalStream {
 
@@ -142,7 +152,13 @@ object IntervalStream {
     }
   }
 
-  def apply(events: Dataset[IncidentEvent]): Dataset[IncidentOut] = {
+  /** @param delay watermark delay (`withWatermark` duration string) —
+    *   the source's cross-micro-batch lateness bound; "0 seconds"
+    *   implements the drained-equals-batch contract for time-sorted
+    *   feeds and DROPS cross-batch out-of-order events (class doc).
+    */
+  def apply(events: Dataset[IncidentEvent],
+      delay: String = "0 seconds"): Dataset[IncidentOut] = {
     import events.sparkSession.implicits._
     events
       .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
@@ -159,7 +175,7 @@ object IntervalStream {
       // the watermark rides the ROUTED rows: a typed flatMap re-serializes
       // its output, so tagging must happen on the column that actually
       // reaches flatMapGroupsWithState
-      .withWatermark("event_time", "0 seconds")
+      .withWatermark("event_time", delay)
       .groupByKey(_.bkt)
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)

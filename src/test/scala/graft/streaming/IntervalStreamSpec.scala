@@ -72,6 +72,38 @@ class IntervalStreamSpec extends SparkSpec {
       "duplicated deliveries must not inflate counts or emit twice")
   }
 
+  test("watermark delay bounds cross-batch lateness: delayed feed kept") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // one event arrives a micro-batch AFTER a higher-event-time row: with
+    // the default 0-second delay the watermark has already passed it and
+    // the incident undercounts (documented drop); with a delay covering
+    // the disorder the count is exact
+    def run(name: String, delay: String): Seq[IncidentOut] = {
+      val input = MemoryStream[IncidentEvent]
+      val q = IntervalStream(input.toDS(), delay).writeStream
+        .format("memory").queryName(name)
+        .outputMode("append").start()
+      input.addData(
+        IncidentEvent(10L, 1000L * ns, 1L, "error"),
+        IncidentEvent(11L, 1400L * ns, 2L, "click"))
+      q.processAllAvailable()
+      // LATE: event-time 1200 < the 1400 already seen
+      input.addData(IncidentEvent(12L, 1200L * ns, 3L, "view"))
+      q.processAllAvailable()
+      input.addData(IncidentEvent(99L, 100000L * ns, 99L, "view"))
+      q.processAllAvailable()
+      input.addData(IncidentEvent(98L, 100001L * ns, 99L, "view"))
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).as[IncidentOut].collect().filter(_.inc_id == 10L).toSeq
+    }
+    assert(run("iv_late0", "0 seconds") === Seq(IncidentOut(10L, 1000L, 2L, 2L)),
+      "0-second delay drops the cross-batch late event (the documented contract)")
+    assert(run("iv_late10", "10 minutes") === Seq(IncidentOut(10L, 1000L, 3L, 3L)),
+      "a delay covering the disorder keeps the late event")
+  }
+
   test("drained stream reproduces the batch sweep-line incident table") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
