@@ -199,4 +199,180 @@ object MediaCodec {
     }
     None
   }
+
+  // ---- PNG (RFC 2083; bit depth 8, color types 0 grey / 2 RGB) ---------
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def be32(v: Int): Array[Byte] =
+    Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def readBe32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  /** `length ∥ type ∥ data ∥ CRC32(type ∥ data)` — the PNG chunk frame. */
+  private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes(US_ASCII)
+    val crc = new java.util.zip.CRC32()
+    crc.update(t); crc.update(data)
+    be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
+  }
+
+  /** Paeth predictor (RFC 2083 §6.6): nearest of left/above/upper-left to
+    * the linear estimate `a + b − c`, ties a > b > c.
+    */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** PNG encoder, bit depth 8, color type 2 (RGB) or 0 (greyscale).
+    * Row `y` uses filter type `y % 5` — every filter (None/Sub/Up/
+    * Average/Paeth) is on the wire for any image of ≥ 5 rows, so a
+    * decoder that mishandles one cannot round-trip. The filtered scanline
+    * stream deflates into a zlib stream split across TWO IDAT chunks
+    * (multi-IDAT concatenation is part of the format; single-IDAT-only
+    * readers are a classic PNG bug).
+    */
+  def encodePng(w: Int, h: Int, data: Array[Byte], rgb: Boolean): Array[Byte] = {
+    val bpp = if (rgb) 3 else 1
+    require(data.length >= w * h * bpp, "pixel data shorter than w*h*bpp")
+    val stride = w * bpp
+    val raw = new Array[Byte]((stride + 1) * h)
+    var y = 0
+    while (y < h) {
+      val ft = y % 5
+      raw(y * (stride + 1)) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = data(y * stride + x) & 0xff
+        val left = if (x >= bpp) data(y * stride + x - bpp) & 0xff else 0
+        val up = if (y > 0) data((y - 1) * stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= bpp) data((y - 1) * stride + x - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        raw(y * (stride + 1) + 1 + x) = ((cur - pred) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val z = out.toByteArray
+    val ihdr = be32(w) ++ be32(h) ++
+      Array[Byte](8, if (rgb) 2 else 0, 0, 0, 0)
+    val cut = z.length / 2
+    PngSig ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", java.util.Arrays.copyOfRange(z, 0, cut)) ++
+      chunk("IDAT", java.util.Arrays.copyOfRange(z, cut, z.length)) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  /** PNG decoder: signature + chunk walk (CRC-verified), IHDR dimension/
+    * type gates (bit depth 8, color type 0/2, no interlace), ALL IDAT
+    * chunks concatenated then inflated as one zlib stream, and the five
+    * scanline filters reversed in place. Greyscale triples into the RGB
+    * plane (the WAV convention). None on any malformation — truncated
+    * stream, bad CRC, wrong inflated length, unknown filter type.
+    */
+  def decodePng(bytes: Array[Byte]): Option[Raster] = {
+    if (bytes.length < PngSig.length + 12) return None
+    var i = 0
+    while (i < PngSig.length) {
+      if (bytes(i) != PngSig(i)) return None
+      i += 1
+    }
+    var pos = PngSig.length
+    var w = 0; var h = 0; var bpp = 0
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!seenIend && pos + 12 <= bytes.length) {
+      val len = readBe32(bytes, pos)
+      if (len < 0 || pos + 12 + len > bytes.length) return None
+      val typ = new String(bytes, pos + 4, 4, US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, pos + 4, 4 + len)
+      if (crc.getValue.toInt != readBe32(bytes, pos + 8 + len)) return None
+      typ match {
+        case "IHDR" =>
+          if (len != 13 || seenIhdr) return None
+          w = readBe32(bytes, pos + 8); h = readBe32(bytes, pos + 12)
+          val depth = bytes(pos + 16); val ct = bytes(pos + 17)
+          val interlace = bytes(pos + 20)
+          if (w <= 0 || h <= 0 || depth != 8 || interlace != 0) return None
+          bpp = ct match { case 0 => 1; case 2 => 3; case _ => return None }
+          seenIhdr = true
+        case "IDAT" =>
+          if (!seenIhdr) return None
+          idat.write(bytes, pos + 8, len)
+        case "IEND" => seenIend = true
+        case _ => () // ancillary chunks skipped
+      }
+      pos += 12 + len
+    }
+    if (!seenIhdr || !seenIend) return None
+    val stride = w * bpp
+    val raw = new Array[Byte]((stride + 1) * h)
+    val infl = new java.util.zip.Inflater()
+    infl.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < raw.length && !infl.finished()) {
+        val n = infl.inflate(raw, got, raw.length - got)
+        if (n == 0 && infl.needsInput()) return None // truncated stream
+        got += n
+      }
+      if (got != raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally infl.end()
+    // reverse the per-row filters in place on the recon plane
+    val recon = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (stride + 1)) & 0xff
+      if (ft > 4) return None
+      var x = 0
+      while (x < stride) {
+        val f = raw(y * (stride + 1) + 1 + x) & 0xff
+        val left = if (x >= bpp) recon(y * stride + x - bpp) & 0xff else 0
+        val up = if (y > 0) recon((y - 1) * stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= bpp) recon((y - 1) * stride + x - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        recon(y * stride + x) = ((f + pred) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    if (bpp == 3) Some(Raster(w, h, recon))
+    else {
+      val rgb = new Array[Byte](w * h * 3)
+      var j = 0
+      while (j < w * h) {
+        val v = recon(j)
+        rgb(3 * j) = v; rgb(3 * j + 1) = v; rgb(3 * j + 2) = v
+        j += 1
+      }
+      Some(Raster(w, h, rgb))
+    }
+  }
 }

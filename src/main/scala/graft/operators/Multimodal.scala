@@ -458,7 +458,49 @@ object Multimodal {
       .toDF("doc_id", "n_frames", "n_silent", "n_segments", "longest_silence")
   }
 
+  /** PNG ingest (`mm_png`) — the one modality a crawl pipeline hits
+    * constantly: each document's bytes become a REAL PNG (RGB8 for even
+    * doc ids, 8-bit greyscale for odd — both supported color types),
+    * encoded by [[MediaCodec.encodePng]] with the filter type cycling
+    * per row (None/Sub/Up/Average/Paeth all on the wire) and the zlib
+    * stream split across two IDAT chunks, then DECODED back through the
+    * full chunk walk + CRC check + inflate + per-row unfilter. Features
+    * are the [[mmFeatures]] positional-checksum discipline over the
+    * decoded plane, so a wrong filter reversal, a swapped channel or a
+    * single-IDAT-only reader breaks the oracle compare (the oracle
+    * recomputes the plane from the source bytes — encode∘decode is the
+    * identity on pixels). The container size is NOT a feature here:
+    * deflate output length is codec-internal, not oracle-derivable.
+    *
+    * Scale shape: identical to mm_features — decode is per-row work in
+    * one `mapPartitions` batch, a pure scan at 100 TB.
+    */
+  def mmPng(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val inputs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, "rgb").otherwise("grey").as("fmt"),
+        encode(col("text"), "utf-8").as("payload"))
+      .as[MMInput]
+    inputs.mapPartitions { batch =>
+      batch.flatMap { in =>
+        val bpp = if (in.fmt == "rgb") 3 else 1
+        val h = math.min(in.payload.length / (ImgW * bpp), MaxRows)
+        if (h < 1) None
+        else {
+          val raw = java.util.Arrays.copyOf(in.payload, h * ImgW * bpp)
+          val payload = MediaCodec.encodePng(ImgW, h, raw, rgb = in.fmt == "rgb")
+          MediaCodec.decodePng(payload).map { r =>
+            val f = features(in, payload, r)
+            (f.doc_id, f.fmt, f.magic_hex, f.feat_str)
+          }
+        }
+      }
+    }.toDF("doc_id", "fmt", "magic_hex", "feat_str")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_png" -> (mmPng _),
     "mm_audio" -> (mmAudio _),
     "mm_silence" -> (mmSilence _),
     "mm_features" -> (mmFeatures _),
@@ -471,6 +513,40 @@ object Multimodal {
     "mm_colorhist" -> (mmColorhist _))
 
   val oracles: Map[String, String] = Map(
+    "mm_png" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'rgb' ELSE 'grey' END AS fmt,
+        |    lower(hex(encode(text))) AS hx,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents),
+        |dim AS (SELECT doc_id, fmt, hx, 16 AS w,
+        |    CASE WHEN fmt = 'rgb' THEN least(nb // 48, 64)
+        |         ELSE least(nb // 16, 64) END AS h
+        |  FROM d),
+        |ok AS (SELECT * FROM dim WHERE h >= 1),
+        |px AS (SELECT doc_id, fmt, w, h, i,
+        |    CASE WHEN fmt = 'grey' THEN CAST(('0x' || substr(hx, 2*i + 1, 2)) AS BIGINT)
+        |         ELSE CAST(('0x' || substr(hx, 6*i + 1, 2)) AS BIGINT) END AS r,
+        |    CASE WHEN fmt = 'grey' THEN CAST(('0x' || substr(hx, 2*i + 1, 2)) AS BIGINT)
+        |         ELSE CAST(('0x' || substr(hx, 6*i + 3, 2)) AS BIGINT) END AS g,
+        |    CASE WHEN fmt = 'grey' THEN CAST(('0x' || substr(hx, 2*i + 1, 2)) AS BIGINT)
+        |         ELSE CAST(('0x' || substr(hx, 6*i + 5, 2)) AS BIGINT) END AS b
+        |  FROM ok, LATERAL (SELECT unnest(range(0, CAST(w * h AS BIGINT))) AS i) rr),
+        |lm AS (SELECT *, (299*r + 587*g + 114*b) // 1000 AS lum FROM px),
+        |agg AS (SELECT doc_id, any_value(fmt) AS fmt, any_value(w) AS w, any_value(h) AS h,
+        |    CAST((sum(r) * 1000000) // count(*) AS BIGINT) AS mr,
+        |    CAST((sum(g) * 1000000) // count(*) AS BIGINT) AS mg,
+        |    CAST((sum(b) * 1000000) // count(*) AS BIGINT) AS mb,
+        |    min(CASE WHEN i = 0 THEN lum END) AS lum_first,
+        |    min(CASE WHEN i = w * h - 1 THEN lum END) AS lum_last,
+        |    CAST(sum((i + 1) * lum) % 1000003 AS BIGINT) AS poschk
+        |  FROM lm GROUP BY doc_id)
+        |SELECT doc_id, fmt, '89504e47' AS magic_hex,
+        |  CAST(w AS VARCHAR) || ',' || CAST(h AS VARCHAR) || ',' ||
+        |    CAST(mr AS VARCHAR) || ',' || CAST(mg AS VARCHAR) || ',' ||
+        |    CAST(mb AS VARCHAR) || ',' || CAST(lum_first AS VARCHAR) || ',' ||
+        |    CAST(lum_last AS VARCHAR) || ',' || CAST(poschk AS VARCHAR) AS feat_str
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "mm_blur" ->
       """WITH d AS (SELECT doc_id,
         |    CASE WHEN doc_id % 3 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,

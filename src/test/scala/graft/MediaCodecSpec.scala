@@ -91,4 +91,87 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(viaPpm === Raster(16, 5, viaPpm.rgb))
     assert(viaPpm.rgb.toSeq === viaBmp.rgb.toSeq)
   }
+
+  // ---- PNG --------------------------------------------------------------
+
+  /** Hand-assembled chunk (independent of the encoder's own framing). */
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    def be32(v: Int) = Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val t = typ.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32()
+    crc.update(t); crc.update(data)
+    be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream(); val buf = new Array[Byte](512)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end(); out.toByteArray
+  }
+
+  private val pngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  test("png byte-level fixture: hand-built 2x2 grey with Sub filter decodes exactly") {
+    // scanlines: row0 filter None → pixels 10, 20;
+    //            row1 filter Sub  → recon 5, then 7+5=12
+    val raw = Array[Byte](0, 10, 20, 1, 5, 7)
+    def be32(v: Int) = Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val ihdr = be32(2) ++ be32(2) ++ Array[Byte](8, 0, 0, 0, 0) // grey, depth 8
+    val png = pngSig ++ pngChunk("IHDR", ihdr) ++
+      pngChunk("IDAT", deflate(raw)) ++ pngChunk("IEND", Array.empty[Byte])
+    val dec = MediaCodec.decodePng(png).get
+    assert((dec.w, dec.h) === (2, 2))
+    // grey triples into the RGB plane
+    assert(dec.rgb.toSeq === Seq[Byte](10, 10, 10, 20, 20, 20, 5, 5, 5, 12, 12, 12))
+  }
+
+  test("png roundtrip: all five filters on the wire, rgb and grey, multi-IDAT") {
+    val px = rgb(16 * 6) // 6 rows: filters 0..4 then 0 again
+    val enc = MediaCodec.encodePng(16, 6, px, rgb = true)
+    assert(enc.take(8).toSeq === pngSig.toSeq)
+    // the encoder must split the stream across two IDAT chunks
+    val idatCount = enc.sliding(4).count(_.sameElements("IDAT".getBytes("US-ASCII")))
+    assert(idatCount === 2, "multi-IDAT concatenation must be load-bearing")
+    val dec = MediaCodec.decodePng(enc).get
+    assert((dec.w, dec.h) === (16, 6))
+    assert(dec.rgb.toSeq === px.toSeq)
+    // greyscale: plane comes back tripled
+    val g = Array.tabulate[Byte](16 * 7)(i => (i * 13 + 1).toByte)
+    val gdec = MediaCodec.decodePng(MediaCodec.encodePng(16, 7, g, rgb = false)).get
+    assert((gdec.w, gdec.h) === (16, 7))
+    assert((0 until 16 * 7).forall(i => gdec.rgb(3 * i) === g(i) &&
+      gdec.rgb(3 * i + 1) === g(i) && gdec.rgb(3 * i + 2) === g(i)))
+  }
+
+  test("png rejects malformed input: truncation, bad CRC, bad filter, interlace") {
+    val enc = MediaCodec.encodePng(4, 4, rgb(4 * 4), rgb = true)
+    assert(MediaCodec.decodePng(enc.dropRight(1)).isEmpty, "truncated IEND")
+    assert(MediaCodec.decodePng(enc.take(20)).isEmpty, "truncated header")
+    // flip one byte inside the first IDAT payload → CRC mismatch
+    val bad = enc.clone()
+    val idatPos = bad.indexOfSlice("IDAT".getBytes("US-ASCII"))
+    bad(idatPos + 5) = (bad(idatPos + 5) ^ 0x7f).toByte
+    assert(MediaCodec.decodePng(bad).isEmpty, "corrupt IDAT must fail its CRC")
+    def be32(v: Int) = Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    // unknown filter type 5
+    val rawBadFilter = Array[Byte](5, 1, 2)
+    val png1 = pngSig ++
+      pngChunk("IHDR", be32(2) ++ be32(1) ++ Array[Byte](8, 0, 0, 0, 0)) ++
+      pngChunk("IDAT", deflate(rawBadFilter)) ++ pngChunk("IEND", Array.empty[Byte])
+    assert(MediaCodec.decodePng(png1).isEmpty, "filter type 5 must be rejected")
+    // interlaced flag set
+    val png2 = pngSig ++
+      pngChunk("IHDR", be32(1) ++ be32(1) ++ Array[Byte](8, 0, 0, 0, 1)) ++
+      pngChunk("IDAT", deflate(Array[Byte](0, 9))) ++ pngChunk("IEND", Array.empty[Byte])
+    assert(MediaCodec.decodePng(png2).isEmpty, "Adam7 interlace is out of scope → None")
+    // 16-bit depth
+    val png3 = pngSig ++
+      pngChunk("IHDR", be32(1) ++ be32(1) ++ Array[Byte](16, 0, 0, 0, 0)) ++
+      pngChunk("IDAT", deflate(Array[Byte](0, 9, 9))) ++ pngChunk("IEND", Array.empty[Byte])
+    assert(MediaCodec.decodePng(png3).isEmpty, "16-bit depth is out of scope → None")
+  }
 }
