@@ -516,6 +516,64 @@ object Dedup {
   def dedupSubstring(s: SparkSession, dir: String): DataFrame =
     substringPairsOf(s, Tables.documents(s, dir))
 
+  /** Window granularity of [[dedupWindow50]] — the k of Lee et al. 2022. */
+  val SpanTokens = 50
+
+  /** EXACT duplicate spans at 50-TOKEN granularity (`dedup_window50`) —
+    * the public standard for training-data dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": remove/
+    * report exact substrings of ≥ 50 tokens shared between documents).
+    * Any shared span of ≥ k tokens contains a shared k-token window, so
+    * the operator emits EVERY k-token window of every document keyed by
+    * the window's 128-bit content hash and equi-joins windows by key —
+    * the distributed analog of the paper's suffix-array scan, shaped as
+    * a sorted hash join instead of a per-node suffix automaton.
+    * Per pair: `n_win` distinct shared windows and the implied span
+    * estimate `n_win + k − 1` tokens (exact when the overlap is one
+    * contiguous span).
+    *
+    * Exactness: the join key is md5 over the joined window tokens —
+    * content-derived, engine-portable (DuckDB replays the identical
+    * md5), and collision-free below ~2⁶⁴ windows (birthday bound), i.e.
+    * beyond a 100 TB corpus — so unlike [[dedupSubstring]]'s SAMPLED
+    * fingerprints, a reported pair is a literal byte-for-byte shared
+    * span, no verification pass needed.
+    *
+    * Scale shape: window emit is scan-side (one row per token position),
+    * the per-doc `distinct` folds repeated windows map-side on the one
+    * (doc, fp) exchange, and candidate generation joins PER FINGERPRINT
+    * VALUE under the same [[MaxBucket]] cap as LSH — a boilerplate
+    * window shared by the whole corpus caps at MaxBucket docs instead of
+    * going quadratic (the cap is the paper's "drop pathological repeats"
+    * rule, made explicit). Never all-pairs.
+    */
+  def dedupWindow50(s: SparkSession, dir: String): DataFrame =
+    windowPairsOf(s, Tables.documents(s, dir))
+
+  private[graft] def windowPairsOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = SpanTokens
+    val toks = docs
+      .withColumn("toks", expr(TextOps.toksExpr))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= k)
+    val wins = toks
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), col("n") - (k - 1))).as("i"))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("toks"), col("i"), lit(k)), " ")).as("fp"))
+      .distinct()
+    val capped = wins
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("bsz") <= MaxBucket)
+      .select("doc_id", "fp")
+    capped.toDF("doc_a", "fp")
+      .join(capped.toDF("doc_b", "fp"), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_win"))
+      .withColumn("est_span_toks", col("n_win") + lit(k - 1))
+  }
+
   private[graft] def substringPairsOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GeoFunctions.register(s)
@@ -903,6 +961,7 @@ object Dedup {
     "dedup_incr_store" -> (LshIndex.dedupIncrStore _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_substring" -> (dedupSubstring _),
+    "dedup_window50" -> (dedupWindow50 _),
     "dedup_decontaminate" -> (dedupDecontaminate _),
     "dedup_bloom" -> (dedupBloom _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -1197,6 +1256,22 @@ object Dedup {
          |FROM cand JOIN sigs a ON a.doc_id = doc_a JOIN sigs b ON b.doc_id = doc_b
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+    "dedup_window50" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), t -> t <> '') AS tk
+         |  FROM documents),
+         |ok AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) >= $SpanTokens),
+         |w AS (SELECT DISTINCT doc_id,
+         |    md5(array_to_string(tk[i:i+${SpanTokens - 1}], ' ')) AS fp
+         |  FROM ok, LATERAL (SELECT unnest(range(1, n - ${SpanTokens - 2})) AS i) r),
+         |b AS (SELECT fp FROM w GROUP BY fp HAVING count(*) <= $MaxBucket),
+         |c AS (SELECT w.doc_id, w.fp FROM w JOIN b USING (fp))
+         |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS n_win,
+         |  CAST(count(*) + ${SpanTokens - 1} AS BIGINT) AS est_span_toks
+         |FROM c a JOIN c b2 USING (fp)
+         |WHERE a.doc_id < b2.doc_id
+         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_substring" -> {
       import graft.functions.TextKernels.{FpSample, RollMod, RollPow, RollWindow}
       val powCase = (0 until RollWindow)

@@ -92,6 +92,31 @@ class PipelineSpec extends SparkSpec {
       "disjoint docs must not pair")
   }
 
+  test("dedup_window50: exact 50-token spans pair with exact window counts") {
+    import spark.implicits._
+    // a shared span of exactly 55 tokens → 55-50+1 = 6 shared windows,
+    // est_span_toks = 55 exactly (one contiguous overlap)
+    val span = (1 to 55).map(i => s"span-token-$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha preamble padding ${span} alpha tail closing words here"),
+      (2L, s"beta different intro ${span} and a beta outro"),
+      // doc 3 shares only 49 tokens — BELOW the granularity, must not pair
+      (3L, "gamma " + (1 to 49).map(i => s"span-token-$i").mkString(" ") + " gamma-end"),
+      (4L, (1 to 60).map(i => s"unrelated-$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.windowPairsOf(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 2L, 6L, 55L)),
+      "exactly the ≥50-token span pair, with the exact window count and span estimate")
+    // candidate parity with the SAMPLED substring dedup: an exact
+    // ≥50-token span is ~300+ shared bytes, so the winnowing fingerprint
+    // candidates (pre-threshold) must contain every window50 pair
+    val substrCands = Dedup.substringPairsOf(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(substrCands.contains((1L, 2L)),
+      "window50 pairs must appear among the sampled-fingerprint candidates")
+  }
+
   test("text_pii: redacts emails, phones, and long digit runs on synthetic rows") {
     import spark.implicits._
     val rows = Seq(
