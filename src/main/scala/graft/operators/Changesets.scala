@@ -167,14 +167,26 @@ object Changesets {
     * nested-loop join, no per-pair geometry: the fact side shuffles on
     * the grid key it would already be bucketed by in a spatial layout.
     */
-  def csRegionJoin(s: SparkSession, dir: String): DataFrame = {
-    val boxes = Tables.nation(s, dir).select(
+  /** The nation-derived 5×4 grid of region boxes shared by the batch
+    * region join and its streaming face.
+    */
+  private[graft] def regionBoxes(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir).select(
       col("n_name").as("country"),
       (col("n_nationkey") % 5).cast("long").as("gx"),
       (col("n_nationkey") / 5).cast("long").as("gy"),
       ((col("n_nationkey") % 5) * 72 - 180).cast("double").as("r_lon_min"),
       (expr("(n_nationkey div 5) * 36 - 90")).cast("double").as("r_lat_min"))
-    val cs = sessionBbox(s, dir)
+
+  /** Grid-cell candidate generation + exact bbox-overlap predicate
+    * against the broadcast region table — the shared kernel of
+    * [[csRegionJoin]] and [[graft.streaming.RegionStream]]. A changeset
+    * frame with null extents loses those rows at the cell explode (a
+    * null sequence explodes to nothing), matching a spatial index that
+    * never returns geometry-less rows.
+    */
+  private[graft] def regionOverlaps(cs: DataFrame, boxes: DataFrame): DataFrame =
+    cs
       // overlapping cells: gx ≥ ceil((min+180)/72)−1, gx ≤ (max+180) div 72
       // (corners are integer-valued, so div is exact floor on the
       // non-negative shifted degrees); the exact predicate below keeps
@@ -185,14 +197,16 @@ object Changesets {
       .withColumn("gy", explode(expr(
         "sequence(greatest(0L, (cast(min_lat as long) + 125) div 36 - 1)," +
           " least(4L, (cast(max_lat as long) + 90) div 36))")))
-    cs.join(broadcast(boxes), Seq("gx", "gy"))
+      .join(broadcast(boxes), Seq("gx", "gy"))
       .filter(col("min_lon") <= col("r_lon_min") + 72 &&
         col("max_lon") >= col("r_lon_min") &&
         col("min_lat") <= col("r_lat_min") + 36 &&
         col("max_lat") >= col("r_lat_min"))
+
+  def csRegionJoin(s: SparkSession, dir: String): DataFrame =
+    regionOverlaps(sessionBbox(s, dir), regionBoxes(s, dir))
       .groupBy("country")
       .agg(count(lit(1)).as("n_changesets"), sum("num_changes").as("n_edits"))
-  }
 
   /** Contribution ← changeset enrichment join (the `--changeset-db` join,
     * docs/CLI.md): each edit gets its changeset struct fields.

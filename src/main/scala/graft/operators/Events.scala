@@ -1195,22 +1195,32 @@ object Events {
     * active last week who didn't return), so no per-user lookahead and
     * no corpus-end edge case.
     *
-    * CAVEAT — observed weeks only: the lag runs over weeks that HAVE
+    * DEFAULT — observed weeks only: the lag runs over weeks that HAVE
     * activity, so a calendar week with zero active users produces no
     * ledger row and its churn is attributed to the next observed week
     * (`active(w−1)` means the previous OBSERVED week). Corpora with
-    * contiguous weekly activity (this table) are unaffected; densify
-    * the weekly frame first if gapped calendars must each carry their
-    * own churn row.
+    * contiguous weekly activity (this table) are unaffected.
+    * `denseWeeks = true` (r14) seeds every calendar week in the
+    * observed [min, max] range with a zero-activity row BEFORE the
+    * churn identity runs, so a gap week carries its own
+    * `n_churned = active(prev)` row and the week after the gap shows
+    * churn 0 — churn lands in its TRUE week on gapped calendars. The
+    * dense domain is `sequence(min, max)` off the 1-row bounds
+    * aggregate: bounded, declarative, no driver loop.
     *
     * Scale shape: one (user, week) distinct collapse (map-side
     * partials), one user-keyed lag window over each user's bounded week
     * list, one aggregate into the weekly domain frame where the churn
-    * identity is a lag on ≤ hundreds of rows.
+    * identity is a lag on ≤ hundreds of rows (dense mode adds only the
+    * bounded calendar left join on that same frame).
     */
-  def lifecycle(s: SparkSession, dir: String): DataFrame = {
+  def lifecycle(s: SparkSession, dir: String): DataFrame =
+    lifecycleOf(Tables.events(s, dir))
+
+  private[graft] def lifecycleOf(events: DataFrame,
+      denseWeeks: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val uw = Tables.events(s, dir)
+    val uw = events
       .select(col("user_id"), expr("(ts div 1000) div 604800000000").as("week"))
       .distinct()
       .withColumn("prev", lag("week", 1).over(
@@ -1219,12 +1229,20 @@ object Events {
         when(col("prev").isNull, "new")
           .when(col("week") - col("prev") === 1, "retained")
           .otherwise("resurrected"))
-    val weekly = uw.groupBy("week").agg(
+    val observed = uw.groupBy("week").agg(
       count(lit(1)).as("n_active"),
       sum(when(col("state") === "new", 1L).otherwise(0L)).as("n_new"),
       sum(when(col("state") === "retained", 1L).otherwise(0L)).as("n_retained"),
       sum(when(col("state") === "resurrected", 1L).otherwise(0L))
         .as("n_resurrected"))
+    val weekly =
+      if (!denseWeeks) observed
+      else observed
+        .agg(min("week").as("lo"), max("week").as("hi"))
+        .select(explode(expr("sequence(lo, hi)")).as("week"))
+        .join(observed, Seq("week"), "left")
+        .select(col("week") +: observed.columns.filter(_ != "week")
+          .map(c => coalesce(col(c), lit(0L)).as(c)): _*)
     weekly
       .withColumn("n_churned",
         coalesce(lag("n_active", 1).over(Window.orderBy("week")), lit(0L)) -

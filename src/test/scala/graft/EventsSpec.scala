@@ -87,6 +87,31 @@ class EventsSpec extends SparkSpec {
     assert(week0 === nUsers)
   }
 
+  test("evt_lifecycle denseWeeks: gap weeks carry their own churn row") {
+    import spark.implicits._
+    // users 1,2 active week 0; NOBODY active week 1; user 1 returns
+    // week 2 (resurrected)
+    val wk = 604800000000L * 1000L // one week in epoch-nanos
+    val ev = Seq((1L, 0L), (2L, 0L), (1L, 2L))
+      .map { case (u, w) => (u, w * wk) }
+      .toDF("user_id", "ts")
+    def rows(dense: Boolean) =
+      Events.lifecycleOf(ev, denseWeeks = dense).orderBy("week").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+    // default (observed weeks only): week 0's churn lands on week 2 —
+    // the documented attribution shift on gapped calendars
+    assert(rows(dense = false).toSeq === Seq(
+      (0L, 2L, 2L, 0L, 0L, 0L),
+      (2L, 1L, 0L, 0L, 1L, 2L)))
+    // dense: the empty week 1 carries the churn (= week 0's actives) and
+    // week 2 correctly shows zero churn
+    assert(rows(dense = true).toSeq === Seq(
+      (0L, 2L, 2L, 0L, 0L, 0L),
+      (1L, 0L, 0L, 0L, 0L, 2L),
+      (2L, 1L, 0L, 0L, 1L, 0L)))
+  }
+
   test("evt_json: extracted sums match an independent JSON parse") {
     val got = Events.jsonExtract(spark, sfDir).collect()
       .map(r => r.getAs[String]("event_type") ->
