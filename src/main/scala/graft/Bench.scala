@@ -58,6 +58,14 @@ object Bench {
     // marker — a failing query must not be indistinguishable from a fast
     // successful one) plus the min, which the re-measure pass uses as the
     // contention detector.
+    // per-key ambient-load ledger (r14): the r13→r14 "quiet drift" hunt
+    // showed sub-second keys inflate ~linearly with the co-located
+    // sandbox load DURING THEIR OWN SLOT, which run-level before/after
+    // loadavgs can't attribute. The max 1-min loadavg seen across a
+    // key's reps lands in the JSON's "key_load" map, so any future
+    // cross-run delta is self-attributing (plan regression reproduces at
+    // equal load; weather doesn't).
+    val keyLoad = scala.collection.mutable.LinkedHashMap[String, Double]()
     def measure(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): (Double, Double) = {
       val times = (1 to reps).map { _ =>
@@ -73,6 +81,7 @@ object Bench {
         // sweep checkpoint/cache blocks OUTSIDE the timed region: leaked
         // storage must not tax later queries (BENCH_r04 regressions)
         GraftSession.releaseStorage(spark)
+        keyLoad(name) = math.max(keyLoad.getOrElse(name, 0.0), load1())
         if (ok) dt else -dt
       }
       val median = times.map(math.abs).sorted.apply(times.length / 2)
@@ -107,10 +116,12 @@ object Bench {
       .mkString("{", ",", "}")
     val rq = remeasured.map { case (k, (m1, m2)) =>
       s"\"" + k + s"\":[$m1,$m2]" }.mkString("{", ",", "}")
+    val kl = keyLoad.map { case (k, l) =>
+      s"\"" + k + "\":" + (math.round(l * 100.0) / 100.0) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(math.abs).sum else 0.0
     val nFailed = results.values.count(_ < 0)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir","reps":$reps,"remeasured":$rq,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir","reps":$reps,"remeasured":$rq,"key_load":$kl,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}"}"""
     // The full per-query line goes to the FILE; stdout gets it too for
     // humans, but the line the driver must parse is the COMPACT one below:
     // the driver keeps only a 2000-char stdout tail, and at 73 keys the
