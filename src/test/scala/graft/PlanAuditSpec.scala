@@ -574,6 +574,25 @@ class PlanAuditSpec extends SparkSpec {
       "geo_dbscan_core neighbor join must stay a hash join on the cell key")
   }
 
+  test("r14 new keys: png decode scan-only, window50 bucket-capped join") {
+    // mm_png: encode+decode+features all live in the one mapPartitions
+    // batch — a pure scan, ZERO exchanges (the mm_features discipline)
+    assert(shuffleCount(plans("mm_png")) === 0,
+      s"mm_png grew a shuffle:\n${plans("mm_png")}")
+    // dedup_window50: per-doc distinct fold + the fp-keyed bucket-cap
+    // window per join branch + the pair rollup. At test scale the
+    // candidate join plans as a BROADCAST of the capped side, so the two
+    // branches keep their own window exchanges (5 total — runtime
+    // exchange reuse dedupes the shared subplan); at scale the same
+    // plan's branches co-partition on fp. The join must stay a hash
+    // join on the fingerprint, never a pair explosion.
+    val w50 = plans("dedup_window50")
+    assert(shuffleCount(w50) <= 5, s"dedup_window50 grew a shuffle:\n$w50")
+    assert(!w50.contains("BroadcastNestedLoopJoin") &&
+      !w50.contains("CartesianProduct"),
+      "dedup_window50 candidates must join on the fingerprint key")
+  }
+
   test("r14: no static broadcast hint on corpus-proportional query frames") {
     // ann_hybrid's probe set and bm25Score's qt/dfq are every-101st-doc
     // frames — corpus-proportional BY CONSTRUCTION — so a pinned
