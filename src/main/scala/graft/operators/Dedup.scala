@@ -550,19 +550,29 @@ object Dedup {
   def dedupWindow50(s: SparkSession, dir: String): DataFrame =
     windowPairsOf(s, Tables.documents(s, dir))
 
-  private[graft] def windowPairsOf(s: SparkSession, docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Per-doc DISTINCT 50-token window fingerprints — the row shape both
+    * [[windowPairsOf]] and the persisted [[WindowIndex]] ingest.
+    */
+  private[graft] def windowRows(docs: DataFrame): DataFrame = {
     val k = SpanTokens
-    val toks = docs
+    docs
       .withColumn("toks", expr(TextOps.toksExpr))
       .withColumn("n", size(col("toks")))
       .filter(col("n") >= k)
-    val wins = toks
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(1), col("n") - (k - 1))).as("i"))
       .select(col("doc_id"),
         md5(array_join(slice(col("toks"), col("i"), lit(k)), " ")).as("fp"))
       .distinct()
+  }
+
+  /** The [[MaxBucket]] cut + fp-keyed pair rollup over a window-row
+    * frame — shared by the one-shot operator and the store probe (the
+    * store serves COMPLETE per-fp buckets, so the cap over its opened
+    * rows equals the cap over the full corpus).
+    */
+  private[graft] def windowPairs(wins: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val capped = wins
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("fp")))
       .filter(col("bsz") <= MaxBucket)
@@ -571,8 +581,11 @@ object Dedup {
       .join(capped.toDF("doc_b", "fp"), "fp")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_win"))
-      .withColumn("est_span_toks", col("n_win") + lit(k - 1))
+      .withColumn("est_span_toks", col("n_win") + lit(SpanTokens - 1))
   }
+
+  private[graft] def windowPairsOf(s: SparkSession, docs: DataFrame): DataFrame =
+    windowPairs(windowRows(docs))
 
   private[graft] def substringPairsOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -962,6 +975,7 @@ object Dedup {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_window50" -> (dedupWindow50 _),
+    "dedup_window_store" -> (WindowIndex.dedupWindowStore _),
     "dedup_decontaminate" -> (dedupDecontaminate _),
     "dedup_bloom" -> (dedupBloom _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -1034,6 +1048,27 @@ object Dedup {
        |FROM inc JOIN sigs a ON a.doc_id = doc_a JOIN sigs b ON b.doc_id = doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  /** DuckDB replay of the 50-token window dedup (tokenize → window →
+    * md5 → MaxBucket cut → pair rollup); `pairFilter` restricts the pair
+    * set (the store key's batch-side predicate).
+    */
+  private def window50Sql(pairFilter: String): String =
+    s"""WITH t AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), t -> t <> '') AS tk
+       |  FROM documents),
+       |ok AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) >= $SpanTokens),
+       |w AS (SELECT DISTINCT doc_id,
+       |    md5(array_to_string(tk[i:i+${SpanTokens - 1}], ' ')) AS fp
+       |  FROM ok, LATERAL (SELECT unnest(range(1, n - ${SpanTokens - 2})) AS i) r),
+       |b AS (SELECT fp FROM w GROUP BY fp HAVING count(*) <= $MaxBucket),
+       |c AS (SELECT w.doc_id, w.fp FROM w JOIN b USING (fp))
+       |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       |  CAST(count(*) AS BIGINT) AS n_win,
+       |  CAST(count(*) + ${SpanTokens - 1} AS BIGINT) AS est_span_toks
+       |FROM c a JOIN c b2 USING (fp)
+       |WHERE a.doc_id < b2.doc_id$pairFilter
+       |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // connected components as a recursive reachability closure + min per
@@ -1256,22 +1291,12 @@ object Dedup {
          |FROM cand JOIN sigs a ON a.doc_id = doc_a JOIN sigs b ON b.doc_id = doc_b
          |ORDER BY doc_a, doc_b""".stripMargin
     },
-    "dedup_window50" ->
-      s"""WITH t AS (SELECT doc_id,
-         |    list_filter(string_split(text, ' '), t -> t <> '') AS tk
-         |  FROM documents),
-         |ok AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) >= $SpanTokens),
-         |w AS (SELECT DISTINCT doc_id,
-         |    md5(array_to_string(tk[i:i+${SpanTokens - 1}], ' ')) AS fp
-         |  FROM ok, LATERAL (SELECT unnest(range(1, n - ${SpanTokens - 2})) AS i) r),
-         |b AS (SELECT fp FROM w GROUP BY fp HAVING count(*) <= $MaxBucket),
-         |c AS (SELECT w.doc_id, w.fp FROM w JOIN b USING (fp))
-         |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
-         |  CAST(count(*) AS BIGINT) AS n_win,
-         |  CAST(count(*) + ${SpanTokens - 1} AS BIGINT) AS est_span_toks
-         |FROM c a JOIN c b2 USING (fp)
-         |WHERE a.doc_id < b2.doc_id
-         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_window50" -> window50Sql(""),
+    // the store key is the one-shot computation restricted to pairs with
+    // a batch (doc_id % 3 = 2) side — exactly what probe-after-append
+    // serves from the persisted index
+    "dedup_window_store" ->
+      window50Sql(" AND (a.doc_id % 3 = 2 OR b2.doc_id % 3 = 2)"),
     "dedup_substring" -> {
       import graft.functions.TextKernels.{FpSample, RollMod, RollPow, RollWindow}
       val powCase = (0 until RollWindow)
