@@ -49,10 +49,44 @@ object WindowIndex {
   def append(spark: SparkSession, docs: DataFrame, indexDir: String,
       numBuckets: Int = 64): Int = {
     val rows = Dedup.windowRows(docs).localCheckpoint(true)
-    try ChangesetStore.appendBucketed(spark, indexDir, rows,
-      Keys, numBuckets, BucketBy)
+    try appendRows(spark, rows, indexDir, numBuckets)
     finally rows.unpersist(blocking = false)
   }
+
+  /** Row-level append for callers that already materialized the batch's
+    * window rows (the streaming ingest computes them ONCE for gate +
+    * probe + append).
+    */
+  private[graft] def appendRows(spark: SparkSession, rows: DataFrame,
+      indexDir: String, numBuckets: Int): Int =
+    ChangesetStore.appendBucketed(spark, indexDir, rows,
+      Keys, numBuckets, BucketBy)
+
+  /** The index's rows under the batch's fingerprints — base + deltas of
+    * only the touched buckets (batch-fp-proportional I/O).
+    */
+  private[graft] def openedFor(spark: SparkSession, indexDir: String,
+      bw: DataFrame, numBuckets: Int): DataFrame = {
+    val fps = bw.select("fp").distinct()
+    val empty = bw.sparkSession.range(0)
+      .select(lit("").as("fp"), lit(0L).as("doc_id"))
+    ChangesetStore
+      .readBucketsFor(spark, indexDir, fps, Keys, numBuckets, BucketBy)
+      .map(_.join(broadcast(fps), Seq("fp"), "left_semi"))
+      .getOrElse(empty)
+  }
+
+  /** Batch doc ids ALREADY present in the index — decidable from exactly
+    * the buckets the probe opens anyway (a doc's rows live only where
+    * its own fps hash), so the at-least-once replay gate costs no extra
+    * I/O. A doc too short to emit any window is never indexed and never
+    * probed — a redelivery of it appends nothing either way.
+    */
+  private[graft] def indexedIds(spark: SparkSession, indexDir: String,
+      bw: DataFrame, numBuckets: Int): DataFrame =
+    openedFor(spark, indexDir, bw, numBuckets)
+      .join(bw, Seq("fp", "doc_id"), "left_semi")
+      .select("doc_id").distinct()
 
   /** Folds pending delta files into their buckets' bases once a bucket
     * accumulates `minDeltas` of them.
@@ -61,8 +95,9 @@ object WindowIndex {
     ChangesetStore.compactBucketed(spark, indexDir, minDeltas)
 
   /** Duplicate-span pairs of `batch` docs against everything the index
-    * holds (including other batch docs, if appended first): opens ONLY
-    * the buckets the batch's fingerprints hash into, semi-joins to the
+    * holds plus the batch itself (order-agnostic: probing before or
+    * after the batch's append gives the same result): opens ONLY the
+    * buckets the batch's fingerprints hash into, semi-joins to the
     * batch's fp set, and runs the SHARED cap + pair rollup
     * ([[Dedup.windowPairs]]) keeping pairs with ≥ 1 batch side. Opened
     * buckets carry complete per-fp postings, so cap and counts equal the
@@ -71,24 +106,29 @@ object WindowIndex {
   def probe(spark: SparkSession, indexDir: String, batch: DataFrame,
       numBuckets: Int = 64): DataFrame = {
     val bw = Dedup.windowRows(batch).localCheckpoint(true)
-    try {
-      val fps = bw.select("fp").distinct()
-      val empty = bw.sparkSession.range(0)
-        .select(lit("").as("fp"), lit(0L).as("doc_id"))
-      val opened = ChangesetStore
-        .readBucketsFor(spark, indexDir, fps, Keys, numBuckets, BucketBy)
-        .map(_.join(broadcast(fps), Seq("fp"), "left_semi"))
-        .getOrElse(empty)
-      val batchIds = bw.select("doc_id").distinct()
-      Dedup.windowPairs(opened.select("doc_id", "fp"))
-        .join(broadcast(batchIds.toDF("doc_a").withColumn("a_new", lit(true))),
-          Seq("doc_a"), "left")
-        .join(broadcast(batchIds.toDF("doc_b").withColumn("b_new", lit(true))),
-          Seq("doc_b"), "left")
-        .filter(coalesce(col("a_new"), lit(false)) ||
-          coalesce(col("b_new"), lit(false)))
-        .select("doc_a", "doc_b", "n_win", "est_span_toks")
-    } finally { bw.unpersist(blocking = false); () }
+    try probeRows(spark, indexDir, bw, numBuckets)
+    finally { bw.unpersist(blocking = false); () }
+  }
+
+  private[graft] def probeRows(spark: SparkSession, indexDir: String,
+      bw: DataFrame, numBuckets: Int): DataFrame = {
+    // index∪batch, (fp, doc_id)-distinct: correct whether the batch was
+    // already appended (opened contains its rows — distinct dedupes) or
+    // not yet (the streaming probe-then-append order) — the LshIndex
+    // .probe discipline
+    val opened = openedFor(spark, indexDir, bw, numBuckets)
+      .select("doc_id", "fp")
+      .unionByName(bw.select("doc_id", "fp"))
+      .distinct()
+    val batchIds = bw.select("doc_id").distinct()
+    Dedup.windowPairs(opened)
+      .join(broadcast(batchIds.toDF("doc_a").withColumn("a_new", lit(true))),
+        Seq("doc_a"), "left")
+      .join(broadcast(batchIds.toDF("doc_b").withColumn("b_new", lit(true))),
+        Seq("doc_b"), "left")
+      .filter(coalesce(col("a_new"), lit(false)) ||
+        coalesce(col("b_new"), lit(false)))
+      .select("doc_a", "doc_b", "n_win", "est_span_toks")
   }
 
   /** Driver-checked key `dedup_window_store`: build on the 80 % corpus
