@@ -359,6 +359,16 @@ object Ann {
         col("frank"), col("lex_rk"), col("sem_rk"))
   }
 
+  /** The 8 deterministic integer hyperplanes shared by [[annLsh]] and
+    * [[annLshMp]] (an offline LSH index ships its planes like IVF ships
+    * centroids).
+    */
+  private val LshPlanes: Seq[Seq[Float]] = (0 until 8).map { p =>
+    (0 until 64).map { i =>
+      (((i + 1).toLong * (p + 3) * 2654435761L) % 2001L - 1000L).toFloat
+    }
+  }
+
   /** Hyperplane-LSH bucketed ANN: 8 deterministic integer hyperplanes →
     * sign-bit bucket; candidates are same-bucket only, then exact cosine
     * top-3. Bucket signs use the same fixed-point dot9 kernel as the
@@ -367,11 +377,7 @@ object Ann {
     * design; PipelineSpec checks containment in the brute-force ranking).
     */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val planes: Seq[Seq[Float]] = (0 until 8).map { p =>
-      (0 until 64).map { i =>
-        (((i + 1).toLong * (p + 3) * 2654435761L) % 2001L - 1000L).toFloat
-      }
-    }
+    val planes = LshPlanes
     def bucketOf(emb: Column): Column =
       (0 until 8).map { p =>
         when(call_function("dot9", emb, typedLit(planes(p))) > 0, lit(1 << p))
@@ -391,6 +397,69 @@ object Ann {
         Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))))
       .filter(col("rnk") <= 3)
       .select("q_id", "n_id", "rnk", "bucket", "cos")
+  }
+
+  /** MULTI-PROBE hyperplane LSH (`ann_lsh_mp`; Lv et al. 2007,
+    * "Multi-Probe LSH") — the standard recall-repair for the bucketing
+    * scheme [[annLsh]] leaves recall-lossy: a query probes its home
+    * bucket PLUS the buckets reached by flipping its two
+    * LOWEST-|MARGIN| hyperplane bits (the planes the query sits closest
+    * to are exactly the signs most likely wrong for its true
+    * neighbors), ~tripling candidates for the same table instead of
+    * tripling the number of hash tables. Margins are the same
+    * fixed-point dot9 values the bucket signs use (ties break to the
+    * lower plane index), so probe selection replays bit-for-bit in the
+    * oracle; `from_flip` marks results only reachable through a flipped
+    * bucket — the recall the home bucket alone would have missed,
+    * load-bearing in the driver check.
+    *
+    * Scale shape: identical to [[annLsh]] — probe derivation is map-side
+    * arithmetic on the query rows (an 8-struct in-row sort), the ×3
+    * explode rides the broadcast query frame, and the base side still
+    * joins on its ONE bucket key. A billion-vector table pays nothing:
+    * multi-probe moves cost onto the (small) query side.
+    */
+  def annLshMp(s: SparkSession, dir: String): DataFrame = {
+    val planes = LshPlanes
+    def dots(emb: Column): Seq[Column] =
+      (0 until 8).map(p => call_function("dot9", emb, typedLit(planes(p))))
+    def bucketOf(emb: Column): Column =
+      dots(emb).zipWithIndex.map { case (d, p) =>
+        when(d > 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+    // the two smallest |margin| planes, ties to the lower index: an
+    // ascending struct-array sort on (|d|, p)
+    def probesOf(emb: Column): Column = {
+      val margins = sort_array(array(dots(emb).zipWithIndex.map {
+        case (d, p) => struct(abs(d).as("m"), lit(p).as("p"))
+      }: _*))
+      def mask(f: Column): Column =
+        (1 until 8).foldLeft(when(f === 0, lit(1))) {
+          case (acc, p) => acc.when(f === p, lit(1 << p))
+        }.otherwise(lit(0))
+      val home = bucketOf(emb)
+      array(home,
+        home.bitwiseXOR(mask(margins.getItem(0).getField("p"))),
+        home.bitwiseXOR(mask(margins.getItem(1).getField("p"))))
+    }
+
+    val e = withNorm(s, dir)
+    val queries = e.filter(col("vec_id") < 8)
+      .withColumn("home", bucketOf(col("embedding")))
+      .withColumn("bucket", explode(probesOf(col("embedding"))))
+      .select(col("bucket"), col("home"), col("vec_id").as("q_id"),
+        col("embedding").as("qe"), col("n2").as("qn2"))
+    val base = e.filter(col("vec_id") >= 8)
+      .withColumn("bucket", bucketOf(col("embedding")))
+      .select(col("bucket"), col("vec_id").as("n_id"),
+        col("embedding").as("ne"), col("n2").as("nn2"))
+    base.join(broadcast(queries), Seq("bucket"))
+      .withColumn("cos", cosine(dotDec(col("qe"), col("ne")), col("qn2"), col("nn2")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))))
+      .filter(col("rnk") <= 3)
+      .withColumn("from_flip", col("bucket") =!= col("home"))
+      .select("q_id", "n_id", "rnk", "cos", "from_flip")
   }
 
   /** K=8 fixed centroids (embeddings of vec_id 8..15) — the offline index
@@ -1231,6 +1300,7 @@ object Ann {
     "ann_hybrid" -> (annHybrid _),
     "ann_range" -> (annRange _),
     "ann_lsh" -> (annLsh _),
+    "ann_lsh_mp" -> (annLshMp _),
     "ann_ivf" -> (annIvf _),
     "ann_cell_stats" -> (annCellStats _),
     "ann_pq" -> (annPq _),
@@ -1472,6 +1542,41 @@ object Ann {
          |  FROM scored)
          |SELECT q_id, n_id, rnk, bucket, cos FROM ranked WHERE rnk <= 3
          |ORDER BY q_id, rnk""".stripMargin,
+    "ann_lsh_mp" ->
+      s"""WITH $flatSql,
+         |pdots AS (SELECT f.vec_id, p.range AS p,
+         |    sum(CAST(round(f.e * ((f.i * (p.range + 3) * 2654435761) % 2001 - 1000)
+         |                   * 1000000000.0) AS BIGINT)) AS d
+         |  FROM flat f, range(0, 8) p
+         |  GROUP BY 1, 2),
+         |buckets AS (SELECT vec_id,
+         |    CAST(sum(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
+         |  FROM pdots GROUP BY 1),
+         |flips AS (SELECT vec_id, p,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY abs(d), p) AS mr
+         |  FROM pdots),
+         |probes AS (SELECT b.vec_id AS q_id, b.bucket AS home, b.bucket AS probe
+         |    FROM buckets b WHERE b.vec_id < 8
+         |  UNION ALL
+         |  SELECT b.vec_id, b.bucket, CAST(xor(b.bucket, 1 << f.p) AS INT)
+         |    FROM buckets b JOIN flips f ON f.vec_id = b.vec_id AND f.mr <= 2
+         |    WHERE b.vec_id < 8),
+         |dots AS (SELECT pr.q_id, b.vec_id AS n_id, pr.home, bb.bucket,
+         |    sum(CAST(round(q.e * b.e * 1000000000.0) AS BIGINT)) AS dot
+         |  FROM probes pr
+         |  JOIN buckets bb ON bb.bucket = pr.probe
+         |  JOIN flat b ON b.vec_id = bb.vec_id
+         |  JOIN flat q ON q.vec_id = pr.q_id AND q.i = b.i
+         |  WHERE bb.vec_id >= 8
+         |  GROUP BY 1, 2, 3, 4),
+         |scored AS (SELECT q_id, n_id, home, bucket,
+         |    (dot / 1e9) / (sqrt(nq.n2 / 1e9) * sqrt(nb.n2 / 1e9)) AS cos
+         |  FROM dots JOIN norm nq ON nq.vec_id = q_id JOIN norm nb ON nb.vec_id = n_id),
+         |ranked AS (SELECT q_id, n_id, home, bucket, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, n_id, rnk, cos, bucket <> home AS from_flip
+         |FROM ranked WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
     "ann_ivf" -> ivfSql,
     "ann_cell_stats" ->
       s"""WITH $flatSql,

@@ -225,6 +225,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ann_lsh_mp dominates single-probe LSH rank for rank") {
+    // multi-probe's candidate set contains the home bucket, so at every
+    // rank a query's multi-probe cosine must be >= its single-probe one
+    val lsh = Ann.annLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getDouble(4)).toMap
+    val mp = Ann.annLshMp(spark, sfDir).collect()
+    assert(mp.nonEmpty)
+    mp.foreach { r =>
+      val key = (r.getLong(0), r.getInt(2))
+      lsh.get(key).foreach { c =>
+        assert(r.getDouble(3) >= c - 1e-12,
+          s"multi-probe rank-${key._2} for query ${key._1} lost cosine vs single-probe")
+      }
+    }
+    // the flip probes must actually contribute results somewhere —
+    // otherwise the technique isn't load-bearing at this scale
+    assert(mp.exists(_.getBoolean(4)),
+      "no top-3 result came from a flipped bucket")
+  }
+
   test("langid predictions beat the 20% uniform-guess floor") {
     // sf0.01: the sf0.001 corpus is too small for the weak lexical signal
     val df = TextOps.textLangid(spark, "/root/testdata/sf0.01")
