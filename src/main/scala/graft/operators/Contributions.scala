@@ -378,6 +378,17 @@ object Contributions {
           call_function("wkb_point", col("lon"), col("lat")))
           .when(col("geom_incomplete"), lit(null))
           .otherwise(col("way_wkb")))
+      // deleted contributions carry the PREVIOUS version's geometry
+      // (docs/faq.md "How can I filter for deleted OSM elements?": raw
+      // OSM provides no geometry for deleted versions, so the reference
+      // assigns the prior version's — that is what makes deletions
+      // spatially filterable). The lag rides the same (type, id)
+      // key every other per-entity window uses.
+      .withColumn("wkb",
+        when(col("status") === "deleted" && col("wkb").isNull,
+          lag("wkb", 1).over(Window.partitionBy("osm_type", "osm_id")
+            .orderBy("osm_version")))
+          .otherwise(col("wkb")))
       .withColumn("geom_valid", !col("geom_incomplete"))
       .drop("way_id", "way_version", "way_wkb", "resolved_pts", "geom_incomplete")
   }

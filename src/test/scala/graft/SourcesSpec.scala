@@ -405,6 +405,28 @@ class SourcesSpec extends SparkSpec {
     java.nio.file.Files.delete(tmp)
   }
 
+  test("withGeometries: deleted contributions carry the previous version's geometry") {
+    import spark.implicits._
+    val members = Seq.empty[(String, Long, String)]
+    // node 7: v1 located, v2 DELETED (raw OSM carries no coords for
+    // deleted versions) — the reference assigns the prior version's
+    // geometry so deletions stay spatially filterable (docs/faq.md)
+    val entities = Seq(
+      ("node", 7L, 1, 1000L, 5L, 9, "u", true, 10.0, 20.0,
+        Map.empty[String, String], null.asInstanceOf[Seq[Long]], members),
+      ("node", 7L, 2, 2000L, 5L, 9, "u", false, Double.NaN, Double.NaN,
+        Map.empty[String, String], null.asInstanceOf[Seq[Long]], members)
+    ).toDF("osm_type", "id", "version", "ts_ms", "changeset", "uid", "user",
+      "visible", "lat", "lon", "tags", "refs", "members")
+    val out = operators.Contributions.withGeometries(entities).collect()
+      .map(r => (r.getAs[Int]("osm_version"), r.getAs[String]("status"),
+        Option(r.getAs[String]("wkb")))).sortBy(_._1)
+    assert(out(0)._2 === "history" && out(0)._3.isDefined)
+    assert(out(1)._2 === "deleted")
+    assert(out(1)._3 === out(0)._3,
+      "the deleted row must carry version 1's point WKB")
+  }
+
   test("withGeometries: same-ts tie-break is by version; unresolvable refs flag the row") {
     import spark.implicits._
     val members = Seq.empty[(String, Long, String)]
