@@ -139,6 +139,25 @@ object Geo {
     sb.toString
   }
 
+  /** Single-ring polygon hex WKB — the Java-callable form codegen uses
+    * (`wkb_poly`); GeometryCollection members reuse it too.
+    */
+  def wkbPolygonRingHex(lons: Array[Double], lats: Array[Double]): String =
+    wkbPolygonHex(Seq((lons, lats)))
+
+  /** Hex WKB (little-endian) geometry collection: each member is a full
+    * WKB hex (with its own byte-order + type header) appended verbatim —
+    * the reference's `relGeometryCollection` fallback encoding
+    * (ContributionGeometry.java:104-111).
+    */
+  def wkbGeometryCollectionHex(members: Seq[String]): String = {
+    val sb = new java.lang.StringBuilder(18 + members.map(_.length).sum)
+    sb.append("0107000000") // LE + geometrycollection
+    appendLeHexInt(sb, members.length)
+    members.foreach(sb.append)
+    sb.toString
+  }
+
   /** Hex WKB (little-endian) multipolygon: each element polygon carries its
     * own byte-order + type header per the WKB spec.
     */
@@ -565,6 +584,32 @@ case class WkbLine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `wkb_poly(lons, lats)` → hex WKB single-ring polygon from two double
+  * arrays (the closed-way area encoding — ContributionGeometry
+  * .wayGeometry's `createPolygon` branch).
+  */
+case class WkbPoly(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "wkb_poly"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    UTF8String.fromString(
+      Geo.wkbPolygonRingHex(x.toDoubleArray(), y.toDoubleArray()))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.Geo.wkbPolygonRingHex($a.toDoubleArray(), $b.toDoubleArray()))")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WkbPoly =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `xz_code(xmin, ymin, xmax, ymax)` → curve position (g=16). */
 case class XZCodeExpr(first: Expression, second: Expression,
     third: Expression, fourth: Expression)
@@ -839,6 +884,7 @@ object GeoFunctions {
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "wkb_point" -> (es => WkbPoint(es(0), es(1))),
     "wkb_line" -> (es => WkbLine(es(0), es(1))),
+    "wkb_poly" -> (es => WkbPoly(es(0), es(1))),
     "wkb_box" -> (es => WkbBox(es(0), es(1), es(2), es(3))),
     "geohash8" -> (es => GeoHash8(es(0), es(1))),
     "xz_code" -> (es => XZCodeExpr(es(0), es(1), es(2), es(3))),

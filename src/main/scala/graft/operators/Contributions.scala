@@ -358,10 +358,19 @@ object Contributions {
       .groupBy("way_id", "way_version")
       .agg(sort_array(collect_list(struct(col("pos"), col("n_lon"), col("n_lat")))).as("pts"))
       .select(col("way_id"), col("way_version"),
-        call_function("wkb_line",
-          expr("transform(pts, p -> p.n_lon)"),
-          expr("transform(pts, p -> p.n_lat)")).as("way_wkb"),
+        expr("transform(pts, p -> p.n_lon)").as("way_xs"),
+        expr("transform(pts, p -> p.n_lat)").as("way_ys"),
         size(col("pts")).as("resolved_pts"))
+      .withColumn("way_wkb", call_function("wkb_line", col("way_xs"), col("way_ys")))
+      // a resolved ring is polygon-capable when it has ≥ 4 points (JTS
+      // LinearRing.MINIMUM_VALID_SIZE — the reference's isValidLineRing)
+      // and does not self-intersect (the reference's geom.isValid gate);
+      // the kernel takes the OPEN ring, so the closing vertex comes off
+      .withColumn("way_ring_ok",
+        col("resolved_pts") >= 4 &&
+          !call_function("ring_self_intersects",
+            expr("slice(way_xs, 1, size(way_xs) - 1)"),
+            expr("slice(way_ys, 1, size(way_ys) - 1)")))
     base
       .join(wayWkb,
         base("osm_id") === wayWkb("way_id") &&
@@ -373,24 +382,45 @@ object Contributions {
       .withColumn("geom_incomplete",
         col("osm_type") === "way" && size(coalesce(col("refs"), array())) > 0 &&
           coalesce(col("resolved_pts"), lit(0)) < size(col("refs")))
+      // closed ways whose tags pass the osm-polygon-features ruleset are
+      // AREAS — Polygon WKB, not LineString (ContributionGeometry
+      // .wayGeometry's isArea branch; ruleset in functions.PolygonFeatures)
+      .withColumn("way_is_area",
+        col("osm_type") === "way" &&
+          graft.functions.PolygonFeatures.isArea(col("tags"), col("refs")) &&
+          coalesce(col("way_ring_ok"), lit(false)))
       .withColumn("wkb",
         when(col("osm_type") === "node" && col("lat").isNotNull && !isnan(col("lat")),
           call_function("wkb_point", col("lon"), col("lat")))
           .when(col("geom_incomplete"), lit(null))
+          .when(col("way_is_area"),
+            call_function("wkb_poly", col("way_xs"), col("way_ys")))
           .otherwise(col("way_wkb")))
+      .withColumn("geometry_type",
+        when(col("osm_type") === "node" && col("lat").isNotNull && !isnan(col("lat")),
+          "Point")
+          .when(col("geom_incomplete"), lit(null))
+          .when(col("way_is_area"), "Polygon")
+          .when(col("way_wkb").isNotNull, "LineString"))
       // deleted contributions carry the PREVIOUS version's geometry
       // (docs/faq.md "How can I filter for deleted OSM elements?": raw
       // OSM provides no geometry for deleted versions, so the reference
       // assigns the prior version's — that is what makes deletions
       // spatially filterable). The lag rides the same (type, id)
       // key every other per-entity window uses.
+      .withColumn("geometry_type",
+        when(col("status") === "deleted" && col("wkb").isNull,
+          lag("geometry_type", 1).over(Window.partitionBy("osm_type", "osm_id")
+            .orderBy("osm_version")))
+          .otherwise(col("geometry_type")))
       .withColumn("wkb",
         when(col("status") === "deleted" && col("wkb").isNull,
           lag("wkb", 1).over(Window.partitionBy("osm_type", "osm_id")
             .orderBy("osm_version")))
           .otherwise(col("wkb")))
       .withColumn("geom_valid", !col("geom_incomplete"))
-      .drop("way_id", "way_version", "way_wkb", "resolved_pts", "geom_incomplete")
+      .drop("way_id", "way_version", "way_wkb", "way_xs", "way_ys",
+        "way_ring_ok", "way_is_area", "resolved_pts", "geom_incomplete")
   }
 
   /** Per-member geometry structs for RELATION rows — the docs'

@@ -412,6 +412,54 @@ object Geometry {
       .drop("tri_self")
   }
 
+  /** Candidate tag values for [[geoWayArea]] — chosen so every ruleset
+    * mode branches both ways: whitelist hits (services/rest_area/elevator,
+    * riverbank/dam, city_wall, station, plant) and misses (primary, park,
+    * yes), blacklist exclusions (coastline/tree_row, cutline/pipeline,
+    * taxiway) and pass-throughs.
+    */
+  private val WayAreaVals = Seq("services", "rest_area", "elevator",
+    "coastline", "tree_row", "riverbank", "dam", "city_wall", "station",
+    "plant", "taxiway", "cutline", "pipeline", "primary", "park", "yes")
+
+  /** Area-vs-line classification of closed ways — the osm-polygon-features
+    * ruleset (ContributionGeometry.isArea:163-172 + polygon_features.csv)
+    * over synthetic ways: each event becomes a way with one derived tag,
+    * an optional `area=no` override (every 11th), and a ref list that
+    * closes for 2 of 3 rows. Exercises the SHARED
+    * [[graft.functions.PolygonFeatures]] column builder that
+    * `Contributions.withGeometries` uses for real way classification.
+    * Scale: one scan + one partial-agg exchange on a 27-key space.
+    */
+  def geoWayArea(s: SparkSession, dir: String): DataFrame = {
+    val keyArr = array(graft.functions.PolygonFeatures.rules.map(r => lit(r._1)): _*)
+    val valArr = array(WayAreaVals.map(lit): _*)
+    Tables.events(s, dir)
+      .select(col("event_id"))
+      .withColumn("tag_key", element_at(keyArr, (col("event_id") % 27 + 1).cast("int")))
+      .withColumn("tag_val", element_at(valArr, (col("event_id") % 16 + 1).cast("int")))
+      .withColumn("closed", col("event_id") % 3 =!= 0)
+      .withColumn("area_no", col("event_id") % 11 === 0)
+      // the synthetic key can itself be "area" — the override then
+      // replaces its value instead of map-concat'ing a duplicate key
+      .withColumn("tags",
+        when(col("tag_key") === "area",
+          map(col("tag_key"),
+            when(col("area_no"), lit("no")).otherwise(col("tag_val"))))
+          .when(col("area_no"),
+            map(col("tag_key"), col("tag_val"), lit("area"), lit("no")))
+          .otherwise(map(col("tag_key"), col("tag_val"))))
+      .withColumn("refs",
+        when(col("closed"), array(lit(1L), lit(2L), lit(3L), lit(1L)))
+          .otherwise(array(lit(1L), lit(2L), lit(3L))))
+      .withColumn("is_area",
+        graft.functions.PolygonFeatures.isArea(col("tags"), col("refs")))
+      .groupBy("tag_key")
+      .agg(count(lit(1)).as("n_ways"),
+        sum(when(col("closed"), 1L).otherwise(0L)).as("n_closed"),
+        sum(when(col("is_area"), 1L).otherwise(0L)).as("n_area"))
+  }
+
   /** Spike-vertex census — the ring-repair primitive
     * (RelationGeometry.removeSpikes / reference GeometryBuilder
     * .mergeSegments:261-283) as a declarative window query: a vertex b is
@@ -754,6 +802,7 @@ object Geometry {
     "geo_simplify" -> (geoSimplify _),
     "geo_knn" -> (geoKnn _),
     "geo_spikes" -> (geoSpikes _),
+    "geo_way_area" -> (geoWayArea _),
     "geo_ring_valid" -> (geoRingValid _),
     "geo_wkt_join" -> (geoWktJoin _),
     "geo_poly_join" -> (geoPolyJoin _),
@@ -1013,6 +1062,38 @@ object Geometry {
     * vertex k → k mod n + 1; non-adjacent pairs = k2 ≥ k1+2 minus the
     * (1, n) wrap pair, matching the kernel's index skip).
     */
+  /** DuckDB replay of geo_way_area. The tag algebra simplifies in the
+    * oracle: with at most two tags {k:v} ∪ {area:"no"}, isArea reduces to
+    * `closed AND NOT area_no AND rule(k, v)` — the `area=no` short-circuit
+    * subsumes every case where the override tag exists (including k="area"
+    * itself, whose value the override replaces), and an `area=no` tag
+    * matching the `area;all` ruleset row is always vetoed by that same
+    * short-circuit, so it never widens the match.
+    */
+  private val wayAreaOracleSql: String = {
+    val keyList = graft.functions.PolygonFeatures.rules
+      .map(r => s"'${r._1}'").mkString(", ")
+    val valList = WayAreaVals.map(v => s"'$v'").mkString(", ")
+    val ruleCase = graft.functions.PolygonFeatures.rules.collect {
+      case (k, "whitelist", vs) =>
+        s"WHEN '$k' THEN v IN (${vs.map(v => s"'$v'").mkString(", ")})"
+      case (k, "blacklist", vs) =>
+        s"WHEN '$k' THEN v NOT IN (${vs.map(v => s"'$v'").mkString(", ")})"
+    }.mkString("\n    ")
+    s"""WITH w AS (
+       |  SELECT [$keyList][CAST(event_id % 27 AS INT) + 1] AS k,
+       |         [$valList][CAST(event_id % 16 AS INT) + 1] AS v,
+       |         (event_id % 3) <> 0 AS closed,
+       |         (event_id % 11) = 0 AS area_no
+       |  FROM events)
+       |SELECT k AS tag_key, count(*) AS n_ways,
+       |  CAST(sum(CASE WHEN closed THEN 1 ELSE 0 END) AS BIGINT) AS n_closed,
+       |  CAST(sum(CASE WHEN closed AND NOT area_no AND (CASE k
+       |    $ruleCase
+       |    ELSE TRUE END) THEN 1 ELSE 0 END) AS BIGINT) AS n_area
+       |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private val ringValidOracleSql: String = {
     def orient(px: String, py: String) =
       s"(e1.bx - e1.ax) * ($py - e1.ay) - (e1.b_y - e1.ay) * ($px - e1.ax)"
@@ -1231,6 +1312,7 @@ object Geometry {
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_spikes
          |FROM tri GROUP BY user_id ORDER BY user_id""".stripMargin,
     "geo_ring_valid" -> ringValidOracleSql,
+    "geo_way_area" -> wayAreaOracleSql,
     "geo_dbscan_core" ->
       s"""WITH pts AS ($ptsSql),
          |l AS (SELECT event_id, xi, yi, xi // 400 AS cx, yi // 400 AS cy FROM pts),

@@ -427,6 +427,42 @@ class SourcesSpec extends SparkSpec {
       "the deleted row must carry version 1's point WKB")
   }
 
+  test("withGeometries: closed polygon-feature ways become Polygon WKB, others stay LineString") {
+    import spark.implicits._
+    val members = Seq.empty[(String, Long, String)]
+    def node(id: Long, lat: Double, lon: Double) =
+      ("node", id, 1, 100L, 5L, 9, "u", true, lat, lon,
+        Map.empty[String, String], null.asInstanceOf[Seq[Long]], members)
+    def way(id: Long, tags: Map[String, String], refs: Seq[Long]) =
+      ("way", id, 1, 900L, 5L, 9, "u", true, Double.NaN, Double.NaN,
+        tags, refs, members)
+    val entities = Seq(
+      node(1L, 0.0, 0.0), node(2L, 0.0, 1.0), node(3L, 1.0, 1.0),
+      // closed + building → area (Polygon)
+      way(10L, Map("building" -> "yes"), Seq(1L, 2L, 3L, 1L)),
+      // closed + highway=primary (whitelist miss) → LineString
+      way(11L, Map("highway" -> "primary"), Seq(1L, 2L, 3L, 1L)),
+      // closed + building + area=no override → LineString
+      way(12L, Map("building" -> "yes", "area" -> "no"), Seq(1L, 2L, 3L, 1L)),
+      // open + building → LineString (ref list does not close)
+      way(13L, Map("building" -> "yes"), Seq(1L, 2L, 3L)),
+      // closed + natural=water (blacklist pass) → Polygon
+      way(14L, Map("natural" -> "water"), Seq(1L, 2L, 3L, 1L))
+    ).toDF("osm_type", "id", "version", "ts_ms", "changeset", "uid", "user",
+      "visible", "lat", "lon", "tags", "refs", "members")
+    val out = operators.Contributions.withGeometries(entities)
+      .filter($"osm_type" === "way")
+      .select("osm_id", "wkb", "geometry_type").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(10L)._1.startsWith("0103") && out(10L)._2 === "Polygon")
+    assert(out(11L)._1.startsWith("0102") && out(11L)._2 === "LineString")
+    assert(out(12L)._1.startsWith("0102") && out(12L)._2 === "LineString")
+    assert(out(13L)._1.startsWith("0102") && out(13L)._2 === "LineString")
+    assert(out(14L)._1.startsWith("0103") && out(14L)._2 === "Polygon")
+    // the polygon carries all 4 ring points of the closed ref walk
+    assert(out(10L)._1.length === 10 + 8 + 8 + 4 * 32)
+  }
+
   test("withGeometries: same-ts tie-break is by version; unresolvable refs flag the row") {
     import spark.implicits._
     val members = Seq.empty[(String, Long, String)]
