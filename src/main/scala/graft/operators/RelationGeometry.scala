@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 import scala.collection.mutable.ArrayBuffer
@@ -254,6 +254,66 @@ object RelationGeometry {
       keys.map(k => map_contains_key(col("tags"), lit(k))).reduce(_ || _))
       .select("rel_id")
     members.join(broadcast(keep), Seq("rel_id"), "left_semi")
+  }
+
+  /** The reference's relation-type gate (ContributionGeometry
+    * .relIsMultipolygon:70-73): only `type=multipolygon` or
+    * `type=boundary` (case-insensitive) relations get ring assembly.
+    */
+  def relIsMultipolygon(tags: Column): Column =
+    lower(coalesce(element_at(tags, lit("type")), lit("")))
+      .isin("multipolygon", "boundary")
+
+  /** Type-gated assembly — the full reference dispatch
+    * (ContributionGeometry.relGeometry:75-80): multipolygon/boundary
+    * relations run ring assembly ([[assemble]], Polygon/MultiPolygon
+    * WKB); every other relation falls back to a GeometryCollection of its
+    * members' line geometries (relGeometryCollection:104-111 — members
+    * with no resolvable geometry are filtered, the rest appended in
+    * deterministic way-id order, matching [[assemble]]'s member order).
+    *
+    * Spark shape: the gate is one broadcast-size join on rel_id; the
+    * collection branch is the same member ⋈ way-geometry shuffle as
+    * assembly followed by a plain hash aggregate — string concat of
+    * member WKB hexes, no per-group imperative work at all.
+    *
+    * @param relTags (rel_id, tags: Map[String, String])
+    */
+  def assembleTyped(members: DataFrame, wayGeoms: DataFrame,
+      relTags: DataFrame, memberLimit: Int = -1): DataFrame = {
+    val typed = relTags.select(col("rel_id"),
+      relIsMultipolygon(col("tags")).as("is_mp"))
+    val tagged = members.join(typed, Seq("rel_id"), "left")
+      .withColumn("is_mp", coalesce(col("is_mp"), lit(false)))
+    val mp = assemble(tagged.filter(col("is_mp")).drop("is_mp"),
+      wayGeoms, memberLimit).toDF()
+      .withColumn("geometry_type",
+        when(substring(col("wkb"), 1, 10) === "0106000000", "MultiPolygon")
+          .otherwise("Polygon"))
+    val coll = tagged.filter(!col("is_mp"))
+      .select(col("rel_id"), col("way_id"))
+      .join(wayGeoms.select(col("way_id"), col("lons"), col("lats")), Seq("way_id"))
+      .groupBy("rel_id")
+      .agg(
+        count(lit(1)).as("n_ways"),
+        sum(size(col("lons"))).cast("int").as("n_points"),
+        array_sort(collect_list(struct(col("way_id"),
+          call_function("wkb_line", col("lons"), col("lats")).as("m_wkb"))))
+          .as("ms"))
+      // WKB geometry collection: 0107 header + LE member count + each
+      // member's full WKB (with its own header) verbatim
+      .select(col("rel_id"), col("n_ways").cast("int").as("n_ways"),
+        lit(0).as("n_rings"), lit(0).as("n_shells"), lit(0).as("n_holes"),
+        lit(false).as("closed"), col("n_points"),
+        lit(0.0).as("area_deg2"),
+        concat(lit("0107000000"),
+          format_string("%02x%02x%02x%02x",
+            expr("n_ways % 256"), expr("(n_ways div 256) % 256"),
+            expr("(n_ways div 65536) % 256"), expr("(n_ways div 16777216) % 256")),
+          concat_ws("", expr("transform(ms, m -> m.m_wkb)"))).as("wkb"),
+        lit(true).as("valid"), lit(0).as("n_repaired"),
+        lit("GeometryCollection").as("geometry_type"))
+    mp.unionByName(coll)
   }
 
   /** @param memberLimit the `--multipolygon-member-limit` contract

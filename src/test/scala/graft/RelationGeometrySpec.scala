@@ -305,4 +305,36 @@ class RelationGeometrySpec extends SparkSpec {
       }
     }
   }
+
+  test("assembleTyped: type gate routes multipolygons to ring assembly, " +
+    "everything else to a GeometryCollection of member lines") {
+    import spark.implicits._
+    val members = Seq(
+      (200L, 1L), (200L, 2L),  // type=multipolygon → ring assembly
+      (300L, 1L), (300L, 2L),  // type=route → collection
+      (400L, 1L)).toDF("rel_id", "way_id") // no tags row → collection
+    val wayGeoms = Seq(
+      (1L, Array(0.0, 10.0, 10.0), Array(0.0, 0.0, 10.0)),
+      (2L, Array(10.0, 0.0, 0.0), Array(10.0, 10.0, 0.0)))
+      .toDF("way_id", "lons", "lats")
+    val relTags = Seq(
+      (200L, Map("type" -> "MultiPolygon")), // case-insensitive like the ref
+      (300L, Map("type" -> "route")))
+      .toDF("rel_id", "tags")
+    val out = RelationGeometry.assembleTyped(members, wayGeoms, relTags)
+      .collect().map(r => r.getAs[Long]("rel_id") ->
+        (r.getAs[String]("wkb"), r.getAs[String]("geometry_type"),
+          r.getAs[Int]("n_ways"))).toMap
+    assert(out(200L)._2 === "Polygon" && out(200L)._1.startsWith("0103"))
+    // collection: 0107 header + LE count 2 + both member line WKBs
+    val lineWkb1 = graft.functions.Geo.wkbLineHex(
+      Array(0.0, 10.0, 10.0), Array(0.0, 0.0, 10.0))
+    assert(out(300L)._2 === "GeometryCollection")
+    assert(out(300L)._1 === "010700000002000000" + lineWkb1 +
+      graft.functions.Geo.wkbLineHex(Array(10.0, 0.0, 0.0), Array(10.0, 10.0, 0.0)))
+    assert(out(300L)._3 === 2)
+    // a relation with no tags row is NOT a multipolygon → collection
+    assert(out(400L)._2 === "GeometryCollection")
+    assert(out(400L)._1 === "010700000001000000" + lineWkb1)
+  }
 }
