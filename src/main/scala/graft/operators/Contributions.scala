@@ -389,18 +389,30 @@ object Contributions {
         col("osm_type") === "way" &&
           graft.functions.PolygonFeatures.isArea(col("tags"), col("refs")) &&
           coalesce(col("way_ring_ok"), lit(false)))
+      // node coordinate-range guard: out-of-bounds lon/lat gets no
+      // geometry (ContributionGeometry.invalid:187-189 → EMPTY point;
+      // null is this engine's no-geometry convention)
+      .withColumn("node_ok",
+        col("osm_type") === "node" && col("lat").isNotNull &&
+          !isnan(col("lat")) && abs(col("lat")) <= 90.0 && abs(col("lon")) <= 180.0)
       .withColumn("wkb",
-        when(col("osm_type") === "node" && col("lat").isNotNull && !isnan(col("lat")),
-          call_function("wkb_point", col("lon"), col("lat")))
+        when(col("node_ok"), call_function("wkb_point", col("lon"), col("lat")))
+          .when(col("osm_type") === "node", lit(null))
           .when(col("geom_incomplete"), lit(null))
           .when(col("way_is_area"),
             call_function("wkb_poly", col("way_xs"), col("way_ys")))
+          // a way whose refs all resolve to ONE point can't be a line —
+          // the reference falls back to Point (wayGeometry:152-155)
+          .when(col("resolved_pts") === 1,
+            call_function("wkb_point",
+              element_at(col("way_xs"), 1), element_at(col("way_ys"), 1)))
           .otherwise(col("way_wkb")))
       .withColumn("geometry_type",
-        when(col("osm_type") === "node" && col("lat").isNotNull && !isnan(col("lat")),
-          "Point")
+        when(col("node_ok"), "Point")
+          .when(col("osm_type") === "node", lit(null))
           .when(col("geom_incomplete"), lit(null))
           .when(col("way_is_area"), "Polygon")
+          .when(col("resolved_pts") === 1, "Point")
           .when(col("way_wkb").isNotNull, "LineString"))
       // deleted contributions carry the PREVIOUS version's geometry
       // (docs/faq.md "How can I filter for deleted OSM elements?": raw
@@ -420,7 +432,8 @@ object Contributions {
           .otherwise(col("wkb")))
       .withColumn("geom_valid", !col("geom_incomplete"))
       .drop("way_id", "way_version", "way_wkb", "way_xs", "way_ys",
-        "way_ring_ok", "way_is_area", "resolved_pts", "geom_incomplete")
+        "way_ring_ok", "way_is_area", "node_ok", "resolved_pts",
+        "geom_incomplete")
   }
 
   /** Per-member geometry structs for RELATION rows — the docs'

@@ -375,4 +375,226 @@ object MediaCodec {
       Some(Raster(w, h, rgb))
     }
   }
+
+  // ---- GIF (89a; single image, 256-entry global color table, LZW) ------
+
+  /** GIF-variant LZW compression of an 8-bit index stream (min code size
+    * 8): variable code width 9→12 growing as the dictionary fills, a
+    * Clear code emitted up front and whenever the table reaches 4096
+    * (resetting to the 258-entry base), End-of-Information last, codes
+    * packed LSB-first.
+    */
+  private def lzwCompress(data: Array[Byte]): Array[Byte] = {
+    val clear = 256; val eoi = 257
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    var width = 9
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt
+      bitCnt += width
+      while (bitCnt >= 8) {
+        out.write((bitBuf & 0xff).toInt)
+        bitBuf >>>= 8; bitCnt -= 8
+      }
+    }
+    var dict = scala.collection.mutable.HashMap[Long, Int]()
+    var next = 258
+    emit(clear)
+    if (data.nonEmpty) {
+      var prefix = data(0) & 0xff
+      var i = 1
+      while (i < data.length) {
+        val k = data(i) & 0xff
+        val key = (prefix.toLong << 8) | k
+        dict.get(key) match {
+          case Some(code) => prefix = code
+          case None =>
+            emit(prefix)
+            dict(key) = next
+            next += 1
+            if (next - 1 == (1 << width) && width < 12) width += 1
+            if (next == 4096) {
+              emit(clear)
+              dict = scala.collection.mutable.HashMap[Long, Int]()
+              next = 258; width = 9
+            }
+            prefix = k
+        }
+        i += 1
+      }
+      emit(prefix)
+    }
+    emit(eoi)
+    if (bitCnt > 0) out.write((bitBuf & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** GIF-variant LZW decompression — the inverse of [[lzwCompress]]:
+    * (prefix-code, last-byte) dictionary entries, the cScSc case (code ==
+    * next free slot) handled, width growth and Clear resets mirrored.
+    * Returns None on a corrupt code stream.
+    */
+  private def lzwDecompress(data: Array[Byte], expected: Int): Option[Array[Byte]] = {
+    val clear = 256; val eoi = 257
+    val out = new java.io.ByteArrayOutputStream(expected)
+    var bitBuf = 0L; var bitCnt = 0; var pos = 0
+    var width = 9
+    def read(): Int = {
+      while (bitCnt < width && pos < data.length) {
+        bitBuf |= (data(pos) & 0xffL) << bitCnt
+        pos += 1; bitCnt += 8
+      }
+      if (bitCnt < width) return -1
+      val code = (bitBuf & ((1L << width) - 1)).toInt
+      bitBuf >>>= width; bitCnt -= width
+      code
+    }
+    // entry i ≥ 258: (prefix code, appended byte); first 256 are literals
+    val prefixOf = new Array[Int](4096); val byteOf = new Array[Int](4096)
+    var next = 258
+    def expand(code: Int): Array[Byte] = {
+      var c = code; var n = 0
+      val buf = new Array[Byte](4096)
+      while (c >= 258) { buf(n) = byteOf(c).toByte; n += 1; c = prefixOf(c) }
+      buf(n) = c.toByte; n += 1
+      val res = new Array[Byte](n)
+      var j = 0
+      while (j < n) { res(j) = buf(n - 1 - j); j += 1 }
+      res
+    }
+    var prev = -1
+    var code = read()
+    while (code != eoi) {
+      if (code < 0 || code > next || code == next && prev < 0) return None
+      if (code == clear) { next = 258; width = 9; prev = -1 }
+      else if (prev < 0) {
+        if (code >= 258) return None
+        out.write(code); prev = code
+      } else {
+        val seq =
+          if (code < next) expand(code)
+          else expand(prev) :+ expand(prev)(0) // cScSc: code == next
+        out.write(seq, 0, seq.length)
+        // the decoder trails the encoder's dictionary by one entry, so
+        // its width bump fires one entry EARLY relative to the encoder's
+        // (encoder: after creating entry 2^w; decoder: when next reaches
+        // 2^w) — the classic GIF "early change" synchronization
+        if (next < 4096) {
+          prefixOf(next) = prev; byteOf(next) = seq(0) & 0xff
+          next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+      code = read()
+    }
+    Some(out.toByteArray)
+  }
+
+  /** GIF89a encoder: header + logical screen descriptor with a 256-entry
+    * global color table, one image descriptor (no interlace, no local
+    * table), the LZW stream framed in ≤255-byte sub-blocks, trailer.
+    * `indices` are row-major top-down palette indices; `palette` is
+    * 256·3 RGB bytes.
+    */
+  def encodeGif(w: Int, h: Int, indices: Array[Byte],
+      palette: Array[Byte]): Array[Byte] = {
+    require(palette.length == 768, "GIF global color table must be 256*3 bytes")
+    val out = new java.io.ByteArrayOutputStream(791 + indices.length)
+    out.write("GIF89a".getBytes(US_ASCII))
+    out.write(le16(w)); out.write(le16(h))
+    out.write(0xf7) // GCT present, color res 8, GCT size 2^(7+1)=256
+    out.write(0); out.write(0) // background index, aspect
+    out.write(palette)
+    out.write(0x2c) // image descriptor
+    out.write(le16(0)); out.write(le16(0)) // left, top
+    out.write(le16(w)); out.write(le16(h))
+    out.write(0) // no local table, no interlace
+    out.write(8) // LZW minimum code size
+    val lzw = lzwCompress(indices)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n)
+      out.write(lzw, off, n)
+      off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** GIF decoder: 87a/89a signature, screen descriptor + global color
+    * table walk, extension blocks skipped by their sub-block framing, the
+    * first image descriptor's LZW stream reassembled from its sub-blocks
+    * and decompressed, indices resolved through the color table into an
+    * RGB [[Raster]]. Interlaced images and local color tables are
+    * rejected (None), as is any truncated or over/under-full pixel
+    * stream.
+    */
+  def decodeGif(bytes: Array[Byte]): Option[Raster] = {
+    if (bytes.length < 14) return None
+    val sig = new String(bytes, 0, 6, US_ASCII)
+    if (sig != "GIF89a" && sig != "GIF87a") return None
+    var pos = 6
+    val sw = readLe16(bytes, pos); val sh = readLe16(bytes, pos + 2)
+    val flags = bytes(pos + 4) & 0xff
+    pos += 7
+    var palette: Array[Byte] = null
+    if ((flags & 0x80) != 0) {
+      val n = 3 * (1 << ((flags & 7) + 1))
+      if (pos + n > bytes.length) return None
+      palette = java.util.Arrays.copyOfRange(bytes, pos, pos + n)
+      pos += n
+    }
+    while (pos < bytes.length) {
+      (bytes(pos) & 0xff) match {
+        case 0x21 => // extension: label byte then sub-blocks to a 0 byte
+          pos += 2
+          while (pos < bytes.length && (bytes(pos) & 0xff) != 0)
+            pos += 1 + (bytes(pos) & 0xff)
+          pos += 1
+        case 0x2c =>
+          if (pos + 10 > bytes.length) return None
+          val iw = readLe16(bytes, pos + 5); val ih = readLe16(bytes, pos + 7)
+          val iflags = bytes(pos + 9) & 0xff
+          pos += 10
+          if ((iflags & 0xc0) != 0) return None // local table / interlace
+          if (palette == null || iw <= 0 || ih <= 0 ||
+            iw > sw || ih > sh) return None
+          if (pos >= bytes.length) return None
+          val minCode = bytes(pos) & 0xff
+          if (minCode != 8) return None
+          pos += 1
+          val lzw = new java.io.ByteArrayOutputStream()
+          var bs = if (pos < bytes.length) bytes(pos) & 0xff else -1
+          while (bs > 0) {
+            if (pos + 1 + bs > bytes.length) return None
+            lzw.write(bytes, pos + 1, bs)
+            pos += 1 + bs
+            bs = if (pos < bytes.length) bytes(pos) & 0xff else -1
+          }
+          if (bs != 0) return None
+          return lzwDecompress(lzw.toByteArray, iw * ih).flatMap { idx =>
+            if (idx.length != iw * ih) None
+            else {
+              val rgb = new Array[Byte](iw * ih * 3)
+              var i = 0
+              while (i < idx.length) {
+                val p = 3 * (idx(i) & 0xff)
+                if (p + 2 >= palette.length) return None
+                rgb(3 * i) = palette(p)
+                rgb(3 * i + 1) = palette(p + 1)
+                rgb(3 * i + 2) = palette(p + 2)
+                i += 1
+              }
+              Some(Raster(iw, ih, rgb))
+            }
+          }
+        case 0x3b => return None // trailer before any image
+        case _ => return None
+      }
+    }
+    None
+  }
 }

@@ -499,7 +499,68 @@ object Multimodal {
     }.toDF("doc_id", "fmt", "magic_hex", "feat_str")
   }
 
+  /** 256-entry GIF global color table: identity greys, or the
+    * deterministic RGB ramp the oracle replays arithmetically
+    * (r = 7i+13, g = 11i+29, b = 13i+37, mod 256).
+    */
+  private def gifPalette(rgb: Boolean): Array[Byte] = {
+    val p = new Array[Byte](768)
+    var i = 0
+    while (i < 256) {
+      if (rgb) {
+        p(3 * i) = ((i * 7 + 13) % 256).toByte
+        p(3 * i + 1) = ((i * 11 + 29) % 256).toByte
+        p(3 * i + 2) = ((i * 13 + 37) % 256).toByte
+      } else {
+        p(3 * i) = i.toByte; p(3 * i + 1) = i.toByte; p(3 * i + 2) = i.toByte
+      }
+      i += 1
+    }
+    p
+  }
+
+  /** GIF ingest (`mm_gif`) — the palette-indexed sibling of [[mmPng]]:
+    * each document's bytes become the INDEX stream of a real GIF89a
+    * (LZW-compressed, 255-byte sub-blocks, 256-entry global color table —
+    * identity greys for odd doc ids, a deterministic RGB ramp for even),
+    * then decode back through the full chunk walk + LZW + palette
+    * lookup. Features are the positional-checksum discipline over the
+    * decoded RGB plane, so a broken LZW width bump, a mis-framed
+    * sub-block or a skipped palette indirection breaks the oracle
+    * compare (the oracle recomputes pixels as palette arithmetic over
+    * the source bytes — encode∘decode is the identity on indices).
+    *
+    * Scale shape: identical to mm_features — per-row decode in one
+    * `mapPartitions` batch, a pure scan at 100 TB.
+    */
+  def mmGif(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val inputs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, "gifrgb").otherwise("gifgrey").as("fmt"),
+        encode(col("text"), "utf-8").as("payload"))
+      .as[MMInput]
+    inputs.mapPartitions { batch =>
+      val palRgb = gifPalette(rgb = true)
+      val palGrey = gifPalette(rgb = false)
+      batch.flatMap { in =>
+        val h = math.min(in.payload.length / ImgW, MaxRows)
+        if (h < 1) None
+        else {
+          val idx = java.util.Arrays.copyOf(in.payload, h * ImgW)
+          val payload = MediaCodec.encodeGif(ImgW, h, idx,
+            if (in.fmt == "gifrgb") palRgb else palGrey)
+          MediaCodec.decodeGif(payload).map { r =>
+            val f = features(in, payload, r)
+            (f.doc_id, f.fmt, f.magic_hex, f.feat_str)
+          }
+        }
+      }
+    }.toDF("doc_id", "fmt", "magic_hex", "feat_str")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_gif" -> (mmGif _),
     "mm_png" -> (mmPng _),
     "mm_audio" -> (mmAudio _),
     "mm_silence" -> (mmSilence _),
@@ -513,6 +574,38 @@ object Multimodal {
     "mm_colorhist" -> (mmColorhist _))
 
   val oracles: Map[String, String] = Map(
+    "mm_gif" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'gifrgb' ELSE 'gifgrey' END AS fmt,
+        |    lower(hex(encode(text))) AS hx,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents),
+        |dim AS (SELECT doc_id, fmt, hx, 16 AS w, least(nb // 16, 64) AS h
+        |  FROM d),
+        |ok AS (SELECT * FROM dim WHERE h >= 1),
+        |ix AS (SELECT doc_id, fmt, w, h, i,
+        |    CAST(('0x' || substr(hx, 2*i + 1, 2)) AS BIGINT) AS v
+        |  FROM ok, LATERAL (SELECT unnest(range(0, CAST(w * h AS BIGINT))) AS i) rr),
+        |px AS (SELECT doc_id, fmt, w, h, i,
+        |    CASE WHEN fmt = 'gifgrey' THEN v ELSE (v * 7 + 13) % 256 END AS r,
+        |    CASE WHEN fmt = 'gifgrey' THEN v ELSE (v * 11 + 29) % 256 END AS g,
+        |    CASE WHEN fmt = 'gifgrey' THEN v ELSE (v * 13 + 37) % 256 END AS b
+        |  FROM ix),
+        |lm AS (SELECT *, (299*r + 587*g + 114*b) // 1000 AS lum FROM px),
+        |agg AS (SELECT doc_id, any_value(fmt) AS fmt, any_value(w) AS w, any_value(h) AS h,
+        |    CAST((sum(r) * 1000000) // count(*) AS BIGINT) AS mr,
+        |    CAST((sum(g) * 1000000) // count(*) AS BIGINT) AS mg,
+        |    CAST((sum(b) * 1000000) // count(*) AS BIGINT) AS mb,
+        |    min(CASE WHEN i = 0 THEN lum END) AS lum_first,
+        |    min(CASE WHEN i = w * h - 1 THEN lum END) AS lum_last,
+        |    CAST(sum((i + 1) * lum) % 1000003 AS BIGINT) AS poschk
+        |  FROM lm GROUP BY doc_id)
+        |SELECT doc_id, fmt, '47494638' AS magic_hex,
+        |  CAST(w AS VARCHAR) || ',' || CAST(h AS VARCHAR) || ',' ||
+        |    CAST(mr AS VARCHAR) || ',' || CAST(mg AS VARCHAR) || ',' ||
+        |    CAST(mb AS VARCHAR) || ',' || CAST(lum_first AS VARCHAR) || ',' ||
+        |    CAST(lum_last AS VARCHAR) || ',' || CAST(poschk AS VARCHAR) AS feat_str
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "mm_png" ->
       """WITH d AS (SELECT doc_id,
         |    CASE WHEN doc_id % 2 = 0 THEN 'rgb' ELSE 'grey' END AS fmt,

@@ -174,4 +174,80 @@ class MediaCodecSpec extends AnyFunSuite {
       pngChunk("IDAT", deflate(Array[Byte](0, 9, 9))) ++ pngChunk("IEND", Array.empty[Byte])
     assert(MediaCodec.decodePng(png3).isEmpty, "16-bit depth is out of scope → None")
   }
+
+  private def greyPal: Array[Byte] = {
+    val p = new Array[Byte](768)
+    var i = 0
+    while (i < 256) { p(3 * i) = i.toByte; p(3 * i + 1) = i.toByte; p(3 * i + 2) = i.toByte; i += 1 }
+    p
+  }
+
+  test("GIF: exact wire bytes of a tiny image (hand-computed LZW stream)") {
+    // indices [1,2,1,2,1]: codes 256,1,2,258,1,257 at 9 bits, LSB-first
+    // packing → 00 03 08 10 18 20 20 (derived by hand from the GIF LZW
+    // spec; a wrong clear code, width, or packing order changes these)
+    val enc = MediaCodec.encodeGif(5, 1, Array[Byte](1, 2, 1, 2, 1), greyPal)
+    val hex = enc.map(b => f"${b & 0xff}%02x").mkString
+    assert(hex.startsWith("474946383961" + "05000100" + "f7" + "0000"),
+      "GIF89a header + LE screen dims + GCT flags")
+    val afterPal = hex.drop(2 * (13 + 768))
+    assert(afterPal === "2c" + "00000000" + "05000100" + "00" + // image descriptor
+      "08" + // LZW min code size
+      "07" + "00030810182020" + // one 7-byte sub-block, hand-packed codes
+      "00" + "3b")
+    val r = MediaCodec.decodeGif(enc).get
+    assert(r.w === 5 && r.h === 1)
+    assert((0 until 5).map(i => r.rgb(3 * i) & 0xff) === Seq(1, 2, 1, 2, 1))
+  }
+
+  test("GIF: round-trips survive width growth, dict reset and multi-sub-block framing") {
+    // incompressible pseudo-random indices force the 9→10→11→12 width
+    // ladder AND a dictionary reset (≳4096 fresh pairs), and the LZW
+    // stream spans many 255-byte sub-blocks
+    val n = 16 * 64 * 12 // codec-level test beyond the pipeline's h cap
+    val idx = Array.tabulate(n)(i => ((i * 37 + (i * i % 251) + 11) % 256).toByte)
+    val enc = MediaCodec.encodeGif(16, n / 16, idx, greyPal)
+    assert(enc.length > 255 + 791, "stream must span multiple sub-blocks")
+    val r = MediaCodec.decodeGif(enc).get
+    assert(r.w === 16 && r.h === n / 16)
+    var i = 0
+    while (i < n) {
+      assert((r.rgb(3 * i) & 0xff) === (idx(i) & 0xff), s"pixel $i")
+      i += 1
+    }
+    // highly repetitive data exercises the cScSc (code == next) path
+    val rep = Array.tabulate(2048)(i => (i % 3).toByte)
+    val enc2 = MediaCodec.encodeGif(16, 128, rep, greyPal)
+    val r2 = MediaCodec.decodeGif(enc2).get
+    assert((0 until 2048).forall(i => (r2.rgb(3 * i) & 0xff) === i % 3))
+  }
+
+  test("GIF: palette indirection, GIF87a, extension skipping, corrupt rejection") {
+    val pal = new Array[Byte](768)
+    var i = 0
+    while (i < 256) {
+      pal(3 * i) = ((i * 7 + 13) % 256).toByte
+      pal(3 * i + 1) = ((i * 11 + 29) % 256).toByte
+      pal(3 * i + 2) = ((i * 13 + 37) % 256).toByte
+      i += 1
+    }
+    val enc = MediaCodec.encodeGif(4, 1, Array[Byte](0, 1, 2, -1), pal)
+    val r = MediaCodec.decodeGif(enc).get
+    assert((r.rgb(0) & 0xff, r.rgb(1) & 0xff, r.rgb(2) & 0xff) === ((13, 29, 37)))
+    assert((r.rgb(9) & 0xff) === (255 * 7 + 13) % 256, "index 255 resolves through the table")
+    // GIF87a signature is accepted; an injected comment extension is skipped
+    val v87 = enc.clone(); v87(4) = '7'.toByte
+    assert(MediaCodec.decodeGif(v87).isDefined)
+    val hdrLen = 13 + 768
+    val ext = Array[Byte](0x21, 0xfe.toByte, 3, 'h', 'i', '!', 0)
+    val withExt = enc.take(hdrLen) ++ ext ++ enc.drop(hdrLen)
+    val re = MediaCodec.decodeGif(withExt).get
+    assert((re.rgb(3) & 0xff) === 20, "image after a skipped extension still decodes")
+    // truncated sub-block, bad signature, interlace flag → None
+    assert(MediaCodec.decodeGif(enc.dropRight(6)).isEmpty)
+    val badSig = enc.clone(); badSig(0) = 'X'.toByte
+    assert(MediaCodec.decodeGif(badSig).isEmpty)
+    val inter = enc.clone(); inter(hdrLen + 9) = 0x40.toByte
+    assert(MediaCodec.decodeGif(inter).isEmpty, "interlace is out of scope → None")
+  }
 }

@@ -463,6 +463,29 @@ class SourcesSpec extends SparkSpec {
     assert(out(10L)._1.length === 10 + 8 + 8 + 4 * 32)
   }
 
+  test("withGeometries: out-of-range nodes get no geometry; 1-point ways fall back to Point") {
+    import spark.implicits._
+    val members = Seq.empty[(String, Long, String)]
+    val entities = Seq(
+      // lat beyond +/-90 — the reference's invalid() guard
+      ("node", 20L, 1, 100L, 5L, 9, "u", true, 91.5, 10.0,
+        Map.empty[String, String], null.asInstanceOf[Seq[Long]], members),
+      ("node", 21L, 1, 100L, 5L, 9, "u", true, 45.0, 10.0,
+        Map.empty[String, String], null.asInstanceOf[Seq[Long]], members),
+      // a way with a single ref resolves to one coordinate → Point
+      ("way", 30L, 1, 900L, 5L, 9, "u", true, Double.NaN, Double.NaN,
+        Map.empty[String, String], Seq(21L), members)
+    ).toDF("osm_type", "id", "version", "ts_ms", "changeset", "uid", "user",
+      "visible", "lat", "lon", "tags", "refs", "members")
+    val out = operators.Contributions.withGeometries(entities).collect()
+      .map(r => r.getAs[Long]("osm_id") ->
+        (Option(r.getAs[String]("wkb")), r.getAs[String]("geometry_type"))).toMap
+    assert(out(20L)._1.isEmpty && out(20L)._2 === null)
+    assert(out(21L)._1.exists(_.startsWith("0101")) && out(21L)._2 === "Point")
+    assert(out(30L)._1.exists(_.startsWith("0101")) && out(30L)._2 === "Point",
+      "single-resolved-point way must encode as Point, not a 1-vertex line")
+  }
+
   test("withGeometries: same-ts tie-break is by version; unresolvable refs flag the row") {
     import spark.implicits._
     val members = Seq.empty[(String, Long, String)]
