@@ -280,7 +280,7 @@ object RelationGeometry {
     * @param relTags (rel_id, tags: Map[String, String])
     */
   def assembleTyped(members: DataFrame, wayGeoms: DataFrame,
-      relTags: DataFrame, memberLimit: Int = -1): DataFrame = {
+      relTags: DataFrame, memberLimit: Int = 500): DataFrame = {
     val typed = relTags.select(col("rel_id"),
       relIsMultipolygon(col("tags")).as("is_mp"))
     val tagged = members.join(typed, Seq("rel_id"), "left")
@@ -321,11 +321,13 @@ object RelationGeometry {
     *                    member ways than the limit skip ring assembly
     *                    (marker row: 0 rings, invalid, empty WKB) — the
     *                    cost guard against pathological mega-relations.
-    *                    -1 (default) assembles everything; 0 assembles
-    *                    nothing.
+    *                    Default 500 — the reference's own CLI default
+    *                    (`multipolygonMembersLimit = 500`,
+    *                    Contributions.java:102-107 / docs/faq.md); -1
+    *                    assembles everything, 0 assembles nothing.
     */
   def assemble(members: DataFrame, wayGeoms: DataFrame,
-      memberLimit: Int = -1): Dataset[RelationRings] = {
+      memberLimit: Int = 500): Dataset[RelationRings] = {
     val spark = members.sparkSession
     import spark.implicits._
     members.select(col("rel_id"), col("way_id"))

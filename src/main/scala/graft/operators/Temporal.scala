@@ -93,10 +93,37 @@ object Temporal {
         col("trigger").as("trig"), col("osm_minor_version"))
   }
 
+  /** Changeset-granularity minors (the reference-faithful grouping —
+    * [[MinorVersions.computeChangesets]]): the same synthetic
+    * way/node-edit frames as `minor_versions` plus a coarse changeset id
+    * (`event_id % 7`), so same-changeset runs genuinely collapse and
+    * edits sharing the major's changeset genuinely fold away.
+    */
+  def minorVersionsCs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+    val ways = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("way_id"), col("ts_us").as("valid_from"),
+        col("event_id"))
+      .withColumn("osm_version", row_number().over(
+        Window.partitionBy("way_id").orderBy("valid_from", "event_id")))
+      .withColumn("changeset", col("event_id") % 7)
+      .withColumn("refs", array(col("way_id") % 100,
+        (col("way_id") + 37) % 100, col("event_id") % 100))
+      .select("way_id", "osm_version", "valid_from", "changeset", "refs")
+    val nodeEdits = e.filter(col("event_type") === "view")
+      .select((col("event_id") % 100).as("node_id"), col("ts_us").as("ts"),
+        (col("event_id") % 7).as("changeset"))
+    MinorVersions.computeChangesets(ways, nodeEdits)
+      .select(col("way_id"), col("osm_version"), col("ts"),
+        col("changeset").as("cs"), col("n_edits"), col("osm_minor_version"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_asof" -> (q13Asof _),
     "q34_asof_near" -> (q34AsofNear _),
-    "minor_versions" -> (minorVersions _))
+    "minor_versions" -> (minorVersions _),
+    "minor_versions_cs" -> (minorVersionsCs _))
 
   val oracles: Map[String, String] = Map(
     "q13_asof" ->
@@ -167,5 +194,51 @@ object Temporal {
         |un AS (SELECT * FROM major UNION ALL SELECT * FROM member_edits)
         |SELECT way_id, osm_version, ts, trig,
         |  CAST(row_number() OVER (PARTITION BY way_id, osm_version ORDER BY ts, trig) - 1 AS INT) AS osm_minor_version
+        |FROM un ORDER BY way_id, osm_version, osm_minor_version""".stripMargin,
+    "minor_versions_cs" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |ways AS (
+        |  SELECT user_id AS way_id, ts_us AS valid_from, event_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS INT) AS osm_version
+        |  FROM e WHERE event_type = 'click'),
+        |vers AS (
+        |  SELECT way_id, osm_version, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY way_id ORDER BY osm_version) AS valid_to,
+        |    event_id % 7 AS major_cs,
+        |    [way_id % 100, (way_id + 37) % 100, event_id % 100] AS refs
+        |  FROM ways),
+        |nodes AS (SELECT event_id % 100 AS node_id, ts_us AS ts, event_id % 7 AS edit_cs
+        |          FROM e WHERE event_type = 'view'),
+        |member_edits AS (
+        |  -- collapsed per (ts, cs): the window order below is then TOTAL,
+        |  -- so brk and grp (two separate window sorts) cannot disagree on
+        |  -- tied rows
+        |  SELECT v.way_id, v.osm_version, n.ts, n.edit_cs, count(*) AS cnt
+        |  FROM (SELECT way_id, osm_version, valid_from, valid_to, major_cs, unnest(refs) AS node_id
+        |        FROM vers) v
+        |  JOIN nodes n ON n.node_id = v.node_id
+        |  WHERE n.ts > v.valid_from AND (v.valid_to IS NULL OR n.ts < v.valid_to)
+        |    AND n.edit_cs <> v.major_cs
+        |  GROUP BY v.way_id, v.osm_version, n.ts, n.edit_cs),
+        |runs AS (
+        |  SELECT way_id, osm_version, ts, edit_cs, cnt,
+        |    CASE WHEN lag(edit_cs) OVER w IS NULL
+        |         OR lag(edit_cs) OVER w <> edit_cs THEN 1 ELSE 0 END AS brk
+        |  FROM member_edits
+        |  WINDOW w AS (PARTITION BY way_id, osm_version ORDER BY ts, edit_cs)),
+        |grps AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY way_id, osm_version ORDER BY ts, edit_cs
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM runs),
+        |g AS (
+        |  SELECT way_id, osm_version, max(ts) AS ts, min(edit_cs) AS cs,
+        |    sum(cnt) AS n_edits, grp
+        |  FROM grps GROUP BY way_id, osm_version, grp),
+        |major AS (SELECT way_id, osm_version, valid_from AS ts, major_cs AS cs,
+        |    CAST(0 AS BIGINT) AS n_edits, CAST(0 AS BIGINT) AS grp FROM vers),
+        |un AS (SELECT * FROM major UNION ALL SELECT * FROM g)
+        |SELECT way_id, osm_version, ts, CAST(cs AS BIGINT) AS cs,
+        |  CAST(n_edits AS BIGINT) AS n_edits,
+        |  CAST(row_number() OVER (PARTITION BY way_id, osm_version ORDER BY grp) - 1 AS INT) AS osm_minor_version
         |FROM un ORDER BY way_id, osm_version, osm_minor_version""".stripMargin)
 }

@@ -12,7 +12,7 @@ class EntrySpec extends SparkSpec {
     * this pins the inventory so the suite fails before the driver does.
     * Bump this number together with SURVEY §2 when adding keys.
     */
-  val declaredKeys = 239
+  val declaredKeys = 240
 
   test(s"driver contract: SparkEntry.queries matches SURVEY §2 ($declaredKeys keys)") {
     assert(

@@ -864,4 +864,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plans("geo_antimeridian").contains("Join"),
       "geo_antimeridian needs no join")
   }
+
+  test("round-14d keys: geo_way_area one agg exchange, mm_gif scan-only, " +
+    "minor_versions_cs keyed equi-joins") {
+    // geo_way_area: ruleset is pure boolean columns over one scan + one
+    // 27-key partial aggregate
+    assert(shuffleCount(plans("geo_way_area")) <= 1,
+      s"geo_way_area is one scan + one agg exchange:\n${plans("geo_way_area")}")
+    assert(!plans("geo_way_area").contains("Join"),
+      "geo_way_area needs no join")
+    // mm_gif: per-row codec work in mapPartitions — a pure scan
+    assert(shuffleCount(plans("mm_gif")) === 0,
+      s"mm_gif must stay scan-only:\n${plans("mm_gif")}")
+    // minor_versions_cs: the binned interval join must stay a keyed
+    // equi-join (node_id, bin) — never an all-pairs shape — and the
+    // run-group window + per-run aggregate ride bounded exchanges
+    assert(!plans("minor_versions_cs").contains("BroadcastNestedLoopJoin") &&
+      !plans("minor_versions_cs").contains("CartesianProduct"),
+      "minor_versions_cs must join on (node_id, bin)")
+    assert(shuffleCount(plans("minor_versions_cs")) <= 7,
+      s"minor_versions_cs exchange budget:\n${plans("minor_versions_cs")}")
+  }
 }
