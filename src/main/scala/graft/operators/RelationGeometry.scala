@@ -11,8 +11,10 @@ case class MemberLine(rel_id: Long, way_id: Long,
 
 /** Assembled relation geometry. `valid` = false when the ring set still
   * trips the reference's throw paths AFTER repair
-  * (GeometryBuilder.java:52-110, 245-252): a self-intersecting ring or two
-  * rings that touch, share a vertex, or overlap. The repair itself —
+  * (GeometryBuilder.java:52-110, 245-252): a self-intersecting ring, or
+  * two rings whose interiors meet (proper crossing / collinear edge
+  * overlap — single-POINT contact between rings is legal geometry, per
+  * the reference's own 706_mod fixture). The repair itself —
   * duplicate member ways skipped (splitWays:263-266) and
   * backtracking/overlapping segment removal (mergeSegments:261-283) — runs
   * first and is reported in `n_repaired` (vertices removed + ways
@@ -45,7 +47,11 @@ object RelationGeometry {
 
   /** Chain ways into rings: repeatedly extend the current chain with an
     * unused way that starts or ends at the chain's endpoint (reversing as
-    * needed); a chain closes when it returns to its first point.
+    * needed); a chain closes when it returns to its first point. At a
+    * junction with several continuation candidates, a way whose far end
+    * returns to the chain START is preferred — at a degree-4 node where
+    * two rings meet (the reference's 706_mod fixture), plain first-match
+    * chaining would thread both rings into one figure-eight.
     */
   def stitch(ways: Seq[(Array[Double], Array[Double])]): Seq[(ArrayBuffer[Double], ArrayBuffer[Double], Boolean)] = {
     val remaining = ArrayBuffer.from(ways)
@@ -56,7 +62,13 @@ object RelationGeometry {
       val ys = ArrayBuffer.from(la)
       var extended = true
       while (extended && !(xs.length > 3 && xs.head == xs.last && ys.head == ys.last)) {
-        val i = remaining.indexWhere { case (wx, wy) =>
+        val closing = remaining.indexWhere { case (wx, wy) =>
+          (wx.head == xs.last && wy.head == ys.last &&
+            wx.last == xs.head && wy.last == ys.head) ||
+            (wx.last == xs.last && wy.last == ys.last &&
+              wx.head == xs.head && wy.head == ys.head)
+        }
+        val i = if (closing >= 0) closing else remaining.indexWhere { case (wx, wy) =>
           (wx.head == xs.last && wy.head == ys.last) ||
             (wx.last == xs.last && wy.last == ys.last)
         }
@@ -180,22 +192,67 @@ object RelationGeometry {
     false
   }
 
-  /** Whether two closed rings share any point (vertex or edge contact) —
-    * the touching/overlapping-polygons condition the reference repairs or
-    * rejects.
+  /** Contact class of two segments: 0 = disjoint, 1 = single-point touch
+    * (shared endpoint or endpoint-on-edge — OGC-legal between rings),
+    * 2 = proper crossing or collinear overlap of positive length
+    * (interiors meet — invalid). Exact for grid-valued doubles.
     */
-  def ringsTouch(ax: Seq[Double], ay: Seq[Double],
-      bx: Seq[Double], by: Seq[Double]): Boolean = {
+  def segContact(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double, dx: Double, dy: Double): Int = {
+    def orient(px: Double, py: Double, qx: Double, qy: Double,
+        rx: Double, ry: Double): Double =
+      (qx - px) * (ry - py) - (qy - py) * (rx - px)
+    def onSeg(px: Double, py: Double, qx: Double, qy: Double,
+        rx: Double, ry: Double): Boolean =
+      math.min(px, qx) <= rx && rx <= math.max(px, qx) &&
+        math.min(py, qy) <= ry && ry <= math.max(py, qy)
+    val o1 = orient(ax, ay, bx, by, cx, cy)
+    val o2 = orient(ax, ay, bx, by, dx, dy)
+    val o3 = orient(cx, cy, dx, dy, ax, ay)
+    val o4 = orient(cx, cy, dx, dy, bx, by)
+    if (o1 != 0 || o2 != 0 || o3 != 0 || o4 != 0) {
+      if (((o1 > 0) != (o2 > 0)) && ((o3 > 0) != (o4 > 0)) &&
+        o1 != 0 && o2 != 0 && o3 != 0 && o4 != 0) 2 // proper crossing
+      else if ((o1 == 0 && onSeg(ax, ay, bx, by, cx, cy)) ||
+        (o2 == 0 && onSeg(ax, ay, bx, by, dx, dy)) ||
+        (o3 == 0 && onSeg(cx, cy, dx, dy, ax, ay)) ||
+        (o4 == 0 && onSeg(cx, cy, dx, dy, bx, by))) 1 // point touch
+      else 0
+    } else {
+      // all four collinear: 1-D overlap extent decides line vs point
+      val useX = math.abs(bx - ax) >= math.abs(by - ay)
+      val (a0, b0, c0, d0) =
+        if (useX) (ax, bx, cx, dx) else (ay, by, cy, dy)
+      val lo = math.max(math.min(a0, b0), math.min(c0, d0))
+      val hi = math.min(math.max(a0, b0), math.max(c0, d0))
+      if (lo > hi) 0 else if (lo < hi) 2 else 1
+    }
+  }
+
+  /** Worst contact class between two CLOSED rings (closing vertex in the
+    * input): 0 disjoint, 1 finite point contact, 2 crossing/line overlap.
+    * Point contact between rings is VALID geometry — the reference's own
+    * fixture corpus pins this (osm-geometry mod/706_mod: two outers
+    * sharing a vertex → valid multipolygon; mod/756_mod: inner touching
+    * outer in a LINE → invalid).
+    */
+  def ringsContact(ax: Seq[Double], ay: Seq[Double],
+      bx: Seq[Double], by: Seq[Double]): Int = {
     val na = ax.length - 1
     val nb = bx.length - 1
-    val bVerts = (0 until nb).map(i => (bx(i), by(i))).toSet
-    if ((0 until na).exists(i => bVerts((ax(i), ay(i))))) return true
-    (0 until na).exists { i =>
-      (0 until nb).exists { j =>
-        segmentsIntersect(ax(i), ay(i), ax(i + 1), ay(i + 1),
+    var worst = 0
+    var i = 0
+    while (i < na && worst < 2) {
+      var j = 0
+      while (j < nb && worst < 2) {
+        val c = segContact(ax(i), ay(i), ax(i + 1), ay(i + 1),
           bx(j), by(j), bx(j + 1), by(j + 1))
+        if (c > worst) worst = c
+        j += 1
       }
+      i += 1
     }
+    worst
   }
 
   /** One classified shell with its direct holes (ring = coordinate pair). */
@@ -204,13 +261,36 @@ object RelationGeometry {
 
   /** Shell/hole classification of closed rings, reference rule
     * (GeometryBuilder.java:32-49): area-descending order, nearest container
-    * decides. Containment is tested with the first ring vertex (rings in
-    * valid multipolygons don't cross, and shared-vertex touching rings are
-    * the out-of-scope repair path).
+    * decides. Containment probes with the first vertex NOT lying on the
+    * candidate container's boundary — a ring touching its container at a
+    * vertex (OGC-legal, reference fixture 722_mod) would otherwise get an
+    * arbitrary even-odd answer for the on-boundary point.
     */
   def classify(closedRings: Seq[(ArrayBuffer[Double], ArrayBuffer[Double])]): Seq[ShellWithHoles] = {
     val sorted = closedRings.map(r => (r, ringArea(r._1.toSeq, r._2.toSeq)))
       .sortBy(-_._2).map(_._1)
+    def onBoundary(px: Double, py: Double,
+        cx: ArrayBuffer[Double], cy: ArrayBuffer[Double]): Boolean = {
+      var k = 0
+      while (k < cx.length - 1) {
+        if (pointOnSegment(px, py, cx(k), cy(k), cx(k + 1), cy(k + 1)))
+          return true
+        k += 1
+      }
+      false
+    }
+    def contained(xs: ArrayBuffer[Double], ys: ArrayBuffer[Double],
+        cx: ArrayBuffer[Double], cy: ArrayBuffer[Double]): Boolean = {
+      var v = 0
+      while (v < xs.length - 1) {
+        if (!onBoundary(xs(v), ys(v), cx, cy))
+          return graft.functions.Geo.pointInRingD(xs(v), ys(v), cx.toSeq, cy.toSeq)
+        v += 1
+      }
+      // every vertex on the container's boundary: treat as contained
+      // (a ring tracing its container is the repair path either way)
+      true
+    }
     val shells = ArrayBuffer[ShellWithHoles]()
     val roles = new Array[Int](sorted.length) // index into shells, or -1 for hole
     for (i <- sorted.indices) {
@@ -220,7 +300,7 @@ object RelationGeometry {
       var j = i - 1
       while (container < 0 && j >= 0) {
         val (cx, cy) = sorted(j)
-        if (graft.functions.Geo.pointInRingD(xs.head, ys.head, cx.toSeq, cy.toSeq))
+        if (contained(xs, ys, cx, cy))
           container = j
         else j -= 1
       }
@@ -373,10 +453,13 @@ object RelationGeometry {
           if (polys.length > 1) graft.functions.Geo.wkbMultiPolygonHex(polys)
           else graft.functions.Geo.wkbPolygonHex(polys.headOption.getOrElse(Seq.empty))
         val closedOnly = rings.filter(_._3)
+        // ring-pair contact: single-point touch is OGC-legal (and the
+        // reference's 706_mod fixture verdict); crossing or line overlap
+        // is not (756_mod)
         val valid = rings.nonEmpty && rings.forall(_._3) &&
           !closedOnly.exists(r => ringSelfIntersects(r._1.toSeq, r._2.toSeq)) &&
           !closedOnly.combinations(2).exists { case Seq(a, b) =>
-            ringsTouch(a._1.toSeq, a._2.toSeq, b._1.toSeq, b._2.toSeq)
+            ringsContact(a._1.toSeq, a._2.toSeq, b._1.toSeq, b._2.toSeq) == 2
           }
         RelationRings(relId, ways.length, rings.length,
           shells.length, shells.map(_.holes.length).sum,

@@ -86,12 +86,13 @@ class RelationGeometrySpec extends SparkSpec {
     assert(!r.valid, "self-intersecting ring must flag invalid")
   }
 
-  test("assemble: two rings touching at a shared vertex flag valid=false") {
+  test("assemble: single-point ring contact is valid, line overlap is not") {
     import spark.implicits._
+    // unit square (0,0)..(1,1) and square (1,1)..(2,2): corner contact at
+    // (1,1) — OGC-legal and the reference's 706_mod fixture verdict
     val members = Seq((700L, 1L), (700L, 2L), (700L, 3L), (700L, 4L))
       .toDF("rel_id", "way_id")
     val wayGeoms = Seq(
-      // unit square (0,0)..(1,1) and square (1,1)..(2,2): corner contact at (1,1)
       (1L, Array(0.0, 1.0, 1.0), Array(0.0, 0.0, 1.0)),
       (2L, Array(1.0, 0.0, 0.0), Array(1.0, 1.0, 0.0)),
       (3L, Array(1.0, 2.0, 2.0), Array(1.0, 1.0, 2.0)),
@@ -99,7 +100,16 @@ class RelationGeometrySpec extends SparkSpec {
       .toDF("way_id", "lons", "lats")
     val r = RelationGeometry.assemble(members, wayGeoms).collect().head
     assert(r.n_rings === 2 && r.closed)
-    assert(!r.valid, "shared-vertex touching rings must flag invalid")
+    assert(r.valid, "corner-touching shells are valid multipolygon geometry")
+    // squares (0,0)..(2,2) and (2,0)..(4,2): full shared edge at x=2 —
+    // line contact, interiors' closures overlap → invalid (756_mod rule)
+    val members2 = Seq((701L, 5L), (701L, 6L)).toDF("rel_id", "way_id")
+    val wayGeoms2 = Seq(
+      (5L, Array(0.0, 2.0, 2.0, 0.0, 0.0), Array(0.0, 0.0, 2.0, 2.0, 0.0)),
+      (6L, Array(2.0, 4.0, 4.0, 2.0, 2.0), Array(0.0, 0.0, 2.0, 2.0, 0.0)))
+      .toDF("way_id", "lons", "lats")
+    val r2 = RelationGeometry.assemble(members2, wayGeoms2).collect().head
+    assert(!r2.valid, "edge-sharing rings must flag invalid")
   }
 
   test("assemble: disjoint shells and separated holes stay valid") {
