@@ -152,16 +152,32 @@ object Graph {
     * the artifact builds once, then released.
     */
   private def durable(s: SparkSession, build: => DataFrame): DataFrame = {
-    val ckpt = s.conf.get("spark.graft.checkpointDir", "")
-    if (ckpt.isEmpty) graft.GraftSession.pin(build.localCheckpoint(eager = true))
-    else {
-      if (s.sparkContext.getCheckpointDir.isEmpty)
-        s.sparkContext.setCheckpointDir(ckpt)
-      val staged = build.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try staged.checkpoint(eager = true)
-      finally { staged.unpersist(blocking = false); () }
-    }
+    // AQE OFF for the artifact materialization (only): under AQE the
+    // checkpoint's physical plan reports UnknownPartitioning, so the
+    // resulting LogicalRDD LOSES the HashPartitioning metadata the
+    // repartition(src) paid for — and every iterative round then
+    // re-exchanges the EDGE side (measured: graph_pagerank shuffled
+    // 133 MB at sf0.1 for 5 rounds over a 25 MB edge set). With AQE off
+    // during the one build job, the checkpointed artifact carries
+    // HashPartitioning(src, spark.sql.shuffle.partitions) and each
+    // round's join satisfies ENSURE_REQUIREMENTS on the edge side with
+    // ZERO exchange — the GraphX "partition the immutable edge relation
+    // once" discipline, now actually visible in the plan (guide §2.4).
+    // Queries over the artifact still run with AQE on.
+    val aqePrev = s.conf.get("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val ckpt = s.conf.get("spark.graft.checkpointDir", "")
+      if (ckpt.isEmpty) graft.GraftSession.pin(build.localCheckpoint(eager = true))
+      else {
+        if (s.sparkContext.getCheckpointDir.isEmpty)
+          s.sparkContext.setCheckpointDir(ckpt)
+        val staged = build.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try staged.checkpoint(eager = true)
+        finally { staged.unpersist(blocking = false); () }
+      }
+    } finally s.conf.set("spark.sql.adaptive.enabled", aqePrev)
   }
 
   private def piece(s: SparkSession, dir: String, name: String)
@@ -169,6 +185,33 @@ object Graph {
     pieceCache.getOrElseUpdate((dir, name), {
       graft.functions.GeoFunctions.register(s) // isect_sorted for the triad build
       durable(s, build)
+    })
+
+  /** A piece hash-partitioned on `key` with a SIZE-DERIVED partition
+    * count: the build result is materialized once (AQE on), its byte
+    * size estimated as rows × schema width, and the artifact re-written
+    * as `repartition(⌈bytes / advisory⌉, key)` under the AQE-off
+    * checkpoint so the HashPartitioning metadata survives into the
+    * LogicalRDD. At sf0.1 the edge artifacts land in ONE partition
+    * (single-task round stages, no 32-way scheduling tax); at cluster
+    * scale the same rule yields hundreds of partitions of ~advisory
+    * bytes each (`spark.graft.artifactAdvisoryBytes`, default 64 MB) —
+    * scale-adaptive, never a constant tuned for either mode (guide §2.2,
+    * round rules).
+    */
+  private def pieceKeyed(s: SparkSession, dir: String, name: String,
+      key: String)(build: => DataFrame): DataFrame =
+    pieceCache.getOrElseUpdate((dir, name), {
+      graft.functions.GeoFunctions.register(s)
+      val staged = build.localCheckpoint(eager = true)
+      try {
+        val width = staged.schema.map(_.dataType.defaultSize).sum + 8
+        val bytes = staged.count() * width
+        val advisory = s.conf.get("spark.graft.artifactAdvisoryBytes",
+          (64L << 20).toString).toLong
+        val n = math.max(1L, (bytes + advisory - 1) / advisory).toInt
+        durable(s, staged.repartition(n, col(key)))
+      } finally staged.unpersist(blocking = false)
     })
 
   /** Test hook: forget one directory's cached artifacts so the next
@@ -180,7 +223,6 @@ object Graph {
   private def biOf(e: DataFrame): DataFrame =
     e.select(col("pa").as("src"), col("pb").as("dst"))
       .unionAll(e.select(col("pb"), col("pa")))
-      .repartition(col("src"))
 
   private def coE(s: SparkSession, dir: String) =
     piece(s, dir, "co")(copurchaseEdges(s, dir))
@@ -191,12 +233,32 @@ object Graph {
   private def supDegA(s: SparkSession, dir: String) =
     piece(s, dir, "supDeg")(degrees(supE(s, dir)))
   private def coBiA(s: SparkSession, dir: String) =
-    piece(s, dir, "coBi")(biOf(coE(s, dir)))
+    pieceKeyed(s, dir, "coBi", "src")(biOf(coE(s, dir)))
+
+  /** Symmetric support-graph view WITH hop-weighted self-loops:
+    * (src, dst, w) where real edges carry w=1 and every node carries a
+    * (node, node, w=0) self-row. min-aggregating `f(src)+w` (or just
+    * `f(src)`) by dst over this ONE artifact computes
+    * `min over N(v) ∪ {v}` — which turns graph_cc's hash-min and
+    * graph_bfs's min-plus rounds into SINGLE-REFERENCE recurrences: the
+    * old `state JOIN messages` merge (the second reference that forced a
+    * localCheckpoint barrier every round) is replaced by the self-loop
+    * row carrying the state through the same aggregate. graph_lpa's
+    * neighbor-only vote reads the `w = 1` slice (Filter preserves the
+    * checkpointed HashPartitioning, so its round joins stay
+    * exchange-free on the edge side).
+    */
   private def supBiA(s: SparkSession, dir: String) =
-    piece(s, dir, "supBi")(biOf(supE(s, dir)))
+    pieceKeyed(s, dir, "supBiW", "src") {
+      val e = supE(s, dir)
+      e.select(col("pa").as("src"), col("pb").as("dst"), lit(1L).as("w"))
+        .unionAll(e.select(col("pb"), col("pa"), lit(1L)))
+        .unionAll(supDegA(s, dir).select(col("node").as("src"),
+          col("node").as("dst"), lit(0L).as("w")))
+    }
   private def orientedA(s: SparkSession, dir: String) =
-    piece(s, dir, "oriented")(
-      orientedEdges(coE(s, dir), coDegA(s, dir)).repartition(col("src")))
+    pieceKeyed(s, dir, "oriented", "src")(
+      orientedEdges(coE(s, dir), coDegA(s, dir)))
   // The triad table materializes ONCE: both triangle consumers reference
   // it 3× in a union — without a materialization point each branch would
   // re-run the intersection kernel (the old plans reused the
@@ -274,75 +336,76 @@ object Graph {
     * against the pinned src-partitioned view + one node-keyed merge;
     * seed membership is a scan-side predicate, never a join.
     */
-  def graphPpr(s: SparkSession, dir: String): DataFrame = {
-    val bi = coBiA(s, dir)
-    val deg = coDegA(s, dir)
-    val nsRow = deg.filter(col("node") % 97 === 0)
-      .agg(count(lit(1)).as("ns"))
-    var ranks = deg.crossJoin(broadcast(nsRow))
-      .select(col("node"), col("deg"),
-        when(col("node") % 97 === 0, expr(s"${PrScale}L div ns"))
-          .otherwise(0L).as("r"),
-        when(col("node") % 97 === 0, expr(s"${15 * PrScale}L div (100L * ns)"))
-          .otherwise(0L).as("base"))
-    val held = scala.collection.mutable.ArrayBuffer[DataFrame]()
+  /** Round-invariant PageRank/PPR init table — one more shared node-scale
+    * artifact: (node, deg) plus the uniform-teleport start/base
+    * (`r0_pr`/`base_pr`) and the seed-teleport start/base
+    * (`r0_ppr`/`base_ppr`, seeds ≡ 0 mod 97). Folding the two 1-row count
+    * scalars and the per-node constants into ONE checkpointed frame lets
+    * each rank round reference the ITERATED state exactly once (the
+    * contribution join) and this table once (the merge) — so the whole
+    * bounded recurrence stays a single linear plan with NO per-round
+    * eager materialization: the per-round localCheckpoint barrier
+    * (a blocking job + a node-frame block copy per round, r13 shape) is
+    * gone, and all rounds pipeline inside one Spark job (guide §1.2/§2.4
+    * — remove passes and barriers before tuning inside them).
+    */
+  private def prInitA(s: SparkSession, dir: String) =
+    pieceKeyed(s, dir, "prInit", "node") {
+      val deg = coDegA(s, dir)
+      val nRow = deg.agg(count(lit(1)).as("nn"))
+      val nsRow = deg.filter(col("node") % 97 === 0)
+        .agg(count(lit(1)).as("ns"))
+      deg.crossJoin(broadcast(nRow)).crossJoin(broadcast(nsRow))
+        .select(col("node"), col("deg"),
+          expr(s"${PrScale}L div nn").as("r0_pr"),
+          expr(s"${15 * PrScale}L div (100L * nn)").as("base_pr"),
+          when(col("node") % 97 === 0, expr(s"${PrScale}L div ns"))
+            .otherwise(0L).as("r0_ppr"),
+          when(col("node") % 97 === 0, expr(s"${15 * PrScale}L div (100L * ns)"))
+            .otherwise(0L).as("base_ppr"))
+    }
+
+  /** The shared bounded-rank recurrence: `rounds` iterations of
+    * `r' = base + (85·Σ_{u→v} r(u) div deg(u)) div 100` over the
+    * src-partitioned edge artifact, starting from `r0`. The state frame
+    * (node, deg, r) is referenced ONCE per round (the contribution join);
+    * node set, deg and base re-enter from the invariant init artifact, so
+    * the plan grows linearly in rounds and no round needs a
+    * materialization barrier.
+    */
+  private def rankRounds(bi: DataFrame, init: DataFrame,
+      r0: String, base: String, rounds: Int): DataFrame = {
+    var ranks = init.select(col("node"), col("deg"), col(r0).as("r"))
     var round = 0
-    while (round < PrRounds) {
+    while (round < rounds) {
+      // shuffle_hash on the node-scale side: SMJ would SORT the
+      // src-partitioned edge artifact every round; SHJ streams it and
+      // builds the rank table per partition (guide §3.1)
       val contrib = bi
         .join(ranks.select(col("node").as("src"),
-          expr("r div deg").as("share")), "src")
+          expr("r div deg").as("share")).hint("shuffle_hash"), "src")
         .groupBy(col("dst").as("node")).agg(sum("share").as("sm"))
-      ranks = ranks.drop("r")
-        .join(contrib, Seq("node"), "left")
-        .withColumn("r", col("base") + expr("(85L * coalesce(sm, 0L)) div 100L"))
-        .drop("sm")
-        .localCheckpoint(eager = true)
-      held += ranks
+      ranks = init.select("node", "deg", base)
+        .join(contrib.hint("shuffle_hash"), Seq("node"), "left")
+        .withColumn("r",
+          col(base) + expr("(85L * coalesce(sm, 0L)) div 100L"))
+        .select("node", "deg", "r")
       round += 1
     }
-    Dedup.releasing(
-      ranks.orderBy(col("r").desc, col("node"))
-        .limit(20)
-        .select(col("node").as("part"), col("r").as("ppr_fp")),
-      held.toSeq: _*)
+    ranks
   }
 
-  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
-    // src-partitioned symmetric view + node-scale degrees, both shared
-    // per-dir checkpoints: each round's edge join is exchange-free on
-    // the edge side.
-    val bi = coBiA(s, dir)
-    val deg = coDegA(s, dir)
-    val nRow = deg.agg(count(lit(1)).as("nn"))
-    var ranks = deg.crossJoin(broadcast(nRow))
-      .select(col("node"), col("deg"),
-        expr(s"${PrScale}L div nn").as("r"),
-        expr(s"${15 * PrScale}L div (100L * nn)").as("base"))
-    // Per-round checkpoint (the graph_kcore discipline): the rank frame
-    // is referenced twice per round (contribution join + merge join), so
-    // an unmaterialized recurrence doubles the plan per round. Node-scale
-    // frames; held blocks release after the result materializes.
-    val held = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    var round = 0
-    while (round < PrRounds) {
-      val contrib = bi
-        .join(ranks.select(col("node").as("src"),
-          expr("r div deg").as("share")), "src")
-        .groupBy(col("dst").as("node")).agg(sum("share").as("sm"))
-      ranks = ranks.drop("r")
-        .join(contrib, Seq("node"), "left")
-        .withColumn("r", col("base") + expr("(85L * coalesce(sm, 0L)) div 100L"))
-        .drop("sm")
-        .localCheckpoint(eager = true)
-      held += ranks
-      round += 1
-    }
-    Dedup.releasing(
-      ranks.orderBy(col("r").desc, col("node"))
-        .limit(20)
-        .select(col("node").as("part"), col("r").as("pr_fp")),
-      held.toSeq: _*)
-  }
+  def graphPpr(s: SparkSession, dir: String): DataFrame =
+    rankRounds(coBiA(s, dir), prInitA(s, dir), "r0_ppr", "base_ppr", PrRounds)
+      .orderBy(col("r").desc, col("node"))
+      .limit(20)
+      .select(col("node").as("part"), col("r").as("ppr_fp"))
+
+  def graphPagerank(s: SparkSession, dir: String): DataFrame =
+    rankRounds(coBiA(s, dir), prInitA(s, dir), "r0_pr", "base_pr", PrRounds)
+      .orderBy(col("r").desc, col("node"))
+      .limit(20)
+      .select(col("node").as("part"), col("r").as("pr_fp"))
 
   /** Hash-min label-propagation rounds for connected components. 8
     * rounds closes any graph of diameter ≤ 8 — this co-purchase graph's
@@ -387,35 +450,30 @@ object Graph {
     * checkpoint between rounds.
     */
   def graphCc(s: SparkSession, dir: String): DataFrame = {
-    // The edge set is the shared src-partitioned checkpoint ([[art]]):
-    // each round's join against it is exchange-free on the edge side —
-    // only the node-scale label table and the post-partial-agg gather
-    // move per round. Without it each of the 8 rounds re-runs AND
-    // re-shuffles the support self-join.
+    // The edge set is the shared src-partitioned checkpoint WITH
+    // SELF-LOOPS ([[supBiA]]): each round's join against it is
+    // exchange-free on the edge side, and because the self-row carries
+    // every node's own label through the min-aggregate,
+    // `min over N(v) ∪ {v}` IS the old `least(lbl, min-neighbor)` merge
+    // — the label frame is referenced exactly ONCE per round, the plan
+    // grows linearly, and the per-round localCheckpoint barrier (one
+    // blocking job + node-frame block copy per round) is gone: all 8
+    // rounds pipeline inside one job (guide §1.2 — fix the number of
+    // passes/barriers first). Equivalence: the graph is symmetric and
+    // every node has a self-row, so each node appears as `dst` every
+    // round and `min(lbl(u) : u ∈ N(v) ∪ {v})` equals
+    // `least(lbl(v), coalesce(min-neighbor, lbl(v)))` row for row.
     val bi = supBiA(s, dir)
     var lbl = supDegA(s, dir).select(col("node"), col("node").as("lbl"))
-    // Per-round checkpoint (the graph_kcore discipline): each round
-    // references the label frame TWICE (the propagate join + the merge
-    // join), so without a materialization point the plan doubles per
-    // round — 8 rounds = 256 replicated subtrees, and the recurrence was
-    // plan-overhead-bound even at sf0.01. The checkpointed frame is
-    // node-scale; held blocks release after the result materializes.
-    val held = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var round = 0
     while (round < CcRounds) {
-      val m = bi.join(lbl.select(col("node").as("src"), col("lbl")), "src")
-        .groupBy(col("dst").as("node")).agg(min("lbl").as("ml"))
-      lbl = lbl.join(m, Seq("node"), "left")
-        .select(col("node"),
-          least(col("lbl"), coalesce(col("ml"), col("lbl"))).as("lbl"))
-        .localCheckpoint(eager = true)
-      held += lbl
+      lbl = bi.join(lbl.select(col("node").as("src"), col("lbl"))
+          .hint("shuffle_hash"), "src")
+        .groupBy(col("dst").as("node")).agg(min("lbl").as("lbl"))
       round += 1
     }
-    Dedup.releasing(
-      lbl.groupBy(col("lbl").as("comp")).agg(count(lit(1)).as("n_nodes"))
-        .orderBy(desc("n_nodes"), asc("comp")).limit(20),
-      held.toSeq: _*)
+    lbl.groupBy(col("lbl").as("comp")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(desc("n_nodes"), asc("comp")).limit(20)
   }
 
   /** Rounds of frequency label propagation ([[graphLpa]]). Bounded like
@@ -448,24 +506,30 @@ object Graph {
     */
   def graphLpa(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bi = supBiA(s, dir)
+    // Neighbor-only votes read the w=1 slice of the self-loop artifact
+    // (Filter preserves the checkpointed src HashPartitioning). Every
+    // node has ≥ 1 neighbor BY CONSTRUCTION (the node set is
+    // degrees(edges)), so the vote aggregate emits a row for every node
+    // and the old `coalesce(best, lbl)` fallback merge — the second
+    // state reference that forced a per-round localCheckpoint barrier —
+    // was provably dead: `lbl' = best` outright. The 4 rounds now
+    // pipeline unmaterialized inside one job; only the FINAL label frame
+    // (referenced 3× by the census joins below) gets one checkpoint.
+    val bi = supBiA(s, dir).filter(col("w") === 1L)
     val deg = supDegA(s, dir)
     var lbl = deg.select(col("node"), col("node").as("lbl"))
-    val held = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var round = 0
     while (round < LpaRounds) {
-      val cnt = bi.join(lbl.select(col("node").as("src"), col("lbl")), "src")
+      val cnt = bi.join(lbl.select(col("node").as("src"), col("lbl"))
+          .hint("shuffle_hash"), "src")
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
-      val best = cnt
+      lbl = cnt
         .withColumn("mx", max("c").over(Window.partitionBy("dst")))
         .filter(col("c") === col("mx"))
-        .groupBy(col("dst").as("node")).agg(min("lbl").as("best"))
-      lbl = lbl.join(best, Seq("node"), "left")
-        .select(col("node"), coalesce(col("best"), col("lbl")).as("lbl"))
-        .localCheckpoint(eager = true)
-      held += lbl
+        .groupBy(col("dst").as("node")).agg(min("lbl").as("lbl"))
       round += 1
     }
+    lbl = lbl.localCheckpoint(eager = true)
     val e = supE(s, dir)
     val intra = e
       .join(lbl.select(col("node").as("pa"), col("lbl").as("ca")), "pa")
@@ -483,7 +547,7 @@ object Graph {
         .withColumn("q_num", expr("4 * m * e_c - d_c * d_c"))
         .select("comm", "n_nodes", "e_c", "d_c", "q_num")
         .orderBy(desc("n_nodes"), asc("comm")).limit(20),
-      held.toSeq: _*)
+      lbl)
   }
 
   /** Neighborhood Jaccard similarity per co-purchase edge — the classic
@@ -604,27 +668,27 @@ object Graph {
     var dist = supDegA(s, dir).select("node")
       .join(seeds, Seq("node"), "left")
       .select(col("node"), coalesce(col("z"), lit(Inf)).as("hop"))
-    // Per-round checkpoint (the graph_kcore discipline): the distance
-    // frame is referenced twice per round, so an unmaterialized
-    // recurrence doubles the plan per round. Node-scale frames; held
-    // blocks release after the result materializes.
-    val held = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    // Single-reference min-plus rounds over the self-loop edge artifact:
+    // the w=0 self-row carries hop(v) through the same min-aggregate the
+    // neighbors' hop+1 rides (w=1), so
+    // `min(hop(u)+w : u ∈ N(v) ∪ {v})` equals the old
+    // `least(hop, coalesce(min-neighbor, Inf)+1)` merge exactly — capped
+    // at Inf after the aggregate (hop ≤ Inf always, so min-neighbor+1 ≤
+    // Inf+1 and the old plan applied the same `least(..., Inf)`). One
+    // state reference per round → linear plan, no per-round
+    // localCheckpoint barrier, all 6 rounds in one pipelined job.
     var round = 0
     while (round < BfsRounds) {
-      val m = bi.join(dist.select(col("node").as("src"), col("hop")), "src")
-        .groupBy(col("dst").as("node")).agg(min("hop").as("mh"))
-      dist = dist.join(m, Seq("node"), "left")
-        .select(col("node"),
-          least(col("hop"), coalesce(col("mh"), lit(Inf)) + 1L, lit(Inf)).as("hop"))
-        .localCheckpoint(eager = true)
-      held += dist
+      dist = bi.join(dist.select(col("node").as("src"), col("hop"))
+          .hint("shuffle_hash"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("hop") + col("w")).as("hop"))
+        .select(col("node"), least(col("hop"), lit(Inf)).as("hop"))
       round += 1
     }
-    Dedup.releasing(
-      dist.select(when(col("hop") === Inf, lit(-1L)).otherwise(col("hop")).as("hop"))
-        .groupBy("hop").agg(count(lit(1)).as("n_nodes"))
-        .orderBy("hop"),
-      held.toSeq: _*)
+    dist.select(when(col("hop") === Inf, lit(-1L)).otherwise(col("hop")).as("hop"))
+      .groupBy("hop").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("hop")
   }
 
   /** Log2-binned DEGREE DISTRIBUTION of the support graph — the

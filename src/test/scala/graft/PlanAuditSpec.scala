@@ -377,13 +377,19 @@ class PlanAuditSpec extends SparkSpec {
     // evt_trend: (type, hour) fold + the type-keyed window sort
     assert(shuffleCount(plans("evt_trend")) <= 2,
       s"evt_trend:\n${plans("evt_trend")}")
-    // graph_ppr returns through the localCheckpoint-then-release
-    // discipline (the text_bm25 shape): the audited plan is the
-    // materialized top-20 — the structural shape (per-round exchange-free
-    // edge joins, TakeOrdered top-k) matches graph_pagerank's by
-    // construction and the oracle covers it at two scales
-    assert(shuffleCount(plans("graph_ppr")) === 0,
+    // graph_ppr (r14 optimization): the 5 rank rounds are ONE pipelined
+    // plan — no per-round localCheckpoint barrier — so the audited plan
+    // is live. Per round: ≤ 2 node-scale exchanges for the rank state
+    // (contribution join + merge) + the partial-agg gather + the edge
+    // side's co-partition exchange (free at scale where the artifact
+    // spans > 1 partition); joins must be hash, never sort-merge, and
+    // the top-20 a TakeOrdered.
+    assert(shuffleCount(plans("graph_ppr")) <= 7 * operators.Graph.PrRounds + 2,
       s"graph_ppr:\n${plans("graph_ppr")}")
+    assert(plans("graph_ppr").contains("TakeOrderedAndProject"),
+      "graph_ppr top-20 must be TakeOrdered")
+    assert(plans("graph_ppr").contains("ShuffledHashJoin"),
+      "graph_ppr round joins must be shuffled-hash")
     // ann_rerank: ADC shortlist window + exact rerank window, both q-keyed
     assert(shuffleCount(plans("ann_rerank")) <= 3,
       s"ann_rerank:\n${plans("ann_rerank")}")
@@ -459,12 +465,16 @@ class PlanAuditSpec extends SparkSpec {
     // (type × bucket) key space + the presentation sort of ≤ 64·types rows
     assert(shuffleCount(plans("evt_histogram")) <= 2,
       s"evt_histogram:\n${plans("evt_histogram")}")
-    // graph_cc returns through the localCheckpoint-then-release
-    // discipline (8 bounded rounds against the materialized edge set),
-    // so the audited plan is the materialized result — iteration shape
-    // is covered by the union-find spec + the oracle replay
-    assert(shuffleCount(plans("graph_cc")) === 0,
-      s"graph_cc must return its materialized checkpoint:\n${plans("graph_cc")}")
+    // graph_cc (r14 optimization): the 8 hash-min rounds pipeline in ONE
+    // live plan over the self-loop edge artifact — single-reference
+    // recurrence, no per-round checkpoint barrier. Per round ≤ 2
+    // node-scale state exchanges + the edge co-partition exchange (free
+    // at scale); hash joins only; iteration semantics covered by the
+    // union-find spec + the oracle replay.
+    assert(shuffleCount(plans("graph_cc")) <= 5 * operators.Graph.CcRounds + 2,
+      s"graph_cc:\n${plans("graph_cc")}")
+    assert(!plans("graph_cc").contains("SortMergeJoin"),
+      "graph_cc round joins must be hash, not sort-merge")
     // graph_jaccard: triangle-credit aggregate + edge joins — every
     // exchange edge-scale, top-20 TakeOrdered
     assert(plans("graph_jaccard").contains("TakeOrderedAndProject"),
@@ -491,13 +501,18 @@ class PlanAuditSpec extends SparkSpec {
     val partScan = plans("q19_disjunctive")
     assert(partScan.contains("p_size") && partScan.contains("PushedFilters"),
       "q19_disjunctive part scan must carry pushed brand/size filters")
-    // graph_kcore / graph_bfs return through the checkpoint-then-release
-    // discipline (bounded rounds against materialized support edges) —
-    // iteration shape is covered by the GraphSpec exact replays + oracle
+    // graph_kcore returns through the checkpoint-then-release discipline
+    // (the per-round peel references its edge frame 3×, so rounds still
+    // materialize) — iteration shape covered by the GraphSpec exact peel
     assert(shuffleCount(plans("graph_kcore")) === 0,
       s"graph_kcore must return its materialized checkpoint:\n${plans("graph_kcore")}")
-    assert(shuffleCount(plans("graph_bfs")) === 0,
-      s"graph_bfs must return its materialized checkpoint:\n${plans("graph_bfs")}")
+    // graph_bfs (r14 optimization): 6 min-plus rounds in ONE live plan
+    // over the w-weighted self-loop artifact — single-reference
+    // recurrence, no per-round checkpoint barrier; hash joins only.
+    assert(shuffleCount(plans("graph_bfs")) <= 5 * operators.Graph.BfsRounds + 2,
+      s"graph_bfs:\n${plans("graph_bfs")}")
+    assert(!plans("graph_bfs").contains("SortMergeJoin"),
+      "graph_bfs round joins must be hash, not sort-merge")
     // pipe_curate: the decontamination artifact binds as a BROADCAST
     // REFERENCE, never an inlined plan literal (the serialized literal
     // would ship with every task at 100 TB)
