@@ -185,39 +185,70 @@ object Ann {
       .filter(col("a") =!= col("b"))
       .withColumn("sim", cosine(dotDec(col("ae"), col("be")), col("an2"), col("bn2")))
       .select("pq", "a", "b", "sim")
-      .cache()
-    var sel = cands
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("q_id").orderBy(desc("rel"), col("n_id"))))
-      .filter(col("rn") === 1)
-      .select(col("q_id"), col("n_id"), lit(1).as("mmr_rank"),
-        expr("0.7 * rel").as("score"))
-    for (r <- 2 to 5) {
-      val remaining = cands.join(broadcast(sel.select("q_id", "n_id")),
-        Seq("q_id", "n_id"), "left_anti")
-      val simsToSel = pairs.join(
-        broadcast(sel.select(col("q_id").as("sq"), col("n_id").as("sb"))),
-        col("sq") === col("pq") && col("sb") === col("b"), "left_semi")
-      val pick = remaining
-        .join(broadcast(simsToSel),
-          col("pq") === col("q_id") && col("a") === col("n_id"))
-        .groupBy("q_id", "n_id", "rel").agg(max("sim").as("msim"))
-        .withColumn("score", expr("0.7 * rel - 0.3 * msim"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("q_id").orderBy(desc("score"), col("n_id"))))
-        .filter(col("rn") === 1)
-        .select(col("q_id"), col("n_id"), lit(r).as("mmr_rank"), col("score"))
-      // Truncate lineage each round: sel is referenced TWICE by the next
-      // round (anti-join + semi-join broadcasts) and grows by union, so
-      // without a materialization point the plan size doubles per round —
-      // the 4-round recurrence was paying ~18 s of pure plan/broadcast
-      // replay even at sf0.01. The checkpointed frame is ≤ 8·r rows.
-      // (NOT pinned: these are per-invocation intermediates — the final
-      // releasing() checkpoint is the only frame read after return, so
-      // the storage sweep may reclaim the round frames.)
-      sel = sel.unionByName(pick).localCheckpoint(eager = true)
-    }
-    Dedup.releasing(sel.orderBy("q_id", "mmr_rank"), cands, pairs)
+    // The greedy argmax recurrence runs per query INSIDE ONE TASK
+    // (r14, guide §1.2/§2.4): the former unrolled 4-round plan paid an
+    // anti-join + semi-join + two broadcasts + a localCheckpoint barrier
+    // PER ROUND over ≤ 8·10-row frames — 30 Spark jobs of pure barrier
+    // overhead at any scale. A query's whole MMR state is its own ≤ k·10
+    // candidates + their ≤ (k·10)² sims, so the selection is
+    // group-bounded by construction: candidates and sims shuffle ONCE by
+    // q_id and each group's greedy loop is the textbook sequential part,
+    // running where the group lives (the per-relation ring-stitch
+    // mapGroups precedent — scales to any probe count, no driver loop).
+    // Relevance and sims are STILL the distributed exact fixed-point
+    // cosines computed above; the task replays only the λ-combination
+    // (same IEEE multiply-subtract on identical doubles) and the
+    // (score desc, n_id asc) argmax, so results are bit-identical.
+    import s.implicits._
+    val tagged = cands
+      .select(col("q_id"), lit(0).as("kind"), col("n_id").as("x"),
+        lit(0L).as("y"), col("rel").as("v"))
+      .union(pairs.select(col("pq"), lit(1), col("a"), col("b"),
+        col("sim")))
+      .toDF("_1", "_2", "_3", "_4", "_5")
+      .as[(Long, Int, Long, Long, Double)]
+    val sel = tagged.groupByKey(_._1).flatMapGroups { (q, it) =>
+      val cs = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+      val sim = scala.collection.mutable.HashMap[(Long, Long), Double]()
+      it.foreach { case (_, k, x, y, v) =>
+        if (k == 0) cs += ((x, v)) else sim((x, y)) = v
+      }
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Int, Double)]()
+      val selected = scala.collection.mutable.ArrayBuffer[Long]()
+      // round 1: pure-relevance argmax (rel desc, n_id asc)
+      var bNid = -1L; var bRel = 0.0; var found = false
+      cs.foreach { case (nid, rel) =>
+        if (!found || rel > bRel || (rel == bRel && nid < bNid)) {
+          bNid = nid; bRel = rel; found = true
+        }
+      }
+      if (found) { out += ((q, bNid, 1, 0.7 * bRel)); selected += bNid }
+      var r = 2
+      while (r <= 5 && found) {
+        var pNid = -1L; var pScore = 0.0; found = false
+        cs.foreach { case (nid, rel) =>
+          if (!selected.contains(nid)) {
+            // max-sim-to-selected; a candidate with no sim row to any
+            // selected node is skipped (the old plan's inner join)
+            var msim = Double.NegativeInfinity
+            selected.foreach { sl =>
+              val v = sim.getOrElse((nid, sl), Double.NegativeInfinity)
+              if (v > msim) msim = v
+            }
+            if (msim > Double.NegativeInfinity) {
+              val score = 0.7 * rel - 0.3 * msim
+              if (!found || score > pScore || (score == pScore && nid < pNid)) {
+                pNid = nid; pScore = score; found = true
+              }
+            }
+          }
+        }
+        if (found) { out += ((q, pNid, r, pScore)); selected += pNid }
+        r += 1
+      }
+      out.iterator
+    }.toDF("q_id", "n_id", "mmr_rank", "score")
+    Dedup.releasing(sel.orderBy("q_id", "mmr_rank"), cands)
   }
 
   /** BINARY-embedding retrieval — the sign-bit binarization face of the
