@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, unix_micros}
+import org.apache.spark.sql.functions.{col, lit, unix_micros, xxhash64}
 import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Parquet table loaders for the driver-generated test tables.
@@ -11,8 +11,61 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * filters and prune columns into the parquet reader.
   */
 object Tables {
+
+  /** Spread a SMALL scan of a CPU-AMPLIFIED table across the cluster
+    * (r14, guide §2.5 "one huge unsplittable file" / §1.2 fix
+    * parallelism first): parquet splits at row-group granularity, so a
+    * table that fits in one split runs every downstream map stage on ONE
+    * core no matter how many the session has. A repartition pays a full
+    * local shuffle of the payload, so it only wins where the downstream
+    * per-byte CPU dwarfs the exchange — the TEXT corpus (regex tokenize,
+    * n-gram shingles, codec decode: ~10-100× the scan cost) and the
+    * EMBEDDINGS table (64-dim fixed-point dot kernels per row). Measured
+    * both ways at sf0.1: documents keys −15..−45 % (text_lm_bucket
+    * 1.72→1.06 s), while the same hook on lineitem/events/orders LOST
+    * 2-3× (evt_funnel 0.55→1.23 s — the whole-row exchange costs more
+    * than the won parallelism, guide §2.3 "shuffle fewer bytes"), so
+    * relational/event tables stay un-hooked. SCALE-ADAPTIVE by
+    * construction: any real corpus shard at cluster scale exceeds one
+    * split and the hook is a no-op — no constant tuned to local[32]
+    * (the 64 KB floor only stops a kB-sized fixture from being sprayed
+    * across thousands of cluster cores). HASH partitioning on the full
+    * row, not round-robin: keyless repartition pre-sorts its input
+    * inside the map task (sortBeforeRepartition, SPARK-23207) — a serial
+    * re-sort of the whole table; xxhash64 is retry-deterministic without
+    * it. Filters and column pruning push through RepartitionByExpression
+    * (PushPredicateThroughNonJoin), so PushedFilters/ReadSchema at the
+    * scan are unchanged — pinned by PlanAuditSpec.
+    */
+  private def parallelize(spark: SparkSession, path: String, df: DataFrame): DataFrame = {
+    // runtime kill-switch: PlanAuditSpec pins each operator's OWN plan
+    // shape with the hook off (at cluster scale the hook is a no-op, so
+    // the pinned shape is the scale shape; the hook's extra local
+    // exchange would otherwise shift every exchange-count pin by input
+    // layout, not by operator logic)
+    if (spark.conf.get("spark.graft.parallelizeSmallScans", "true") != "true")
+      return df
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val oneSplit = bytes <= spark.sessionState.conf.filesMaxPartitionBytes
+    val cores = spark.sparkContext.defaultParallelism
+    val target = math.min(cores.toLong, (bytes + 65535) / 65536).toInt
+    if (oneSplit && target > 1)
+      df.repartition(target, xxhash64(df.columns.map(col): _*))
+    else df
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Loader variant for tables whose consumers are CPU-amplified (see
+    * [[parallelize]]): text bodies and embedding vectors.
+    */
+  private def loadParallel(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    parallelize(spark, path, spark.read.parquet(path))
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
@@ -39,6 +92,6 @@ object Tables {
         df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame = loadParallel(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = loadParallel(s, d, "embeddings")
 }

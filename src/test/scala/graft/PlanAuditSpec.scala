@@ -8,11 +8,17 @@ package graft
   */
 class PlanAuditSpec extends SparkSpec {
 
-  private lazy val plans: Map[String, String] =
-    SparkEntry.queries.map { case (name, fn) =>
+  private lazy val plans: Map[String, String] = {
+    // pin each operator's OWN plan shape: the small-scan parallelize hook
+    // (Tables.parallelize) is input-layout plumbing that is a no-op at
+    // cluster scale, so shapes are asserted with it off — otherwise every
+    // exchange-count pin would count the hook's local exchange too
+    spark.conf.set("spark.graft.parallelizeSmallScans", "false")
+    try SparkEntry.queries.map { case (name, fn) =>
       name -> fn(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
-    }
+    } finally spark.conf.set("spark.graft.parallelizeSmallScans", "true")
+  }
 
   test("no cartesian products anywhere") {
     for ((name, plan) <- plans)
