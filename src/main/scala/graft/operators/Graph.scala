@@ -612,34 +612,51 @@ object Graph {
     * round `(round, n_nodes, n_edges)` — the peel trajectory, which
     * pins every intermediate state, not just the fixed point.
     *
-    * Scale shape: each round = one degree aggregate + two left-semi
-    * hash joins (edge-keyed), all support-graph-scale — the corpus is
-    * long gone. Rounds checkpoint (the graph_cc discipline): the
-    * 8-round union would otherwise recompute round i's lineage once
-    * per later round, O(R²) total; with per-round materialization each
-    * round runs once and the held blocks release on return.
+    * Scale shape (r14, guide §1.2/§2.4): the peel iterates NODE-SCALE
+    * state over the INVARIANT self-loop edge artifact — the pagerank
+    * discipline — instead of rewriting (and checkpointing) the edge set
+    * every round. State = (node, keep_r, deg_r) with
+    * deg_r(v) = [keep_{r−1}(v)] · #{u ∈ N(v) : keep_{r−1}(u)} and
+    * keep_r = keep_{r−1} ∧ deg_r ≥ k: ONE join of the w-tagged artifact
+    * against the state (the w=0 self-row carries keep_{r−1}(v) through
+    * the same aggregate the neighbors' w=1 rows ride), so each round is
+    * one edge-keyed join + one aggregate — the old round paid a degree
+    * aggregate plus TWO left-semi edge joins and checkpointed the
+    * EDGE-scale survivor set. Census identities: n_nodes_r = |keep_r|,
+    * and because every surviving edge is counted once from each end,
+    * n_edges_r = Σ_v deg_{r+1}(v) div 2 — so the peel runs R+1 state
+    * rounds and reads round r's edge count from round r+1's degrees.
+    * Per-round state still checkpoints (it is read by the next round
+    * AND two census aggregates), but the checkpointed frame is now
+    * node-scale at any corpus size.
     */
   def graphKcore(s: SparkSession, dir: String): DataFrame = {
-    var edges = supE(s, dir)
+    val biW = supBiA(s, dir)
     val held = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    var rows: DataFrame = null
+    var st = supDegA(s, dir).select(col("node"), lit(true).as("keep"))
+    val states = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var round = 1
-    while (round <= KcoreRounds) {
-      val keep = degrees(edges).filter(col("deg") >= KcoreK).select("node")
-      val next = edges
-        .join(keep.withColumnRenamed("node", "pa").hint("shuffle_hash"),
-          Seq("pa"), "left_semi")
-        .join(keep.withColumnRenamed("node", "pb").hint("shuffle_hash"),
-          Seq("pb"), "left_semi")
+    while (round <= KcoreRounds + 1) {
+      st = biW
+        .join(st.select(col("node").as("src"), col("keep")).hint("shuffle_hash"),
+          Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(
+          sum(when(col("w") === 1 && col("keep"), 1L).otherwise(0L)).as("nbrk"),
+          max(when(col("w") === 0, col("keep"))).as("selfk"))
+        .select(col("node"),
+          (col("selfk") && col("nbrk") >= KcoreK).as("keep"),
+          when(col("selfk"), col("nbrk")).otherwise(0L).as("deg"))
         .localCheckpoint(eager = true)
-      held += next
-      val row = keep.agg(count(lit(1)).as("n_nodes"))
-        .crossJoin(next.agg(count(lit(1)).as("n_edges")))
-        .select(lit(round.toLong).as("round"), col("n_nodes"), col("n_edges"))
-      rows = if (rows == null) row else rows.unionByName(row)
-      edges = next
+      held += st
+      states += st
       round += 1
     }
+    val rows = (1 to KcoreRounds).map { r =>
+      states(r - 1).filter(col("keep")).agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(states(r).agg(expr("sum(deg) div 2").as("n_edges")))
+        .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
+    }.reduce(_.unionByName(_))
     Dedup.releasing(rows.orderBy("round"), held.toSeq: _*)
   }
 

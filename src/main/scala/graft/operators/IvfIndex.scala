@@ -96,6 +96,24 @@ object IvfIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids-v$next")
   }
 
+  /** Appends/compactions do not change the codebook — carry version
+    * `prev`'s centroid files forward as `centroids-v<next>` with a
+    * driver-side file copy instead of a Spark write job (r14: the
+    * rewrite was two of the lifecycle's jobs plus a commit, for bytes
+    * that are identical by construction). K rows, so the copy is
+    * trivially driver-scale.
+    */
+  private def carryCodebook(spark: SparkSession, indexDir: String,
+      prev: Int, next: Int): Unit = {
+    val f = fs(spark, indexDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new Path(s"$indexDir/centroids-v$prev")
+    val dst = new Path(s"$indexDir/centroids-v$next")
+    if (f.exists(dst)) f.delete(dst, true) // crashed previous attempt
+    if (!org.apache.hadoop.fs.FileUtil.copy(f, src, f, dst, false, conf))
+      throw new java.io.IOException(s"$indexDir: codebook carry failed")
+  }
+
   /** GC after a commit of version `next`: inside every `touched` cell,
     * delete `v=`/`d=` dirs referenced by neither the previous manifest
     * (readers mid-flight stay safe) nor the new one; then drop manifests
@@ -302,8 +320,7 @@ object IvfIndex {
     // locator extended before the pointer commit: a crash in between
     // leaves extra placements in the set, never missing ones
     upsertLocator(spark, indexDir, assigned, locatorBuckets)
-    writeCodebook(spark, indexDir, next,
-      cents.map { case (cid, vec, _) => (cid, vec) }.toSeq)
+    carryCodebook(spark, indexDir, v, next)
     val manifest = ChangesetStore.readManifest(spark, indexDir, v)
     val prevDeltas = ChangesetStore.readDeltas(spark, indexDir, v)
     ChangesetStore.writeManifest(spark, indexDir, next, manifest,
@@ -332,8 +349,7 @@ object IvfIndex {
     val merged = liveCellRows(spark, indexDir, v, toCompact).get
     val written = installCells(spark, indexDir, next, merged, "v",
       toCompact.size)
-    writeCodebook(spark, indexDir, next,
-      centroids(spark, indexDir).map { case (cid, vec, _) => (cid, vec) }.toSeq)
+    carryCodebook(spark, indexDir, v, next)
     // a compacted cell whose live view emptied (everything tombstoned)
     // stages no partition: drop it from the manifest entirely
     ChangesetStore.writeManifest(spark, indexDir, next,

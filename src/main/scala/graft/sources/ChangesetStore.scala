@@ -376,9 +376,14 @@ object ChangesetStore {
     val next = prev.getOrElse(0) + 1
     val bCol = pmod(hash(bCols.map(col): _*), lit(nb))
     val batchB = batch.withColumn("_b", bCol)
-    val touched = batchB.select("_b").distinct().collect().map(_.getInt(0)).toSet
     val prevManifest = prev.map(readManifest(spark, storeDir, _)).getOrElse(Map.empty)
     val prevDeltas = prev.map(readDeltas(spark, storeDir, _)).getOrElse(Map.empty)
+    // the touched-bucket set exists only to scope the merge read; a NEW
+    // store has nothing to merge, so skip the collect job entirely (r14 —
+    // every store lifecycle pays this on its initial build)
+    val touched =
+      if (prevManifest.isEmpty && prevDeltas.isEmpty) Set.empty[Int]
+      else batchB.select("_b").distinct().collect().map(_.getInt(0)).toSet
 
     val merged = {
       // base + pending deltas of every touched bucket fold into the new
