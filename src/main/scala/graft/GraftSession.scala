@@ -67,6 +67,13 @@ object GraftSession {
       case dir => spark.conf.set("spark.graft.checkpointDir", dir)
     }
 
+  // NOT adopted (r14): a size-derived AQE advisoryPartitionSizeInBytes
+  // (clamp(dirBytes×8/cores, 1 MB, 64 MB)) was measured against the
+  // 64 MB default on a 15-key serial-stage subset, same box,
+  // median-of-5: 22.48 s (64 MB) vs 24.29 s (derived ≈4 MB). The extra
+  // post-shuffle tasks cost more in scheduling than the won parallelism
+  // at bench scale, so the default stays.
+
   def builder(master: String, shufflePartitions: String): SparkSession.Builder =
     SparkSession.builder()
       .master(master)

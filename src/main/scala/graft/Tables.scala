@@ -59,6 +59,36 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Operator-level opt-in of the same scale condition as
+    * [[parallelize]]: when `name`'s whole file fits one scan split, the
+    * derived frame `df` (already projected to the few columns the
+    * operator needs — guide §2.3 project-before-exchange) is
+    * hash-repartitioned on the operator's own GROUP KEYS, so its heavy
+    * aggregation runs after the exchange on every core AND the groupBy
+    * reuses the partitioning (no second exchange). At cluster scale the
+    * condition is false and the plan keeps map-side partial aggregation
+    * before the shuffle (guide §2.3 "aggregate before you shuffle") —
+    * this hook exists precisely because a one-split scan HAS no map side
+    * to speak of: the whole partial aggregate runs on a single core.
+    */
+  def spreadIfSmall(spark: SparkSession, dir: String, name: String,
+      df: DataFrame, keys: Seq[String]): DataFrame = {
+    if (spark.conf.get("spark.graft.parallelizeSmallScans", "true") != "true")
+      return df
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val cores = spark.sparkContext.defaultParallelism
+    val target = math.min(cores.toLong, (bytes + 65535) / 65536).toInt
+    if (bytes <= spark.sessionState.conf.filesMaxPartitionBytes && target > 1) {
+      // empty keys = no reusable group key (global aggregates, low-
+      // cardinality groups): spread on the full-row hash instead
+      val exprs = if (keys.nonEmpty) keys.map(col)
+        else Seq(xxhash64(df.columns.map(col): _*))
+      df.repartition(target, exprs: _*)
+    } else df
+  }
+
   /** Loader variant for tables whose consumers are CPU-amplified (see
     * [[parallelize]]): text bodies and embedding vectors.
     */
