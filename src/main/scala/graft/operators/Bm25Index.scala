@@ -63,17 +63,24 @@ object Bm25Index {
     (r.getLong(0), r.getLong(1))
   }
 
-  /** Builds the index from a corpus postings frame (one store version). */
+  /** Builds the index from a corpus postings frame (one store version).
+    * `stats` = the batch's (n_docs, Σdl) when the caller already knows
+    * them (e.g. computed for several splits in one pass — bm25Store):
+    * the postings frame is then consumed exactly once by the store
+    * write, so the defensive localCheckpoint (two consumers otherwise:
+    * write + stats scan) is skipped — r14, two materialization jobs and
+    * one aggregate job saved per build/append pair.
+    */
   def build(spark: SparkSession, post: DataFrame, indexDir: String,
-      numBuckets: Int = 64): Int = {
-    val rows = post.localCheckpoint(true)
+      numBuckets: Int = 64, stats: Option[(Long, Long)] = None): Int = {
+    val rows = if (stats.isDefined) post else post.localCheckpoint(true)
     try {
       val n = ChangesetStore.upsertBucketed(spark, indexDir, rows,
         keys = Seq("term", "doc_id"), numBuckets, bucketBy = Seq("term"))
-      val (nd, sl) = batchStats(rows)
+      val (nd, sl) = stats.getOrElse(batchStats(rows))
       writeStats(indexDir, nd, sl)
       n
-    } finally rows.unpersist(blocking = false)
+    } finally if (stats.isEmpty) { rows.unpersist(blocking = false); () }
   }
 
   /** Appends a new batch's postings as per-bucket DELTA files — O(batch)
@@ -82,16 +89,16 @@ object Bm25Index {
     * cost O(corpus) per day) — and advances the stats additively.
     */
   def append(spark: SparkSession, post: DataFrame, indexDir: String,
-      numBuckets: Int = 64): Int = {
-    val rows = post.localCheckpoint(true)
+      numBuckets: Int = 64, batchStatsIn: Option[(Long, Long)] = None): Int = {
+    val rows = if (batchStatsIn.isDefined) post else post.localCheckpoint(true)
     try {
       val n = ChangesetStore.appendBucketed(spark, indexDir, rows,
         keys = Seq("term", "doc_id"), numBuckets, bucketBy = Seq("term"))
-      val (nd, sl) = batchStats(rows)
+      val (nd, sl) = batchStatsIn.getOrElse(batchStats(rows))
       val (n0, sl0) = stats(indexDir)
       writeStats(indexDir, n0 + nd, sl0 + sl)
       n
-    } finally rows.unpersist(blocking = false)
+    } finally if (batchStatsIn.isEmpty) { rows.unpersist(blocking = false); () }
   }
 
   /** Folds delta-heavy term buckets — probes stay O(terms touched). */
@@ -131,11 +138,22 @@ object Bm25Index {
     val corpus = docs.filter(col("doc_id") % 101 =!= 0)
     val post = TextOps.bm25Postings(corpus).cache()
     val isNew = (col("doc_id") % 5) === 4
+    // both splits' (n_docs, Σdl) in ONE pass over the cached postings
+    // (r14): build/append then consume their split exactly once and skip
+    // their defensive localCheckpoints — the same numbers the two
+    // per-split batchStats aggregates produced, grouped instead of
+    // repeated
+    val st = post.select(col("doc_id"), col("dl"), isNew.as("nw")).distinct()
+      .groupBy("nw").agg(count(lit(1)).cast("long").as("n"),
+        sum("dl").cast("long").as("sl"))
+      .collect().map(r => r.getBoolean(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     // 8 store buckets: 64 is the 100 TB layout; at driver-check scale it
     // is pure small-file overhead (the LshIndex precedent)
     val idx = Scratch.scratch("graft-bm25-idx").toString
-    build(s, post.filter(!isNew), idx, numBuckets = 8)
-    append(s, post.filter(isNew), idx, numBuckets = 8)
+    build(s, post.filter(!isNew), idx, numBuckets = 8,
+      stats = Some(st.getOrElse(false, (0L, 0L))))
+    append(s, post.filter(isNew), idx, numBuckets = 8,
+      batchStatsIn = Some(st.getOrElse(true, (0L, 0L))))
     Dedup.releasing(
       probe(s, idx, TextOps.bm25QueryTerms(docs), numBuckets = 8), post)
   }
