@@ -48,11 +48,17 @@ object LshIndex {
     */
   def build(spark: SparkSession, corpusSigs: DataFrame, indexDir: String,
       numBuckets: Int = 64): Int = {
-    val rows = indexRows(corpusSigs).localCheckpoint(true)
+    // a NEW store's upsert consumes the batch exactly once (nothing to
+    // merge: no touched-bucket probe, no key set) — only an upsert onto
+    // an EXISTING store re-reads it, so only that path pays the
+    // materialization (r14)
+    val fresh = ChangesetStore.currentVersion(spark, indexDir).isEmpty
+    val rows = if (fresh) indexRows(corpusSigs)
+      else indexRows(corpusSigs).localCheckpoint(true)
     try ChangesetStore.upsertBucketed(spark, indexDir, rows,
       keys = Seq("band", "bkey", "doc_id"), numBuckets,
       bucketBy = Seq("band", "bkey"))
-    finally rows.unpersist(blocking = false)
+    finally if (!fresh) { rows.unpersist(blocking = false); () }
   }
 
   /** Appends a new batch's rows as per-bucket DELTA files — O(batch)
@@ -65,13 +71,12 @@ object LshIndex {
     * [[compact]] folds delta-heavy buckets periodically.
     */
   def append(spark: SparkSession, batchSigs: DataFrame, indexDir: String,
-      numBuckets: Int = 64): Int = {
-    val rows = indexRows(batchSigs).localCheckpoint(true)
-    try ChangesetStore.appendBucketed(spark, indexDir, rows,
+      numBuckets: Int = 64): Int =
+    // delta appends consume the batch exactly once (the staging write);
+    // the former localCheckpoint materialized it for no second reader
+    ChangesetStore.appendBucketed(spark, indexDir, indexRows(batchSigs),
       keys = Seq("band", "bkey", "doc_id"), numBuckets,
       bucketBy = Seq("band", "bkey"))
-    finally rows.unpersist(blocking = false)
-  }
 
   /** Folds pending delta files into their buckets' bases once a bucket
     * accumulates `minDeltas` of them — bounds probe file fan-in at

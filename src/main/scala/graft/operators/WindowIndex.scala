@@ -35,10 +35,14 @@ object WindowIndex {
   /** Builds the index from a corpus slice (one store version). */
   def build(spark: SparkSession, docs: DataFrame, indexDir: String,
       numBuckets: Int = 64): Int = {
-    val rows = Dedup.windowRows(docs).localCheckpoint(true)
+    // new store: the upsert consumes the batch once — no merge probe, no
+    // key set — so the materialization is only paid on re-builds (r14)
+    val fresh = ChangesetStore.currentVersion(spark, indexDir).isEmpty
+    val rows = if (fresh) Dedup.windowRows(docs)
+      else Dedup.windowRows(docs).localCheckpoint(true)
     try ChangesetStore.upsertBucketed(spark, indexDir, rows,
       Keys, numBuckets, BucketBy)
-    finally rows.unpersist(blocking = false)
+    finally if (!fresh) { rows.unpersist(blocking = false); () }
   }
 
   /** Appends a batch's window rows as per-bucket DELTA files — O(batch)
@@ -47,11 +51,9 @@ object WindowIndex {
     * per-doc distinct).
     */
   def append(spark: SparkSession, docs: DataFrame, indexDir: String,
-      numBuckets: Int = 64): Int = {
-    val rows = Dedup.windowRows(docs).localCheckpoint(true)
-    try appendRows(spark, rows, indexDir, numBuckets)
-    finally rows.unpersist(blocking = false)
-  }
+      numBuckets: Int = 64): Int =
+    // delta appends consume the batch once (staging write only)
+    appendRows(spark, Dedup.windowRows(docs), indexDir, numBuckets)
 
   /** Row-level append for callers that already materialized the batch's
     * window rows (the streaming ingest computes them ONCE for gate +
