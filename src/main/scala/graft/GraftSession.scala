@@ -82,6 +82,10 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // dev A/B switch for the small-scan hooks (default on; the driver
+      // never sets it)
+      .config("spark.graft.parallelizeSmallScans",
+        sys.env.getOrElse("SPARK_GRAFT_PAR_SCANS", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")

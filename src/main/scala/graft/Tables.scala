@@ -123,5 +123,13 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = loadParallel(s, d, "documents")
+  /** Plain (un-hooked) documents scan for operators that balance their
+    * OWN slim projection (Dedup.signaturesOf's repartition of
+    * (doc_id, text), the jgrams paths): the hook's full-row exchange
+    * beneath their internal rebalance double-shuffles the text bodies —
+    * measured 4-run on/off A/B: dedup_clusters 1.78→2.29 s,
+    * dedup_minhash 0.29→0.46 s WITH the hook.
+    */
+  def documentsRaw(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = loadParallel(s, d, "embeddings")
 }

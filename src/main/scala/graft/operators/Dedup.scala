@@ -44,7 +44,7 @@ object Dedup {
     * per salt j (the oracle's declarative form), one shingle scan total.
     */
   private def signatures(s: SparkSession, dir: String): DataFrame =
-    signaturesOf(s, Tables.documents(s, dir))
+    signaturesOf(s, Tables.documentsRaw(s, dir))
 
   private[graft] def signaturesOf(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.GeoFunctions.register(s)
@@ -386,7 +386,7 @@ object Dedup {
   def dedupEditDist(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GeoFunctions.register(s)
     val sigs = signatures(s, dir).cache()
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val docs = Tables.documentsRaw(s, dir).select(col("doc_id"), col("text"))
     releasing(
       candidates(sigs)
         .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
@@ -414,7 +414,7 @@ object Dedup {
     graft.functions.GeoFunctions.register(s)
     // jgrams3 codegen kernel — the interpreted transform/concat_ws chain
     // it replaces was the dominant cost of this key at sf1
-    val grams = Tables.documents(s, dir)
+    val grams = Tables.documentsRaw(s, dir)
       .withColumn("grams", call_function("jgrams3", col("text")))
       .select(col("doc_id"), col("grams"), size(col("grams")).as("ng"))
       .cache() // reused by flat + both size joins
@@ -457,7 +457,7 @@ object Dedup {
     */
   def dedupMinhashAcc(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GeoFunctions.register(s)
-    val grams = Tables.documents(s, dir)
+    val grams = Tables.documentsRaw(s, dir)
       .withColumn("grams", call_function("jgrams3", col("text")))
       .select(col("doc_id"), col("grams"), size(col("grams")).as("ng"))
       .cache()

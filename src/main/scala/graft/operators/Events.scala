@@ -362,6 +362,12 @@ object Events {
       .withColumn("p6", expr(
         "(1000000 * n) div sum(n) over (partition by from_type)"))
       .select("from_type", "to_type", "p6")
+      // materialized once (r14): the matrix is referenced ~10× (types +
+      // 8 iterations), and without a materialization point each
+      // reference carries the corpus-scale lag-walk subtree into the
+      // plan — AQE exchange reuse papered over most of the recompute
+      // but the planner still planned it 10 times. |types|²-bounded.
+      .localCheckpoint(true)
     val types = m.select(col("from_type").as("type")).distinct()
     var v = types.crossJoin(broadcast(types.agg(count(lit(1)).as("k"))))
       .select(col("type"), expr("1000000 div k").as("p"))

@@ -636,7 +636,11 @@ object TextOps {
     */
   def textLmBucket(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = textBigramLm(s, dir).select("doc_id", "avg_p6")
+    // cached (r14): the scored frame is consumed by BOTH the tercile
+    // histogram and the bucket assignment — without it the whole
+    // bigram-LM scoring pipeline runs twice. Narrow (doc_id, avg_p6)
+    // rows, released by the between-queries sweep.
+    val scored = textBigramLm(s, dir).select("doc_id", "avg_p6").cache()
     val hist = scored.groupBy("avg_p6").agg(count(lit(1)).as("nv"))
     val thr = hist
       .withColumn("cum", sum("nv").over(Window.orderBy("avg_p6")
