@@ -112,16 +112,29 @@ object Bench {
         } else name -> med
       }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Per-query values rounded to ms: full-precision doubles print up to
+    // 17 significant digits and tripled the line size — ms precision is
+    // far below run-to-run noise and lets ~3x more keys fit the driver's
+    // ~2 KB stdout tail. Failure markers stay strictly negative.
+    def ms(v: Double): Double = {
+      val r = math.round(math.abs(v) * 1000.0) / 1000.0
+      val m = math.max(r, 0.001)
+      if (v < 0) -m else m
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val rq = remeasured.map { case (k, (m1, m2)) =>
-      s"\"" + k + s"\":[$m1,$m2]" }.mkString("{", ",", "}")
+      s"\"" + k + s"\":[${ms(m1)},${ms(m2)}]" }.mkString("{", ",", "}")
     val kl = keyLoad.map { case (k, l) =>
       s"\"" + k + "\":" + (math.round(l * 100.0) / 100.0) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(math.abs).sum else 0.0
     val nFailed = results.values.count(_ < 0)
+    // FIELD ORDER MATTERS: the driver keeps only a ~2 KB stdout tail and
+    // parses per-query times from it, so "queries" must be the LAST big
+    // map on the line (r14's layout put remeasured/key_load after it and
+    // the driver registered zero per-query times — PERF_r14 n_common=0).
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir","reps":$reps,"remeasured":$rq,"key_load":$kl,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"sf":"$sfDir","reps":$reps,"remeasured":$rq,"key_load":$kl,"queries":$qs,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}"}"""
     // The full per-query line goes to the FILE; stdout gets it too for
     // humans, but the line the driver must parse is the COMPACT one below:
     // the driver keeps only a 2000-char stdout tail, and at 73 keys the

@@ -73,14 +73,23 @@ object Bm25Index {
     */
   def build(spark: SparkSession, post: DataFrame, indexDir: String,
       numBuckets: Int = 64, stats: Option[(Long, Long)] = None): Int = {
-    val rows = if (stats.isDefined) post else post.localCheckpoint(true)
+    // checkpoint skipped only when the batch truly has ONE consumer:
+    // stats are precomputed AND the store is fresh (a NEW store's upsert
+    // is a single staging write). An upsert onto an EXISTING store scans
+    // the batch three times (touched-bucket collect, key set, merge
+    // write) — a nondeterministic batch re-evaluated per scan could
+    // write rows inconsistent with its own anti-join key set, so that
+    // path always materializes (r15, the r14 advice item).
+    val fresh = ChangesetStore.currentVersion(spark, indexDir).isEmpty
+    val skipCkpt = stats.isDefined && fresh
+    val rows = if (skipCkpt) post else post.localCheckpoint(true)
     try {
       val n = ChangesetStore.upsertBucketed(spark, indexDir, rows,
         keys = Seq("term", "doc_id"), numBuckets, bucketBy = Seq("term"))
       val (nd, sl) = stats.getOrElse(batchStats(rows))
       writeStats(indexDir, nd, sl)
       n
-    } finally if (stats.isEmpty) { rows.unpersist(blocking = false); () }
+    } finally if (!skipCkpt) { rows.unpersist(blocking = false); () }
   }
 
   /** Appends a new batch's postings as per-bucket DELTA files — O(batch)

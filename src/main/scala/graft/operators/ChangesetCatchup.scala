@@ -164,13 +164,23 @@ object ChangesetCatchup {
       .map(_._1)
     var applied = 0L
     pending.grouped(batchSize).foreach { batch =>
-      val folded = foldBatch(readBatch(spark, batch))
-      ChangesetStore.upsertAuto(spark, storeDir, folded, Seq("id"), numBuckets)
-      val ts = folded.agg(max(greatest(col("created_at"), col("closed_at"))))
-        .collect().head
+      // batch materialized once (r15): an upsert onto an existing store
+      // consumes it three times (touched-bucket collect, key set, staging
+      // write) and the bookmark-timestamp aggregate a fourth — each
+      // re-evaluation was a full re-parse + re-fold of the diff XML
+      val folded = foldBatch(readBatch(spark, batch)).localCheckpoint(true)
+      // upsert ∥ bookmark aggregate (§2.6): both only read the
+      // materialized batch; the state commit still lands strictly AFTER
+      // the upsert below, so the crash/resume contract is unchanged
+      val (_, ts) = graft.Par.run2(
+        () => ChangesetStore.upsertAuto(spark, storeDir, folded,
+          Seq("id"), numBuckets),
+        () => folded.agg(max(greatest(col("created_at"), col("closed_at"))))
+          .collect().head)
       st = State(batch.last._1,
         if (ts.isNullAt(0)) st.timestamp else ts.getString(0))
       writeState(storeDir, st)
+      folded.unpersist(blocking = false)
       applied += batch.size
     }
     applied
@@ -199,7 +209,10 @@ object ChangesetCatchup {
     val cuts = Seq(lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3, hi)
     val diffDir = Scratch.scratch("graft-cs-catchup-diffs")
     val store = Scratch.scratch("graft-cs-catchup-store").toString
-    cuts.zipWithIndex.foreach { case (cut, i) =>
+    // the three diff windows' as-of aggregations are independent reads of
+    // the checkpointed event table — run their collects concurrently
+    // (§2.6) instead of sequencing three small job chains (r15)
+    val bodies = graft.Par.run(cuts.zipWithIndex.map { case (cut, i) => () => {
       val prev = if (i == 0) Long.MinValue else cuts(i - 1)
       val touched = e.filter(col("ts_us") > prev && col("ts_us") <= cut)
         .select("user_id").distinct()
@@ -209,9 +222,11 @@ object ChangesetCatchup {
         .agg(min("ts_us").as("created_at"), max("ts_us").as("closed_at"),
           count(lit(1)).as("num_changes"))
         .collect()
-      val body = rows.map { r =>
+      rows.map { r =>
         s"""<changeset id="${r.getLong(0)}" created_at="${r.getLong(1)}" closed_at="${r.getLong(2)}" open="false" uid="${r.getLong(0)}" user="u${r.getLong(0)}" num_changes="${r.getLong(3)}"/>"""
       }.mkString("\n")
+    }})
+    bodies.zipWithIndex.foreach { case (body, i) =>
       Files.writeString(diffDir.resolve(s"${i + 1}.osm"),
         s"""<?xml version="1.0"?>\n<osm version="0.6">\n$body\n</osm>""")
     }

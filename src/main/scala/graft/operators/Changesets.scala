@@ -290,9 +290,17 @@ object Changesets {
   def csDbEnrich(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.ChangesetStore
     val store = Scratch.scratch("graft-cs-store").toString
-    val e = Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
-    def changesets(ev: DataFrame): DataFrame =
-      sessionize(ev).groupBy("user_id", "cs_seq")
+    // ONE sessionize pass (r15, guide §1.2): the per-user session window
+    // commutes with both batch filters — batch 1 keeps each user's
+    // ts-prefix (every kept row's in-window predecessors sort ≤ cut too,
+    // so its gap_flag and prefix-sum cs_seq are unchanged), batch 2 keeps
+    // WHOLE users (the window is per-user) — so both upsert batches and
+    // the final enrichment consume the same sessionized frame instead of
+    // re-shuffling and re-windowing the event stream three times.
+    // Checkpointed: four consumers (two batches, `touched`, enrichment).
+    val sess = sessionized(s, dir).localCheckpoint(true)
+    def changesets(se: DataFrame): DataFrame =
+      se.groupBy("user_id", "cs_seq")
         .agg(min("ts_us").as("created_at"), max("ts_us").as("closed_at"),
           count(lit(1)).as("num_changes"),
           // the discussion count (Changeset.java:17), stood in by the
@@ -301,11 +309,11 @@ object Changesets {
           sum(when(col("event_type") === "error", 1L).otherwise(0L))
             .as("comments_count"))
     val cut = Replication.CutUs
-    ChangesetStore.upsert(s, store, changesets(e.filter(col("ts_us") <= cut)),
-      Seq("user_id", "cs_seq"))
-    val touched = e.filter(col("ts_us") > cut).select("user_id").distinct()
     ChangesetStore.upsert(s, store,
-      changesets(e.join(broadcast(touched), Seq("user_id"), "left_semi")),
+      changesets(sess.filter(col("ts_us") <= cut)), Seq("user_id", "cs_seq"))
+    val touched = sess.filter(col("ts_us") > cut).select("user_id").distinct()
+    ChangesetStore.upsert(s, store,
+      changesets(sess.join(broadcast(touched), Seq("user_id"), "left_semi")),
       Seq("user_id", "cs_seq"))
     val cs = ChangesetStore.read(s, store).select(
       col("user_id"), col("cs_seq"),
@@ -313,7 +321,7 @@ object Changesets {
       col("closed_at").as("cs_closed_at"),
       col("num_changes").as("cs_num_changes"),
       col("comments_count").as("cs_comments_count"))
-    sessionized(s, dir)
+    sess
       .join(broadcast(cs), Seq("user_id", "cs_seq"))
       .select(col("event_id"), col("user_id"), col("cs_seq"),
         col("cs_created_at"), col("cs_closed_at"), col("cs_num_changes"),

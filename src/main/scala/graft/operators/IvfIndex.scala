@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Par
 import graft.sources.ChangesetStore
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -159,13 +160,27 @@ object IvfIndex {
     * version `next`. `rows` must carry (cell, vec_id, embedding, n2);
     * only its cells are written — `carried` manifest entries (and their
     * pending deltas, `carriedDeltas`) survive unchanged.
+    *
+    * The cell staging write, the codebook write and any `alsoWrite`
+    * side-writes (the build path's locator upsert) are INDEPENDENT
+    * pre-commit artifacts — none is referenced until the manifest +
+    * pointer land below — so they run concurrently (guide §2.6): the
+    * driver no longer serializes three small jobs whose wall is mostly
+    * scheduling, and on a cluster the later writes back-fill the cell
+    * write's task tail. Crash windows are unchanged: whatever subset
+    * lands before a crash is uncommitted (cells/codebook) or harmless
+    * extra placements (locator — a SET only ever extended).
     */
   private def commit(spark: SparkSession, indexDir: String, next: Int,
       rows: DataFrame, centroids: Seq[(Long, Seq[Float])],
       carried: Map[Int, Int],
-      carriedDeltas: Map[Int, Seq[Int]] = Map.empty): Int = {
-    val written = installCells(spark, indexDir, next, rows, "v", centroids.size)
-    writeCodebook(spark, indexDir, next, centroids)
+      carriedDeltas: Map[Int, Seq[Int]] = Map.empty,
+      alsoWrite: Seq[() => Unit] = Seq.empty): Int = {
+    val results = Par.run[Any](
+      (() => installCells(spark, indexDir, next, rows, "v", centroids.size): Any) +:
+        (() => writeCodebook(spark, indexDir, next, centroids): Any) +:
+        alsoWrite.map(t => () => t(): Any))
+    val written = results.head.asInstanceOf[Seq[Int]]
     ChangesetStore.writeManifest(spark, indexDir, next,
       carried ++ written.map(_ -> next).toMap, carriedDeltas)
     ChangesetStore.commitPointer(spark, indexDir, next)
@@ -254,14 +269,17 @@ object IvfIndex {
     // materialized once: consumed by the cell staging write AND the
     // locator upsert (which probes/keys/writes its batch three times)
     val assigned = assign(corpus, cents).localCheckpoint(true)
-    // a full (re)build replaces every cell: carry nothing forward
-    val committed = commit(spark, indexDir, next, assigned, centroids, Map.empty)
-    // locator extended (never deleted) AFTER the main commit: placements
-    // from an earlier build stay in the set, where they only ever cost a
-    // redundant tombstone — deleting first would open a crash window with
-    // NO locator at all, in which a later append could strand a live row
-    upsertLocator(spark, indexDir, assigned, locatorBuckets)
-    committed
+    // a full (re)build replaces every cell: carry nothing forward. The
+    // locator upsert rides the commit's concurrent write group (§2.6):
+    // the locator is a SET that is only ever EXTENDED (never deleted),
+    // so whether it lands before, during, or after the cell commit the
+    // crash outcomes are identical — extra placements at worst, and the
+    // dangerous window (committed cells with no locator entries) is the
+    // same one the old strictly-sequential order had between its two
+    // steps
+    commit(spark, indexDir, next, assigned, centroids, Map.empty,
+      alsoWrite = Seq(
+        () => { upsertLocator(spark, indexDir, assigned, locatorBuckets); () }))
   }
 
   /** Appends a new vector batch to the live index as per-cell DELTA
@@ -315,12 +333,18 @@ object IvfIndex {
         newRows.unionByName(tombs)
     }
 
-    val written = installCells(spark, indexDir, next, deltaRows, "d",
-      cents.length)
-    // locator extended before the pointer commit: a crash in between
-    // leaves extra placements in the set, never missing ones
-    upsertLocator(spark, indexDir, assigned, locatorBuckets)
-    carryCodebook(spark, indexDir, v, next)
+    // three independent pre-commit writes run concurrently (§2.6): the
+    // delta staging write, the locator extension and the codebook carry
+    // reference nothing of each other — deltaRows' locator view (`prior`)
+    // was resolved to concrete prev-version paths above, which the
+    // locator upsert's GC preserves (it keeps the previous manifest's
+    // files for readers mid-flight). All land before the pointer commit,
+    // so the crash contract is unchanged: extra locator placements at
+    // worst, never missing ones
+    val (written, _) = Par.run2(
+      () => installCells(spark, indexDir, next, deltaRows, "d", cents.length),
+      () => { upsertLocator(spark, indexDir, assigned, locatorBuckets)
+        carryCodebook(spark, indexDir, v, next) })
     val manifest = ChangesetStore.readManifest(spark, indexDir, v)
     val prevDeltas = ChangesetStore.readDeltas(spark, indexDir, v)
     ChangesetStore.writeManifest(spark, indexDir, next, manifest,
@@ -347,9 +371,10 @@ object IvfIndex {
     val next = v + 1
     val manifest = ChangesetStore.readManifest(spark, indexDir, v)
     val merged = liveCellRows(spark, indexDir, v, toCompact).get
-    val written = installCells(spark, indexDir, next, merged, "v",
-      toCompact.size)
-    carryCodebook(spark, indexDir, v, next)
+    // fold write ∥ codebook carry (§2.6) — independent pre-commit writes
+    val (written, _) = Par.run2(
+      () => installCells(spark, indexDir, next, merged, "v", toCompact.size),
+      () => carryCodebook(spark, indexDir, v, next))
     // a compacted cell whose live view emptied (everything tombstoned)
     // stages no partition: drop it from the manifest entirely
     ChangesetStore.writeManifest(spark, indexDir, next,

@@ -74,7 +74,15 @@ object LshIndex {
       numBuckets: Int = 64): Int =
     // delta appends consume the batch exactly once (the staging write);
     // the former localCheckpoint materialized it for no second reader
-    ChangesetStore.appendBucketed(spark, indexDir, indexRows(batchSigs),
+    appendRows(spark, indexRows(batchSigs), indexDir, numBuckets)
+
+  /** Row-level append for callers that already materialized the batch's
+    * band rows (the probe-then-append lifecycle computes them ONCE for
+    * both).
+    */
+  private[graft] def appendRows(spark: SparkSession, rows: DataFrame,
+      indexDir: String, numBuckets: Int): Int =
+    ChangesetStore.appendBucketed(spark, indexDir, rows,
       keys = Seq("band", "bkey", "doc_id"), numBuckets,
       bucketBy = Seq("band", "bkey"))
 
@@ -137,10 +145,22 @@ object LshIndex {
     * then joined against the broadcast batch rows.
     */
   def probe(spark: SparkSession, indexDir: String, batchSigs: DataFrame,
-      numBuckets: Int = 64): DataFrame = {
+      numBuckets: Int = 64): DataFrame =
     // materialized once: consumed by the touched-bucket probe AND the
     // index∪batch union
-    val batchRows = indexRows(batchSigs).localCheckpoint(true)
+    probeRows(spark, indexDir, indexRows(batchSigs).localCheckpoint(true),
+      numBuckets)
+
+  /** Probe over already-materialized batch band rows (`batchRows` must be
+    * checkpointed `indexRows` output): resolves and SCANS the store
+    * snapshot into a checkpointed candidate table before returning, so
+    * the returned frame no longer reads store files — a concurrent
+    * append afterwards cannot change what it computes.
+    */
+  private[graft] def probeRows(spark: SparkSession, indexDir: String,
+      batchRows: DataFrame, numBuckets: Int): DataFrame = {
+    val batchSigs = batchRows
+      .select((Seq("doc_id") ++ sigCols).map(col): _*).distinct()
     val probeKeys = batchRows.select("band", "bkey").distinct()
 
     val corpusRows = ChangesetStore
@@ -201,9 +221,18 @@ object LshIndex {
     // 8 store buckets: the 64-bucket default is the 100 TB layout; at
     // driver-check scale it is pure small-file overhead
     build(s, sigs.filter(!isNew), idx, numBuckets = 8)
-    val out = probe(s, idx, sigs.filter(isNew), numBuckets = 8)
-      .localCheckpoint(true)
-    append(s, sigs.filter(isNew), idx, numBuckets = 8)
+    // the batch's band rows computed ONCE for probe + append (each used
+    // to derive them separately — one broadcast-join pass saved, r15)
+    val batchRows = indexRows(sigs.filter(isNew)).localCheckpoint(true)
+    val probeDf = probeRows(s, idx, batchRows, numBuckets = 8)
+    // final probe materialization ∥ delta append (§2.6): probeRows has
+    // already scanned the pre-append store snapshot into its checkpointed
+    // candidate table, so the append's commit cannot change what the
+    // probe computes, and the two actions share no store files (append
+    // only ADDS delta dirs; GC keeps the previous manifest's files)
+    val (out, _) = graft.Par.run2(
+      () => probeDf.localCheckpoint(true),
+      () => appendRows(s, batchRows, idx, numBuckets = 8))
     sigs.unpersist(blocking = false)
     out
   }

@@ -151,7 +151,17 @@ object WindowIndex {
     // is pure small-file overhead (the LshIndex precedent)
     val idx = Scratch.scratch("graft-w50-idx").toString
     build(s, docs.filter(!isNew), idx, numBuckets = 8)
-    append(s, docs.filter(isNew), idx, numBuckets = 8)
-    probe(s, idx, docs.filter(isNew), numBuckets = 8)
+    // the batch's window rows computed ONCE for append + probe (each
+    // derived them separately — one tokenize+fingerprint pass saved, r15)
+    val bw = Dedup.windowRows(docs.filter(isNew)).localCheckpoint(true)
+    // append ∥ probe (§2.6): the probe is order-agnostic by construction
+    // (it unions the batch's own rows and (fp, doc_id)-distincts, so
+    // seeing the appended deltas or not gives the same table), and the
+    // append only ADDS delta dirs while GC keeps the previous manifest's
+    // files — the two actions cannot disturb each other
+    val (probeDf, _) = graft.Par.run2(
+      () => probeRows(s, idx, bw, numBuckets = 8),
+      () => appendRows(s, bw, idx, numBuckets = 8))
+    probeDf
   }
 }
