@@ -37,6 +37,23 @@ object Tables {
     * (PushPredicateThroughNonJoin), so PushedFilters/ReadSchema at the
     * scan are unchanged — pinned by PlanAuditSpec.
     */
+  /** Size probe memo (r15, the r14 advice item): the input tables are
+    * immutable for a session's lifetime, and `getContentSummary` is a
+    * recursive directory walk that the hooks would otherwise re-run on
+    * every query construction — driver-side FS overhead that is pure
+    * waste on object stores at real scale, where the hook is a
+    * guaranteed no-op anyway.
+    */
+  private val sizeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def pathBytes(spark: SparkSession, path: String): Long =
+    sizeCache.computeIfAbsent(path, p => {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(hp).getLength
+    })
+
   private def parallelize(spark: SparkSession, path: String, df: DataFrame): DataFrame = {
     // runtime kill-switch: PlanAuditSpec pins each operator's OWN plan
     // shape with the hook off (at cluster scale the hook is a no-op, so
@@ -45,9 +62,7 @@ object Tables {
     // layout, not by operator logic)
     if (spark.conf.get("spark.graft.parallelizeSmallScans", "true") != "true")
       return df
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(p).getLength
+    val bytes = pathBytes(spark, path)
     val oneSplit = bytes <= spark.sessionState.conf.filesMaxPartitionBytes
     val cores = spark.sparkContext.defaultParallelism
     val target = math.min(cores.toLong, (bytes + 65535) / 65536).toInt
@@ -75,9 +90,7 @@ object Tables {
       df: DataFrame, keys: Seq[String]): DataFrame = {
     if (spark.conf.get("spark.graft.parallelizeSmallScans", "true") != "true")
       return df
-    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(p).getLength
+    val bytes = pathBytes(spark, s"$dir/$name.parquet")
     val cores = spark.sparkContext.defaultParallelism
     val target = math.min(cores.toLong, (bytes + 65535) / 65536).toInt
     if (bytes <= spark.sessionState.conf.filesMaxPartitionBytes && target > 1) {

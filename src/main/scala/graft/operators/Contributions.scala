@@ -140,8 +140,17 @@ object Contributions {
     val entityAll = Window.partitionBy("user_id")
     val cumFrame = byEntity.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val e = Tables.events(s, dir)
-      .withColumn("ts_us", expr("ts div 1000"))
+    // spreadIfSmall on the window key (r15, guide §2.2/§2.5): the whole
+    // enrichment pipeline below is ONE stage of per-entity windows +
+    // geometry/decimal kernels behind an Exchange(user_id) that AQE
+    // coalesced to 4 post-shuffle tasks at bench scale (1.1 s of the
+    // 1.9 s wall on a 32-core box, ProfileKey r15). The window needs the
+    // user_id exchange regardless, so pinning its width to the
+    // size-derived count costs nothing — and at cluster scale the hook
+    // is a no-op and AQE keeps sizing the real shuffle.
+    val e = Tables.spreadIfSmall(s, dir, "events",
+        Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000")),
+        Seq("user_id"))
       // session (changeset) assignment: 6h gap, same rule as cs_build
       .withColumn("gap_flag",
         when(col("ts_us") - lag("ts_us", 1).over(byEntity) > Changesets.GapUs ||

@@ -151,11 +151,20 @@ object Sketches {
       .select(col("event_type"), col("user_id"),
         expr("ts div 86400000000000").as("day"))
     val store = Scratch.scratch("graft-hll-store").toString
-    val maxDay = ev.agg(max("day")).collect()(0).getLong(0)
+    val mm = ev.agg(min("day"), max("day")).collect()(0)
+    val (minDay, maxDay) = (mm.getLong(0), mm.getLong(1))
     def dailyRegs(df: DataFrame): DataFrame =
       withRegisterCols(df)
         .groupBy("day", "event_type", "reg").agg(max("rho").as("m_rho"))
+    // cluster the bulk write BY DAY at the day count (r15, guide §6/§2.2):
+    // day dirs are the write unit, so one task per day is the right
+    // parallelism at any scale — AQE had coalesced the post-agg exchange
+    // to 2 tasks that each wrote all ~30 day dirs (0.54 s serial at
+    // bench scale, and tasks × days small files at any scale); the
+    // explicit count is DATA-derived (the day span), not a core count
+    val nDays = (maxDay - minDay).max(1L).toInt
     dailyRegs(ev.filter(col("day") < maxDay))
+      .repartition(nDays, col("day"))
       .write.partitionBy("day").mode("overwrite").parquet(store)
     dailyRegs(ev.filter(col("day") === maxDay))
       .write.partitionBy("day").mode("append").parquet(store)

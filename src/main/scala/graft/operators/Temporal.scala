@@ -78,9 +78,16 @@ object Temporal {
   def minorVersions(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
-    val ways = e.filter(col("event_type") === "click")
-      .select(col("user_id").as("way_id"), col("ts_us").as("valid_from"),
-        col("event_id"))
+    // spreadIfSmall on the window key (r15): the version chain + refs
+    // derivation behind Exchange(way_id) was AQE-coalesced to ONE task
+    // (0.7 s serial in a 32-core session, ProfileKey r15); the window
+    // needs the way_id exchange anyway, so pin its width — no-op at
+    // cluster scale
+    val ways = Tables.spreadIfSmall(s, dir, "events",
+        e.filter(col("event_type") === "click")
+          .select(col("user_id").as("way_id"), col("ts_us").as("valid_from"),
+            col("event_id")),
+        Seq("way_id"))
       .withColumn("osm_version", row_number().over(
         Window.partitionBy("way_id").orderBy("valid_from", "event_id")))
       .withColumn("refs", array(col("way_id") % 100,
@@ -102,9 +109,13 @@ object Temporal {
   def minorVersionsCs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
-    val ways = e.filter(col("event_type") === "click")
-      .select(col("user_id").as("way_id"), col("ts_us").as("valid_from"),
-        col("event_id"))
+    // spreadIfSmall on the window key — same serial-window fix as
+    // [[minorVersions]] (r15)
+    val ways = Tables.spreadIfSmall(s, dir, "events",
+        e.filter(col("event_type") === "click")
+          .select(col("user_id").as("way_id"), col("ts_us").as("valid_from"),
+            col("event_id")),
+        Seq("way_id"))
       .withColumn("osm_version", row_number().over(
         Window.partitionBy("way_id").orderBy("valid_from", "event_id")))
       .withColumn("changeset", col("event_id") % 7)
